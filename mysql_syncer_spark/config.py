@@ -1,0 +1,58 @@
+"""Typed configuration — the Spark mirror of settings.php.tmpl.
+
+The reference's user-facing surface is a handful of PHP constants
+(src/settings/settings.php.tmpl): IGNORE_TABLES regexes (:50-53),
+PARTITIONED_TABLE_DEFINITIONS (:59-61), SYNC_SHARED_PARTITIONS (:67),
+COPY_TABLES_WITH_NO_PRIMARY (:45), CHUNK_SIZE (:34),
+USE_MULTI_PROCESSING (:39). Here they are a dataclass, plus the
+TableHandle that carries the PK metadata Spark doesn't have natively.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class TableHandle:
+    """A DataFrame + the relational metadata Spark lacks (PK, partition
+    column) — SURVEY.md §1 'Table' row."""
+
+    name: str
+    df: DataFrame
+    pk_cols: tuple[str, ...] = ()
+    partition_col: str | None = None
+
+    @property
+    def has_pk(self) -> bool:
+        return len(self.pk_cols) > 0
+
+
+@dataclass(frozen=True)
+class SyncConfig:
+    """Engine configuration (reference: settings.php.tmpl)."""
+
+    #: regexes; any table whose name matches is excluded from sync
+    #: (Synchronizer.php:300-320)
+    ignore_tables: tuple[str, ...] = ()
+    #: table -> partition column (settings.php.tmpl:59-61); partition-wise
+    #: sync recommended >1M rows (README.md:33,53)
+    partitioned_tables: dict[str, str] = field(default_factory=dict)
+    #: also diff partitions present on both sides (settings.php.tmpl:67)
+    sync_shared_partitions: bool = True
+    #: tables with no PK: full-copy if True, skip if False
+    #: (settings.php.tmpl:45, Synchronizer.php:213-222)
+    copy_tables_with_no_primary: bool = True
+    #: JDBC write batch size — the reference's CHUNK_SIZE=5000
+    #: (settings.php.tmpl:32-34); irrelevant for parquet mode
+    chunk_size: int = 5000
+    #: concurrent sync units (reference: ThreadWrapper.jar <cores>)
+    max_parallel_tables: int = 8
+    #: 'hash' = reference-faithful content-set diff; 'pk_hash' = strict
+    join_mode: str = "pk_hash"
+    #: write every planned mutation to a changelog instead of applying
+    #: (generalizes LOG_QUERIES, settings.php.tmpl:25-30)
+    dry_run: bool = False

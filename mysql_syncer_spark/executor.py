@@ -1,0 +1,204 @@
+"""Sync executor — applies a SyncPlan and reports what it did.
+
+Parquet ("file") mode is the primary path: mutations are expressed as
+pure-DataFrame rewrites (anti-join out deletes, union in inserts) and an
+atomic overwrite of the slave table. JDBC-mode deletes/inserts (the
+reference's chunked DELETE ... IN / multi-row INSERT,
+src/project/TableConnection.php:289-387) are in sinks/jdbc.py.
+
+Control flow per table mirrors the reference hot path
+(Synchronizer.php:193-230 / SURVEY.md §3.2):
+
+  schema compare → digest short-circuit → hash maps → anti-joins → apply
+
+Parallelism: one thread per sync unit submitting independent Spark jobs
+(FAIR scheduler pool), replacing the reference's one-OS-process-per-table
+ThreadWrapper pool (Synchronizer.php:73-101). Errors are isolated per
+unit — the reference's ``|| true`` (Synchronizer.php:77) becomes
+try/except + a row in the report.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import functions as F
+
+from mysql_syncer_spark.config import SyncConfig, TableHandle
+from mysql_syncer_spark.diff import apply_delta, diff_tables
+from mysql_syncer_spark.digest import digests_equal, differing_partitions
+from mysql_syncer_spark.plans.plan import Action, SyncPlan, SyncUnit, plan_sync
+from mysql_syncer_spark.sources.catalog import ParquetCatalog
+
+
+@dataclass
+class UnitResult:
+    table: str
+    action: str
+    status: str = "ok"            # ok | noop | error | skipped
+    inserted: int = 0
+    deleted: int = 0
+    seconds: float = 0.0
+    error: str = ""
+
+
+@dataclass
+class SyncReport:
+    results: list[UnitResult] = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return all(r.status != "error" for r in self.results)
+
+    def summary(self) -> dict:
+        return {
+            "tables": len(self.results),
+            "noop": sum(r.status == "noop" for r in self.results),
+            "errors": sum(r.status == "error" for r in self.results),
+            "inserted": sum(r.inserted for r in self.results),
+            "deleted": sum(r.deleted for r in self.results),
+        }
+
+
+def _overwrite_parquet(df, path: str) -> None:
+    """Atomic-ish overwrite: write to a staging dir, then swap. Writing
+    directly with mode=overwrite would delete the input we are still
+    lazily reading from."""
+    tmp = path + ".__staging__"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
+    os.replace(tmp, path)
+
+
+class ParquetSyncExecutor:
+    """Executes a SyncPlan between two ParquetCatalogs (slave mutated)."""
+
+    def __init__(self, master: ParquetCatalog, slave: ParquetCatalog,
+                 config: SyncConfig | None = None):
+        self.master = master
+        self.slave = slave
+        self.cfg = config or SyncConfig()
+        self.spark = master.spark
+
+    # -- unit handlers ------------------------------------------------
+
+    def _drop(self, unit: SyncUnit, res: UnitResult) -> None:
+        path = self.slave.table_path(unit.table)
+        if os.path.exists(path):
+            shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
+        self.slave.invalidate()
+
+    def _full_copy(self, unit: SyncUnit, res: UnitResult) -> None:
+        """The reference's copyTable (drop + create + chunked scan/insert,
+        Synchronizer.php:330-354, self-described 'extremely slow!') is a
+        single parallel read→write here."""
+        mdf = self.master.table(unit.table).df
+        _overwrite_parquet(mdf, self.slave.table_path(unit.table))
+        self.slave.invalidate()
+
+    def _diff_sync(self, unit: SyncUnit, res: UnitResult) -> None:
+        m = self.master.table(unit.table)
+        s = self.slave.table(unit.table)
+        # digest short-circuit (Synchronizer.php:204-225): one cheap
+        # commutative-digest job per side; equal ⇒ zero row work.
+        if digests_equal(m.df, s.df):
+            res.status = "noop"
+            return
+        if unit.action == Action.DIFF_SYNC_PARTITIONED and unit.partition_col:
+            self._diff_sync_partitioned(unit, m, s, res)
+            return
+        self._apply_diff(unit.table, m.df, s.df, m.pk_cols, res)
+
+    def _diff_sync_partitioned(self, unit: SyncUnit, m: TableHandle,
+                               s: TableHandle, res: UnitResult) -> None:
+        """Partition-wise: find differing/missing/excess partition values
+        with one digest job per side, then row-diff ONLY those partitions.
+        At 100 TB this is the path that keeps a 0.1% delta sync from
+        scanning rows of untouched partitions twice more."""
+        pcol = unit.partition_col
+        parts = differing_partitions(m.df, s.df, pcol).collect()
+        if not parts:
+            res.status = "noop"
+            return
+        values = [r["partition_value"] for r in parts]
+        # one combined diff over just the affected partition values —
+        # partition pruning cuts the rescan; semantics identical to the
+        # reference's per-value loop (Synchronizer.php:151-175) incl. the
+        # delete-before-insert partition-move guard (apply_delta).
+        mdf = m.df.where(F.col(pcol).isin(values))
+        sdf = s.df.where(F.col(pcol).isin(values))
+        self._apply_diff(unit.table, mdf, sdf, m.pk_cols, res,
+                         full_slave=s.df, scope=(pcol, values))
+
+    def _apply_diff(self, table: str, mdf, sdf, pk_cols, res: UnitResult,
+                    full_slave=None, scope=None) -> None:
+        d = diff_tables(mdf, sdf, pk_cols, mode=self.cfg.join_mode)
+        inserts = d["insert"].persist()
+        deletes = d["delete"].persist()
+        try:
+            res.inserted = inserts.count()
+            res.deleted = deletes.count()
+            if res.inserted == 0 and res.deleted == 0:
+                res.status = "noop"
+                return
+            if self.cfg.dry_run:
+                res.status = "dry_run"
+                return
+            target = full_slave if full_slave is not None else sdf
+            merged = apply_delta(target, inserts, deletes, pk_cols)
+            _overwrite_parquet(merged, self.slave.table_path(table))
+            self.slave.invalidate()
+        finally:
+            inserts.unpersist()
+            deletes.unpersist()
+
+    # -- driver --------------------------------------------------------
+
+    def run_unit(self, unit: SyncUnit) -> UnitResult:
+        res = UnitResult(table=unit.table, action=unit.action.value)
+        t0 = time.time()
+        try:
+            if unit.action == Action.DROP:
+                self._drop(unit, res)
+            elif unit.action == Action.FULL_COPY:
+                self._full_copy(unit, res)
+            elif unit.action in (Action.DIFF_SYNC, Action.DIFF_SYNC_PARTITIONED):
+                self._diff_sync(unit, res)
+            elif unit.action == Action.SKIP:
+                res.status = "skipped"
+        except Exception as e:  # crash isolation (Synchronizer.php:77)
+            res.status = "error"
+            res.error = f"{e}\n{traceback.format_exc(limit=5)}"
+        res.seconds = time.time() - t0
+        return res
+
+    def run(self, plan: SyncPlan | None = None) -> SyncReport:
+        if plan is None:
+            plan = plan_sync(self.master, self.slave, self.cfg)
+        report = SyncReport()
+        # DDL-ish actions first, serially (cheap, mutate the catalog)
+        ddl = [u for u in plan if u.action in (Action.DROP, Action.FULL_COPY)]
+        diff = [u for u in plan if u.action not in (Action.DROP, Action.FULL_COPY)]
+        for u in ddl:
+            report.results.append(self.run_unit(u))
+        if diff:
+            workers = max(1, min(self.cfg.max_parallel_tables, len(diff)))
+            if workers == 1:
+                for u in diff:   # serial fallback (Synchronizer.php:93-101)
+                    report.results.append(self.run_unit(u))
+            else:
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    report.results.extend(pool.map(self.run_unit, diff))
+        return report
+
+
+def sync(master: ParquetCatalog, slave: ParquetCatalog,
+         config: SyncConfig | None = None) -> SyncReport:
+    """One-call full sync: plan + execute. After this, slave ≡ master."""
+    return ParquetSyncExecutor(master, slave, config).run()

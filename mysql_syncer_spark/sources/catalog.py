@@ -1,0 +1,194 @@
+"""Catalogs — named collections of tables behind a connection.
+
+Reference abstraction: DatabaseConnection wraps a mysqli handle, lists
+tables via SHOW TABLES (cached, src/project/DatabaseConnection.php:48-64),
+and discovers schema/PK per table at runtime (TableConnection.php:17-24,
+:635-675). Nothing is declared by the user except the partition map and
+ignore list — the engine mirrors that: introspect everything.
+
+Two implementations:
+
+* :class:`ParquetCatalog` — a directory of ``<table>.parquet`` files (the
+  test fixtures and the scale path: on a cluster this is s3/hdfs parquet or
+  any Spark catalog table). PKs come from a supplied map (parquet has no PK
+  concept); defaults cover the fixture schema.
+* :class:`JDBCCatalog` — a JDBC URL; table list from
+  ``information_schema.tables``, PKs from ``information_schema
+  .key_column_usage`` — the direct MySQL-compat mode. Import-gated: only
+  exercised when a JDBC driver jar is on the Spark classpath.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Iterable, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mysql_syncer_spark.config import TableHandle
+
+#: PKs of the driver fixture tables (FIXTURES.md §1) — parquet carries no
+#: PK metadata, so parquet-mode catalogs take a pk map with these defaults.
+DEFAULT_PKS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    # lineitem has NO unique key in the driver fixtures (at sf0.001 only
+    # 4599 distinct (l_orderkey, l_linenumber) over 6000 rows; full rows
+    # ARE distinct) — so it takes the reference's no-PK path
+    # (COPY_TABLES_WITH_NO_PRIMARY, Synchronizer.php:213-222).
+    "lineitem": (),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def filter_ignored(tables: Iterable[str], ignore_regexes: Sequence[str]) -> list[str]:
+    """Drop table names matching any ignore regex — the reference's
+    removeIgnoredTables (Synchronizer.php:300-320). Driver-side metadata
+    op, not a DataFrame op."""
+    pats = [re.compile(p) for p in ignore_regexes]
+    return [t for t in tables if not any(p.search(t) for p in pats)]
+
+
+class Catalog:
+    """Abstract named-table source."""
+
+    def table_names(self) -> list[str]:
+        raise NotImplementedError
+
+    def table(self, name: str) -> TableHandle:
+        raise NotImplementedError
+
+    def has_table(self, name: str) -> bool:
+        return name in self.table_names()
+
+
+class ParquetCatalog(Catalog):
+    """A directory of ``<name>.parquet`` files/dirs as a database."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        pk_map: Mapping[str, Sequence[str]] | None = None,
+        partition_map: Mapping[str, str] | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.pk_map = {k: tuple(v) for k, v in (pk_map or DEFAULT_PKS).items()}
+        self.partition_map = dict(partition_map or {})
+        self._names: list[str] | None = None  # cached like the reference
+
+    def table_names(self) -> list[str]:
+        if self._names is None:
+            self._names = sorted(
+                f[: -len(".parquet")]
+                for f in os.listdir(self.path)
+                if f.endswith(".parquet")
+            )
+        return list(self._names)
+
+    def invalidate(self) -> None:
+        self._names = None
+
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.path, f"{name}.parquet")
+
+    def table(self, name: str) -> TableHandle:
+        df = self.spark.read.parquet(self.table_path(name))
+        return TableHandle(
+            name=name,
+            df=df,
+            pk_cols=self.pk_map.get(name, ()),
+            partition_col=self.partition_map.get(name),
+        )
+
+
+class JDBCCatalog(Catalog):
+    """JDBC-backed catalog (MySQL-compat mode).
+
+    Table list and PK discovery are pushed to information_schema — the
+    JDBC equivalents of SHOW TABLES / SHOW INDEX
+    (DatabaseConnection.php:48-64, TableConnection.php:635-656).
+    Reads use partitionColumn/numPartitions so a 1000-executor cluster
+    splits the scan server-side instead of the reference's single-threaded
+    LIMIT/OFFSET walk (TableConnection.php:241-256).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str,
+        database: str,
+        properties: Mapping[str, str] | None = None,
+        num_partitions: int = 32,
+        partition_map: Mapping[str, str] | None = None,
+        session_init: str | None = None,
+    ):
+        self.spark = spark
+        self.url = url
+        self.database = database
+        self.props = dict(properties or {})
+        if session_init:
+            # reference startup queries: SET group_concat_max_len / SET
+            # FOREIGN_KEY_CHECKS=0 (SynchronizerFactory.php:16-19)
+            self.props["sessionInitStatement"] = session_init
+        self.num_partitions = num_partitions
+        self.partition_map = dict(partition_map or {})
+        self._names: list[str] | None = None
+
+    def _read_query(self, query: str) -> DataFrame:
+        return self.spark.read.format("jdbc").options(
+            url=self.url, query=query, **self.props
+        ).load()
+
+    def table_names(self) -> list[str]:
+        if self._names is None:
+            rows = self._read_query(
+                "SELECT table_name FROM information_schema.tables "
+                f"WHERE table_schema = '{self.database}'"
+            ).collect()
+            self._names = sorted(r[0] for r in rows)
+        return list(self._names)
+
+    def primary_key(self, name: str) -> tuple[str, ...]:
+        rows = self._read_query(
+            "SELECT column_name, ordinal_position FROM "
+            "information_schema.key_column_usage "
+            f"WHERE table_schema = '{self.database}' "
+            f"AND table_name = '{name}' AND constraint_name = 'PRIMARY' "
+            "ORDER BY ordinal_position"
+        ).collect()
+        return tuple(r[0] for r in rows)
+
+    def table(self, name: str) -> TableHandle:
+        pk = self.primary_key(name)
+        reader = self.spark.read.format("jdbc").options(
+            url=self.url, dbtable=f"{self.database}.{name}", **self.props
+        )
+        pcol = self.partition_map.get(name) or (pk[0] if len(pk) == 1 else None)
+        if pcol is not None:
+            # server-side split scan; bounds resolved lazily by Spark
+            bounds = self._read_query(
+                f"SELECT MIN({pcol}) lo, MAX({pcol}) hi "
+                f"FROM {self.database}.{name}"
+            ).first()
+            if bounds and bounds["lo"] is not None:
+                reader = reader.options(
+                    partitionColumn=pcol,
+                    lowerBound=str(bounds["lo"]),
+                    upperBound=str(bounds["hi"]),
+                    numPartitions=str(self.num_partitions),
+                )
+        return TableHandle(
+            name=name,
+            df=reader.load(),
+            pk_cols=pk,
+            partition_col=self.partition_map.get(name),
+        )

@@ -89,6 +89,9 @@ class ParquetSyncExecutor:
     # -- unit handlers ------------------------------------------------
 
     def _drop(self, unit: SyncUnit, res: UnitResult) -> None:
+        if self.cfg.dry_run:
+            res.status = "dry_run"
+            return
         path = self.slave.table_path(unit.table)
         if os.path.exists(path):
             shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
@@ -98,9 +101,27 @@ class ParquetSyncExecutor:
         """The reference's copyTable (drop + create + chunked scan/insert,
         Synchronizer.php:330-354, self-described 'extremely slow!') is a
         single parallel read→write here."""
+        if self.cfg.dry_run:
+            res.status = "dry_run"
+            return
         mdf = self.master.table(unit.table).df
         _overwrite_parquet(mdf, self.slave.table_path(unit.table))
         self.slave.invalidate()
+
+    def _copy_if_changed(self, unit: SyncUnit, res: UnitResult) -> None:
+        """No-PK shared table: digest both sides first; copy only on
+        mismatch. The reference always copies no-PK tables
+        (Synchronizer.php:213-222) — at scale an unchanged 100 TB table
+        must cost two scans, not a rewrite."""
+        m = self.master.table(unit.table)
+        s = self.slave.table(unit.table)
+        if digests_equal(m.df, s.df):
+            res.status = "noop"
+            return
+        if self.cfg.dry_run:
+            res.status = "dry_run"
+            return
+        self._full_copy(unit, res)
 
     def _diff_sync(self, unit: SyncUnit, res: UnitResult) -> None:
         m = self.master.table(unit.table)
@@ -168,6 +189,8 @@ class ParquetSyncExecutor:
                 self._drop(unit, res)
             elif unit.action == Action.FULL_COPY:
                 self._full_copy(unit, res)
+            elif unit.action == Action.COPY_IF_CHANGED:
+                self._copy_if_changed(unit, res)
             elif unit.action in (Action.DIFF_SYNC, Action.DIFF_SYNC_PARTITIONED):
                 self._diff_sync(unit, res)
             elif unit.action == Action.SKIP:

@@ -1,0 +1,329 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Design notes for 100 TB:
+
+* Exact dedup is a hash-groupBy — one shuffle on the content hash, fully
+  map-side combinable. This is the reference's row-hash model
+  (TableConnection.php:46-51) generalized from "same PK elsewhere?" to
+  "same content anywhere?".
+* MinHash+LSH is the scale path for fuzzy dedup: shingle → K minhashes →
+  B bands → shuffle on (band, band-signature) only. Candidate pairs are
+  generated per-bucket, so the cross product is bounded by bucket size,
+  never n². The all-pairs n-gram Jaccard operator exists as the exact
+  baseline for verification at small scale.
+* Hashes are md5-derived (both Spark and DuckDB implement md5 bit-for-bit
+  identically) so every operator here has an exact SQL oracle. At
+  production scale, swap ``_hash64`` for ``F.xxhash64`` — same plan
+  shape, ~3× faster, no oracle parity.
+* SimHash packs a 16-bit signature; near-dups differ in ≤ ``max_bits``
+  bits. Candidate generation by exact-signature match stays a groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mysql_syncer_spark.operators.text import normalized_text, ws_tokens
+
+#: hex prefix of md5 parsed as a 60-bit int — cross-engine 64-bit-ish hash
+_HEX_PREFIX = 15
+
+
+def _hash64(col: Column) -> Column:
+    """Deterministic 60-bit integer hash from md5 (oracle-matchable).
+    DuckDB mirror: ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, _HEX_PREFIX), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of exact duplicates (on normalized text): returns
+    ``(fp_exact, n_dups, keep_id)`` for groups with >1 member; keep_id is
+    the smallest id (deterministic survivor policy)."""
+    fp = F.md5(normalized_text(text_col))
+    return (
+        df.select(fp.alias("fp_exact"), F.col(id_col))
+        .groupBy("fp_exact")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep exactly one row (the min-id one) per distinct normalized text.
+    One shuffle: window-free min-id-per-group via groupBy + semi join."""
+    fp = F.md5(normalized_text(text_col)).alias("__fp")
+    keep = (
+        df.select(fp, F.col(id_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Shingling + n-gram Jaccard (exact baseline, O(pairs-sharing-a-shingle))
+# ---------------------------------------------------------------------------
+
+def char_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Distinct character k-shingles per document: ``(id, shingle)``.
+
+    Built-ins only: sequence + transform + explode. The normalized text
+    keeps shingling deterministic across engines.
+    """
+    # substr with a column position needs the SQL form (F.substring takes
+    # literal pos only)
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(length({_norm_sql(text_col)}) - {k - 1}, 1)), "
+        f"i -> substr({_norm_sql(text_col)}, i, {k}))"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+        .where(F.length("shingle") > 0)
+    )
+
+
+def _norm_sql(text_col: str) -> str:
+    """SQL-expression form of normalized_text (for use inside F.expr)."""
+    return f"regexp_replace(trim(lower({text_col})), '\\\\s+', ' ')"
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All document pairs with Jaccard(k-shingle sets) ≥ threshold:
+    ``(id_a, id_b, jaccard)`` with id_a < id_b.
+
+    Plan: shingle → self-equi-join on shingle (pairs sharing ≥1 shingle,
+    never a cross join) → count intersections → join per-doc sizes →
+    |A∩B| / (|A|+|B|-|A∩B|). Exact; quadratic only within a shingle's
+    posting list — the brute-force baseline that verifies MinHash-LSH.
+    """
+    sh = char_shingles(df, id_col, text_col, k).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signatures: ``(id, h0..h{num_hashes-1})``.
+
+    One shingle explode → one groupBy(id) computing all minima at once
+    (each hash_i = min over shingles of hash64(shingle || '#' || i)).
+    Shuffle carries only (id, num_hashes partial minima) — map-side
+    combined.
+    """
+    sh = char_shingles(df, id_col, text_col, k)
+    aggs = [
+        F.min(
+            _hash64(F.concat_ws("#", F.col("shingle"), F.lit(str(i))))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH, verified by
+    estimated Jaccard ≥ threshold: ``(id_a, id_b, jaccard_est)``.
+
+    Pipeline (all shuffles on small keys):
+    shingle → signatures → per-band bucket key md5(band hashes) →
+    self-join within (band, bucket) → distinct pairs → estimate Jaccard
+    as fraction of matching signature components.
+
+    At 100 TB this never materializes n² — only same-bucket pairs; skewed
+    buckets (boilerplate docs) are handled by AQE skew-join splitting.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes).persist()
+    band_cols = []
+    for b in range(bands):
+        hs = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("#", *[h.cast("string") for h in hs])).alias("bucket"))
+        )
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(*[F.col(c).alias(f"a_{c}") for c in sig.columns])
+    sb = sig.select(*[F.col(c).alias(f"b_{c}") for c in sig.columns])
+    matches = sum(
+        F.when(F.col(f"a_h{i}") == F.col(f"b_h{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        cand.join(sa, cand.id_a == F.col(f"a_{id_col}"))
+        .join(sb, cand.id_b == F.col(f"b_{id_col}"))
+        .withColumn("jaccard_est", matches.cast("double") / F.lit(num_hashes))
+        .where(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Per-document SimHash signature: ``(id, simhash)``.
+
+    Token-level: each distinct token hashes to a ``bits``-bit value; for
+    every bit position the doc sums +1/-1 over tokens; the signature bit
+    is 1 where the sum is positive. Expressed as token explode → bit
+    explode → groupBy(id, bit) → groupBy(id) bit-pack. Shuffle keys are
+    (id, bit) then id — no pairwise work.
+    """
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(ws_tokens(normalized_text(text_col)))).alias("tok"),
+        )
+        .withColumn("th", _hash64(F.col("tok")))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    per_bit = (
+        toks.select(id_col, "th", bit)
+        .withColumn(
+            # shiftright() the builtin takes a literal shift only; the SQL
+            # form accepts a column
+            "w",
+            F.when(F.expr("(th >> bit) & 1") == 1, 1).otherwise(-1),
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("w").alias("s"))
+    )
+    return per_bit.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("1 << bit")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-signature SimHash collision groups: ``(simhash, n_docs,
+    keep_id)`` — one groupBy on the 16-bit signature. (Hamming-distance
+    ≤ d matching would explode d bit-flip probes per doc; exact match is
+    the demonstration-scale variant.)"""
+    return (
+        simhash(df, id_col, text_col)
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (cosine)
+# ---------------------------------------------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Vector pairs with cosine ≥ threshold: ``(id_a, id_b, cosine)``.
+
+    ``block_col`` bounds the pair space (pairs only within a block —
+    e.g. a cluster id or LSH bucket); None = full cross product (exact
+    baseline, small scale only). All arithmetic is built-in higher-order
+    functions (zip_with/aggregate) — JVM-side, no Python.
+    """
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    base = df.select(*cols).withColumn("n", _norm(F.col("v")))
+    a = base.select(*[F.col(c).alias(f"{c}_a") for c in base.columns])
+    b = base.select(*[F.col(c).alias(f"{c}_b") for c in base.columns])
+    on = [F.col("blk_a") == F.col("blk_b")] if block_col else []
+    pairs = a.join(b, on=on if on else None, how="inner" if on else "cross").where(
+        F.col("id_a") < F.col("id_b")
+    )
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,130 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two paths, same result contract (top-k neighbors by cosine):
+
+* :func:`cosine_topk` — brute force: one scan, score every vector,
+  ``ORDER BY score DESC LIMIT k``. Exact; at 100 TB this is a full scan
+  per query — the correctness baseline and still the right plan for
+  one-off queries over a filtered subset.
+* :func:`cosine_topk_lsh` — sign-LSH bucketed: vectors are pre-bucketed
+  by the sign pattern of their first ``n_bits`` components (a degenerate
+  but fully deterministic random-hyperplane LSH — axis-aligned
+  hyperplanes). A query probes only buckets within ``probe_radius``
+  Hamming distance of its own bucket, so the scan touches a fraction of
+  the data. Approximate: recall < 1 by construction; the bench compares
+  both paths.
+
+All vector math is built-in higher-order functions (zip_with +
+aggregate) — JVM-side codegen, no Python in the hot path. A Pandas-UDF
+variant would win only for very wide vectors (>1k dims) where Arrow batch
+BLAS beats per-element codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _query_col(query_vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector:
+    ``(vec_id, score)``, score-desc, id-asc tiebreak (deterministic)."""
+    q = _query_col(query_vec)
+    scored = df.select(
+        F.col(id_col),
+        (dot(F.col(vec_col), q) / (l2_norm(F.col(vec_col)) * l2_norm(q))).alias(
+            "score"
+        ),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def sign_bucket(vec_col: Column, n_bits: int = 8) -> Column:
+    """Axis-aligned sign-LSH bucket id: bit j set iff component j > 0.
+    Deterministic and SQL-mirrorable (the oracle uses the same formula).
+    """
+    powers = F.array(*[F.lit(1 << j) for j in range(n_bits)])
+    return F.aggregate(
+        F.zip_with(
+            F.slice(vec_col, 1, n_bits),
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_sign_buckets(
+    df: DataFrame, vec_col: str = "embedding", n_bits: int = 8
+) -> DataFrame:
+    """Pre-bucketing pass (run once, persist/bucket-write at scale)."""
+    return df.withColumn("bucket", sign_bucket(F.col(vec_col), n_bits))
+
+
+def _hamming_ball(center: int, n_bits: int, radius: int) -> list[int]:
+    """All bucket ids within Hamming distance ``radius`` of center."""
+    out = {center}
+    frontier = {center}
+    for _ in range(radius):
+        nxt = set()
+        for b in frontier:
+            for j in range(n_bits):
+                nxt.add(b ^ (1 << j))
+        out |= nxt
+        frontier = nxt
+    return sorted(out)
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in buckets within
+    ``probe_radius`` bit flips of the query's sign bucket.
+
+    With n_bits=8, radius=1 probes 9/256 of the bucket space — on
+    uniformly bucketed data that is a ~28× scan reduction; the partition
+    pruning is a plain ``bucket IN (...)`` filter, pushed to the scan
+    when the table is written partitioned/bucketed by ``bucket``.
+    """
+    qbucket = 0
+    for j in range(min(n_bits, len(query_vec))):
+        if query_vec[j] > 0:
+            qbucket |= 1 << j
+    probes = _hamming_ball(qbucket, n_bits, probe_radius)
+    bucketed = with_sign_buckets(df, vec_col, n_bits)
+    return cosine_topk(
+        bucketed.where(F.col("bucket").isin(probes)), query_vec, k, id_col, vec_col
+    )

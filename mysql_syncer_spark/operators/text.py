@@ -1,0 +1,151 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in Spark SQL functions (JVM-side,
+whole-stage-codegen'd) — no Python UDFs. Every operator has an exact
+ANSI-SQL mirror so the DuckDB oracle can verify it (md5-based hashing is
+used where a hash is needed, because both engines implement md5
+identically; the scale path could swap xxhash64 at the cost of oracle
+parity).
+
+Operators:
+* token counting  — whitespace tokens + a BPE-ish regex token count
+* quality scoring — length / punctuation / stopword / digit ratios
+* language ID     — stopword-hit heuristic over a small marker table
+* fingerprinting  — content fingerprint (exact) + bag fingerprint
+  (order-insensitive, catches token-permuted near-copies)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish word/number/punctuation tokenizer (applied identically in the
+#: DuckDB oracle via regexp_extract_all).
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: tiny per-language stopword marker lists for the langid heuristic.
+#: Deliberately small and deterministic — this is an n-gram/stopword
+#: heuristic, not a model; ties broken by language code order.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es": ("el", "la", "los", "es", "y", "un", "una"),
+    "fr": ("le", "la", "les", "est", "et", "un", "une"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def ws_tokens(col: Column | str) -> Column:
+    """Whitespace tokenization: split on runs of whitespace, after trim.
+    Empty string → empty array (split of '' yields [''])."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def with_token_counts(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Add ``n_tokens_ws`` (whitespace) and ``n_tokens_bpe`` (regex)."""
+    return df.withColumn(
+        "n_tokens_ws", F.size(ws_tokens(text_col))
+    ).withColumn(
+        "n_tokens_bpe",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), 0)),
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add quality signals + a composite ``quality_score`` in [0,1].
+
+    Signals (all ratios of codegen'd length arithmetic):
+    * ``punct_ratio``    — non-alnum-non-space chars / chars
+    * ``digit_ratio``    — digit chars / chars
+    * ``stopword_ratio`` — stopword tokens / tokens
+    * ``mean_word_len``  — chars / tokens
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    toks = ws_tokens(text_col)
+    n_toks = F.size(toks)
+    punct = n_chars - F.length(F.regexp_replace(c, r"[^A-Za-z0-9\s]", ""))
+    digits = n_chars - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    stop = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))
+    )
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    safe_toks = F.greatest(n_toks, F.lit(1))
+    punct_ratio = punct.cast("double") / safe_chars
+    digit_ratio = digits.cast("double") / safe_chars
+    stop_ratio = stop.cast("double") / safe_toks
+    mean_word_len = n_chars.cast("double") / safe_toks
+    # heuristic score: long-enough docs with some stopwords and little
+    # punctuation/digit noise score high
+    score = (
+        F.least(n_toks.cast("double") / F.lit(20.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.2
+        + (F.lit(1.0) - F.least(digit_ratio * F.lit(4.0), F.lit(1.0))) * 0.1
+    )
+    # least()/greatest() skip NULLs, which would quietly score NULL text
+    # as 0.7 — pin NULL input to 0
+    score = F.when(c.isNull(), F.lit(0.0)).otherwise(score)
+    return (
+        df.withColumn("punct_ratio", punct_ratio)
+        .withColumn("digit_ratio", digit_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("quality_score", score)
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``lang_pred``: argmax of per-language stopword hit counts.
+
+    Deterministic: ties resolved by ascending language code ('de' < 'en'
+    < 'es' < 'fr'); zero hits everywhere → 'und' (undetermined). CJK
+    codepoints short-circuit to 'zh'.
+    """
+    toks = ws_tokens(F.lower(F.col(text_col)))
+
+    def marker_hits(markers):
+        # closure factory: a default-arg lambda would look 2-ary to
+        # F.filter, which then binds the element index to it
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = [
+        (lang, marker_hits(markers))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    # build argmax with deterministic tie-break: best = first lang (in
+    # sorted order) whose score equals the max and is > 0
+    max_score = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    for lang, s in reversed(scores):
+        pred = F.when((s == max_score) & (s > 0), F.lit(lang)).otherwise(pred)
+    has_cjk = F.col(text_col).rlike(r"[一-鿿]")
+    return df.withColumn(
+        "lang_pred", F.when(has_cjk, F.lit("zh")).otherwise(pred)
+    )
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Lowercase + collapse internal whitespace + trim — the
+    canonicalization used by both fingerprints."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``fp_exact`` (md5 of normalized text) and ``fp_bag`` (md5 of
+    the sorted distinct token multiset — order-insensitive, catches
+    token-permuted near-copies)."""
+    norm = normalized_text(text_col)
+    bag = F.array_join(F.array_sort(F.array_distinct(ws_tokens(norm))), " ")
+    return df.withColumn("fp_exact", F.md5(norm)).withColumn(
+        "fp_bag", F.md5(bag)
+    )

@@ -30,6 +30,7 @@ from mysql_syncer_spark.sources.catalog import Catalog, filter_ignored
 class Action(Enum):
     DROP = "drop"                      # excess slave table → drop
     FULL_COPY = "full_copy"            # missing table / schema drift → copy
+    COPY_IF_CHANGED = "copy_if_changed"  # no-PK shared table, digest-gated
     DIFF_SYNC = "diff_sync"            # shared table → digest + row diff
     DIFF_SYNC_PARTITIONED = "diff_sync_partitioned"  # partition-wise variant
     SKIP = "skip"                      # no-PK table with copy disabled
@@ -103,7 +104,11 @@ def plan_sync(
             continue
         if not mh.has_pk:
             if cfg.copy_tables_with_no_primary:
-                units.append(SyncUnit(t, Action.FULL_COPY, "no primary key"))
+                # digest-gated: the executor skips the copy when digests
+                # match, so an unchanged no-PK table costs two scans, not
+                # a rewrite (beats the reference, which always copies —
+                # Synchronizer.php:213-222)
+                units.append(SyncUnit(t, Action.COPY_IF_CHANGED, "no primary key"))
             else:
                 units.append(SyncUnit(t, Action.SKIP, "no primary key"))
             continue

@@ -25,6 +25,7 @@ import re
 from typing import Iterable, Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mysql_syncer_spark.config import TableHandle
 
@@ -192,3 +193,42 @@ class JDBCCatalog(Catalog):
             pk_cols=pk,
             partition_col=self.partition_map.get(name),
         )
+
+
+# ---------------------------------------------------------------------------
+# Fixture loading helpers (driver testdata; TESTDATA.md)
+# ---------------------------------------------------------------------------
+
+FIXTURE_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+#: columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as long
+#: (requires spark.sql.legacy.parquet.nanosAsLong=true); we convert to
+#: microsecond timestamps with integer division (float division loses
+#: precision: epoch-nanos exceed double's 53-bit mantissa).
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def configure_session(builder):
+    """Apply the session configs the engine needs on any builder."""
+    return (
+        builder.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, normalizing nanos-timestamp columns."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"{col} div 1000"))
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in FIXTURE_TABLES}

@@ -1,0 +1,104 @@
+"""Dedup operators: exact, shingles, Jaccard, MinHash-LSH, SimHash,
+embedding near-dup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_syncer_spark.operators.dedup import (
+    char_shingles,
+    dedup_exact,
+    embedding_near_dups,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_duplicates,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, sf_dir):
+    """documents + planted near/exact duplicates of doc 0 and 1."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d0, d1 = [r["text"] for r in base.orderBy("doc_id").limit(2).collect()]
+    near = d1.replace(d1.split()[0], "zzz", 1)  # one token changed
+    extra = spark.createDataFrame(
+        [(100001, d0, "en", "dup", len(d0)), (100002, near, "en", "dup", len(near))],
+        base.schema.fieldNames(),
+    )
+    return base.unionByName(extra)
+
+
+def test_exact_dedup(docs_with_dups):
+    groups = exact_duplicates(docs_with_dups).collect()
+    assert len(groups) == 1 and groups[0]["n_dups"] == 2 and groups[0]["keep_id"] == 0
+    kept = dedup_exact(docs_with_dups)
+    assert kept.count() == docs_with_dups.count() - 1
+    assert kept.where(F.col("doc_id") == 100001).count() == 0
+    assert kept.where(F.col("doc_id") == 0).count() == 1
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "abcdef")], "doc_id long, text string")
+    got = sorted(r["shingle"] for r in char_shingles(df, k=5).collect())
+    assert got == ["abcde", "bcdef"]
+    # short doc: one truncated shingle, no crash
+    short = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    assert char_shingles(short, k=5).count() == 1
+
+
+def test_ngram_jaccard_finds_planted_pair(docs_with_dups):
+    pairs = ngram_jaccard_pairs(docs_with_dups, threshold=0.8).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 100001) in found        # exact dup -> jaccard 1.0
+    assert (1, 100002) in found        # near dup
+    by_pair = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert by_pair[(0, 100001)] == 1.0
+
+
+def test_minhash_lsh_agrees_with_exact(docs_with_dups):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs_with_dups, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs_with_dups, threshold=0.7).collect()
+    }
+    # LSH must recover the high-similarity planted pairs
+    assert (0, 100001) in lsh and (1, 100002) in lsh
+    # and not hallucinate wildly: everything LSH keeps at 0.7 should have
+    # decent true jaccard (>= 0.5 measured exactly)
+    loose = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs_with_dups, threshold=0.5).collect()
+    }
+    assert lsh <= loose
+    assert exact <= lsh or exact <= loose
+
+
+def test_minhash_signature_shape(docs_with_dups):
+    sig = minhash_signatures(docs_with_dups.limit(20), num_hashes=8)
+    assert sig.columns == ["doc_id"] + [f"h{i}" for i in range(8)]
+    assert sig.count() == 20
+
+
+def test_simhash_exact_dup_collides(docs_with_dups):
+    groups = simhash_duplicates(docs_with_dups).collect()
+    keep_ids = {g["keep_id"] for g in groups}
+    assert 0 in keep_ids  # doc 0 and its exact dup share a signature
+    sh = simhash(docs_with_dups)
+    assert sh.where((F.col("simhash") < 0) | (F.col("simhash") > 65535)).count() == 0
+
+
+def test_embedding_near_dups(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = emb.orderBy("vec_id").first()
+    planted = spark.createDataFrame(
+        [(999999, [x * 2.0 for x in first["embedding"]], first["label"])],
+        "vec_id long, embedding array<float>, label int",
+    )
+    both = emb.unionByName(planted)
+    pairs = embedding_near_dups(both, threshold=0.9999).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(first["vec_id"], 999999)}

@@ -1,0 +1,75 @@
+"""Similarity search: brute-force cosine top-k + sign-LSH variant."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_syncer_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    with_sign_buckets,
+)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def query_vec(embeddings):
+    return embeddings.orderBy("vec_id").first()["embedding"]
+
+
+def test_bruteforce_topk(embeddings, query_vec):
+    top = cosine_topk(embeddings, query_vec, k=10).collect()
+    assert len(top) == 10
+    # the query vector itself (vec_id 0) must rank first with score ~1
+    assert top[0]["vec_id"] == 0 and abs(top[0]["score"] - 1.0) < 1e-6
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_topk_matches_numpy(embeddings, query_vec):
+    rows = embeddings.collect()
+    q = query_vec
+    qn = math.sqrt(sum(x * x for x in q))
+
+    def cos(v):
+        return sum(a * b for a, b in zip(v, q)) / (
+            math.sqrt(sum(x * x for x in v)) * qn
+        )
+
+    expected = sorted(
+        ((cos(r["embedding"]), r["vec_id"]) for r in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    got = [(r["score"], r["vec_id"]) for r in cosine_topk(embeddings, q, k=10).collect()]
+    assert [v for _, v in expected] == [v for _, v in got]
+    for (es, _), (gs, _) in zip(expected, got):
+        assert abs(es - gs) < 1e-6
+
+
+def test_lsh_topk_recall(embeddings, query_vec):
+    exact = [r["vec_id"] for r in cosine_topk(embeddings, query_vec, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in cosine_topk_lsh(
+            embeddings, query_vec, k=10, n_bits=8, probe_radius=3
+        ).collect()
+    ]
+    # approximate: the self-match must survive (same bucket by
+    # construction) plus nontrivial overlap; radius=3 probes 93/256
+    # buckets (~36% of the data) on these uniform fixtures
+    assert approx[0] == 0
+    assert len(set(exact) & set(approx)) >= 4
+
+
+def test_sign_buckets_partition_data(embeddings):
+    b = with_sign_buckets(embeddings, n_bits=8)
+    stats = b.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi"),
+        F.countDistinct("bucket").alias("n")
+    ).first()
+    assert 0 <= stats["lo"] and stats["hi"] <= 255 and stats["n"] > 10

@@ -1,0 +1,65 @@
+"""Text analysis operators over the documents fixture."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_syncer_spark.operators.text import (
+    with_fingerprints,
+    with_lang_id,
+    with_quality,
+    with_token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_token_counts(spark, documents):
+    out = with_token_counts(documents)
+    row = out.select("text", "n_tokens_ws", "n_tokens_bpe").first()
+    assert row["n_tokens_ws"] == len(row["text"].split())
+    assert out.where(F.col("n_tokens_ws") <= 0).count() == 0
+    # degenerate inputs
+    edge = spark.createDataFrame([("",), ("   ",), ("a b",)], "text string")
+    rows = {r["text"]: r["n_tokens_ws"] for r in with_token_counts(edge).collect()}
+    assert rows[""] == 0 and rows["   "] == 0 and rows["a b"] == 2
+
+
+def test_quality(documents):
+    out = with_quality(documents)
+    bad = out.where(
+        (F.col("quality_score") < 0) | (F.col("quality_score") > 1)
+    ).count()
+    assert bad == 0
+    assert out.where(F.col("punct_ratio") > 0.5).count() == 0  # word salad
+
+
+def test_lang_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and a dog"),
+            (2, "der hund ist nicht ein katze und die maus"),
+            (3, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in with_lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello  World"),
+            (2, "hello world"),      # same after normalization
+            (3, "world hello"),      # same bag, different order
+        ],
+        "doc_id long, text string",
+    )
+    out = with_fingerprints(df).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["fp_exact"] == by_id[2]["fp_exact"]
+    assert by_id[1]["fp_exact"] != by_id[3]["fp_exact"]
+    assert by_id[1]["fp_bag"] == by_id[3]["fp_bag"]

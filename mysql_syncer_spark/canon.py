@@ -53,7 +53,7 @@ def canonical_col(col: Column | str, dtype: T.DataType) -> Column:
         return c.cast(FLOAT_DECIMAL).cast("string")
     if isinstance(dtype, T.DecimalType):
         return c.cast("string")
-    if isinstance(dtype, T.TimestampType):
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         return F.date_format(c, TS_FORMAT)
     if isinstance(dtype, T.DateType):
         return F.date_format(c, "yyyy-MM-dd")
@@ -110,6 +110,7 @@ _DUCK_CANON = {
     "double": "CAST(CAST({c} AS DECIMAL(38,6)) AS VARCHAR)",
     "float": "CAST(CAST({c} AS DECIMAL(38,6)) AS VARCHAR)",
     "timestamp": "strftime({c}, '%Y-%m-%d %H:%M:%S.%f')",
+    "timestamp_ntz": "strftime({c}, '%Y-%m-%d %H:%M:%S.%f')",
     "date": "strftime({c}, '%Y-%m-%d')",
     "string": "{c}",
 }

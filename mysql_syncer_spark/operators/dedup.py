@@ -83,14 +83,23 @@ def char_shingles(
     Built-ins only: sequence + transform + explode. The normalized text
     keeps shingling deterministic across engines.
     """
+    # Materialize the normalized text as a column FIRST: referencing the
+    # regexp_replace expression inside the transform() lambda would
+    # re-evaluate the regex once per shingle (~300× per row). And small
+    # single-file inputs arrive as one partition — spread them so the
+    # (expensive) shingling runs on every core.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(F.col(id_col), normalized_text(text_col).alias("__norm"))
+    if base.rdd.getNumPartitions() < parallelism:
+        base = base.repartition(parallelism)
     # substr with a column position needs the SQL form (F.substring takes
     # literal pos only)
     shingles = F.expr(
-        f"transform(sequence(1, greatest(length({_norm_sql(text_col)}) - {k - 1}, 1)), "
-        f"i -> substr({_norm_sql(text_col)}, i, {k}))"
+        f"transform(sequence(1, greatest(length(__norm) - {k - 1}, 1)), "
+        f"i -> substr(__norm, i, {k}))"
     )
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+        base.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
         .where(F.length("shingle") > 0)
     )
 
@@ -143,6 +152,31 @@ def ngram_jaccard_pairs(
 # MinHash + LSH (the scale path)
 # ---------------------------------------------------------------------------
 
+#: MinHash mixing constants: h_i = (a_i*h_lo + b_i*h_hi + c_i) mod P,
+#: where (h_lo, h_hi) are the two 30-bit halves of one md5-derived
+#: 60-bit shingle hash. One md5 per shingle instead of num_hashes md5s
+#: (16× less hashing at bench scale); products stay < 2^61 so the
+#: arithmetic never overflows signed 64-bit (ANSI-mode safe) and the
+#: DuckDB oracle mirrors it with the same integer literals.
+MINHASH_P = 2147483647  # 2^31 - 1 (prime)
+_HALF = 1 << 30
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int, int]]:
+    """Deterministic affine-mix constants (LCG-derived, odd a/b)."""
+    out = []
+    s = 88172645463325252
+    for _ in range(num_hashes):
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (s % (_HALF - 2)) | 1
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = (s % (_HALF - 2)) | 1
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        c = s % MINHASH_P
+        out.append((a, b, c))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -152,17 +186,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures: ``(id, h0..h{num_hashes-1})``.
 
-    One shingle explode → one groupBy(id) computing all minima at once
-    (each hash_i = min over shingles of hash64(shingle || '#' || i)).
-    Shuffle carries only (id, num_hashes partial minima) — map-side
-    combined.
+    One shingle explode → one md5 per shingle → num_hashes affine mixes
+    → one groupBy(id) computing all minima at once. Shuffle carries only
+    (id, num_hashes partial minima) — map-side combined.
     """
-    sh = char_shingles(df, id_col, text_col, k)
+    sh = char_shingles(df, id_col, text_col, k).withColumn(
+        "__h", _hash64(F.col("shingle"))
+    )
+    lo = F.col("__h") % _HALF
+    hi = F.expr(f"__h div {_HALF}")  # integer div (h > 2^53: float / loses bits)
     aggs = [
-        F.min(
-            _hash64(F.concat_ws("#", F.col("shingle"), F.lit(str(i))))
-        ).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * lo + F.lit(b) * hi + F.lit(c)) % MINHASH_P).alias(
+            f"h{i}"
+        )
+        for i, (a, b, c) in enumerate(minhash_params(num_hashes))
     ]
     return sh.groupBy(id_col).agg(*aggs)
 

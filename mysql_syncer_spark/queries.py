@@ -1,0 +1,944 @@
+"""Query registry: every operator from SURVEY.md §2 (+ phase-E
+extensions) as a (Spark callable, DuckDB oracle SQL) pair.
+
+Contract (driver): each callable takes ``(spark, sf_dir)`` and returns a
+DataFrame; the oracle SQL runs on DuckDB views named after the fixture
+tables. The driver compares row count + schema + order-insensitive
+value hash, with columns sorted by name — so every computed column is
+aliased identically on both sides.
+
+Cross-engine determinism rules used throughout (validated empirically):
+
+* md5 / concat_ws are bit-identical across engines; all content hashes
+  derive from them (canon.py).
+* money aggregates go through exact DECIMAL sums (order-independent,
+  engine-independent), then cast to DOUBLE for a stable final schema —
+  the decimal→double conversion is the same IEEE value on both sides.
+* float-valued similarity scores are round()ed to 6 decimals (raw
+  doubles differ in the last ulps because summation order differs).
+* timestamps are compared as-is (micros precision on both sides;
+  events' nanos column is truncated to micros on load — catalog.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from mysql_syncer_spark.canon import (
+    HASH_COL,
+    duckdb_row_hash_expr,
+    row_hash_col,
+    with_row_hash,
+)
+from mysql_syncer_spark.diff import (
+    apply_delta,
+    changed_rows,
+    diff_tables,
+    excess_rows,
+    missing_rows,
+    rows_to_copy,
+)
+from mysql_syncer_spark.operators import dedup, similarity, text
+from mysql_syncer_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# canonical column kinds per fixture table (for oracle hash expressions)
+# ---------------------------------------------------------------------------
+
+TABLE_KINDS: dict[str, list[tuple[str, str]]] = {
+    "orders": [
+        ("o_orderkey", "other"), ("o_custkey", "other"),
+        ("o_orderstatus", "string"), ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp"), ("o_orderpriority", "string"),
+    ],
+    "customer": [
+        ("c_custkey", "other"), ("c_name", "string"),
+        ("c_nationkey", "other"), ("c_acctbal", "double"),
+        ("c_mktsegment", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "other"), ("l_partkey", "other"),
+        ("l_suppkey", "other"), ("l_linenumber", "other"),
+        ("l_quantity", "double"), ("l_extendedprice", "double"),
+        ("l_discount", "double"), ("l_tax", "double"),
+        ("l_returnflag", "string"), ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp"),
+    ],
+}
+
+ORDERS_COLS = [c for c, _ in TABLE_KINDS["orders"]]
+
+#: deterministic "slave" perturbation of orders used by the diff-kernel
+#: queries: drop every 97th key, bump price on every 89th key. The same
+#: definition exists in SQL below so both engines diff the same pair.
+def _slave_orders(orders: DataFrame) -> DataFrame:
+    key = F.col("o_orderkey")
+    return orders.where(key % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(key % 89 == 0, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+
+
+_SLAVE_ORDERS_SQL = """
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+"""
+
+_ORDERS_HASH = duckdb_row_hash_expr(TABLE_KINDS["orders"])
+_LINEITEM_HASH = duckdb_row_hash_expr(TABLE_KINDS["lineitem"])
+
+#: DuckDB mirror of digest._sum_hash_col (60-bit md5 prefix, exact sum)
+def _duck_hash_sum(h: str = "h") -> str:
+    return f"SUM(('0x' || substr({h}, 1, 15))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ===========================================================================
+# 1. Sync-core operators (SURVEY.md §2.1-2.4)
+# ===========================================================================
+
+@_register(
+    "row_hash_orders",
+    f"SELECT o_orderkey, {_ORDERS_HASH} AS row_hash FROM orders",
+)
+def row_hash_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/F1-F3: hash projection — the staging 'hash map'
+    (TableConnection.php:46-51) as a two-column projection."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey", row_hash_col(orders).alias("row_hash")
+    )
+
+
+@_register(
+    "table_digest_orders",
+    f"""SELECT md5(string_agg(h, '' ORDER BY h)) AS digest
+        FROM (SELECT {_ORDERS_HASH} AS h FROM orders)""",
+)
+def table_digest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: whole-table digest (TableConnection.php:483-486), exact
+    order-independent variant (sorted row hashes)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(row_hash_col(orders).alias("h")).agg(
+        F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))).alias("digest")
+    )
+
+
+@_register(
+    "partition_digests_orders",
+    f"""SELECT o_orderpriority AS partition_value,
+               CAST({_duck_hash_sum()} AS VARCHAR) AS hash_sum,
+               COUNT(*) AS row_count
+        FROM (SELECT o_orderpriority, {_ORDERS_HASH} AS h FROM orders)
+        GROUP BY o_orderpriority""",
+)
+def partition_digests_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-partition digests in ONE scan (vs the reference's
+    per-value query loop, Synchronizer.php:126-149)."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = row_hash_col(orders).alias("h")
+    return (
+        orders.select(F.col("o_orderpriority").alias("partition_value"), h)
+        .groupBy("partition_value")
+        .agg(
+            F.sum(
+                F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")
+            ).cast("string").alias("hash_sum"),
+            F.count(F.lit(1)).alias("row_count"),
+        )
+    )
+
+
+@_register(
+    "missing_rows_orders",
+    f"""WITH m AS (SELECT o_orderkey, {_ORDERS_HASH} AS h FROM orders),
+         s AS (SELECT o_orderkey, {_ORDERS_HASH} AS h
+               FROM ({_SLAVE_ORDERS_SQL}))
+        SELECT m.o_orderkey FROM m
+        WHERE m.h NOT IN (SELECT h FROM s)""",
+)
+def missing_rows_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: missing-rows anti-join on hash (Synchronizer.php:446-524) —
+    rows on master not on slave, returned as PKs."""
+    orders = load_table(spark, sf_dir, "orders")
+    mh = with_row_hash(orders, ["o_orderkey"])
+    sh = with_row_hash(_slave_orders(orders), ["o_orderkey"])
+    return missing_rows(mh, sh, ["o_orderkey"], mode="hash")
+
+
+@_register(
+    "excess_rows_orders",
+    f"""WITH m AS (SELECT o_orderkey, {_ORDERS_HASH} AS h FROM orders),
+         s AS (SELECT o_orderkey, {_ORDERS_HASH} AS h
+               FROM ({_SLAVE_ORDERS_SQL}))
+        SELECT s.o_orderkey FROM s
+        WHERE s.h NOT IN (SELECT h FROM m)""",
+)
+def excess_rows_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: excess-rows anti-join (Synchronizer.php:531-583)."""
+    orders = load_table(spark, sf_dir, "orders")
+    mh = with_row_hash(orders, ["o_orderkey"])
+    sh = with_row_hash(_slave_orders(orders), ["o_orderkey"])
+    return excess_rows(mh, sh, ["o_orderkey"], mode="hash")
+
+
+@_register(
+    "changed_rows_orders",
+    f"""WITH m AS (SELECT o_orderkey, {_ORDERS_HASH} AS h FROM orders),
+         s AS (SELECT o_orderkey, {_ORDERS_HASH} AS h
+               FROM ({_SLAVE_ORDERS_SQL}))
+        SELECT m.o_orderkey FROM m JOIN s USING (o_orderkey)
+        WHERE m.h <> s.h""",
+)
+def changed_rows_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changed rows = same PK, different hash (shows up in both J3 and
+    J4 in the reference; exposed as its own kernel)."""
+    orders = load_table(spark, sf_dir, "orders")
+    mh = with_row_hash(orders, ["o_orderkey"])
+    sh = with_row_hash(_slave_orders(orders), ["o_orderkey"])
+    return changed_rows(mh, sh, ["o_orderkey"])
+
+
+@_register(
+    "rows_to_copy_orders",
+    f"""WITH m AS (SELECT o_orderkey, {_ORDERS_HASH} AS h FROM orders),
+         s AS (SELECT o_orderkey, {_ORDERS_HASH} AS h
+               FROM ({_SLAVE_ORDERS_SQL})),
+         miss AS (SELECT m.o_orderkey FROM m
+                  WHERE m.h NOT IN (SELECT h FROM s))
+        SELECT o.* FROM orders o
+        WHERE o.o_orderkey IN (SELECT o_orderkey FROM miss)""",
+)
+def rows_to_copy_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/S7: fetch-by-key semi-join — full rows for the missing PKs
+    (replaces chunked WHERE (pk) IN (...) point fetches,
+    TableConnection.php:177-209)."""
+    orders = load_table(spark, sf_dir, "orders")
+    mh = with_row_hash(orders, ["o_orderkey"])
+    sh = with_row_hash(_slave_orders(orders), ["o_orderkey"])
+    keys = missing_rows(mh, sh, ["o_orderkey"], mode="hash")
+    return rows_to_copy(orders, keys, ["o_orderkey"])
+
+
+@_register("sync_merge_orders", "SELECT * FROM orders")
+def sync_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end §3.2 hot path: diff master vs perturbed slave, apply
+    the delta — the result must equal master exactly (the oracle is
+    simply the master table)."""
+    orders = load_table(spark, sf_dir, "orders")
+    slave = _slave_orders(orders)
+    d = diff_tables(orders, slave, ["o_orderkey"], mode="pk_hash")
+    return apply_delta(slave, d["insert"], d["delete"], ["o_orderkey"])
+
+
+@_register(
+    "differing_partitions_orders",
+    f"""WITH mh AS (SELECT o_orderpriority p, {_ORDERS_HASH} AS h FROM orders),
+         sh AS (SELECT o_orderpriority p, {_ORDERS_HASH} AS h
+                FROM ({_SLAVE_ORDERS_SQL})),
+         md AS (SELECT p, {_duck_hash_sum()} hs, COUNT(*) rc FROM mh GROUP BY p),
+         sd AS (SELECT p, {_duck_hash_sum()} hs, COUNT(*) rc FROM sh GROUP BY p)
+        SELECT COALESCE(md.p, sd.p) AS partition_value,
+               CASE WHEN sd.p IS NULL THEN 'missing'
+                    WHEN md.p IS NULL THEN 'excess'
+                    ELSE 'differs' END AS status
+        FROM md FULL OUTER JOIN sd ON md.p = sd.p
+        WHERE md.p IS NULL OR sd.p IS NULL
+           OR md.hs <> sd.hs OR md.rc <> sd.rc""",
+)
+def differing_partitions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 + A2: one-pass partition-level diff plan
+    (Synchronizer.php:126-175 collapsed into two scans + one join)."""
+    from mysql_syncer_spark.digest import differing_partitions
+
+    orders = load_table(spark, sf_dir, "orders")
+    return differing_partitions(orders, _slave_orders(orders), "o_orderpriority")
+
+
+@_register(
+    "distinct_partitions_orders",
+    "SELECT DISTINCT o_orderpriority AS partition_value FROM orders",
+)
+def distinct_partitions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: partition-value enumeration (Synchronizer.php:128)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("partition_value"))
+        .distinct()
+    )
+
+
+@_register("pk_projection_orders", "SELECT o_orderkey FROM orders")
+def pk_projection_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: PK projection scan (TableConnection.php:265-281)."""
+    return load_table(spark, sf_dir, "orders").select("o_orderkey")
+
+
+@_register("count_lineitem", "SELECT COUNT(*) AS n_rows FROM lineitem")
+def count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/A4: COUNT(*) (TableConnection.php:712-720)."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@_register(
+    "filter_eq_orders",
+    "SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'",
+)
+def filter_eq_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: partition-selection equality filter (TableConnection.php:121)
+    — Catalyst pushes it into the parquet scan."""
+    return load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+
+
+@_register(
+    "point_filter_lineitem",
+    """SELECT * FROM lineitem
+       WHERE l_orderkey = 7 AND l_linenumber = 1""",
+)
+def point_filter_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: point tuple filter WHERE (pk...) = (v...)
+    (TableConnection.php:573)."""
+    return load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_orderkey") == 7) & (F.col("l_linenumber") == 1)
+    )
+
+
+@_register(
+    "semi_join_customers_with_orders",
+    """SELECT c.* FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                     AND o.o_totalprice > 100000)""",
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5-style semi join on a business key (extended surface; the
+    reference only semi-joins on PK tuples)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 100000
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    )
+
+
+@_register(
+    "anti_join_customers_without_orders",
+    """SELECT c.* FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 400000)""",
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: generic anti join — the reference's hand-rolled hash-set diff
+    (fastArrayDiff, Synchronizer.php:642-654) as Catalyst left_anti.
+    Filtered to high-value orders so the result is non-empty at every
+    fixture scale (every customer has *some* order)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 400000
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    )
+
+
+# ===========================================================================
+# 2. Analytics extensions (grouped agg / joins / windows — SURVEY §2.4-2.5
+#    "extended engine" rows)
+# ===========================================================================
+
+@_register(
+    "agg_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                       * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+              COUNT(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregation. Money math in exact DECIMAL
+    (order-independent ⇒ engine-independent), final cast to DOUBLE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(18,6)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(
+                dec(F.col("l_extendedprice")) * dec(1 - F.col("l_discount"))
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "revenue_by_nation",
+    """SELECT n.n_name,
+              CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+              COUNT(*) AS n_orders
+       FROM orders o
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       GROUP BY n.n_name""",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star aggregation; the dimension joins broadcast (the
+    plan is checked in tests/bench — small dims must not shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@_register(
+    "rollup_revenue",
+    """SELECT n.n_name, o.o_orderstatus,
+              CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       FROM orders o
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       GROUP BY ROLLUP (n.n_name, o.o_orderstatus)""",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (extended surface; no grouped agg exists in
+    the reference at all — SURVEY §2.4)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .rollup("n_name", "o_orderstatus")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double").alias("revenue")
+        )
+    )
+
+
+@_register(
+    "topk_per_group",
+    """SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+         SELECT c_mktsegment, c_custkey, c_acctbal,
+                ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal DESC, c_custkey) AS rn
+         FROM customer) WHERE rn <= 3""",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W: top-k per group via ROW_NUMBER (deterministic tiebreak on PK).
+    No window functions exist in the reference (SURVEY §2.5)."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        customer.select(
+            "c_mktsegment", "c_custkey", "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@_register(
+    "running_total_events",
+    """SELECT event_id, user_id,
+              CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
+                AS running_value
+       FROM events""",
+)
+def running_total_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W: running sum per user (frame = unbounded preceding..current;
+    DECIMAL accumulation for cross-engine exactness)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+        .cast("double").alias("running_value"),
+    )
+
+
+@_register(
+    "sessionize_events",
+    """WITH gaps AS (
+         SELECT user_id, ts,
+                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE
+                       OR LAG(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events)
+       SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+       FROM gaps GROUP BY user_id""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W: sessionization — LAG + gap threshold + per-user session count
+    (the batch form of a streaming session window)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        events.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(F.sum("new_session").cast("long").alias("n_sessions"))
+    )
+
+
+@_register(
+    "hourly_event_counts",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+              COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+       FROM events GROUP BY 1, 2""",
+)
+def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation in batch form (the streaming module
+    runs the same plan with readStream + watermark — streaming/cdc.py)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double").alias("total_value"),
+        )
+    )
+
+
+@_register(
+    "latest_event_per_user",
+    """SELECT user_id, event_id, ts, event_type, value FROM (
+         SELECT user_id, event_id, ts, event_type, value,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) rn
+         FROM events) WHERE rn = 1""",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style latest-state compaction: last event per key — the
+    batch kernel reused by the streaming upsert path."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.select(
+            "user_id", "event_id", "ts", "event_type", "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@_register(
+    "asof_join_events_orders",
+    """SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS asof_orderkey
+       FROM events e
+       ASOF LEFT JOIN orders o
+         ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no Spark builtin): for each event, the most recent
+    order of that user with o_orderdate <= ts. Composition: equi-join on
+    user + range filter + ROW_NUMBER pick of the latest match, keeping
+    unmatched events via left join semantics. DuckDB oracle uses its
+    native ASOF JOIN — ties broken by max orderkey for determinism."""
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    j = events.select("event_id", "user_id", "ts").join(
+        orders,
+        (F.col("user_id") == F.col("o_custkey"))
+        & (F.col("ts") >= F.col("o_orderdate")),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        j.select(
+            "event_id", "user_id", "ts",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@_register(
+    "json_extract_events",
+    """SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+       FROM events""",
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: JSON scalar extraction from the props column (extended scalar
+    surface; the reference pins TZ instead of having any scalar fns)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+# ===========================================================================
+# 3. Dedup / text / similarity (training-data pipeline ops)
+# ===========================================================================
+
+_NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+
+@_register(
+    "dedup_exact_docs",
+    f"""SELECT md5({_NORM_SQL}) AS fp_exact, COUNT(*) AS n_dups,
+               MIN(doc_id) AS keep_id
+        FROM documents GROUP BY 1 HAVING COUNT(*) > 1""",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups over normalized text (hash-groupBy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs)
+
+
+@_register(
+    "fingerprints_docs",
+    f"""SELECT doc_id, md5({_NORM_SQL}) AS fp_exact,
+               md5(array_to_string(list_sort(list_distinct(
+                   regexp_split_to_array(trim({_NORM_SQL}), '\\s+'))), ' '))
+                 AS fp_bag
+        FROM documents""",
+)
+def fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact (normalized md5) + order-insensitive
+    token bag."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_fingerprints(docs).select("doc_id", "fp_exact", "fp_bag")
+
+
+@_register(
+    "token_counts_docs",
+    r"""SELECT doc_id,
+              CAST(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                   AS INT) AS n_tokens_ws,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                   AS INT) AS n_tokens_bpe
+       FROM documents""",
+)
+def token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_token_counts(docs).select(
+        "doc_id", "n_tokens_ws", "n_tokens_bpe"
+    )
+
+
+@_register(
+    "ngram_jaccard_pairs_docs",
+    f"""WITH sh AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     range(1, greatest(len({_NORM_SQL}) - 4, 1) + 1),
+                     i -> substr({_NORM_SQL}, i, 5))) AS shingle
+            FROM documents) WHERE len(shingle) > 0),
+         sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY doc_id),
+         inter AS (
+          SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8""",
+)
+def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (5-char shingles, τ=0.8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(docs, k=5, threshold=0.8)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """Oracle mirroring minhash_lsh_pairs hash-for-hash: one md5 per
+    shingle, affine mixes with the same literal constants, same banding."""
+    from mysql_syncer_spark.operators.dedup import MINHASH_P, minhash_params
+
+    rows_per_band = num_hashes // bands
+    mins = ",\n              ".join(
+        f"MIN(({a} * (h % 1073741824) + {b} * (h // 1073741824) + {c}) "
+        f"% {MINHASH_P}) AS h{i}"
+        for i, (a, b, c) in enumerate(minhash_params(num_hashes))
+    )
+    band_buckets = ",\n              ".join(
+        "md5(concat_ws('#', "
+        + ", ".join(
+            f"h{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+        )
+        + f")) AS bucket{b}"
+        for b in range(bands)
+    )
+    bucket_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, bucket{b} AS bucket FROM sig"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""WITH sh AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     range(1, greatest(len({_NORM_SQL}) - 4, 1) + 1),
+                     i -> substr({_NORM_SQL}, i, 5))) AS shingle
+            FROM documents) WHERE len(shingle) > 0),
+         hashed AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+          FROM sh),
+         sig AS (
+          SELECT doc_id, {mins}
+          FROM hashed GROUP BY doc_id),
+         sigb AS (
+          SELECT *, {band_buckets} FROM sig),
+         buckets AS ({bucket_union.replace('FROM sig', 'FROM sigb')}),
+         cand AS (
+          SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+          FROM buckets a JOIN buckets b
+            ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id)
+        SELECT c.id_a, c.id_b,
+               ({matches}) / {num_hashes}.0 AS jaccard_est
+        FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+                    JOIN sig sb ON sb.doc_id = c.id_b
+        WHERE ({matches}) / {num_hashes}.0 >= 0.7"""
+
+
+@_register("minhash_lsh_pairs_docs", _minhash_oracle_sql())
+def minhash_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (16 hashes, 4 bands, τ=0.7) —
+    the 100 TB fuzzy-dedup path; oracle mirrors it hash-for-hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, k=5, num_hashes=16, bands=4, threshold=0.7
+    )
+
+
+@_register(
+    "simhash_docs",
+    f"""WITH toks AS (
+          SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim({_NORM_SQL}), '\\s+')) AS tok
+            FROM documents)),
+         th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+                FROM toks),
+         bits AS (
+          SELECT doc_id, i,
+                 SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM th CROSS JOIN range(16) t(i) GROUP BY doc_id, i)
+        SELECT doc_id,
+               SUM(CASE WHEN s > 0 THEN 1 << i ELSE 0 END) AS simhash
+        FROM bits GROUP BY doc_id""",
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs)
+
+
+@_register(
+    "embedding_near_dup_pairs",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                    6) AS cosine
+       FROM embeddings a JOIN embeddings b
+         ON a.label = b.label AND a.vec_id < b.vec_id
+       WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35""",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dups within label blocks, cosine ≥ 0.35 (rounded
+    to 6dp — raw doubles differ across engines in the last ulps)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dedup.embedding_near_dups(emb, threshold=0.35)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+@_register(
+    "sign_buckets_embeddings",
+    """SELECT vec_id,
+              CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+              (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+              (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+              (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+              (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+              (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+              (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+              (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS INT)
+                AS bucket
+       FROM embeddings""",
+)
+def sign_buckets_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket assignment — the ANN pre-bucketing pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.with_sign_buckets(emb).select("vec_id", "bucket")
+
+
+@_register(
+    "ann_topk_bruteforce",
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                  WHERE vec_id = 0)
+       SELECT e.vec_id,
+              ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                     sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+       FROM embeddings e CROSS JOIN q
+       ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+       LIMIT 10""",
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the vec_id=0 query vector (exact
+    ANN baseline; scores rounded to 6dp for cross-engine compare)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    out = similarity.cosine_topk(emb, qvec, k=10)
+    return out.withColumn("score", F.round("score", 6))
+
+
+@_register(
+    "quality_docs",
+    r"""SELECT doc_id,
+            ROUND((len(text) - len(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+                  * 1.0 / greatest(len(text), 1), 6) AS punct_ratio,
+            ROUND((len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))
+                  * 1.0 / greatest(len(text), 1), 6) AS digit_ratio
+       FROM documents""",
+)
+def quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals (the SQL-clean subset: punct + digit ratios;
+    the full score incl. stopword ratio is exercised in pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.with_quality(docs)
+    return out.select(
+        "doc_id",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+    )
+
+
+@_register(
+    "lang_id_docs",
+    # mirror of operators/text.with_lang_id: per-language stopword hit
+    # counts, argmax with lexicographic tiebreak, CJK override
+    r"""WITH toks AS (
+          SELECT doc_id, text,
+                 CASE WHEN trim(lower(text)) = '' THEN []
+                      ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                 END AS ts
+          FROM documents),
+        scores AS (
+          SELECT doc_id, text,
+            len(list_filter(ts, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS s_de,
+            len(list_filter(ts, t -> t IN ('the','a','of','and','is','to','in'))) AS s_en,
+            len(list_filter(ts, t -> t IN ('el','la','los','es','y','un','una'))) AS s_es,
+            len(list_filter(ts, t -> t IN ('le','la','les','est','et','un','une'))) AS s_fr
+          FROM toks)
+       SELECT doc_id,
+              CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                   WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+                   WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                   WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                   WHEN s_fr > 0 THEN 'fr'
+                   ELSE 'und' END AS lang_pred
+       FROM scores""",
+)
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID (deterministic tiebreak)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_lang_id(docs).select("doc_id", "lang_pred")

@@ -221,6 +221,11 @@ def configure_session(builder):
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, normalizing nanos-timestamp columns."""
+    if name in _NANOS_TS_COLS:
+        # runtime-settable SQL conf; the caller's session (e.g. the
+        # driver's) may not have it — without it the events read throws
+        # PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":

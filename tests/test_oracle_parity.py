@@ -1,0 +1,83 @@
+"""Driver-style oracle parity: run every queries() entry on Spark AND
+its oracle_sql() on DuckDB over the same parquet, compare row count +
+column names + order-insensitive values — the same gate the driver
+applies at sf0.01 (run here at sf0.001 for speed; override with
+SPARK_GRAFT_TEST_SF_DIR)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def _canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_canon_cell(r[i]) for i in order) for r in rows
+    )
+
+
+ALL = sorted(entrymod.queries().keys())
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    fn = entrymod.queries()[name]
+    oracle = entrymod.oracle_sql().get(name)
+    sdf = fn(spark, sf_dir)
+    srows = sdf.collect()
+    scols = sdf.columns
+    if oracle is None:
+        assert len(srows) >= 0  # rows-only check (driver's weak mode)
+        return
+    res = duck.execute(oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols), f"{name}: column mismatch"
+    assert len(srows) == len(orows), (
+        f"{name}: row count {len(srows)} vs oracle {len(orows)}"
+    )
+    sc = _canon_rows(scols, [[r[c] for c in scols] for r in srows])
+    oc = _canon_rows(ocols, orows)
+    mismatches = [i for i, (a, b) in enumerate(zip(sc, oc)) if a != b]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} value mismatches; first: "
+        f"{sc[mismatches[0]]} vs {oc[mismatches[0]]}"
+    )
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) == 6

@@ -1,0 +1,184 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Contract for a 100 TB training-data pipeline: media (image/audio/video)
+travels as an opaque ``binary`` column with a typed metadata struct; all
+decode / feature-extract / resize / frame-sample work happens in
+Arrow-batched Pandas iterators (``mapInPandas``) so bytes never
+round-trip through Python row objects and executors stream batches
+instead of materializing partitions.
+
+The *decode* step is STUBBED in this environment (no PIL/ffmpeg in the
+container): ``decode_image`` raises NotImplementedError unless
+``fake=True``, in which case a clearly-marked deterministic fake decoder
+derives (width, height, features) from the bytes alone. Everything
+around the stub — schema contracts, batch iteration, partition sizing,
+UDF signatures — is real and tested; dropping in a real decoder changes
+one function.
+
+At scale:
+* media bytes dominate partition size — ``media_repartition`` targets
+  a bytes-per-partition budget instead of a row count, so a partition
+  of 4 MB thumbnails and a partition of 40 MB videos both fit executor
+  memory.
+* feature extraction emits small fixed-width vectors; downstream joins/
+  ANN run on those, never on the binary column (column pruning drops
+  the bytes right after the map stage — verify with .explain:
+  ReadSchema must not include 'media' in downstream stages).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: schema of the feature-extraction output (media bytes dropped)
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def decode_image(data: bytes, fake: bool = False) -> tuple[int, int, list[float]]:
+    """Decode one image to (width, height, feature vector).
+
+    STUB: real decoding needs an image library not present in this
+    container. ``fake=True`` uses a DETERMINISTIC FAKE that derives
+    plausible values purely from the bytes (stable across runs and
+    machines) so the distributed plumbing is fully exercisable.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an image library (e.g. PIL) that is "
+            "not available in this environment; pass fake=True for the "
+            "deterministic fake decoder, or swap this function for a real "
+            "one where PIL/opencv is installed"
+        )
+    digest = hashlib.sha256(data).digest()
+    width = 64 + digest[0] % 192          # 64..255
+    height = 64 + digest[1] % 192
+    features = [
+        (digest[2 + i] - 128) / 128.0 for i in range(FEATURE_DIM)
+    ]
+    return width, height, features
+
+
+def extract_image_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    fake_decode: bool = True,
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """Decode + featurize a binary image column via ``mapInPandas``.
+
+    Arrow streams batches of (id, bytes) into Python; each batch emits
+    (id, width, height, n_bytes, sha256, features) and DROPS the bytes,
+    so only small rows flow to later stages. Real plumbing, stubbed
+    pixel decode (see :func:`decode_image`).
+    """
+    id_name, media_name = id_col, media_col
+    fake, dim = fake_decode, FEATURE_DIM
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: referencing module-level helpers would
+        # make cloudpickle serialize them BY REFERENCE, requiring
+        # mysql_syncer_spark to be importable inside every executor
+        # Python worker — not guaranteed (and the exact failure seen when
+        # driving this from outside the repo). stdlib + locals only.
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        def _decode(data: bytes):
+            if not fake:
+                raise NotImplementedError(
+                    "image decoding requires an image library not present "
+                    "in this environment"
+                )
+            d = _hl.sha256(data).digest()
+            return (
+                64 + d[0] % 192,
+                64 + d[1] % 192,
+                [(d[2 + i] - 128) / 128.0 for i in range(dim)],
+            )
+
+        for pdf in batches:
+            ids, widths, heights, sizes, hashes, feats = [], [], [], [], [], []
+            for mid, data in zip(pdf[id_name], pdf[media_name]):
+                data = bytes(data) if data is not None else b""
+                w, h, f = _decode(data)
+                ids.append(mid)
+                widths.append(w)
+                heights.append(h)
+                sizes.append(len(data))
+                hashes.append(_hl.sha256(data).hexdigest())
+                feats.append(f)
+            yield _pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": widths,
+                    "height": heights,
+                    "n_bytes": sizes,
+                    "sha256": hashes,
+                    "features": feats,
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        featurize, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def media_repartition(
+    df: DataFrame,
+    media_col: str = "media",
+    target_partition_bytes: int = 128 << 20,
+) -> DataFrame:
+    """Repartition a media table by a *bytes* budget, not a row count.
+
+    One job computes total payload size; the repartition uses a round-
+    robin shuffle into ceil(total/target) partitions. At 100 TB this is
+    what keeps a mixed-size media table from OOMing executors — row
+    counts say nothing about binary payload skew.
+    """
+    total = df.select(
+        F.sum(F.coalesce(F.length(F.col(media_col)), F.lit(0))).alias("b")
+    ).first()["b"] or 0
+    n = max(1, int((total + target_partition_bytes - 1) // target_partition_bytes))
+    return df.repartition(n)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    id_col: str = "media_id",
+    n_frames_col: str = "n_frames",
+    every_k: int = 30,
+) -> DataFrame:
+    """Video frame-sampling *plan*: explode (media_id, frame_idx) rows
+    for every k-th frame — pure built-ins (sequence + explode); the
+    actual frame extraction would consume this plan inside the same
+    kind of mapInPandas stage as :func:`extract_image_features`."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col(n_frames_col) - 1, F.lit(0)),
+                F.lit(every_k),
+            )
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,72 @@
+"""Multimodal plumbing: binary columns through mapInPandas, bytes-budget
+repartitioning, frame sampling. Decode itself is a deterministic fake
+(no image libs in the container) — the Spark-side contract is real."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_syncer_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_image,
+    extract_image_features,
+    frame_sample_plan,
+    media_repartition,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    """Synthesize a binary media table from document text bytes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("media"),
+    )
+
+
+def test_decode_stub_gated():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", fake=False)
+    w, h, f = decode_image(b"xx", fake=True)
+    assert 64 <= w <= 255 and 64 <= h <= 255 and len(f) == FEATURE_DIM
+    assert decode_image(b"xx", fake=True) == (w, h, f)  # deterministic
+
+
+def test_extract_image_features(spark, media):
+    feats = extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == media.count()
+    r = rows[0]
+    assert len(r["features"]) == FEATURE_DIM
+    assert len(r["sha256"]) == 64 and r["n_bytes"] > 0
+    # schema contract: media bytes are gone
+    assert "media" not in feats.columns
+    # determinism across runs
+    again = {x["media_id"]: x["sha256"] for x in extract_image_features(media).collect()}
+    assert {x["media_id"]: x["sha256"] for x in rows} == again
+
+
+def test_extract_handles_null_media(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, b"abc")], "media_id long, media binary"
+    )
+    rows = {r["media_id"]: r for r in extract_image_features(df).collect()}
+    assert rows[1]["n_bytes"] == 0 and rows[2]["n_bytes"] == 3
+
+
+def test_media_repartition_bytes_budget(spark, media):
+    out = media_repartition(media, target_partition_bytes=50_000)
+    total = media.select(F.sum(F.length("media"))).first()[0]
+    expect = -(-total // 50_000)
+    assert out.rdd.getNumPartitions() == expect
+
+
+def test_frame_sample_plan(spark):
+    vids = spark.createDataFrame(
+        [(1, 100), (2, 15), (3, 0)], "media_id long, n_frames int"
+    )
+    got = sorted(
+        (r["media_id"], r["frame_idx"])
+        for r in frame_sample_plan(vids, every_k=30).collect()
+    )
+    assert got == [(1, 0), (1, 30), (1, 60), (1, 90), (2, 0), (3, 0)]

@@ -1,0 +1,156 @@
+"""Structured Streaming: CDC merge via foreachBatch, watermarked windows.
+
+Uses a file-source stream over the events fixture split into chunked
+JSON "arrivals" + AvailableNow trigger — real streaming machinery,
+deterministic input.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mysql_syncer_spark.streaming.cdc import (
+    cdc_merge_stream,
+    cdc_upsert_batch,
+    latest_change_per_key,
+    read_state,
+    windowed_counts_stream,
+)
+
+CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def test_latest_change_per_key(spark):
+    batch = spark.createDataFrame(
+        [(1, 1, "upsert", 10.0), (1, 2, "upsert", 20.0), (2, 1, "delete", 0.0)],
+        CDC_SCHEMA,
+    )
+    latest = latest_change_per_key(batch, ["user_id"], ["seq"])
+    got = {r["user_id"]: (r["seq"], r["op"]) for r in latest.collect()}
+    assert got == {1: (2, "upsert"), 2: (1, "delete")}
+
+
+def test_cdc_upsert_batch(spark):
+    target = spark.createDataFrame(
+        [(1, 0, "upsert", 1.0), (2, 0, "upsert", 2.0), (3, 0, "upsert", 3.0)],
+        CDC_SCHEMA,
+    )
+    batch = spark.createDataFrame(
+        [(1, 5, "upsert", 99.0), (2, 5, "delete", 0.0), (4, 5, "upsert", 4.0)],
+        CDC_SCHEMA,
+    )
+    merged = cdc_upsert_batch(target, batch, ["user_id"], ["seq"])
+    live = merged.where(F.col("op") != "delete")
+    got = {r["user_id"]: r["value"] for r in live.collect()}
+    assert got == {1: 99.0, 3: 3.0, 4: 4.0}  # 2 tombstoned, 1 updated, 4 added
+    # out-of-order safety: replaying an OLDER change must not win
+    stale = spark.createDataFrame([(1, 1, "upsert", -1.0)], CDC_SCHEMA)
+    remerged = cdc_upsert_batch(merged, stale, ["user_id"], ["seq"])
+    assert remerged.where(F.col("user_id") == 1).first()["value"] == 99.0
+    # ...and a LATE upsert older than a tombstone must stay dead
+    stale2 = spark.createDataFrame([(2, 1, "upsert", 2.5)], CDC_SCHEMA)
+    remerged2 = cdc_upsert_batch(merged, stale2, ["user_id"], ["seq"])
+    assert remerged2.where(
+        (F.col("user_id") == 2) & (F.col("op") != "delete")
+    ).count() == 0
+
+
+def test_cdc_merge_stream_end_to_end(spark, tmp_path):
+    """Real streaming run: two JSON files arrive, AvailableNow drains
+    them, the parquet target holds the folded state."""
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    target = str(tmp_path / "state.parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    (src / "b0.json").write_text(
+        '{"user_id": 1, "seq": 1, "op": "upsert", "value": 1.0}\n'
+        '{"user_id": 2, "seq": 1, "op": "upsert", "value": 2.0}\n'
+    )
+    (src / "b1.json").write_text(
+        '{"user_id": 1, "seq": 2, "op": "upsert", "value": 11.0}\n'
+        '{"user_id": 2, "seq": 2, "op": "delete", "value": 0.0}\n'
+        '{"user_id": 3, "seq": 2, "op": "upsert", "value": 3.0}\n'
+    )
+
+    stream = (
+        spark.readStream.schema(CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force multiple microbatches
+        .json(str(src))
+    )
+    q = cdc_merge_stream(stream, target, ["user_id"], ["seq"], ckpt)
+    q.awaitTermination(120)
+
+    state = {
+        r["user_id"]: r["value"]
+        for r in read_state(spark, target, op_col="op").collect()
+    }
+    # correct regardless of microbatch arrival order (file-source
+    # mtime ordering is not the logical order): seq decides
+    assert state == {1: 11.0, 3: 3.0}
+
+    # restart with no new data: checkpoint makes it a no-op (idempotent)
+    stream2 = spark.readStream.schema(CDC_SCHEMA).json(str(src))
+    q2 = cdc_merge_stream(stream2, target, ["user_id"], ["seq"], ckpt)
+    q2.awaitTermination(120)
+    state2 = {
+        r["user_id"]: r["value"]
+        for r in read_state(spark, target, op_col="op").collect()
+    }
+    assert state2 == state
+
+
+def test_windowed_counts_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming windowed agg over the events fixture (replayed as a
+    file stream) must equal the batch groupBy — same plan, same result."""
+    from mysql_syncer_spark.sources.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    )
+    src = str(tmp_path / "events_stream")
+    events.coalesce(4).write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = windowed_counts_stream(stream)
+    ckpt = str(tmp_path / "ckpt2")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_counts")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows the watermark has closed; compare
+    # those against the batch computation
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double").alias("total_value"),
+        )
+        .collect()
+    }
+    assert len(got) > 0
+    for k, v in got.items():
+        assert batch[k] == v, k

@@ -122,6 +122,45 @@ def diff_tables(
     }
 
 
+def merge_tables(
+    master: DataFrame,
+    slave: DataFrame,
+    pk_cols: Sequence[str],
+    hash_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Single-pass sync merge: the content slave must hold so that
+    slave ≡ master, built from ONE narrow full-outer hash-compare.
+
+    Topology (the at-scale shape — compare diff_tables+apply_delta,
+    whose naive lazy composition re-scans the base tables ~18×):
+
+      mh, sh         — narrow (pk, hash) projections, one scan each
+      j = mh ⟗ sh    — full outer on PK, carries only pk + 2 hashes
+      take_master    — master ⋉ σ(j: slave missing OR hash differs)
+      keep_slave     — slave  ⋉ σ(j: both present AND hash equal)
+      merged         — take_master ∪ keep_slave
+
+    The two σ(j) branches share an identical join subtree, so Spark's
+    ReuseExchange materializes it once. Excess slave rows simply match
+    neither branch (delete-by-omission); changed rows take the master
+    version — the reference's delete-before-insert guarantee
+    (Synchronizer.php:496-517) holds structurally.
+    """
+    on = list(pk_cols)
+    mh = with_row_hash(master, pk_cols, hash_cols, hash_name="m_hash")
+    sh = with_row_hash(slave, pk_cols, hash_cols, hash_name="s_hash")
+    j = mh.join(sh, on=on, how="full_outer")
+    from_master = j.where(
+        F.col("s_hash").isNull() | (F.col("m_hash") != F.col("s_hash"))
+    ).select(*on)
+    from_slave = j.where(
+        F.col("m_hash").isNotNull() & (F.col("m_hash") == F.col("s_hash"))
+    ).select(*on)
+    return master.join(from_master, on=on, how="left_semi").unionByName(
+        slave.join(from_slave, on=on, how="left_semi").select(*master.columns)
+    )
+
+
 def apply_delta(
     slave: DataFrame,
     inserts: DataFrame,

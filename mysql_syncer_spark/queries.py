@@ -35,10 +35,9 @@ from mysql_syncer_spark.canon import (
     with_row_hash,
 )
 from mysql_syncer_spark.diff import (
-    apply_delta,
     changed_rows,
-    diff_tables,
     excess_rows,
+    merge_tables,
     missing_rows,
     rows_to_copy,
 )
@@ -257,13 +256,14 @@ def rows_to_copy_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("sync_merge_orders", "SELECT * FROM orders")
 def sync_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end §3.2 hot path: diff master vs perturbed slave, apply
-    the delta — the result must equal master exactly (the oracle is
-    simply the master table)."""
+    """End-to-end §3.2 hot path: diff master vs perturbed slave and
+    produce the converged table — the result must equal master exactly
+    (the oracle is simply the master table). Uses the single-pass
+    merge_tables topology (one narrow full-outer hash-compare + two
+    semi joins — 6 base scans vs ~18 for the naive delta composition)."""
     orders = load_table(spark, sf_dir, "orders")
     slave = _slave_orders(orders)
-    d = diff_tables(orders, slave, ["o_orderkey"], mode="pk_hash")
-    return apply_delta(slave, d["insert"], d["delete"], ["o_orderkey"])
+    return merge_tables(orders, slave, ["o_orderkey"])
 
 
 @_register(

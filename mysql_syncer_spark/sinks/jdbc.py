@@ -1,0 +1,213 @@
+"""JDBC-mode mutation sinks: chunked DELETE / multi-row INSERT batches.
+
+Spark's DataFrame API has no DELETE pushdown for JDBC targets, so the
+reference's write path (chunked ``DELETE ... WHERE (pk...) IN (...)``
+and multi-row ``INSERT INTO ... VALUES (...),(...)`` —
+src/project/TableConnection.php:289-387, chunk loop
+Synchronizer.php:566-582) is reproduced here as ``foreachPartition``
+batches over delta DataFrames:
+
+* statement builders are pure functions (unit-tested without a DB);
+* executors open their own DBAPI connections via an injected factory
+  (a connection can't be pickled to workers) and commit per chunk —
+  idempotent under retry because DELETE-by-PK and delete-before-insert
+  replace (TableConnection.php:599-627 replaceRows) re-apply cleanly;
+* ``chunk_size`` plays the reference's CHUNK_SIZE role
+  (settings.php.tmpl:32-34): bounds statement size / packet size, NOT
+  memory — partitions stream through ``itertools.islice``.
+
+At 100 TB the delta frames are small by construction (only changed
+rows), and the write parallelism equals the delta's partition count —
+``df.repartition(n)`` upstream is the knob for target-DB write
+concurrency.
+"""
+
+from __future__ import annotations
+
+import itertools
+import sys
+from collections.abc import Callable, Iterable, Iterator, Sequence
+from datetime import date, datetime
+
+from pyspark.sql import DataFrame
+
+DEFAULT_CHUNK_SIZE = 5000  # reference CHUNK_SIZE (settings.php.tmpl:34)
+
+# The foreachPartition closures below reference this module's statement
+# builders; by default cloudpickle ships module functions BY REFERENCE,
+# which requires mysql_syncer_spark to be importable inside executor
+# Python workers (--py-files). Registering the module for by-value
+# pickling removes that deployment requirement for the sink path.
+try:
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover - older pyspark layouts
+    pass
+
+
+def sql_literal(v, backslash_escapes: bool = False) -> str:
+    """NULL-aware SQL literal rendering — mirror of the reference's
+    escaped-and-quoted value path (TableConnection.php:323-341).
+
+    ``backslash_escapes=True`` doubles backslashes for MySQL's default
+    sql_mode (which interprets them); ANSI engines (sqlite, postgres
+    standard_conforming_strings, DuckDB) treat backslashes literally and
+    only need quote doubling — escaping them there CORRUPTS the value.
+    """
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, (datetime, date)):
+        return f"'{v.isoformat(sep=' ')}'"
+    s = str(v)
+    if backslash_escapes:
+        s = s.replace("\\", "\\\\")
+    s = s.replace("'", "''")
+    return f"'{s}'"
+
+
+def quote_ident(name: str, quote: str = "`") -> str:
+    return f"{quote}{name}{quote}"
+
+
+def insert_sql(
+    table: str,
+    cols: Sequence[str],
+    rows: Iterable[Sequence],
+    quote: str = "`",
+    backslash_escapes: bool = False,
+) -> str:
+    """Multi-row INSERT (TableConnection.php:289-360)."""
+    col_list = ", ".join(quote_ident(c, quote) for c in cols)
+    values = ",".join(
+        "(" + ", ".join(sql_literal(v, backslash_escapes) for v in row) + ")"
+        for row in rows
+    )
+    return f"INSERT INTO {quote_ident(table, quote)} ({col_list}) VALUES {values}"
+
+
+def delete_sql(
+    table: str,
+    pk_cols: Sequence[str],
+    pk_tuples: Iterable[Sequence],
+    quote: str = "`",
+    backslash_escapes: bool = False,
+) -> str:
+    """Composite-key tuple DELETE (TableConnection.php:367-387):
+    ``DELETE FROM t WHERE (a, b) IN ((1,2),(3,4))``."""
+    key = "(" + ", ".join(quote_ident(c, quote) for c in pk_cols) + ")"
+    tuples = ",".join(
+        "(" + ", ".join(sql_literal(v, backslash_escapes) for v in t) + ")"
+        for t in pk_tuples
+    )
+    return f"DELETE FROM {quote_ident(table, quote)} WHERE {key} IN ({tuples})"
+
+
+def _chunks(it: Iterator, size: int) -> Iterator[list]:
+    while True:
+        chunk = list(itertools.islice(it, size))
+        if not chunk:
+            return
+        yield chunk
+
+
+def apply_deletes(
+    keys: DataFrame,
+    table: str,
+    pk_cols: Sequence[str],
+    connection_factory: Callable[[], object],
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    quote: str = "`",
+    backslash_escapes: bool = False,
+) -> None:
+    """Execute chunked deletes for every key row, one connection per
+    partition (executors can't share the driver's connection)."""
+    cols = list(pk_cols)
+
+    def run(partition: Iterator) -> None:
+        it = (tuple(row[c] for c in cols) for row in partition)
+        first = next(it, None)
+        if first is None:
+            return
+        conn = connection_factory()
+        try:
+            cur = conn.cursor()
+            for chunk in _chunks(itertools.chain([first], it), chunk_size):
+                cur.execute(delete_sql(table, cols, chunk, quote, backslash_escapes))
+            conn.commit()
+        finally:
+            conn.close()
+
+    keys.select(*cols).foreachPartition(run)
+
+
+def apply_inserts(
+    rows: DataFrame,
+    table: str,
+    connection_factory: Callable[[], object],
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    quote: str = "`",
+    backslash_escapes: bool = False,
+) -> None:
+    """Execute chunked multi-row inserts, one connection per partition."""
+    cols = rows.columns
+
+    def run(partition: Iterator) -> None:
+        it = (tuple(row[c] for c in cols) for row in partition)
+        first = next(it, None)
+        if first is None:
+            return
+        conn = connection_factory()
+        try:
+            cur = conn.cursor()
+            for chunk in _chunks(itertools.chain([first], it), chunk_size):
+                cur.execute(insert_sql(table, cols, chunk, quote, backslash_escapes))
+            conn.commit()
+        finally:
+            conn.close()
+
+    rows.foreachPartition(run)
+
+
+def apply_replace(
+    rows: DataFrame,
+    table: str,
+    pk_cols: Sequence[str],
+    connection_factory: Callable[[], object],
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    quote: str = "`",
+    backslash_escapes: bool = False,
+) -> None:
+    """Delete-then-insert upsert — deliberately not REPLACE/ON DUPLICATE
+    (the reference dodges unique-key conflicts the same way,
+    TableConnection.php:599-627); delete-before-insert within each chunk
+    keeps the partition-move guard (Synchronizer.php:496-517)."""
+    cols = rows.columns
+    pks = list(pk_cols)
+
+    def run(partition: Iterator) -> None:
+        it = (tuple(row[c] for c in cols) for row in partition)
+        first = next(it, None)
+        if first is None:
+            return
+        idx = [cols.index(c) for c in pks]
+        conn = connection_factory()
+        try:
+            cur = conn.cursor()
+            for chunk in _chunks(itertools.chain([first], it), chunk_size):
+                cur.execute(
+                    delete_sql(
+                        table, pks, [[r[i] for i in idx] for r in chunk],
+                        quote, backslash_escapes,
+                    )
+                )
+                cur.execute(insert_sql(table, cols, chunk, quote, backslash_escapes))
+            conn.commit()
+        finally:
+            conn.close()
+
+    rows.foreachPartition(run)

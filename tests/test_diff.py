@@ -122,3 +122,17 @@ def test_differing_partitions(spark, orders):
         for r in differing_partitions(orders, slave, pcol).collect()
     }
     assert parts == {dropped_val: "missing", mutated_val: "differs"}
+
+
+def test_merge_tables_single_pass(spark, orders):
+    """merge_tables converges like apply_delta but with a bounded-scan
+    plan (narrow full-outer + two semi joins)."""
+    from mysql_syncer_spark.diff import merge_tables
+
+    slave = _perturbed(orders)
+    merged = merge_tables(orders, slave, PK)
+    assert merged.count() == orders.count()
+    assert merged.subtract(orders).count() == 0
+    assert orders.subtract(merged).count() == 0
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 6

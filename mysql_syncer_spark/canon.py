@@ -50,7 +50,34 @@ def canonical_col(col: Column | str, dtype: T.DataType) -> Column:
     if isinstance(dtype, T.StringType):
         return c
     if isinstance(dtype, (T.DoubleType, T.FloatType)):
-        return c.cast(FLOAT_DECIMAL).cast("string")
+        # Three-range rendering, classified identically in both engines:
+        #   |x| in [1e-6, 1e18) or 0  -> fixed decimal(38,6) string
+        #   huge/tiny                 -> %.6e scientific (decimal would
+        #                                overflow ANSI-mode at ~1e32 and
+        #                                quantize tiny values to 0)
+        #   NaN/±Inf                  -> explicit literals (printf/%e
+        #                                spellings differ per engine)
+        # Canonical precision is therefore ~1e-6 absolute in the decimal
+        # range and 7 significant digits outside it — values closer than
+        # that hash equal (documented deviation; the reference inherits
+        # MySQL's text-protocol rendering instead).
+        d = c.cast("double")
+        return (
+            # NULL must stay NULL: format_string() would render it as
+            # the literal string 'null' in the otherwise-branch
+            F.when(d.isNull(), F.lit(None).cast("string"))
+            .when(F.isnan(d), F.lit("NaN"))
+            .when(d == F.lit(float("inf")), F.lit("Infinity"))
+            .when(d == F.lit(float("-inf")), F.lit("-Infinity"))
+            .when(
+                # subnormals (< ~2.2e-308) take the decimal path too:
+                # Java and C disagree on %e rendering of denormals
+                (F.abs(d) < 2.3e-308)
+                | ((F.abs(d) >= 1e-6) & (F.abs(d) < 1e18)),
+                c.cast(FLOAT_DECIMAL).cast("string"),
+            )
+            .otherwise(F.format_string("%.6e", d))
+        )
     if isinstance(dtype, T.DecimalType):
         return c.cast("string")
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
@@ -106,9 +133,20 @@ def with_row_hash(
 # DuckDB-side mirrors (ANSI SQL strings) used by oracle_sql() entries.
 # ---------------------------------------------------------------------------
 
+_DUCK_FLOAT = (
+    "CASE WHEN {c} IS NULL THEN NULL "
+    "WHEN isnan({c}) THEN 'NaN' "
+    "WHEN {c} = 'infinity'::DOUBLE THEN 'Infinity' "
+    "WHEN {c} = '-infinity'::DOUBLE THEN '-Infinity' "
+    "WHEN abs({c}::DOUBLE) < 2.3e-308 "
+    "OR (abs({c}::DOUBLE) >= 1e-6 AND abs({c}::DOUBLE) < 1e18) "
+    "THEN CAST(CAST({c} AS DECIMAL(38,6)) AS VARCHAR) "
+    "ELSE printf('%.6e', {c}::DOUBLE) END"
+)
+
 _DUCK_CANON = {
-    "double": "CAST(CAST({c} AS DECIMAL(38,6)) AS VARCHAR)",
-    "float": "CAST(CAST({c} AS DECIMAL(38,6)) AS VARCHAR)",
+    "double": _DUCK_FLOAT,
+    "float": _DUCK_FLOAT,
     "timestamp": "strftime({c}, '%Y-%m-%d %H:%M:%S.%f')",
     "timestamp_ntz": "strftime({c}, '%Y-%m-%d %H:%M:%S.%f')",
     "date": "strftime({c}, '%Y-%m-%d')",

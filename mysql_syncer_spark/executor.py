@@ -185,6 +185,14 @@ class ParquetSyncExecutor:
         res = UnitResult(table=unit.table, action=unit.action.value)
         t0 = time.time()
         try:
+            # FAIR pool per sync unit: concurrent table syncs share the
+            # cluster instead of FIFO head-of-line blocking — the Spark
+            # replacement for one-OS-process-per-table
+            # (Synchronizer.php:86-92). No-op unless
+            # spark.scheduler.mode=FAIR is set on the session.
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"sync-{unit.table}"
+            )
             if unit.action == Action.DROP:
                 self._drop(unit, res)
             elif unit.action == Action.FULL_COPY:
@@ -198,6 +206,10 @@ class ParquetSyncExecutor:
         except Exception as e:  # crash isolation (Synchronizer.php:77)
             res.status = "error"
             res.error = f"{e}\n{traceback.format_exc(limit=5)}"
+        finally:
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", None
+            )
         res.seconds = time.time() - t0
         return res
 

@@ -942,3 +942,54 @@ def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language ID (deterministic tiebreak)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.with_lang_id(docs).select("doc_id", "lang_pred")
+
+
+@_register(
+    "range_join_user_bursts",
+    """SELECT a.event_id AS id_a, b.event_id AS id_b
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id
+        AND b.ts > a.ts
+        AND b.ts <= a.ts + INTERVAL 1 MINUTE
+       WHERE a.event_type = 'error'""",
+)
+def range_join_user_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (non-equi condition): events within 60s after an
+    error by the same user. The equi key (user_id) keeps it a hash join
+    with a range predicate as a post-filter — the scalable shape;
+    without the equi key this would degrade to a broadcast-nested-loop."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("id_a"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = events.select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("ts_b"),
+    )
+    return (
+        a.join(b, on="u")
+        .where(
+            (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 1 MINUTE"))
+        )
+        .select("id_a", "id_b")
+    )
+
+
+@_register(
+    "distinct_users_per_type",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+       FROM events GROUP BY event_type""",
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped COUNT(DISTINCT) — two-level shuffle. The approx
+    variant (approx_count_distinct / HLL) is exercised in pytest only:
+    sketch estimates are engine-specific and cannot hash-match an
+    oracle."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )

@@ -891,6 +891,93 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("score", F.round("score", 6))
 
 
+def _sign_bucket_sql(col: str, n_bits: int = 8) -> str:
+    return "(" + " + ".join(
+        f"(CASE WHEN {col}[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_bits)
+    ) + ")"
+
+
+@_register(
+    "ann_topk_lsh",
+    f"""WITH q AS (SELECT embedding::DOUBLE[] AS qv,
+                          {_sign_bucket_sql('embedding')} AS qb
+                   FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
+                      {_sign_bucket_sql('embedding')} AS bucket
+               FROM embeddings)
+       SELECT e.vec_id,
+              ROUND(list_dot_product(e.ev, q.qv) /
+                    (sqrt(list_dot_product(e.ev, e.ev)) *
+                     sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+       FROM e CROSS JOIN q
+       WHERE bit_count(xor(e.bucket::BIGINT, q.qb::BIGINT)) <= 1
+       ORDER BY list_dot_product(e.ev, q.qv) /
+                (sqrt(list_dot_product(e.ev, e.ev)) *
+                 sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+       LIMIT 10""",
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-10 (the 100 TB scale path): probe only
+    buckets within Hamming radius 1 of the query's bucket — a plain
+    ``bucket IN (...)`` filter that partition-prunes when the table is
+    written bucketed. Oracle mirrors the bucketing bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    out = similarity.cosine_topk_lsh(
+        emb, qvec, k=10, n_bits=8, probe_radius=1
+    )
+    return out.withColumn("score", F.round("score", 6))
+
+
+@_register(
+    "media_features_docs",
+    """SELECT doc_id AS media_id,
+              64 + ('0x' || substr(sha256(text), 1, 2))::INT % 192
+                AS width,
+              64 + ('0x' || substr(sha256(text), 3, 2))::INT % 192
+                AS height,
+              octet_length(text::BLOB) AS n_bytes,
+              sha256(text) AS sha256
+       FROM documents""",
+)
+def media_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents' text re-encoded as an
+    opaque ``binary`` media column, streamed through the Arrow-batched
+    ``mapInPandas`` decode/featurize stage (operators/multimodal.py) with
+    the deterministic fake decoder. The oracle mirrors the fake decode's
+    sha256-derived (width, height) byte-for-byte — proving the
+    distributed batch plumbing, not the stubbed pixel math."""
+    from mysql_syncer_spark.operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("media"),
+    )
+    return extract_image_features(media, fake_decode=True).select(
+        "media_id", "width", "height", "n_bytes", "sha256"
+    )
+
+
+@_register(
+    "frame_sample_part",
+    """SELECT p_partkey AS media_id, unnest(range(0, greatest(p_size - 1, 0) + 1, 7)) AS frame_idx
+       FROM part""",
+)
+def frame_sample_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (every 7th frame) — sequence + explode
+    over a per-media frame count (p_size standing in for n_frames)."""
+    from mysql_syncer_spark.operators.multimodal import frame_sample_plan
+
+    part = load_table(spark, sf_dir, "part")
+    return frame_sample_plan(
+        part.select(F.col("p_partkey").alias("media_id"),
+                    F.col("p_size").alias("n_frames")),
+        every_k=7,
+    ).withColumn("frame_idx", F.col("frame_idx").cast("long"))
+
+
 @_register(
     "quality_docs",
     r"""SELECT doc_id,

@@ -125,6 +125,7 @@ def ngram_jaccard_pairs(
     posting list — the brute-force baseline that verifies MinHash-LSH.
     """
     sh = char_shingles(df, id_col, text_col, k).persist()
+    sh.count()  # materialize: three subtrees read sh (see minhash note)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -186,12 +187,32 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures: ``(id, h0..h{num_hashes-1})``.
 
-    One shingle explode → one md5 per shingle → num_hashes affine mixes
-    → one groupBy(id) computing all minima at once. Shuffle carries only
-    (id, num_hashes partial minima) — map-side combined.
+    Explode the shingle *positions* first, then substr/md5/mix as plain
+    projections — every expression stays inside whole-stage codegen.
+    Two shapes benched slower: (a) per-row higher-order functions (16 ×
+    transform/array_min per doc) — HOF lambdas are interpreted, ~5×
+    slower; (b) building a distinct shingle array then exploding
+    (char_shingles) — the array construction is itself an interpreted
+    transform, ~1.7× slower. No distinct is needed at all: MIN over a
+    multiset equals MIN over its set, so duplicate shingles are free.
+    The groupBy shuffle carries only (id, num_hashes partial minima)
+    thanks to map-side combine.
     """
-    sh = char_shingles(df, id_col, text_col, k).withColumn(
-        "__h", _hash64(F.col("shingle"))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(F.col(id_col), normalized_text(text_col).alias("__norm"))
+    if base.rdd.getNumPartitions() < parallelism:
+        base = base.repartition(parallelism)
+    sh = (
+        base.select(
+            F.col(id_col),
+            F.expr(
+                f"explode(sequence(1, greatest(length(__norm) - {k - 1}, 1)))"
+            ).alias("__i"),
+            "__norm",
+        )
+        .select(F.col(id_col), F.expr(f"substr(__norm, __i, {k})").alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .withColumn("__h", _hash64(F.col("shingle")))
     )
     lo = F.col("__h") % _HALF
     hi = F.expr(f"__h div {_HALF}")  # integer div (h > 2^53: float / loses bits)
@@ -226,6 +247,11 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes).persist()
+    # materialize BEFORE the plan branches: sig feeds three subtrees
+    # (bucket explode + both sides of the verify join); without this the
+    # first action runs all three copies concurrently and none hits the
+    # cache — measured 3× the signature cost at bench scale
+    sig.count()
     band_cols = []
     for b in range(bands):
         hs = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]

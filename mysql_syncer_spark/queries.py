@@ -614,31 +614,42 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (no Spark builtin): for each event, the most recent
-    order of that user with o_orderdate <= ts. Composition: equi-join on
-    user + range filter + ROW_NUMBER pick of the latest match, keeping
-    unmatched events via left join semantics. DuckDB oracle uses its
-    native ASOF JOIN — ties broken by max orderkey for determinism."""
+    order of that user with o_orderdate <= ts. Union-merge topology:
+    events and orders interleave into one stream sorted by (user, time,
+    kind) and a running ``last(orderkey, ignorenulls)`` window carries
+    the latest order forward — ONE linear shuffle+sort, no pair blowup
+    (the naive equi-join + per-event ROW_NUMBER explodes to
+    |events per user| × |orders per user| and was ~30× slower at sf0.1).
+    Unmatched events keep a null (left-join semantics); order rows sort
+    before event rows at equal timestamps (>= semantics); ties on
+    o_orderdate resolve to max o_orderkey — identical to the DuckDB
+    native ASOF LEFT JOIN oracle."""
     events = load_table(spark, sf_dir, "events")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
+    orders = load_table(spark, sf_dir, "orders")
+    e = events.select(
+        F.col("user_id").alias("k"), F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"), "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
     )
-    j = events.select("event_id", "user_id", "ts").join(
-        orders,
-        (F.col("user_id") == F.col("o_custkey"))
-        & (F.col("ts") >= F.col("o_orderdate")),
-        "left",
+    o = orders.select(
+        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"), "o_orderkey",
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        j.select(
-            "event_id", "user_id", "ts",
-            F.col("o_orderkey").alias("asof_orderkey"),
-            F.row_number().over(w).alias("rn"),
+        e.unionByName(o)
+        .select(
+            "event_id", "is_event",
+            F.col("k").alias("user_id"), F.col("t").alias("ts"),
+            F.last("o_orderkey", ignorenulls=True).over(w).alias("asof_orderkey"),
         )
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        .where(F.col("is_event") == 1)
+        .drop("is_event")
     )
 
 

@@ -22,7 +22,7 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mysql_syncer_spark.operators.text import normalized_text, ws_tokens
@@ -115,29 +115,47 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 5,
     threshold: float = 0.5,
+    max_df: int | None = 100,
 ) -> DataFrame:
     """All document pairs with Jaccard(k-shingle sets) ≥ threshold:
     ``(id_a, id_b, jaccard)`` with id_a < id_b.
 
-    Plan: shingle → self-equi-join on shingle (pairs sharing ≥1 shingle,
-    never a cross join) → count intersections → join per-doc sizes →
-    |A∩B| / (|A|+|B|-|A∩B|). Exact; quadratic only within a shingle's
-    posting list — the brute-force baseline that verifies MinHash-LSH.
+    Plan: shingle → doc-frequency cap → per-doc size (both as window
+    counts in one linear pipeline) → self-equi-join on shingle (pairs
+    sharing ≥1 shingle, never a cross join) → count intersections →
+    |A∩B| / (|A|+|B|-|A∩B|). Exact over the capped shingle universe;
+    quadratic only within a shingle's posting list — the brute-force
+    baseline that verifies MinHash-LSH.
+
+    ``max_df`` is the skew guard: a shingle appearing in f documents
+    contributes f·(f-1)/2 pairs, so one boilerplate shingle can explode
+    the join (measured >530s at sf0.1 uncapped). Shingles with doc
+    frequency > max_df carry ~zero Jaccard signal and are excluded from
+    BOTH the intersection and the set sizes — i.e. the operator computes
+    Jaccard over the "df ≤ max_df" shingle universe, a well-defined
+    semantic the SQL oracle mirrors exactly. ``None`` disables the cap.
+
+    No ``persist()``: the self-join's two sides share one canonical
+    subtree, so Catalyst reuses the shuffle (ReusedExchange) instead of
+    recomputing the shingle explode — nothing leaks into the cache.
     """
-    sh = char_shingles(df, id_col, text_col, k).persist()
-    sh.count()  # materialize: three subtrees read sh (see minhash note)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
+    sh = char_shingles(df, id_col, text_col, k)
+    if max_df is not None:
+        w_df = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(w_df))
+            .where(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    w_sz = Window.partitionBy(id_col)
+    sh = sh.withColumn("sz", F.count(F.lit(1)).over(w_sz))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle", F.col("sz").alias("sz_b"))
+    return (
         a.join(b, on="shingle")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    out = (
-        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "sz": "sz_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({id_col: "id_b", "sz": "sz_b"}), "id_b")
         .withColumn(
             "jaccard",
             F.col("inter")
@@ -146,7 +164,6 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -244,14 +261,18 @@ def minhash_lsh_pairs(
 
     At 100 TB this never materializes n² — only same-bucket pairs; skewed
     buckets (boilerplate docs) are handled by AQE skew-join splitting.
+
+    No ``persist()``: sig feeds four subtrees (bucket explode ×2 + both
+    sides of the verify join), but they all sit above the SAME canonical
+    shuffle (the signature groupBy), so the expensive map side — shingle
+    explode + md5 + partial minima — runs once and the other consumers
+    read the shuffle output via ReusedExchange. Only the cheap final
+    aggregation over combined partials repeats; nothing leaks into the
+    block-manager cache across a long session (the round-1 bench showed
+    leaked persists inflating this query 3.6×).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes).persist()
-    # materialize BEFORE the plan branches: sig feeds three subtrees
-    # (bucket explode + both sides of the verify join); without this the
-    # first action runs all three copies concurrently and none hits the
-    # cache — measured 3× the signature cost at bench scale
-    sig.count()
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
     band_cols = []
     for b in range(bands):
         hs = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -325,7 +346,7 @@ def simhash(
     return per_bit.groupBy(id_col).agg(
         F.sum(
             F.when(F.col("s") > 0, F.expr("1 << bit")).otherwise(0)
-        ).alias("simhash")
+        ).cast("long").alias("simhash")
     )
 
 

@@ -723,13 +723,18 @@ def token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "ngram_jaccard_pairs_docs",
-    f"""WITH sh AS (
+    f"""WITH sh0 AS (
           SELECT DISTINCT doc_id, shingle FROM (
             SELECT doc_id,
                    unnest(list_transform(
                      range(1, greatest(len({_NORM_SQL}) - 4, 1) + 1),
                      i -> substr({_NORM_SQL}, i, 5))) AS shingle
             FROM documents) WHERE len(shingle) > 0),
+         sh AS (
+          SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   COUNT(*) OVER (PARTITION BY shingle) AS df
+            FROM sh0) WHERE df <= 100),
          sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY doc_id),
          inter AS (
           SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) inter
@@ -743,9 +748,12 @@ def token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8""",
 )
 def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs (5-char shingles, τ=0.8)."""
+    """Exact n-gram-Jaccard near-dup pairs (5-char shingles, τ=0.8,
+    doc-frequency cap 100 — the skew guard, mirrored in the oracle's
+    ``df <= 100`` window filter so both engines compute Jaccard over the
+    identical capped shingle universe)."""
     docs = load_table(spark, sf_dir, "documents")
-    out = dedup.ngram_jaccard_pairs(docs, k=5, threshold=0.8)
+    out = dedup.ngram_jaccard_pairs(docs, k=5, threshold=0.8, max_df=100)
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
@@ -829,7 +837,8 @@ def minhash_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
           FROM th CROSS JOIN range(16) t(i) GROUP BY doc_id, i)
         SELECT doc_id,
-               SUM(CASE WHEN s > 0 THEN 1 << i ELSE 0 END) AS simhash
+               CAST(SUM(CASE WHEN s > 0 THEN 1 << i ELSE 0 END) AS BIGINT)
+                 AS simhash
         FROM bits GROUP BY doc_id""",
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

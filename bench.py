@@ -13,16 +13,24 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mysql_syncer_spark import queries as registry
 from mysql_syncer_spark.digest import digests_equal
-from mysql_syncer_spark.sources.catalog import configure_session, load_table
+from mysql_syncer_spark.executor import sync
+from mysql_syncer_spark.sources.catalog import (
+    ParquetCatalog,
+    configure_session,
+    load_table,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -68,17 +76,55 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qmap = registry.queries()
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        force(qmap[name](spark, SF_DIR))
-        times[name] = round(time.time() - t0, 3)
 
-    # digest short-circuit: unchanged-table re-sync cost
-    orders = load_table(spark, SF_DIR, "orders")
-    t0 = time.time()
-    assert digests_equal(orders, orders)
-    times["resync_noop"] = round(time.time() - t0, 3)
+    def one_pass() -> dict[str, float]:
+        times: dict[str, float] = {}
+        for name in HEADLINE:
+            t0 = time.time()
+            force(qmap[name](spark, SF_DIR))
+            times[name] = round(time.time() - t0, 3)
+
+        # digest primitive: unchanged-table check cost (r1's resync_noop)
+        orders = load_table(spark, SF_DIR, "orders")
+        t0 = time.time()
+        assert digests_equal(orders, orders)
+        times["digest_check_orders"] = round(time.time() - t0, 3)
+
+        # executor-level economics (BASELINE.md derived targets): first
+        # sync of a ~1% perturbed slave INCLUDING the converged parquet
+        # write, then the digest-gated noop re-sync of the same pair —
+        # the ratio is the reference's "iterative" claim (README.md:24).
+        # Setup (writing the master/slave inputs) is excluded.
+        root = tempfile.mkdtemp(prefix="bench_sync_")
+        try:
+            mdir, sdir = f"{root}/master", f"{root}/slave"
+            orders.write.parquet(f"{mdir}/orders.parquet")
+            key = F.col("o_orderkey")
+            (
+                orders.where(key % 97 != 0)
+                .withColumn(
+                    "o_totalprice",
+                    F.when(key % 89 == 0, F.col("o_totalprice") + 1)
+                    .otherwise(F.col("o_totalprice")),
+                )
+                .write.parquet(f"{sdir}/orders.parquet")
+            )
+            t0 = time.time()
+            rep = sync(ParquetCatalog(spark, mdir), ParquetCatalog(spark, sdir))
+            assert rep.ok, [r.error for r in rep.results]
+            times["first_sync_orders"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            rep2 = sync(ParquetCatalog(spark, mdir), ParquetCatalog(spark, sdir))
+            assert all(r.status == "noop" for r in rep2.results), rep2.results
+            times["resync_noop"] = round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        return times
+
+    # two passes in one JVM; report the SECOND so round-over-round deltas
+    # measure code, not JVM/codegen warmup (pass 1 kept for reference)
+    pass1 = one_pass()
+    times = one_pass()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     total = round(sum(times.values()), 3)
@@ -89,6 +135,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_pass1": pass1,
                 "sf": float(sf) if sf else SF_DIR,
             }
         )

@@ -144,6 +144,12 @@ class ParquetSyncExecutor:
         scanning rows of untouched partitions twice more."""
         pcol = unit.partition_col
         parts = differing_partitions(m.df, s.df, pcol).collect()
+        if not self.cfg.sync_shared_partitions:
+            # SYNC_SHARED_PARTITIONS=false (settings.php.tmpl:67,
+            # Synchronizer.php:151-163): only partitions present on one
+            # side are synced; partitions that exist on both sides are
+            # left alone even if their contents differ.
+            parts = [r for r in parts if r["status"] != "differs"]
         if not parts:
             res.status = "noop"
             return

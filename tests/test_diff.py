@@ -48,6 +48,22 @@ def test_digest_equal_self(lineitem):
     assert d1 == d2
 
 
+def test_fast_digest_null_positions(spark):
+    """xxhash64 skips NULL inputs, so (2,null,null) vs (null,2,null)
+    would collide without the null-position signature — the fast digest
+    must still see them as different (NullColumnTest economics,
+    reference TableConnection.php:473-477)."""
+    a = spark.createDataFrame([(1, 2, None, None)], "id long, a int, b int, c int")
+    b = spark.createDataFrame([(1, None, 2, None)], "id long, a int, b int, c int")
+    assert not digests_equal(a, b)
+    assert digests_equal(a, a)
+    # schema drift can never digest-match
+    assert not digests_equal(a, a.drop("c"))
+    # empty vs empty is equal; empty vs non-empty is not
+    assert digests_equal(a.limit(0), a.limit(0))
+    assert not digests_equal(a, a.limit(0))
+
+
 def test_digest_detects_change(orders):
     slave = _perturbed(orders)
     assert not digests_equal(orders, slave)

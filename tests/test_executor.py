@@ -129,6 +129,42 @@ def test_missing_and_excess_partitions(spark, sf_dir, pair):
     assert_converged_and_idempotent(spark, mdir, sdir, cfg)
 
 
+def test_sync_shared_partitions_off(spark, sf_dir, pair):
+    """SYNC_SHARED_PARTITIONS=false (settings.php.tmpl:67,
+    Synchronizer.php:151-163): a mutated partition present on BOTH sides
+    is left untouched with the flag off, synced with it on; a partition
+    missing from the slave is copied either way."""
+    mdir, sdir, write = pair
+    orders = load_table(spark, sf_dir, "orders")
+    pcol = F.col("o_orderpriority")
+    mutated_shared = orders.withColumn(
+        "o_totalprice",
+        F.when(pcol == "2-HIGH", F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    slave = mutated_shared.where(pcol != "1-URGENT")  # missing partition
+    write("orders", orders, slave)
+    cfg_off = SyncConfig(
+        partitioned_tables={"orders": "o_orderpriority"},
+        sync_shared_partitions=False,
+    )
+    rep = sync(ParquetCatalog(spark, mdir), ParquetCatalog(spark, sdir), cfg_off)
+    assert rep.ok, [r.error for r in rep.results if r.status == "error"]
+    got = spark.read.parquet(f"{sdir}/orders.parquet")
+    # missing partition restored...
+    assert got.where(pcol == "1-URGENT").count() == orders.where(
+        pcol == "1-URGENT"
+    ).count()
+    # ...but the mutated shared partition was deliberately NOT touched
+    expected_untouched = mutated_shared.where(pcol == "2-HIGH")
+    assert got.where(pcol == "2-HIGH").subtract(expected_untouched).count() == 0
+    assert expected_untouched.subtract(got.where(pcol == "2-HIGH")).count() == 0
+    # flag on: same pair now fully converges
+    cfg_on = SyncConfig(partitioned_tables={"orders": "o_orderpriority"})
+    assert_converged_and_idempotent(spark, mdir, sdir, cfg_on)
+
+
 def test_schema_drift_recopy(spark, sf_dir, pair):
     mdir, sdir, write = pair
     nation = load_table(spark, sf_dir, "nation")

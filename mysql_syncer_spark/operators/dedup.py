@@ -354,14 +354,85 @@ def simhash_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Exact-signature SimHash collision groups: ``(simhash, n_docs,
-    keep_id)`` — one groupBy on the 16-bit signature. (Hamming-distance
-    ≤ d matching would explode d bit-flip probes per doc; exact match is
-    the demonstration-scale variant.)"""
+    keep_id)`` — one groupBy on the 16-bit signature. For Hamming
+    distance ≤ d near-dup matching use :func:`simhash_near_dup_pairs`
+    (chunk banding, no pairwise scan)."""
     return (
         simhash(df, id_col, text_col)
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
         .where(F.col("n_docs") > 1)
+    )
+
+
+def simhash_pairs_from_signatures(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    bits: int = SIMHASH_BITS,
+    max_bits: int = 3,
+) -> DataFrame:
+    """All signature pairs within Hamming distance ``max_bits``:
+    ``(id_a, id_b, hamming)`` with id_a < id_b.
+
+    Banding by pigeonhole: split the ``bits``-bit signature into
+    ``max_bits + 1`` contiguous chunks — two signatures differing in at
+    most ``max_bits`` bits must agree on at least one whole chunk. So
+    candidates come from a per-chunk equi-join (shuffle key =
+    (chunk_idx, chunk_value), same topology as MinHash-LSH banding),
+    verified by an exact popcount — never an all-pairs scan. At 100 TB
+    the shuffle carries (chunk, value) keys only; skewed chunks (a very
+    common signature region) are split by AQE like any hot hash key.
+    """
+    chunks = max_bits + 1
+    base, extra = divmod(bits, chunks)
+    bounds: list[tuple[int, int]] = []
+    shift = 0
+    for i in range(chunks):
+        width = base + (1 if i < extra else 0)
+        bounds.append((shift, width))
+        shift += width
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.expr(f"({sig_col} >> {s}) & {(1 << w) - 1}").alias("val"),
+        )
+        for i, (s, w) in enumerate(bounds)
+    ]
+    probe = sig.select(
+        F.col(id_col), F.col(sig_col),
+        F.explode(F.array(*chunk_structs)).alias("cv"),
+    ).select(id_col, sig_col, F.col("cv.chunk").alias("chunk"),
+             F.col("cv.val").alias("val"))
+    a = probe.select(
+        F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a"),
+        "chunk", "val",
+    )
+    b = probe.select(
+        F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b"),
+        "chunk", "val",
+    )
+    return (
+        a.join(b, on=["chunk", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)").cast("int"))
+        .where(F.col("hamming") <= max_bits)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    max_bits: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs at Hamming distance ≤ ``max_bits``
+    over documents: signature pass + banded candidate join."""
+    return simhash_pairs_from_signatures(
+        simhash(df, id_col, text_col, bits), id_col, "simhash", bits, max_bits
     )
 
 
@@ -385,23 +456,44 @@ def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_col: str | None = "label",
+    block_col: str | None | bool = "label",
     threshold: float = 0.95,
+    lsh_bits: int = 8,
 ) -> DataFrame:
     """Vector pairs with cosine ≥ threshold: ``(id_a, id_b, cosine)``.
 
-    ``block_col`` bounds the pair space (pairs only within a block —
-    e.g. a cluster id or LSH bucket); None = full cross product (exact
-    baseline, small scale only). All arithmetic is built-in higher-order
-    functions (zip_with/aggregate) — JVM-side, no Python.
+    Blocking policy (bounds the pair space so this is never n² by
+    accident):
+
+    * a column name — pairs only within equal values of that column
+      (a cluster id, a precomputed bucket, ...);
+    * ``None`` — auto-block by the deterministic sign-LSH bucket of the
+      vector (:func:`similarity.sign_bucket` over ``lsh_bits``
+      components). This is the scale-safe DEFAULT behavior when no
+      semantic block column exists: approximate (a near-dup pair split
+      across buckets is missed — sign-LSH recall), but the join stays a
+      bucketed equi-join at any data size;
+    * ``False`` — explicit full cross product: the exact baseline,
+      small scale only, must be opted into by name.
+
+    All arithmetic is built-in higher-order functions
+    (zip_with/aggregate) — JVM-side, no Python.
     """
+    from mysql_syncer_spark.operators import similarity
+
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
-    base = df.select(*cols).withColumn("n", _norm(F.col("v")))
+    base = df.select(*cols)
+    if block_col is None:
+        base = base.withColumn(
+            "blk", similarity.sign_bucket(F.col("v"), lsh_bits)
+        )
+    blocked = block_col is not False
+    base = base.withColumn("n", _norm(F.col("v")))
     a = base.select(*[F.col(c).alias(f"{c}_a") for c in base.columns])
     b = base.select(*[F.col(c).alias(f"{c}_b") for c in base.columns])
-    on = [F.col("blk_a") == F.col("blk_b")] if block_col else []
+    on = [F.col("blk_a") == F.col("blk_b")] if blocked else []
     pairs = a.join(b, on=on if on else None, how="inner" if on else "cross").where(
         F.col("id_a") < F.col("id_b")
     )

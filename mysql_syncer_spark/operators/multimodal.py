@@ -119,9 +119,19 @@ def extract_image_features(
         for pdf in batches:
             ids, widths, heights, sizes, hashes, feats = [], [], [], [], [], []
             for mid, data in zip(pdf[id_name], pdf[media_name]):
-                data = bytes(data) if data is not None else b""
-                w, h, f = _decode(data)
                 ids.append(mid)
+                if data is None:
+                    # SQL semantics: NULL media ⇒ NULL features (the
+                    # oracle's sha256(NULL)/octet_length(NULL) are NULL;
+                    # featurizing b"" instead would silently diverge)
+                    widths.append(None)
+                    heights.append(None)
+                    sizes.append(None)
+                    hashes.append(None)
+                    feats.append(None)
+                    continue
+                data = bytes(data)
+                w, h, f = _decode(data)
                 widths.append(w)
                 heights.append(h)
                 sizes.append(len(data))
@@ -130,9 +140,9 @@ def extract_image_features(
             yield _pd.DataFrame(
                 {
                     "media_id": ids,
-                    "width": widths,
-                    "height": heights,
-                    "n_bytes": sizes,
+                    "width": _pd.array(widths, dtype="Int32"),
+                    "height": _pd.array(heights, dtype="Int32"),
+                    "n_bytes": _pd.array(sizes, dtype="Int64"),
                     "sha256": hashes,
                     "features": feats,
                 }

@@ -631,7 +631,10 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("is_event"), "event_id",
         F.lit(None).cast("long").alias("o_orderkey"),
     )
-    o = orders.select(
+    o = orders.where(F.col("o_orderdate").isNotNull()).select(
+        # NULL order dates sort nulls-first and would be carried forward
+        # onto early events; ASOF semantics (and the DuckDB oracle)
+        # never match a NULL-dated order, so drop them up front.
         F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"),
         F.lit(0).alias("is_event"),
         F.lit(None).cast("long").alias("event_id"), "o_orderkey",
@@ -823,9 +826,9 @@ def minhash_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "simhash_docs",
-    f"""WITH toks AS (
+#: DuckDB CTE computing the 16-bit SimHash signature per document —
+#: shared by the signature query and the near-dup-pair query.
+_SIMHASH_CTE = f"""toks AS (
           SELECT DISTINCT doc_id, tok FROM (
             SELECT doc_id,
                    unnest(regexp_split_to_array(trim({_NORM_SQL}), '\\s+')) AS tok
@@ -835,16 +838,38 @@ def minhash_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
          bits AS (
           SELECT doc_id, i,
                  SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
-          FROM th CROSS JOIN range(16) t(i) GROUP BY doc_id, i)
-        SELECT doc_id,
-               CAST(SUM(CASE WHEN s > 0 THEN 1 << i ELSE 0 END) AS BIGINT)
-                 AS simhash
-        FROM bits GROUP BY doc_id""",
+          FROM th CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         sims AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN s > 0 THEN 1 << i ELSE 0 END) AS BIGINT)
+                   AS simhash
+          FROM bits GROUP BY doc_id)"""
+
+
+@_register(
+    "simhash_docs",
+    f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sims",
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures per document."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash(docs)
+
+
+@_register(
+    "simhash_near_dup_docs",
+    f"""WITH {_SIMHASH_CTE}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+)
+def simhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance ≤ 3 via chunk banding
+    (pigeonhole-exact, so the O(n²) oracle join computes the identical
+    pair set the banded plan finds without any pairwise scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(docs, max_bits=3)
 
 
 @_register(
@@ -888,6 +913,17 @@ def sign_buckets_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.with_sign_buckets(emb).select("vec_id", "bucket")
 
 
+def _query_vector(emb: DataFrame, vec_id: int = 0) -> list:
+    """Fetch the literal query vector, failing loudly when absent (a
+    bare .first()[...] would raise an opaque TypeError on None)."""
+    row = emb.where(F.col("vec_id") == vec_id).select("embedding").first()
+    if row is None:
+        raise ValueError(
+            f"query vector vec_id={vec_id} not found in embeddings table"
+        )
+    return row["embedding"]
+
+
 @_register(
     "ann_topk_bruteforce",
     """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
@@ -906,7 +942,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for the vec_id=0 query vector (exact
     ANN baseline; scores rounded to 6dp for cross-engine compare)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    qvec = _query_vector(emb)
     out = similarity.cosine_topk(emb, qvec, k=10)
     return out.withColumn("score", F.round("score", 6))
 
@@ -943,7 +979,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bucket IN (...)`` filter that partition-prunes when the table is
     written bucketed. Oracle mirrors the bucketing bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    qvec = _query_vector(emb)
     out = similarity.cosine_topk_lsh(
         emb, qvec, k=10, n_bits=8, probe_radius=1
     )

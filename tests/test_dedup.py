@@ -14,6 +14,8 @@ from mysql_syncer_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
     simhash_duplicates,
+    simhash_near_dup_pairs,
+    simhash_pairs_from_signatures,
 )
 
 
@@ -92,6 +94,39 @@ def test_simhash_exact_dup_collides(docs_with_dups):
     assert sh.where((F.col("simhash") < 0) | (F.col("simhash") > 65535)).count() == 0
 
 
+def test_simhash_banding_finds_planted_flips(spark):
+    """Hamming ≤ d candidate generation: planted 1/3/4-bit flips of a
+    base signature; banding must find exactly the ≤3-bit pairs —
+    pigeonhole-exact, no pairwise scan."""
+    base = 0b1010_1100_0011_0110
+    rows = [
+        (1, base),
+        (2, base ^ 0b1),                        # 1 bit away
+        (3, base ^ 0b111),                      # 3 bits away (boundary)
+        (4, base ^ 0b1000_0001_1000_0001),      # 4 bits away (excluded)
+        (5, 0),                                 # far away
+    ]
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs_from_signatures(sig, max_bits=3).collect()
+    }
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 3 and got[(2, 3)] == 2
+    assert (1, 4) not in got and (1, 5) not in got
+    # every reported pair really is within distance 3
+    assert all(h <= 3 for h in got.values())
+
+
+def test_simhash_near_dup_pairs_docs(docs_with_dups):
+    """End-to-end over text: the planted exact dup collides at distance
+    0; the one-token near dup lands within the banding radius."""
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs_with_dups, max_bits=3).collect()
+    }
+    assert got[(0, 100001)] == 0
+
+
 def test_embedding_near_dups(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     first = emb.orderBy("vec_id").first()
@@ -102,3 +137,26 @@ def test_embedding_near_dups(spark, sf_dir):
     both = emb.unionByName(planted)
     pairs = embedding_near_dups(both, threshold=0.9999).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(first["vec_id"], 999999)}
+
+
+def test_embedding_near_dups_auto_lsh_block(spark, sf_dir):
+    """block_col=None auto-blocks by sign-LSH bucket: the scale-safe
+    default finds the planted scaled-copy pair (identical sign pattern ⇒
+    same bucket) and reports a subset of the exact cross-join result."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = emb.orderBy("vec_id").first()
+    planted = spark.createDataFrame(
+        [(999999, [x * 2.0 for x in first["embedding"]], first["label"])],
+        "vec_id long, embedding array<float>, label int",
+    )
+    both = emb.unionByName(planted)
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(both, block_col=None, threshold=0.999).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(both, block_col=False, threshold=0.999).collect()
+    }
+    assert (first["vec_id"], 999999) in auto
+    assert auto <= exact

@@ -47,11 +47,19 @@ def test_extract_image_features(spark, media):
 
 
 def test_extract_handles_null_media(spark):
+    """NULL media ⇒ NULL features (SQL semantics: sha256(NULL) IS NULL),
+    not a silent featurization of b''."""
     df = spark.createDataFrame(
         [(1, None), (2, b"abc")], "media_id long, media binary"
     )
     rows = {r["media_id"]: r for r in extract_image_features(df).collect()}
-    assert rows[1]["n_bytes"] == 0 and rows[2]["n_bytes"] == 3
+    r1 = rows[1]
+    assert (
+        r1["n_bytes"] is None and r1["sha256"] is None
+        and r1["width"] is None and r1["height"] is None
+        and r1["features"] is None
+    )
+    assert rows[2]["n_bytes"] == 3 and len(rows[2]["sha256"]) == 64
 
 
 def test_media_repartition_bytes_budget(spark, media):

@@ -1,0 +1,110 @@
+"""Connected components over near-duplicate pair lists → dedup clusters.
+
+The missing last step of every fuzzy-dedup pipeline: MinHash-LSH /
+SimHash banding emit PAIRS, but retention decisions need CLUSTERS
+(doc A ~ B, B ~ C ⇒ {A,B,C} keep one). This is connected components on
+the similarity graph.
+
+Algorithm: iterative min-label propagation expressed as DataFrame ops —
+each round is one equi-join (edges × labels) + one groupBy(min); a
+node's label converges to the smallest doc id reachable from it. Rounds
+needed = graph diameter; near-dup graphs are unions of quasi-cliques
+(LSH emits most intra-cluster pairs directly), so 2-3 rounds converge
+in practice. ``max_iter`` bounds pathological chains — at 100 TB you'd
+switch to the large-star/small-star contraction (Kiveris et al.,
+"Connected Components in MapReduce", same join/groupBy primitives,
+O(log n) rounds); the round structure here is deliberately the simple
+variant because dedup graphs are shallow.
+
+Iterative DataFrame algorithms need per-round materialization — without
+it round k's DAG re-executes rounds 1..k-1 (exponential blowup) — and
+lineage truncation. ``localCheckpoint(eager=True)`` does both WITHOUT
+registering anything in the session cache manager: blocks are freed by
+the ContextCleaner when the round's frame is garbage collected, so
+nothing leaks across a long session (the round-1 lesson about leaked
+``persist()``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster assignment for every node appearing in ``pairs``:
+    ``(doc_id, cluster_id)`` where cluster_id = min doc id of the
+    connected component. Nodes in no pair are (by definition) their own
+    singleton cluster and are not emitted.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+
+    labels = (
+        edges.select("src").distinct()
+        .withColumn("label", F.col("src"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # min label over {self} ∪ neighbors, one join + one groupBy
+        nbr = edges.join(
+            labels.withColumnRenamed("src", "dst"), on="dst"
+        ).select("src", "label")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="src")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("src").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+    raise RuntimeError(
+        f"connected components did not converge in {max_iter} rounds — "
+        "graph diameter exceeds the bound; raise max_iter or switch to "
+        "star-contraction for chain-shaped graphs"
+    )
+
+
+def cluster_survivors(
+    clusters: DataFrame,
+    keep: str = "min",
+) -> DataFrame:
+    """Retention decision per cluster: ``(cluster_id, keep_id, n_docs)``.
+    ``keep='min'`` is the deterministic min-id policy (matches
+    dedup.exact_duplicates); cluster_id already IS the min label, so
+    this is a count-only groupBy."""
+    if keep != "min":
+        raise ValueError(f"unsupported keep policy: {keep!r}")
+    return clusters.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def dedup_by_clusters(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every clustered doc except its cluster's min-id survivor —
+    one broadcast-able anti-join of the (small) victim list against the
+    corpus. Unclustered docs pass through untouched."""
+    victims = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(victims, on=id_col, how="left_anti")

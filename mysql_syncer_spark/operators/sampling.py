@@ -1,0 +1,85 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training pipelines need samples and train/val/test splits that are
+(a) reproducible across runs and engines, (b) stable under data
+arrival order and partitioning, and (c) assigned row-locally with no
+shuffle. ``df.sample()`` satisfies none of these (seeded per-partition
+RNG — resplitting after a repartition reassigns rows). The standard
+fix: hash a stable key into [0, 10000) and threshold.
+
+The hash is the engine's md5-prefix trick (canon.py / dedup.py) so
+every operator here has an exact DuckDB oracle:
+``('0x' || substr(md5(salt || CAST(key AS VARCHAR)), 1, 15))::BIGINT
+% 10000``. A ``salt`` decorrelates independent samples over the same
+key population (sampling for eval ≠ sampling for dedup audit).
+
+All expressions are built-in (md5/conv/pmod) — codegen'd, zero
+shuffle: at 100 TB a 1% sample is one embarrassingly parallel scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: resolution of the sampling lattice: fractions quantize to 1/10000
+BUCKETS = 10_000
+
+_HEX_PREFIX = 15
+
+
+def hash_bucket(key: Column | str, salt: str = "") -> Column:
+    """Deterministic bucket in [0, BUCKETS) from md5(salt || key)."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, _HEX_PREFIX),
+        16, 10,
+    ).cast("long")
+    return F.pmod(h, F.lit(BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash: deterministic,
+    order/partitioning-independent, and CONSISTENT — a key sampled at
+    1% is also in the 10% sample (nested thresholds)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.where(hash_bucket(key_col, salt) < int(round(fraction * BUCKETS)))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by key hash: weights like
+    ``{"train": 0.8, "val": 0.1, "test": 0.1}`` become contiguous
+    bucket ranges. Total weight must be 1 (every row gets a split);
+    assignment is per-key, so duplicate keys land in the same split —
+    exactly what leakage-safe eval splits need."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(key_col, salt)
+    expr = None
+    edge = 0
+    names = list(weights)
+    for name in names[:-1]:
+        edge += int(round(weights[name] * BUCKETS))
+        cond = bucket < edge
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)
+
+
+def duckdb_hash_bucket_sql(key: str, salt: str = "") -> str:
+    """DuckDB mirror of :func:`hash_bucket` for oracle SQL strings."""
+    return (
+        f"(('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, "
+        f"{_HEX_PREFIX}))::BIGINT % {BUCKETS} + {BUCKETS}) % {BUCKETS}"
+    )

@@ -41,7 +41,7 @@ from mysql_syncer_spark.diff import (
     missing_rows,
     rows_to_copy,
 )
-from mysql_syncer_spark.operators import dedup, similarity, text
+from mysql_syncer_spark.operators import dedup, sampling, similarity, text
 from mysql_syncer_spark.sources.catalog import load_table
 
 # ---------------------------------------------------------------------------
@@ -873,6 +873,35 @@ def simhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "simhash_clusters_docs",
+    f"""WITH RECURSIVE {_SIMHASH_CTE},
+         prs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                   UNION SELECT id_b, id_a FROM prs),
+         reach(src, dst) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS doc_id, MIN(dst) AS cluster_id
+        FROM reach GROUP BY src""",
+)
+def simhash_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from the SimHash pair list (Hamming ≤ 1):
+    connected components via iterative min-label propagation — the
+    pairs→clusters step every dedup pipeline needs before it can pick
+    survivors. Oracle: recursive-CTE transitive closure over the same
+    pair set (exact same component labeling)."""
+    from mysql_syncer_spark.operators.cluster import duplicate_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_dup_pairs(docs, max_bits=1)
+    return duplicate_clusters(pairs)
+
+
+@_register(
     "embedding_near_dup_pairs",
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -1085,6 +1114,71 @@ def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language ID (deterministic tiebreak)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.with_lang_id(docs).select("doc_id", "lang_pred")
+
+
+_DOC_BUCKET_SQL = sampling.duckdb_hash_bucket_sql("doc_id")
+
+
+@_register(
+    "hash_sample_docs",
+    f"SELECT doc_id FROM documents WHERE {_DOC_BUCKET_SQL} < 1000",
+)
+def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample by doc_id hash — reproducible across
+    runs, engines, and partitionings; zero-shuffle row-local filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, "doc_id", 0.10).select("doc_id")
+
+
+@_register(
+    "hash_split_docs",
+    f"""SELECT doc_id,
+               CASE WHEN b < 8000 THEN 'train'
+                    WHEN b < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, {_DOC_BUCKET_SQL} AS b FROM documents)""",
+)
+def hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 train/val/test assignment by key hash —
+    duplicate keys always land in the same split."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+@_register(
+    "token_quantiles_docs",
+    r"""WITH tc AS (
+          SELECT CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                      AS INT) AS n
+          FROM documents)
+        SELECT COUNT(*) AS n_docs,
+               ROUND(AVG(n), 6) AS mean_tokens,
+               ROUND(quantile_cont(n, 0.5), 6) AS p50,
+               ROUND(quantile_cont(n, 0.9), 6) AS p90,
+               ROUND(quantile_cont(n, 0.99), 6) AS p99
+        FROM tc""",
+)
+def token_quantiles_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length statistics: exact interpolated token-count
+    quantiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, both
+    linear interpolation) — the data-quality summary pass. At 100 TB
+    swap ``percentile`` for ``approx_percentile`` (t-digest sketch,
+    map-side combinable) — sketch estimates are engine-specific, so the
+    exact variant is the oracle-checked one."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = text.with_token_counts(docs).select(
+        F.col("n_tokens_ws").alias("n")
+    )
+    return tc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n"), 6).alias("mean_tokens"),
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(n, 0.99)"), 6).alias("p99"),
+    )
 
 
 @_register(

@@ -1,0 +1,152 @@
+"""Stateful streaming operators: watermarked dedup + session windows.
+
+Two extensions the batch engine's training-pipeline surface needs in
+streaming form:
+
+* :func:`dedup_stream` — exact dedup over a stream.
+  ``dropDuplicatesWithinWatermark`` keys the state store on the dedup
+  key and evicts entries once the watermark passes — bounded state, the
+  streaming twin of dedup.dedup_exact (which would need the full
+  history).
+* :func:`sessionize_stream` — per-key session windows with a gap
+  timeout, built on ``applyInPandasWithState``: the canonical "operator
+  Spark lacks" escape hatch (arbitrary per-key state, Arrow-batched).
+  The batch twin is queries.sessionize_events (LAG + gap threshold);
+  the streaming version additionally needs event-time timeouts to emit
+  a session whose user simply went away — exactly what the state store
+  provides and a batch window cannot.
+
+State size: one open session (3 scalars) per active key; closed
+sessions are emitted and dropped. Watermark bounds both the dedup state
+and the session timeout horizon, so state is evictable at 100 TB/day
+stream rates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+#: open-session state: (start_us, last_us, n_events)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Drop duplicate keys arriving within the watermark horizon.
+    Exactly-once per key within the horizon; state evicted after it."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Emit CLOSED sessions ``(user_id, session_start, session_end,
+    n_events)`` from an event stream: a session closes when a newer
+    event arrives more than ``gap_minutes`` later, or when the watermark
+    passes the open session's timeout (the user went away).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fold(key, pdfs, state: GroupState):
+        # self-contained closure (executor Python workers import nothing
+        # from this package): stdlib + pandas only
+        import pandas as pd
+
+        user = key[0]
+
+        def session_row(start_us, last_us, n):
+            return {
+                "user_id": user,
+                "session_start": pd.Timestamp(start_us, unit="us"),
+                "session_end": pd.Timestamp(last_us, unit="us"),
+                "n_events": n,
+            }
+
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n = state.get
+                closed.append(session_row(start_us, last_us, n))
+                state.remove()
+            if closed:
+                yield pd.DataFrame(closed)
+            return
+
+        ts_us = []
+        for pdf in pdfs:
+            ts_us.extend(pdf["__ts_us"].tolist())
+        ts_us.sort()
+        if state.exists:
+            start_us, last_us, n = state.get
+            open_session = True
+        else:
+            start_us = last_us = n = 0
+            open_session = False
+        for t in ts_us:
+            if not open_session:
+                start_us, last_us, n = t, t, 1
+                open_session = True
+            elif t - last_us > gap_us:
+                closed.append(session_row(start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+        if open_session:
+            state.update((start_us, last_us, n))
+            # event-time timeout: fires once the watermark passes
+            # last_event + gap (epoch millis). A LATE batch (events
+            # behind the watermark) would compute a timeout in the past,
+            # which Spark rejects — clamp to watermark+1s so the stale
+            # session flushes at the next trigger instead of crashing.
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(last_us // 1000 + gap_us // 1000, wm_ms + 1000)
+            )
+        if closed:
+            yield pd.DataFrame(closed)
+
+    prepped = (
+        stream.withWatermark(ts_col, watermark)
+        .select(
+            F.col(user_col),
+            F.col(ts_col),
+            (F.col(ts_col).cast("double") * 1_000_000).cast("long").alias(
+                "__ts_us"
+            ),
+        )
+    )
+    return prepped.groupBy(user_col).applyInPandasWithState(
+        fold,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1,0 +1,61 @@
+"""Connected-component dedup clustering: pairs → clusters → survivors."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_syncer_spark.operators.cluster import (
+    cluster_survivors,
+    dedup_by_clusters,
+    duplicate_clusters,
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_components_merge_transitively(spark):
+    """a~b, b~c must land in ONE cluster even though (a,c) was never a
+    pair — the property pair lists alone can't give you."""
+    cl = duplicate_clusters(_pairs(spark, [(1, 2), (2, 3), (7, 8)]))
+    got = {r["doc_id"]: r["cluster_id"] for r in cl.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_chain_converges(spark):
+    """A 12-node chain needs multiple propagation rounds (diameter >
+    cluster-typical); must still converge within the iteration bound."""
+    chain = [(i, i + 1) for i in range(1, 12)]
+    cl = duplicate_clusters(_pairs(spark, chain))
+    got = {r["doc_id"]: r["cluster_id"] for r in cl.collect()}
+    assert got == {i: 1 for i in range(1, 13)}
+
+
+def test_unconnected_nodes_absent(spark):
+    cl = duplicate_clusters(_pairs(spark, [(5, 9)]))
+    assert {r["doc_id"] for r in cl.collect()} == {5, 9}
+
+
+def test_survivors_and_dedup(spark):
+    pairs = _pairs(spark, [(1, 2), (2, 3), (7, 8)])
+    clusters = duplicate_clusters(pairs)
+    surv = {
+        r["cluster_id"]: (r["keep_id"], r["n_docs"])
+        for r in cluster_survivors(clusters).collect()
+    }
+    assert surv == {1: (1, 3), 7: (7, 2)}
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 10)], "doc_id long, text string"
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_by_clusters(corpus, clusters).collect()
+    )
+    # 2,3 fold into 1; 8 folds into 7; 4,5,6,9 were never clustered
+    assert kept == [1, 4, 5, 6, 7, 9]
+
+
+def test_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(
+            _pairs(spark, [(i, i + 1) for i in range(1, 12)]), max_iter=2
+        )

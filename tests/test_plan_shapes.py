@@ -1,0 +1,85 @@
+"""Physical-plan regression gates: the properties that make these
+queries scale — pushed filters, pruned columns, broadcast dimension
+joins, no accidental cartesian products, whole-stage codegen — asserted
+on the formatted explain so a future edit can't silently regress them.
+
+These are the .explain() checks the 100 TB story depends on: a plan
+that reads all columns for a 2-column projection, or degrades a
+bucketed near-dup join to a nested-loop cross product, is wrong even
+if its output is correct.
+"""
+
+import pytest
+
+from mysql_syncer_spark import queries as registry
+
+
+def plan_of(spark, name, sf_dir) -> str:
+    df = registry.queries()[name](spark, sf_dir)
+    return spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, "filter_eq_orders", sf_dir)
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan, plan
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, "pk_projection_orders", sf_dir)
+    assert "ReadSchema: struct<o_orderkey:bigint>" in plan, plan
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(spark, "revenue_by_nation", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_is_single_linear_window(spark, sf_dir):
+    """The union-merge as-of topology: one Window over one sort, NO join
+    operator at all (the pair-explosion rewrite this replaced was ~30×
+    slower at sf0.1)."""
+    plan = plan_of(spark, "asof_join_events_orders", sf_dir)
+    assert "Join" not in plan, plan
+    assert plan.count("Window") >= 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "minhash_lsh_pairs_docs",
+        "ngram_jaccard_pairs_docs",
+        "simhash_near_dup_docs",
+        "embedding_near_dup_pairs",
+        "sync_merge_orders",
+        "missing_rows_orders",
+    ],
+)
+def test_no_cartesian_anywhere(spark, sf_dir, name):
+    plan = plan_of(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_agg_stays_in_codegen(spark, sf_dir):
+    # AQE's pre-execution plan hides codegen stage markers — build this
+    # one plan with AQE off to see the WholeStageCodegen spans
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = plan_of(spark, "agg_pricing_summary", sf_dir)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    # formatted mode marks codegen'd operators with "[codegen id : N]"
+    assert "codegen id" in plan, plan
+    # money math must stay JVM-side: no python UDF eval nodes
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_sample_is_shuffle_free(spark, sf_dir):
+    plan = plan_of(spark, "hash_sample_docs", sf_dir)
+    assert "Exchange" not in plan, plan

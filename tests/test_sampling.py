@@ -1,0 +1,79 @@
+"""Deterministic hash sampling / splitting."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_syncer_spark.operators.sampling import (
+    BUCKETS,
+    hash_bucket,
+    hash_sample,
+    hash_split,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_sample_deterministic_and_order_independent(docs):
+    s1 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in hash_sample(
+            docs.orderBy(F.rand(seed=7)).repartition(7), "doc_id", 0.2
+        ).collect()
+    }
+    assert s1 == s2 and len(s1) > 0
+
+
+def test_samples_nest(docs):
+    """A key in the 5% sample must be in the 20% sample (consistent
+    thresholding — lets you grow a sample without resampling)."""
+    small = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.05).collect()}
+    big = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2).collect()}
+    assert small <= big
+
+
+def test_salt_decorrelates(docs):
+    a = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2, salt="a").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2, salt="b").collect()}
+    assert a != b  # astronomically unlikely to coincide if independent
+
+
+def test_split_partitions_everything_once(docs):
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) == {"train", "val", "test"}
+    # rough proportions (hash uniformity): train within [60%, 95%]
+    frac = counts["train"] / docs.count()
+    assert 0.6 < frac < 0.95
+
+
+def test_split_same_key_same_split(spark):
+    """Duplicate keys land in one split — the leakage-safety property."""
+    df = spark.createDataFrame(
+        [(k, i) for k in range(50) for i in range(3)], "key long, seq int"
+    )
+    out = hash_split(df, "key", {"train": 0.5, "test": 0.5})
+    n_violations = (
+        out.groupBy("key")
+        .agg(F.countDistinct("split").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert n_violations == 0
+
+
+def test_bad_args_raise(docs):
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(docs, "doc_id", 1.5)
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_bucket_range(docs):
+    out = docs.select(hash_bucket("doc_id").alias("b"))
+    assert out.where((F.col("b") < 0) | (F.col("b") >= BUCKETS)).count() == 0

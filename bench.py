@@ -55,6 +55,13 @@ HEADLINE = [
     "minhash_lsh_pairs_docs",
     "ann_topk_bruteforce",
     "embedding_near_dup_pairs",
+    # round-2 additions (new keys only — r1 keys unchanged for
+    # line-by-line comparability)
+    "simhash_near_dup_docs",
+    "simhash_clusters_docs",
+    "hash_split_docs",
+    "token_quantiles_docs",
+    "ngram_jaccard_pairs_docs",  # now df-capped; was excluded when quadratic
 ]
 
 

@@ -309,7 +309,12 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 16
+#: 48-bit signatures: at 16 bits, random collisions dominate once the
+#: corpus passes a few thousand docs (65k signature space) and the
+#: Hamming-candidate join degrades into a near-all-pairs verify; 48 bits
+#: keeps random pairs at ~C(48,3)/2^48 ≈ 7e-11 (only REAL near-dups
+#: collide) while staying inside signed-64 shift range on both engines.
+SIMHASH_BITS = 48
 
 
 def simhash(
@@ -320,9 +325,12 @@ def simhash(
 
     Token-level: each distinct token hashes to a ``bits``-bit value; for
     every bit position the doc sums +1/-1 over tokens; the signature bit
-    is 1 where the sum is positive. Expressed as token explode → bit
-    explode → groupBy(id, bit) → groupBy(id) bit-pack. Shuffle keys are
-    (id, bit) then id — no pairwise work.
+    is 1 where the sum is positive. Expressed as token explode →
+    groupBy(id) with one conditional-sum aggregate PER BIT — the same
+    wide-agg shape as minhash_signatures: no ``bits``-fold row
+    explosion (an earlier bit-explode variant shuffled tokens×bits rows
+    — 48× the data — and benched ~5× slower at sf0.1), one map-side
+    combinable shuffle on id, then a literal-weight bit-pack projection.
     """
     toks = (
         df.select(
@@ -331,22 +339,23 @@ def simhash(
         )
         .withColumn("th", _hash64(F.col("tok")))
     )
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    per_bit = (
-        toks.select(id_col, "th", bit)
-        .withColumn(
-            # shiftright() the builtin takes a literal shift only; the SQL
-            # form accepts a column
-            "w",
-            F.when(F.expr("(th >> bit) & 1") == 1, 1).otherwise(-1),
-        )
-        .groupBy(id_col, "bit")
-        .agg(F.sum("w").alias("s"))
+    per_bit = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(th >> {i}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
     )
-    return per_bit.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("1 << bit")).otherwise(0)
-        ).cast("long").alias("simhash")
+    packed = sum(
+        (
+            F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(0)
+            for i in range(bits)
+        ),
+        start=F.lit(0),
+    )
+    return per_bit.select(
+        F.col(id_col), packed.cast("long").alias("simhash")
     )
 
 

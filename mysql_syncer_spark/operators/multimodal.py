@@ -153,6 +153,149 @@ def extract_image_features(
     )
 
 
+#: schema of the resize stage: metadata + (possibly re-encoded) bytes
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("media", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target: tuple[int, int] = (224, 224),
+    id_col: str = "media_id",
+    media_col: str = "media",
+    fake_resize: bool = True,
+) -> DataFrame:
+    """Resize a binary image column to ``target`` via ``mapInPandas``.
+
+    Same contract as :func:`extract_image_features`: Arrow-batched
+    bytes-in/bytes-out, NULL media passes through as NULL, the pixel
+    work is STUBBED (no image library here) behind a deterministic fake
+    that emits a content-tagged placeholder payload — the schema,
+    batching, and NULL semantics are the real, tested plumbing.
+
+    At scale this is the classic "normalize before training" stage: the
+    output column is re-budgeted with :func:`media_repartition` because
+    resizing changes the bytes-per-row distribution.
+    """
+    id_name, media_name = id_col, media_col
+    tw, th = target
+    fake = fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, widths, heights, blobs = [], [], [], []
+            for mid, data in zip(pdf[id_name], pdf[media_name]):
+                ids.append(mid)
+                if data is None:
+                    widths.append(None)
+                    heights.append(None)
+                    blobs.append(None)
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "image resizing requires an image library not "
+                        "present in this environment"
+                    )
+                data = bytes(data)
+                # deterministic fake: payload = content digest + target
+                # dims, so downstream stages see stable, size-bounded
+                # bytes that still depend on the input content
+                digest = _hl.sha256(data).digest()
+                blobs.append(digest + tw.to_bytes(2, "big") + th.to_bytes(2, "big"))
+                widths.append(tw)
+                heights.append(th)
+            yield _pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": _pd.array(widths, dtype="Int32"),
+                    "height": _pd.array(heights, dtype="Int32"),
+                    "media": blobs,
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+#: schema of the audio feature stage
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("sha256", T.StringType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    sample_rate: int = 16_000,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Audio twin of :func:`extract_image_features`: opaque bytes →
+    (duration, RMS energy, digest) via ``mapInPandas``. The PCM decode
+    is STUBBED (no audio library): the fake treats the payload as raw
+    signed 16-bit little-endian PCM — a real container parser swaps in
+    one function, the distributed plumbing is identical."""
+    id_name, media_name = id_col, media_col
+    sr, fake = sample_rate, fake_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+        import struct as _st
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, sizes, durs, rmss, hashes = [], [], [], [], []
+            for mid, data in zip(pdf[id_name], pdf[media_name]):
+                ids.append(mid)
+                if data is None:
+                    sizes.append(None)
+                    durs.append(None)
+                    rmss.append(None)
+                    hashes.append(None)
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "audio decoding requires an audio library not "
+                        "present in this environment"
+                    )
+                data = bytes(data)
+                n = len(data) // 2
+                samples = _st.unpack(f"<{n}h", data[: n * 2]) if n else ()
+                sizes.append(len(data))
+                durs.append(n / sr)
+                rmss.append(
+                    (sum(s * s for s in samples) / n) ** 0.5 if n else 0.0
+                )
+                hashes.append(_hl.sha256(data).hexdigest())
+            yield _pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_bytes": _pd.array(sizes, dtype="Int64"),
+                    "duration_sec": durs,
+                    "rms": rmss,
+                    "sha256": hashes,
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
 def media_repartition(
     df: DataFrame,
     media_col: str = "media",

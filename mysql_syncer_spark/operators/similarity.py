@@ -102,6 +102,106 @@ def _hamming_ball(center: int, n_bits: int, radius: int) -> list[int]:
     return sorted(out)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (by cosine):
+    ``(id, vec, list_id)``. Centroids are a driver-side list (the coarse
+    codebook is tiny — k entries) baked into the plan as literals, so
+    assignment is one embarrassingly parallel scan."""
+    dists = F.array(
+        *[
+            cosine(F.col(vec_col), _query_col(c)).alias(f"c{i}")
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.col(vec_col),
+        (F.array_position(dists, F.array_max(dists)) - 1).cast("int").alias(
+            "list_id"
+        ),
+    )
+
+
+def ivf_train(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train the IVF coarse codebook with Lloyd iterations expressed as
+    DataFrame ops — deterministic (init = first k vectors by id; ties in
+    assignment break by lowest list id), no MLlib, no RNG.
+
+    Each iteration: one assignment scan + one mean-update. The update
+    reduces dims with posexplode → groupBy(list, dim) → avg — the
+    shuffle carries (k × dim) partial means, nothing data-sized. Empty
+    lists keep their previous centroid. k and iters are small; the
+    driver holds only the k×dim codebook."""
+    init = [
+        [float(x) for x in r[vec_col]]
+        for r in df.orderBy(id_col).limit(k).collect()
+    ]
+    centroids = init
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, id_col, vec_col)
+        means = (
+            assigned.select("list_id", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("list_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_list: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_list.setdefault(r["list_id"], {})[r["dim"]] = r["m"]
+        centroids = [
+            [by_list[i][d] for d in sorted(by_list[i])]
+            if i in by_list else centroids[i]
+            for i in range(k)
+        ]
+    return centroids
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: score only vectors whose coarse list is among the
+    ``nprobe`` centroids nearest to the query — the inverted-file ANN
+    shape. With the table written partitioned by ``list_id`` the probe
+    is partition pruning; here it is the same ``IN`` filter.
+
+    Recall < 1 by construction (a true neighbor can live in an
+    unprobed list); the brute-force scan is the exact baseline."""
+    import math
+
+    def cos(a, b):
+        dot_ = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot_ / (na * nb) if na and nb else -1.0
+
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: -cos(query_vec, centroids[i]),
+    )
+    probes = ranked[:nprobe]
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    return cosine_topk(
+        assigned.where(F.col("list_id").isin(probes)).select(id_col, vec_col),
+        query_vec, k, id_col, vec_col,
+    )
+
+
 def cosine_topk_lsh(
     df: DataFrame,
     query_vec: Sequence[float],

@@ -838,11 +838,11 @@ _SIMHASH_CTE = f"""toks AS (
          bits AS (
           SELECT doc_id, i,
                  SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
-          FROM th CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+          FROM th CROSS JOIN range(48) t(i) GROUP BY doc_id, i),
          sims AS (
           SELECT doc_id,
-                 CAST(SUM(CASE WHEN s > 0 THEN 1 << i ELSE 0 END) AS BIGINT)
-                   AS simhash
+                 CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i
+                          ELSE 0 END) AS BIGINT) AS simhash
           FROM bits GROUP BY doc_id)"""
 
 

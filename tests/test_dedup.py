@@ -91,7 +91,9 @@ def test_simhash_exact_dup_collides(docs_with_dups):
     keep_ids = {g["keep_id"] for g in groups}
     assert 0 in keep_ids  # doc 0 and its exact dup share a signature
     sh = simhash(docs_with_dups)
-    assert sh.where((F.col("simhash") < 0) | (F.col("simhash") > 65535)).count() == 0
+    assert sh.where(
+        (F.col("simhash") < 0) | (F.col("simhash") >= F.lit(1 << 48))
+    ).count() == 0
 
 
 def test_simhash_banding_finds_planted_flips(spark):

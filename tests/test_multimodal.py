@@ -8,9 +8,11 @@ from pyspark.sql import functions as F
 from mysql_syncer_spark.operators.multimodal import (
     FEATURE_DIM,
     decode_image,
+    extract_audio_features,
     extract_image_features,
     frame_sample_plan,
     media_repartition,
+    resize_images,
 )
 
 
@@ -60,6 +62,36 @@ def test_extract_handles_null_media(spark):
         and r1["features"] is None
     )
     assert rows[2]["n_bytes"] == 3 and len(rows[2]["sha256"]) == 64
+
+
+def test_resize_images(spark, media):
+    out = resize_images(media, target=(128, 96))
+    rows = out.collect()
+    assert len(rows) == media.count()
+    assert all(r["width"] == 128 and r["height"] == 96 for r in rows)
+    # payload is content-dependent but size-bounded (digest + dims)
+    assert all(len(r["media"]) == 36 for r in rows)
+    # NULL passes through as NULL
+    with_null = spark.createDataFrame(
+        [(1, None)], "media_id long, media binary"
+    )
+    r = resize_images(with_null).collect()[0]
+    assert r["media"] is None and r["width"] is None
+
+
+def test_extract_audio_features(spark):
+    import struct
+
+    # 16000 samples of a constant amplitude-1000 "tone" = 1.0s at 16kHz
+    pcm = struct.pack("<16000h", *([1000] * 16000))
+    df = spark.createDataFrame(
+        [(1, pcm), (2, b""), (3, None)], "media_id long, media binary"
+    )
+    rows = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    assert rows[1]["duration_sec"] == 1.0
+    assert abs(rows[1]["rms"] - 1000.0) < 1e-9
+    assert rows[2]["duration_sec"] == 0.0 and rows[2]["rms"] == 0.0
+    assert rows[3]["duration_sec"] is None and rows[3]["sha256"] is None
 
 
 def test_media_repartition_bytes_budget(spark, media):

@@ -7,7 +7,10 @@ from pyspark.sql import functions as F
 
 from mysql_syncer_spark.operators.similarity import (
     cosine_topk,
+    cosine_topk_ivf,
     cosine_topk_lsh,
+    ivf_assign,
+    ivf_train,
     with_sign_buckets,
 )
 
@@ -64,6 +67,35 @@ def test_lsh_topk_recall(embeddings, query_vec):
     # buckets (~36% of the data) on these uniform fixtures
     assert approx[0] == 0
     assert len(set(exact) & set(approx)) >= 4
+
+
+def test_ivf_train_deterministic_and_assign_total(embeddings):
+    c1 = ivf_train(embeddings, k=8, iters=2)
+    c2 = ivf_train(embeddings, k=8, iters=2)
+    assert c1 == c2  # no RNG anywhere
+    assigned = ivf_assign(embeddings, c1)
+    assert assigned.count() == embeddings.count()
+    n_lists = assigned.select("list_id").distinct().count()
+    assert 1 < n_lists <= 8
+
+
+def test_ivf_topk_recall(embeddings, query_vec):
+    cents = ivf_train(embeddings, k=8, iters=2)
+    exact = [r["vec_id"] for r in cosine_topk(embeddings, query_vec, k=10).collect()]
+    got = cosine_topk_ivf(
+        embeddings, query_vec, cents, k=10, nprobe=3
+    ).collect()
+    ids = [r["vec_id"] for r in got]
+    # self-match lives in the query's own nearest list by construction
+    assert ids[0] == 0 and abs(got[0]["score"] - 1.0) < 1e-6
+    # probing 3/8 lists must still recover a useful share of the true
+    # top-10, and every reported score is a true cosine (subset of
+    # brute force ranking, never an invented neighbor)
+    assert len(set(exact) & set(ids)) >= 4
+    full = {r["vec_id"]: r["score"]
+            for r in cosine_topk(embeddings, query_vec, k=500).collect()}
+    for r in got:
+        assert abs(full[r["vec_id"]] - r["score"]) < 1e-6
 
 
 def test_sign_buckets_partition_data(embeddings):

@@ -62,6 +62,10 @@ HEADLINE = [
     "hash_split_docs",
     "token_quantiles_docs",
     "ngram_jaccard_pairs_docs",  # now df-capped; was excluded when quadratic
+    "resize_media_docs",
+    "audio_features_docs",
+    "ann_topk_ivf",
+    "approx_distinct_users_events",
 ]
 
 
@@ -86,6 +90,12 @@ def main() -> None:
 
     def one_pass() -> dict[str, float]:
         times: dict[str, float] = {}
+        # per-action overhead floor on this box: a 1-row noop write.
+        # Sub-second entries (digest_check, resync_noop) bottom out
+        # here, so ratios against them are floor-capped, not scan-bound.
+        t0 = time.time()
+        force(spark.range(1))
+        times["action_floor"] = round(time.time() - t0, 3)
         for name in HEADLINE:
             t0 = time.time()
             force(qmap[name](spark, SF_DIR))

@@ -52,23 +52,30 @@ def duplicate_clusters(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        # min label over {self} ∪ neighbors, one join + one groupBy
-        nbr = edges.join(
-            labels.withColumnRenamed("src", "dst"), on="dst"
-        ).select("src", "label")
-        new_labels = (
-            labels.unionByName(nbr)
+        # min label over neighbors, then fold into the node's own label
+        # with a left join + least() — ONE shuffle join per round. The
+        # convergence flag is computed inline so checking it is a cheap
+        # re-scan of the just-checkpointed blocks, not a second join.
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("src", "dst"), on="dst")
             .groupBy("src")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, on="src", how="left")
+            .select(
+                "src",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+                (
+                    F.coalesce("nbr_label", "label") < F.col("label")
+                ).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="src")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("changed").count()
+        labels = new_labels.drop("changed")
         if changed == 0:
             return labels.select(
                 F.col("src").alias("doc_id"), F.col("label").alias("cluster_id")

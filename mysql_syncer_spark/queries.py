@@ -1230,3 +1230,92 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users")
     )
+
+
+# ===========================================================================
+# 3. Round-2 extension operators (SURVEY.md §2.10 E24-E27)
+# ===========================================================================
+
+@_register(
+    "resize_media_docs",
+    """SELECT doc_id AS media_id,
+              CASE WHEN text IS NULL THEN NULL ELSE 224 END AS width,
+              CASE WHEN text IS NULL THEN NULL ELSE 224 END AS height,
+              CASE WHEN text IS NULL THEN NULL
+                   ELSE upper(sha256(text)) || '00E000E0' END AS payload_hex
+       FROM documents""",
+)
+def resize_media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize stage end-to-end: binary column through the
+    Arrow-batched ``mapInPandas`` resizer (deterministic fake: payload =
+    sha256(content) + target dims). The oracle mirrors the fake payload
+    byte-for-byte in hex — proving the batch plumbing and NULL
+    semantics, not the stubbed pixel math."""
+    from mysql_syncer_spark.operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("media"),
+    )
+    return resize_images(media, target=(224, 224)).select(
+        "media_id", "width", "height",
+        F.hex("media").alias("payload_hex"),
+    )
+
+
+@_register(
+    "audio_features_docs",
+    """SELECT doc_id AS media_id,
+              octet_length(text::BLOB) AS n_bytes,
+              CAST(octet_length(text::BLOB) // 2 AS DOUBLE) / 16000
+                AS duration_sec,
+              sha256(text) AS sha256
+       FROM documents""",
+)
+def audio_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction end-to-end: document bytes standing in
+    for raw 16 kHz s16le PCM, streamed through the ``mapInPandas``
+    decoder. The oracle checks every SQL-expressible output (byte count,
+    duration, digest); the RMS column is pytest-only (int16 unpacking
+    is not SQL)."""
+    from mysql_syncer_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("media"),
+    )
+    return extract_audio_features(media).select(
+        "media_id", "n_bytes", "duration_sec", "sha256"
+    )
+
+
+@_register("ann_topk_ivf")
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10: deterministic Lloyd-trained coarse codebook
+    (k=8, 2 iterations, DataFrame ops only), then probe the 3 lists
+    nearest the query. No oracle: the iterative float k-means is not
+    SQL-expressible (driver records the rows-only check); recall vs the
+    brute-force baseline is asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vector(emb)
+    cents = similarity.ivf_train(emb, k=8, iters=2)
+    out = similarity.cosine_topk_ivf(emb, qvec, cents, k=10, nprobe=3)
+    return out.withColumn("score", F.round("score", 6))
+
+
+@_register("approx_distinct_users_events")
+def approx_distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped approx COUNT(DISTINCT) — the HyperLogLog++ sketch that
+    replaces the exact two-level shuffle of ``distinct_users_per_type``
+    at 100 TB (one map-side-combinable pass, fixed-size state). No
+    oracle: sketch estimates are engine-specific (driver records the
+    rows-only check); the ≤2% rsd tolerance vs exact is asserted in
+    tests/test_sketches.py."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )

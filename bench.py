@@ -66,6 +66,8 @@ HEADLINE = [
     "audio_features_docs",
     "ann_topk_ivf",
     "approx_distinct_users_events",
+    "curate_corpus_docs",
+    "salted_join_orders_customer",
 ]
 
 

@@ -51,29 +51,34 @@ def duplicate_clusters(
         .withColumn("label", F.col("src"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        # min label over neighbors, then fold into the node's own label
-        # with a left join + least() — ONE shuffle join per round. The
-        # convergence flag is computed inline so checking it is a cheap
-        # re-scan of the just-checkpointed blocks, not a second join.
+
+    def hop(frame: DataFrame) -> DataFrame:
+        # min label over neighbors folded into the node's own label with
+        # a left join + least() — one shuffle join, carries extra
+        # columns (label0) through untouched
         nbr_min = (
-            edges.join(labels.withColumnRenamed("src", "dst"), on="dst")
+            edges.join(
+                frame.select(F.col("src").alias("dst"), "label"), on="dst"
+            )
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr_min, on="src", how="left")
-            .select(
-                "src",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
-                (
-                    F.coalesce("nbr_label", "label") < F.col("label")
-                ).alias("changed"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        return frame.join(nbr_min, on="src", how="left").withColumn(
+            "label", F.least(F.col("label"), F.coalesce("nbr_label", "label"))
+        ).drop("nbr_label")
+
+    for _ in range(max_iter):
+        # TWO propagation hops per materialization round: rounds needed
+        # drop to ceil(diameter/2) and — the dominant cost on shallow
+        # dedup graphs — the per-round action overhead (checkpoint +
+        # convergence count) is paid half as often. The convergence flag
+        # (label moved vs round start) rides along as a column, so
+        # checking it re-scans the just-checkpointed blocks instead of
+        # running a second join.
+        stepped = hop(hop(labels.withColumn("label0", F.col("label"))))
+        new_labels = stepped.select(
+            "src", "label", (F.col("label") < F.col("label0")).alias("changed")
+        ).localCheckpoint(eager=True)
         changed = new_labels.where("changed").count()
         labels = new_labels.drop("changed")
         if changed == 0:

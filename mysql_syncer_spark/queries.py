@@ -1319,3 +1319,66 @@ def approx_distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
     )
+
+
+@_register(
+    "curate_corpus_docs",
+    f"""WITH q AS (
+          SELECT doc_id, text,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                      AS INT) AS n_tokens_ws,
+                 (len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                   * 1.0 / greatest(len(text), 1) AS punct_ratio
+          FROM documents),
+        kept AS (
+          SELECT * FROM q WHERE n_tokens_ws >= 5 AND punct_ratio <= 0.3),
+        survivors AS (
+          SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5({_NORM_SQL})),
+        sel AS (
+          SELECT k.doc_id, k.n_tokens_ws FROM kept k
+          JOIN survivors s ON k.doc_id = s.doc_id)
+        SELECT doc_id, n_tokens_ws,
+               CASE WHEN b < 8000 THEN 'train'
+                    WHEN b < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, n_tokens_ws, {_DOC_BUCKET_SQL} AS b FROM sel)""",
+)
+def curate_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation pipeline a training-data user
+    actually runs, as ONE declarative plan Catalyst optimizes globally:
+    quality filter (length + punctuation) → exact dedup (keep min-id
+    survivor per normalized text) → leakage-safe 80/10/10 split. Every
+    stage is codegen built-ins; the dedup shuffle and the split are the
+    only exchanges (the filter pushes into the scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.with_quality(text.with_token_counts(docs))
+    kept = q.where(
+        (F.col("n_tokens_ws") >= 5) & (F.col("punct_ratio") <= 0.3)
+    )
+    deduped = dedup.dedup_exact(kept)
+    out = sampling.hash_split(
+        deduped, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select("doc_id", "n_tokens_ws", "split")
+
+
+@_register(
+    "salted_join_orders_customer",
+    """SELECT o.o_orderkey, o.o_custkey, c.c_name
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+)
+def salted_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join: the big side salted per-row, the small
+    side exploded per-salt, joined on (key, salt) — one hot key spreads
+    over n_salts reducers. The oracle is the PLAIN join: salting must be
+    bit-identical to the unsalted semantics (that equivalence is the
+    whole point, and this row proves it)."""
+    from mysql_syncer_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    out = salted_join(orders, customer, on="o_custkey", n_salts=8)
+    return out.select("o_orderkey", "o_custkey", "c_name")

@@ -1,0 +1,63 @@
+"""Partitioned-layout gates: directory structure, partition pruning in
+the plan, file sizing, and round-trip fidelity."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_syncer_spark.sources.catalog import load_table
+from mysql_syncer_spark.sources.layout import (
+    assert_partition_pruned,
+    read_pruned,
+    write_partitioned,
+)
+
+
+@pytest.fixture(scope="module")
+def part_dir(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("layout") / "orders_by_status")
+    orders = load_table(spark, sf_dir, "orders")
+    write_partitioned(
+        orders, path, "o_orderstatus", target_rows_per_file=5000
+    )
+    return path
+
+
+def test_directory_layout(part_dir):
+    dirs = sorted(
+        d for d in os.listdir(part_dir) if d.startswith("o_orderstatus=")
+    )
+    assert len(dirs) >= 2  # one directory per status value
+
+
+def test_partition_filter_in_plan(spark, part_dir):
+    df = read_pruned(spark, part_dir).where(F.col("o_orderstatus") == "F")
+    assert_partition_pruned(df, "o_orderstatus")
+    # a non-partition filter must NOT satisfy the gate
+    unpruned = read_pruned(spark, part_dir).where(F.col("o_orderkey") == 1)
+    with pytest.raises(AssertionError):
+        assert_partition_pruned(unpruned, "o_orderstatus")
+
+
+def test_round_trip_fidelity(spark, sf_dir, part_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    back = read_pruned(spark, part_dir).select(*orders.columns)
+    # partition col comes back as string from the directory name; compare
+    # on a canonical projection
+    a = orders.withColumn("o_orderstatus", F.col("o_orderstatus").cast("string"))
+    assert back.count() == orders.count()
+    assert a.exceptAll(back).count() == 0
+
+
+def test_file_sizing_cap(spark, part_dir):
+    files = [
+        os.path.join(root, f)
+        for root, _, fs in os.walk(part_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert files
+    for f in files:
+        n = spark.read.parquet(f).count()
+        assert n <= 5000

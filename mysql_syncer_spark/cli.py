@@ -1,0 +1,187 @@
+"""Command-line entry points — the Spark mirror of the reference's
+three executables (SURVEY.md §3):
+
+* ``sync``            ≙ ``php src/project/main.php`` — full database sync
+* ``sync-table``      ≙ ``php SyncTable.php <table>`` — one table
+* ``sync-partition``  ≙ ``php SyncTablePartition.php <table> <col> <value>``
+* ``plan``            — print the sync plan without executing (the
+  reference has no equivalent; ``--dry-run`` on ``sync`` additionally
+  counts the would-be row deltas)
+
+Usage::
+
+    python -m mysql_syncer_spark sync --master /data/master --slave /data/slave \
+        --ignore '^tmp_' --partitioned orders=o_orderdate --parallel 8
+
+Master/slave are parquet catalog directories (``<table>.parquet`` per
+table). The reference's settings.php constants map 1:1 onto flags
+(settings.php.tmpl: IGNORE_TABLES → --ignore, PARTITIONED_TABLE_DEFINITIONS
+→ --partitioned, SYNC_SHARED_PARTITIONS → --no-shared-partitions,
+COPY_TABLES_WITH_NO_PRIMARY → --no-copy-no-pk, USE_MULTI_PROCESSING →
+--parallel, LOG_QUERIES → --dry-run).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+from mysql_syncer_spark.config import SyncConfig
+from mysql_syncer_spark.executor import ParquetSyncExecutor, SyncReport
+from mysql_syncer_spark.plans.plan import plan_sync
+from mysql_syncer_spark.sources.catalog import ParquetCatalog, configure_session
+
+
+def _parse_kv(pairs: list[str], what: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for p in pairs:
+        if "=" not in p:
+            raise SystemExit(f"--{what} expects TABLE=VALUE, got {p!r}")
+        k, v = p.split("=", 1)
+        out[k] = v
+    return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="mysql_syncer_spark",
+        description="PySpark-native database diff & sync engine",
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    def common(p: argparse.ArgumentParser) -> None:
+        p.add_argument("--master", required=True, help="master catalog dir")
+        p.add_argument("--slave", required=True, help="slave catalog dir")
+        p.add_argument("--ignore", action="append", default=[],
+                       help="regex of tables to exclude (repeatable)")
+        p.add_argument("--partitioned", action="append", default=[],
+                       metavar="TABLE=COL",
+                       help="partition-wise sync for TABLE on COL (repeatable)")
+        p.add_argument("--pk", action="append", default=[],
+                       metavar="TABLE=COL[,COL...]",
+                       help="override primary key columns (repeatable)")
+        p.add_argument("--no-shared-partitions", action="store_true",
+                       help="sync only missing/excess partitions, never "
+                            "diff partitions present on both sides")
+        p.add_argument("--no-copy-no-pk", action="store_true",
+                       help="skip (instead of full-copy) tables with no PK")
+        p.add_argument("--dry-run", action="store_true",
+                       help="plan + count deltas, mutate nothing")
+        p.add_argument("--parallel", type=int, default=8,
+                       help="concurrent table syncs (1 = serial)")
+        p.add_argument("--join-mode", choices=("pk_hash", "hash"),
+                       default="pk_hash")
+        p.add_argument("--cpus", default="*",
+                       help="local[N] cores when the CLI owns the session")
+        p.add_argument("--shuffle-partitions", type=int, default=32)
+
+    p_sync = sub.add_parser("sync", help="full database sync (main.php)")
+    common(p_sync)
+
+    p_tbl = sub.add_parser("sync-table",
+                           help="single-table sync (SyncTable.php)")
+    common(p_tbl)
+    p_tbl.add_argument("--table", required=True)
+
+    p_part = sub.add_parser(
+        "sync-partition",
+        help="single-partition sync (SyncTablePartition.php)")
+    common(p_part)
+    p_part.add_argument("--table", required=True)
+    p_part.add_argument("--column", required=True,
+                        help="partition column name")
+    p_part.add_argument("--value", required=True,
+                        help="partition value (cast to the column type)")
+
+    p_plan = sub.add_parser("plan", help="print the sync plan, execute nothing")
+    common(p_plan)
+    return ap
+
+
+def _session(args) -> SparkSession:
+    return (
+        configure_session(
+            SparkSession.builder.master(f"local[{args.cpus}]")
+            .appName("mysql-syncer-spark-cli")
+            .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+            .config("spark.scheduler.mode", "FAIR")
+            .config("spark.ui.enabled", "false")
+        ).getOrCreate()
+    )
+
+
+def _catalogs(spark, args) -> tuple[ParquetCatalog, ParquetCatalog, SyncConfig]:
+    pk_map = {
+        t: tuple(c.split(",")) for t, c in _parse_kv(args.pk, "pk").items()
+    }
+    part_map = _parse_kv(args.partitioned, "partitioned")
+    cfg = SyncConfig(
+        ignore_tables=tuple(args.ignore),
+        partitioned_tables=part_map,
+        sync_shared_partitions=not args.no_shared_partitions,
+        copy_tables_with_no_primary=not args.no_copy_no_pk,
+        max_parallel_tables=args.parallel,
+        join_mode=args.join_mode,
+        dry_run=args.dry_run,
+    )
+    master = ParquetCatalog(spark, args.master, pk_map=pk_map or None,
+                            partition_map=part_map or None)
+    slave = ParquetCatalog(spark, args.slave, pk_map=pk_map or None,
+                           partition_map=part_map or None)
+    return master, slave, cfg
+
+
+def _emit(report: SyncReport, out) -> int:
+    for r in report.results:
+        print(json.dumps({
+            "table": r.table, "action": r.action, "status": r.status,
+            "inserted": r.inserted, "deleted": r.deleted,
+            "seconds": round(r.seconds, 3),
+            **({"error": r.error} if r.error else {}),
+        }), file=out)
+    print(json.dumps({"summary": report.summary()}), file=out)
+    return 0 if report.ok else 1
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None,
+         out=None) -> int:
+    """Entry point. ``spark``/``out`` are injectable for tests; when the
+    CLI owns the session it stops it on exit."""
+    args = build_parser().parse_args(argv)
+    out = out or sys.stdout
+    owns = spark is None
+    spark = spark or _session(args)
+    try:
+        master, slave, cfg = _catalogs(spark, args)
+        ex = ParquetSyncExecutor(master, slave, cfg)
+        if args.command == "plan":
+            for u in plan_sync(master, slave, cfg):
+                print(json.dumps({
+                    "table": u.table, "action": u.action.value,
+                    "reason": u.reason,
+                    **({"partition_col": u.partition_col}
+                       if u.partition_col else {}),
+                }), file=out)
+            return 0
+        if args.command == "sync":
+            return _emit(ex.run(), out)
+        if args.command == "sync-table":
+            return _emit(ex.run_single(args.table), out)
+        if args.command == "sync-partition":
+            import dataclasses
+
+            cfg_part = dict(cfg.partitioned_tables)
+            cfg_part.setdefault(args.table, args.column)
+            ex.cfg = dataclasses.replace(cfg, partitioned_tables=cfg_part)
+            return _emit(ex.run_single(args.table, args.value), out)
+        raise SystemExit(f"unknown command {args.command!r}")
+    finally:
+        if owns:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -219,6 +219,55 @@ class ParquetSyncExecutor:
         res.seconds = time.time() - t0
         return res
 
+    def run_single(
+        self, table: str, partition_value=None
+    ) -> SyncReport:
+        """Single-table sync — the reference's ``SyncTable.php`` entry
+        point; with ``partition_value`` set, the ``SyncTablePartition.php``
+        one (diff restricted to rows where the table's partition column
+        equals the value; the digest short-circuit still applies via the
+        restricted frames)."""
+        plan = plan_sync(self.master, self.slave, self.cfg)
+        units = [u for u in plan if u.table == table]
+        if not units:
+            raise ValueError(
+                f"table {table!r} is not part of the sync plan "
+                "(absent on both sides, or ignore-listed)"
+            )
+        unit = units[0]
+        report = SyncReport()
+        if partition_value is None:
+            report.results.append(self.run_unit(unit))
+            return report
+        pcol = unit.partition_col or self.cfg.partitioned_tables.get(table)
+        if not pcol:
+            raise ValueError(
+                f"table {table!r} has no configured partition column"
+            )
+        res = UnitResult(table=table, action="sync_partition")
+        t0 = time.time()
+        try:
+            m = self.master.table(table)
+            s = self.slave.table(table)
+            # cast the (stringly-typed CLI) value to the column's type so
+            # comparisons and partition pruning see a typed literal
+            dtype = dict(m.df.dtypes)[pcol]
+            lit = F.lit(partition_value).cast(dtype)
+            mdf = m.df.where(F.col(pcol) == lit)
+            sdf = s.df.where(F.col(pcol) == lit)
+            if digests_equal(mdf, sdf):
+                res.status = "noop"
+            else:
+                self._apply_diff(
+                    table, mdf, sdf, m.pk_cols, res, full_slave=s.df
+                )
+        except Exception as e:
+            res.status = "error"
+            res.error = f"{e}\n{traceback.format_exc(limit=5)}"
+        res.seconds = time.time() - t0
+        report.results.append(res)
+        return report
+
     def run(self, plan: SyncPlan | None = None) -> SyncReport:
         if plan is None:
             plan = plan_sync(self.master, self.slave, self.cfg)

@@ -1,0 +1,140 @@
+"""CLI entry points (the reference's main.php / SyncTable.php /
+SyncTablePartition.php equivalents), driven in-process with an injected
+session."""
+
+import io
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_syncer_spark.cli import main
+from mysql_syncer_spark.sources.catalog import load_table
+
+
+@pytest.fixture()
+def pair(spark, sf_dir, tmp_path):
+    """master/ and slave/ dirs with a perturbed orders + extra table."""
+    mdir, sdir = str(tmp_path / "master"), str(tmp_path / "slave")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    orders.write.parquet(f"{mdir}/orders.parquet")
+    nation.write.parquet(f"{mdir}/nation.parquet")
+    key = F.col("o_orderkey")
+    (
+        orders.where(key % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(key % 11 == 0, F.col("o_totalprice") + 5)
+            .otherwise(F.col("o_totalprice")),
+        )
+        .write.parquet(f"{sdir}/orders.parquet")
+    )
+    nation.write.parquet(f"{sdir}/zombie.parquet")
+    return mdir, sdir
+
+
+def run_cli(spark, argv):
+    buf = io.StringIO()
+    code = main(argv, spark=spark, out=buf)
+    lines = [json.loads(l) for l in buf.getvalue().splitlines()]
+    return code, lines
+
+
+def test_plan_lists_all_actions(spark, pair):
+    mdir, sdir = pair
+    code, lines = run_cli(spark, ["plan", "--master", mdir, "--slave", sdir])
+    assert code == 0
+    actions = {l["table"]: l["action"] for l in lines}
+    assert actions["orders"] == "diff_sync"
+    assert actions["nation"] == "full_copy"   # missing on slave
+    assert actions["zombie"] == "drop"        # excess on slave
+
+
+def test_sync_converges_and_reports(spark, pair):
+    mdir, sdir = pair
+    code, lines = run_cli(spark, ["sync", "--master", mdir, "--slave", sdir])
+    assert code == 0
+    summary = lines[-1]["summary"]
+    assert summary["errors"] == 0
+    m = spark.read.parquet(f"{mdir}/orders.parquet")
+    s = spark.read.parquet(f"{sdir}/orders.parquet")
+    assert m.exceptAll(s).count() == 0 and s.exceptAll(m).count() == 0
+    # second run: everything noop
+    code2, lines2 = run_cli(spark, ["sync", "--master", mdir, "--slave", sdir])
+    assert code2 == 0
+    assert all(
+        l["status"] == "noop" for l in lines2[:-1]
+    ), lines2
+
+
+def test_sync_table_touches_only_target(spark, pair):
+    mdir, sdir = pair
+    code, lines = run_cli(
+        spark,
+        ["sync-table", "--master", mdir, "--slave", sdir, "--table", "orders"],
+    )
+    assert code == 0
+    assert [l["table"] for l in lines[:-1]] == ["orders"]
+    m = spark.read.parquet(f"{mdir}/orders.parquet")
+    s = spark.read.parquet(f"{sdir}/orders.parquet")
+    assert m.exceptAll(s).count() == 0
+    # the zombie table was NOT dropped by a single-table sync
+    import os
+
+    assert os.path.exists(f"{sdir}/zombie.parquet")
+
+
+def test_sync_partition_restricts_scope(spark, pair):
+    mdir, sdir = pair
+    # perturbations exist across statuses; sync only status 'F'
+    code, lines = run_cli(
+        spark,
+        ["sync-partition", "--master", mdir, "--slave", sdir,
+         "--table", "orders", "--column", "o_orderstatus", "--value", "F"],
+    )
+    assert code == 0
+    m = spark.read.parquet(f"{mdir}/orders.parquet")
+    s = spark.read.parquet(f"{sdir}/orders.parquet")
+    mf = m.where(F.col("o_orderstatus") == "F")
+    sf = s.where(F.col("o_orderstatus") == "F")
+    # the synced partition converged ...
+    assert mf.exceptAll(sf).count() == 0 and sf.exceptAll(mf).count() == 0
+    # ... and at least one other partition still differs (scope respected)
+    rest_m = m.where(F.col("o_orderstatus") != "F")
+    rest_s = s.where(F.col("o_orderstatus") != "F")
+    assert rest_m.exceptAll(rest_s).count() > 0
+
+
+def test_dry_run_mutates_nothing(spark, pair):
+    mdir, sdir = pair
+    before = spark.read.parquet(f"{sdir}/orders.parquet").count()
+    code, lines = run_cli(
+        spark, ["sync", "--master", mdir, "--slave", sdir, "--dry-run"]
+    )
+    assert code == 0
+    after = spark.read.parquet(f"{sdir}/orders.parquet").count()
+    assert before == after
+    orders_line = [l for l in lines[:-1] if l.get("table") == "orders"][0]
+    assert orders_line["status"] == "dry_run"
+    assert orders_line["inserted"] > 0  # deltas counted, not applied
+
+
+def test_ignore_flag_excludes(spark, pair):
+    mdir, sdir = pair
+    code, lines = run_cli(
+        spark,
+        ["plan", "--master", mdir, "--slave", sdir, "--ignore", "^orders$"],
+    )
+    assert code == 0
+    assert "orders" not in {l["table"] for l in lines}
+
+
+def test_unknown_table_errors(spark, pair):
+    mdir, sdir = pair
+    with pytest.raises(ValueError):
+        run_cli(
+            spark,
+            ["sync-table", "--master", mdir, "--slave", sdir,
+             "--table", "nope"],
+        )

@@ -80,18 +80,24 @@ def table_digest_scalable(
     ).first()
 
 
-def fast_row_hash_col(df: DataFrame, cols: Sequence[str] | None = None):
-    """xxhash64 row hash for INTERNAL digest comparison only — no md5, no
-    decimal canonicalization, pure JVM codegen (~several× cheaper per row
-    than the oracle-matchable md5+canon path; measured 3.7× short-circuit
-    vs the ≥10× budget before this existed).
+def fast_hash_sql(df: DataFrame, cols: Sequence[str] | None = None) -> str:
+    """SQL text of the xxhash64 row hash for INTERNAL digest comparison
+    only — no md5, no decimal canonicalization, pure JVM codegen
+    (~several× cheaper per row than the oracle-matchable md5+canon path;
+    measured 3.7× short-circuit vs the ≥10× budget before this existed).
+
+    Returned as an expression STRING (fed to ``selectExpr``) rather than
+    a Column tree: building N-column Column objects costs ~2N py4j round
+    trips per call, and the digest gate runs once per table per sync —
+    driver-side construction overhead is the dominant cost of a noop
+    re-sync across a many-table database.
 
     Correct for same-engine equality because both sides hash identical
     logical values through identical expressions. Two subtleties:
 
     * Spark's hash functions SKIP null inputs (seed passes through), so
       ``("a", NULL)`` and ``(NULL, "a")`` would collide; a second
-      xxhash64 over the per-column ``isNull`` flags (booleans — never
+      xxhash64 over the per-column ``isnull`` flags (booleans — never
       null themselves, never skipped) disambiguates null positions.
     * MapType is not hashable (and map iteration order is undefined
       anyway) — rendered via to_json first.
@@ -100,12 +106,17 @@ def fast_row_hash_col(df: DataFrame, cols: Sequence[str] | None = None):
 
     by_name = {f.name: f.dataType for f in df.schema.fields}
     names = list(cols) if cols is not None else df.schema.fieldNames()
-    null_sig = F.xxhash64(*[F.col(n).isNull() for n in names])
-    vals = [
-        F.to_json(F.col(n)) if isinstance(by_name[n], T.MapType) else F.col(n)
+    nulls = ", ".join(f"isnull(`{n}`)" for n in names)
+    vals = ", ".join(
+        f"to_json(`{n}`)" if isinstance(by_name[n], T.MapType) else f"`{n}`"
         for n in names
-    ]
-    return F.xxhash64(*vals, null_sig)
+    )
+    return f"xxhash64({vals}, xxhash64({nulls}))"
+
+
+def fast_row_hash_col(df: DataFrame, cols: Sequence[str] | None = None):
+    """Column form of :func:`fast_hash_sql` (same hash, same caveats)."""
+    return F.expr(fast_hash_sql(df, cols))
 
 
 def table_digest_fast(df: DataFrame, cols: Sequence[str] | None = None) -> Row:
@@ -123,47 +134,46 @@ def table_digest_fast(df: DataFrame, cols: Sequence[str] | None = None) -> Row:
     ).first()
 
 
+_DIGEST_AGG = (
+    "sum(cast(h as decimal(38,0))) as hash_sum",
+    "bit_xor(h) as hash_xor",
+    "count(1) as row_count",
+)
+
+
+def _side_digest(df: DataFrame, cols: Sequence[str]) -> tuple:
+    r = (
+        df.selectExpr(fast_hash_sql(df, cols) + " as h")
+        .selectExpr(*_DIGEST_AGG)
+        .first()
+    )
+    return (r["hash_sum"], r["hash_xor"], r["row_count"])
+
+
 def digests_equal(a: DataFrame, b: DataFrame,
                   cols: Sequence[str] | None = None) -> bool:
     """Digest short-circuit (Synchronizer.php:204-225): True ⇒ skip all
     row-level work. Uses the fast xxhash64 digest (one cheap scan per
     side); column order is pinned to ``a``'s so both sides hash the same
-    column sequence."""
+    column sequence.
+
+    The two sides run as CONCURRENT jobs on two driver threads: a noop
+    re-sync is bounded by query *planning* latency, not scan time (the
+    scalar agg is one stage), so overlapping the two plans ~halves the
+    per-table gate cost. A scalar agg always yields exactly one row —
+    an empty side digests to (NULL, NULL, 0), so empty==empty and
+    empty!=nonempty fall out of the tuple compare.
+    """
     if cols is None:
         if set(a.columns) != set(b.columns):
             return False  # schema drift can never digest-match
         cols = a.columns
-    # ONE job for both sides: union with a side tag, grouped agg. Halves
-    # the driver job overhead and lets both scans run in the same stage —
-    # at scale this is two parallel scans + one tiny shuffle of partials.
-    ha = a.select(F.lit(0).alias("side"), fast_row_hash_col(a, cols).alias("h"))
-    hb = b.select(F.lit(1).alias("side"), fast_row_hash_col(b, cols).alias("h"))
-    agg = (
-        ha.unionByName(hb)
-        .groupBy("side")
-        .agg(
-            F.sum(F.col("h").cast("decimal(38,0)")).alias("hash_sum"),
-            F.bit_xor("h").alias("hash_xor"),
-            F.count(F.lit(1)).alias("row_count"),
-        )
-    )
-    # AQE off for this one query: a scan → scalar-agg plan has nothing
-    # for adaptive re-planning to improve, and the extra stage
-    # re-optimization costs ~0.7s — more than the digest itself at small
-    # scale. (Session-conf toggle: a concurrently *planned* query in
-    # another thread would also skip AQE — a perf nuance, never a
-    # correctness one.)
-    spark = a.sparkSession
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        rows = agg.collect()
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
-    if len(rows) != 2:  # 0 rows = both empty (equal); 1 = one side empty
-        return len(rows) == 0
-    d = {r["side"]: (r["hash_sum"], r["hash_xor"], r["row_count"]) for r in rows}
-    return d[0] == d[1]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        fa = pool.submit(_side_digest, a, cols)
+        fb = pool.submit(_side_digest, b, cols)
+        return fa.result() == fb.result()
 
 
 def partition_digests(

@@ -85,6 +85,12 @@ class ParquetCatalog(Catalog):
         self.pk_map = {k: tuple(v) for k, v in (pk_map or DEFAULT_PKS).items()}
         self.partition_map = dict(partition_map or {})
         self._names: list[str] | None = None  # cached like the reference
+        # per-table DataFrame cache: planner + executor both resolve each
+        # table (schema compare, digest gate, diff), and every
+        # ``spark.read.parquet`` re-lists files and re-reads footers
+        # (~30ms each) — measurable against the sub-second noop re-sync.
+        # Invalidated together with the name list after any write.
+        self._dfs: dict[str, DataFrame] = {}
 
     def table_names(self) -> list[str]:
         if self._names is None:
@@ -97,12 +103,16 @@ class ParquetCatalog(Catalog):
 
     def invalidate(self) -> None:
         self._names = None
+        self._dfs = {}
 
     def table_path(self, name: str) -> str:
         return os.path.join(self.path, f"{name}.parquet")
 
     def table(self, name: str) -> TableHandle:
-        df = self.spark.read.parquet(self.table_path(name))
+        df = self._dfs.get(name)
+        if df is None:
+            df = self.spark.read.parquet(self.table_path(name))
+            self._dfs[name] = df
         return TableHandle(
             name=name,
             df=df,

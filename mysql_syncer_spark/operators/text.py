@@ -133,6 +133,41 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_repetition(
+    df: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Add ``rep_ratio``: the duplicated word-n-gram fraction of the doc,
+    ``1 - distinct_ngrams / total_ngrams`` (Gopher-style repetition
+    signal — templated/boilerplate text scores high, prose near 0).
+
+    Pure codegen array ops on one row at a time — embarrassingly
+    parallel, no shuffle. Docs with < n tokens have no n-grams and score
+    0. DuckDB mirror: ``1 - len(list_distinct(g))/len(g)`` over
+    ``list_transform(range(1, greatest(len(tk)-n+2, 1)),
+    i -> array_to_string(tk[i:i+n-1], ' '))``.
+    """
+    toks = F.split(normalized_text(text_col), " ")
+    grams = F.expr(
+        f"if(size(__rep_tk) >= {n}, "
+        f"transform(sequence(1, size(__rep_tk) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__rep_tk, i, {n}))), "
+        f"cast(array() as array<string>))"
+    )
+    return (
+        df.withColumn("__rep_tk", toks)
+        .withColumn("__rep_g", grams)
+        .withColumn(
+            "rep_ratio",
+            F.when(F.size("__rep_g") == 0, F.lit(0.0)).otherwise(
+                F.lit(1.0)
+                - F.size(F.array_distinct("__rep_g"))
+                / F.size("__rep_g").cast("double")
+            ),
+        )
+        .drop("__rep_tk", "__rep_g")
+    )
+
+
 def normalized_text(col: Column | str) -> Column:
     """Lowercase + collapse internal whitespace + trim — the
     canonicalization used by both fingerprints."""

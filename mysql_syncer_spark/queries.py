@@ -1382,3 +1382,65 @@ def salted_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = salted_join(orders, customer, on="o_custkey", n_salts=8)
     return out.select("o_orderkey", "o_custkey", "c_name")
+
+
+def _contam_grams_sql(n: int, pred: str) -> str:
+    """DuckDB mirror of contamination.word_ngrams over documents rows
+    matching ``pred`` (1-based list slicing ≡ Spark's 1-based slice;
+    range excludes its stop ≡ sequence includes it: both i=1..len-n+1)."""
+    return (
+        f"SELECT doc_id, unnest(list_distinct(list_transform("
+        f"range(1, greatest(len(tk) - {n - 2}, 1)), "
+        f"i -> array_to_string(tk[i:i+{n - 1}], ' ')))) AS gram "
+        f"FROM (SELECT doc_id, string_split(regexp_replace(trim(lower(text)),"
+        f" '\\s+', ' ', 'g'), ' ') AS tk FROM documents WHERE {pred})"
+    )
+
+
+@_register(
+    "contamination_docs",
+    f"""WITH train_g AS ({_contam_grams_sql(5, "doc_id % 23 != 0")}),
+        eval_g AS (SELECT DISTINCT gram
+                   FROM ({_contam_grams_sql(5, "doc_id % 23 = 0")}))
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM train_g t JOIN eval_g e USING (gram)
+        GROUP BY t.doc_id""",
+)
+def contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style n-gram overlap): docs
+    doc_id % 23 == 0 stand in as the held-out eval set; every training
+    doc sharing a word 5-gram with it is flagged with its distinct
+    overlapping-gram count. The eval gram set is broadcast — corpus rows
+    never shuffle for the join (the scale-defining property: eval
+    benchmarks are tiny, corpora are 100 TB)."""
+    from mysql_syncer_spark.operators import contamination as ct
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 23 == 0
+    out = ct.contamination(
+        docs.where(~is_eval), docs.where(is_eval), n=5
+    )
+    return out.select("doc_id", F.col("n_overlap").cast("long"))
+
+
+@_register(
+    "repetition_docs",
+    """SELECT doc_id,
+              ROUND(CASE WHEN len(g) = 0 THEN 0.0
+                    ELSE 1.0 - len(list_distinct(g)) * 1.0 / len(g) END,
+                    6) AS rep_ratio
+       FROM (SELECT doc_id,
+                    list_transform(range(1, greatest(len(tk), 1)),
+                                   i -> array_to_string(tk[i:i+1], ' ')) AS g
+             FROM (SELECT doc_id,
+                          string_split(regexp_replace(trim(lower(text)),
+                                       '\\s+', ' ', 'g'), ' ') AS tk
+                   FROM documents))""",
+)
+def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher-style duplicate word-bigram
+    fraction): boilerplate/templated text scores high, prose ~0. Pure
+    per-row array codegen — no shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.with_repetition(docs, n=2)
+    return out.select("doc_id", F.round("rep_ratio", 6).alias("rep_ratio"))

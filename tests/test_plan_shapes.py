@@ -83,3 +83,17 @@ def test_agg_stays_in_codegen(spark, sf_dir):
 def test_sample_is_shuffle_free(spark, sf_dir):
     plan = plan_of(spark, "hash_sample_docs", sf_dir)
     assert "Exchange" not in plan, plan
+
+
+def test_contamination_broadcasts_eval_grams(spark, sf_dir):
+    """The decontamination join must broadcast the eval n-gram set —
+    corpus rows shuffling for this join would be the 100 TB bottleneck."""
+    plan = plan_of(spark, "contamination_docs", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_repetition_is_shuffle_free(spark, sf_dir):
+    """Per-row array math: any Exchange in this plan is a regression."""
+    plan = plan_of(spark, "repetition_docs", sf_dir)
+    assert "Exchange" not in plan, plan

@@ -68,6 +68,9 @@ HEADLINE = [
     "approx_distinct_users_events",
     "curate_corpus_docs",
     "salted_join_orders_customer",
+    "contamination_docs",
+    "repetition_docs",
+    "pack_sequences_docs",
 ]
 
 

@@ -41,7 +41,13 @@ from mysql_syncer_spark.diff import (
     missing_rows,
     rows_to_copy,
 )
-from mysql_syncer_spark.operators import dedup, sampling, similarity, text
+from mysql_syncer_spark.operators import (
+    dedup,
+    packing,
+    sampling,
+    similarity,
+    text,
+)
 from mysql_syncer_spark.sources.catalog import load_table
 
 # ---------------------------------------------------------------------------
@@ -1444,3 +1450,28 @@ def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = text.with_repetition(docs, n=2)
     return out.select("doc_id", F.round("rep_ratio", 6).alias("rep_ratio"))
+
+
+_PACK_TOKENS_SQL = (
+    "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+    "len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens "
+    "FROM documents"
+)
+
+
+@_register(
+    "pack_sequences_docs",
+    packing.pack_oracle_sql(_PACK_TOKENS_SQL, budget=256, n_buckets=8),
+)
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining batches: docs → fixed-256-token
+    sequences in 8 independent hash-bucketed packing groups (one window
+    shuffle; parallelism = n_buckets at any scale)."""
+    from mysql_syncer_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.with_token_counts(docs).select(
+        "doc_id", F.col("n_tokens_ws").alias("n_tokens")
+    )
+    out = pack_sequences(toks, budget=256, n_buckets=8)
+    return out.select("doc_id", "pack_bucket", "seq_id", "seq_offset")

@@ -97,3 +97,15 @@ def test_repetition_is_shuffle_free(spark, sf_dir):
     """Per-row array math: any Exchange in this plan is a regression."""
     plan = plan_of(spark, "repetition_docs", sf_dir)
     assert "Exchange" not in plan, plan
+
+
+def test_packing_is_single_window_shuffle(spark, sf_dir):
+    """Packing must be ONE exchange (the window partition on the bucket
+    key) — a second shuffle would mean the cumsum isn't bucket-local."""
+    import re
+
+    plan = plan_of(spark, "pack_sequences_docs", sf_dir)
+    # formatted explain lists each node once as "(n) Exchange" in the
+    # details section (the tree section repeats them with +- prefixes)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange$", plan, re.M))
+    assert n_exchanges == 1, plan

@@ -71,6 +71,7 @@ HEADLINE = [
     "contamination_docs",
     "repetition_docs",
     "pack_sequences_docs",
+    "pii_docs",
 ]
 
 

@@ -168,6 +168,43 @@ def with_repetition(
     )
 
 
+#: PII patterns, ordered (emails first — an email's digits must not be
+#: half-eaten by the phone pattern). Restricted to syntax valid AND
+#: equivalent in BOTH Java regex (Spark) and RE2 (DuckDB): character
+#: classes, bounded repetition, \b word boundaries; no lookarounds.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9() -]{6,}[0-9]\b", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails / IPv4s / phone-number-shaped spans with typed
+    placeholder tokens — chained codegen ``regexp_replace``, no UDF.
+    Heuristic by design (training-data scrubbing, not compliance
+    tooling): patterns are deliberately simple enough to behave
+    identically under Java regex and RE2."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def with_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``redacted`` (PII-scrubbed text) and ``n_pii`` (total spans
+    redacted, counted pattern-by-pattern on the progressively redacted
+    text so overlapping patterns aren't double-counted)."""
+    c: Column = F.col(text_col)
+    n = F.lit(0)
+    for _, pat, token in PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        c = F.regexp_replace(c, pat, token)
+    return df.withColumn("redacted", c).withColumn(
+        "n_pii", n.cast("int")
+    )
+
+
 def normalized_text(col: Column | str) -> Column:
     """Lowercase + collapse internal whitespace + trim — the
     canonicalization used by both fingerprints."""

@@ -1452,6 +1452,31 @@ def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("rep_ratio", 6).alias("rep_ratio"))
 
 
+def _pii_oracle_sql() -> str:
+    """DuckDB mirror of text.with_pii, generated from the SAME pattern
+    list so the two can never drift: chained global regexp_replace for
+    the redacted text; per-pattern extract_all counts taken on the
+    progressively redacted text (overlap-free, same as Spark)."""
+    red = "text"
+    counts = []
+    for _, pat, token in text.PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all({red}, '{pat}'))")
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return (
+        f"SELECT doc_id, {red} AS redacted, "
+        f"CAST({' + '.join(counts)} AS INT) AS n_pii FROM documents"
+    )
+
+
+@_register("pii_docs", _pii_oracle_sql())
+def pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / IPv4 / phone-shaped spans → typed
+    placeholders) with per-doc redaction counts — chained codegen
+    regexp_replace, zero shuffle, patterns Java/RE2-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_pii(docs).select("doc_id", "redacted", "n_pii")
+
+
 _PACK_TOKENS_SQL = (
     "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
     "len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens "

@@ -63,3 +63,26 @@ def test_fingerprints(spark):
     assert by_id[1]["fp_exact"] == by_id[2]["fp_exact"]
     assert by_id[1]["fp_exact"] != by_id[3]["fp_exact"]
     assert by_id[1]["fp_bag"] == by_id[3]["fp_bag"]
+
+
+def test_pii_redaction_planted(spark):
+    from mysql_syncer_spark.operators.text import with_pii
+
+    rows = [
+        (1, "mail a@b.co or 10.0.0.1 call +1 (555) 123-4567 now"),
+        (2, "no pii here at all"),
+        (3, "double jane.doe@corp.example.com and john@x.io"),
+        (4, ""),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in with_pii(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1]["redacted"] == "mail <EMAIL> or <IP> call <PHONE> now"
+    assert out[1]["n_pii"] == 3
+    assert out[2]["n_pii"] == 0 and out[2]["redacted"] == rows[1][1]
+    assert out[3]["redacted"] == "double <EMAIL> and <EMAIL>"
+    assert out[3]["n_pii"] == 2
+    assert out[4]["n_pii"] == 0

@@ -53,35 +53,40 @@ def duplicate_clusters(
     )
 
     def hop(frame: DataFrame) -> DataFrame:
-        # min label over neighbors folded into the node's own label with
-        # a left join + least() — one shuffle join, carries extra
-        # columns (label0) through untouched
-        nbr_min = (
-            edges.join(
-                frame.select(F.col("src").alias("dst"), "label"), on="dst"
-            )
+        # min label over self ∪ neighbors as ONE union + groupBy(min):
+        # 2 shuffles per hop (edges⋈labels on dst, groupBy on src) vs 3
+        # for a join+agg+left-join formulation.
+        nbr = edges.join(
+            frame.select(F.col("src").alias("dst"), "label"), on="dst"
+        ).select("src", "label")
+        return (
+            frame.select("src", "label")
+            .unionByName(nbr)
             .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+            .agg(F.min("label").alias("label"))
         )
-        return frame.join(nbr_min, on="src", how="left").withColumn(
-            "label", F.least(F.col("label"), F.coalesce("nbr_label", "label"))
-        ).drop("nbr_label")
 
     for _ in range(max_iter):
-        # TWO propagation hops per materialization round: rounds needed
-        # drop to ceil(diameter/2) and — the dominant cost on shallow
-        # dedup graphs — the per-round action overhead (checkpoint +
-        # convergence count) is paid half as often. The convergence flag
-        # (label moved vs round start) rides along as a column, so
-        # checking it re-scans the just-checkpointed blocks instead of
-        # running a second join.
-        stepped = hop(hop(labels.withColumn("label0", F.col("label"))))
-        new_labels = stepped.select(
-            "src", "label", (F.col("label") < F.col("label0")).alias("changed")
-        ).localCheckpoint(eager=True)
-        changed = new_labels.where("changed").count()
-        labels = new_labels.drop("changed")
-        if changed == 0:
+        # TWO propagation hops per materialization round (rounds needed
+        # = ceil(diameter/2)), then an EDGE-CONSISTENCY convergence
+        # test: labels are final iff label(u) == label(v) on every edge
+        # (uniform labels within a component are necessarily the
+        # component min, since the min node's own label never rises).
+        # Unlike no-change detection, this certifies convergence the
+        # same round it happens — dedup graphs (quasi-cliques, diameter
+        # ≤ 2) finish in ONE round instead of one + a no-op round.
+        labels = hop(hop(labels)).localCheckpoint(eager=True)
+        inconsistent = (
+            edges.join(labels, on="src")
+            .join(
+                labels.select(
+                    F.col("src").alias("dst"), F.col("label").alias("label_d")
+                ),
+                on="dst",
+            )
+            .where(F.col("label") != F.col("label_d"))
+        )
+        if inconsistent.isEmpty():
             return labels.select(
                 F.col("src").alias("doc_id"), F.col("label").alias("cluster_id")
             )

@@ -72,6 +72,8 @@ HEADLINE = [
     "repetition_docs",
     "pack_sequences_docs",
     "pii_docs",
+    "quota_sample_docs",
+    "supplier_revenue",
 ]
 
 

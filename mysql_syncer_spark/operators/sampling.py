@@ -83,3 +83,34 @@ def duckdb_hash_bucket_sql(key: str, salt: str = "") -> str:
         f"(('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, "
         f"{_HEX_PREFIX}))::BIGINT % {BUCKETS} + {BUCKETS}) % {BUCKETS}"
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Cap rows per group at ``n`` (domain capping: no source/domain may
+    dominate the corpus). Deterministic: rows rank within their group by
+    (key hash, key) — stable under input order and partitioning, and
+    re-salting draws an independent quota. One window shuffle on the
+    group key; per-group state is a running rank, so a skewed group
+    costs one fat task, never driver memory.
+
+    DuckDB mirror: ``QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY
+    <bucket_sql>, key) <= n``.
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"quota must be >= 1, got {n}")
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(key_col, salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -1452,6 +1452,58 @@ def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("rep_ratio", 6).alias("rep_ratio"))
 
 
+@_register(
+    "quota_sample_docs",
+    f"""SELECT doc_id, source FROM documents
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY {sampling.duckdb_hash_bucket_sql("doc_id")}, doc_id
+        ) <= 10""",
+)
+def quota_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping: at most 10 docs per source, chosen by
+    deterministic key hash — no source dominates the corpus regardless
+    of its raw share. One window shuffle on the group key."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.quota_sample(docs, "source", 10, "doc_id")
+    return out.select("doc_id", "source")
+
+
+@_register(
+    "supplier_revenue",
+    """SELECT n.n_name,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                       * CAST(1 - l.l_discount AS DECIMAL(18,6)))
+                   AS DOUBLE) AS revenue,
+              COUNT(*) AS n_items
+       FROM lineitem l
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       GROUP BY n.n_name""",
+)
+def supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-side star aggregation (discounted revenue per supplier
+    nation): both dims broadcast; money summed as exact decimals
+    (order-independent, engine-independent), cast double at the end."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,6)")
+    return (
+        lineitem.join(
+            F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def _pii_oracle_sql() -> str:
     """DuckDB mirror of text.with_pii, generated from the SAME pattern
     list so the two can never drift: chained global regexp_replace for

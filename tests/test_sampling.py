@@ -77,3 +77,24 @@ def test_bad_args_raise(docs):
 def test_bucket_range(docs):
     out = docs.select(hash_bucket("doc_id").alias("b"))
     assert out.where((F.col("b") < 0) | (F.col("b") >= BUCKETS)).count() == 0
+
+
+def test_quota_sample_caps_groups(spark):
+    from mysql_syncer_spark.operators.sampling import quota_sample
+    from pyspark.sql import functions as F
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    out = quota_sample(df, "g", 5, "k")
+    sizes = {r["g"]: r["n"] for r in
+             out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"big": 5, "small": 5}
+    # deterministic under reshuffle
+    again = quota_sample(df.repartition(7), "g", 5, "k")
+    assert out.exceptAll(again).count() == 0
+    # a group under quota passes through whole
+    tiny = quota_sample(df.where("k >= 95"), "g", 99, "k")
+    assert tiny.count() == 5
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        quota_sample(df, "g", 0, "k")

@@ -74,6 +74,7 @@ HEADLINE = [
     "pii_docs",
     "quota_sample_docs",
     "supplier_revenue",
+    "cdc_apply_orders",
 ]
 
 

@@ -1453,6 +1453,70 @@ def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_apply_orders",
+    """WITH state AS (
+          SELECT o_orderkey, o_totalprice, 'upsert' AS op,
+                 CAST(0 AS BIGINT) AS seq
+          FROM orders),
+        changes AS (
+          SELECT o_orderkey, o_totalprice + 100 AS o_totalprice,
+                 'upsert' AS op, CAST(1 AS BIGINT) AS seq
+          FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 17 != 0
+          UNION ALL
+          SELECT o_orderkey, o_totalprice, 'delete', 1
+          FROM orders WHERE o_orderkey % 17 = 0
+          UNION ALL
+          SELECT o_orderkey + 100000000, o_totalprice, 'upsert', 1
+          FROM orders WHERE o_orderkey % 97 = 0),
+        merged AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+            FROM (SELECT * FROM state UNION ALL SELECT * FROM changes))
+          WHERE rn = 1)
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+        FROM merged WHERE op != 'delete'""",
+)
+def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch CDC merge kernel (streaming/cdc.cdc_upsert_batch) under
+    an exact SQL oracle: fold a synthetic changelog (updates, tombstone
+    deletes, new-key inserts — disjoint by construction) into an
+    orders-derived state table. The kernel's anti-join/semi-join split
+    (untouched keys never pay the window) must equal the oracle's global
+    ROW_NUMBER-over-union semantics — this row proves it."""
+    from mysql_syncer_spark.streaming.cdc import cdc_upsert_batch
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    def chg(df, price, op, key=None):
+        return df.select(
+            (key if key is not None else k).alias("o_orderkey"),
+            price.alias("o_totalprice"),
+            F.lit(op).alias("op"),
+            F.lit(1).cast("long").alias("seq"),
+        )
+
+    state = orders.select(
+        "o_orderkey", "o_totalprice",
+        F.lit("upsert").alias("op"), F.lit(0).cast("long").alias("seq"),
+    )
+    batch = (
+        chg(orders.where((k % 10 == 0) & (k % 17 != 0)),
+            F.col("o_totalprice") + 100, "upsert")
+        .unionByName(chg(orders.where(k % 17 == 0),
+                         F.col("o_totalprice"), "delete"))
+        .unionByName(chg(orders.where(k % 97 == 0),
+                         F.col("o_totalprice"), "upsert",
+                         key=k + 100000000))
+    )
+    out = cdc_upsert_batch(state, batch, ["o_orderkey"], ["seq"])
+    return out.where(F.col("op") != "delete").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+@_register(
     "quota_sample_docs",
     f"""SELECT doc_id, source FROM documents
         QUALIFY ROW_NUMBER() OVER (

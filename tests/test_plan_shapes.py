@@ -109,3 +109,9 @@ def test_packing_is_single_window_shuffle(spark, sf_dir):
     # details section (the tree section repeats them with +- prefixes)
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange$", plan, re.M))
     assert n_exchanges == 1, plan
+
+
+def test_supplier_star_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(spark, "supplier_revenue", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

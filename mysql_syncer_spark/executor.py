@@ -33,6 +33,7 @@ from mysql_syncer_spark.config import SyncConfig, TableHandle
 from mysql_syncer_spark.diff import apply_delta, diff_tables
 from mysql_syncer_spark.digest import digests_equal, differing_partitions
 from mysql_syncer_spark.plans.plan import Action, SyncPlan, SyncUnit, plan_sync
+from mysql_syncer_spark.sinks import jdbc
 from mysql_syncer_spark.sources.catalog import ParquetCatalog
 
 
@@ -178,12 +179,18 @@ class ParquetSyncExecutor:
                 res.status = "dry_run"
                 return
             target = full_slave if full_slave is not None else sdf
-            merged = apply_delta(target, inserts, deletes, pk_cols)
-            _overwrite_parquet(merged, self.slave.table_path(table))
+            self._apply_changes(table, pk_cols, inserts, deletes, target)
             self.slave.invalidate()
         finally:
             inserts.unpersist()
             deletes.unpersist()
+
+    def _apply_changes(self, table, pk_cols, inserts, deletes, target) -> None:
+        """Materialize the delta on the slave. Parquet mode: pure-DataFrame
+        merge + atomic file overwrite. Overridden by the SQL-target
+        executor with distributed DELETE/INSERT statement batches."""
+        merged = apply_delta(target, inserts, deletes, pk_cols)
+        _overwrite_parquet(merged, self.slave.table_path(table))
 
     # -- driver --------------------------------------------------------
 
@@ -288,7 +295,85 @@ class ParquetSyncExecutor:
         return report
 
 
-def sync(master: ParquetCatalog, slave: ParquetCatalog,
-         config: SyncConfig | None = None) -> SyncReport:
+class DBAPISyncExecutor(ParquetSyncExecutor):
+    """Executes a SyncPlan against a LIVE SQL slave (DBAPICatalog).
+
+    Same control flow as the parquet executor (schema compare → digest
+    short-circuit → hash diff), but mutations are the reference's real
+    write path: distributed chunked ``DELETE ... WHERE (pk) IN`` /
+    multi-row ``INSERT`` statements (TableConnection.php:289-387) pushed
+    through executor-side connections (sinks/jdbc.py), plus DDL through
+    a driver-side connection. The master may be any Catalog (parquet,
+    JDBC, DBAPI) — only the slave needs a connection factory.
+    """
+
+    def __init__(self, master, slave, config: SyncConfig | None = None):
+        super().__init__(master, slave, config)
+        # dialect knobs the sinks need, carried by the DBAPI catalog
+        self._quote = getattr(slave, "quote", '"')
+        self._esc = getattr(slave, "backslash_escapes", False)
+
+    def _execute_ddl(self, *statements: str) -> None:
+        conn = self.slave.connect_factory()
+        try:
+            cur = conn.cursor()
+            for stmt in statements:
+                cur.execute(stmt)
+            conn.commit()
+        finally:
+            conn.close()
+
+    def _drop(self, unit: SyncUnit, res: UnitResult) -> None:
+        if self.cfg.dry_run:
+            res.status = "dry_run"
+            return
+        q = self._quote
+        self._execute_ddl(f"DROP TABLE IF EXISTS {q}{unit.table}{q}")
+        self.slave.invalidate()
+
+    def _full_copy(self, unit: SyncUnit, res: UnitResult) -> None:
+        """Drop + CREATE TABLE from the master's Spark schema + one
+        distributed insert pass — the reference's copyTable
+        (Synchronizer.php:330-354) without the chunked LIMIT/OFFSET walk."""
+        if self.cfg.dry_run:
+            res.status = "dry_run"
+            return
+        m = self.master.table(unit.table)
+        q = self._quote
+        self._execute_ddl(
+            f"DROP TABLE IF EXISTS {q}{unit.table}{q}",
+            self.slave.create_table_sql(unit.table, m.df.schema, m.pk_cols),
+        )
+        jdbc.apply_inserts(
+            m.df, unit.table, self.slave.connect_factory,
+            chunk_size=self.cfg.chunk_size, quote=q, backslash_escapes=self._esc,
+        )
+        self.slave.invalidate()
+
+    def _apply_changes(self, table, pk_cols, inserts, deletes, target) -> None:
+        # delete-before-insert (Synchronizer.php:496-517): excess keys
+        # first, then replace (which deletes the changed rows' old
+        # versions chunk-locally before inserting the new ones).
+        jdbc.apply_deletes(
+            deletes, table, pk_cols, self.slave.connect_factory,
+            chunk_size=self.cfg.chunk_size, quote=self._quote,
+            backslash_escapes=self._esc,
+        )
+        jdbc.apply_replace(
+            inserts, table, pk_cols, self.slave.connect_factory,
+            chunk_size=self.cfg.chunk_size, quote=self._quote,
+            backslash_escapes=self._esc,
+        )
+
+
+def make_executor(master, slave, config: SyncConfig | None = None):
+    """Pick the executor for the slave's catalog type: parquet rewrite
+    for file-backed slaves, statement sinks for connection-backed ones."""
+    if hasattr(slave, "connect_factory"):
+        return DBAPISyncExecutor(master, slave, config)
+    return ParquetSyncExecutor(master, slave, config)
+
+
+def sync(master, slave, config: SyncConfig | None = None) -> SyncReport:
     """One-call full sync: plan + execute. After this, slave ≡ master."""
-    return ParquetSyncExecutor(master, slave, config).run()
+    return make_executor(master, slave, config).run()

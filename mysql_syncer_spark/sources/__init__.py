@@ -4,5 +4,8 @@ from mysql_syncer_spark.sources.catalog import (
     JDBCCatalog,
     DEFAULT_PKS,
 )
+from mysql_syncer_spark.sources.dbapi import DBAPICatalog
 
-__all__ = ["Catalog", "ParquetCatalog", "JDBCCatalog", "DEFAULT_PKS"]
+__all__ = [
+    "Catalog", "ParquetCatalog", "JDBCCatalog", "DBAPICatalog", "DEFAULT_PKS",
+]

@@ -75,6 +75,7 @@ HEADLINE = [
     "quota_sample_docs",
     "supplier_revenue",
     "cdc_apply_orders",
+    "scd2_orders",
 ]
 
 

@@ -1516,6 +1516,42 @@ def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCD_COLS = ", ".join(ORDERS_COLS)
+
+
+@_register(
+    "scd2_orders",
+    f"""WITH snap AS ({_SLAVE_ORDERS_SQL}),
+        o AS (SELECT *, {_ORDERS_HASH} AS h FROM orders),
+        s AS (SELECT *, {_ORDERS_HASH} AS h FROM snap)
+        SELECT {", ".join("o." + c for c in ORDERS_COLS)},
+               CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        FROM o JOIN s ON o.o_orderkey = s.o_orderkey AND o.h = s.h
+        UNION ALL
+        SELECT {", ".join("o." + c for c in ORDERS_COLS)},
+               CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+        FROM o LEFT JOIN s ON o.o_orderkey = s.o_orderkey
+        WHERE s.h IS NULL OR o.h <> s.h
+        UNION ALL
+        SELECT {", ".join("s." + c for c in ORDERS_COLS)},
+               CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+        FROM s LEFT JOIN o ON o.o_orderkey = s.o_orderkey
+        WHERE o.h IS NULL OR o.h <> s.h""",
+)
+def scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history merge (scd.scd2_apply) under an exact oracle:
+    bootstrap history from orders at ts=0, fold in the perturbed slave
+    snapshot at ts=1. Dropped keys close, changed keys close + reopen
+    with the new content, unchanged keys stay open — the oracle states
+    the same semantics as three hash-compared joins over the SAME
+    (pk, hash) projections the diff kernels use."""
+    from mysql_syncer_spark.scd import scd2_apply, scd2_init
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = scd2_init(orders, 0)
+    return scd2_apply(hist, _slave_orders(orders), ["o_orderkey"], 1)
+
+
 @_register(
     "quota_sample_docs",
     f"""SELECT doc_id, source FROM documents

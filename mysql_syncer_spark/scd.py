@@ -1,0 +1,134 @@
+"""SCD type-2 history merge — snapshot diffs with full history retention.
+
+The reference engine converges a slave to a master and throws the old
+slave state away (Synchronizer.php:193-230). This operator is the same
+hash-diff kernel pointed at a history table instead: every PK keeps a
+chain of versioned rows ``[valid_from, valid_to)`` where an open row
+(``valid_to IS NULL``) is the current version. Applying a snapshot at
+batch ``ts``:
+
+* unchanged row (PK on both sides, content hash equal)  → stays open;
+* changed row   (PK on both sides, hash differs)        → old version
+  closed at ``ts``, new version opened at ``ts``;
+* deleted PK    (open row, absent from snapshot)        → closed at ``ts``;
+* new PK        (snapshot row, no open version)         → opened at ``ts``;
+* already-closed rows pass through untouched.
+
+Plan shape (the at-scale property): closed history never joins anything
+— it is filtered out and unioned back. The open slice and the snapshot
+meet in ONE narrow full-outer join on (pk, two hashes); the three key
+sets (keep / close / insert) are filters over that same join subtree, so
+Spark materializes the exchange once (ReusedExchange) and the semi joins
+that fetch full rows broadcast the key sets when small. This is exactly
+:func:`mysql_syncer_spark.diff.merge_tables`'s topology with a third
+output branch.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mysql_syncer_spark.canon import with_row_hash
+
+VALID_FROM = "valid_from"
+VALID_TO = "valid_to"
+
+
+def scd2_init(
+    snapshot: DataFrame,
+    batch_ts: int = 0,
+    from_col: str = VALID_FROM,
+    to_col: str = VALID_TO,
+) -> DataFrame:
+    """Bootstrap a history table: every snapshot row open since
+    ``batch_ts``."""
+    return snapshot.withColumn(
+        from_col, F.lit(batch_ts).cast("long")
+    ).withColumn(to_col, F.lit(None).cast("long"))
+
+
+def scd2_apply(
+    history: DataFrame,
+    snapshot: DataFrame,
+    pk_cols: Sequence[str],
+    batch_ts: int,
+    hash_cols: Sequence[str] | None = None,
+    from_col: str = VALID_FROM,
+    to_col: str = VALID_TO,
+) -> DataFrame:
+    """Fold ``snapshot`` (the full current state) into ``history`` at
+    ``batch_ts``; returns the new history table.
+
+    ``hash_cols`` restricts which columns count as "content" for change
+    detection (default: all data columns). ``batch_ts`` must be greater
+    than every ``valid_from`` already in the history — versions of one
+    PK never overlap by construction.
+    """
+    pks = list(pk_cols)
+    data_cols = [c for c in history.columns if c not in (from_col, to_col)]
+    ts = F.lit(batch_ts).cast("long")
+
+    closed = history.where(F.col(to_col).isNotNull())
+    open_rows = history.where(F.col(to_col).isNull())
+
+    oh = with_row_hash(
+        open_rows.select(*data_cols), pks, hash_cols, hash_name="o_hash"
+    )
+    sh = with_row_hash(snapshot.select(*data_cols), pks, hash_cols,
+                       hash_name="s_hash")
+    j = oh.join(sh, on=pks, how="full_outer")
+
+    same = F.col("o_hash").isNotNull() & (F.col("o_hash") == F.col("s_hash"))
+    keep_keys = j.where(same).select(*pks)
+    close_keys = j.where(
+        F.col("o_hash").isNotNull()
+        & (F.col("s_hash").isNull() | (F.col("o_hash") != F.col("s_hash")))
+    ).select(*pks)
+    insert_keys = j.where(
+        F.col("s_hash").isNotNull()
+        & (F.col("o_hash").isNull() | (F.col("o_hash") != F.col("s_hash")))
+    ).select(*pks)
+
+    kept = open_rows.join(keep_keys, on=pks, how="left_semi")
+    closed_now = open_rows.join(close_keys, on=pks, how="left_semi").withColumn(
+        to_col, ts
+    )
+    new_open = (
+        snapshot.select(*data_cols)
+        .join(insert_keys, on=pks, how="left_semi")
+        .withColumn(from_col, ts)
+        .withColumn(to_col, F.lit(None).cast("long"))
+    )
+    out_cols = [*data_cols, from_col, to_col]
+    return (
+        closed.select(*out_cols)
+        .unionByName(kept.select(*out_cols))
+        .unionByName(closed_now.select(*out_cols))
+        .unionByName(new_open.select(*out_cols))
+    )
+
+
+def scd2_current(
+    history: DataFrame, to_col: str = VALID_TO
+) -> DataFrame:
+    """The current state: open rows, history columns dropped."""
+    return history.where(F.col(to_col).isNull()).drop(VALID_FROM, to_col)
+
+
+def scd2_as_of(
+    history: DataFrame,
+    ts: int,
+    from_col: str = VALID_FROM,
+    to_col: str = VALID_TO,
+) -> DataFrame:
+    """Time travel: the state as of batch ``ts`` (rows whose interval
+    ``[valid_from, valid_to)`` contains it). A plain filter — at scale,
+    partitioning history by ``valid_to IS NULL`` / date buckets makes
+    this partition-prunable."""
+    return history.where(
+        (F.col(from_col) <= ts)
+        & (F.col(to_col).isNull() | (F.col(to_col) > ts))
+    ).drop(from_col, to_col)

@@ -56,11 +56,13 @@ def cosine_topk(
     """Exact top-k by cosine to a literal query vector:
     ``(vec_id, score)``, score-desc, id-asc tiebreak (deterministic)."""
     q = _query_col(query_vec)
+    # array<double> up front: float32 corpus arrays would otherwise do
+    # float32 products inside the norm (the dot is already double via the
+    # literal query), diverging from the DOUBLE[] SQL oracle at ~1e-9
+    v = F.col(vec_col).cast("array<double>")
     scored = df.select(
         F.col(id_col),
-        (dot(F.col(vec_col), q) / (l2_norm(F.col(vec_col)) * l2_norm(q))).alias(
-            "score"
-        ),
+        (dot(v, q) / (l2_norm(v) * l2_norm(q))).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
@@ -199,6 +201,70 @@ def cosine_topk_ivf(
     return cosine_topk(
         assigned.where(F.col("list_id").isin(probes)).select(id_col, vec_col),
         query_vec, k, id_col, vec_col,
+    )
+
+
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    partial_buckets: int | None = 64,
+) -> DataFrame:
+    """Top-k neighbors for EVERY query in a query table, in one corpus
+    pass: ``(query_id, vec_id, score)``, k rows per query, score-desc,
+    id-asc tiebreak.
+
+    The batch shape real retrieval pipelines need (one query at a time
+    is a debugging tool). Plan:
+
+    * the query table is **broadcast** — the corpus never shuffles for
+      the join; scoring is a map-side nested loop inside codegen;
+    * per-query top-k is **two-stage**: stage 1 ranks within
+      (query, xxhash(id) % partial_buckets) slices and keeps k per
+      slice, stage 2 ranks the surviving ``partial_buckets × k`` rows
+      per query. A single-stage window would funnel every scored row of
+      a query through ONE reducer — with few queries and a 100 TB
+      corpus that is a handful of reducers for the whole cluster; the
+      bucketed first stage spreads that across
+      ``queries × partial_buckets`` reducers. ``None`` disables staging
+      (fine for small corpora).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            # double math end-to-end: float*float would round each product
+            # to float32 before the double accumulation, diverging from
+            # the single-query path (double literals) and the SQL oracle
+            # (embedding::DOUBLE[])
+            F.col(query_vec_col).cast("array<double>").alias("__qv"),
+        )
+    )
+    scored = df.crossJoin(q).select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col).cast("array<double>"), F.col("__qv")).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    order = [F.desc("score"), F.asc(id_col)]
+    if partial_buckets:
+        w1 = Window.partitionBy(
+            query_id_col, F.pmod(F.xxhash64(id_col), F.lit(partial_buckets))
+        ).orderBy(*order)
+        scored = (
+            scored.withColumn("__rn", F.row_number().over(w1))
+            .where(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    w2 = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        scored.withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
     )
 
 

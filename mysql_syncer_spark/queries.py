@@ -982,6 +982,34 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("score", F.round("score", 6))
 
 
+@_register(
+    "ann_topk_batch",
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 5),
+        s AS (SELECT q.query_id, e.vec_id,
+                     list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                     (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(q.qv, q.qv))) AS c
+              FROM embeddings e CROSS JOIN q)
+       SELECT query_id, vec_id, ROUND(c, 6) AS score FROM s
+       QUALIFY ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY c DESC, vec_id) <= 10""",
+)
+def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN: cosine top-10 for five query vectors in ONE corpus
+    pass — broadcast query table, map-side scoring, two-stage per-query
+    top-k (bucketed partial ranks, so no query funnels its whole scored
+    corpus through one reducer). The shape retrieval actually runs at
+    scale; the single-vector queries are its exact per-query baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = similarity.cosine_topk_batch(emb, queries, k=10)
+    return out.withColumn("score", F.round("score", 6))
+
+
 def _sign_bucket_sql(col: str, n_bits: int = 8) -> str:
     return "(" + " + ".join(
         f"(CASE WHEN {col}[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from mysql_syncer_spark.operators.similarity import (
     cosine_topk,
+    cosine_topk_batch,
     cosine_topk_ivf,
     cosine_topk_lsh,
     ivf_assign,
@@ -105,3 +106,34 @@ def test_sign_buckets_partition_data(embeddings):
         F.countDistinct("bucket").alias("n")
     ).first()
     assert 0 <= stats["lo"] and stats["hi"] <= 255 and stats["n"] > 10
+
+
+def test_batch_topk_matches_single_query(spark, embeddings):
+    queries = embeddings.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    batch = cosine_topk_batch(embeddings, queries, k=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    assert set(got) == {0, 1, 2}
+    for qid in got:
+        qvec = embeddings.where(F.col("vec_id") == qid).first()["embedding"]
+        single = [
+            (r["vec_id"], r["score"])
+            for r in cosine_topk(embeddings, qvec, k=5).collect()
+        ]
+        assert [v for v, _ in got[qid]] == [v for v, _ in single]
+        for (_, a), (_, b) in zip(got[qid], single):
+            assert abs(a - b) < 1e-9
+
+
+def test_batch_topk_staging_invariant(spark, embeddings):
+    """Two-stage bucketed top-k must equal the unstaged single window."""
+    queries = embeddings.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    staged = cosine_topk_batch(embeddings, queries, k=7, partial_buckets=8)
+    flat = cosine_topk_batch(embeddings, queries, k=7, partial_buckets=None)
+    assert staged.subtract(flat).count() == 0
+    assert flat.subtract(staged).count() == 0

@@ -305,6 +305,100 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_between(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Bipartite MinHash-LSH: near-dup pairs BETWEEN two corpora —
+    ``(id_new, id_old, jaccard_est)`` with id_new from ``incoming`` and
+    id_old from ``corpus``. The incremental-ingest shape: a daily batch
+    is checked against the existing corpus without re-pairing the
+    corpus against itself (the self-join variant would redo O(corpus²)
+    candidate work every day; this does O(corpus × batch) — and with
+    corpus bucket tables persisted, just O(batch)).
+
+    Same banded-bucket topology as :func:`minhash_lsh_pairs`, but the
+    bucket join is corpus×incoming (no ``id_a < id_b`` dedup — the
+    sides are distinct by construction; callers must ensure disjoint
+    ids). Both signature frames sit above their own single canonical
+    shuffle; the big side's map work (shingle explode + md5 + partial
+    minima) runs once and is reused across the bucket and verify
+    consumers via ReusedExchange.
+    """
+    rows_per_band = num_hashes // bands
+
+    def buckets_of(sig: DataFrame, alias: str) -> DataFrame:
+        band_cols = []
+        for b in range(bands):
+            hs = [
+                F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)
+            ]
+            band_cols.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws("#", *[h.cast("string") for h in hs])
+                    ).alias("bucket"),
+                )
+            )
+        return sig.select(
+            F.col(id_col).alias(alias), F.explode(F.array(*band_cols)).alias("bb")
+        ).select(alias, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    sig_old = minhash_signatures(corpus, id_col, text_col, k, num_hashes)
+    sig_new = minhash_signatures(incoming, id_col, text_col, k, num_hashes)
+    cand = (
+        buckets_of(sig_new, "id_new")
+        .join(buckets_of(sig_old, "id_old"), on=["band", "bucket"])
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    sa = sig_new.select(*[F.col(c).alias(f"a_{c}") for c in sig_new.columns])
+    sb = sig_old.select(*[F.col(c).alias(f"b_{c}") for c in sig_old.columns])
+    matches = sum(
+        F.when(F.col(f"a_h{i}") == F.col(f"b_h{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        cand.join(sa, cand.id_new == F.col(f"a_{id_col}"))
+        .join(sb, cand.id_old == F.col(f"b_{id_col}"))
+        .withColumn("jaccard_est", matches.cast("double") / F.lit(num_hashes))
+        .where(F.col("jaccard_est") >= threshold)
+        .select("id_new", "id_old", "jaccard_est")
+    )
+
+
+def incremental_new_docs(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental curation gate: rows of ``incoming`` that are neither
+    exact copies (normalized-content fingerprint anti-join, broadcast
+    when the corpus fingerprint set is dim-sized — it is vs a daily
+    batch) nor near-dups (bipartite LSH pair anti-join) of the corpus.
+    Composes the two dedup layers the way a daily ingest actually runs
+    them; both layers are anti-joins, nothing materializes pairs beyond
+    the LSH candidates."""
+    fresh = incoming.alias("i").join(
+        corpus.select(F.md5(normalized_text(text_col)).alias("__fp")).distinct(),
+        F.md5(normalized_text(f"i.{text_col}")) == F.col("__fp"),
+        "left_anti",
+    )
+    near = minhash_lsh_pairs_between(
+        corpus, fresh, id_col, text_col, threshold=threshold
+    ).select(F.col("id_new").alias(id_col)).distinct()
+    return fresh.join(near, on=id_col, how="left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

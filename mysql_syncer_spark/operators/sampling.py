@@ -85,6 +85,44 @@ def duckdb_hash_bucket_sql(key: str, salt: str = "") -> str:
     )
 
 
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Column | str,
+    n: int,
+    salt: str = "",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement of ``n`` rows: priority
+    sampling (Duffield–Lund–Thorup). Each row gets priority
+    ``w / u`` for a deterministic uniform ``u`` derived from the key
+    hash; the top-``n`` priorities are the sample. Higher-weight rows
+    (e.g. quality score, doc length) are proportionally likelier to
+    survive, and re-salting draws an independent sample.
+
+    Deterministic AND engine-exact: ``u = (bucket+1)/(BUCKETS+1)`` and
+    ``w / u`` are single IEEE divisions (bit-identical across engines —
+    no pow/log, which differ in the last ulp between libm
+    implementations), so the DuckDB mirror selects the identical set.
+
+    Scale shape: the priority is row-local (zero shuffle); the top-n is
+    ``orderBy(...).limit(n)`` which Spark executes as
+    ``TakeOrderedAndProject`` — per-partition partial top-n on the map
+    side, only n rows per partition reach the driver-side merge. No
+    global sort materializes.
+    """
+    if n < 1:
+        raise ValueError(f"sample size must be >= 1, got {n}")
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col)
+    u = (hash_bucket(key_col, salt) + F.lit(1.0)) / F.lit(BUCKETS + 1.0)
+    pri = w.cast("double") / u
+    return (
+        df.withColumn(priority_col, pri)
+        .orderBy(F.col(priority_col).desc(), F.col(key_col))
+        .limit(n)
+    )
+
+
 def quota_sample(
     df: DataFrame,
     group_col: str,

@@ -168,6 +168,37 @@ def ivf_train(
     return centroids
 
 
+def group_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean vector, exploded as ``(group, dim, centroid,
+    n_vecs)`` — the corpus-statistics twin of :func:`ivf_train`'s
+    update step (class prototypes, per-source embedding drift checks,
+    seeding codebooks from labels).
+
+    Plan shape: posexplode → ONE combinable shuffle on ``(group, dim)``
+    (partial sums/counts map-side, so the shuffle carries
+    |groups|×dims aggregates, nothing data-sized) → a per-group count
+    derived from the dim-0 slice, no second pass over the vectors.
+    Exploded output rather than re-assembled arrays: downstream joins
+    (e.g. vector-vs-centroid distance) want the (group, dim) grain
+    anyway, and the DuckDB oracle mirrors it exactly
+    (``unnest(...) WITH ORDINALITY``). Means round to 6 dp — float
+    summation order differs across engines in the last ulps.
+    """
+    per_dim = (
+        df.select(F.col(group_col), F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy(group_col, "dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("centroid"),
+            F.count("*").alias("n_vecs"),
+        )
+    )
+    return per_dim.select(group_col, "dim", "centroid", "n_vecs")
+
+
 def cosine_topk_ivf(
     df: DataFrame,
     query_vec: Sequence[float],

@@ -205,6 +205,60 @@ def with_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: ``(id, term, tfidf)``.
+
+    The classic keyword/topic signal for corpus triage. Plan shape (all
+    built-ins, scale-safe):
+
+    * term frequencies — one combinable shuffle on ``(id, term)``;
+    * document frequencies — one combinable shuffle on ``term`` over the
+      already-deduplicated tf frame (never the raw token stream);
+    * idf joined back **broadcast** (a vocabulary is small relative to
+      the corpus — ~millions of terms vs billions of docs);
+    * per-doc top-k — one window shuffle on ``id``, running-rank state
+      only (a giant doc costs one fat task, not driver memory).
+
+    Smoothed idf ``ln((N+1)/(df+1)) + 1`` (sklearn's convention) so
+    corpus-universal terms still get a positive score. The rank orders
+    by the ROUNDED score (6 dp) with the term as tie-break, making the
+    top-k reproducible bit-for-bit across engines — the DuckDB oracle
+    mirrors every step including the rounding.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    n_docs = df.count()  # driver-side scalar: one metadata-cheap count
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = docfreq.withColumn(
+        "idf",
+        F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+        + F.lit(1.0),
+    )
+    scored = tf.join(F.broadcast(idf), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.col("idf"), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(id_col, "term", "tfidf")
+    )
+
+
 def normalized_text(col: Column | str) -> Column:
     """Lowercase + collapse internal whitespace + trim — the
     canonicalization used by both fingerprints."""

@@ -1680,3 +1680,149 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pack_sequences(toks, budget=256, n_buckets=8)
     return out.select("doc_id", "pack_bucket", "seq_id", "seq_offset")
+
+
+@_register(
+    "tfidf_topk_docs",
+    r"""WITH words AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(
+                     regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                     ' ')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf
+               FROM words WHERE term <> '' GROUP BY doc_id, term),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        s AS (SELECT tf.doc_id, tf.term,
+                     ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfq.df + 1.0))
+                                    + 1.0), 6) AS tfidf
+              FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        SELECT doc_id, term, tfidf FROM s
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 3""",
+)
+def tfidf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E40: top-3 TF-IDF keywords per document — two combinable
+    shuffles (term frequencies, document frequencies), broadcast idf
+    join, one per-doc rank window. Rank on the rounded score with term
+    tie-break so the top-k is engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_topk(docs, k=3)
+
+
+@_register(
+    "priority_sample_docs",
+    f"""SELECT doc_id,
+               (n_chars + 1.0)
+               / (({_DOC_BUCKET_SQL} + 1.0) / {sampling.BUCKETS + 1}.0)
+               AS priority
+        FROM documents
+        ORDER BY priority DESC, doc_id LIMIT 50""",
+)
+def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E41: weighted sample without replacement (priority sampling,
+    weight = n_chars+1): top-50 of w/u for a deterministic key-hash
+    uniform u. Row-local priorities, TakeOrderedAndProject top-n —
+    no global sort, no shuffle of the losers."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.priority_sample(
+        docs, "doc_id", F.col("n_chars") + F.lit(1), 50
+    )
+    return out.select("doc_id", "priority")
+
+
+@_register(
+    "label_centroids_embeddings",
+    """SELECT label,
+              CAST(dim - 1 AS INT) AS dim,
+              ROUND(AVG(CAST(x AS DOUBLE)), 6) AS centroid,
+              COUNT(*) AS n_vecs
+       FROM (SELECT label, unnest(embedding) AS x,
+                    unnest(range(1, len(embedding) + 1)) AS dim
+             FROM embeddings)
+       GROUP BY label, dim""",
+)
+def label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E42: per-label mean embedding (class prototypes / drift stats):
+    posexplode + ONE combinable shuffle on (label, dim) — the shuffle
+    carries |labels|x dims partial sums, nothing data-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.group_centroids(emb, "label", "embedding")
+
+
+def _minhash_between_oracle_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """Bipartite mirror of _minhash_oracle_sql: docs split 90/10 into
+    corpus/incoming by the standard doc_id hash bucket; candidates join
+    incoming buckets x corpus buckets."""
+    from mysql_syncer_spark.operators.dedup import MINHASH_P, minhash_params
+
+    rows_per_band = num_hashes // bands
+    mins = ",\n              ".join(
+        f"MIN(({a} * (h % 1073741824) + {b} * (h // 1073741824) + {c}) "
+        f"% {MINHASH_P}) AS h{i}"
+        for i, (a, b, c) in enumerate(minhash_params(num_hashes))
+    )
+    band_buckets = ",\n              ".join(
+        "md5(concat_ws('#', "
+        + ", ".join(
+            f"h{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+        )
+        + f")) AS bucket{b}"
+        for b in range(bands)
+    )
+    bucket_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, bucket{b} AS bucket FROM sigb"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""WITH sides AS (
+          SELECT doc_id,
+                 CASE WHEN {_DOC_BUCKET_SQL} < 9000 THEN 0 ELSE 1 END AS side
+          FROM documents),
+         sh AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     range(1, greatest(len({_NORM_SQL}) - 4, 1) + 1),
+                     i -> substr({_NORM_SQL}, i, 5))) AS shingle
+            FROM documents) WHERE len(shingle) > 0),
+         hashed AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+          FROM sh),
+         sig AS (
+          SELECT doc_id, {mins}
+          FROM hashed GROUP BY doc_id),
+         sigb AS (
+          SELECT *, {band_buckets} FROM sig),
+         buckets AS ({bucket_union}),
+         cand AS (
+          SELECT DISTINCT a.doc_id id_new, b.doc_id id_old
+          FROM buckets a
+          JOIN sides xa ON xa.doc_id = a.doc_id AND xa.side = 1
+          JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+          JOIN sides xb ON xb.doc_id = b.doc_id AND xb.side = 0)
+        SELECT c.id_new, c.id_old,
+               ({matches}) / {num_hashes}.0 AS jaccard_est
+        FROM cand c JOIN sig sa ON sa.doc_id = c.id_new
+                    JOIN sig sb ON sb.doc_id = c.id_old
+        WHERE ({matches}) / {num_hashes}.0 >= 0.7"""
+
+
+@_register("minhash_pairs_between_docs", _minhash_between_oracle_sql())
+def minhash_pairs_between_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E43: incremental-ingest dedup shape — bipartite MinHash-LSH
+    between a 90% 'corpus' and 10% 'incoming' hash split of documents:
+    O(corpus x batch) banded-bucket join, never re-pairing the corpus
+    against itself. Oracle mirrors the split and every hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = sampling.hash_bucket("doc_id")
+    corpus = docs.where(b < 9000)
+    incoming = docs.where(b >= 9000)
+    return dedup.minhash_lsh_pairs_between(
+        corpus, incoming, num_hashes=16, bands=4, threshold=0.7
+    )

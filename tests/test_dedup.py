@@ -162,3 +162,39 @@ def test_embedding_near_dups_auto_lsh_block(spark, sf_dir):
     }
     assert (first["vec_id"], 999999) in auto
     assert auto <= exact
+
+
+def test_minhash_between_finds_cross_side_dup(spark, sf_dir):
+    from mysql_syncer_spark.operators.dedup import minhash_lsh_pairs_between
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d0 = base.orderBy("doc_id").limit(1).collect()[0]["text"]
+    near = d0.replace(d0.split()[0], "zzz", 1)
+    incoming = spark.createDataFrame(
+        [(200001, d0, "en", "inc", len(d0)), (200002, near, "en", "inc", len(near)),
+         (200003, "totally unrelated fresh content xyz", "en", "inc", 35)],
+        base.schema.fieldNames(),
+    )
+    pairs = minhash_lsh_pairs_between(base, incoming, threshold=0.5).collect()
+    hits = {(r["id_new"], r["id_old"]) for r in pairs}
+    # exact copy and 1-token-changed near-copy both pair with doc 0
+    assert (200001, d0 and base.orderBy("doc_id").limit(1).collect()[0]["doc_id"]) in hits
+    assert any(p[0] == 200002 for p in hits)
+    # the fresh doc pairs with nothing
+    assert not any(p[0] == 200003 for p in hits)
+
+
+def test_incremental_new_docs_gate(spark, sf_dir):
+    from mysql_syncer_spark.operators.dedup import incremental_new_docs
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d0 = base.orderBy("doc_id").limit(1).collect()[0]["text"]
+    near = d0.replace(d0.split()[0], "zzz", 1)
+    incoming = spark.createDataFrame(
+        [(300001, d0, "en", "inc", len(d0)),          # exact copy -> dropped
+         (300002, near, "en", "inc", len(near)),       # near-dup -> dropped
+         (300003, "completely novel document body q9", "en", "inc", 33)],
+        base.schema.fieldNames(),
+    )
+    kept = {r["doc_id"] for r in incremental_new_docs(base, incoming).collect()}
+    assert kept == {300003}

@@ -98,3 +98,37 @@ def test_quota_sample_caps_groups(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         quota_sample(df, "g", 0, "k")
+
+
+def test_priority_sample_size_and_determinism(docs):
+    from mysql_syncer_spark.operators.sampling import priority_sample
+
+    w = F.col("n_chars") + F.lit(1)
+    s1 = priority_sample(docs, "doc_id", w, 20)
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    assert len(ids1) == 20
+    # stable under repartitioning (priorities are row-local)
+    s2 = priority_sample(docs.repartition(7), "doc_id", w, 20)
+    assert sorted(r["doc_id"] for r in s2.collect()) == ids1
+    # re-salting draws a different sample
+    s3 = priority_sample(docs, "doc_id", w, 20, salt="b")
+    assert sorted(r["doc_id"] for r in s3.collect()) != ids1
+
+
+def test_priority_sample_weight_dominance(spark):
+    from mysql_syncer_spark.operators.sampling import priority_sample
+
+    # weight >> everyone else's => always sampled; the u denominator is
+    # at most 1, so w/u >= w, and the giant's priority beats any small
+    # row's w/u upper bound (w_small / u_min = w_small * (BUCKETS+1))
+    rows = [(i, 1.0) for i in range(100)] + [(100, 10.0 * (BUCKETS + 1))]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = priority_sample(df, "id", "w", 5)
+    assert 100 in {r["id"] for r in out.collect()}
+
+
+def test_priority_sample_bad_args(docs):
+    from mysql_syncer_spark.operators.sampling import priority_sample
+
+    with pytest.raises(ValueError):
+        priority_sample(docs, "doc_id", "n_chars", 0)

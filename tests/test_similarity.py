@@ -137,3 +137,24 @@ def test_batch_topk_staging_invariant(spark, embeddings):
     flat = cosine_topk_batch(embeddings, queries, k=7, partial_buckets=None)
     assert staged.subtract(flat).count() == 0
     assert flat.subtract(staged).count() == 0
+
+
+def test_group_centroids_hand_computed(spark):
+    from mysql_syncer_spark.operators.similarity import group_centroids
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], "a"),
+            (2, [3.0, 6.0], "a"),
+            (3, [10.0, 0.0], "b"),
+        ],
+        "vec_id long, embedding array<float>, label string",
+    )
+    out = {
+        (r["label"], r["dim"]): (r["centroid"], r["n_vecs"])
+        for r in group_centroids(df).collect()
+    }
+    assert out[("a", 0)] == (2.0, 2)
+    assert out[("a", 1)] == (4.0, 2)
+    assert out[("b", 0)] == (10.0, 1)
+    assert out[("b", 1)] == (0.0, 1)

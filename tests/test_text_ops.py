@@ -86,3 +86,37 @@ def test_pii_redaction_planted(spark):
     assert out[3]["redacted"] == "double <EMAIL> and <EMAIL>"
     assert out[3]["n_pii"] == 2
     assert out[4]["n_pii"] == 0
+
+
+def test_tfidf_topk_ranks_distinctive_terms(spark):
+    from mysql_syncer_spark.operators.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common zebra"),
+            (2, "common quark"),
+            (3, "common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, k=1)
+    top = {r["doc_id"]: r["term"] for r in out.collect()}
+    # the doc-unique term beats the corpus-wide one despite lower tf
+    assert top[1] == "zebra" and top[2] == "quark"
+    assert top[3] == "common"
+
+
+def test_tfidf_topk_k_bound_and_empty_docs(spark):
+    from mysql_syncer_spark.operators.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "   "), (3, None)],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["term"])
+    assert len(by_doc.get(1, [])) == 2
+    # blank/NULL docs contribute no terms (and no rows)
+    assert 2 not in by_doc and 3 not in by_doc

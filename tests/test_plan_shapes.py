@@ -115,3 +115,35 @@ def test_supplier_star_broadcasts_dimensions(spark, sf_dir):
     plan = plan_of(spark, "supplier_revenue", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_broadcasts_idf(spark, sf_dir):
+    """The idf (vocabulary) join must broadcast — at corpus scale the
+    vocab is dim-sized vs the (doc, term) tf frame."""
+    plan = plan_of(spark, "tfidf_topk_docs", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_priority_sample_is_partial_topn(spark, sf_dir):
+    """Weighted sampling must be TakeOrderedAndProject (map-side partial
+    top-n) — a global Sort materializing every loser is the wrong plan."""
+    plan = plan_of(spark, "priority_sample_docs", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_centroids_single_combinable_shuffle(spark, sf_dir):
+    """One hash exchange on (label, dim), with a partial aggregate below
+    it (map-side combine) — the shuffle carries |labels|x dims rows."""
+    plan = plan_of(spark, "label_centroids_embeddings", sf_dir)
+    tree = plan.split("\n\n")[0]  # the numbered operator tree
+    assert tree.count("Exchange") == 1, plan
+    assert "hashpartitioning" in plan, plan
+    assert "Functions [2]: [partial_avg" in plan, plan
+
+
+def test_minhash_between_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, "minhash_pairs_between_docs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

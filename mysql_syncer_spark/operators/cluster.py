@@ -5,16 +5,16 @@ SimHash banding emit PAIRS, but retention decisions need CLUSTERS
 (doc A ~ B, B ~ C ⇒ {A,B,C} keep one). This is connected components on
 the similarity graph.
 
-Algorithm: iterative min-label propagation expressed as DataFrame ops —
-each round is one equi-join (edges × labels) + one groupBy(min); a
-node's label converges to the smallest doc id reachable from it. Rounds
-needed = graph diameter; near-dup graphs are unions of quasi-cliques
-(LSH emits most intra-cluster pairs directly), so 2-3 rounds converge
-in practice. ``max_iter`` bounds pathological chains — at 100 TB you'd
-switch to the large-star/small-star contraction (Kiveris et al.,
-"Connected Components in MapReduce", same join/groupBy primitives,
-O(log n) rounds); the round structure here is deliberately the simple
-variant because dedup graphs are shallow.
+Algorithm: iterative min-label propagation WITH pointer jumping,
+expressed as DataFrame ops. A hop (edges × labels join + groupBy(min))
+extends a node's knowledge by one edge; a jump (labels × labels join)
+chases ``label(label(u))``, roughly doubling the distance already
+covered — the PRAM-CC / Kiveris-et-al shortcut that turns O(diameter)
+rounds into O(log diameter). Quasi-clique dedup graphs (LSH emits most
+intra-cluster pairs directly) converge in one round; chain-shaped
+graphs (A~B~C~… transitive near-dup runs, which DO occur in real
+corpora — the sf0.1 fixture has diameter ~12 components) in
+log-many. ``max_iter`` bounds adversarial cases.
 
 Iterative DataFrame algorithms need per-round materialization — without
 it round k's DAG re-executes rounds 1..k-1 (exponential blowup) — and
@@ -45,6 +45,15 @@ def duplicate_clusters(
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    # near-dup edge lists are many orders of magnitude smaller than the
+    # corpus that produced them; after materialization, shrink the
+    # iteration's parallelism to match the DATA (count is ~free on a
+    # checkpointed frame). coalesce = no shuffle; at real scale the
+    # count keeps full parallelism and this is a no-op.
+    parallelism = pairs.sparkSession.sparkContext.defaultParallelism
+    target = max(1, min(parallelism, edges.count() // 100_000 + 1))
+    if target < edges.rdd.getNumPartitions():
+        edges = edges.coalesce(target)
 
     labels = (
         edges.select("src").distinct()
@@ -55,7 +64,7 @@ def duplicate_clusters(
     def hop(frame: DataFrame) -> DataFrame:
         # min label over self ∪ neighbors as ONE union + groupBy(min):
         # 2 shuffles per hop (edges⋈labels on dst, groupBy on src) vs 3
-        # for a join+agg+left-join formulation.
+        # for a join+agg+left-join formulation. Reach grows +1 hop.
         nbr = edges.join(
             frame.select(F.col("src").alias("dst"), "label"), on="dst"
         ).select("src", "label")
@@ -66,16 +75,33 @@ def duplicate_clusters(
             .agg(F.min("label").alias("label"))
         )
 
+    def jump(frame: DataFrame) -> DataFrame:
+        # pointer jumping: label(u) ← label(label(u)). Every label IS a
+        # node id (the min seen so far), so chasing it one step roughly
+        # DOUBLES the distance already covered — chains converge in
+        # O(log diameter) rounds instead of O(diameter) (the standard
+        # shortcut from PRAM CC / Kiveris et al.'s star contraction).
+        # Left join + coalesce: a label that is its component's current
+        # root maps to itself.
+        chase = frame.select(
+            F.col("src").alias("__l_src"), F.col("label").alias("__l_label")
+        )
+        return (
+            frame.join(chase, frame.label == F.col("__l_src"), "left")
+            .select(
+                "src", F.coalesce("__l_label", "label").alias("label")
+            )
+        )
+
     for _ in range(max_iter):
-        # TWO propagation hops per materialization round (rounds needed
-        # = ceil(diameter/2)), then an EDGE-CONSISTENCY convergence
-        # test: labels are final iff label(u) == label(v) on every edge
-        # (uniform labels within a component are necessarily the
-        # component min, since the min node's own label never rises).
-        # Unlike no-change detection, this certifies convergence the
-        # same round it happens — dedup graphs (quasi-cliques, diameter
-        # ≤ 2) finish in ONE round instead of one + a no-op round.
-        labels = hop(hop(labels)).localCheckpoint(eager=True)
+        # per materialization round: hop→jump→hop→jump (covered
+        # distance ~4× per round on chains, one round on quasi-cliques),
+        # then an EDGE-CONSISTENCY convergence test: labels are final
+        # iff label(u) == label(v) on every edge (uniform labels within
+        # a component are necessarily the component min, since the min
+        # node's own label never rises). Unlike no-change detection,
+        # this certifies convergence the same round it happens.
+        labels = jump(hop(jump(hop(labels)))).localCheckpoint(eager=True)
         inconsistent = (
             edges.join(labels, on="src")
             .join(

@@ -56,6 +56,8 @@ def test_survivors_and_dedup(spark):
 
 def test_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
+        # pointer jumping covers ~4x distance per round, so a genuinely
+        # non-converging case needs a chain much longer than 4^max_iter
         duplicate_clusters(
-            _pairs(spark, [(i, i + 1) for i in range(1, 12)]), max_iter=2
+            _pairs(spark, [(i, i + 1) for i in range(1, 400)]), max_iter=1
         )

@@ -76,6 +76,12 @@ HEADLINE = [
     "supplier_revenue",
     "cdc_apply_orders",
     "scd2_orders",
+    # round-2 second-wave additions (new keys only; prior keys unchanged)
+    "ann_topk_batch",
+    "tfidf_topk_docs",
+    "priority_sample_docs",
+    "label_centroids_embeddings",
+    "minhash_pairs_between_docs",
 ]
 
 

@@ -1,0 +1,93 @@
+"""Streaming ingest gate: continuous dedup of arriving docs against a
+static corpus + previously accepted batches (file-source stream,
+AvailableNow, real foreachBatch)."""
+
+import json
+
+from pyspark.sql import types as T
+
+from mysql_syncer_spark.streaming.ingest import (
+    dedup_batch_within,
+    ingest_gate_stream,
+    read_accepted,
+)
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _doc(doc_id, text):
+    return json.dumps(
+        {"doc_id": doc_id, "text": text, "lang": "en", "source": "stream",
+         "n_chars": len(text)}
+    )
+
+
+def test_dedup_batch_within(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    near = base.replace("quick", "rapid", 1)
+    batch = spark.createDataFrame(
+        [(1, base, "en", "s", len(base)),
+         (2, base, "en", "s", len(base)),       # exact dup of 1
+         (3, near, "en", "s", len(near)),       # near dup of 1
+         (4, "completely different content about databases", "en", "s", 44)],
+        DOC_SCHEMA,
+    )
+    kept = {r["doc_id"] for r in dedup_batch_within(batch).collect()}
+    assert kept == {1, 4}
+
+
+def test_ingest_gate_stream_end_to_end(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_path = str(tmp_path / "corpus.parquet")
+    docs.write.parquet(corpus_path)
+    d0 = docs.orderBy("doc_id").limit(1).collect()[0]["text"]
+    near0 = d0.replace(d0.split()[0], "zzz", 1)
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    novel_a = "a genuinely new article about spark streaming gates one"
+    novel_b = "another brand new piece of text that is not a duplicate"
+    near_a = novel_a.replace("article", "writeup", 1)
+    # batch 1: corpus exact copy (drop), corpus near-dup (drop), novel (keep)
+    (src / "b0.json").write_text(
+        "\n".join([_doc(900001, d0), _doc(900002, near0), _doc(900003, novel_a)])
+    )
+    # batch 2: exact copy of batch-1 novel (drop — accepted store works),
+    # near-dup of batch-1 novel (drop), fresh doc (keep)
+    (src / "b1.json").write_text(
+        "\n".join([_doc(900004, novel_a), _doc(900005, near_a),
+                   _doc(900006, novel_b)])
+    )
+
+    accepted = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = ingest_gate_stream(stream, corpus_path, accepted, ckpt)
+    q.awaitTermination(180)
+
+    got = {r["doc_id"] for r in read_accepted(spark, accepted).collect()}
+    # file-source ordering by mtime is not guaranteed, but both orders
+    # accept exactly one of {900003, 900004} (exact copies of each
+    # other) plus 900006
+    assert 900006 in got
+    assert len(got & {900003, 900004}) == 1
+    assert got & {900001, 900002, 900005} == set()
+
+    # restart on the same checkpoint with no new files: no-op
+    stream2 = spark.readStream.schema(DOC_SCHEMA).json(str(src))
+    q2 = ingest_gate_stream(stream2, corpus_path, accepted, ckpt)
+    q2.awaitTermination(180)
+    got2 = {r["doc_id"] for r in read_accepted(spark, accepted).collect()}
+    assert got2 == got

@@ -96,6 +96,7 @@ def main() -> None:
             .appName("mysql-syncer-spark-bench")
             .config("spark.sql.shuffle.partitions", CPUS)
             .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
             .config("spark.driver.memory", "16g")
         )
         .getOrCreate()
@@ -161,18 +162,34 @@ def main() -> None:
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "queries_pass1": pass1,
-                "sf": float(sf) if sf else SF_DIR,
-            }
-        )
-    )
+    # Both passes go to a sidecar file; stdout gets ONE compact line.  The
+    # driver keeps only a tail of stdout and parses the last line as JSON,
+    # so the line must stay short (round 2's line with both passes inlined
+    # overflowed the tail and recorded "parsed": null).
+    detail = {
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "queries_pass1": pass1,
+        "sf": float(sf) if sf else SF_DIR,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    compact = {
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in times.items()},
+        "sf": float(sf) if sf else SF_DIR,
+    }
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

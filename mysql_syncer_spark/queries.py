@@ -550,9 +550,11 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
+    # timestamp difference as an interval comparison (mirrors the oracle
+    # SQL); casting TIMESTAMP_NTZ to a numeric type is not allowed.
     new_session = F.when(
         prev.isNull()
-        | (F.col("ts").cast("long") - prev.cast("long") > 1800),
+        | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTE")),
         1,
     ).otherwise(0)
     return (

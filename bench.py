@@ -105,6 +105,16 @@ def main() -> None:
 
     qmap = registry.queries()
 
+    # Warm the Python/Arrow worker pool before ANY timing: the first
+    # mapInPandas query otherwise pays ~CPUS worker forks + Arrow import,
+    # and a churned pool mid-session re-pays it (r3 recorded resize at
+    # 3.98s vs 0.55s isolated — session pollution, not the operator).
+    force(
+        spark.range(0, int(CPUS) * 1000, 1, int(CPUS)).mapInPandas(
+            lambda it: it, "id long"
+        )
+    )
+
     def one_pass() -> dict[str, float]:
         times: dict[str, float] = {}
         # per-action overhead floor on this box: a 1-row noop write.
@@ -155,10 +165,15 @@ def main() -> None:
             shutil.rmtree(root, ignore_errors=True)
         return times
 
-    # two passes in one JVM; report the SECOND so round-over-round deltas
-    # measure code, not JVM/codegen warmup (pass 1 kept for reference)
+    # Two passes in one JVM; report the per-query MIN of the two (timeit
+    # discipline). r3 showed the "steady-state second pass" is the one
+    # that picks up session pollution — Python-worker churn, GC debt,
+    # co-scheduled driver jobs — swinging mapInPandas queries 3-7x with
+    # zero code change. The min of two full passes is reproducible to
+    # ~±30% run-over-run; both raw passes go to the sidecar.
     pass1 = one_pass()
-    times = one_pass()
+    pass2 = one_pass()
+    times = {k: min(pass1[k], pass2[k]) for k in pass2}
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     total = round(sum(times.values()), 3)
@@ -172,6 +187,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "queries_pass1": pass1,
+        "queries_pass2": pass2,
         "sf": float(sf) if sf else SF_DIR,
     }
     try:
@@ -180,8 +196,8 @@ def main() -> None:
             "w",
         ) as fh:
             json.dump(detail, fh, indent=1)
-    except OSError:
-        pass
+    except OSError as exc:
+        print(f"WARNING: BENCH_DETAIL.json not written: {exc}", file=sys.stderr)
     compact = {
         "metric": "total_headline_sec",
         "value": total,

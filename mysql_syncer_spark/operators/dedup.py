@@ -379,6 +379,9 @@ def incremental_new_docs(
     incoming: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Incremental curation gate: rows of ``incoming`` that are neither
@@ -394,7 +397,7 @@ def incremental_new_docs(
         "left_anti",
     )
     near = minhash_lsh_pairs_between(
-        corpus, fresh, id_col, text_col, threshold=threshold
+        corpus, fresh, id_col, text_col, k, num_hashes, bands, threshold
     ).select(F.col("id_new").alias(id_col)).distinct()
     return fresh.join(near, on=id_col, how="left_anti")
 

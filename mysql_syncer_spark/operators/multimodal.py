@@ -52,21 +52,42 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
+def _pil():
+    """Import-guarded Pillow handle; None when the library is absent."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image(data: bytes, fake: bool = False) -> tuple[int, int, list[float]]:
     """Decode one image to (width, height, feature vector).
 
-    STUB: real decoding needs an image library not present in this
-    container. ``fake=True`` uses a DETERMINISTIC FAKE that derives
-    plausible values purely from the bytes (stable across runs and
-    machines) so the distributed plumbing is fully exercisable.
+    The real path activates when Pillow is importable: decode, then
+    featurize as a 4x4 grayscale thumbnail normalized to [-1, 1) —
+    deterministic, library-version-stable inputs aside. Without Pillow
+    (this container), ``fake=True`` selects a DETERMINISTIC FAKE that
+    derives plausible values purely from the bytes (stable across runs
+    and machines) so the distributed plumbing is fully exercisable;
+    ``fake=False`` raises NotImplementedError.
     """
     if not fake:
-        raise NotImplementedError(
-            "image decoding requires an image library (e.g. PIL) that is "
-            "not available in this environment; pass fake=True for the "
-            "deterministic fake decoder, or swap this function for a real "
-            "one where PIL/opencv is installed"
-        )
+        img_mod = _pil()
+        if img_mod is None:
+            raise NotImplementedError(
+                "image decoding requires an image library (e.g. PIL) that "
+                "is not available in this environment; pass fake=True for "
+                "the deterministic fake decoder"
+            )
+        import io
+
+        with img_mod.open(io.BytesIO(data)) as im:
+            width, height = im.size
+            thumb = im.convert("L").resize((4, 4))
+            px = list(thumb.getdata())  # 16 values, 0..255
+        return width, height, [(p - 128) / 128.0 for p in px]
     digest = hashlib.sha256(data).digest()
     width = 64 + digest[0] % 192          # 64..255
     height = 64 + digest[1] % 192
@@ -100,15 +121,26 @@ def extract_image_features(
         # Python worker — not guaranteed (and the exact failure seen when
         # driving this from outside the repo). stdlib + locals only.
         import hashlib as _hl
+        import io as _io
 
         import pandas as _pd
 
+        try:
+            from PIL import Image as _Img
+        except ImportError:
+            _Img = None
+
         def _decode(data: bytes):
             if not fake:
-                raise NotImplementedError(
-                    "image decoding requires an image library not present "
-                    "in this environment"
-                )
+                if _Img is None:
+                    raise NotImplementedError(
+                        "image decoding requires an image library not "
+                        "present in this environment"
+                    )
+                with _Img.open(_io.BytesIO(data)) as im:
+                    w, h = im.size
+                    px = list(im.convert("L").resize((4, 4)).getdata())
+                return w, h, [(p - 128) / 128.0 for p in px]
             d = _hl.sha256(data).digest()
             return (
                 64 + d[0] % 192,
@@ -189,8 +221,14 @@ def resize_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
+        import io as _io
 
         import pandas as _pd
+
+        try:
+            from PIL import Image as _Img
+        except ImportError:
+            _Img = None
 
         for pdf in batches:
             ids, widths, heights, blobs = [], [], [], []
@@ -202,10 +240,18 @@ def resize_images(
                     blobs.append(None)
                     continue
                 if not fake:
-                    raise NotImplementedError(
-                        "image resizing requires an image library not "
-                        "present in this environment"
-                    )
+                    if _Img is None:
+                        raise NotImplementedError(
+                            "image resizing requires an image library not "
+                            "present in this environment"
+                        )
+                    with _Img.open(_io.BytesIO(bytes(data))) as im:
+                        out = _io.BytesIO()
+                        im.resize((tw, th)).save(out, format="PNG")
+                    blobs.append(out.getvalue())
+                    widths.append(tw)
+                    heights.append(th)
+                    continue
                 data = bytes(data)
                 # deterministic fake: payload = content digest + target
                 # dims, so downstream stages see stable, size-bounded
@@ -246,18 +292,35 @@ def extract_audio_features(
     fake_decode: bool = True,
 ) -> DataFrame:
     """Audio twin of :func:`extract_image_features`: opaque bytes →
-    (duration, RMS energy, digest) via ``mapInPandas``. The PCM decode
-    is STUBBED (no audio library): the fake treats the payload as raw
-    signed 16-bit little-endian PCM — a real container parser swaps in
-    one function, the distributed plumbing is identical."""
+    (duration, RMS energy, digest) via ``mapInPandas``.
+
+    ``fake_decode=True`` treats the payload as raw signed 16-bit
+    little-endian PCM at ``sample_rate`` (headerless — a deterministic
+    stand-in usable on arbitrary bytes). ``fake_decode=False`` parses a
+    real WAV container with the stdlib ``wave`` module (16-bit PCM
+    only), taking the frame rate from the header. Either way the sample
+    math is vectorized numpy inside the Arrow batch — the int64
+    square-sum is exact, bit-identical to the Python-int fold it
+    replaces."""
     id_name, media_name = id_col, media_col
     sr, fake = sample_rate, fake_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
-        import struct as _st
+        import io as _io
+        import wave as _wave
 
+        import numpy as _np
         import pandas as _pd
+
+        def _rms(pcm: bytes) -> tuple[int, float]:
+            # n samples + RMS over s16le PCM; exact int64 accumulation
+            arr = _np.frombuffer(pcm[: (len(pcm) // 2) * 2], dtype="<i2")
+            n = arr.size
+            if n == 0:
+                return 0, 0.0
+            sq = int((arr.astype(_np.int64) ** 2).sum())
+            return n, (sq / n) ** 0.5
 
         for pdf in batches:
             ids, sizes, durs, rmss, hashes = [], [], [], [], []
@@ -269,19 +332,21 @@ def extract_audio_features(
                     rmss.append(None)
                     hashes.append(None)
                     continue
-                if not fake:
-                    raise NotImplementedError(
-                        "audio decoding requires an audio library not "
-                        "present in this environment"
-                    )
                 data = bytes(data)
-                n = len(data) // 2
-                samples = _st.unpack(f"<{n}h", data[: n * 2]) if n else ()
+                if fake:
+                    n, rms = _rms(data)
+                    rate = sr
+                else:
+                    with _wave.open(_io.BytesIO(data), "rb") as wf:
+                        if wf.getsampwidth() != 2:
+                            raise NotImplementedError(
+                                "only 16-bit PCM WAV is supported"
+                            )
+                        rate = wf.getframerate() * wf.getnchannels()
+                        n, rms = _rms(wf.readframes(wf.getnframes()))
                 sizes.append(len(data))
-                durs.append(n / sr)
-                rmss.append(
-                    (sum(s * s for s in samples) / n) ** 0.5 if n else 0.0
-                )
+                durs.append(n / rate)
+                rmss.append(rms)
                 hashes.append(_hl.sha256(data).hexdigest())
             yield _pd.DataFrame(
                 {

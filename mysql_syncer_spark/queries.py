@@ -125,12 +125,47 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
+#: Queries proven green across rounds 1-3 whose machinery is fully covered
+#: by other in-window rows (each is a one-expression projection/filter over
+#: an operator that a harder checked query also exercises). The driver
+#: oracle-checks only the FIRST 50 entries of ``queries()``, so these are
+#: ordered last to make room for the extension operators (SCD2, CDC merge,
+#: TF-IDF, PII, contamination, packing, sampling, centroids, bipartite
+#: MinHash, ...) that had never received a driver correctness row. They all
+#: remain registered and remain covered by tests/test_oracle_parity.py.
+_DEMOTED: tuple[str, ...] = (
+    "pk_projection_orders",
+    "count_lineitem",
+    "filter_eq_orders",
+    "point_filter_lineitem",
+    "simhash_docs",
+    "fingerprints_docs",
+    "token_counts_docs",
+    "sign_buckets_embeddings",
+    "hash_sample_docs",
+    "hash_split_docs",
+    "lang_id_docs",
+    "quality_docs",
+    "media_features_docs",
+    "frame_sample_part",
+    "distinct_users_per_type",
+    "range_join_user_bursts",
+    "json_extract_events",
+)
+
+
+def _driver_order(d: dict) -> dict:
+    head = {k: v for k, v in d.items() if k not in _DEMOTED}
+    tail = {k: d[k] for k in _DEMOTED if k in d}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    return _driver_order(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _driver_order(_ORACLES)
 
 
 # ===========================================================================
@@ -1813,6 +1848,97 @@ def _minhash_between_oracle_sql(num_hashes: int = 16, bands: int = 4) -> str:
         FROM cand c JOIN sig sa ON sa.doc_id = c.id_new
                     JOIN sig sb ON sb.doc_id = c.id_old
         WHERE ({matches}) / {num_hashes}.0 >= 0.7"""
+
+
+def _incremental_oracle_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.7
+) -> str:
+    """Full incremental-ingest gate mirror: incoming (10% hash split)
+    minus exact-fingerprint matches of the corpus (90%), minus near-dups
+    via the same bipartite MinHash pipeline as _minhash_between_oracle_sql.
+    Near-dup ids computed over all incoming are equivalent to computing
+    over fresh-only (fresh is a subset; the anti-join discards the rest)."""
+    from mysql_syncer_spark.operators.dedup import MINHASH_P, minhash_params
+
+    rows_per_band = num_hashes // bands
+    mins = ",\n              ".join(
+        f"MIN(({a} * (h % 1073741824) + {b} * (h // 1073741824) + {c}) "
+        f"% {MINHASH_P}) AS h{i}"
+        for i, (a, b, c) in enumerate(minhash_params(num_hashes))
+    )
+    band_buckets = ",\n              ".join(
+        "md5(concat_ws('#', "
+        + ", ".join(
+            f"h{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+        )
+        + f")) AS bucket{b}"
+        for b in range(bands)
+    )
+    bucket_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, bucket{b} AS bucket FROM sigb"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""WITH sides AS (
+          SELECT doc_id,
+                 CASE WHEN {_DOC_BUCKET_SQL} < 9000 THEN 0 ELSE 1 END AS side
+          FROM documents),
+         fp_corpus AS (
+          SELECT DISTINCT md5({_NORM_SQL}) AS fp
+          FROM documents d JOIN sides s ON s.doc_id = d.doc_id AND s.side = 0),
+         fresh AS (
+          SELECT d.* FROM documents d
+          JOIN sides s ON s.doc_id = d.doc_id AND s.side = 1
+          WHERE md5({_NORM_SQL}) NOT IN (SELECT fp FROM fp_corpus)),
+         sh AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     range(1, greatest(len({_NORM_SQL}) - 4, 1) + 1),
+                     i -> substr({_NORM_SQL}, i, 5))) AS shingle
+            FROM documents) WHERE len(shingle) > 0),
+         hashed AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+          FROM sh),
+         sig AS (
+          SELECT doc_id, {mins}
+          FROM hashed GROUP BY doc_id),
+         sigb AS (
+          SELECT *, {band_buckets} FROM sig),
+         buckets AS ({bucket_union}),
+         cand AS (
+          SELECT DISTINCT a.doc_id id_new, b.doc_id id_old
+          FROM buckets a
+          JOIN sides xa ON xa.doc_id = a.doc_id AND xa.side = 1
+          JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+          JOIN sides xb ON xb.doc_id = b.doc_id AND xb.side = 0),
+         near AS (
+          SELECT DISTINCT c.id_new
+          FROM cand c JOIN sig sa ON sa.doc_id = c.id_new
+                      JOIN sig sb ON sb.doc_id = c.id_old
+          WHERE ({matches}) / {num_hashes}.0 >= {threshold})
+        SELECT f.* FROM fresh f
+        WHERE f.doc_id NOT IN (SELECT id_new FROM near)"""
+
+
+@_register("incremental_new_docs", _incremental_oracle_sql())
+def incremental_new_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E44: the daily-ingest curation gate end-to-end — incoming rows
+    (10% hash split of documents) that are neither exact-fingerprint
+    copies nor MinHash-LSH near-dups of the corpus (the other 90%).
+    Composes the broadcast fp anti-join with the O(corpus x batch)
+    bipartite LSH anti-join (dedup.incremental_new_docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = sampling.hash_bucket("doc_id")
+    corpus = docs.where(b < 9000)
+    incoming = docs.where(b >= 9000)
+    return dedup.incremental_new_docs(
+        corpus, incoming, num_hashes=16, bands=4, threshold=0.7
+    )
 
 
 @_register("minhash_pairs_between_docs", _minhash_between_oracle_sql())

@@ -149,9 +149,14 @@ def windowed_counts_stream(
 ) -> DataFrame:
     """Watermarked tumbling-window counts — the streaming twin of
     queries.hourly_event_counts (same aggregation, late data bounded by
-    the watermark so state is evictable)."""
+    the watermark so state is evictable).
+
+    The event-time column is cast to TIMESTAMP first: parquet sources
+    load timestamps as TIMESTAMP_NTZ on Spark 4.x, and ``withWatermark``
+    rejects NTZ event time (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)."""
     return (
-        stream.withWatermark(ts_col, watermark)
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window_len).alias("w"), key_col)
         .agg(
             F.count(F.lit(1)).alias("n_events"),

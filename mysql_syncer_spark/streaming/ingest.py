@@ -99,7 +99,7 @@ def ingest_gate_stream(
                 prior.select(*fresh.columns)
             )
         survivors = incremental_new_docs(
-            corpus, fresh, id_col, text_col, threshold
+            corpus, fresh, id_col, text_col, threshold=threshold
         )
         out = f"{accepted_path}/batch_id={batch_id}"
         if os.path.exists(out):  # crash replay: redo, don't double-append

@@ -56,8 +56,12 @@ def dedup_stream(
 ) -> DataFrame:
     """Drop duplicate keys arriving within the watermark horizon.
     Exactly-once per key within the horizon; state evicted after it."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        key_cols
+    # NTZ-proof: parquet timestamps load as TIMESTAMP_NTZ on Spark 4.x
+    # and withWatermark rejects NTZ event time.
+    return (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
     )
 
 
@@ -134,7 +138,9 @@ def sessionize_stream(
             yield pd.DataFrame(closed)
 
     prepped = (
-        stream.withWatermark(ts_col, watermark)
+        # NTZ-proof cast (see dedup_stream) before the watermark.
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
         .select(
             F.col(user_col),
             F.col(ts_col),

@@ -26,12 +26,45 @@ def media(spark, sf_dir):
     )
 
 
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def test_decode_stub_gated():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"xx", fake=False)
+    if not _has_pil():
+        with pytest.raises(NotImplementedError):
+            decode_image(b"xx", fake=False)
     w, h, f = decode_image(b"xx", fake=True)
     assert 64 <= w <= 255 and 64 <= h <= 255 and len(f) == FEATURE_DIM
     assert decode_image(b"xx", fake=True) == (w, h, f)  # deterministic
+
+
+@pytest.mark.skipif(not _has_pil(), reason="Pillow not installed")
+def test_image_real_path_pil(spark):
+    """Real-codec path: activates automatically when Pillow exists."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (10, 8), (200, 30, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    w, h, f = decode_image(png, fake=False)
+    assert (w, h) == (10, 8) and len(f) == FEATURE_DIM
+
+    df = spark.createDataFrame([(1, png)], "media_id long, media binary")
+    r = extract_image_features(df, fake_decode=False).collect()[0]
+    assert (r["width"], r["height"]) == (10, 8)
+    out = resize_images(df, target=(4, 4), fake_resize=False).collect()[0]
+    assert (out["width"], out["height"]) == (4, 4)
+    with Image.open(io.BytesIO(bytes(out["media"]))) as im:
+        assert im.size == (4, 4)
 
 
 def test_extract_image_features(spark, media):
@@ -92,6 +125,28 @@ def test_extract_audio_features(spark):
     assert abs(rows[1]["rms"] - 1000.0) < 1e-9
     assert rows[2]["duration_sec"] == 0.0 and rows[2]["rms"] == 0.0
     assert rows[3]["duration_sec"] is None and rows[3]["sha256"] is None
+
+
+def test_audio_real_wav_path(spark):
+    """fake_decode=False parses a real WAV container (stdlib wave):
+    frame rate comes from the header, samples from the data chunk."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)  # header rate, NOT the 16k fake default
+        wf.writeframes(struct.pack("<4000h", *([500] * 4000)))
+    wav = buf.getvalue()
+
+    df = spark.createDataFrame([(1, wav)], "media_id long, media binary")
+    r = extract_audio_features(df, fake_decode=False).collect()[0]
+    assert r["duration_sec"] == 0.5  # 4000 frames @ 8 kHz
+    assert abs(r["rms"] - 500.0) < 1e-9
+    assert r["n_bytes"] == len(wav)
 
 
 def test_media_repartition_bytes_budget(spark, media):

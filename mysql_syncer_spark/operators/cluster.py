@@ -5,16 +5,23 @@ SimHash banding emit PAIRS, but retention decisions need CLUSTERS
 (doc A ~ B, B ~ C ⇒ {A,B,C} keep one). This is connected components on
 the similarity graph.
 
-Algorithm: iterative min-label propagation WITH pointer jumping,
-expressed as DataFrame ops. A hop (edges × labels join + groupBy(min))
-extends a node's knowledge by one edge; a jump (labels × labels join)
-chases ``label(label(u))``, roughly doubling the distance already
-covered — the PRAM-CC / Kiveris-et-al shortcut that turns O(diameter)
-rounds into O(log diameter). Quasi-clique dedup graphs (LSH emits most
-intra-cluster pairs directly) converge in one round; chain-shaped
-graphs (A~B~C~… transitive near-dup runs, which DO occur in real
-corpora — the sf0.1 fixture has diameter ~12 components) in
-log-many. ``max_iter`` bounds adversarial cases.
+Structure (two phases, sized for LSH similarity graphs, which are
+clique-heavy — banding emits most intra-cluster pairs directly):
+
+1. **Distributed one-hop contraction.** ``l0(u) = min(u, neighbors)``
+   is one groupBy over the edge list; re-keying every edge by its
+   endpoint labels collapses each quasi-clique to a point. This is the
+   step that must scale — at 100 TB the edge list is billions of rows
+   — and it's plain shuffles on (src) / (label) keys.
+2. **Remainder resolution.** What survives contraction is the
+   inter-label graph: orders of magnitude smaller (chains and sparse
+   bridges only; sf0.1 fixture: 383k edges → 1.3k). Under an explicit
+   size bound it is finished with driver union-find + a broadcast
+   map-back join (milliseconds, zero extra Spark rounds); past the
+   bound, iterative min-label propagation WITH pointer jumping — a hop
+   (edges × labels join + groupBy(min)) extends reach by one edge, a
+   jump (label(label(u)) chase) roughly doubles covered distance — the
+   PRAM-CC / Kiveris-et-al shortcut giving O(log diameter) rounds.
 
 Iterative DataFrame algorithms need per-round materialization — without
 it round k's DAG re-executes rounds 1..k-1 (exponential blowup) — and
@@ -31,32 +38,115 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _union_find_roots(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Driver-side union-find with min-id roots: node → min id of its
+    component. Path-halving find; union always attaches the larger root
+    under the smaller, so the representative IS the component min."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if ra < rb:
+            parent[rb] = ra
+        else:
+            parent[ra] = rb
+    return {x: find(x) for x in parent}
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_edge_limit: int = 2_000_000,
 ) -> DataFrame:
     """Cluster assignment for every node appearing in ``pairs``:
     ``(doc_id, cluster_id)`` where cluster_id = min doc id of the
     connected component. Nodes in no pair are (by definition) their own
     singleton cluster and are not emitted.
+
+    ``driver_edge_limit`` bounds the post-contraction remainder graph
+    that may be resolved with driver union-find (2M edges ≈ 32 MB of
+    longs); a larger remainder takes the distributed propagation loop.
+    Pass ``0`` to force the distributed path.
     """
+    spark = pairs.sparkSession
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    # no distinct: min-propagation and union-find are idempotent under
+    # duplicate edges, and LSH pair lists are distinct by construction —
+    # a dedup shuffle of the full edge list would cost more than the
+    # duplicates it removes.
+    edges = fwd.unionByName(rev).localCheckpoint(eager=True)
     # near-dup edge lists are many orders of magnitude smaller than the
     # corpus that produced them; after materialization, shrink the
-    # iteration's parallelism to match the DATA (count is ~free on a
-    # checkpointed frame). coalesce = no shuffle; at real scale the
+    # remaining work's parallelism to match the DATA (count is ~free on
+    # a checkpointed frame). coalesce = no shuffle; at real scale the
     # count keeps full parallelism and this is a no-op.
-    parallelism = pairs.sparkSession.sparkContext.defaultParallelism
+    parallelism = spark.sparkContext.defaultParallelism
     target = max(1, min(parallelism, edges.count() // 100_000 + 1))
     if target < edges.rdd.getNumPartitions():
         edges = edges.coalesce(target)
 
+    # Phase 1: one-hop contraction. One combinable groupBy(src) shuffle,
+    # then each edge re-keyed by its endpoint labels; intra-clique edges
+    # become self-loops and vanish.
+    l0 = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__mn"))
+        .select("src", F.least(F.col("src"), F.col("__mn")).alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    lu = l0.select(F.col("src").alias("__u"), F.col("label").alias("__lu"))
+    lv = l0.select(F.col("src").alias("__v"), F.col("label").alias("__lv"))
+    remainder = (
+        edges.join(lu, edges.src == F.col("__u"))
+        .join(lv, edges.dst == F.col("__v"))
+        .where(F.col("__lu") != F.col("__lv"))
+        .select(F.col("__lu").alias("src"), F.col("__lv").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_rem = remainder.count()
+
+    out_cols = [
+        F.col("src").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+    ]
+    if n_rem == 0:
+        # pure cliques: contraction already labeled every component
+        return l0.select(*out_cols)
+
+    if n_rem <= driver_edge_limit:
+        roots = _union_find_roots(
+            [(r["src"], r["dst"]) for r in remainder.collect()]
+        )
+        mapping = spark.createDataFrame(
+            list(roots.items()), "__node long, __root long"
+        )
+        return (
+            l0.join(
+                F.broadcast(mapping), l0.label == F.col("__node"), "left"
+            )
+            .select(
+                F.col("src").alias("doc_id"),
+                F.coalesce("__root", "label").alias("cluster_id"),
+            )
+        )
+
+    # Distributed fallback: min-label propagation + pointer jumping over
+    # the (already contracted) remainder graph.
     labels = (
-        edges.select("src").distinct()
+        remainder.select("src").distinct()
         .withColumn("label", F.col("src"))
         .localCheckpoint(eager=True)
     )
@@ -65,7 +155,7 @@ def duplicate_clusters(
         # min label over self ∪ neighbors as ONE union + groupBy(min):
         # 2 shuffles per hop (edges⋈labels on dst, groupBy on src) vs 3
         # for a join+agg+left-join formulation. Reach grows +1 hop.
-        nbr = edges.join(
+        nbr = remainder.join(
             frame.select(F.col("src").alias("dst"), "label"), on="dst"
         ).select("src", "label")
         return (
@@ -78,11 +168,8 @@ def duplicate_clusters(
     def jump(frame: DataFrame) -> DataFrame:
         # pointer jumping: label(u) ← label(label(u)). Every label IS a
         # node id (the min seen so far), so chasing it one step roughly
-        # DOUBLES the distance already covered — chains converge in
-        # O(log diameter) rounds instead of O(diameter) (the standard
-        # shortcut from PRAM CC / Kiveris et al.'s star contraction).
-        # Left join + coalesce: a label that is its component's current
-        # root maps to itself.
+        # DOUBLES the distance already covered. Left join + coalesce: a
+        # label that is its component's current root maps to itself.
         chase = frame.select(
             F.col("src").alias("__l_src"), F.col("label").alias("__l_label")
         )
@@ -103,7 +190,7 @@ def duplicate_clusters(
         # this certifies convergence the same round it happens.
         labels = jump(hop(jump(hop(labels)))).localCheckpoint(eager=True)
         inconsistent = (
-            edges.join(labels, on="src")
+            remainder.join(labels, on="src")
             .join(
                 labels.select(
                     F.col("src").alias("dst"), F.col("label").alias("label_d")
@@ -113,8 +200,15 @@ def duplicate_clusters(
             .where(F.col("label") != F.col("label_d"))
         )
         if inconsistent.isEmpty():
-            return labels.select(
-                F.col("src").alias("doc_id"), F.col("label").alias("cluster_id")
+            res = labels.select(
+                F.col("src").alias("__node"), F.col("label").alias("__root")
+            )
+            return (
+                l0.join(res, l0.label == F.col("__node"), "left")
+                .select(
+                    F.col("src").alias("doc_id"),
+                    F.coalesce("__root", "label").alias("cluster_id"),
+                )
             )
     raise RuntimeError(
         f"connected components did not converge in {max_iter} rounds — "

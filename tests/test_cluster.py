@@ -31,6 +31,16 @@ def test_chain_converges(spark):
     assert got == {i: 1 for i in range(1, 13)}
 
 
+def test_chain_converges_distributed_path(spark):
+    """driver_edge_limit=0 forces the distributed propagation loop (the
+    100 TB path where the contracted remainder exceeds the driver
+    bound); must produce the identical labeling."""
+    chain = [(i, i + 1) for i in range(1, 12)]
+    cl = duplicate_clusters(_pairs(spark, chain), driver_edge_limit=0)
+    got = {r["doc_id"]: r["cluster_id"] for r in cl.collect()}
+    assert got == {i: 1 for i in range(1, 13)}
+
+
 def test_unconnected_nodes_absent(spark):
     cl = duplicate_clusters(_pairs(spark, [(5, 9)]))
     assert {r["doc_id"] for r in cl.collect()} == {5, 9}
@@ -57,7 +67,11 @@ def test_survivors_and_dedup(spark):
 def test_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         # pointer jumping covers ~4x distance per round, so a genuinely
-        # non-converging case needs a chain much longer than 4^max_iter
+        # non-converging case needs a chain much longer than 4^max_iter;
+        # driver_edge_limit=0 forces the distributed loop (driver
+        # union-find has no iteration bound to hit)
         duplicate_clusters(
-            _pairs(spark, [(i, i + 1) for i in range(1, 400)]), max_iter=1
+            _pairs(spark, [(i, i + 1) for i in range(1, 400)]),
+            max_iter=1,
+            driver_edge_limit=0,
         )

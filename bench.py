@@ -120,6 +120,9 @@ def main() -> None:
         # per-action overhead floor on this box: a 1-row noop write.
         # Sub-second entries (digest_check, resync_noop) bottom out
         # here, so ratios against them are floor-capped, not scan-bound.
+        # (No System.gc() barrier between queries: a forced full GC
+        # clears the weak-ref codegen/broadcast caches, making every
+        # query repay them — measured +10% total for no less variance.)
         t0 = time.time()
         force(spark.range(1))
         times["action_floor"] = round(time.time() - t0, 3)
@@ -165,15 +168,16 @@ def main() -> None:
             shutil.rmtree(root, ignore_errors=True)
         return times
 
-    # Two passes in one JVM; report the per-query MIN of the two (timeit
+    # Three passes in one JVM; report the per-query MIN (timeit
     # discipline). r3 showed the "steady-state second pass" is the one
     # that picks up session pollution — Python-worker churn, GC debt,
     # co-scheduled driver jobs — swinging mapInPandas queries 3-7x with
-    # zero code change. The min of two full passes is reproducible to
-    # ~±30% run-over-run; both raw passes go to the sidecar.
+    # zero code change. The min over passes converges run-over-run;
+    # all raw passes go to the sidecar.
     pass1 = one_pass()
     pass2 = one_pass()
-    times = {k: min(pass1[k], pass2[k]) for k in pass2}
+    pass3 = one_pass()
+    times = {k: min(pass1[k], pass2[k], pass3[k]) for k in pass3}
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     total = round(sum(times.values()), 3)
@@ -188,6 +192,7 @@ def main() -> None:
         "queries": times,
         "queries_pass1": pass1,
         "queries_pass2": pass2,
+        "queries_pass3": pass3,
         "sf": float(sf) if sf else SF_DIR,
     }
     try:

@@ -55,14 +55,21 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine to a literal query vector:
     ``(vec_id, score)``, score-desc, id-asc tiebreak (deterministic)."""
+    import math
+
     q = _query_col(query_vec)
     # array<double> up front: float32 corpus arrays would otherwise do
     # float32 products inside the norm (the dot is already double via the
     # literal query), diverging from the DOUBLE[] SQL oracle at ~1e-9
     v = F.col(vec_col).cast("array<double>")
+    # |q| on the driver: python floats are the same IEEE doubles folded
+    # in the same left-to-right order as the aggregate() would use, so
+    # the score is bit-identical — and the per-row plan drops one HOF
+    # fold over a 64-literal array
+    q_norm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     scored = df.select(
         F.col(id_col),
-        (dot(v, q) / (l2_norm(v) * l2_norm(q))).alias("score"),
+        (dot(v, q) / (l2_norm(v) * F.lit(q_norm))).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
@@ -113,14 +120,29 @@ def ivf_assign(
     """Assign every vector to its nearest centroid (by cosine):
     ``(id, vec, list_id)``. Centroids are a driver-side list (the coarse
     codebook is tiny — k entries) baked into the plan as literals, so
-    assignment is one embarrassingly parallel scan."""
+    assignment is one embarrassingly parallel scan.
+
+    The row norm is computed ONCE in a lower projection and shared by
+    all k similarity expressions, and centroid norms fold on the driver
+    (same IEEE left-fold, bit-identical) — without this the plan carries
+    3k HOF folds and Lloyd pays a fresh analysis+codegen of that tree
+    every iteration (new centroid literals = new plan)."""
+    import math
+
+    c_norms = [
+        math.sqrt(sum(float(x) * float(x) for x in c)) for c in centroids
+    ]
+    with_n = df.withColumn("__vn", l2_norm(F.col(vec_col)))
     dists = F.array(
         *[
-            cosine(F.col(vec_col), _query_col(c)).alias(f"c{i}")
-            for i, c in enumerate(centroids)
+            (
+                dot(F.col(vec_col), _query_col(c))
+                / (F.col("__vn") * F.lit(n))
+            ).alias(f"c{i}")
+            for i, (c, n) in enumerate(zip(centroids, c_norms))
         ]
     )
-    return df.select(
+    return with_n.select(
         F.col(id_col), F.col(vec_col),
         (F.array_position(dists, F.array_max(dists)) - 1).cast("int").alias(
             "list_id"

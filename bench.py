@@ -82,6 +82,8 @@ HEADLINE = [
     "priority_sample_docs",
     "label_centroids_embeddings",
     "minhash_pairs_between_docs",
+    # round-4 additions (new keys only; prior keys unchanged)
+    "incremental_new_docs",
 ]
 
 

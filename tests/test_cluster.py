@@ -1,13 +1,53 @@
 """Connected-component dedup clustering: pairs → clusters → survivors."""
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from mysql_syncer_spark.operators.cluster import (
+    _union_find_roots,
     cluster_survivors,
     dedup_by_clusters,
     duplicate_clusters,
 )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_union_find_matches_bfs(edges):
+    """Driver union-find (min-id roots) ≡ BFS components on random
+    graphs, self-loops and duplicate edges included."""
+    roots = _union_find_roots(edges)
+    # reference: BFS from every node over the undirected adjacency
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {}
+    seen: set[int] = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp: set[int] = set()
+        stack = [start]
+        while stack:
+            x = stack.pop()
+            if x in comp:
+                continue
+            comp.add(x)
+            stack.extend(adj[x] - comp)
+        seen |= comp
+        m = min(comp)
+        for n in comp:
+            expected[n] = m
+    assert roots == expected
 
 
 def _pairs(spark, rows):

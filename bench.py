@@ -84,6 +84,7 @@ HEADLINE = [
     "minhash_pairs_between_docs",
     # round-4 additions (new keys only; prior keys unchanged)
     "incremental_new_docs",
+    "cluster_safe_split_docs",
 ]
 
 

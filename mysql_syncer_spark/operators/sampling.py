@@ -77,6 +77,39 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe split that keeps near-duplicate CLUSTERS intact.
+
+    :func:`hash_split` already pins duplicate *keys* together, but two
+    near-duplicate docs have different ids — hashed independently they
+    can straddle train/test, leaking eval content into training. Here
+    the split key is the row's cluster id when it is clustered
+    (``clusters`` = output of cluster.duplicate_clusters), else its own
+    id, so a doc and all its near-dups always land in the same split.
+
+    At scale: the cluster map is a pairs-list projection, orders of
+    magnitude smaller than the corpus — the left join broadcasts when
+    dim-sized (AQE decides); the split itself stays a row-local
+    codegen expression, exactly like hash_split.
+    """
+    cl = clusters.select(
+        F.col("doc_id").alias(id_col), F.col("cluster_id").alias("__ckey")
+    )
+    keyed = df.join(cl, on=id_col, how="left").withColumn(
+        "__skey", F.coalesce(F.col("__ckey"), F.col(id_col))
+    )
+    return hash_split(keyed, "__skey", weights, salt, split_col).drop(
+        "__ckey", "__skey"
+    )
+
+
 def duckdb_hash_bucket_sql(key: str, salt: str = "") -> str:
     """DuckDB mirror of :func:`hash_bucket` for oracle SQL strings."""
     return (

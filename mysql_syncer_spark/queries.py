@@ -134,6 +134,7 @@ def _register(name: str, oracle: str | None = None):
 #: MinHash, ...) that had never received a driver correctness row. They all
 #: remain registered and remain covered by tests/test_oracle_parity.py.
 _DEMOTED: tuple[str, ...] = (
+    "hourly_event_counts",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -1848,6 +1849,51 @@ def _minhash_between_oracle_sql(num_hashes: int = 16, bands: int = 4) -> str:
         FROM cand c JOIN sig sa ON sa.doc_id = c.id_new
                     JOIN sig sb ON sb.doc_id = c.id_old
         WHERE ({matches}) / {num_hashes}.0 >= 0.7"""
+
+
+def _cluster_safe_split_oracle_sql() -> str:
+    """Simhash clusters (same recursive CTE as simhash_clusters_docs)
+    → 90/5/5 split keyed on COALESCE(cluster_id, doc_id)."""
+    key_bucket = sampling.duckdb_hash_bucket_sql(
+        "COALESCE(c.cluster_id, d.doc_id)"
+    )
+    return f"""WITH RECURSIVE {_SIMHASH_CTE},
+         prs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+         cedges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                    UNION SELECT id_b, id_a FROM prs),
+         reach(src, dst) AS (
+          SELECT src, src FROM cedges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN cedges e ON r.dst = e.src),
+         comp AS (
+          SELECT src AS doc_id, MIN(dst) AS cluster_id
+          FROM reach GROUP BY src)
+        SELECT doc_id,
+               CASE WHEN b < 9000 THEN 'train'
+                    WHEN b < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT d.doc_id, {key_bucket} AS b
+              FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)"""
+
+
+@_register("cluster_safe_split_docs", _cluster_safe_split_oracle_sql())
+def cluster_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E45: leakage-safe 90/5/5 split that keeps near-duplicate CLUSTERS
+    intact — SimHash Hamming ≤ 1 pairs → connected components → split
+    keyed on COALESCE(cluster_id, doc_id), so a doc and its near-dups
+    can never straddle train/test (plain hash_split can leak eval
+    content through near-dups with different ids)."""
+    from mysql_syncer_spark.operators.cluster import duplicate_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_dup_pairs(docs, max_bits=1)
+    clusters = duplicate_clusters(pairs)
+    return sampling.cluster_safe_split(
+        docs, clusters, {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
 
 
 def _incremental_oracle_sql(

@@ -99,6 +99,7 @@ def test_driver_window_holds_extension_queries():
         "pii_docs", "pack_sequences_docs", "tfidf_topk_docs",
         "priority_sample_docs", "label_centroids_embeddings",
         "minhash_pairs_between_docs", "incremental_new_docs",
+        "cluster_safe_split_docs",
     }
     assert must_be_in <= window, sorted(must_be_in - window)
     from mysql_syncer_spark.queries import _DEMOTED

@@ -132,3 +132,35 @@ def test_priority_sample_bad_args(docs):
 
     with pytest.raises(ValueError):
         priority_sample(docs, "doc_id", "n_chars", 0)
+
+
+def test_cluster_safe_split_keeps_clusters_together(spark):
+    from mysql_syncer_spark.operators.cluster import duplicate_clusters
+    from mysql_syncer_spark.operators.sampling import cluster_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 21)], "doc_id long, text string"
+    )
+    # two clusters: {1,2,3} (transitive) and {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    clusters = duplicate_clusters(pairs)
+    out = cluster_safe_split(
+        docs, clusters, {"train": 0.5, "val": 0.25, "test": 0.25}
+    )
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert set(rows) == set(range(1, 21))  # every doc assigned exactly once
+    assert len({rows[1], rows[2], rows[3]}) == 1  # cluster stays together
+    assert rows[10] == rows[11]
+    # unclustered rows match a plain hash_split on their own id
+    from mysql_syncer_spark.operators.sampling import hash_split
+
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            docs, "doc_id", {"train": 0.5, "val": 0.25, "test": 0.25}
+        ).collect()
+    }
+    for i in set(range(1, 21)) - {1, 2, 3, 10, 11}:
+        assert rows[i] == plain[i]

@@ -158,3 +158,28 @@ def test_group_centroids_hand_computed(spark):
     assert out[("a", 1)] == (4.0, 2)
     assert out[("b", 0)] == (10.0, 1)
     assert out[("b", 1)] == (0.0, 1)
+
+
+def test_ivf_partitioned_layout_prunes(spark, embeddings, query_vec, tmp_path_factory):
+    """The 100 TB IVF shape: index written partitionBy(list_id), probe =
+    list_id IN (...) filter — the scan must prune unprobed partition
+    directories (PartitionFilters), so nprobe/k of the index is read,
+    not all of it."""
+    from mysql_syncer_spark.operators.similarity import cosine_topk
+    from mysql_syncer_spark.sources.layout import assert_partition_pruned
+
+    cents = ivf_train(embeddings, k=4, iters=1)
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    ivf_assign(embeddings, cents).write.partitionBy("list_id").parquet(path)
+
+    index = spark.read.parquet(path)
+    probed = index.where(F.col("list_id").isin([0, 1]))
+    assert_partition_pruned(probed, "list_id")
+    # probing the partitioned index gives the same top-k as filtering
+    # the in-memory assignment
+    got = cosine_topk(probed.select("vec_id", "embedding"), query_vec, k=5)
+    mem = ivf_assign(embeddings, cents).where(F.col("list_id").isin([0, 1]))
+    want = cosine_topk(mem.select("vec_id", "embedding"), query_vec, k=5)
+    assert [r["vec_id"] for r in got.collect()] == [
+        r["vec_id"] for r in want.collect()
+    ]

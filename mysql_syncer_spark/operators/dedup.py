@@ -602,7 +602,16 @@ def embedding_near_dups(
     """
     from mysql_syncer_spark.operators import similarity
 
-    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    # array<double> BEFORE any math: a float32 corpus column would do
+    # float32 products inside dot/norm (x*y resolves to FLOAT), drifting
+    # ~1e-7 from the oracle's DOUBLE[] arithmetic — enough to flip the
+    # 6dp-rounded cosine on boundary pairs (surfaced at sf0.1, where 3
+    # of ~350 pairs straddled a rounding edge). Same guard cosine_topk
+    # has carried since round 2.
+    cols = [
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
     base = df.select(*cols)

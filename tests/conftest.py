@@ -4,6 +4,9 @@ import pytest
 from pyspark.sql import SparkSession
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+#: override to shake out partitioning-sensitive nondeterminism (tie-break
+#: bugs surface under different partition counts)
+SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "4")
 
 
 @pytest.fixture(scope="session")
@@ -11,7 +14,7 @@ def spark():
     s = (
         SparkSession.builder.master("local[4]")
         .appName("mysql-syncer-spark-tests")
-        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.shuffle.partitions", SHUFFLE_PARTITIONS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")

@@ -231,8 +231,17 @@ def minhash_signatures(
         .where(F.length("shingle") > 0)
         .withColumn("__h", _hash64(F.col("shingle")))
     )
-    lo = F.col("__h") % _HALF
-    hi = F.expr(f"__h div {_HALF}")  # integer div (h > 2^53: float / loses bits)
+    # split __h ONCE in the projection below the agg: as inline subtrees
+    # each of the num_hashes agg updates would re-evaluate the mod/div
+    # pair per row (agg-update codegen does not share subexpressions
+    # across aggregate functions)
+    sh = sh.select(
+        F.col(id_col),
+        (F.col("__h") % _HALF).alias("__lo"),
+        # integer div (h > 2^53: float / loses bits)
+        F.expr(f"__h div {_HALF}").alias("__hi"),
+    )
+    lo, hi = F.col("__lo"), F.col("__hi")
     aggs = [
         F.min((F.lit(a) * lo + F.lit(b) * hi + F.lit(c)) % MINHASH_P).alias(
             f"h{i}"

@@ -85,6 +85,14 @@ HEADLINE = [
     # round-4 additions (new keys only; prior keys unchanged)
     "incremental_new_docs",
     "cluster_safe_split_docs",
+    # round-5 additions (new keys only; prior keys unchanged).
+    # incremental_new_docs_indexed builds the persisted MinHash index on
+    # pass 1 (the amortized one-time layout job); passes 2-3 measure the
+    # O(batch) indexed path, so the min-of-passes reports the steady
+    # state a daily ingest actually runs. scd2_multibatch_orders folds
+    # three snapshots — the growing-history shape.
+    "incremental_new_docs_indexed",
+    "scd2_multibatch_orders",
 ]
 
 

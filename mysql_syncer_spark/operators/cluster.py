@@ -34,32 +34,52 @@ nothing leaks across a long session (the round-1 lesson about leaked
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
-def _union_find_roots(edges: list[tuple[int, int]]) -> dict[int, int]:
-    """Driver-side union-find with min-id roots: node → min id of its
-    component. Path-halving find; union always attaches the larger root
-    under the smaller, so the representative IS the component min."""
-    parent: dict[int, int] = {}
+def _union_find_codes(a: np.ndarray, b: np.ndarray, n: int) -> np.ndarray:
+    """Array-based union-find over edge lists of dense codes ``0..n-1``:
+    returns ``root[i]`` = min code of i's component. Codes must be
+    order-isomorphic to the original ids (``pd.factorize(sort=True)``)
+    so the min CODE root is the min ID root. Memory is two int64 arrays
+    (~16 bytes/node) — no Python dict, no Row objects."""
+    parent = np.arange(n, dtype=np.int64)
 
     def find(x: int) -> int:
-        parent.setdefault(x, x)
         while parent[x] != x:
             parent[x] = parent[parent[x]]  # path halving
             x = parent[x]
         return x
 
-    for a, b in edges:
-        ra, rb = find(a), find(b)
+    for i in range(len(a)):
+        ra, rb = find(a[i]), find(b[i])
         if ra == rb:
             continue
         if ra < rb:
             parent[rb] = ra
         else:
             parent[ra] = rb
-    return {x: find(x) for x in parent}
+    for i in range(n):
+        parent[i] = find(i)
+    return parent
+
+
+def _union_find_roots(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Driver-side union-find with min-id roots: node → min id of its
+    component. Thin wrapper over the array kernel (kept as the
+    property-test surface: hypothesis cross-checks it against BFS)."""
+    if not edges:
+        return {}
+    s = pd.Series([a for a, b in edges] + [b for a, b in edges])
+    codes, uniques = pd.factorize(s, sort=True)
+    uniques = np.asarray(uniques)
+    m = len(edges)
+    roots = _union_find_codes(codes[:m], codes[m:], len(uniques))
+    return {uniques[i]: uniques[roots[i]] for i in range(len(uniques))}
 
 
 def duplicate_clusters(
@@ -75,9 +95,17 @@ def duplicate_clusters(
     singleton cluster and are not emitted.
 
     ``driver_edge_limit`` bounds the post-contraction remainder graph
-    that may be resolved with driver union-find (2M edges ≈ 32 MB of
-    longs); a larger remainder takes the distributed propagation loop.
-    Pass ``0`` to force the distributed path.
+    that may be resolved with driver union-find. The collect goes
+    through Arrow (``toPandas`` → dense-code numpy union-find), so the
+    driver cost at the 2M default is ~32 MB of Arrow arrays plus two
+    int64 parent/code arrays — no Python Row objects or dicts. A larger
+    remainder takes the distributed propagation loop, which past
+    ``max_iter`` rounds re-contracts the partially-labeled graph and
+    recurses (each level shrinks the graph by the distance the labels
+    already cover, so arbitrary-diameter chains converge). Pass ``0``
+    to force the distributed path. Ids may be any orderable Spark type
+    (long, string UUID, ...); the cluster id is the component min under
+    that type's ordering.
     """
     spark = pairs.sparkSession
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -100,6 +128,30 @@ def duplicate_clusters(
     # Phase 1: one-hop contraction. One combinable groupBy(src) shuffle,
     # then each edge re-keyed by its endpoint labels; intra-clique edges
     # become self-loops and vanish.
+    l0, remainder = _contract(edges)
+    n_rem = remainder.count()
+
+    if n_rem == 0:
+        # pure cliques: contraction already labeled every component
+        return l0.select(
+            F.col("src").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+
+    mapping = _resolve(remainder, n_rem, max_iter, driver_edge_limit)
+    return (
+        l0.join(mapping, l0.label == F.col("__node"), "left")
+        .select(
+            F.col("src").alias("doc_id"),
+            F.coalesce("__root", "label").alias("cluster_id"),
+        )
+    )
+
+
+def _contract(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One-hop min contraction of a SYMMETRIC edge list: returns
+    ``(labels, remainder)`` where labels = (src, label=min(self ∪
+    neighbors)) for every node and remainder = the inter-label graph
+    (symmetric, self-loops dropped, distinct), both materialized."""
     l0 = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("__mn"))
@@ -116,35 +168,43 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_rem = remainder.count()
+    return l0, remainder
 
-    out_cols = [
-        F.col("src").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-    ]
-    if n_rem == 0:
-        # pure cliques: contraction already labeled every component
-        return l0.select(*out_cols)
+
+def _resolve(
+    remainder: DataFrame,
+    n_rem: int,
+    max_iter: int,
+    driver_edge_limit: int,
+    depth: int = 0,
+) -> DataFrame:
+    """Root mapping ``(__node, __root)`` for every node of a non-empty
+    symmetric contracted graph. Small graphs finish on the driver
+    (Arrow collect + numpy union-find, id-type-generic); large ones run
+    min-label propagation with pointer jumping, and past ``max_iter``
+    rounds the partially-labeled graph is re-contracted and resolved
+    recursively — labels cover ~4-6× more distance per round, so each
+    level shrinks chain-shaped graphs geometrically and recursion depth
+    is O(log diameter / max_iter)."""
+    spark = remainder.sparkSession
+    id_type = remainder.schema["src"].dataType
 
     if n_rem <= driver_edge_limit:
-        roots = _union_find_roots(
-            [(r["src"], r["dst"]) for r in remainder.collect()]
+        pdf = remainder.toPandas()  # Arrow path: no Row objects
+        m = len(pdf)
+        codes, uniques = pd.factorize(
+            pd.concat([pdf["src"], pdf["dst"]], ignore_index=True), sort=True
         )
-        mapping = spark.createDataFrame(
-            list(roots.items()), "__node long, __root long"
+        uniques = np.asarray(uniques)
+        roots = _union_find_codes(codes[:m], codes[m:], len(uniques))
+        map_pdf = pd.DataFrame(
+            {"__node": uniques, "__root": uniques[roots]}
         )
-        return (
-            l0.join(
-                F.broadcast(mapping), l0.label == F.col("__node"), "left"
-            )
-            .select(
-                F.col("src").alias("doc_id"),
-                F.coalesce("__root", "label").alias("cluster_id"),
-            )
+        schema = StructType(
+            [StructField("__node", id_type), StructField("__root", id_type)]
         )
+        return spark.createDataFrame(map_pdf, schema).hint("broadcast")
 
-    # Distributed fallback: min-label propagation + pointer jumping over
-    # the (already contracted) remainder graph.
     labels = (
         remainder.select("src").distinct()
         .withColumn("label", F.col("src"))
@@ -200,20 +260,42 @@ def duplicate_clusters(
             .where(F.col("label") != F.col("label_d"))
         )
         if inconsistent.isEmpty():
-            res = labels.select(
+            return labels.select(
                 F.col("src").alias("__node"), F.col("label").alias("__root")
             )
-            return (
-                l0.join(res, l0.label == F.col("__node"), "left")
-                .select(
-                    F.col("src").alias("doc_id"),
-                    F.coalesce("__root", "label").alias("cluster_id"),
-                )
-            )
-    raise RuntimeError(
-        f"connected components did not converge in {max_iter} rounds — "
-        "graph diameter exceeds the bound; raise max_iter or switch to "
-        "star-contraction for chain-shaped graphs"
+
+    # Not converged within the round budget: re-contract by the labels
+    # accumulated so far and resolve the smaller graph recursively WITH
+    # A DOUBLED ROUND BUDGET. The doubling matters on chain graphs:
+    # labels reach ~4^rounds hops, but contraction only SUBTRACTS that
+    # reach from a path's length (labels are min-over-a-sliding-window,
+    # so a path of n nodes contracts to ~n - 4^rounds nodes, not
+    # n / 4^rounds) — with a fixed budget the recursion would need
+    # O(n / 4^budget) levels; with doubling, level k covers ~4^(2^k)
+    # hops and any diameter converges in O(log log D) levels.
+    if depth >= 64:  # unreachable in practice; guards a logic error
+        raise RuntimeError("connected components: recursion bound hit")
+    lu = labels.select(F.col("src").alias("__u"), F.col("label").alias("__lu"))
+    lv = labels.select(F.col("src").alias("__v"), F.col("label").alias("__lv"))
+    sub = (
+        remainder.join(lu, remainder.src == F.col("__u"))
+        .join(lv, remainder.dst == F.col("__v"))
+        .where(F.col("__lu") != F.col("__lv"))
+        .select(F.col("__lu").alias("src"), F.col("__lv").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    submap = _resolve(
+        sub, sub.count(), max_iter * 2, driver_edge_limit, depth + 1
+    ).select(
+        F.col("__node").alias("__n2"), F.col("__root").alias("__r2")
+    )
+    return (
+        labels.join(submap, labels.label == F.col("__n2"), "left")
+        .select(
+            F.col("src").alias("__node"),
+            F.coalesce("__r2", "label").alias("__root"),
+        )
     )
 
 

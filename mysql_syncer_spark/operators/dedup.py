@@ -251,6 +251,35 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def band_bucket_frame(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    out_id: str | None = None,
+) -> DataFrame:
+    """LSH banding of a signature frame: ``(out_id, band, bucket)`` —
+    one row per (doc, band), bucket = md5 over the band's signature
+    components. Shared by the self-join, bipartite, and persisted-index
+    variants so every consumer hashes bands identically."""
+    rows_per_band = num_hashes // bands
+    out = out_id or id_col
+    band_cols = []
+    for b in range(bands):
+        hs = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("#", *[h.cast("string") for h in hs])
+                ).alias("bucket"),
+            )
+        )
+    return sig.select(
+        F.col(id_col).alias(out), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(out, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -280,17 +309,8 @@ def minhash_lsh_pairs(
     block-manager cache across a long session (the round-1 bench showed
     leaked persists inflating this query 3.6×).
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
-    band_cols = []
-    for b in range(bands):
-        hs = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("#", *[h.cast("string") for h in hs])).alias("bucket"))
-        )
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = band_bucket_frame(sig, id_col, num_hashes, bands)
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (
@@ -340,31 +360,14 @@ def minhash_lsh_pairs_between(
     minima) runs once and is reused across the bucket and verify
     consumers via ReusedExchange.
     """
-    rows_per_band = num_hashes // bands
-
-    def buckets_of(sig: DataFrame, alias: str) -> DataFrame:
-        band_cols = []
-        for b in range(bands):
-            hs = [
-                F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)
-            ]
-            band_cols.append(
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(
-                        F.concat_ws("#", *[h.cast("string") for h in hs])
-                    ).alias("bucket"),
-                )
-            )
-        return sig.select(
-            F.col(id_col).alias(alias), F.explode(F.array(*band_cols)).alias("bb")
-        ).select(alias, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
     sig_old = minhash_signatures(corpus, id_col, text_col, k, num_hashes)
     sig_new = minhash_signatures(incoming, id_col, text_col, k, num_hashes)
     cand = (
-        buckets_of(sig_new, "id_new")
-        .join(buckets_of(sig_old, "id_old"), on=["band", "bucket"])
+        band_bucket_frame(sig_new, id_col, num_hashes, bands, "id_new")
+        .join(
+            band_bucket_frame(sig_old, id_col, num_hashes, bands, "id_old"),
+            on=["band", "bucket"],
+        )
         .select("id_new", "id_old")
         .distinct()
     )
@@ -475,8 +478,24 @@ def simhash(
                 F.when(ones * 2 > F.col("__n"), F.lit(1 << i)).otherwise(0)
             )
     packed = sum(sig_bits, start=F.lit(0))
+    # Loud overflow guard: a doc with ≥ 2^21 distinct tokens would carry
+    # across slot boundaries and silently corrupt the signature. __n
+    # bounds every slot's ones-count, so one per-DOC comparison (not
+    # per-token) proves all 48 counters stayed in range; assert_true
+    # yields NULL when fine (folded away by the coalesce) and fails the
+    # job with this message otherwise.
+    guard = F.assert_true(
+        F.col("__n") < F.lit(1 << slot_w),
+        F.lit(
+            f"simhash: document has >= 2^{slot_w} distinct tokens; "
+            "packed per-bit counters would overflow — shorten docs or "
+            "lower tokens per doc before simhash()"
+        ),
+    )
     return per_doc.select(
-        F.col(id_col), packed.cast("long").alias("simhash")
+        F.col(id_col),
+        (packed.cast("long") + F.coalesce(guard.cast("long"), F.lit(0)))
+        .alias("simhash"),
     )
 
 

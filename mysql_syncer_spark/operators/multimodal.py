@@ -7,13 +7,12 @@ Arrow-batched Pandas iterators (``mapInPandas``) so bytes never
 round-trip through Python row objects and executors stream batches
 instead of materializing partitions.
 
-The *decode* step is STUBBED in this environment (no PIL/ffmpeg in the
-container): ``decode_image`` raises NotImplementedError unless
-``fake=True``, in which case a clearly-marked deterministic fake decoder
-derives (width, height, features) from the bytes alone. Everything
-around the stub — schema contracts, batch iteration, partition sizing,
-UDF signatures — is real and tested; dropping in a real decoder changes
-one function.
+The *decode* step is three-tiered: Pillow when importable (the at-scale
+SIMD path), a pure-stdlib PNG codec otherwise (``operators/png.py`` —
+zlib inflate + scanline unfilter; REAL pixels, runs in this container),
+and a clearly-marked deterministic fake (``fake=True``) for non-PNG
+formats with no library present. Schema contracts, batch iteration,
+partition sizing, and UDF signatures are identical across tiers.
 
 At scale:
 * media bytes dominate partition size — ``media_repartition`` targets
@@ -36,6 +35,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from mysql_syncer_spark.operators import png as _png
 
 #: schema of the feature-extraction output (media bytes dropped)
 IMAGE_FEATURES_SCHEMA = T.StructType(
@@ -65,29 +66,33 @@ def _pil():
 def decode_image(data: bytes, fake: bool = False) -> tuple[int, int, list[float]]:
     """Decode one image to (width, height, feature vector).
 
-    The real path activates when Pillow is importable: decode, then
-    featurize as a 4x4 grayscale thumbnail normalized to [-1, 1) —
-    deterministic, library-version-stable inputs aside. Without Pillow
-    (this container), ``fake=True`` selects a DETERMINISTIC FAKE that
+    Real-path tiers: Pillow when importable (any format), else the
+    pure-stdlib PNG codec (this container's executable path). Features
+    are a 4x4 grayscale thumbnail normalized to [-1, 1) — deterministic
+    given the tier. ``fake=True`` selects a DETERMINISTIC FAKE that
     derives plausible values purely from the bytes (stable across runs
-    and machines) so the distributed plumbing is fully exercisable;
-    ``fake=False`` raises NotImplementedError.
+    and machines); ``fake=False`` on a non-PNG with no image library
+    raises NotImplementedError.
     """
     if not fake:
         img_mod = _pil()
-        if img_mod is None:
-            raise NotImplementedError(
-                "image decoding requires an image library (e.g. PIL) that "
-                "is not available in this environment; pass fake=True for "
-                "the deterministic fake decoder"
-            )
-        import io
+        if img_mod is not None:
+            import io
 
-        with img_mod.open(io.BytesIO(data)) as im:
-            width, height = im.size
-            thumb = im.convert("L").resize((4, 4))
-            px = list(thumb.getdata())  # 16 values, 0..255
-        return width, height, [(p - 128) / 128.0 for p in px]
+            with img_mod.open(io.BytesIO(data)) as im:
+                width, height = im.size
+                thumb = im.convert("L").resize((4, 4))
+                px = list(thumb.getdata())  # 16 values, 0..255
+            return width, height, [(p - 128) / 128.0 for p in px]
+        if _png.is_png(data):
+            w, h, mode, pixels = _png.png_decode(data)
+            px = _png.to_gray(mode, _png.resize_nearest(w, h, mode, pixels, 4, 4))
+            return w, h, [(p - 128) / 128.0 for p in px]
+        raise NotImplementedError(
+            "decoding non-PNG images requires an image library (e.g. "
+            "PIL) that is not available in this environment; pass "
+            "fake=True for the deterministic fake decoder"
+        )
     digest = hashlib.sha256(data).digest()
     width = 64 + digest[0] % 192          # 64..255
     height = 64 + digest[1] % 192
@@ -113,13 +118,19 @@ def extract_image_features(
     """
     id_name, media_name = id_col, media_col
     fake, dim = fake_decode, FEATURE_DIM
+    # captured (not imported inside the closure): operators/png.py is
+    # registered for cloudpickle BY-VALUE serialization, so these ship
+    # with the closure and executors need neither mysql_syncer_spark
+    # nor any image library on their path
+    _is_png, _pdec = _png.is_png, _png.png_decode
+    _prsz, _pgray = _png.resize_nearest, _png.to_gray
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # self-contained closure: referencing module-level helpers would
-        # make cloudpickle serialize them BY REFERENCE, requiring
-        # mysql_syncer_spark to be importable inside every executor
-        # Python worker — not guaranteed (and the exact failure seen when
-        # driving this from outside the repo). stdlib + locals only.
+        # otherwise self-contained: module-level helpers would pickle BY
+        # REFERENCE, requiring mysql_syncer_spark importable inside every
+        # executor Python worker — not guaranteed (and the exact failure
+        # seen when driving this from outside the repo). stdlib + locals
+        # + the by-value png functions only.
         import hashlib as _hl
         import io as _io
 
@@ -132,15 +143,19 @@ def extract_image_features(
 
         def _decode(data: bytes):
             if not fake:
-                if _Img is None:
-                    raise NotImplementedError(
-                        "image decoding requires an image library not "
-                        "present in this environment"
-                    )
-                with _Img.open(_io.BytesIO(data)) as im:
-                    w, h = im.size
-                    px = list(im.convert("L").resize((4, 4)).getdata())
-                return w, h, [(p - 128) / 128.0 for p in px]
+                if _Img is not None:
+                    with _Img.open(_io.BytesIO(data)) as im:
+                        w, h = im.size
+                        px = list(im.convert("L").resize((4, 4)).getdata())
+                    return w, h, [(p - 128) / 128.0 for p in px]
+                if _is_png(data):
+                    w, h, mode, pixels = _pdec(data)
+                    px = _pgray(mode, _prsz(w, h, mode, pixels, 4, 4))
+                    return w, h, [(p - 128) / 128.0 for p in px]
+                raise NotImplementedError(
+                    "decoding non-PNG images requires an image library "
+                    "not present in this environment"
+                )
             d = _hl.sha256(data).digest()
             return (
                 64 + d[0] % 192,
@@ -206,10 +221,11 @@ def resize_images(
     """Resize a binary image column to ``target`` via ``mapInPandas``.
 
     Same contract as :func:`extract_image_features`: Arrow-batched
-    bytes-in/bytes-out, NULL media passes through as NULL, the pixel
-    work is STUBBED (no image library here) behind a deterministic fake
-    that emits a content-tagged placeholder payload — the schema,
-    batching, and NULL semantics are the real, tested plumbing.
+    bytes-in/bytes-out, NULL media passes through as NULL. Real-path
+    tiers: Pillow (any format, kernel resample) else stdlib PNG
+    (nearest-neighbor, PNG-out). ``fake_resize=True`` keeps the
+    deterministic fake that emits a content-tagged placeholder payload
+    for arbitrary non-image bytes.
 
     At scale this is the classic "normalize before training" stage: the
     output column is re-budgeted with :func:`media_repartition` because
@@ -218,6 +234,8 @@ def resize_images(
     id_name, media_name = id_col, media_col
     tw, th = target
     fake = fake_resize
+    _is_png, _pdec = _png.is_png, _png.png_decode
+    _prsz, _penc = _png.resize_nearest, _png.png_encode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
@@ -240,15 +258,22 @@ def resize_images(
                     blobs.append(None)
                     continue
                 if not fake:
-                    if _Img is None:
-                        raise NotImplementedError(
-                            "image resizing requires an image library not "
-                            "present in this environment"
+                    data = bytes(data)
+                    if _Img is not None:
+                        with _Img.open(_io.BytesIO(data)) as im:
+                            out = _io.BytesIO()
+                            im.resize((tw, th)).save(out, format="PNG")
+                        blobs.append(out.getvalue())
+                    elif _is_png(data):
+                        w, h, mode, pixels = _pdec(data)
+                        blobs.append(
+                            _penc(tw, th, mode, _prsz(w, h, mode, pixels, tw, th))
                         )
-                    with _Img.open(_io.BytesIO(bytes(data))) as im:
-                        out = _io.BytesIO()
-                        im.resize((tw, th)).save(out, format="PNG")
-                    blobs.append(out.getvalue())
+                    else:
+                        raise NotImplementedError(
+                            "resizing non-PNG images requires an image "
+                            "library not present in this environment"
+                        )
                     widths.append(tw)
                     heights.append(th)
                     continue
@@ -299,9 +324,11 @@ def extract_audio_features(
     stand-in usable on arbitrary bytes). ``fake_decode=False`` parses a
     real WAV container with the stdlib ``wave`` module (16-bit PCM
     only), taking the frame rate from the header. Either way the sample
-    math is vectorized numpy inside the Arrow batch — the int64
-    square-sum is exact, bit-identical to the Python-int fold it
-    replaces."""
+    math is vectorized numpy inside the Arrow batch. The int64
+    square-sum is exact up to 2^33 samples per payload (s16le squares
+    are ≤ 2^30); a payload can't exceed 2^30 samples through Spark
+    anyway (BinaryType caps at 2 GB), but a guarded arbitrary-precision
+    fallback keeps the exactness claim unconditional."""
     id_name, media_name = id_col, media_col
     sr, fake = sample_rate, fake_decode
 
@@ -319,7 +346,13 @@ def extract_audio_features(
             n = arr.size
             if n == 0:
                 return 0, 0.0
-            sq = int((arr.astype(_np.int64) ** 2).sum())
+            if n > (1 << 32):
+                # int64 could wrap past 2^33 samples; unreachable via a
+                # Spark row (2 GB binary = 2^30 samples) but kept so the
+                # "exact" contract holds for any caller
+                sq = sum(v * v for v in map(int, arr))
+            else:
+                sq = int((arr.astype(_np.int64) ** 2).sum())
             return n, (sq / n) ** 0.5
 
         for pdf in batches:

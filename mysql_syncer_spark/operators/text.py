@@ -234,18 +234,22 @@ def tfidf_topk(
         raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql import Window
 
-    n_docs = df.count()  # driver-side scalar: one metadata-cheap count
     words = df.select(
         F.col(id_col),
         F.explode(F.split(normalized_text(text_col), " ")).alias("term"),
     ).where(F.col("term") != "")
     tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = docfreq.withColumn(
+    # corpus size as a broadcast 1-row frame, not a driver-side
+    # df.count(): keeps the whole operator ONE Spark job and never
+    # re-scans a non-columnar source just to learn N (parquet made the
+    # count look free; a JDBC/CSV source would pay a full pass)
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    idf = docfreq.crossJoin(F.broadcast(n_docs)).withColumn(
         "idf",
-        F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+        F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
         + F.lit(1.0),
-    )
+    ).drop("__n")
     scored = tf.join(F.broadcast(idf), "term").withColumn(
         "tfidf", F.round(F.col("tf") * F.col("idf"), 6)
     )

@@ -22,6 +22,7 @@ Cross-engine determinism rules used throughout (validated empirically):
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -134,7 +135,18 @@ def _register(name: str, oracle: str | None = None):
 #: MinHash, ...) that had never received a driver correctness row. They all
 #: remain registered and remain covered by tests/test_oracle_parity.py.
 _DEMOTED: tuple[str, ...] = (
-    "hourly_event_counts",
+    # approximate by nature: can never hash-match a DuckDB oracle (the
+    # driver records err:"no_oracle" forever). Their REAL gates are the
+    # pytest recall / tolerance tests (test_similarity.py, test_sketches.py);
+    # demoting them makes every driver-window row exactly provable.
+    "ann_topk_ivf",
+    "approx_distinct_users_events",
+    # r5: machinery fully covered by harder in-window rows — brute-force
+    # top-k by ann_topk_batch/ann_topk_lsh (same dot-product + rank
+    # kernel), distinct partition values by differing_partitions_orders
+    # (same digest + set-diff pipeline). Green r2-r4.
+    "ann_topk_bruteforce",
+    "distinct_partitions_orders",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -151,7 +163,6 @@ _DEMOTED: tuple[str, ...] = (
     "frame_sample_part",
     "distinct_users_per_type",
     "range_join_user_bursts",
-    "json_extract_events",
 )
 
 
@@ -1618,6 +1629,77 @@ def scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(hist, _slave_orders(orders), ["o_orderkey"], 1)
 
 
+#: second deterministic snapshot (for the multi-batch SCD2 fold): drop
+#: every 101st key, bump price on every 13th key — independent of the
+#: first snapshot's perturbation so all four version-transition kinds
+#: (stay-open, close, close+reopen, reopen-after-delete) occur at ts=2.
+def _slave_orders2(orders: DataFrame) -> DataFrame:
+    key = F.col("o_orderkey")
+    return orders.where(key % 101 != 0).withColumn(
+        "o_totalprice",
+        F.when(key % 13 == 0, F.col("o_totalprice") + 2).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+
+
+_SLAVE_ORDERS2_SQL = """
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 2
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 101 <> 0
+"""
+
+
+@_register(
+    "scd2_multibatch_orders",
+    f"""WITH snap1 AS ({_SLAVE_ORDERS_SQL}),
+        snap2 AS ({_SLAVE_ORDERS2_SQL}),
+        o AS (SELECT *, {_ORDERS_HASH} AS h FROM orders),
+        a AS (SELECT *, {_ORDERS_HASH} AS h FROM snap1),
+        b AS (SELECT *, {_ORDERS_HASH} AS h FROM snap2)
+        -- v0 closed at ts=1 (key dropped or content changed in snap1)
+        SELECT {", ".join("o." + c for c in ORDERS_COLS)},
+               CAST(0 AS BIGINT) AS valid_from, CAST(1 AS BIGINT) AS valid_to
+        FROM o LEFT JOIN a ON a.o_orderkey = o.o_orderkey
+        WHERE a.h IS NULL OR a.h <> o.h
+        UNION ALL
+        -- v0 survived ts=1 unchanged; open unless snap2 drops/changes it
+        SELECT {", ".join("o." + c for c in ORDERS_COLS)},
+               CAST(0 AS BIGINT),
+               CAST(CASE WHEN b.h IS NULL OR b.h <> o.h THEN 2 END AS BIGINT)
+        FROM o JOIN a ON a.o_orderkey = o.o_orderkey AND a.h = o.h
+             LEFT JOIN b ON b.o_orderkey = o.o_orderkey
+        UNION ALL
+        -- v1 opened at ts=1 (changed content); open unless snap2 moves on
+        SELECT {", ".join("a." + c for c in ORDERS_COLS)},
+               CAST(1 AS BIGINT),
+               CAST(CASE WHEN b.h IS NULL OR b.h <> a.h THEN 2 END AS BIGINT)
+        FROM a JOIN o ON o.o_orderkey = a.o_orderkey AND o.h <> a.h
+             LEFT JOIN b ON b.o_orderkey = a.o_orderkey
+        UNION ALL
+        -- v2 opened at ts=2: snap2 content differs from whatever was
+        -- open at ts=2⁻ (that open hash is snap1's, whichever row held it)
+        SELECT {", ".join("b." + c for c in ORDERS_COLS)},
+               CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+        FROM b LEFT JOIN a ON a.o_orderkey = b.o_orderkey
+        WHERE a.h IS NULL OR a.h <> b.h""",
+)
+def scd2_multibatch_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 across THREE folds (bootstrap@0, snap1@1, snap2@2) — the
+    as-history-grows shape: each fold's closed rows pass through without
+    joining (scd.py's at-scale property), so fold N+1 costs ~fold N even
+    as the history table grows. The oracle enumerates the full version
+    timeline per key from the three content hashes."""
+    from mysql_syncer_spark.scd import scd2_apply, scd2_init
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = scd2_init(orders, 0)
+    hist = scd2_apply(hist, _slave_orders(orders), ["o_orderkey"], 1)
+    return scd2_apply(hist, _slave_orders2(orders), ["o_orderkey"], 2)
+
+
 @_register(
     "quota_sample_docs",
     f"""SELECT doc_id, source FROM documents
@@ -1985,6 +2067,31 @@ def incremental_new_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_new_docs(
         corpus, incoming, num_hashes=16, bands=4, threshold=0.7
     )
+
+
+@_register("incremental_new_docs_indexed", _incremental_oracle_sql())
+def incremental_new_docs_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E44b: the daily-ingest gate served from the PERSISTED MinHash
+    index — identical output to incremental_new_docs, but the corpus is
+    never scanned/shingled/signed at query time: the candidate join
+    reads the (band,bucket)-bucketed index table (zero corpus Exchange)
+    and the verify join reads the id-bucketed signature table. First
+    call in a session builds the index (the amortized one-time layout
+    job); every later call is O(batch)."""
+    from mysql_syncer_spark.operators.minhash_index import (
+        ensure_minhash_index,
+        incremental_new_docs_indexed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = sampling.hash_bucket("doc_id")
+    corpus = docs.where(b < 9000)
+    incoming = docs.where(b >= 9000)
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    idx = ensure_minhash_index(
+        corpus, f"mhidx_{tag}_docs", num_hashes=16, bands=4
+    )
+    return incremental_new_docs_indexed(idx, incoming, threshold=0.7)
 
 
 @_register("minhash_pairs_between_docs", _minhash_between_oracle_sql())

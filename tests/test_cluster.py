@@ -1,6 +1,5 @@
 """Connected-component dedup clustering: pairs → clusters → survivors."""
 
-import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -104,14 +103,32 @@ def test_survivors_and_dedup(spark):
     assert kept == [1, 4, 5, 6, 7, 9]
 
 
-def test_nonconvergence_raises(spark):
-    with pytest.raises(RuntimeError, match="did not converge"):
-        # pointer jumping covers ~4x distance per round, so a genuinely
-        # non-converging case needs a chain much longer than 4^max_iter;
-        # driver_edge_limit=0 forces the distributed loop (driver
-        # union-find has no iteration bound to hit)
-        duplicate_clusters(
-            _pairs(spark, [(i, i + 1) for i in range(1, 400)]),
-            max_iter=1,
-            driver_edge_limit=0,
-        )
+def test_long_chain_converges_via_recontraction(spark):
+    """A 60-node path with max_iter=1 exceeds what one propagation
+    round can label (reach ~6 hops); the resolver must re-contract the
+    partially-labeled graph and recurse with a doubled round budget
+    instead of raising. driver_edge_limit=0 keeps every level on the
+    distributed path."""
+    cl = duplicate_clusters(
+        _pairs(spark, [(i, i + 1) for i in range(1, 60)]),
+        max_iter=1,
+        driver_edge_limit=0,
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in cl.collect()}
+    assert got == {i: 1 for i in range(1, 61)}
+
+
+def test_string_ids_driver_path(spark):
+    """Non-integer doc ids (UUID-style strings) through the driver
+    union-find path: mapping schema must derive from the id type, and
+    cluster_id is the lexicographic component min."""
+    pairs = spark.createDataFrame(
+        [("uuid-b", "uuid-a"), ("uuid-b", "uuid-c"), ("uuid-x", "uuid-y")],
+        "id_a string, id_b string",
+    )
+    cl = duplicate_clusters(pairs, driver_edge_limit=2_000_000)
+    got = {r["doc_id"]: r["cluster_id"] for r in cl.collect()}
+    assert got == {
+        "uuid-a": "uuid-a", "uuid-b": "uuid-a", "uuid-c": "uuid-a",
+        "uuid-x": "uuid-x", "uuid-y": "uuid-x",
+    }

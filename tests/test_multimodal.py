@@ -5,6 +5,7 @@ repartitioning, frame sampling. Decode itself is a deterministic fake
 import pytest
 from pyspark.sql import functions as F
 
+from mysql_syncer_spark.operators.png import png_decode, png_encode
 from mysql_syncer_spark.operators.multimodal import (
     FEATURE_DIM,
     decode_image,
@@ -37,6 +38,7 @@ def _has_pil() -> bool:
 
 def test_decode_stub_gated():
     if not _has_pil():
+        # non-PNG bytes with no image library must refuse loudly
         with pytest.raises(NotImplementedError):
             decode_image(b"xx", fake=False)
     w, h, f = decode_image(b"xx", fake=True)
@@ -44,27 +46,51 @@ def test_decode_stub_gated():
     assert decode_image(b"xx", fake=True) == (w, h, f)  # deterministic
 
 
-@pytest.mark.skipif(not _has_pil(), reason="Pillow not installed")
-def test_image_real_path_pil(spark):
-    """Real-codec path: activates automatically when Pillow exists."""
-    import io
+def _make_png(w, h):
+    """A deterministic RGB gradient PNG via the stdlib encoder (also
+    loadable by Pillow — png_encode writes spec-valid files)."""
+    px = bytes(
+        (x * 11 + y * 17 + c * 41) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    return png_encode(w, h, "RGB", px)
 
-    from PIL import Image
 
-    buf = io.BytesIO()
-    Image.new("RGB", (10, 8), (200, 30, 30)).save(buf, format="PNG")
-    png = buf.getvalue()
+def test_image_real_path(spark):
+    """REAL pixel path, no skip: Pillow when installed, the stdlib PNG
+    codec otherwise — decode reports true dimensions, features come
+    from actual pixels, resize emits a decodable PNG at target size."""
+    png = _make_png(10, 8)
 
     w, h, f = decode_image(png, fake=False)
     assert (w, h) == (10, 8) and len(f) == FEATURE_DIM
+    assert all(-1.0 <= v < 1.0 for v in f)
+    assert decode_image(png, fake=False) == (w, h, f)  # deterministic
 
     df = spark.createDataFrame([(1, png)], "media_id long, media binary")
     r = extract_image_features(df, fake_decode=False).collect()[0]
     assert (r["width"], r["height"]) == (10, 8)
+    assert [round(v, 6) for v in r["features"]] == [round(v, 6) for v in f]
     out = resize_images(df, target=(4, 4), fake_resize=False).collect()[0]
     assert (out["width"], out["height"]) == (4, 4)
-    with Image.open(io.BytesIO(bytes(out["media"]))) as im:
-        assert im.size == (4, 4)
+    rw, rh, mode, _px = png_decode(bytes(out["media"]))
+    assert (rw, rh, mode) == (4, 4, "RGB")
+
+
+def test_image_real_path_mixed_with_nulls(spark):
+    """Real decode through mapInPandas with NULLs interleaved — the
+    batch loop must keep per-row NULL semantics on the real tier too."""
+    rows = [(1, _make_png(6, 4)), (2, None), (3, _make_png(3, 3))]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    got = {
+        r["media_id"]: r
+        for r in extract_image_features(df, fake_decode=False).collect()
+    }
+    assert (got[1]["width"], got[1]["height"]) == (6, 4)
+    assert got[2]["width"] is None and got[2]["features"] is None
+    assert (got[3]["width"], got[3]["height"]) == (3, 3)
 
 
 def test_extract_image_features(spark, media):

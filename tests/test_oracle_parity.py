@@ -92,7 +92,10 @@ def test_driver_window_holds_extension_queries():
     names = list(entrymod.queries().keys())
     window = set(names[:50])
     must_be_in = {
-        "ann_topk_ivf", "approx_distinct_users_events",
+        # r5: ann_topk_ivf / approx_distinct_users_events moved OUT of the
+        # window (approximate → err:"no_oracle" forever; pytest-gated
+        # instead) in favor of exactly-provable rows.
+        "hourly_event_counts", "json_extract_events",
         "curate_corpus_docs", "salted_join_orders_customer",
         "contamination_docs", "repetition_docs", "cdc_apply_orders",
         "scd2_orders", "quota_sample_docs", "supplier_revenue",
@@ -100,6 +103,8 @@ def test_driver_window_holds_extension_queries():
         "priority_sample_docs", "label_centroids_embeddings",
         "minhash_pairs_between_docs", "incremental_new_docs",
         "cluster_safe_split_docs",
+        # r5 additions
+        "incremental_new_docs_indexed", "scd2_multibatch_orders",
     }
     assert must_be_in <= window, sorted(must_be_in - window)
     from mysql_syncer_spark.queries import _DEMOTED

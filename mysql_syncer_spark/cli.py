@@ -98,6 +98,45 @@ def build_parser() -> argparse.ArgumentParser:
 
     p_plan = sub.add_parser("plan", help="print the sync plan, execute nothing")
     common(p_plan)
+
+    def session_opts(p: argparse.ArgumentParser) -> None:
+        p.add_argument("--cpus", default="*")
+        p.add_argument("--shuffle-partitions", type=int, default=32)
+
+    def index_opts(p: argparse.ArgumentParser) -> None:
+        p.add_argument("--name", required=True,
+                       help="catalog name prefix for the index tables")
+        p.add_argument("--id-col", default="doc_id")
+        p.add_argument("--text-col", default="text")
+
+    p_idx = sub.add_parser(
+        "index-build",
+        help="build the persisted MinHash corpus index (one-time layout "
+             "job; makes every later ingest O(batch))")
+    p_idx.add_argument("--docs", required=True,
+                       help="parquet file/dir of the corpus table")
+    index_opts(p_idx)
+    p_idx.add_argument("--k", type=int, default=5, help="shingle length")
+    p_idx.add_argument("--num-hashes", type=int, default=32)
+    p_idx.add_argument("--bands", type=int, default=8)
+    p_idx.add_argument("--num-buckets", type=int, default=32)
+    session_opts(p_idx)
+
+    p_ing = sub.add_parser(
+        "ingest",
+        help="admit a batch through the indexed dedup gate: rows that "
+             "are neither exact nor near dups of the indexed corpus")
+    p_ing.add_argument("--batch", required=True,
+                       help="parquet file/dir of the incoming batch")
+    index_opts(p_ing)
+    p_ing.add_argument("--out", required=True,
+                       help="parquet path for admitted rows")
+    p_ing.add_argument("--threshold", type=float, default=0.5,
+                       help="estimated-Jaccard near-dup threshold")
+    p_ing.add_argument("--append", action="store_true",
+                       help="fold admitted rows back into the index "
+                            "(tomorrow's batch dedups against them)")
+    session_opts(p_ing)
     return ap
 
 
@@ -146,6 +185,49 @@ def _emit(report: SyncReport, out) -> int:
     return 0 if report.ok else 1
 
 
+def _run_index_command(spark: SparkSession, args, out) -> int:
+    """The daily-ingest pair: ``index-build`` signs the corpus once into
+    bucketed catalog tables; ``ingest`` runs the O(batch) gate against
+    them (optionally folding admissions back in)."""
+    from mysql_syncer_spark.operators.minhash_index import (
+        incremental_new_docs_indexed,
+        minhash_index_append,
+        minhash_index_read,
+        minhash_index_write,
+    )
+
+    if args.command == "index-build":
+        corpus = spark.read.parquet(args.docs)
+        minhash_index_write(
+            corpus, args.name, id_col=args.id_col, text_col=args.text_col,
+            k=args.k, num_hashes=args.num_hashes, bands=args.bands,
+            num_buckets=args.num_buckets,
+        )
+        idx = minhash_index_read(spark, args.name)
+        print(json.dumps({
+            "index": args.name, "docs": corpus.count(),
+            "num_hashes": idx.num_hashes, "bands": idx.bands,
+            "num_buckets": idx.num_buckets,
+        }), file=out)
+        return 0
+
+    idx = minhash_index_read(spark, args.name)
+    batch = spark.read.parquet(args.batch)
+    admitted = incremental_new_docs_indexed(
+        idx, batch, text_col=args.text_col, threshold=args.threshold
+    ).localCheckpoint(eager=True)  # gate once; write + append reuse it
+    admitted.write.mode("overwrite").parquet(args.out)
+    if args.append:
+        minhash_index_append(args.name, admitted, idx,
+                             text_col=args.text_col)
+    print(json.dumps({
+        "index": args.name, "batch_rows": batch.count(),
+        "admitted_rows": admitted.count(), "out": args.out,
+        "appended": bool(args.append),
+    }), file=out)
+    return 0
+
+
 def main(argv: list[str] | None = None, spark: SparkSession | None = None,
          out=None) -> int:
     """Entry point. ``spark``/``out`` are injectable for tests; when the
@@ -155,6 +237,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None,
     owns = spark is None
     spark = spark or _session(args)
     try:
+        if args.command in ("index-build", "ingest"):
+            return _run_index_command(spark, args, out)
         master, slave, cfg = _catalogs(spark, args)
         ex = ParquetSyncExecutor(master, slave, cfg)
         if args.command == "plan":

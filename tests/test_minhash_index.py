@@ -10,6 +10,7 @@ from mysql_syncer_spark.operators.minhash_index import (
     incremental_new_docs_indexed,
     minhash_index_append,
     minhash_index_exists,
+    minhash_index_read,
     minhash_lsh_pairs_against_index,
 )
 from mysql_syncer_spark.operators.sampling import hash_bucket
@@ -115,6 +116,53 @@ def test_plan_corpus_side_reads_index_only(spark, split, idx):
     assert n_idx <= 2, indexed
     assert "docs_buckets" in indexed and "docs_sig" in indexed
     assert "Bucketed: true" in indexed, indexed
+
+
+def test_reattach_from_files_only(spark, split, idx, tmp_path):
+    """A fresh session sees the index FILES but an empty catalog (the
+    in-memory catalog dies with the session — and the CLI runs
+    index-build and ingest as separate processes). Simulate in-JVM by
+    copying the index files under a database the catalog has no tables
+    for: read must re-register them, restore the bucket spec, and serve
+    identical results."""
+    import shutil
+
+    corpus, incoming = split
+    src = spark.catalog.getDatabase("mhidxtest").locationUri.replace(
+        "file:", ""
+    )
+    dst = tmp_path / "wh2"
+    shutil.copytree(src, dst)
+    spark.sql(f"CREATE DATABASE mhidxre LOCATION '{dst}'")
+    try:
+        assert minhash_index_exists(spark, "mhidxre.docs")
+        idx2 = minhash_index_read(spark, "mhidxre.docs")
+        assert (idx2.num_hashes, idx2.bands, idx2.num_buckets) == (16, 4, 8)
+        got = sorted(
+            r["doc_id"]
+            for r in incremental_new_docs_indexed(
+                idx2, incoming, threshold=0.7
+            ).collect()
+        )
+        expected = sorted(
+            r["doc_id"]
+            for r in incremental_new_docs_indexed(
+                idx, incoming, threshold=0.7
+            ).collect()
+        )
+        assert got == expected
+        # the restored spec is real bucket metadata, not a plain scan
+        plan = physical_plan(
+            minhash_lsh_pairs_against_index(idx2, incoming, threshold=0.7)
+        )
+        assert "Bucketed: true" in plan
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS mhidxre CASCADE")
+
+
+def test_read_missing_raises(spark):
+    with pytest.raises(ValueError, match="not found"):
+        minhash_index_read(spark, "mhidxtest.never_built")
 
 
 def test_append_folds_batch_in(spark, split, idx):

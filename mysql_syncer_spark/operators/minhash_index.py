@@ -280,6 +280,12 @@ def minhash_index_append(
         nb,
         mode="append",
     )
+    # self-heal the writing session's relation cache: inserts refresh by
+    # output path, but a handle read BEFORE this append (idx.*) may pin a
+    # stale file listing — explicit refresh makes the next read complete
+    spark = batch.sparkSession
+    for suf in ("_sig", "_buckets", "_fp"):
+        spark.catalog.refreshTable(f"{index_name}{suf}")
 
 
 def minhash_lsh_pairs_against_index(

@@ -1696,7 +1696,13 @@ def scd2_multibatch_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     hist = scd2_init(orders, 0)
-    hist = scd2_apply(hist, _slave_orders(orders), ["o_orderkey"], 1)
+    # materialize between folds, as a real deployment does (each nightly
+    # fold reads the PERSISTED history table, not yesterday's lazy DAG):
+    # without this, fold 2's five consumers of the fold-1 union re-execute
+    # fold 1 repeatedly and the chain's cost compounds per fold
+    hist = scd2_apply(
+        hist, _slave_orders(orders), ["o_orderkey"], 1
+    ).localCheckpoint(eager=True)
     return scd2_apply(hist, _slave_orders2(orders), ["o_orderkey"], 2)
 
 

@@ -18,12 +18,14 @@ double-appending (the standard idempotent-foreachBatch pattern; the
 subdir doubles as provenance of WHEN a doc was accepted).
 
 Scale notes: the per-batch work is corpus×batch bucket joins (bipartite
-LSH), never corpus×corpus; the exact-fingerprint layer joins the batch
-against a fingerprint projection of the corpus (broadcast-able once the
-batch side is the small side). At 100 TB the corpus fingerprint/bucket
-tables would be materialized once and incrementally maintained instead
-of recomputed per batch — the operators already take DataFrames, so
-swapping a precomputed signature table in is a call-site change.
+LSH), never corpus×corpus. :func:`ingest_gate_stream` recomputes the
+corpus signatures each micro-batch (simple, zero setup — fine for small
+corpora); :func:`ingest_gate_stream_indexed` is the at-scale variant:
+it gates against the PERSISTED MinHash index
+(operators/minhash_index.py) and folds each batch's survivors back into
+the index, so per-batch cost is O(batch) and stays flat as the corpus
+grows — the accepted store never gets re-signed either, because
+acceptance IS index membership.
 """
 
 from __future__ import annotations
@@ -105,6 +107,64 @@ def ingest_gate_stream(
         if os.path.exists(out):  # crash replay: redo, don't double-append
             shutil.rmtree(out)
         survivors.write.parquet(out)
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(gate)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ingest_gate_stream_indexed(
+    stream: DataFrame,
+    index_name: str,
+    accepted_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """Index-served streaming gate: like :func:`ingest_gate_stream` but
+    the corpus side is the persisted MinHash index (built once with
+    ``minhash_index_write`` / the ``index-build`` CLI), and survivors
+    are appended back into the index instead of re-signing the accepted
+    store every batch — per-micro-batch work is O(batch) forever.
+
+    Replay semantics: the parquet output stays exactly-once (per-batch
+    subdir overwrite); a replayed batch may append its signatures to the
+    index a second time, which is BENIGN — the gate's anti-joins are
+    idempotent under duplicate index rows (a doc matching a fingerprint
+    twice is still just dropped), so a crash costs index bytes, never
+    correctness. Compact by rebuilding the index from the corpus +
+    accepted store if replays accumulate.
+    """
+    from mysql_syncer_spark.operators.minhash_index import (
+        incremental_new_docs_indexed,
+        minhash_index_append,
+        minhash_index_read,
+    )
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        # read through the BATCH's session, not the outer one: foreachBatch
+        # binds batches to a cloned streaming session whose writes refresh
+        # only its OWN relation cache — reading the index via the outer
+        # session would see a stale file listing and miss prior batches'
+        # appends (exact dups across micro-batches would slip through)
+        idx = minhash_index_read(batch.sparkSession, index_name)
+        fresh = dedup_batch_within(batch, idx.id_col, text_col, threshold)
+        survivors = incremental_new_docs_indexed(
+            idx, fresh, text_col, threshold
+        ).localCheckpoint(eager=True)  # gate once; write + append reuse
+        out = f"{accepted_path}/batch_id={batch_id}"
+        if os.path.exists(out):  # crash replay: redo, don't double-append
+            shutil.rmtree(out)
+        survivors.write.parquet(out)
+        minhash_index_append(index_name, survivors, idx, text_col)
 
     writer = (
         stream.writeStream.outputMode("append")

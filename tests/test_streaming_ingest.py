@@ -91,3 +91,69 @@ def test_ingest_gate_stream_end_to_end(spark, sf_dir, tmp_path):
     q2.awaitTermination(180)
     got2 = {r["doc_id"] for r in read_accepted(spark, accepted).collect()}
     assert got2 == got
+
+
+def test_ingest_gate_stream_indexed_end_to_end(spark, sf_dir, tmp_path):
+    """The at-scale streaming gate: corpus served from the persisted
+    index, survivors appended back — later batches dedup against
+    earlier ones through the INDEX, and the recompute variant's
+    accepted-store union never runs."""
+    from mysql_syncer_spark.operators.minhash_index import (
+        minhash_index_read,
+        minhash_index_write,
+    )
+    from mysql_syncer_spark.streaming.ingest import ingest_gate_stream_indexed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d0 = docs.orderBy("doc_id").limit(1).collect()[0]["text"]
+    near0 = d0.replace(d0.split()[0], "zzz", 1)
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS strmidx LOCATION '{tmp_path / 'wh'}'"
+    )
+    try:
+        minhash_index_write(
+            docs, "strmidx.docs", num_hashes=16, bands=4, num_buckets=4
+        )
+        src = tmp_path / "arrivals"
+        src.mkdir()
+        novel_a = "a genuinely new article about spark streaming gates one"
+        novel_b = "another brand new piece of text that is not a duplicate"
+        near_a = novel_a.replace("article", "writeup", 1)
+        (src / "b0.json").write_text(
+            "\n".join([_doc(900001, d0), _doc(900002, near0),
+                       _doc(900003, novel_a)])
+        )
+        (src / "b1.json").write_text(
+            "\n".join([_doc(900004, novel_a), _doc(900005, near_a),
+                       _doc(900006, novel_b)])
+        )
+        accepted = str(tmp_path / "accepted")
+        ckpt = str(tmp_path / "ckpt")
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = ingest_gate_stream_indexed(
+            stream, "strmidx.docs", accepted, ckpt, threshold=0.5
+        )
+        q.awaitTermination(180)
+
+        got = {r["doc_id"] for r in read_accepted(spark, accepted).collect()}
+        assert 900006 in got
+        assert len(got & {900003, 900004}) == 1
+        assert got & {900001, 900002, 900005} == set()
+        # acceptance IS index membership: survivors' signatures landed.
+        # (The appends ran in the streaming clone's session; this outer
+        # session must refresh its cached file listing first — the same
+        # staleness the gate itself avoids by reading through
+        # batch.sparkSession.)
+        spark.catalog.refreshTable("strmidx.docs_sig")
+        idx = minhash_index_read(spark, "strmidx.docs")
+        indexed_ids = {
+            r["doc_id"]
+            for r in idx.signatures.where("doc_id >= 900000").collect()
+        }
+        assert indexed_ids == got
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS strmidx CASCADE")

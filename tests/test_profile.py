@@ -1,0 +1,62 @@
+"""Single-pass table profiling: exact stats, NULL handling, type
+stringification, one-scan plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_syncer_spark.operators.profile import profile_table
+from mysql_syncer_spark.sources.bucketed import physical_plan
+
+
+def test_profile_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.5, None),
+            (2, "b", 2.25, 7),
+            (3, None, None, 7),
+            (4, "a", -0.125, 9),
+        ],
+        "id long, s string, d double, i long",
+    )
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(got) == {"id", "s", "d", "i"}
+    assert all(r["n_rows"] == 4 for r in got.values())
+    assert (got["id"]["n_nulls"], got["id"]["n_distinct"]) == (0, 4)
+    assert (got["s"]["n_nulls"], got["s"]["n_distinct"]) == (1, 2)
+    assert (got["i"]["n_nulls"], got["i"]["n_distinct"]) == (1, 2)
+    assert (got["id"]["min_value"], got["id"]["max_value"]) == ("1", "4")
+    # doubles render at fixed 6-dp scale (deterministic cross-engine)
+    assert got["d"]["min_value"] == "-0.125000"
+    assert got["d"]["max_value"] == "2.250000"
+
+
+def test_profile_skips_complex_columns(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], b"xx")], "id long, emb array<double>, blob binary"
+    )
+    cols = [r["column"] for r in profile_table(df).collect()]
+    assert cols == ["id"]
+
+
+def test_profile_unknown_column_raises(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_table(df, ["nope"])
+
+
+def test_profile_single_scan(spark, sf_dir):
+    """All columns' stats must come from ONE read of the table — the
+    plan may Expand for the multi-distinct but must contain exactly one
+    parquet scan."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plan = physical_plan(profile_table(orders))
+    # formatted plans print each node twice (tree line + detail block);
+    # count scans by their one-per-scan Location detail
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_profile_empty_table(spark):
+    df = spark.createDataFrame([], "id long, s string")
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert got["id"]["n_rows"] == 0 and got["id"]["n_distinct"] == 0
+    assert got["s"]["min_value"] is None

@@ -93,6 +93,7 @@ HEADLINE = [
     # three snapshots — the growing-history shape.
     "incremental_new_docs_indexed",
     "scd2_multibatch_orders",
+    "profile_orders",
 ]
 
 

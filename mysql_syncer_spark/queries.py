@@ -147,6 +147,9 @@ _DEMOTED: tuple[str, ...] = (
     # (same digest + set-diff pipeline). Green r2-r4.
     "ann_topk_bruteforce",
     "distinct_partitions_orders",
+    # r5: cumulative-window machinery covered in-window by sessionize_
+    # events / latest_event_per_user / topk_per_group. Green r2-r4.
+    "running_total_events",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -2119,6 +2122,37 @@ def incremental_new_docs_indexed_q(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 _MHIDX_FP_CACHE: dict[str, str] = {}
+
+
+def _profile_oracle_sql() -> str:
+    """Per-column UNION ALL mirror of operators/profile.py with the
+    identical min/max stringification rule (doubles through
+    DECIMAL(28,6) so both engines print '123.450000')."""
+    parts = []
+    for c, kind in TABLE_KINDS["orders"]:
+        if kind == "double":
+            mn = f"CAST(CAST(ROUND(MIN({c}), 6) AS DECIMAL(28,6)) AS VARCHAR)"
+            mx = f"CAST(CAST(ROUND(MAX({c}), 6) AS DECIMAL(28,6)) AS VARCHAR)"
+        else:
+            mn, mx = f"CAST(MIN({c}) AS VARCHAR)", f"CAST(MAX({c}) AS VARCHAR)"
+        parts.append(
+            f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT({c}) AS n_nulls,
+                   COUNT(DISTINCT {c}) AS n_distinct,
+                   {mn} AS min_value, {mx} AS max_value FROM orders"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@_register("profile_orders", _profile_oracle_sql())
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E49: single-pass data-quality profile — per-column null counts,
+    exact distincts, deterministic min/max — the audit a corpus gets
+    before anything trains on it. One scan regardless of column count
+    (one Expand + one combinable shuffle for the multi-distinct)."""
+    from mysql_syncer_spark.operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "orders"))
 
 
 @_register("minhash_pairs_between_docs", _minhash_between_oracle_sql())

@@ -105,6 +105,7 @@ def test_driver_window_holds_extension_queries():
         "cluster_safe_split_docs",
         # r5 additions
         "incremental_new_docs_indexed", "scd2_multibatch_orders",
+        "profile_orders",
     }
     assert must_be_in <= window, sorted(must_be_in - window)
     from mysql_syncer_spark.queries import _DEMOTED

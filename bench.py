@@ -94,6 +94,7 @@ HEADLINE = [
     "incremental_new_docs_indexed",
     "scd2_multibatch_orders",
     "profile_orders",
+    "ann_topk_ivf_indexed",
 ]
 
 

@@ -347,3 +347,80 @@ def cosine_topk_lsh(
     return cosine_topk(
         bucketed.where(F.col("bucket").isin(probes)), query_vec, k, id_col, vec_col
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index
+# ---------------------------------------------------------------------------
+
+def ivf_index_write(
+    df: DataFrame,
+    path: str,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train + persist an IVF index at ``path``: assignments written
+    ``partitionBy(list_id)`` (so a probe is PARTITION PRUNING — nprobe/k
+    of the index directories are even listed, the rest never read) and
+    the codebook + parameters as a one-row JSON sidecar. The ANN twin of
+    the MinHash corpus index: pay the train/assign scan once, then every
+    query is O(probed lists). Purely file-based — no catalog, so it
+    works identically from any later session or process."""
+    import json
+
+    spark = df.sparkSession
+    cents = ivf_train(df, k, iters, id_col, vec_col)
+    ivf_assign(df, cents, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(f"{path}/assignments")
+    meta = json.dumps(
+        {"k": k, "id_col": id_col, "vec_col": vec_col, "centroids": cents}
+    )
+    spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(f"{path}/meta")
+    return cents
+
+
+def ivf_index_read(
+    spark, path: str
+) -> tuple[DataFrame, list[list[float]], str, str]:
+    """``(assignments, centroids, id_col, vec_col)`` from a persisted
+    index. Assignments keep their partition column, so filters on
+    ``list_id`` prune directories."""
+    import json
+
+    meta = json.loads(spark.read.text(f"{path}/meta").first()["value"])
+    assignments = spark.read.parquet(f"{path}/assignments")
+    return assignments, meta["centroids"], meta["id_col"], meta["vec_col"]
+
+
+def cosine_topk_ivf_indexed(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF probe against the PERSISTED index: rank the codebook on the
+    driver (k tiny), read only the ``nprobe`` nearest partitions, exact
+    top-k inside them. Identical output to :func:`cosine_topk_ivf` over
+    the same codebook — minus the train/assign work per query."""
+    import math
+
+    assignments, centroids, id_col, vec_col = ivf_index_read(spark, path)
+
+    def cos(a, b):
+        dot_ = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot_ / (na * nb) if na and nb else -1.0
+
+    ranked = sorted(
+        range(len(centroids)), key=lambda i: -cos(query_vec, centroids[i])
+    )
+    probed = assignments.where(F.col("list_id").isin(ranked[:nprobe]))
+    return cosine_topk(probed.select(id_col, vec_col), query_vec, k,
+                       id_col, vec_col)

@@ -140,6 +140,7 @@ _DEMOTED: tuple[str, ...] = (
     # pytest recall / tolerance tests (test_similarity.py, test_sketches.py);
     # demoting them makes every driver-window row exactly provable.
     "ann_topk_ivf",
+    "ann_topk_ivf_indexed",
     "approx_distinct_users_events",
     # r5: machinery fully covered by harder in-window rows — brute-force
     # top-k by ann_topk_batch/ann_topk_lsh (same dot-product + rank
@@ -1391,6 +1392,41 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = similarity.ivf_train(emb, k=8, iters=2)
     out = similarity.cosine_topk_ivf(emb, qvec, cents, k=10, nprobe=3)
     return out.withColumn("score", F.round("score", 6))
+
+
+@_register("ann_topk_ivf_indexed")
+def ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe against the PERSISTED partitioned index
+    (similarity.ivf_index_write): first call in a process trains +
+    writes once; every later call reads the codebook sidecar, prunes to
+    the 3 probed list_id partition directories, and ranks — no train,
+    no assign, no full scan. No oracle (float k-means is not
+    SQL-expressible); equality with the in-memory probe and partition
+    pruning are pytest-gated (test_similarity.py)."""
+    from mysql_syncer_spark.operators.minhash_index import (
+        _location_files_exist,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vector(emb)
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    fp = _IVFIDX_FP_CACHE.get(sf_dir)
+    if fp is None:
+        row = emb.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("vec_id").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        fp = f"{row['n']}_{int(row['s'] or 0) & 0xFFFFFFFFFFFF:x}"
+        _IVFIDX_FP_CACHE[sf_dir] = fp
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    path = f"{wh}/ivfidx_{tag}_{fp}"
+    if not _location_files_exist(spark, f"{path}/meta"):
+        similarity.ivf_index_write(emb, path, k=8, iters=2)
+    out = similarity.cosine_topk_ivf_indexed(spark, path, qvec, k=10, nprobe=3)
+    return out.withColumn("score", F.round("score", 6))
+
+
+_IVFIDX_FP_CACHE: dict[str, str] = {}
 
 
 @_register("approx_distinct_users_events")

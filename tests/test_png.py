@@ -3,10 +3,13 @@ palette expansion, resize/gray kernels, error gating. No Spark, no
 image library — this is the tier that makes the real pixel path
 executable in this container."""
 
+import random
 import struct
 import zlib
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from mysql_syncer_spark.operators.png import (
     PNG_MAGIC,
@@ -148,3 +151,34 @@ def test_error_gating():
         png_decode(data)
     with pytest.raises(ValueError, match="IHDR"):
         png_decode(PNG_MAGIC + _chunk(b"IEND", b""))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 9),
+    mode=st.sampled_from(["L", "LA", "RGB", "RGBA"]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_roundtrip_random(w, h, mode, seed):
+    """encode∘decode is the identity for arbitrary pixel buffers in
+    every supported mode and dimension (incl. 1-pixel edges)."""
+    rng = random.Random(seed)
+    px = bytes(rng.randrange(256) for _ in range(w * h * len(mode)))
+    assert png_decode(png_encode(w, h, mode, px)) == (w, h, mode, px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 10), h=st.integers(1, 10),
+    tw=st.integers(1, 16), th=st.integers(1, 16),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_resize_preserves_palette_of_values(w, h, tw, th, seed):
+    """Nearest-neighbor output contains only source pixel values and
+    has exactly the target geometry."""
+    rng = random.Random(seed)
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    out = resize_nearest(w, h, "L", px, tw, th)
+    assert len(out) == tw * th
+    assert set(out) <= set(px)

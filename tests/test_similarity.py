@@ -183,3 +183,38 @@ def test_ivf_partitioned_layout_prunes(spark, embeddings, query_vec, tmp_path_fa
     assert [r["vec_id"] for r in got.collect()] == [
         r["vec_id"] for r in want.collect()
     ]
+
+
+def test_ivf_index_persist_roundtrip(spark, embeddings, query_vec, tmp_path_factory):
+    """Persisted IVF index: write once, probe from the files — identical
+    results to the in-memory probe over the same codebook, partition
+    pruning proven on the probe scan, and readable with zero session
+    state (the cross-process deployment shape)."""
+    from mysql_syncer_spark.operators.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_ivf_indexed,
+        ivf_index_read,
+        ivf_index_write,
+    )
+    from mysql_syncer_spark.sources.layout import assert_partition_pruned
+
+    path = str(tmp_path_factory.mktemp("ivfidx") / "index")
+    cents = ivf_index_write(embeddings, path, k=4, iters=1)
+    got = [
+        (r["vec_id"], round(r["score"], 6))
+        for r in cosine_topk_ivf_indexed(
+            spark, path, query_vec, k=5, nprobe=2
+        ).collect()
+    ]
+    expected = [
+        (r["vec_id"], round(r["score"], 6))
+        for r in cosine_topk_ivf(
+            embeddings, query_vec, cents, k=5, nprobe=2
+        ).collect()
+    ]
+    assert got == expected and len(got) == 5
+
+    assignments, cents2, id_col, vec_col = ivf_index_read(spark, path)
+    assert cents2 == cents and (id_col, vec_col) == ("vec_id", "embedding")
+    probed = assignments.where(F.col("list_id").isin([0, 1]))
+    assert_partition_pruned(probed, "list_id")

@@ -6,12 +6,16 @@ the data-quality audit the reference performs implicitly by diffing
 everything (Synchronizer.php:193-230) and re-running until converged.
 This operator answers it directly, in ONE scan:
 
-* all columns' aggregates go into a single ``agg`` (count, nulls,
-  exact distinct, min, max per column) — Spark plans the multi-distinct
-  via one Expand + one combinable shuffle, so the table is read once no
-  matter how many columns are profiled;
-* the single wide row is unpivoted driver-side into the long
-  ``(column, ...)`` shape — C rows of metadata, never data;
+* count / nulls / min / max for ALL columns ride one wide
+  ``HashAggregate`` (a single scan, single-row output);
+* exact distincts deliberately do NOT join that agg: Spark plans
+  multi-column DISTINCT aggregates as Expand → Sort → SortAggregate
+  over C×rows wide tuples (benched ~10× the cost of the stats agg at
+  sf0.1). Instead the columns are unpivoted FIRST (``stack`` — a
+  projection) into narrow ``(column, value)`` pairs and reduced by two
+  map-side-combinable hash aggregates: distinct pairs, then counts per
+  column. Two narrow scans beat one sorted wide one — the plan gate
+  pins all-hash-aggregate, zero Expand/Sort;
 * min/max are stringified with a deterministic per-type rule
   (floats/doubles round to 6 dp through decimal, so the same values
   print identically on any engine — the rule the DuckDB oracle
@@ -58,25 +62,42 @@ def profile_table(
         col = F.col(c)
         aggs += [
             F.count(col).alias(f"__nn_{c}"),  # non-null count
-            F.countDistinct(col).alias(f"__nd_{c}"),
             _stringify(F.min(col), fields[c]).alias(f"__mn_{c}"),
             _stringify(F.max(col), fields[c]).alias(f"__mx_{c}"),
         ]
     wide = df.agg(*aggs)
-    # unpivot the single wide row with stack() — pure projection, the
-    # scan/shuffle above is the only data movement
     stack_args = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+        f"'{c}', __nn_{c}, __mn_{c}, __mx_{c}" for c in cols
     )
-    return wide.selectExpr(
+    stats = wide.selectExpr(
         "__n",
         f"stack({len(cols)}, {stack_args}) as "
-        "(column, __nn, n_distinct, min_value, max_value)",
-    ).select(
-        "column",
-        F.col("__n").alias("n_rows"),
-        (F.col("__n") - F.col("__nn")).alias("n_nulls"),
-        "n_distinct",
-        "min_value",
-        "max_value",
+        "(column, __nn, min_value, max_value)",
+    )
+    # exact distincts over narrow unpivoted pairs: stack is a pure
+    # projection; both groupBys are map-side-combinable hash aggs (a
+    # string cast is injective for every profiled type, so counting
+    # distinct casts == counting distinct values; NULLs are excluded
+    # up front to match COUNT(DISTINCT) semantics)
+    pair_args = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
+    distincts = (
+        df.selectExpr(
+            f"stack({len(cols)}, {pair_args}) as (column, __v)"
+        )
+        .where(F.col("__v").isNotNull())
+        .groupBy("column", "__v")
+        .agg(F.lit(1))
+        .groupBy("column")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    return (
+        stats.join(distincts, on="column", how="left")
+        .select(
+            "column",
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col("__nn")).alias("n_nulls"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            "min_value",
+            "max_value",
+        )
     )

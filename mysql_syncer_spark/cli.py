@@ -137,6 +137,13 @@ def build_parser() -> argparse.ArgumentParser:
                        help="fold admitted rows back into the index "
                             "(tomorrow's batch dedups against them)")
     session_opts(p_ing)
+
+    p_cmp = sub.add_parser(
+        "index-compact",
+        help="rewrite the index tables with duplicate rows removed "
+             "(replayed streaming appends accumulate benign dups)")
+    p_cmp.add_argument("--name", required=True)
+    session_opts(p_cmp)
     return ap
 
 
@@ -192,9 +199,21 @@ def _run_index_command(spark: SparkSession, args, out) -> int:
     from mysql_syncer_spark.operators.minhash_index import (
         incremental_new_docs_indexed,
         minhash_index_append,
+        minhash_index_compact,
         minhash_index_read,
         minhash_index_write,
     )
+
+    if args.command == "index-compact":
+        # read first: re-attaches the tables in a fresh session
+        before = minhash_index_read(spark, args.name).signatures.count()
+        minhash_index_compact(spark, args.name)
+        after = spark.table(f"{args.name}_sig").count()
+        print(json.dumps({
+            "index": args.name, "sig_rows_before": before,
+            "sig_rows_after": after,
+        }), file=out)
+        return 0
 
     if args.command == "index-build":
         corpus = spark.read.parquet(args.docs)
@@ -237,7 +256,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None,
     owns = spark is None
     spark = spark or _session(args)
     try:
-        if args.command in ("index-build", "ingest"):
+        if args.command in ("index-build", "ingest", "index-compact"):
             return _run_index_command(spark, args, out)
         master, slave, cfg = _catalogs(spark, args)
         ex = ParquetSyncExecutor(master, slave, cfg)

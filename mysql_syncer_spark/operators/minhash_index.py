@@ -288,6 +288,32 @@ def minhash_index_append(
         spark.catalog.refreshTable(f"{index_name}{suf}")
 
 
+def minhash_index_compact(spark: SparkSession, name: str) -> None:
+    """Rewrite the three data tables with duplicates removed. Replayed
+    streaming appends accumulate BENIGN duplicate rows (the gate's
+    anti-joins are idempotent under them); compaction reclaims the
+    space and restores one-row-per-doc invariants. Pattern: write fresh
+    bucketed tables under a temp name, then drop-and-rename — the index
+    stays readable until the swap, and a crash mid-compact leaves
+    either the old or the new tables, never a half-written one."""
+    idx = minhash_index_read(spark, name)
+    nb, idc = idx.num_buckets, idx.id_col
+    tmp = f"{name}_compact_tmp"
+    for suf in ("_sig", "_buckets", "_fp"):
+        _drop_stale(spark, f"{tmp}{suf}")
+    write_bucketed(
+        idx.signatures.dropDuplicates([idc]), f"{tmp}_sig", [idc], nb
+    )
+    write_bucketed(
+        idx.buckets.distinct(), f"{tmp}_buckets", ["band", "bucket"], nb,
+        sort_cols=["band", "bucket", idc],
+    )
+    write_bucketed(idx.fingerprints.distinct(), f"{tmp}_fp", ["fp"], nb)
+    for suf in ("_sig", "_buckets", "_fp"):
+        _drop_stale(spark, f"{name}{suf}")
+        spark.sql(f"ALTER TABLE {tmp}{suf} RENAME TO {name}{suf}")
+
+
 def minhash_lsh_pairs_against_index(
     index: MinhashIndex,
     incoming: DataFrame,

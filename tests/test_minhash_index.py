@@ -165,6 +165,53 @@ def test_read_missing_raises(spark):
         minhash_index_read(spark, "mhidxtest.never_built")
 
 
+def test_compact_removes_replay_duplicates(spark, split, idx, tmp_path):
+    """A replayed append duplicates index rows (benign for the gate);
+    compaction must restore one-row-per-doc without changing gate
+    output. Runs on a COPY of the module index so later tests see the
+    original untouched."""
+    import shutil
+
+    from mysql_syncer_spark.operators.minhash_index import (
+        minhash_index_compact,
+    )
+
+    corpus, incoming = split
+    src = spark.catalog.getDatabase("mhidxtest").locationUri.replace(
+        "file:", ""
+    )
+    dst = tmp_path / "whc"
+    shutil.copytree(src, dst)
+    spark.sql(f"CREATE DATABASE mhidxcmp LOCATION '{dst}'")
+    try:
+        idx2 = minhash_index_read(spark, "mhidxcmp.docs")
+        batch = incoming.limit(20)
+        minhash_index_append("mhidxcmp.docs", batch, idx2)
+        minhash_index_append("mhidxcmp.docs", batch, idx2)  # replay
+        idx2 = minhash_index_read(spark, "mhidxcmp.docs")
+        n_docs = corpus.count() + 20
+        assert idx2.signatures.count() == n_docs + 20  # dup rows present
+        gate_before = sorted(
+            r["doc_id"]
+            for r in incremental_new_docs_indexed(
+                idx2, incoming, threshold=0.7
+            ).collect()
+        )
+        minhash_index_compact(spark, "mhidxcmp.docs")
+        idx3 = minhash_index_read(spark, "mhidxcmp.docs")
+        assert idx3.signatures.count() == n_docs
+        assert idx3.buckets.count() == n_docs * idx3.bands
+        gate_after = sorted(
+            r["doc_id"]
+            for r in incremental_new_docs_indexed(
+                idx3, incoming, threshold=0.7
+            ).collect()
+        )
+        assert gate_after == gate_before
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS mhidxcmp CASCADE")
+
+
 def test_append_folds_batch_in(spark, split, idx):
     """After appending the incoming batch, re-running the gate against
     the SAME incoming must admit nothing (every doc now collides with

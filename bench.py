@@ -95,6 +95,12 @@ HEADLINE = [
     "scd2_multibatch_orders",
     "profile_orders",
     "ann_topk_ivf_indexed",
+    # round-5 second wave (new keys only; prior keys unchanged)
+    "mixture_sample_docs",
+    "chunk_docs",
+    "semantic_dedup_embeddings",
+    "dedup_keep_best_docs",
+    "shard_stats_docs",
 ]
 
 

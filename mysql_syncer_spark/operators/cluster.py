@@ -327,3 +327,38 @@ def dedup_by_clusters(
         F.col("doc_id").alias(id_col)
     )
     return df.join(victims, on=id_col, how="left_anti")
+
+
+def cluster_keep_best(
+    df: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware survivor policy: per duplicate cluster keep the
+    member with the HIGHEST ``score_col`` (ties → min id) instead of
+    the arbitrary min-id member. The standard curation refinement —
+    when near-dups differ (one truncated, one boilerplate-wrapped, one
+    clean), min-id keeps a random variant; keep-best keeps the one the
+    training run actually wants.
+
+    Scale shape: scores are looked up by joining the (small) cluster
+    map against an id+score projection of the corpus — never the other
+    way around — so the rank window shuffles only clustered rows, a
+    tiny fraction of the corpus. The loser list then anti-joins the
+    corpus (broadcast when small, shuffle otherwise). Unclustered docs
+    pass through untouched. One corpus scan + one pruned-column scan.
+    """
+    from pyspark.sql import Window
+
+    cl = clusters.select(F.col("doc_id").alias(id_col), "cluster_id")
+    scored = cl.join(df.select(id_col, score_col), id_col)
+    rank = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    losers = (
+        scored.withColumn("__rn", F.row_number().over(rank))
+        .where(F.col("__rn") > 1)
+        .select(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

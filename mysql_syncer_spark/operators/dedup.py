@@ -661,3 +661,36 @@ def embedding_near_dups(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None | bool = "label",
+    threshold: float = 0.95,
+    lsh_bits: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: drop every row whose
+    embedding is cosine-near (≥ ``threshold``) a lower-id row in the
+    same block, transitively — i.e. keep ONE representative (the min
+    id) per connected component of the near-dup graph, plus every
+    unpaired row.
+
+    Composition of three already-scale-shaped stages:
+    :func:`embedding_near_dups` (blocked pair generation — never n²)
+    → ``cluster.duplicate_clusters`` (distributed connected
+    components) → ``cluster.dedup_by_clusters`` (broadcast-able victim
+    anti-join). The semantic analogue of exact/MinHash text dedup: it
+    catches paraphrases and re-encodings that share no n-grams.
+    """
+    from mysql_syncer_spark.operators.cluster import (
+        dedup_by_clusters,
+        duplicate_clusters,
+    )
+
+    pairs = embedding_near_dups(
+        df, id_col, vec_col, block_col, threshold, lsh_bits
+    )
+    clusters = duplicate_clusters(pairs)
+    return dedup_by_clusters(df, clusters, id_col)

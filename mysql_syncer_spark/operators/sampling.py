@@ -110,6 +110,71 @@ def cluster_safe_split(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Resample to a target domain MIXTURE: the output's per-group
+    shares match ``weights`` (up to floor rounding) at the largest
+    total the data allows. The bottleneck group (smallest
+    ``count/weight``) is kept whole; every other group is downsampled
+    by deterministic key-hash rank — the standard "data mixing" step
+    before pretraining (e.g. web 60% / books 20% / code 20%).
+
+    Groups absent from ``weights`` are dropped. Weights need not sum
+    to 1 (only ratios matter). Per-group targets are
+    ``floor(w_g * min_h(n_h / w_h))`` computed IN-PLAN: a tiny
+    count agg → broadcast min → broadcast quota join, then the same
+    one-window-shuffle rank-and-keep as :func:`quota_sample`. Nothing
+    is collected to the driver; the mixture spec and the per-group
+    quota table are both #groups rows.
+
+    Cross-engine exact: count, IEEE divide, MIN, multiply, floor —
+    every step bit-reproducible in DuckDB for the oracle.
+    """
+    from pyspark.sql import Window
+
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for g, w in weights.items():
+        if w <= 0:
+            raise ValueError(f"weight for {g!r} must be > 0, got {w}")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(g, float(w)) for g, w in weights.items()],
+        f"{group_col} string, __wt double",
+    )
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count("*").alias("__n"))
+        .join(F.broadcast(wdf), group_col)
+    )
+    scale = counts.agg(
+        F.min(F.col("__n") / F.col("__wt")).alias("__t")
+    )
+    quotas = (
+        counts.crossJoin(F.broadcast(scale))
+        .select(
+            group_col,
+            F.floor(F.col("__wt") * F.col("__t")).cast("long").alias(
+                "__quota"
+            ),
+        )
+    )
+    rank = Window.partitionBy(group_col).orderBy(
+        hash_bucket(key_col, salt), F.col(key_col)
+    )
+    return (
+        df.join(F.broadcast(quotas), group_col)
+        .withColumn("__rn", F.row_number().over(rank))
+        .where(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )
+
+
 def duckdb_hash_bucket_sql(key: str, salt: str = "") -> str:
     """DuckDB mirror of :func:`hash_bucket` for oracle SQL strings."""
     return (

@@ -151,6 +151,18 @@ _DEMOTED: tuple[str, ...] = (
     # r5: cumulative-window machinery covered in-window by sessionize_
     # events / latest_event_per_user / topk_per_group. Green r2-r4.
     "running_total_events",
+    # r5 second wave: elementary rows whose kernels are exercised by
+    # harder in-window composites — sync_merge_orders runs the
+    # missing/excess/changed anti-join trio end-to-end, rows_to_copy
+    # the semi-join, topk_per_group the rank window, revenue_by_nation
+    # + agg_pricing_summary the decimal-sum agg. All green r1-r4.
+    # Demoted to admit the r5 extension operators (mixture, chunking,
+    # SemDeDup, keep-best, shard manifest) into the checked window.
+    "excess_rows_orders",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders",
+    "rollup_revenue",
+    "latest_event_per_user",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -2204,3 +2216,171 @@ def minhash_pairs_between_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs_between(
         corpus, incoming, num_hashes=16, bands=4, threshold=0.7
     )
+
+
+@_register(
+    "mixture_sample_docs",
+    f"""WITH w(source, wt) AS (VALUES
+            ('src0', 0.4::DOUBLE), ('src1', 0.3::DOUBLE),
+            ('src2', 0.2::DOUBLE), ('src3', 0.1::DOUBLE)),
+         c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+         cw AS (SELECT c.source, c.n, w.wt FROM c JOIN w USING (source)),
+         t AS (SELECT MIN(n / wt) AS t FROM cw),
+         q AS (SELECT source,
+                      CAST(FLOOR(wt * (SELECT t FROM t)) AS BIGINT) AS quota
+               FROM cw)
+        SELECT doc_id, source FROM documents JOIN q USING (source)
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY {sampling.duckdb_hash_bucket_sql("doc_id")}, doc_id
+        ) <= quota""",
+)
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E51: domain-mixture resampling — output shares match the target
+    40/30/20/10 mixture over four sources at the largest total the data
+    allows (bottleneck source kept whole, others downsampled by
+    deterministic key-hash rank). The pretraining "data mixing" step;
+    quotas are computed in-plan (tiny agg → broadcast), never collected."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.mixture_sample(
+        docs, "source", "doc_id",
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+    )
+    return out.select("doc_id", "source")
+
+
+@_register(
+    "chunk_docs",
+    r"""WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN []
+                      ELSE regexp_split_to_array(trim(text), '\s+')
+                 END AS toks
+          FROM documents),
+         s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         c AS (SELECT doc_id, toks,
+                      1 + CAST(FLOOR((GREATEST(0, n - 32) + 23) / 24.0)
+                               AS INT) AS nc
+               FROM s),
+         e AS (SELECT doc_id, toks,
+                      unnest(generate_series(0, CAST(nc - 1 AS BIGINT))) AS g
+               FROM c)
+        SELECT doc_id, CAST(g AS INT) AS chunk_id,
+               array_to_string(toks[g*24+1 : g*24+32], ' ') AS chunk_text,
+               CAST(len(toks[g*24+1 : g*24+32]) AS INT) AS n_chunk_tokens
+        FROM e""",
+)
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E52: context-window chunking — every doc exploded into 32-token
+    windows advancing 24 tokens (8-token overlap), last window always
+    reaching the final token. The complement of sequence packing: long
+    docs are split DOWN to the training budget. Pure row-local builtins
+    (split → sequence-explode → slice) — zero shuffle at any scale."""
+    from mysql_syncer_spark.operators.chunk import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, stride=24)
+
+
+_SEMANTIC_COS_SQL = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+@_register(
+    "semantic_dedup_embeddings",
+    f"""WITH RECURSIVE prs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE {_SEMANTIC_COS_SQL} >= 0.35),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                   UNION SELECT id_b, id_a FROM prs),
+         reach(src, dst) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         comp AS (SELECT src AS vec_id, MIN(dst) AS cid
+                  FROM reach GROUP BY src)
+        SELECT e.vec_id, e.label
+        FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
+        WHERE c.vec_id IS NULL OR c.cid = e.vec_id""",
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E53: SemDeDup — semantic deduplication over embeddings: blocked
+    cosine near-dup pairs (≥ 0.35 within label blocks) → connected
+    components → keep ONE representative (min id) per component plus
+    all unpaired rows. Catches paraphrases/re-encodings that share no
+    n-grams with their duplicate. Oracle: recursive-CTE transitive
+    closure over the identical pair set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = dedup.semantic_dedup(emb, threshold=0.35)
+    return kept.select("vec_id", "label")
+
+
+@_register(
+    "dedup_keep_best_docs",
+    f"""WITH RECURSIVE {_SIMHASH_CTE},
+         prs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+         cedges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                    UNION SELECT id_b, id_a FROM prs),
+         reach(src, dst) AS (
+          SELECT src, src FROM cedges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN cedges e ON r.dst = e.src),
+         comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                  FROM reach GROUP BY src),
+         losers AS (
+          SELECT doc_id FROM (
+            SELECT c.doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY d.n_chars DESC, c.doc_id) AS rn
+            FROM comp c JOIN documents d USING (doc_id))
+          WHERE rn > 1)
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)""",
+)
+def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E54: quality-aware near-dup survivor selection — SimHash
+    Hamming ≤ 1 pairs → connected components → per cluster keep the
+    LONGEST member (ties: min id) instead of the arbitrary min-id one.
+    The rank window shuffles only clustered rows (a tiny fraction of
+    the corpus); survivors anti-join back. Oracle: the same closure +
+    ROW_NUMBER over (n_chars DESC, doc_id)."""
+    from mysql_syncer_spark.operators.cluster import (
+        cluster_keep_best,
+        duplicate_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_dup_pairs(docs, max_bits=1)
+    clusters = duplicate_clusters(pairs)
+    return cluster_keep_best(docs, clusters, "n_chars").select(
+        "doc_id", "n_chars"
+    )
+
+
+@_register(
+    "shard_stats_docs",
+    f"""SELECT CAST({sampling.duckdb_hash_bucket_sql("doc_id")} % 8 AS INT)
+              AS shard,
+              COUNT(*) AS n_rows,
+              SUM(CAST(n_chars AS BIGINT)) AS total_size
+       FROM documents GROUP BY 1""",
+)
+def shard_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E55: training-shard manifest — deterministic md5-bucket doc→shard
+    assignment over 8 shards with per-shard row/char totals, the balance
+    check and read-plan manifest of the shard export sink
+    (sinks/shards.write_training_shards). One combinable groupBy over 8
+    keys; assignment is row-local codegen."""
+    from mysql_syncer_spark.sinks.shards import shard_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_stats(docs, "doc_id", 8, size_col="n_chars")

@@ -106,6 +106,11 @@ def test_driver_window_holds_extension_queries():
         # r5 additions
         "incremental_new_docs_indexed", "scd2_multibatch_orders",
         "profile_orders",
+        # r5 second wave: the new extension operators displace five
+        # elementary rows (excess/semi/anti-join, rollup, latest-event)
+        # whose kernels in-window composites already run end-to-end
+        "mixture_sample_docs", "chunk_docs", "semantic_dedup_embeddings",
+        "dedup_keep_best_docs", "shard_stats_docs",
     }
     assert must_be_in <= window, sorted(must_be_in - window)
     from mysql_syncer_spark.queries import _DEMOTED

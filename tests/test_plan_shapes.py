@@ -147,3 +147,28 @@ def test_minhash_between_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, "minhash_pairs_between_docs", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """Chunking is row-local (split → sequence-explode → slice): any
+    Exchange would mean the explode fan-out is being shuffled, which at
+    corpus scale multiplies the shuffle volume by the window count."""
+    plan = plan_of(spark, "chunk_docs", sf_dir)
+    assert "Exchange" not in plan, plan
+
+
+def test_shard_stats_is_one_partial_agg(spark, sf_dir):
+    """The shard manifest must be a map-side-combinable groupBy over
+    n_shards keys: one Exchange, partial HashAggregate before it."""
+    plan = plan_of(spark, "shard_stats_docs", sf_dir)
+    assert plan.count("Exchange") <= 2  # agg shuffle (+AQE read)
+    assert "HashAggregate" in plan
+
+
+def test_mixture_sample_broadcasts_quotas(spark, sf_dir):
+    """The per-group quota table (#groups rows) must broadcast to the
+    corpus; a SortMergeJoin here would shuffle the whole corpus twice
+    (once for the join, once for the rank window)."""
+    plan = plan_of(spark, "mixture_sample_docs", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan

@@ -101,6 +101,7 @@ HEADLINE = [
     "semantic_dedup_embeddings",
     "dedup_keep_best_docs",
     "shard_stats_docs",
+    "gap_fill_daily_events",
 ]
 
 

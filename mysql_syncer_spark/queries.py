@@ -163,6 +163,11 @@ _DEMOTED: tuple[str, ...] = (
     "anti_join_customers_without_orders",
     "rollup_revenue",
     "latest_event_per_user",
+    # r5: sign-bucket + rank kernels covered in-window by ann_topk_batch
+    # (two-stage bucketed rank) and the LSH blocking inside embedding
+    # near-dup; LSH recall additionally pytest-gated (test_similarity).
+    # Green r2-r4. Demoted to admit gap_fill_daily_events (E56).
+    "ann_topk_lsh",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -2384,3 +2389,39 @@ def shard_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return shard_stats(docs, "doc_id", 8, size_col="n_chars")
+
+
+@_register(
+    "gap_fill_daily_events",
+    """WITH hourly AS (
+          SELECT user_id, date_trunc('day', ts) AS bucket,
+                 COUNT(*) AS n,
+                 (max(struct_pack(t := ts, v := value))).v AS last_v
+          FROM events GROUP BY 1, 2),
+         span AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+                  FROM hourly GROUP BY 1),
+         grid AS (SELECT user_id,
+                         unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                             AS bucket
+                  FROM span)
+        SELECT g.user_id, g.bucket,
+               COALESCE(h.n, 0) AS n_events,
+               last_value(h.last_v IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS value_ffill
+        FROM grid g LEFT JOIN hourly h USING (user_id, bucket)""",
+)
+def gap_fill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E56: time-series regularization — one row per user per DAY
+    between the user's first and last event, zero-count silent days,
+    last observed value forward-filled across gaps (struct-max pick:
+    deterministic, engine-exact, no arithmetic on the carried double).
+    All exchanges hash the user/bucket domain; the grid explode is
+    row-local."""
+    from mysql_syncer_spark.operators.timeseries import resample_gap_fill
+
+    events = load_table(spark, sf_dir, "events")
+    return resample_gap_fill(
+        events, "user_id", "ts", "value", step="day"
+    )

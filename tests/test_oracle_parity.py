@@ -110,7 +110,7 @@ def test_driver_window_holds_extension_queries():
         # elementary rows (excess/semi/anti-join, rollup, latest-event)
         # whose kernels in-window composites already run end-to-end
         "mixture_sample_docs", "chunk_docs", "semantic_dedup_embeddings",
-        "dedup_keep_best_docs", "shard_stats_docs",
+        "dedup_keep_best_docs", "shard_stats_docs", "gap_fill_daily_events",
     }
     assert must_be_in <= window, sorted(must_be_in - window)
     from mysql_syncer_spark.queries import _DEMOTED

@@ -102,6 +102,9 @@ HEADLINE = [
     "dedup_keep_best_docs",
     "shard_stats_docs",
     "gap_fill_daily_events",
+    # round-5 third wave (new keys only; prior keys unchanged)
+    "scrub_repeated_spans_docs",
+    "gopher_quality_docs",
 ]
 
 

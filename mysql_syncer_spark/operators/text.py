@@ -279,3 +279,91 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_exact", F.md5(norm)).withColumn(
         "fp_bag", F.md5(bag)
     )
+
+
+def with_gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_ellipsis_line_ratio: float = 0.3,
+    max_bullet_line_ratio: float = 0.9,
+) -> DataFrame:
+    """Add the Gopher quality-filter rule flags and the composite
+    ``gopher_keep`` decision (Rae et al. 2021, "Scaling Language
+    Models", table A1 — the de-facto standard pretraining text filter,
+    reused by RefinedWeb/Dolma/FineWeb).
+
+    Per-doc boolean flags, every one pure codegen ratio arithmetic
+    (shuffle-free, embarrassingly parallel at any scale):
+
+    * ``rule_word_count``    — word count in [min_words, max_words]
+    * ``rule_mean_word_len`` — mean word length in [min, max]
+    * ``rule_symbol_ratio``  — (# of '#' chars + '...'/'…' runs) /
+      words <= max_symbol_ratio
+    * ``rule_alpha_words``   — fraction of words containing at least
+      one alphabetic char >= min_alpha_word_ratio
+    * ``rule_stopwords``     — at least ``min_stopword_hits`` tokens
+      from the English stopword markers (Gopher requires 2)
+    * ``rule_ellipsis_lines``— fraction of lines ending in an ellipsis
+      <= max_ellipsis_line_ratio
+    * ``rule_bullet_lines``  — fraction of lines starting with a
+      bullet <= max_bullet_line_ratio
+    * ``gopher_keep``        — AND of all flags
+
+    NULL text fails every rule (keep = false). Ratios divide by
+    max(count, 1) so empty docs are well-defined (and fail on the
+    word-count rule anyway).
+    """
+    c = F.col(text_col)
+    toks = ws_tokens(text_col)
+    n_words = F.size(toks)
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    n_chars_in_words = F.aggregate(
+        F.transform(toks, F.length),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_wl = n_chars_in_words.cast("double") / safe_words
+    n_symbols = F.size(
+        F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), 0)
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))
+    )
+    lines = F.split(c, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"))
+    )
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.ltrim(ln).rlike(r"^[-*•]"))
+    )
+
+    rules = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "rule_symbol_ratio": (n_symbols.cast("double") / safe_words)
+        <= max_symbol_ratio,
+        "rule_alpha_words": (alpha_words.cast("double") / safe_words)
+        >= min_alpha_word_ratio,
+        "rule_stopwords": stop_hits >= min_stopword_hits,
+        "rule_ellipsis_lines": (ellipsis_lines.cast("double") / n_lines)
+        <= max_ellipsis_line_ratio,
+        "rule_bullet_lines": (bullet_lines.cast("double") / n_lines)
+        <= max_bullet_line_ratio,
+    }
+    out = df
+    keep = F.lit(True)
+    for name, flag in rules.items():
+        flag = F.when(c.isNull(), F.lit(False)).otherwise(flag)
+        out = out.withColumn(name, flag)
+        keep = keep & flag
+    return out.withColumn("gopher_keep", keep)

@@ -168,6 +168,14 @@ _DEMOTED: tuple[str, ...] = (
     # near-dup; LSH recall additionally pytest-gated (test_similarity).
     # Green r2-r4. Demoted to admit gap_fill_daily_events (E56).
     "ann_topk_lsh",
+    # r5 third wave: admitted scrub_repeated_spans_docs (E57) +
+    # gopher_quality_docs (E58). changed_rows is one leg of the diff
+    # trio that sync_merge_orders runs end-to-end in-window (missing_
+    # rows stays as the anti-join representative); hourly bucket counts
+    # are a strict subset of gap_fill_daily_events' bucket agg. Both
+    # green r1-r4.
+    "changed_rows_orders",
+    "hourly_event_counts",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -2424,4 +2432,120 @@ def gap_fill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return resample_gap_fill(
         events, "user_id", "ts", "value", step="day"
+    )
+
+
+@_register(
+    "scrub_repeated_spans_docs",
+    r"""WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN []
+                      ELSE regexp_split_to_array(trim(text), '\s+')
+                 END AS toks
+          FROM documents),
+         s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         e AS (SELECT doc_id, toks,
+                      unnest(generate_series(
+                          0, CAST(FLOOR((n + 7) / 8.0) AS BIGINT) - 1)) AS g
+               FROM s WHERE n > 0),
+         sp AS (SELECT doc_id, g,
+                       array_to_string(toks[g*8+1 : g*8+8], ' ') AS span
+                FROM e),
+         freq AS (SELECT span
+                  FROM (SELECT DISTINCT span, doc_id FROM sp)
+                  GROUP BY span HAVING COUNT(*) >= 2),
+         kept AS (SELECT sp.doc_id, sp.g, sp.span FROM sp
+                  WHERE sp.span NOT IN (SELECT span FROM freq)),
+         re AS (SELECT doc_id, string_agg(span, ' ' ORDER BY g) AS txt,
+                       COUNT(*) AS nk
+                FROM kept GROUP BY doc_id),
+         tot AS (SELECT doc_id, COUNT(*) AS ns FROM sp GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(re.txt, '') AS text_clean,
+               COALESCE(tot.ns, 0) AS n_spans,
+               COALESCE(tot.ns, 0) - COALESCE(re.nk, 0) AS n_spans_removed
+        FROM documents d
+        LEFT JOIN tot ON tot.doc_id = d.doc_id
+        LEFT JOIN re ON re.doc_id = d.doc_id""",
+)
+def scrub_repeated_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E57: cross-document repeated-span removal (C4/RefinedWeb
+    boilerplate scrub) — every 8-token span occurring in >= 2 distinct
+    documents is deleted from ALL documents; survivors are stitched
+    back in order. The blocklist is boilerplate-sized and broadcast;
+    the span stream shuffles only for the combinable doc-frequency agg
+    and the per-doc reassembly."""
+    from mysql_syncer_spark.operators.lines import remove_repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_repeated_spans(docs, span_tokens=8, min_docs=2)
+
+
+@_register(
+    "gopher_quality_docs",
+    r"""WITH t AS (
+          SELECT doc_id, text,
+                 CASE WHEN trim(text) = '' THEN []
+                      ELSE regexp_split_to_array(trim(text), '\s+')
+                 END AS toks,
+                 string_split(text, chr(10)) AS lns
+          FROM documents),
+         m AS (SELECT doc_id, text,
+                      len(toks) AS nw,
+                      CAST(GREATEST(len(toks), 1) AS DOUBLE) AS sw,
+                      COALESCE(list_sum(
+                          list_transform(toks, x -> length(x))), 0)
+                          AS chrs,
+                      len(regexp_extract_all(text, '#|\.\.\.|…')) AS nsym,
+                      len(list_filter(toks,
+                          x -> regexp_matches(x, '[A-Za-z]'))) AS alphaw,
+                      len(list_filter(toks, x -> lower(x) IN
+                          ('the','a','of','and','is','to','in'))) AS stop,
+                      CAST(GREATEST(len(lns), 1) AS DOUBLE) AS nl,
+                      len(list_filter(lns, x -> regexp_matches(
+                          rtrim(x), '(\.\.\.|…)$'))) AS ell,
+                      len(list_filter(lns, x -> regexp_matches(
+                          ltrim(x), '^[-*•]'))) AS bull
+               FROM t),
+         f AS (SELECT doc_id,
+                      (text IS NOT NULL AND nw >= 30 AND nw <= 100000)
+                          AS r_wc,
+                      (text IS NOT NULL AND chrs / sw >= 3.0
+                          AND chrs / sw <= 10.0) AS r_mwl,
+                      (text IS NOT NULL AND nsym / sw <= 0.1) AS r_sym,
+                      (text IS NOT NULL AND alphaw / sw >= 0.8) AS r_alpha,
+                      (text IS NOT NULL AND stop >= 2) AS r_stop,
+                      (text IS NOT NULL AND ell / nl <= 0.3) AS r_ell,
+                      (text IS NOT NULL AND bull / nl <= 0.9) AS r_bull
+               FROM m)
+        SELECT doc_id,
+               CAST(r_wc AS INT) AS rule_word_count,
+               CAST(r_mwl AS INT) AS rule_mean_word_len,
+               CAST(r_sym AS INT) AS rule_symbol_ratio,
+               CAST(r_alpha AS INT) AS rule_alpha_words,
+               CAST(r_stop AS INT) AS rule_stopwords,
+               CAST(r_ell AS INT) AS rule_ellipsis_lines,
+               CAST(r_bull AS INT) AS rule_bullet_lines,
+               CAST(r_wc AND r_mwl AND r_sym AND r_alpha AND r_stop
+                    AND r_ell AND r_bull AS INT) AS gopher_keep
+        FROM f""",
+)
+def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E58: the Gopher quality rule set (Rae et al. 2021, A1) — the
+    standard pretraining keep/drop filter: word-count bounds, mean word
+    length, symbol ratio, alpha-word fraction, stopword floor,
+    ellipsis/bullet line caps. Pure codegen ratio arithmetic; zero
+    shuffle at any scale. Flags surfaced as INT 0/1 for cross-engine
+    hash stability."""
+    from mysql_syncer_spark.operators.text import with_gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = with_gopher_rules(docs, min_words=30)
+    flags = [
+        "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+        "rule_alpha_words", "rule_stopwords", "rule_ellipsis_lines",
+        "rule_bullet_lines", "gopher_keep",
+    ]
+    return out.select(
+        "doc_id", *[F.col(fl).cast("int").alias(fl) for fl in flags]
     )

@@ -95,7 +95,7 @@ def test_driver_window_holds_extension_queries():
         # r5: ann_topk_ivf / approx_distinct_users_events moved OUT of the
         # window (approximate → err:"no_oracle" forever; pytest-gated
         # instead) in favor of exactly-provable rows.
-        "hourly_event_counts", "json_extract_events",
+        "json_extract_events",
         "curate_corpus_docs", "salted_join_orders_customer",
         "contamination_docs", "repetition_docs", "cdc_apply_orders",
         "scd2_orders", "quota_sample_docs", "supplier_revenue",
@@ -111,6 +111,10 @@ def test_driver_window_holds_extension_queries():
         # whose kernels in-window composites already run end-to-end
         "mixture_sample_docs", "chunk_docs", "semantic_dedup_embeddings",
         "dedup_keep_best_docs", "shard_stats_docs", "gap_fill_daily_events",
+        # r5 third wave: repeated-span scrub + Gopher rules displace
+        # changed_rows (sync_merge runs the diff trio end-to-end) and
+        # hourly_event_counts (subset of gap_fill's bucket agg)
+        "scrub_repeated_spans_docs", "gopher_quality_docs",
     }
     assert must_be_in <= window, sorted(must_be_in - window)
     from mysql_syncer_spark.queries import _DEMOTED

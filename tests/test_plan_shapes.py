@@ -172,3 +172,19 @@ def test_mixture_sample_broadcasts_quotas(spark, sf_dir):
     plan = plan_of(spark, "mixture_sample_docs", sf_dir)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_gopher_rules_shuffle_free(spark, sf_dir):
+    """E58: the whole rule set is per-row ratio arithmetic — any
+    Exchange in this plan is a regression."""
+    plan = plan_of(spark, "gopher_quality_docs", sf_dir)
+    assert "Exchange" not in plan, plan
+
+
+def test_scrub_spans_broadcasts_blocklist(spark, sf_dir):
+    """E57: the frequent-span blocklist is boilerplate-sized and must
+    reach the corpus-sized span stream as a broadcast anti-join — a
+    SortMergeJoin would reshuffle the whole span stream a third time."""
+    plan = plan_of(spark, "scrub_repeated_spans_docs", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan

@@ -120,3 +120,52 @@ def test_tfidf_topk_k_bound_and_empty_docs(spark):
     assert len(by_doc.get(1, [])) == 2
     # blank/NULL docs contribute no terms (and no rows)
     assert 2 not in by_doc and 3 not in by_doc
+
+
+def test_gopher_rules_flags(spark):
+    from mysql_syncer_spark.operators.text import with_gopher_rules
+
+    long_good = "the " + "quick brown foxes jumped over the lazy sleeping dogs today " * 6
+    rows = [
+        (0, long_good.strip()),          # passes everything
+        (1, "short doc the and of"),     # fails word count
+        (2, "### " * 10 + long_good.strip()),  # symbol-heavy
+        (3, None),                       # NULL → all rules false
+        (4, ""),                         # empty → word count false
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = with_gopher_rules(df, min_words=30)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert got[0]["gopher_keep"] is True
+    assert got[1]["rule_word_count"] is False
+    assert got[1]["gopher_keep"] is False
+    assert got[2]["rule_symbol_ratio"] is False
+    assert all(
+        got[3][k] is False
+        for k in got[3]
+        if k.startswith("rule_") or k == "gopher_keep"
+    )
+    assert got[4]["rule_word_count"] is False
+
+
+def test_gopher_line_rules(spark):
+    from mysql_syncer_spark.operators.text import with_gopher_rules
+
+    body = "the quick brown foxes jumped over the lazy sleeping dogs today " * 6
+    bullets = "\n".join(f"- item {i} here now" for i in range(5))
+    ellipses = "\n".join(f"the thing number {i} trails off..." for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (0, body + "\nplain second line of the doc"),
+            (1, bullets + "\n" + body),   # 5/6 bullet lines = 0.83 <= 0.9
+            (2, "\n".join(["- b"] * 19) + "\n" + body),  # 19/20 = 0.95 > 0.9
+            (3, ellipses + "\n" + body),  # 10/11 ellipsis lines > 0.3
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in with_gopher_rules(df).collect()}
+    assert got[0]["rule_bullet_lines"] is True
+    assert got[0]["rule_ellipsis_lines"] is True
+    assert got[1]["rule_bullet_lines"] is True
+    assert got[2]["rule_bullet_lines"] is False
+    assert got[3]["rule_ellipsis_lines"] is False

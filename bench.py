@@ -105,6 +105,7 @@ HEADLINE = [
     # round-5 third wave (new keys only; prior keys unchanged)
     "scrub_repeated_spans_docs",
     "gopher_quality_docs",
+    "unigram_logprob_docs",
 ]
 
 

@@ -367,3 +367,60 @@ def with_gopher_rules(
         out = out.withColumn(name, flag)
         keep = keep & flag
     return out.withColumn("gopher_keep", keep)
+
+
+def with_unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document corpus-unigram mean log10 probability — the
+    CCNet-style language-model quality signal (Wenzek et al. 2020):
+    documents whose tokens are improbable under the corpus' own unigram
+    distribution (gibberish, OCR noise, base64 blobs, wrong-language
+    fragments) score far below fluent text, and the score buckets
+    directly into CCNet's head/middle/tail quality tiers.
+
+    Output: one row per input doc — ``id_col``, ``n_tokens`` (0 for
+    empty/NULL docs), ``logprob`` (mean log10 unigram probability,
+    rounded to 6 dp; NULL when the doc has no tokens).
+
+    Plan shape (scale-safe, all built-ins):
+
+    * token stream — normalized-text explode (one corpus restatement);
+    * unigram counts — one map-side-combinable shuffle on the term
+      (vocabulary-sized output: Zipf makes vocab ≪ corpus);
+    * total-token count — in-plan 1-row agg crossJoined broadcast (one
+      Spark job end-to-end, no driver count());
+    * vocab **broadcast** back onto the token stream — the corpus-sized
+      stream never shuffles for the probability lookup;
+    * per-doc mean — one combinable shuffle on the doc id.
+
+    No smoothing needed: every token of every doc is in the vocabulary
+    by construction (its own occurrence counts), so p >= 1/total > 0.
+    Rounding to 6 dp absorbs float-summation-order drift, the same
+    convention as tfidf_topk/group_centroids.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    vocab = words.groupBy("term").agg(F.count(F.lit(1)).alias("__c"))
+    total = vocab.agg(F.sum("__c").alias("__t"))
+    probs = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.log10(F.col("__c").cast("double") / F.col("__t")).alias("__lp"),
+    )
+    per_doc = (
+        words.join(F.broadcast(probs), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.round(F.avg("__lp"), 6).alias("__avg"),
+        )
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("__n", F.lit(0)).cast("long").alias("n_tokens"),
+        F.col("__avg").alias("logprob"),
+    )

@@ -176,6 +176,10 @@ _DEMOTED: tuple[str, ...] = (
     # green r1-r4.
     "changed_rows_orders",
     "hourly_event_counts",
+    # r5 third wave, cont.: rows_to_copy is the J5 semi-join leg that
+    # sync_merge_orders drives end-to-end in-window. Green r1-r4.
+    # Demoted to admit unigram_logprob_docs (E59).
+    "rows_to_copy_orders",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -2549,3 +2553,35 @@ def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", *[F.col(fl).cast("int").alias(fl) for fl in flags]
     )
+
+
+@_register(
+    "unigram_logprob_docs",
+    r"""WITH w AS (
+          SELECT doc_id, unnest(string_split(
+                     regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                     ' ')) AS term
+          FROM documents),
+         wf AS (SELECT doc_id, term FROM w WHERE term <> ''),
+         v AS (SELECT term, COUNT(*) AS c FROM wf GROUP BY term),
+         tot AS (SELECT SUM(c) AS t FROM v),
+         s AS (SELECT wf.doc_id,
+                      LOG10(CAST(v.c AS DOUBLE) / (SELECT t FROM tot)) AS lp
+               FROM wf JOIN v USING (term)),
+         p AS (SELECT doc_id, COUNT(*) AS n, ROUND(AVG(lp), 6) AS avg_lp
+               FROM s GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(p.n, 0) AS n_tokens,
+               p.avg_lp AS logprob
+        FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id""",
+)
+def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E59: CCNet-style unigram LM quality score — per-doc mean log10
+    probability under the corpus' own unigram distribution; gibberish
+    and wrong-language fragments score low. Vocab counted in one
+    combinable shuffle, broadcast back onto the token stream, one
+    per-doc mean shuffle; the whole thing is a single Spark job."""
+    from mysql_syncer_spark.operators.text import with_unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_unigram_logprob(docs)

@@ -69,3 +69,90 @@ def assert_partition_pruned(df: DataFrame, col: str) -> None:
         raise AssertionError(
             f"scan does not partition-prune on {col!r}:\n{plan}"
         )
+
+
+def _list_files(spark: SparkSession, path: str):
+    """(n_files, total_bytes) of the data files under ``path`` via the
+    Hadoop FileSystem API — correct on HDFS/S3, not just local disk.
+    Hidden files (_SUCCESS, .crc, staging dirs) excluded."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    n, total = 0, 0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        n += 1
+        total += st.getLen()
+    return n, total
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    partition_cols: Sequence[str] | str | None = None,
+    fmt: str = "parquet",
+) -> dict:
+    """Rewrite a table directory into ~``target_mb``-sized files — the
+    small-file maintenance pass every long-lived 100 TB layout needs.
+
+    Incremental jobs (streaming micro-batches, per-partition syncs,
+    index appends) each emit files sized by THEIR batch, and after
+    thousands of runs the directory holds millions of KB-scale files
+    that crush scan planning (one FileScan task per file) and the
+    namenode/object-store listing. This op rewrites the data at the
+    layout it should have had: file count = ceil(bytes / target_mb).
+
+    * flat layout — one ``repartition(n)`` (row-hash balanced);
+    * partitioned layout (``partition_cols``) — ``repartition(n,
+      cols)`` so each directory's rows co-locate in few tasks, written
+      back through ``partitionBy`` (directory structure preserved, so
+      PartitionFilters pruning still works).
+
+    The rewrite stages to ``<path>.__compacting__`` and swaps via the
+    Hadoop FS rename (never overwrites the input it is lazily reading),
+    mirroring the executor's staging discipline. Returns
+    ``{"files_before", "files_after", "bytes"}``.
+
+    At 100 TB this runs per-partition (pass the partition root as
+    ``path``) or as a scheduled whole-table pass; either way the data
+    is restated exactly once and readers see old-or-new, never partial.
+    """
+    if target_mb < 1:
+        raise ValueError(f"target_mb must be >= 1, got {target_mb}")
+    n_before, total_bytes = _list_files(spark, path)
+    n_target = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(path)
+
+    staging = path.rstrip("/") + ".__compacting__"
+    jstaging = spark._jvm.org.apache.hadoop.fs.Path(staging)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jstaging):  # crashed previous attempt
+        fs.delete(jstaging, True)
+
+    if partition_cols:
+        cols = (
+            [partition_cols]
+            if isinstance(partition_cols, str)
+            else list(partition_cols)
+        )
+        out = df.repartition(int(n_target), *cols)
+        out.write.format(fmt).mode("overwrite").partitionBy(*cols).save(
+            staging
+        )
+    else:
+        out = df.repartition(int(n_target))
+        out.write.format(fmt).mode("overwrite").save(staging)
+
+    fs.delete(jpath, True)
+    fs.rename(jstaging, jpath)
+    n_after, _ = _list_files(spark, path)
+    return {
+        "files_before": n_before,
+        "files_after": n_after,
+        "bytes": total_bytes,
+    }

@@ -61,3 +61,55 @@ def test_file_sizing_cap(spark, part_dir):
     for f in files:
         n = spark.read.parquet(f).count()
         assert n <= 5000
+
+
+def test_compact_flat_layout(spark, sf_dir, tmp_path):
+    from mysql_syncer_spark.sources.layout import compact_files
+
+    path = str(tmp_path / "frag")
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # fragment: one file per 64-way split
+    df.repartition(64).write.parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    stats = compact_files(spark, path, target_mb=128)
+    assert stats["files_before"] >= 64
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 1  # tiny table fits one target file
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert before == after
+    # no staging residue
+    import os
+    assert not os.path.exists(path + ".__compacting__")
+
+
+def test_compact_partitioned_layout_preserves_pruning(
+    spark, sf_dir, tmp_path
+):
+    from mysql_syncer_spark.sources.layout import (
+        assert_partition_pruned,
+        compact_files,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "frag_part")
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df.repartition(16).write.partitionBy("o_orderstatus").parquet(path)
+    before = spark.read.parquet(path).count()
+    stats = compact_files(
+        spark, path, target_mb=128, partition_cols="o_orderstatus"
+    )
+    assert stats["files_after"] < stats["files_before"]
+    got = spark.read.parquet(path)
+    assert got.count() == before
+    # directory structure survived: pruning still plans
+    assert_partition_pruned(
+        got.where(F.col("o_orderstatus") == "O"), "o_orderstatus"
+    )
+
+
+def test_compact_validation(spark):
+    from mysql_syncer_spark.sources.layout import compact_files
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compact_files(spark, "/nonexistent", target_mb=0)

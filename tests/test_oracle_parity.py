@@ -115,6 +115,9 @@ def test_driver_window_holds_extension_queries():
         # changed_rows (sync_merge runs the diff trio end-to-end) and
         # hourly_event_counts (subset of gap_fill's bucket agg)
         "scrub_repeated_spans_docs", "gopher_quality_docs",
+        # r5: CCNet-style unigram LM score displaces rows_to_copy (the
+        # J5 semi-join leg sync_merge drives end-to-end)
+        "unigram_logprob_docs",
     }
     assert must_be_in <= window, sorted(must_be_in - window)
     from mysql_syncer_spark.queries import _DEMOTED

@@ -188,3 +188,11 @@ def test_scrub_spans_broadcasts_blocklist(spark, sf_dir):
     plan = plan_of(spark, "scrub_repeated_spans_docs", sf_dir)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
+    """E59: the vocabulary must broadcast onto the token stream — a
+    SortMergeJoin would shuffle the corpus-sized stream on the term."""
+    plan = plan_of(spark, "unigram_logprob_docs", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan

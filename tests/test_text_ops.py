@@ -169,3 +169,28 @@ def test_gopher_line_rules(spark):
     assert got[1]["rule_bullet_lines"] is True
     assert got[2]["rule_bullet_lines"] is False
     assert got[3]["rule_ellipsis_lines"] is False
+
+
+def test_unigram_logprob_orders_gibberish_below_fluent(spark):
+    from mysql_syncer_spark.operators.text import with_unigram_logprob
+
+    common = "the cat and the dog sat on the mat in the sun " * 4
+    rows = [
+        (0, common.strip()),
+        (1, common.strip()),
+        (2, common.strip()),
+        (3, "zxqv jkwpf mmtrx qqyzb wvxcc pltnn"),  # corpus-unique junk
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = with_unigram_logprob(df)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # fluent docs share high-frequency tokens; gibberish tokens each
+    # occur once in the corpus → far lower mean logprob
+    assert got[3]["logprob"] < got[0]["logprob"]
+    assert got[0]["logprob"] == got[1]["logprob"] == got[2]["logprob"]
+    # degenerate docs survive with zero tokens and NULL score
+    for i in (4, 5):
+        assert got[i]["n_tokens"] == 0 and got[i]["logprob"] is None
+    assert out.count() == df.count()

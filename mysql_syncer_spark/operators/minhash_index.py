@@ -319,6 +319,7 @@ def minhash_lsh_pairs_against_index(
     incoming: DataFrame,
     text_col: str = "text",
     threshold: float = 0.5,
+    materialize_batch: bool = False,
 ) -> DataFrame:
     """Bipartite LSH near-dup pairs ``(id_new, id_old, jaccard_est)``
     with the corpus side served ENTIRELY from the persisted index: the
@@ -332,6 +333,15 @@ def minhash_lsh_pairs_against_index(
     sig_new = minhash_signatures(
         incoming, id_col, text_col, index.k, num_hashes
     )
+    if materialize_batch:
+        # the signature feeds TWO join branches (candidate buckets +
+        # verify) whose exchange keys differ, so Catalyst re-runs the
+        # shingle-explode + wide-MIN pipeline per branch. The batch is
+        # small by the ingest-gate scenario's definition — materialize
+        # it once (id + num_hashes longs per doc) so per-ingest work is
+        # O(batch) exactly once. Opt-in: the lazy form keeps the full
+        # lineage for plan-shape gates and non-gate callers.
+        sig_new = sig_new.localCheckpoint(eager=True)
     cand = (
         band_bucket_frame(sig_new, id_col, num_hashes, index.bands, "id_new")
         .join(
@@ -378,8 +388,15 @@ def incremental_new_docs_indexed(
         F.md5(normalized_text(f"i.{text_col}")) == F.col("fp"),
         "left_anti",
     )
+    # fresh feeds the signing pipeline AND the final anti-join; the
+    # batch is ingest-sized, so materialize it once rather than paying
+    # the fp anti-join per consumer (same rationale as
+    # materialize_batch below).
+    fresh = fresh.localCheckpoint(eager=True)
     near = (
-        minhash_lsh_pairs_against_index(index, fresh, text_col, threshold)
+        minhash_lsh_pairs_against_index(
+            index, fresh, text_col, threshold, materialize_batch=True
+        )
         .select(F.col("id_new").alias(id_col))
         .distinct()
     )

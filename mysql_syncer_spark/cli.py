@@ -138,6 +138,28 @@ def build_parser() -> argparse.ArgumentParser:
                             "(tomorrow's batch dedups against them)")
     session_opts(p_ing)
 
+    p_cur = sub.add_parser(
+        "curate",
+        help="end-to-end corpus curation: Gopher quality gate -> exact "
+             "dedup -> SimHash near-dup keep-best -> PII redaction -> "
+             "leakage-safe split -> sharded training export")
+    p_cur.add_argument("--docs", required=True,
+                       help="parquet file/dir of the documents table")
+    p_cur.add_argument("--out", required=True,
+                       help="output dir (split=<name>/shard=<k>/ layout)")
+    p_cur.add_argument("--id-col", default="doc_id")
+    p_cur.add_argument("--text-col", default="text")
+    p_cur.add_argument("--min-words", type=int, default=30,
+                       help="Gopher word-count floor (0 skips the gate)")
+    p_cur.add_argument("--near-dup-bits", type=int, default=3,
+                       help="SimHash Hamming radius (0 skips near-dup)")
+    p_cur.add_argument("--no-pii", action="store_true",
+                       help="keep raw text, skip PII redaction")
+    p_cur.add_argument("--splits", default="train=0.9,val=0.05,test=0.05",
+                       metavar="NAME=W[,NAME=W...]")
+    p_cur.add_argument("--n-shards", type=int, default=8)
+    session_opts(p_cur)
+
     p_cmp = sub.add_parser(
         "index-compact",
         help="rewrite the index tables with duplicate rows removed "
@@ -256,6 +278,26 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None,
     owns = spark is None
     spark = spark or _session(args)
     try:
+        if args.command == "curate":
+            from mysql_syncer_spark.pipeline import curate_and_export
+
+            weights = {
+                k: float(v)
+                for k, v in (kv.split("=") for kv in args.splits.split(","))
+            }
+            rep = curate_and_export(
+                spark.read.parquet(args.docs),
+                args.out,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                min_words=args.min_words,
+                near_dup_max_bits=args.near_dup_bits,
+                redact_pii=not args.no_pii,
+                split_weights=weights,
+                n_shards=args.n_shards,
+            )
+            print(json.dumps({"out": args.out, **rep.as_dict()}), file=out)
+            return 0
         if args.command in ("index-build", "ingest", "index-compact"):
             return _run_index_command(spark, args, out)
         master, slave, cfg = _catalogs(spark, args)

@@ -106,6 +106,7 @@ HEADLINE = [
     "scrub_repeated_spans_docs",
     "gopher_quality_docs",
     "unigram_logprob_docs",
+    "interval_join_error_windows",
 ]
 
 

@@ -180,6 +180,11 @@ _DEMOTED: tuple[str, ...] = (
     # sync_merge_orders drives end-to-end in-window. Green r1-r4.
     # Demoted to admit unigram_logprob_docs (E59).
     "rows_to_copy_orders",
+    # r5: differing_partitions' digest kernel is partition_digests_
+    # orders (in-window) and its set-diff leg is sync_merge's anti-join
+    # trio. Green r1-r4. Demoted to admit the equi-key-free interval
+    # join (E62).
+    "differing_partitions_orders",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -2585,3 +2590,34 @@ def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return with_unigram_logprob(docs)
+
+
+@_register(
+    "interval_join_error_windows",
+    """SELECT p.event_id, p.ts, w.window_id, w.w_start
+       FROM events p
+       JOIN (SELECT event_id AS window_id, ts AS w_start,
+                    ts + INTERVAL 1 MINUTE AS w_end
+             FROM events WHERE event_type = 'error') w
+         ON p.ts >= w.w_start AND p.ts < w.w_end""",
+)
+def interval_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E62: equi-key-free interval join — every event falling inside
+    ANY 60-second post-error window, regardless of user. The naive plan
+    is a BroadcastNestedLoopJoin (quadratic); the operator buckets the
+    time axis so it runs as a plain hash join on the bucket id with an
+    exact containment verify (each qualifying pair meets exactly once —
+    no dedup pass)."""
+    from mysql_syncer_spark.operators.interval import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    points = events.select("event_id", "ts")
+    windows = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 MINUTE")).alias("w_end"),
+    )
+    out = interval_join(
+        points, windows, "ts", "w_start", "w_end", bucket_seconds=60
+    )
+    return out.select("event_id", "ts", "window_id", "w_start")

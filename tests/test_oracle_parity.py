@@ -118,6 +118,9 @@ def test_driver_window_holds_extension_queries():
         # r5: CCNet-style unigram LM score displaces rows_to_copy (the
         # J5 semi-join leg sync_merge drives end-to-end)
         "unigram_logprob_docs",
+        # r5: equi-key-free interval join displaces differing_partitions
+        # (digest kernel = partition_digests, set-diff = sync_merge)
+        "interval_join_error_windows",
     }
     assert must_be_in <= window, sorted(must_be_in - window)
     from mysql_syncer_spark.queries import _DEMOTED

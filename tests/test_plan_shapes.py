@@ -196,3 +196,12 @@ def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
     plan = plan_of(spark, "unigram_logprob_docs", sf_dir)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_not_nested_loop(spark, sf_dir):
+    """E62: the bucket decomposition must plan as a hash join on the
+    bucket id — BroadcastNestedLoopJoin is exactly the quadratic plan
+    the operator exists to avoid."""
+    plan = plan_of(spark, "interval_join_error_windows", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

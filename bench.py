@@ -107,6 +107,7 @@ HEADLINE = [
     "gopher_quality_docs",
     "unigram_logprob_docs",
     "interval_join_error_windows",
+    "jl_project_embeddings",
 ]
 
 

@@ -424,3 +424,67 @@ def cosine_topk_ivf_indexed(
     probed = assignments.where(F.col("list_id").isin(ranked[:nprobe]))
     return cosine_topk(probed.select(id_col, vec_col), query_vec, k,
                        id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+def jl_signs(in_dims: int, out_dims: int, seed: str = "jl") -> list[list[int]]:
+    """The deterministic ±1 projection matrix (in_dims × out_dims):
+    sign(i, j) = parity of the first byte of md5(f"{seed}:{i}:{j}").
+    Pure function of (dims, seed) — any process, any engine, any day
+    regenerates the identical matrix, so projections computed by
+    different jobs are comparable without shipping matrix state."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()[0] % 2 == 0
+            else -1
+            for j in range(out_dims)
+        ]
+        for i in range(in_dims)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    in_dims: int,
+    out_dims: int,
+    vec_col: str = "embedding",
+    seed: str = "jl",
+    round_dp: int = 6,
+    out_prefix: str = "p",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection: add ``out_dims`` columns
+    ``{out_prefix}0..{out_prefix}{out_dims-1}`` where
+    ``p_j = round(Σ_i v[i]·sign(i,j) / √out_dims, round_dp)``.
+
+    THE preprocessing step that makes billion-scale vector work
+    tractable: JL guarantees pairwise distances survive (within ε) at
+    out_dims = O(log n / ε²), so 64-dim corpora project to 8-16 dims
+    before brute-force scoring, sign-LSH bucketing, or IVF training —
+    the downstream cost drops by the dim ratio with bounded recall
+    loss. Per-row codegen arithmetic, ZERO shuffle at any scale; the
+    ±1 matrix is ``out_dims`` array literals baked into the plan (a
+    few KB), never a join. The input is cast to array<double> BEFORE
+    any math (float32 drift rule, operators/dedup.py cosine)."""
+    if in_dims < 1 or out_dims < 1:
+        raise ValueError(f"dims must be >= 1, got {in_dims}x{out_dims}")
+    signs = jl_signs(in_dims, out_dims, seed)
+    vec = F.col(vec_col).cast("array<double>")
+    scale = float(out_dims) ** 0.5
+    out = df
+    for j in range(out_dims):
+        col_signs = F.array(*[F.lit(float(signs[i][j])) for i in range(in_dims)])
+        dot = F.aggregate(
+            F.zip_with(vec, col_signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out = out.withColumn(
+            f"{out_prefix}{j}", F.round(dot / F.lit(scale), round_dp)
+        )
+    return out

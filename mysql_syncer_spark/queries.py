@@ -185,6 +185,11 @@ _DEMOTED: tuple[str, ...] = (
     # trio. Green r1-r4. Demoted to admit the equi-key-free interval
     # join (E62).
     "differing_partitions_orders",
+    # r5: revenue_by_nation's join+agg machinery is covered in-window by
+    # supplier_revenue (the star-schema broadcast form of the same
+    # join) and agg_pricing_summary (the decimal-sum agg). Green r1-r4.
+    # Demoted to admit jl_project_embeddings (E63).
+    "revenue_by_nation",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -2621,3 +2626,36 @@ def interval_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         points, windows, "ts", "w_start", "w_end", bucket_seconds=60
     )
     return out.select("event_id", "ts", "window_id", "w_start")
+
+
+def _jl_oracle_sql(in_dims: int = 64, out_dims: int = 8) -> str:
+    """Mirror of operators/similarity.random_projection: the SQL is
+    GENERATED from the same deterministic sign matrix (jl_signs), so
+    both engines multiply by literal-identical ±1 columns."""
+    from mysql_syncer_spark.operators.similarity import jl_signs
+
+    signs = jl_signs(in_dims, out_dims)
+    cols = []
+    for j in range(out_dims):
+        arr = "[" + ",".join(
+            f"{float(signs[i][j]):.1f}" for i in range(in_dims)
+        ) + "]"
+        cols.append(
+            f"ROUND(list_dot_product(embedding::DOUBLE[], "
+            f"{arr}::DOUBLE[]) / sqrt({float(out_dims)}), 6) AS p{j}"
+        )
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+@_register("jl_project_embeddings", _jl_oracle_sql())
+def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E63: Johnson-Lindenstrauss sign projection 64 -> 8 dims — the
+    preprocessing that makes billion-scale vector search tractable
+    (score/bucket/train on the projection, verify survivors on the full
+    vectors). Per-row codegen arithmetic with the ±1 matrix baked into
+    the plan as literals; zero shuffle."""
+    from mysql_syncer_spark.operators.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = random_projection(emb, in_dims=64, out_dims=8)
+    return out.select("vec_id", *[f"p{j}" for j in range(8)])

@@ -121,6 +121,9 @@ def test_driver_window_holds_extension_queries():
         # r5: equi-key-free interval join displaces differing_partitions
         # (digest kernel = partition_digests, set-diff = sync_merge)
         "interval_join_error_windows",
+        # r5: JL projection displaces revenue_by_nation (join+agg =
+        # supplier_revenue + agg_pricing_summary, both in-window)
+        "jl_project_embeddings",
     }
     assert must_be_in <= window, sorted(must_be_in - window)
     from mysql_syncer_spark.queries import _DEMOTED

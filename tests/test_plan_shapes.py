@@ -205,3 +205,11 @@ def test_interval_join_not_nested_loop(spark, sf_dir):
     plan = plan_of(spark, "interval_join_error_windows", sf_dir)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_jl_projection_shuffle_free(spark, sf_dir):
+    """E63: the projection is per-row arithmetic with a literal matrix
+    — any Exchange or join in this plan is a regression."""
+    plan = plan_of(spark, "jl_project_embeddings", sf_dir)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan

@@ -218,3 +218,50 @@ def test_ivf_index_persist_roundtrip(spark, embeddings, query_vec, tmp_path_fact
     assert cents2 == cents and (id_col, vec_col) == ("vec_id", "embedding")
     probed = assignments.where(F.col("list_id").isin([0, 1]))
     assert_partition_pruned(probed, "list_id")
+
+
+def test_jl_projection_preserves_distances(spark, sf_dir):
+    """The actual JL guarantee: pairwise squared distances survive the
+    projection within epsilon ~ 1/sqrt(out_dims). Check the ratio
+    ||proj(a)-proj(b)||^2 / ||a-b||^2 over sampled pairs: individually
+    bounded, and mean ~1 (the estimator is unbiased)."""
+    from mysql_syncer_spark.operators.similarity import random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(60)
+    k = 16
+    rows = random_projection(emb, in_dims=64, out_dims=k).collect()
+    full = [[float(x) for x in r["embedding"]] for r in rows]
+    low = [[r[f"p{j}"] for j in range(k)] for r in rows]
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    ratios = [
+        d2(low[i], low[j]) / d2(full[i], full[j])
+        for i in range(0, 40, 2)
+        for j in range(i + 1, 40, 3)
+    ]
+    assert all(0.15 < r < 3.5 for r in ratios), (min(ratios), max(ratios))
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.25, mean
+
+
+def test_jl_projection_deterministic_and_seeded(spark):
+    from mysql_syncer_spark.operators.similarity import (
+        jl_signs,
+        random_projection,
+    )
+
+    assert jl_signs(8, 4) == jl_signs(8, 4)
+    assert jl_signs(8, 4, "a") != jl_signs(8, 4, "b")
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [0.5] * 8)], "vec_id long, embedding array<double>"
+    )
+    a = random_projection(df, 8, 4).collect()
+    b = random_projection(df.repartition(3), 8, 4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # linearity sanity: halving the vector halves every projection
+    got = {r["vec_id"]: [r[f"p{j}"] for j in range(4)] for r in a}
+    assert all(
+        abs(got[2][j] - got[1][j] / 2) < 1e-9 for j in range(4)
+    )

@@ -108,6 +108,7 @@ HEADLINE = [
     "unigram_logprob_docs",
     "interval_join_error_windows",
     "jl_project_embeddings",
+    "cube_pricing_summary",
 ]
 
 

@@ -190,6 +190,11 @@ _DEMOTED: tuple[str, ...] = (
     # join) and agg_pricing_summary (the decimal-sum agg). Green r1-r4.
     # Demoted to admit jl_project_embeddings (E63).
     "revenue_by_nation",
+    # r5: topk_per_group's rank-window kernel is in-window three ways
+    # (tfidf_topk per-doc rank, quota_sample hash-rank, keep-best
+    # cluster rank). Green r1-r4. Demoted to admit the CUBE grouping-
+    # sets query (E64).
+    "topk_per_group",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -2659,3 +2664,38 @@ def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = random_projection(emb, in_dims=64, out_dims=8)
     return out.select("vec_id", *[f"p{j}" for j in range(8)])
+
+
+@_register(
+    "cube_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+              CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_price
+       FROM lineitem
+       GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def cube_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E64/A-class: CUBE grouping sets — all four (returnflag,
+    linestatus) aggregation levels in ONE pass: a single Expand node
+    (4x row restatement of only the grouping+agg columns) feeding one
+    map-side-combinable shuffle, vs four separate scans. GROUPING()
+    ids disambiguate real NULL values from subtotal rows, exactly as
+    the SQL standard (and the rollup_revenue sibling) define."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_rf", "g_ls", "n", "sum_price"
+        )
+    )

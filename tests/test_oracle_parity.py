@@ -124,6 +124,9 @@ def test_driver_window_holds_extension_queries():
         # r5: JL projection displaces revenue_by_nation (join+agg =
         # supplier_revenue + agg_pricing_summary, both in-window)
         "jl_project_embeddings",
+        # r5: CUBE grouping sets displace topk_per_group (rank windows
+        # in-window via tfidf/quota/keep-best)
+        "cube_pricing_summary",
     }
     assert must_be_in <= window, sorted(must_be_in - window)
     from mysql_syncer_spark.queries import _DEMOTED

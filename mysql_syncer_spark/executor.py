@@ -66,17 +66,6 @@ class SyncReport:
         }
 
 
-def _overwrite_parquet(df, path: str) -> None:
-    """Atomic-ish overwrite: write to a staging dir, then swap. Writing
-    directly with mode=overwrite would delete the input we are still
-    lazily reading from."""
-    tmp = path + ".__staging__"
-    df.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
-    os.replace(tmp, path)
-
-
 class ParquetSyncExecutor:
     """Executes a SyncPlan between two ParquetCatalogs (slave mutated)."""
 
@@ -106,7 +95,7 @@ class ParquetSyncExecutor:
             res.status = "dry_run"
             return
         mdf = self.master.table(unit.table).df
-        _overwrite_parquet(mdf, self.slave.table_path(unit.table))
+        self.slave.write_table(mdf, unit.table)
         self.slave.invalidate()
 
     def _copy_if_changed(self, unit: SyncUnit, res: UnitResult) -> None:
@@ -190,7 +179,7 @@ class ParquetSyncExecutor:
         merge + atomic file overwrite. Overridden by the SQL-target
         executor with distributed DELETE/INSERT statement batches."""
         merged = apply_delta(target, inserts, deletes, pk_cols)
-        _overwrite_parquet(merged, self.slave.table_path(table))
+        self.slave.write_table(merged, table)
 
     # -- driver --------------------------------------------------------
 

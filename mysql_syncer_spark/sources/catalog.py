@@ -70,8 +70,31 @@ class Catalog:
         return name in self.table_names()
 
 
-class ParquetCatalog(Catalog):
-    """A directory of ``<name>.parquet`` files/dirs as a database."""
+class FileCatalog(Catalog):
+    """A directory of ``<name>.<ext>`` files/dirs as a database, in any
+    Spark file format (``parquet`` default, ``csv``/``json``/``orc``).
+
+    Non-parquet formats are first-class sync targets: a CSV or JSONL
+    drop directory syncs against a parquet master (or another CSV dir)
+    through the same digest/diff/merge machinery — the catalog owns
+    BOTH sides of the I/O contract (typed read options per format, and
+    the staged atomic ``write_table`` swap the executor calls), so the
+    executor never special-cases a format. CSV reads infer schema with
+    headers by default (override via ``read_options`` for production:
+    explicit schemas beat a double scan at 100 TB)."""
+
+    FORMATS: dict[str, str] = {
+        "parquet": ".parquet",
+        "csv": ".csv",
+        "json": ".json",
+        "orc": ".orc",
+    }
+    _DEFAULT_READ: dict[str, dict] = {
+        "csv": {"header": "true", "inferSchema": "true"},
+    }
+    _DEFAULT_WRITE: dict[str, dict] = {
+        "csv": {"header": "true"},
+    }
 
     def __init__(
         self,
@@ -79,15 +102,34 @@ class ParquetCatalog(Catalog):
         path: str,
         pk_map: Mapping[str, Sequence[str]] | None = None,
         partition_map: Mapping[str, str] | None = None,
+        fmt: str = "parquet",
+        read_options: Mapping[str, str] | None = None,
+        write_options: Mapping[str, str] | None = None,
     ):
+        if fmt not in self.FORMATS:
+            raise ValueError(
+                f"unsupported format {fmt!r}; one of {sorted(self.FORMATS)}"
+            )
         self.spark = spark
         self.path = path
+        self.fmt = fmt
+        self.ext = self.FORMATS[fmt]
+        self.read_options = dict(
+            read_options
+            if read_options is not None
+            else self._DEFAULT_READ.get(fmt, {})
+        )
+        self.write_options = dict(
+            write_options
+            if write_options is not None
+            else self._DEFAULT_WRITE.get(fmt, {})
+        )
         self.pk_map = {k: tuple(v) for k, v in (pk_map or DEFAULT_PKS).items()}
         self.partition_map = dict(partition_map or {})
         self._names: list[str] | None = None  # cached like the reference
         # per-table DataFrame cache: planner + executor both resolve each
         # table (schema compare, digest gate, diff), and every
-        # ``spark.read.parquet`` re-lists files and re-reads footers
+        # ``spark.read`` re-lists files and re-reads footers
         # (~30ms each) — measurable against the sub-second noop re-sync.
         # Invalidated together with the name list after any write.
         self._dfs: dict[str, DataFrame] = {}
@@ -95,9 +137,9 @@ class ParquetCatalog(Catalog):
     def table_names(self) -> list[str]:
         if self._names is None:
             self._names = sorted(
-                f[: -len(".parquet")]
+                f[: -len(self.ext)]
                 for f in os.listdir(self.path)
-                if f.endswith(".parquet")
+                if f.endswith(self.ext)
             )
         return list(self._names)
 
@@ -106,12 +148,16 @@ class ParquetCatalog(Catalog):
         self._dfs = {}
 
     def table_path(self, name: str) -> str:
-        return os.path.join(self.path, f"{name}.parquet")
+        return os.path.join(self.path, f"{name}{self.ext}")
 
     def table(self, name: str) -> TableHandle:
         df = self._dfs.get(name)
         if df is None:
-            df = self.spark.read.parquet(self.table_path(name))
+            df = (
+                self.spark.read.format(self.fmt)
+                .options(**self.read_options)
+                .load(self.table_path(name))
+            )
             self._dfs[name] = df
         return TableHandle(
             name=name,
@@ -119,6 +165,39 @@ class ParquetCatalog(Catalog):
             pk_cols=self.pk_map.get(name, ()),
             partition_col=self.partition_map.get(name),
         )
+
+    def write_table(self, df: DataFrame, name: str) -> None:
+        """Atomic-ish table replace: stage to ``<path>.__staging__``,
+        then swap. Writing over the target directly would delete the
+        input a lazy plan is still reading (executor discipline)."""
+        path = self.table_path(name)
+        tmp = path + ".__staging__"
+        (
+            df.write.format(self.fmt)
+            .options(**self.write_options)
+            .mode("overwrite")
+            .save(tmp)
+        )
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
+        os.replace(tmp, path)
+
+
+class ParquetCatalog(FileCatalog):
+    """A directory of ``<name>.parquet`` files/dirs as a database (the
+    original fixture/scale path; :class:`FileCatalog` with
+    ``fmt='parquet'``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        pk_map: Mapping[str, Sequence[str]] | None = None,
+        partition_map: Mapping[str, str] | None = None,
+    ):
+        super().__init__(spark, path, pk_map, partition_map, fmt="parquet")
 
 
 class JDBCCatalog(Catalog):

@@ -119,7 +119,7 @@ def cdc_merge_stream(
         else:
             target = spark.read.parquet(target_path)
             merged = cdc_upsert_batch(target, batch, pk_cols, order_cols)
-        # stage-then-swap (same safety as executor._overwrite_parquet:
+        # stage-then-swap (same safety as FileCatalog.write_table:
         # mode=overwrite onto a path we are lazily reading would destroy
         # the input mid-plan)
         tmp = target_path + ".__staging__"

@@ -160,6 +160,18 @@ def build_parser() -> argparse.ArgumentParser:
     p_cur.add_argument("--n-shards", type=int, default=8)
     session_opts(p_cur)
 
+    p_cf = sub.add_parser(
+        "compact",
+        help="rewrite a fragmented table directory to ~target-MB files "
+             "(small-file maintenance; partition layout preserved)")
+    p_cf.add_argument("--path", required=True,
+                      help="table file/dir to compact in place")
+    p_cf.add_argument("--target-mb", type=int, default=128)
+    p_cf.add_argument("--partition-col", action="append", default=[],
+                      help="partition column of the layout (repeatable)")
+    p_cf.add_argument("--format", default="parquet", dest="fmt")
+    session_opts(p_cf)
+
     p_cmp = sub.add_parser(
         "index-compact",
         help="rewrite the index tables with duplicate rows removed "
@@ -278,6 +290,15 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None,
     owns = spark is None
     spark = spark or _session(args)
     try:
+        if args.command == "compact":
+            from mysql_syncer_spark.sources.layout import compact_files
+
+            stats = compact_files(
+                spark, args.path, target_mb=args.target_mb,
+                partition_cols=args.partition_col or None, fmt=args.fmt,
+            )
+            print(json.dumps({"path": args.path, **stats}), file=out)
+            return 0
         if args.command == "curate":
             from mysql_syncer_spark.pipeline import curate_and_export
 

@@ -176,3 +176,17 @@ def test_index_build_and_ingest_cycle(spark, sf_dir, tmp_path):
         assert code == 0 and lines[-1]["admitted_rows"] == 0
     finally:
         spark.sql("DROP DATABASE clitest CASCADE")
+
+
+def test_compact_command(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "frag_cli")
+    load_table(spark, sf_dir, "orders").repartition(32).write.parquet(path)
+    buf = io.StringIO()
+    rc = main(
+        ["compact", "--path", path, "--target-mb", "128"],
+        spark=spark, out=buf,
+    )
+    assert rc == 0
+    stats = json.loads(buf.getvalue())
+    assert stats["files_before"] >= 32 and stats["files_after"] == 1
+    assert spark.read.parquet(path).count() > 0

@@ -109,6 +109,7 @@ HEADLINE = [
     "interval_join_error_windows",
     "jl_project_embeddings",
     "cube_pricing_summary",
+    "funnel_events",
 ]
 
 

@@ -195,6 +195,12 @@ _DEMOTED: tuple[str, ...] = (
     # cluster rank). Green r1-r4. Demoted to admit the CUBE grouping-
     # sets query (E64).
     "topk_per_group",
+    # r5: missing_rows is the third leg of the diff trio that
+    # sync_merge_orders (the full merge composite) runs end-to-end
+    # in-window, same rationale its excess/changed siblings were
+    # demoted under. Green r1-r4. Demoted to admit the ordered-funnel
+    # operator (E66).
+    "missing_rows_orders",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -2698,4 +2704,44 @@ def cube_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag", "l_linestatus", "g_rf", "g_ls", "n", "sum_price"
         )
+    )
+
+
+@_register(
+    "funnel_events",
+    """WITH s0 AS (SELECT user_id, MIN(ts) AS t0 FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+         s1 AS (SELECT e.user_id, MIN(e.ts) AS t1 FROM events e
+                JOIN s0 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s0.t0
+                GROUP BY e.user_id),
+         s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+                JOIN s1 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+                GROUP BY e.user_id)
+        SELECT s0.user_id, s0.t0, s1.t1, s2.t2,
+               CAST(1 + CASE WHEN t1 IS NULL THEN 0 ELSE 1 END
+                      + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+                    AS INT) AS n_steps
+        FROM s0
+        LEFT JOIN s1 ON s1.user_id = s0.user_id
+        LEFT JOIN s2 ON s2.user_id = s0.user_id""",
+)
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E66: ordered funnel (view -> click -> purchase) — per user the
+    earliest greedy completion chain: t_i = min ts of step i STRICTLY
+    after t_{i-1}; n_steps = consecutive stages reached. MATCH_RECOGNIZE
+    semantics as a cascade of filtered conditional-min aggregations —
+    each stage scans only its own step's events (filter pushed), one
+    combinable key shuffle per stage, never a full-stream window."""
+    from mysql_syncer_spark.operators.funnel import funnel
+
+    events = load_table(spark, sf_dir, "events")
+    out = funnel(
+        events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+    return out.select(
+        "user_id",
+        F.col("t0"), F.col("t1"), F.col("t2"),
+        F.col("n_steps").cast("int").alias("n_steps"),
     )

@@ -1,0 +1,68 @@
+"""Ordered-funnel cascade (operators/funnel.py)."""
+
+import datetime as dt
+
+import pytest
+
+from mysql_syncer_spark.operators.funnel import funnel
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _t(m):
+    return T0 + dt.timedelta(minutes=m)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: full ordered chain
+        (1, _t(0), "view"), (1, _t(5), "click"), (1, _t(9), "buy"),
+        # user 2: buy BEFORE click — chain breaks at step 2
+        (2, _t(0), "view"), (2, _t(8), "click"), (2, _t(3), "buy"),
+        # user 3: never entered (no view)
+        (3, _t(1), "click"), (3, _t(2), "buy"),
+        # user 4: greedy trap — earliest click is before the view, but a
+        # later one continues the chain; greedy must still complete
+        (4, _t(5), "view"), (4, _t(2), "click"), (4, _t(7), "click"),
+        (4, _t(8), "buy"),
+        # user 5: simultaneous timestamps are NOT strictly after
+        (5, _t(0), "view"), (5, _t(0), "click"),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+
+def test_funnel_stages(events):
+    out = funnel(events, "user_id", "ts", "event_type",
+                 ["view", "click", "buy"])
+    got = {r["user_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 4, 5}          # user 3 never entered
+    assert got[1]["n_steps"] == 3
+    assert got[1]["t2"] == _t(9)
+    # break at buy-before-click ordering
+    assert got[2]["n_steps"] == 2 and got[2]["t2"] is None
+    # greedy completeness: the pre-view click is skipped, chain completes
+    assert got[4]["n_steps"] == 3
+    assert got[4]["t1"] == _t(7)
+    # strict ordering: ts == prev does not advance
+    assert got[5]["n_steps"] == 1 and got[5]["t1"] is None
+
+
+def test_funnel_single_step_and_validation(events):
+    out = funnel(events, "user_id", "ts", "event_type", ["view"])
+    got = {r["user_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 4, 5}
+    assert all(r["n_steps"] == 1 for r in got.values())
+    with pytest.raises(ValueError):
+        funnel(events, "user_id", "ts", "event_type", [])
+
+
+def test_funnel_partitioning_independent(events):
+    a = funnel(events, "user_id", "ts", "event_type", ["view", "click"])
+    b = funnel(
+        events.repartition(7), "user_id", "ts", "event_type",
+        ["view", "click"],
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

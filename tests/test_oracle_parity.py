@@ -127,6 +127,9 @@ def test_driver_window_holds_extension_queries():
         # r5: CUBE grouping sets displace topk_per_group (rank windows
         # in-window via tfidf/quota/keep-best)
         "cube_pricing_summary",
+        # r5: ordered funnel displaces missing_rows (diff-trio leg run
+        # end-to-end by sync_merge, like its excess/changed siblings)
+        "funnel_events",
     }
     assert must_be_in <= window, sorted(must_be_in - window)
     from mysql_syncer_spark.queries import _DEMOTED

@@ -110,6 +110,7 @@ HEADLINE = [
     "jl_project_embeddings",
     "cube_pricing_summary",
     "funnel_events",
+    "cohort_retention_events",
 ]
 
 

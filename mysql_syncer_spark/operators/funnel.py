@@ -73,3 +73,48 @@ def funnel(
     for i in range(len(steps)):
         n = n + F.col(f"{out_prefix}{i}").isNotNull().cast("int")
     return stage.withColumn("n_steps", n)
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    unit: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: ``(cohort, offset, n_active)`` where
+    cohort = the key's first-activity period (``date_trunc(unit)``),
+    offset = whole periods since the cohort period, and n_active = how
+    many of that cohort's keys were active in that offset period — the
+    other classic product-analytics query next to the funnel.
+
+    Shape: first-activity = one combinable min-agg on the key; activity
+    grid = distinct (key, period) — one combinable shuffle; cohort map
+    joined back on the key (AQE broadcasts it when cohorts are narrow);
+    final count-distinct collapses to (cohort, offset) cells, a
+    triangle of at most periods² rows. Nothing scales with raw event
+    count past the first distinct."""
+    if unit not in ("day", "week", "month"):
+        raise ValueError(f"unit must be day/week/month, got {unit}")
+    per_len = {"day": 1, "week": 7}.get(unit)
+    period = F.date_trunc(unit, F.col(ts_col))
+    activity = df.select(
+        F.col(key_col), period.cast("date").alias("__p")
+    ).distinct()
+    first = activity.groupBy(key_col).agg(F.min("__p").alias("__cohort"))
+    joined = activity.join(first, on=key_col)
+    if unit == "month":
+        offset = (
+            (F.year("__p") - F.year("__cohort")) * 12
+            + (F.month("__p") - F.month("__cohort"))
+        )
+    else:
+        offset = F.floor(F.datediff("__p", "__cohort") / per_len)
+    return (
+        joined.select(
+            F.col("__cohort").alias("cohort"),
+            offset.cast("int").alias("offset"),
+            key_col,
+        )
+        .groupBy("cohort", "offset")
+        .agg(F.count_distinct(F.col(key_col)).alias("n_active"))
+    )

@@ -201,6 +201,10 @@ _DEMOTED: tuple[str, ...] = (
     # demoted under. Green r1-r4. Demoted to admit the ordered-funnel
     # operator (E66).
     "missing_rows_orders",
+    # r5: the single-fold SCD2 row is a strict subset of the in-window
+    # scd2_multibatch_orders (its bootstrap fold IS this query). Green
+    # r2-r4. Demoted to admit cohort retention (E67).
+    "scd2_orders",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -2745,3 +2749,32 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t0"), F.col("t1"), F.col("t2"),
         F.col("n_steps").cast("int").alias("n_steps"),
     )
+
+
+@_register(
+    "cohort_retention_events",
+    """WITH activity AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS DATE) AS p
+          FROM events),
+         first AS (SELECT user_id, MIN(p) AS cohort FROM activity
+                   GROUP BY user_id)
+        SELECT CAST(f.cohort AS TIMESTAMP) AS cohort,
+               CAST(FLOOR(date_diff('day', f.cohort, a.p) / 7) AS INT)
+                   AS "offset",
+               COUNT(DISTINCT a.user_id) AS n_active
+        FROM activity a JOIN first f ON a.user_id = f.user_id
+        GROUP BY 1, 2""",
+)
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E67: weekly cohort retention triangle — users grouped by their
+    first-activity week, counted distinct in every later week offset.
+    Everything past the first distinct scales with (keys x periods),
+    never raw events."""
+    from mysql_syncer_spark.operators.funnel import cohort_retention
+
+    events = load_table(spark, sf_dir, "events")
+    out = cohort_retention(events, "user_id", "ts", unit="week")
+    # DATE stringifies differently across fetch paths (datetime.date vs
+    # pandas Timestamp); TIMESTAMP prints identically in both — emit it
+    return out.withColumn("cohort", F.col("cohort").cast("timestamp"))

@@ -66,3 +66,49 @@ def test_funnel_partitioning_independent(events):
         ["view", "click"],
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_cohort_retention(spark):
+    import datetime as dt
+
+    from mysql_syncer_spark.operators.funnel import cohort_retention
+
+    w0 = dt.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        # users 1,2 start week 0; user 1 returns weeks 1 and 2
+        (1, w0), (1, w0 + dt.timedelta(days=8)), (1, w0 + dt.timedelta(days=15)),
+        (2, w0 + dt.timedelta(days=2)),
+        # user 3 starts week 1, returns week 3
+        (3, w0 + dt.timedelta(days=9)), (3, w0 + dt.timedelta(days=22)),
+        # duplicate activity in one week counts once
+        (2, w0 + dt.timedelta(days=3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = cohort_retention(df, "user_id", "ts", unit="week")
+    got = {(r["cohort"].isoformat(), r["offset"]): r["n_active"]
+           for r in out.collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,   # users 1,2 in their own week
+        ("2024-01-01", 1): 1,   # user 1 retained
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,   # user 3's cohort
+        ("2024-01-08", 2): 1,
+    }
+
+
+def test_cohort_retention_units(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from mysql_syncer_spark.operators.funnel import cohort_retention
+
+    d0 = dt.datetime(2024, 1, 31)
+    df = spark.createDataFrame(
+        [(1, d0), (1, d0 + dt.timedelta(days=1))], "user_id long, ts timestamp"
+    )
+    monthly = {(r["offset"]): r["n_active"]
+               for r in cohort_retention(df, "user_id", "ts", "month").collect()}
+    assert monthly == {0: 1, 1: 1}  # Jan 31 -> Feb 1 is a month boundary
+    with _pytest.raises(ValueError):
+        cohort_retention(df, "user_id", "ts", "year")

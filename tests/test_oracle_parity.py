@@ -98,7 +98,7 @@ def test_driver_window_holds_extension_queries():
         "json_extract_events",
         "curate_corpus_docs", "salted_join_orders_customer",
         "contamination_docs", "repetition_docs", "cdc_apply_orders",
-        "scd2_orders", "quota_sample_docs", "supplier_revenue",
+        "quota_sample_docs", "supplier_revenue",
         "pii_docs", "pack_sequences_docs", "tfidf_topk_docs",
         "priority_sample_docs", "label_centroids_embeddings",
         "minhash_pairs_between_docs", "incremental_new_docs",
@@ -130,6 +130,9 @@ def test_driver_window_holds_extension_queries():
         # r5: ordered funnel displaces missing_rows (diff-trio leg run
         # end-to-end by sync_merge, like its excess/changed siblings)
         "funnel_events",
+        # r5: cohort retention displaces single-fold scd2_orders (a
+        # strict subset of in-window scd2_multibatch_orders)
+        "cohort_retention_events",
     }
     assert must_be_in <= window, sorted(must_be_in - window)
     from mysql_syncer_spark.queries import _DEMOTED

@@ -118,3 +118,64 @@ def test_null_layouts_never_collide(spark, layout):
         for j, tj in enumerate(layout):
             if i < j:
                 assert (by_id[i] == by_id[j]) == (ti == tj), (ti, tj)
+
+
+# ---------------------------------------------------------------------------
+# interval join ≡ naive nested-loop semantics (operators/interval.py)
+# ---------------------------------------------------------------------------
+
+points_strategy = st.lists(
+    st.integers(min_value=0, max_value=500),  # point second offsets
+    min_size=0, max_size=12,
+)
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),   # start offset
+        st.integers(min_value=0, max_value=120),   # length
+    ),
+    min_size=0, max_size=8,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pts=points_strategy, ivs=intervals_strategy,
+       width=st.sampled_from([1, 13, 60, 600]))
+def test_interval_join_equals_naive(spark, pts, ivs, width):
+    """For arbitrary points/intervals and bucket widths, the bucketized
+    join returns EXACTLY the pairs the naive quadratic scan returns."""
+    import datetime as dt
+
+    from mysql_syncer_spark.operators.interval import interval_join
+
+    t0 = dt.datetime(2024, 6, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    points = spark.createDataFrame(
+        [(i, ts(s)) for i, s in enumerate(pts)] or [(None, None)],
+        "pid long, ts timestamp",
+    ).where(F.col("pid").isNotNull())
+    intervals = spark.createDataFrame(
+        [(i, ts(s), ts(s + ln)) for i, (s, ln) in enumerate(ivs)]
+        or [(None, None, None)],
+        "wid long, w_start timestamp, w_end timestamp",
+    ).where(F.col("wid").isNotNull())
+
+    got = {
+        (r["pid"], r["wid"])
+        for r in interval_join(
+            points, intervals, "ts", "w_start", "w_end", width
+        ).collect()
+    }
+    expected = {
+        (i, j)
+        for i, s in enumerate(pts)
+        for j, (ws, ln) in enumerate(ivs)
+        if ws <= s < ws + ln
+    }
+    assert got == expected

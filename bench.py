@@ -111,6 +111,7 @@ HEADLINE = [
     "cube_pricing_summary",
     "funnel_events",
     "cohort_retention_events",
+    "sliding_window_counts_events",
 ]
 
 

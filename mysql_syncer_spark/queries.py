@@ -205,6 +205,11 @@ _DEMOTED: tuple[str, ...] = (
     # scd2_multibatch_orders (its bootstrap fold IS this query). Green
     # r2-r4. Demoted to admit cohort retention (E67).
     "scd2_orders",
+    # r5: the whole-table digest kernel runs INSIDE in-window
+    # digest_check_orders (both sides) and partition_digests_orders
+    # (same canon hash + sort_array concat per partition). Green r1-r4.
+    # Demoted to admit the hopping-window agg (E68).
+    "table_digest_orders",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -2778,3 +2783,41 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DATE stringifies differently across fetch paths (datetime.date vs
     # pandas Timestamp); TIMESTAMP prints identically in both — emit it
     return out.withColumn("cohort", F.col("cohort").cast("timestamp"))
+
+
+@_register(
+    "sliding_window_counts_events",
+    """WITH w AS (
+          SELECT event_type,
+                 unnest([date_trunc('hour', ts)
+                             + CASE WHEN minute(ts) >= 30
+                                    THEN INTERVAL 30 MINUTE
+                                    ELSE INTERVAL 0 MINUTE END,
+                         date_trunc('hour', ts)
+                             + CASE WHEN minute(ts) >= 30
+                                    THEN INTERVAL 30 MINUTE
+                                    ELSE INTERVAL 0 MINUTE END
+                             - INTERVAL 30 MINUTE]) AS window_start
+          FROM events)
+        SELECT window_start, event_type, COUNT(*) AS n_events
+        FROM w GROUP BY 1, 2""",
+)
+def sliding_window_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E68/W-class: hopping-window aggregation — 1-hour windows sliding
+    every 30 minutes, so each event lands in exactly two windows.
+    Spark's native ``F.window(slideDuration)`` explodes the window set
+    row-locally (output-sized fan-out, no extra shuffle beyond the one
+    combinable agg); the oracle mirrors it by unnesting each event's
+    two covering window starts."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -133,6 +133,9 @@ def test_driver_window_holds_extension_queries():
         # r5: cohort retention displaces single-fold scd2_orders (a
         # strict subset of in-window scd2_multibatch_orders)
         "cohort_retention_events",
+        # r5: hopping windows displace table_digest (kernel runs inside
+        # digest_check + partition_digests, both in-window)
+        "sliding_window_counts_events",
     }
     assert must_be_in <= window, sorted(must_be_in - window)
     from mysql_syncer_spark.queries import _DEMOTED

@@ -112,6 +112,7 @@ HEADLINE = [
     "funnel_events",
     "cohort_retention_events",
     "sliding_window_counts_events",
+    "quantize_embeddings",
 ]
 
 

@@ -488,3 +488,42 @@ def random_projection(
             f"{out_prefix}{j}", F.round(dot / F.lit(scale), round_dp)
         )
     return out
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q[i] =
+    round(v[i] / scale)`` with ``scale = max|v| / 127`` — the 4×
+    (float32) / 8× (float64) storage shrink every billion-vector ANN
+    store applies before indexing. Per-row codegen arithmetic, zero
+    shuffle; keep ``scale_col`` beside the codes to dequantize.
+
+    Zero vectors get scale 0 and all-zero codes (dequantizes exactly).
+    Max quantization error per component is scale/2 = max|v|/254."""
+    vec = F.col(vec_col).cast("array<double>")
+    absmax = F.array_max(F.transform(vec, F.abs))
+    scale = absmax / F.lit(127.0)
+    codes = F.when(absmax == 0.0, F.transform(vec, lambda _: F.lit(0))).otherwise(
+        F.transform(vec, lambda x: F.round(x / scale).cast("int"))
+    )
+    return df.withColumn(scale_col, scale).withColumn(out_col, codes)
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    q_col: str = "q",
+    scale_col: str = "q_scale",
+    out_col: str = "embedding_dq",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: ``v'[i] = q[i]*scale``;
+    error bounded by scale/2 per component."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)
+        ),
+    )

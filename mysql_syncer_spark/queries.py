@@ -210,6 +210,11 @@ _DEMOTED: tuple[str, ...] = (
     # (same canon hash + sort_array concat per partition). Green r1-r4.
     # Demoted to admit the hopping-window agg (E68).
     "table_digest_orders",
+    # r5: the flat (returnflag, linestatus) aggregate is the base cell
+    # set of in-window cube_pricing_summary (g_rf=0, g_ls=0 rows — same
+    # sums, same groups). Green r1-r4. Demoted to admit int8
+    # quantization (E70).
+    "agg_pricing_summary",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -2820,4 +2825,63 @@ def sliding_window_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_events",
         )
+    )
+
+
+@_register(
+    "quantize_embeddings",
+    """WITH s AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 list_max(list_transform(embedding::DOUBLE[],
+                                         x -> abs(x))) / 127.0 AS scale
+          FROM embeddings),
+         q AS (SELECT vec_id, v, scale,
+                      CASE WHEN scale = 0
+                           THEN list_transform(v, x -> 0)
+                           ELSE list_transform(
+                               v, x -> CAST(round(x / scale) AS INT))
+                      END AS codes
+               FROM s)
+        SELECT vec_id,
+               ROUND(scale, 6) AS q_scale,
+               CAST(list_sum(codes) AS BIGINT) AS code_sum,
+               CAST(list_max(list_transform(codes, c -> abs(c))) AS INT)
+                   AS code_absmax,
+               ROUND(list_max(list_transform(
+                   generate_series(1, len(v)),
+                   i -> abs(CAST(codes[i] AS DOUBLE) * scale - v[i]))), 6)
+                   AS dq_err_max
+        FROM q""",
+)
+def quantize_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E70: symmetric per-vector int8 quantization — the 4-8x storage
+    shrink an ANN store applies before indexing. Surfaced as scalars
+    (scale, code sum, max |code|, max dequantization error) so the
+    cross-engine check covers the quantize AND dequantize math; the
+    error bound scale/2 is asserted in pytest. Pure codegen, zero
+    shuffle."""
+    from mysql_syncer_spark.operators.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    vec = F.col("embedding").cast("array<double>")
+    err = F.array_max(
+        F.zip_with(
+            F.col("q"),
+            vec,
+            lambda c, x: F.abs(c.cast("double") * F.col("q_scale") - x),
+        )
+    )
+    # materialize the error column BEFORE the projection that aliases a
+    # rounded q_scale: Spark 4 lateral column aliases would otherwise
+    # resolve the err expression's q_scale against the ROUNDED sibling
+    # select item, skewing the error by the rounding delta
+    q = q.withColumn("__err", err)
+    return q.select(
+        "vec_id",
+        F.round("q_scale", 6).alias("q_scale"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, c: a + c)
+        .alias("code_sum"),
+        F.array_max(F.transform("q", F.abs)).cast("int").alias("code_absmax"),
+        F.round("__err", 6).alias("dq_err_max"),
     )

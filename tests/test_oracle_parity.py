@@ -136,6 +136,9 @@ def test_driver_window_holds_extension_queries():
         # r5: hopping windows displace table_digest (kernel runs inside
         # digest_check + partition_digests, both in-window)
         "sliding_window_counts_events",
+        # r5: int8 quantization displaces agg_pricing_summary (the base
+        # cell set of in-window cube_pricing_summary)
+        "quantize_embeddings",
     }
     assert must_be_in <= window, sorted(must_be_in - window)
     from mysql_syncer_spark.queries import _DEMOTED

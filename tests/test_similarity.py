@@ -265,3 +265,44 @@ def test_jl_projection_deterministic_and_seeded(spark):
     assert all(
         abs(got[2][j] - got[1][j] / 2) < 1e-9 for j in range(4)
     )
+
+
+def test_quantize_roundtrip_error_bound(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    dq = dequantize_embeddings(quantize_embeddings(emb))
+    # per-component error <= scale/2; codes within int8 range
+    bad = dq.select(
+        F.array_max(
+            F.zip_with(
+                F.col("embedding_dq"),
+                F.col("embedding").cast("array<double>"),
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("err"),
+        (F.col("q_scale") / 2 + 1e-12).alias("bound"),
+        F.array_max(F.transform("q", F.abs)).alias("absmax"),
+    )
+    assert bad.where(F.col("err") > F.col("bound")).count() == 0
+    assert bad.where(F.col("absmax") > 127).count() == 0
+
+
+def test_quantize_zero_vector(spark):
+    from mysql_syncer_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = dequantize_embeddings(quantize_embeddings(df)).first()
+    assert out["q"] == [0, 0, 0]
+    assert out["q_scale"] == 0.0
+    assert out["embedding_dq"] == [0.0, 0.0, 0.0]

@@ -730,10 +730,16 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "asof_join_events_orders",
-    """SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS asof_orderkey
-       FROM events e
-       ASOF LEFT JOIN orders o
-         ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+    """WITH j AS (
+         SELECT e.event_id, e.user_id, e.ts, o.o_orderkey,
+                ROW_NUMBER() OVER (
+                    PARTITION BY e.event_id
+                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+         FROM events e
+         LEFT JOIN orders o
+           ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+       SELECT event_id, user_id, ts, o_orderkey AS asof_orderkey
+       FROM j WHERE rn = 1""",
 )
 def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (no Spark builtin): for each event, the most recent
@@ -745,8 +751,11 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     |events per user| × |orders per user| and was ~30× slower at sf0.1).
     Unmatched events keep a null (left-join semantics); order rows sort
     before event rows at equal timestamps (>= semantics); ties on
-    o_orderdate resolve to max o_orderkey — identical to the DuckDB
-    native ASOF LEFT JOIN oracle."""
+    o_orderdate resolve to MAX o_orderkey. The oracle states that
+    tie-break explicitly (ROW_NUMBER over date DESC, key DESC) —
+    DuckDB's native ASOF JOIN picks an ARBITRARY row among equal-date
+    candidates, which diverged at sf0.1 where 355 (custkey, orderdate)
+    pairs are duplicated."""
     events = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
     e = events.select(

@@ -113,6 +113,7 @@ HEADLINE = [
     "cohort_retention_events",
     "sliding_window_counts_events",
     "quantize_embeddings",
+    "incremental_agg_orders",
 ]
 
 

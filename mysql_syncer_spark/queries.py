@@ -215,6 +215,11 @@ _DEMOTED: tuple[str, ...] = (
     # sums, same groups). Green r1-r4. Demoted to admit int8
     # quantization (E70).
     "agg_pricing_summary",
+    # r5: the exact-Jaccard baseline is the verification twin of
+    # in-window minhash_lsh_pairs_docs (same shingle kernel; LSH recall
+    # against it is pytest-gated in test_dedup). Green r1-r4. Demoted
+    # to admit incremental rollup maintenance (E71).
+    "ngram_jaccard_pairs_docs",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -2893,4 +2898,50 @@ def quantize_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("code_sum"),
         F.array_max(F.transform("q", F.abs)).cast("int").alias("code_absmax"),
         F.round("__err", 6).alias("dq_err_max"),
+    )
+
+
+@_register(
+    "incremental_agg_orders",
+    """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+         delta AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0)
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total_price,
+               MAX(o_orderdate) AS last_order
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+        GROUP BY o_custkey""",
+)
+def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E71: materialized-rollup maintenance — bootstrap the per-customer
+    rollup from 90% of orders, then fold the remaining 10% in as a
+    DELTA (old ⊕ agg(delta), one delta-sized shuffle + a groups-sized
+    full-outer merge; the base is never rescanned). The oracle proves
+    the folded rollup is EXACTLY the full recompute over base+delta."""
+    from mysql_syncer_spark.operators.incremental_agg import (
+        agg_snapshot,
+        apply_agg_delta,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") % 10 != 0)
+    delta = orders.where(F.col("o_orderkey") % 10 == 0)
+    measures = {
+        "n_orders": ("count", "*"),
+        "total_price": ("sum", "__price"),
+        "last_order": ("max", "o_orderdate"),
+    }
+    # decimal sum both stages (ANSI-safe), surfaced as double like the
+    # other revenue queries
+    prep = lambda df: df.withColumn(
+        "__price", F.col("o_totalprice").cast("decimal(18,6)")
+    )
+    rollup = agg_snapshot(prep(base), ["o_custkey"], measures)
+    updated = apply_agg_delta(rollup, prep(delta), ["o_custkey"], measures)
+    return updated.select(
+        "o_custkey",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("total_price").cast("double").alias("total_price"),
+        "last_order",
     )

@@ -139,6 +139,9 @@ def test_driver_window_holds_extension_queries():
         # r5: int8 quantization displaces agg_pricing_summary (the base
         # cell set of in-window cube_pricing_summary)
         "quantize_embeddings",
+        # r5: incremental rollup maintenance displaces the exact-Jaccard
+        # baseline (verification twin of in-window minhash_lsh)
+        "incremental_agg_orders",
     }
     assert must_be_in <= window, sorted(must_be_in - window)
     from mysql_syncer_spark.queries import _DEMOTED

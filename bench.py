@@ -114,6 +114,7 @@ HEADLINE = [
     "sliding_window_counts_events",
     "quantize_embeddings",
     "incremental_agg_orders",
+    "winsorize_events_value",
 ]
 
 

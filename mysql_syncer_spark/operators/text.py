@@ -424,3 +424,48 @@ def with_unigram_logprob(
         F.coalesce("__n", F.lit(0)).cast("long").alias("n_tokens"),
         F.col("__avg").alias("logprob"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    lower_p: float = 0.01,
+    upper_p: float = 0.99,
+    out_col: str | None = None,
+    flag_col: str = "clipped",
+) -> DataFrame:
+    """Winsorize a numeric column: clamp values outside the
+    [``lower_p``, ``upper_p``] exact interpolated percentiles and flag
+    the clamped rows — the standard outlier treatment before a numeric
+    feature feeds training or aggregate statistics (a single corrupt
+    sensor reading otherwise owns the mean).
+
+    Shape: ONE scalar aggregate computes both cut points (exact
+    ``percentile``; swap ``approx_percentile`` at 100 TB — t-digest,
+    map-side combinable, same plan), crossJoin-broadcast back onto the
+    stream (in-plan, no driver collect), then pure codegen
+    least/greatest. NULLs pass through unclamped and unflagged."""
+    if not 0.0 <= lower_p < upper_p <= 1.0:
+        raise ValueError(
+            f"need 0 <= lower_p < upper_p <= 1, got {lower_p}, {upper_p}"
+        )
+    out_col = out_col or f"{col}_w"
+    c = F.col(col).cast("double")
+    cuts = df.agg(
+        F.percentile(c, F.lit(lower_p)).alias("__lo"),
+        F.percentile(c, F.lit(upper_p)).alias("__hi"),
+    )
+    clamped = F.least(F.greatest(c, F.col("__lo")), F.col("__hi"))
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            out_col, F.when(c.isNull(), F.lit(None)).otherwise(clamped)
+        )
+        .withColumn(
+            flag_col,
+            F.when(c.isNull(), F.lit(False)).otherwise(
+                (c < F.col("__lo")) | (c > F.col("__hi"))
+            ),
+        )
+        .drop("__lo", "__hi")
+    )

@@ -220,6 +220,10 @@ _DEMOTED: tuple[str, ...] = (
     # against it is pytest-gated in test_dedup). Green r1-r4. Demoted
     # to admit incremental rollup maintenance (E71).
     "ngram_jaccard_pairs_docs",
+    # r5: winsorize runs the SAME exact-percentile kernel as token_
+    # quantiles and adds the clamp on top — strict superset of its
+    # machinery. Green r1-r4. Demoted to admit winsorization (E73).
+    "token_quantiles_docs",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -2944,4 +2948,38 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("long").alias("n_orders"),
         F.col("total_price").cast("double").alias("total_price"),
         "last_order",
+    )
+
+
+@_register(
+    "winsorize_events_value",
+    """WITH cuts AS (
+          SELECT quantile_cont(value, 0.05) AS lo,
+                 quantile_cont(value, 0.95) AS hi
+          FROM events)
+        SELECT event_id,
+               ROUND(value, 6) AS value_r,
+               ROUND(CASE WHEN value IS NULL THEN NULL
+                          ELSE LEAST(GREATEST(value, lo), hi) END, 6)
+                   AS value_w,
+               CAST(CASE WHEN value IS NULL THEN 0
+                         WHEN value < lo OR value > hi THEN 1 ELSE 0 END
+                    AS INT) AS clipped
+        FROM events, cuts""",
+)
+def winsorize_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E73: winsorization — clamp events.value outside its exact p05/p95
+    percentiles and flag the clamped rows (the outlier treatment before
+    a numeric feature feeds training). One scalar agg computes both cut
+    points, crossJoin-broadcast back in-plan, codegen least/greatest —
+    no driver collect, no second scan beyond the cuts agg."""
+    from mysql_syncer_spark.operators.text import winsorize
+
+    events = load_table(spark, sf_dir, "events")
+    out = winsorize(events, "value", 0.05, 0.95, out_col="value_w")
+    return out.select(
+        "event_id",
+        F.round(F.col("value").cast("double"), 6).alias("value_r"),
+        F.round("value_w", 6).alias("value_w"),
+        F.col("clipped").cast("int").alias("clipped"),
     )

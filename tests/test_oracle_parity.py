@@ -142,6 +142,9 @@ def test_driver_window_holds_extension_queries():
         # r5: incremental rollup maintenance displaces the exact-Jaccard
         # baseline (verification twin of in-window minhash_lsh)
         "incremental_agg_orders",
+        # r5: winsorize displaces token_quantiles (same exact-percentile
+        # kernel + the clamp on top)
+        "winsorize_events_value",
     }
     assert must_be_in <= window, sorted(must_be_in - window)
     from mysql_syncer_spark.queries import _DEMOTED

@@ -194,3 +194,26 @@ def test_unigram_logprob_orders_gibberish_below_fluent(spark):
     for i in (4, 5):
         assert got[i]["n_tokens"] == 0 and got[i]["logprob"] is None
     assert out.count() == df.count()
+
+
+def test_winsorize_clamps_and_flags(spark):
+    from mysql_syncer_spark.operators.text import winsorize
+
+    vals = list(range(1, 100)) + [10_000, None]  # one wild outlier + NULL
+    df = spark.createDataFrame(
+        [(i, float(v) if v is not None else None) for i, v in enumerate(vals)],
+        "id long, v double",
+    )
+    out = winsorize(df, "v", 0.01, 0.99)
+    rows = {r["id"]: r for r in out.collect()}
+    hi = max(r["v_w"] for r in rows.values() if r["v_w"] is not None)
+    assert hi < 10_000  # outlier clamped to the p99 cut
+    assert rows[99]["clipped"] is True
+    assert rows[50]["clipped"] is False and rows[50]["v_w"] == rows[50]["v"]
+    # NULL passes through unclamped and unflagged
+    assert rows[100]["v_w"] is None and rows[100]["clipped"] is False
+    assert out.count() == df.count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winsorize(df, "v", 0.9, 0.1)

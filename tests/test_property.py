@@ -179,3 +179,70 @@ def test_interval_join_equals_naive(spark, pts, ivs, width):
         if ws <= s < ws + ln
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# funnel ≡ brute-force greedy chain (operators/funnel.py)
+# ---------------------------------------------------------------------------
+
+event_stream = st.lists(
+    st.tuples(
+        st.integers(0, 3),                    # user
+        st.integers(0, 50),                   # second offset
+        st.sampled_from(["a", "b", "c"]),     # step type
+    ),
+    min_size=0, max_size=25,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=event_stream)
+def test_funnel_equals_bruteforce(spark, rows):
+    import datetime as dt
+
+    from mysql_syncer_spark.operators.funnel import funnel
+
+    t0 = dt.datetime(2024, 3, 1)
+    steps = ["a", "b", "c"]
+    df = spark.createDataFrame(
+        [(u, t0 + dt.timedelta(seconds=s), ty) for u, s, ty in rows]
+        or [(None, None, None)],
+        "user_id long, ts timestamp, event_type string",
+    ).where(F.col("user_id").isNotNull())
+
+    got = {
+        r["user_id"]: (r["t0"], r["t1"], r["t2"], r["n_steps"])
+        for r in funnel(df, "user_id", "ts", "event_type", steps).collect()
+    }
+
+    # brute-force greedy: earliest step-0, then earliest strictly-later
+    # next step, per user
+    expected = {}
+    users = {u for u, _, _ in rows}
+    for u in users:
+        evts = sorted((s, ty) for uu, s, ty in rows if uu == u)
+        times = []
+        prev = None
+        for step in steps:
+            cand = [
+                s for s, ty in evts
+                if ty == step and (prev is None or s > prev)
+            ]
+            if prev is None and step == steps[0]:
+                pick = min(cand) if cand else None
+            else:
+                pick = min(cand) if (cand and prev is not None) else None
+            times.append(pick)
+            prev = pick
+        if times[0] is None:
+            continue
+        expected[u] = (
+            *[None if t is None else t0 + dt.timedelta(seconds=t)
+              for t in times],
+            sum(t is not None for t in times),
+        )
+    assert got == expected

@@ -44,3 +44,68 @@ def test_approx_percentile_close_to_exact(events):
     ).first()["r"]
     assert abs(row["approx_p50"] - row["exact_p50"]) <= 0.05 * spread
     assert abs(row["approx_p99"] - row["exact_p99"]) <= 0.05 * spread
+
+
+def test_hll_rollup_estimates_within_tolerance(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_spark.operators.sketches import (
+        hll_estimate_over,
+        hll_rollup,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    grain = events.withColumn("day", F.to_date("ts"))
+    rollup = hll_rollup(grain, ["day", "event_type"], "user_id")
+    # estimate per event_type from the daily grain vs exact
+    est = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in hll_estimate_over(rollup, ["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in grain.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n < 0.05, (k, est[k], n)
+    # grand total across all grains
+    total = hll_estimate_over(rollup, []).first()["n_distinct_est"]
+    exact_total = grain.select("user_id").distinct().count()
+    assert abs(total - exact_total) / exact_total < 0.05
+
+
+def test_hll_merge_equals_direct_union(spark, sf_dir):
+    """The maintenance property: folding batch state into stored state
+    must estimate EXACTLY what a direct one-shot rollup over all the data
+    estimates — merge loses nothing."""
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_spark.operators.sketches import (
+        hll_estimate_over,
+        hll_rollup,
+        hll_rollup_merge,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    old = events.where(F.col("event_id") % 3 != 0)
+    new = events.where(F.col("event_id") % 3 == 0)
+    grain = ["day", "event_type"]
+    merged = hll_rollup_merge(
+        hll_rollup(old, grain, "user_id"),
+        hll_rollup(new, grain, "user_id"),
+        grain,
+    )
+    direct = hll_rollup(events, grain, "user_id")
+    a = {
+        tuple(r[g] for g in ["event_type"]) + (r["n_distinct_est"],)
+        for r in hll_estimate_over(merged, ["event_type"]).collect()
+    }
+    b = {
+        tuple(r[g] for g in ["event_type"]) + (r["n_distinct_est"],)
+        for r in hll_estimate_over(direct, ["event_type"]).collect()
+    }
+    assert a == b

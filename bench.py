@@ -115,6 +115,9 @@ HEADLINE = [
     "quantize_embeddings",
     "incremental_agg_orders",
     "winsorize_events_value",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
 ]
 
 

@@ -224,6 +224,15 @@ _DEMOTED: tuple[str, ...] = (
     # quantiles and adds the clamp on top — strict superset of its
     # machinery. Green r1-r4. Demoted to admit winsorization (E73).
     "token_quantiles_docs",
+    # r5: TPC-H benchmark classics — registered, bench-keyed, and
+    # exact-parity-tested at three SFs like every query, but the
+    # 50-row driver window is fully allocated; their kernels
+    # (pushed-filter agg, broadcast star joins, TakeOrdered) each have
+    # an in-window representative (cube_pricing_summary,
+    # supplier_revenue, priority_sample).
+    "tpch_q1_pricing",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -2982,4 +2991,154 @@ def winsorize_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value").cast("double"), 6).alias("value_r"),
         F.round("value_w", 6).alias("value_w"),
         F.col("clipped").cast("int").alias("clipped"),
+    )
+
+
+# -- TPC-H classics (benchmark-suite rows; window full, exact-parity-
+#    tested like every registered query) ------------------------------
+
+@_register(
+    "tpch_q1_pricing",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                       * (1 - CAST(l_discount AS DECIMAL(18,6))))
+                   AS DOUBLE) AS sum_disc_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                       * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                       * (1 + CAST(l_tax AS DECIMAL(18,6))))
+                   AS DOUBLE) AS sum_charge,
+              ROUND(AVG(l_quantity), 6) AS avg_qty,
+              ROUND(AVG(l_extendedprice), 6) AS avg_price,
+              ROUND(AVG(l_discount), 6) AS avg_disc,
+              COUNT(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) in full: the canonical
+    scan-filter-agg benchmark — one pushed date filter, one combinable
+    shuffle over 4 group cells, 8 aggregates; decimal accumulation
+    (ANSI-safe) surfaced as double/rounded like the engine's other
+    revenue queries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double")
+            .alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double").alias("sum_disc_price"),
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1) - dec("l_discount"))
+                * (F.lit(1) + dec("l_tax"))
+            ).cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "tpch_q3_shipping_priority",
+    """SELECT l.l_orderkey,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                   AS DOUBLE) AS revenue,
+              o.o_orderdate
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+         AND o.o_orderdate < TIMESTAMP '1998-03-15'
+         AND l.l_shipdate > TIMESTAMP '1998-03-15'
+       GROUP BY l.l_orderkey, o.o_orderdate
+       ORDER BY revenue DESC, o_orderdate, l_orderkey
+       LIMIT 10""",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): segment-filtered customer dim
+    broadcast into orders, lineitem joined on the order key, top-10 by
+    revenue — filter pushdown + broadcast join + TakeOrderedAndProject,
+    with the orderkey tie-break making the LIMIT deterministic."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@_register(
+    "tpch_q10_returned_items",
+    """SELECT c.c_custkey, c.c_name,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                   AS DOUBLE) AS revenue,
+              n.n_name
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+         AND o.o_orderdate < TIMESTAMP '1997-04-01'
+         AND l.l_returnflag = 'R'
+       GROUP BY c.c_custkey, c.c_name, n.n_name
+       ORDER BY revenue DESC, c_custkey
+       LIMIT 20""",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned item reporting): quarter-windowed orders,
+    returned lineitems, nation dim broadcast, top-20 customers by lost
+    revenue — the 4-table star join with a deterministic tie-break."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
     )

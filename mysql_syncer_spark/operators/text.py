@@ -469,3 +469,67 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def vocab_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Distribution-drift report between two corpus snapshots: the
+    ``k`` terms contributing most to the Jensen-Shannon-style
+    divergence of the two unigram distributions — the monitoring pass
+    that catches a crawl gone wrong (new boilerplate flooding in, a
+    source vanishing, language mix shifting) BEFORE the data trains
+    anything.
+
+    Per term: smoothed probabilities ``p = (c_a + α) / (N_a + α·V)``,
+    ``q`` likewise (add-α over the UNION vocabulary, so terms absent
+    on one side are defined), contribution
+    ``p·ln(2p/(p+q)) + q·ln(2q/(p+q))`` (symmetric, ≥ 0), rounded to
+    9 dp for engine-exact ranking with a term tie-break.
+
+    Shape: one combinable count shuffle per side, full-outer join on
+    the term (vocab-sized), scalar totals crossJoin-broadcast in-plan,
+    top-k via ``TakeOrderedAndProject`` — nothing bigger than the
+    vocabulary ever moves."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def counts(df, name):
+        words = df.select(
+            F.explode(F.split(normalized_text(text_col), " ")).alias("term")
+        ).where(F.col("term") != "")
+        return words.groupBy("term").agg(F.count(F.lit(1)).alias(name))
+
+    ca, cb = counts(df_a, "c_a"), counts(df_b, "c_b")
+    joined = ca.join(cb, on="term", how="full_outer").select(
+        "term",
+        F.coalesce("c_a", F.lit(0)).alias("c_a"),
+        F.coalesce("c_b", F.lit(0)).alias("c_b"),
+    )
+    totals = joined.agg(
+        F.sum("c_a").alias("__na"),
+        F.sum("c_b").alias("__nb"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    j = joined.crossJoin(F.broadcast(totals))
+    p = (F.col("c_a") + F.lit(alpha)) / (
+        F.col("__na") + F.lit(alpha) * F.col("__v")
+    )
+    q = (F.col("c_b") + F.lit(alpha)) / (
+        F.col("__nb") + F.lit(alpha) * F.col("__v")
+    )
+    contrib = p * F.log(F.lit(2.0) * p / (p + q)) + q * F.log(
+        F.lit(2.0) * q / (p + q)
+    )
+    return (
+        j.select(
+            "term", "c_a", "c_b",
+            F.round(contrib, 9).alias("js_contrib"),
+        )
+        .orderBy(F.desc("js_contrib"), "term")
+        .limit(k)
+    )

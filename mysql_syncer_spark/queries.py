@@ -233,6 +233,10 @@ _DEMOTED: tuple[str, ...] = (
     "tpch_q1_pricing",
     "tpch_q3_shipping_priority",
     "tpch_q10_returned_items",
+    # r5: drift monitor — window full; unigram-count + broadcast-totals
+    # kernels represented in-window by unigram_logprob_docs; exact-
+    # parity-tested at 3 SFs like every registered query.
+    "vocab_drift_docs",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -3142,3 +3146,44 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "n_name")
     )
+
+
+@_register(
+    "vocab_drift_docs",
+    r"""WITH a AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+         b AS (SELECT text FROM documents WHERE doc_id % 2 = 1),
+         wa AS (SELECT unnest(string_split(regexp_replace(trim(lower(text)),
+                    '\s+', ' ', 'g'), ' ')) AS term FROM a),
+         wb AS (SELECT unnest(string_split(regexp_replace(trim(lower(text)),
+                    '\s+', ' ', 'g'), ' ')) AS term FROM b),
+         ca AS (SELECT term, COUNT(*) AS c_a FROM wa WHERE term <> ''
+                GROUP BY term),
+         cb AS (SELECT term, COUNT(*) AS c_b FROM wb WHERE term <> ''
+                GROUP BY term),
+         m AS (SELECT COALESCE(ca.term, cb.term) AS term,
+                      COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+               FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+         t AS (SELECT SUM(c_a) AS na, SUM(c_b) AS nb, COUNT(*) AS v FROM m),
+         s AS (SELECT term, c_a, c_b,
+                      (c_a + 0.5) / (t.na + 0.5 * t.v) AS p,
+                      (c_b + 0.5) / (t.nb + 0.5 * t.v) AS q
+               FROM m, t)
+        SELECT term, c_a, c_b,
+               ROUND(p * LN(2 * p / (p + q)) + q * LN(2 * q / (p + q)), 9)
+                   AS js_contrib
+        FROM s
+        ORDER BY js_contrib DESC, term
+        LIMIT 20""",
+)
+def vocab_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E77: corpus drift monitor — top-20 terms by Jensen-Shannon
+    divergence contribution between two snapshot halves of the corpus
+    (even vs odd doc ids as the deterministic stand-in for crawl N vs
+    crawl N+1). Vocab-sized joins only; totals broadcast in-plan;
+    TakeOrderedAndProject top-k."""
+    from mysql_syncer_spark.operators.text import vocab_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    return vocab_divergence(a, b, k=20)

@@ -217,3 +217,25 @@ def test_winsorize_clamps_and_flags(spark):
 
     with _pytest.raises(ValueError):
         winsorize(df, "v", 0.9, 0.1)
+
+
+def test_vocab_divergence_flags_planted_drift(spark):
+    from mysql_syncer_spark.operators.text import vocab_divergence
+
+    base = "the cat and the dog sat near the tree in the sun"
+    a = spark.createDataFrame(
+        [(i, base) for i in range(20)], "doc_id long, text string"
+    )
+    # snapshot B: same distribution + a flood of new boilerplate
+    b_rows = [(i, base) for i in range(20)] + [
+        (100 + i, "cookiebanner cookiebanner cookiebanner accept")
+        for i in range(10)
+    ]
+    b = spark.createDataFrame(b_rows, "doc_id long, text string")
+    top = vocab_divergence(a, b, k=3).collect()
+    assert top[0]["term"] == "cookiebanner"
+    assert top[0]["c_a"] == 0 and top[0]["c_b"] == 30
+    assert top[0]["js_contrib"] > 0
+    # identical snapshots: divergence contributions ~0
+    same = vocab_divergence(a, a, k=3).collect()
+    assert all(abs(r["js_contrib"]) < 1e-9 for r in same)

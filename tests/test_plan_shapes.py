@@ -213,3 +213,39 @@ def test_jl_projection_shuffle_free(spark, sf_dir):
     plan = plan_of(spark, "jl_project_embeddings", sf_dir)
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_tpch_q3_broadcasts_customer_and_pushes_filters(spark, sf_dir):
+    """E75: the segment-filtered customer dim must broadcast, the date
+    filters must reach the scans, and the top-10 must be a partial
+    TakeOrdered — no global sort of the aggregated stream."""
+    plan = plan_of(spark, "tpch_q3_shipping_priority", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "PushedFilters: [" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q10_broadcasts_nation(spark, sf_dir):
+    plan = plan_of(spark, "tpch_q10_returned_items", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cube_is_single_expand_single_agg_shuffle(spark, sf_dir):
+    """E64: CUBE = one Expand node feeding ONE exchange — four separate
+    scans/aggs would be the naive plan."""
+    import re
+
+    plan = plan_of(spark, "cube_pricing_summary", sf_dir)
+    assert len(re.findall(r"^\(\d+\) Expand$", plan, re.M)) == 1, plan
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange$", plan, re.M))
+    assert n_exchanges == 1, plan
+
+
+def test_drift_monitor_is_takeordered(spark, sf_dir):
+    """E77: the top-k must be TakeOrderedAndProject (map-side partial
+    top-k), and the totals must reach the vocab via broadcast."""
+    plan = plan_of(spark, "vocab_drift_docs", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan

@@ -119,6 +119,7 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q10_returned_items",
     "vocab_drift_docs",
+    "frame_sample_media_docs",
 ]
 
 

@@ -237,6 +237,10 @@ _DEMOTED: tuple[str, ...] = (
     # kernels represented in-window by unigram_logprob_docs; exact-
     # parity-tested at 3 SFs like every registered query.
     "vocab_drift_docs",
+    # r5: real-GIF frame sampling — rows-only by nature (binary PNG
+    # frames have no SQL form); the codec is bit-exactness-tested in
+    # test_gif.py and the window holds only exactly-provable rows.
+    "frame_sample_media_docs",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -3187,3 +3191,52 @@ def vocab_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = docs.where(F.col("doc_id") % 2 == 0)
     b = docs.where(F.col("doc_id") % 2 == 1)
     return vocab_divergence(a, b, k=20)
+
+
+@_register("frame_sample_media_docs")  # no SQL oracle: real PNG/GIF bytes
+def frame_sample_media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E78 end-to-end at corpus scale: fabricate a deterministic 4-frame
+    8x8 animated GIF per document (sha-derived solid frames, REAL
+    encoder), then run the real frame sampler — stdlib LZW decode,
+    disposal compositing, every-2nd frame, PNG re-encode — through two
+    Arrow mapInPandas stages. Rows-only driver check (binary output has
+    no SQL form); the codec itself is bit-exactness-tested in
+    tests/test_gif.py."""
+    import pandas as _pd
+
+    from mysql_syncer_spark.operators.gif import gif_encode
+    from mysql_syncer_spark.operators.multimodal import sample_gif_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def make_gifs(batches):
+        import hashlib as _hl
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                ids.append(did)
+                if text is None:
+                    payloads.append(None)
+                    continue
+                d = _hl.sha256(text.encode()).digest()
+                frames = [
+                    bytes(d[3 * f : 3 * f + 3]) * 64 for f in range(4)
+                ]
+                payloads.append(gif_encode(8, 8, frames))
+            yield _pd.DataFrame({"media_id": ids, "media": payloads})
+
+    # the corpus parquet is file-partitioned by SIZE; this stage is
+    # CPU-bound pure-Python codec work, so spread it over the cores —
+    # a small corpus file otherwise runs the whole codec on one task
+    par = spark.sparkContext.defaultParallelism
+    media = (
+        docs.select("doc_id", "text")
+        .repartition(par)
+        .mapInPandas(make_gifs, "media_id long, media binary")
+    )
+    out = sample_gif_frames(media, every_k=2)
+    return out.select(
+        "media_id", "frame_idx", "n_frames", "width", "height",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )

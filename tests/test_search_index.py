@@ -1,0 +1,64 @@
+"""Persisted inverted index (operators/search_index.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_syncer_spark.operators.search_index import (
+    search,
+    search_index_read,
+    search_index_write,
+)
+from mysql_syncer_spark.sources.bucketed import physical_plan
+
+
+@pytest.fixture(scope="module")
+def idx(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return search_index_write(docs, "srchidx_t", num_buckets=8), docs
+
+
+def test_search_matches_scan(idx):
+    index, docs = idx
+    for terms, mode in [(["spark"], "all"), (["spark", "merge"], "all"),
+                        (["spark", "merge"], "any")]:
+        got = {r["doc_id"] for r in search(index, terms, mode).collect()}
+        lower = F.lower(F.col("text"))
+        conds = [
+            F.array_contains(F.split(lower, r"\s+"), t) for t in terms
+        ]
+        pred = conds[0]
+        for c in conds[1:]:
+            pred = (pred & c) if mode == "all" else (pred | c)
+        want = {r["doc_id"] for r in docs.where(pred).collect()}
+        assert got == want, (terms, mode)
+        assert got  # non-trivial on the fixture vocabulary
+
+
+def test_term_lookup_prunes_buckets(idx, spark):
+    """THE point of bucketing by term: a term lookup must read a strict
+    subset of the buckets (SelectedBucketsCount in the scan)."""
+    index, _ = idx
+    plan = physical_plan(search(index, ["spark"]))
+    import re
+
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) < int(m.group(2)), plan
+
+
+def test_reattach_fresh_session_path(idx, spark):
+    index, _ = idx
+    again = search_index_read(spark, "srchidx_t")
+    a = {r["doc_id"] for r in search(again, ["spark"]).collect()}
+    b = {r["doc_id"] for r in search(index, ["spark"]).collect()}
+    assert a == b
+
+
+def test_search_validation(idx):
+    index, _ = idx
+    with pytest.raises(ValueError):
+        search(index, [])
+    with pytest.raises(ValueError):
+        search(index, ["x"], mode="phrase")
+    with pytest.raises(ValueError):
+        search_index_read(index.postings.sparkSession, "srchidx_missing")

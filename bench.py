@@ -120,6 +120,7 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "vocab_drift_docs",
     "frame_sample_media_docs",
+    "bm25_search_docs",
 ]
 
 

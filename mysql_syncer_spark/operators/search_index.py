@@ -105,3 +105,85 @@ def search(
         .where(F.col("__n") == len(norm))
         .select(index.id_col)
     )
+
+
+def postings_tf_frame(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Term-frequency postings ``(term, id, tf)`` + per-doc length
+    carried on every row (denormalized so scoring needs no second
+    join): one combinable (id, term) shuffle."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(ws_tokens(normalized_text(text_col))).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("doc_len"))
+    return tf.join(dl, on=id_col)
+
+
+def bm25_search(
+    corpus_or_postings: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    postings: bool = False,
+) -> DataFrame:
+    """Top-``k`` docs by BM25 for a bag of query terms —
+    ``(id, score)`` with the id as deterministic tie-break.
+
+    Okapi BM25: ``score(d) = Σ_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1-b+b·len/avglen))`` with the standard smoothed
+    ``idf = ln((N-df+0.5)/(df+0.5) + 1)``. N/avglen come from ONE
+    1-row agg crossJoined broadcast; per-term df from the (tiny)
+    matched postings; top-k is TakeOrderedAndProject. Pass a
+    :func:`postings_tf_frame` (or the persisted table joined to doc
+    lengths) with ``postings=True`` to skip re-tokenizing — the
+    at-scale path; scores round to 6 dp for engine-exact ranking."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    norm = sorted({t.strip().lower() for t in terms if t.strip()})
+    p = (
+        corpus_or_postings
+        if postings
+        else postings_tf_frame(corpus_or_postings, id_col, text_col)
+    )
+    stats = p.groupBy(id_col).agg(F.first("doc_len").alias("__dl")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    hits = p.where(F.col("term").isin(norm))
+    df_t = hits.groupBy("term").agg(
+        F.count_distinct(id_col).alias("__df")
+    )
+    scored = (
+        hits.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                (F.col("__n") - F.col("__df") + 0.5)
+                / (F.col("__df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "__s",
+            F.col("__idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1
+                * (1 - b + b * F.col("doc_len") / F.col("__avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )

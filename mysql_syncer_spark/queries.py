@@ -241,6 +241,10 @@ _DEMOTED: tuple[str, ...] = (
     # frames have no SQL form); the codec is bit-exactness-tested in
     # test_gif.py and the window holds only exactly-provable rows.
     "frame_sample_media_docs",
+    # r5: BM25 retrieval — window full; tf/idf + broadcast-stats +
+    # TakeOrdered kernels represented in-window by tfidf_topk_docs and
+    # unigram_logprob_docs; exact-parity-tested at 3 SFs.
+    "bm25_search_docs",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -3240,3 +3244,43 @@ def frame_sample_media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "frame_idx", "n_frames", "width", "height",
         F.round("mean_luma", 6).alias("mean_luma"),
     )
+
+
+@_register(
+    "bm25_search_docs",
+    r"""WITH w AS (
+          SELECT doc_id, unnest(string_split(
+                     regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                     ' ')) AS term
+          FROM documents),
+         wf AS (SELECT doc_id, term FROM w WHERE term <> ''),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM wf
+                GROUP BY doc_id, term),
+         dl AS (SELECT doc_id, SUM(tf) AS doc_len FROM tf GROUP BY doc_id),
+         st AS (SELECT COUNT(*) AS n, AVG(doc_len) AS avgdl FROM dl),
+         hits AS (SELECT tf.doc_id, tf.term, tf.tf, dl.doc_len FROM tf
+                  JOIN dl ON dl.doc_id = tf.doc_id
+                  WHERE tf.term IN ('join', 'merge', 'spark')),
+         dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits
+                 GROUP BY term),
+         sc AS (SELECT h.doc_id,
+                       LN((st.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                         * (h.tf * 2.2)
+                         / (h.tf + 1.2 * (0.25 + 0.75 * h.doc_len
+                                                 / st.avgdl)) AS s
+                FROM hits h JOIN dft d ON d.term = h.term, st)
+        SELECT doc_id, ROUND(SUM(s), 6) AS score
+        FROM sc GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 10""",
+)
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E80: Okapi BM25 ranked retrieval — top-10 docs for the query bag
+    {spark, merge, join}: tf postings (one combinable shuffle), corpus
+    stats as a broadcast 1-row agg, per-term df from the matched
+    postings only, TakeOrderedAndProject top-k. The persisted-index
+    serving path (search_index) is pytest-proven identical."""
+    from mysql_syncer_spark.operators.search_index import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(docs, ["spark", "merge", "join"], k=10)

@@ -62,3 +62,31 @@ def test_search_validation(idx):
         search(index, ["x"], mode="phrase")
     with pytest.raises(ValueError):
         search_index_read(index.postings.sparkSession, "srchidx_missing")
+
+
+def test_bm25_persisted_postings_equal_direct(spark, sf_dir):
+    """The at-scale serving path: BM25 over a reusable postings frame
+    must rank identically to the direct-from-corpus computation."""
+    from mysql_syncer_spark.operators.search_index import (
+        bm25_search,
+        postings_tf_frame,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    direct = bm25_search(docs, ["spark", "merge"], k=10).collect()
+    p = postings_tf_frame(docs).localCheckpoint(eager=True)
+    served = bm25_search(p, ["spark", "merge"], k=10, postings=True).collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in served]
+    assert len(direct) == 10
+    # tf dominance sanity: the top doc mentions a query term
+    top = docs.where(F.col("doc_id") == direct[0]["doc_id"]).first()
+    text = top["text"].lower()
+    assert "spark" in text or "merge" in text
+
+
+def test_bm25_validation(spark, sf_dir):
+    from mysql_syncer_spark.operators.search_index import bm25_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError):
+        bm25_search(docs, [])

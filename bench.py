@@ -121,6 +121,7 @@ HEADLINE = [
     "vocab_drift_docs",
     "frame_sample_media_docs",
     "bm25_search_docs",
+    "phrase_search_docs",
 ]
 
 

@@ -187,3 +187,49 @@ def bm25_search(
         .orderBy(F.desc("score"), id_col)
         .limit(k)
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase occurrences: ``(id, n_occurrences)`` for docs whose
+    token stream contains the phrase's words CONSECUTIVELY — the
+    positional-postings query bag-of-words search can't answer.
+
+    Anchor trick (one combinable shuffle, no n-way self-join): token i
+    of the phrase at document position p belongs to an occurrence
+    anchored at ``p - i``; a (doc, anchor) cell holding ALL n distinct
+    phrase slots is a match. Positions come from one ``posexplode``;
+    matching cells from one groupBy HAVING — work proportional to the
+    phrase words' postings, not the corpus. Repeated words in the
+    phrase are handled by counting distinct SLOTS (not terms)."""
+    # normalize the phrase driver-side with the same rules as the corpus
+    norm = " ".join(phrase.strip().lower().split())
+    words = norm.split(" ") if norm else []
+    if len(words) < 2:
+        raise ValueError("phrase must have at least two words")
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(ws_tokens(normalized_text(text_col))).alias(
+            "__pos", "__term"
+        ),
+    )
+    slots = None
+    for i, w in enumerate(words):
+        s = toks.where(F.col("__term") == w).select(
+            id_col,
+            (F.col("__pos") - i).alias("__anchor"),
+            F.lit(i).alias("__slot"),
+        )
+        slots = s if slots is None else slots.unionByName(s)
+    return (
+        slots.where(F.col("__anchor") >= 0)
+        .groupBy(id_col, "__anchor")
+        .agg(F.count_distinct("__slot").alias("__k"))
+        .where(F.col("__k") == len(words))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )

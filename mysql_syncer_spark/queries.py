@@ -245,6 +245,9 @@ _DEMOTED: tuple[str, ...] = (
     # TakeOrdered kernels represented in-window by tfidf_topk_docs and
     # unigram_logprob_docs; exact-parity-tested at 3 SFs.
     "bm25_search_docs",
+    # r5: phrase search — window full; positional-anchor kernel shares
+    # the posting machinery of bm25/search rows; 3-SF parity.
+    "phrase_search_docs",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -3284,3 +3287,33 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_search(docs, ["spark", "merge", "join"], k=10)
+
+
+@_register(
+    "phrase_search_docs",
+    r"""WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN []
+                      ELSE regexp_split_to_array(
+                          regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                          ' ')
+                 END AS toks
+          FROM documents),
+         p AS (SELECT doc_id,
+                      unnest(generate_series(1, len(toks) - 1)) AS i, toks
+               FROM t WHERE len(toks) >= 2)
+        SELECT doc_id, COUNT(*) AS n_occurrences
+        FROM p
+        WHERE toks[i] = 'order' AND toks[i + 1] = 'fast'
+        GROUP BY doc_id""",
+)
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E81: exact phrase search ('order fast') via the positional
+    anchor trick — every phrase word votes for (doc, pos - slot); an
+    anchor holding all slots is an occurrence. One combinable shuffle
+    over the phrase words' postings; the oracle walks adjacent
+    positions directly."""
+    from mysql_syncer_spark.operators.search_index import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, "order fast")

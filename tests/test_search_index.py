@@ -90,3 +90,36 @@ def test_bm25_validation(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with pytest.raises(ValueError):
         bm25_search(docs, [])
+
+
+def test_phrase_search_planted(spark):
+    from mysql_syncer_spark.operators.search_index import phrase_search
+
+    rows = [
+        (0, "the quick brown fox"),          # 1 occurrence
+        (1, "quick brown quick brown fox"),  # 'quick brown' twice
+        (2, "brown quick"),                  # reversed: no match
+        (3, "quick  brown"),                 # double space still adjacent
+        (4, None),
+        (5, "quick"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_search(df, "Quick Brown").collect()}
+    assert got == {0: 1, 1: 2, 3: 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phrase_search(df, "single")
+
+
+def test_phrase_with_repeated_word(spark):
+    from mysql_syncer_spark.operators.search_index import phrase_search
+
+    df = spark.createDataFrame(
+        [(0, "order order order"), (1, "order fast order")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_search(df, "order order").collect()}
+    assert got == {0: 2}

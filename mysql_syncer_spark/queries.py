@@ -2465,7 +2465,7 @@ def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""SELECT CAST({sampling.duckdb_hash_bucket_sql("doc_id")} % 8 AS INT)
               AS shard,
               COUNT(*) AS n_rows,
-              SUM(CAST(n_chars AS BIGINT)) AS total_size
+              CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_size
        FROM documents GROUP BY 1""",
 )
 def shard_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,3 +56,10 @@ class SyncConfig:
     #: write every planned mutation to a changelog instead of applying
     #: (generalizes LOG_QUERIES, settings.php.tmpl:25-30)
     dry_run: bool = False
+    #: hard ceiling on distinct partition values collected to the driver
+    #: during partitioned sync planning. Partition values are metadata
+    #: (the reference enumerates them the same way, Synchronizer.php:
+    #: 128-149) — but a mistyped partition column (e.g. a timestamp)
+    #: would turn the collect data-sized; past this bound the executor
+    #: raises instead of OOMing the driver.
+    max_partition_values: int = 100_000

@@ -133,7 +133,18 @@ class ParquetSyncExecutor:
         At 100 TB this is the path that keeps a 0.1% delta sync from
         scanning rows of untouched partitions twice more."""
         pcol = unit.partition_col
-        parts = differing_partitions(m.df, s.df, pcol).collect()
+        # the collect is metadata-sized for a sane partition column, but
+        # bound it anyway: a mistyped column (unique per row) would
+        # otherwise pull the whole key domain into the driver.
+        cap = self.cfg.max_partition_values
+        parts = differing_partitions(m.df, s.df, pcol).limit(cap + 1).collect()
+        if len(parts) > cap:
+            raise ValueError(
+                f"table {unit.table!r}: partition column {pcol!r} has more "
+                f"than max_partition_values={cap} differing values — this "
+                "is almost certainly not a partition column; raise "
+                "SyncConfig.max_partition_values only if it truly is"
+            )
         if not self.cfg.sync_shared_partitions:
             # SYNC_SHARED_PARTITIONS=false (settings.php.tmpl:67,
             # Synchronizer.php:151-163): only partitions present on one

@@ -165,6 +165,30 @@ def test_sync_shared_partitions_off(spark, sf_dir, pair):
     assert_converged_and_idempotent(spark, mdir, sdir, cfg_on)
 
 
+def test_partition_value_cap(spark, sf_dir, pair):
+    """max_partition_values guards the planning collect: a mistyped
+    partition column (here the unique PK — every value distinct) must
+    fail loudly instead of pulling the key domain into the driver."""
+    mdir, sdir, write = pair
+    orders = load_table(spark, sf_dir, "orders")
+    slave = orders.where(F.col("o_orderkey") % 2 == 0)  # force a diff
+    write("orders", orders, slave)
+    cfg = SyncConfig(
+        partitioned_tables={"orders": "o_orderkey"},
+        max_partition_values=10,
+    )
+    rep = sync(ParquetCatalog(spark, mdir), ParquetCatalog(spark, sdir), cfg)
+    (res,) = [r for r in rep.results if r.table == "orders"]
+    assert res.status == "error"
+    assert "max_partition_values" in res.error
+    # a sane bound on a real partition column still syncs
+    cfg_ok = SyncConfig(
+        partitioned_tables={"orders": "o_orderpriority"},
+        max_partition_values=10,
+    )
+    assert_converged_and_idempotent(spark, mdir, sdir, cfg_ok)
+
+
 def test_schema_drift_recopy(spark, sf_dir, pair):
     mdir, sdir, write = pair
     nation = load_table(spark, sf_dir, "nation")

@@ -61,8 +61,10 @@ def sql_literal(v, backslash_escapes: bool = False) -> str:
         return "1" if v else "0"
     if isinstance(v, (int, float)):
         return repr(v)
-    if isinstance(v, (datetime, date)):
+    if isinstance(v, datetime):
         return f"'{v.isoformat(sep=' ')}'"
+    if isinstance(v, date):
+        return f"'{v.isoformat()}'"
     s = str(v)
     if backslash_escapes:
         s = s.replace("\\", "\\\\")

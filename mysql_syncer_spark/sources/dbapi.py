@@ -67,12 +67,37 @@ def _spark_type(decltype: str) -> T.DataType:
     )
 
 
+class _InitFactory:
+    """Picklable connection-factory wrapper that runs session-init
+    statements on every NEW connection — driver-side DDL connections and
+    executor-side sink connections alike. The Spark mirror of the
+    reference's startup queries, which run once per mysqli connection
+    (DatabaseConnection.php:31-39, SynchronizerFactory.php:16-19)."""
+
+    def __init__(self, factory: Callable[[], object],
+                 statements: Sequence[str]):
+        self.factory = factory
+        self.statements = tuple(statements)
+
+    def __call__(self):
+        conn = self.factory()
+        if self.statements:
+            cur = conn.cursor()
+            for stmt in self.statements:
+                cur.execute(stmt)
+        return conn
+
+
 class DBAPICatalog(Catalog):
     """A live SQL database as a catalog, via a DBAPI connection factory.
 
     ``connect_factory`` must be picklable if the catalog's tables are
     written through the distributed sinks (a module-level function or
     ``functools.partial`` over one — executors re-create connections).
+
+    ``session_init`` statements run at the top of every connection the
+    engine opens (SET FOREIGN_KEY_CHECKS=0 etc. — the reference's
+    startup queries, SynchronizerFactory.php:16-19).
     """
 
     def __init__(
@@ -83,9 +108,14 @@ class DBAPICatalog(Catalog):
         partition_map: Mapping[str, str] | None = None,
         quote: str = '"',
         backslash_escapes: bool = False,
+        session_init: Sequence[str] = (),
     ):
         self.spark = spark
-        self.connect_factory = connect_factory
+        self.connect_factory = (
+            _InitFactory(connect_factory, session_init)
+            if session_init
+            else connect_factory
+        )
         self.pk_map = {k: tuple(v) for k, v in (pk_map or {}).items()}
         self.partition_map = dict(partition_map or {})
         #: identifier quoting + escape dialect, forwarded to the sinks
@@ -104,9 +134,21 @@ class DBAPICatalog(Catalog):
     def _table_info(self, conn, name: str) -> list[tuple[str, str, int]]:
         """[(column, decltype, pk_ordinal)] in table column order —
         pk_ordinal 0 means not part of the primary key."""
-        rows = conn.execute(f'PRAGMA table_info("{name}")').fetchall()
+        rows = self._run(conn, f'PRAGMA table_info("{name}")')
         # PRAGMA table_info: (cid, name, type, notnull, dflt_value, pk)
         return [(r[1], r[2], r[5]) for r in rows]
+
+    @staticmethod
+    def _run(conn, sql: str) -> list:
+        """Portable DBAPI fetch (sqlite's conn.execute shortcut doesn't
+        exist on MySQL/postgres connections)."""
+        cur = conn.cursor()
+        cur.execute(sql)
+        return cur.fetchall()
+
+    def _to_spark_type(self, decltype: str) -> T.DataType:
+        """Declared column type → Spark type; dialect hook."""
+        return _spark_type(decltype)
 
     # -- Catalog interface --------------------------------------------
 
@@ -114,7 +156,7 @@ class DBAPICatalog(Catalog):
         if self._names is None:
             conn = self.connect_factory()
             try:
-                rows = conn.execute(self._list_tables_sql()).fetchall()
+                rows = self._run(conn, self._list_tables_sql())
             finally:
                 conn.close()
             self._names = sorted(r[0] for r in rows)
@@ -131,12 +173,12 @@ class DBAPICatalog(Catalog):
                 raise ValueError(f"no such table: {name}")
             cols = [c for c, _, _ in info]
             schema = T.StructType(
-                [T.StructField(c, _spark_type(d), True) for c, d, _ in info]
+                [T.StructField(c, self._to_spark_type(d), True)
+                 for c, d, _ in info]
             )
-            col_list = ", ".join(f'"{c}"' for c in cols)
-            rows = conn.execute(
-                f'SELECT {col_list} FROM "{name}"'
-            ).fetchall()
+            q = self.quote
+            col_list = ", ".join(f"{q}{c}{q}" for c in cols)
+            rows = self._run(conn, f"SELECT {col_list} FROM {q}{name}{q}")
         finally:
             conn.close()
         pk = self.pk_map.get(name)
@@ -193,3 +235,181 @@ class DBAPICatalog(Catalog):
             else ""
         )
         return f"CREATE TABLE {q}{name}{q} ({cols}{pk})"
+
+
+#: the reference's startup queries, run on every connection
+#: (SynchronizerFactory.php:16-19)
+MYSQL_SESSION_INIT: tuple[str, ...] = (
+    "SET group_concat_max_len = 18446744073709547520",
+    "SET FOREIGN_KEY_CHECKS=0",
+)
+
+#: MySQL column_type prefix → Spark type (information_schema.columns
+#: COLUMN_TYPE, lower-case, e.g. 'int(11)', 'varchar(255)', 'tinyint(1)')
+_MYSQL_DECL_PREFIXES: tuple[tuple[str, T.DataType], ...] = (
+    ("TINYINT(1)", T.BooleanType()),
+    ("BIGINT", T.LongType()),
+    ("MEDIUMINT", T.LongType()),
+    ("SMALLINT", T.LongType()),
+    ("TINYINT", T.LongType()),
+    ("INT", T.LongType()),
+    ("DOUBLE", T.DoubleType()),
+    ("FLOAT", T.DoubleType()),
+    ("DATETIME", T.StringType()),
+    ("TIMESTAMP", T.StringType()),
+    ("DATE", T.StringType()),
+    ("TIME", T.StringType()),
+    ("YEAR", T.LongType()),
+    ("VARCHAR", T.StringType()),
+    ("CHAR", T.StringType()),
+    ("TEXT", T.StringType()),
+    ("TINYTEXT", T.StringType()),
+    ("MEDIUMTEXT", T.StringType()),
+    ("LONGTEXT", T.StringType()),
+    ("ENUM", T.StringType()),
+    ("SET", T.StringType()),
+    ("JSON", T.StringType()),
+    ("BLOB", T.BinaryType()),
+    ("TINYBLOB", T.BinaryType()),
+    ("MEDIUMBLOB", T.BinaryType()),
+    ("LONGBLOB", T.BinaryType()),
+    ("VARBINARY", T.BinaryType()),
+    ("BINARY", T.BinaryType()),
+)
+
+
+class MySQLCatalog(DBAPICatalog):
+    """MySQL dialect preset — the reference's actual target
+    (DatabaseConnection.php:21-40 is a mysqli connection; this is the
+    DBAPI twin for pymysql/MySQLdb/mysql-connector factories, e.g.
+    ``functools.partial(pymysql.connect, host=..., db=...)``).
+
+    Dialect knobs baked in: backtick identifier quoting, backslash
+    string escapes (MySQL's default sql_mode interprets them —
+    mysqli_escape_string behavior, TableConnection.php:323-341), and
+    the reference's session-init statements on every connection.
+    Introspection speaks information_schema (the SQL-standard face of
+    SHOW TABLES / SHOW COLUMNS / SHOW INDEX, DatabaseConnection.php:
+    48-64 + TableConnection.php:635-675).
+
+    DECIMAL columns are read as strings (exact digits, no float drift)
+    — both sync sides then hash identical renderings. Statement/DDL
+    emission is golden-tested without a server
+    (tests/test_mysql_dialect.py); introspection SQL requires a live
+    MySQL and follows documented information_schema semantics.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        connect_factory: Callable[[], object],
+        pk_map: Mapping[str, Sequence[str]] | None = None,
+        partition_map: Mapping[str, str] | None = None,
+        session_init: Sequence[str] = MYSQL_SESSION_INIT,
+    ):
+        super().__init__(
+            spark,
+            connect_factory,
+            pk_map=pk_map,
+            partition_map=partition_map,
+            quote="`",
+            backslash_escapes=True,
+            session_init=session_init,
+        )
+
+    # -- introspection ------------------------------------------------
+
+    def _list_tables_sql(self) -> str:
+        return (
+            "SELECT table_name FROM information_schema.tables "
+            "WHERE table_schema = DATABASE() "
+            "AND table_type = 'BASE TABLE'"
+        )
+
+    def _table_info(self, conn, name: str) -> list[tuple[str, str, int]]:
+        safe = name.replace("'", "''")
+        rows = self._run(conn, (
+            "SELECT c.column_name, c.column_type, "
+            "COALESCE(k.ordinal_position, 0) "
+            "FROM information_schema.columns c "
+            "LEFT JOIN information_schema.key_column_usage k "
+            "ON k.table_schema = c.table_schema "
+            "AND k.table_name = c.table_name "
+            "AND k.column_name = c.column_name "
+            "AND k.constraint_name = 'PRIMARY' "
+            "WHERE c.table_schema = DATABASE() "
+            f"AND c.table_name = '{safe}' "
+            "ORDER BY c.ordinal_position"
+        ))
+        return [(r[0], r[1], int(r[2])) for r in rows]
+
+    # -- type mapping -------------------------------------------------
+
+    @staticmethod
+    def _spark_type_mysql(column_type: str) -> T.DataType:
+        d = (column_type or "").strip().upper()
+        if d.startswith("DECIMAL") or d.startswith("NUMERIC"):
+            return T.StringType()  # exact digits; see class docstring
+        for prefix, t in _MYSQL_DECL_PREFIXES:
+            if d.startswith(prefix):
+                return t
+        raise ValueError(
+            f"unmapped MySQL column type {column_type!r}"
+        )
+
+    def _to_spark_type(self, decltype: str) -> T.DataType:
+        return self._spark_type_mysql(decltype)
+
+    def sql_type(self, t: T.DataType) -> str:
+        """Spark type → MySQL column type for CREATE TABLE (only used
+        when the master side is NOT MySQL; MySQL→MySQL schema sync
+        copies the master's normalized DDL instead, Synchronizer.php:
+        334-341)."""
+        if isinstance(t, T.LongType):
+            return "BIGINT"
+        if isinstance(t, (T.IntegerType, T.ShortType, T.ByteType)):
+            return "INT"
+        if isinstance(t, T.DoubleType):
+            return "DOUBLE"
+        if isinstance(t, T.FloatType):
+            return "FLOAT"
+        if isinstance(t, T.BooleanType):
+            return "TINYINT(1)"
+        if isinstance(t, T.DecimalType):
+            return f"DECIMAL({t.precision},{t.scale})"
+        if isinstance(t, T.TimestampType):
+            return "DATETIME"
+        if isinstance(t, T.DateType):
+            return "DATE"
+        if isinstance(t, T.BinaryType):
+            return "LONGBLOB"
+        if isinstance(t, T.StringType):
+            return "TEXT"
+        raise ValueError(f"no MySQL DDL mapping for Spark type {t}")
+
+    def create_table_sql(
+        self, name: str, schema: T.StructType, pk_cols: Sequence[str]
+    ) -> str:
+        """MySQL CREATE TABLE; string PK columns become VARCHAR(255)
+        (TEXT cannot carry a MySQL primary key without a prefix length
+        — the reference's own staging PK uses VARCHAR(767),
+        main.php:27-53)."""
+        pk_set = set(pk_cols)
+        cols = ", ".join(
+            "`{}` {}".format(
+                f.name,
+                "VARCHAR(255)"
+                if isinstance(f.dataType, T.StringType) and f.name in pk_set
+                else self.sql_type(f.dataType),
+            )
+            for f in schema.fields
+        )
+        pk = (
+            ", PRIMARY KEY (" + ", ".join(f"`{c}`" for c in pk_cols) + ")"
+            if pk_cols
+            else ""
+        )
+        return (
+            f"CREATE TABLE `{name}` ({cols}{pk}) "
+            "ENGINE=InnoDB DEFAULT CHARSET=utf8mb4"
+        )

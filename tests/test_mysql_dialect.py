@@ -1,0 +1,196 @@
+"""MySQL statement-dialect golden suite — byte-exact statements for a
+MySQL target, no live server needed.
+
+Covers every statement shape the DBAPI sync executor can emit against a
+MySQL slave: multi-row INSERT with NULL/quote/backslash payloads
+(TableConnection.php:289-360), composite-key tuple-IN DELETE (:367-387),
+delete-before-insert REPLACE ordering (:599-627), session-init startup
+statements on every connection (SynchronizerFactory.php:16-19,
+DatabaseConnection.php:31-39), and CREATE TABLE emission for a
+non-MySQL master. The recorded-connection tests run the REAL
+distributed sink path (foreachPartition from executor workers).
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import types as T
+
+from mysql_syncer_spark.sinks.jdbc import (
+    apply_replace,
+    delete_sql,
+    insert_sql,
+    sql_literal,
+)
+from mysql_syncer_spark.sources.dbapi import (
+    MYSQL_SESSION_INIT,
+    MySQLCatalog,
+    _InitFactory,
+)
+
+
+# ---------------------------------------------------------------------
+# pure statement goldens
+# ---------------------------------------------------------------------
+
+def test_insert_golden_null_quote_backslash():
+    rows = [
+        (1, "plain", 2.5),
+        (2, "it's", None),
+        (3, "a\\b", 0.0),
+        (4, None, -1.25),
+    ]
+    got = insert_sql(
+        "orders", ["id", "note", "amt"], rows,
+        quote="`", backslash_escapes=True,
+    )
+    assert got == (
+        "INSERT INTO `orders` (`id`, `note`, `amt`) VALUES "
+        "(1, 'plain', 2.5),"
+        "(2, 'it''s', NULL),"
+        "(3, 'a\\\\b', 0.0),"
+        "(4, NULL, -1.25)"
+    )
+
+
+def test_delete_golden_composite_tuple_in():
+    got = delete_sql(
+        "orders", ["g", "k"],
+        [(1, "x"), (2, "o'k"), (3, None)],
+        quote="`", backslash_escapes=True,
+    )
+    assert got == (
+        "DELETE FROM `orders` WHERE (`g`, `k`) IN "
+        "((1, 'x'),(2, 'o''k'),(3, NULL))"
+    )
+
+
+def test_literal_goldens():
+    # MySQL-mode escaping: backslashes doubled (sql_mode interprets
+    # them), quotes doubled (standard), NULL bare, bools as TINYINT
+    assert sql_literal(None, True) == "NULL"
+    assert sql_literal(True, True) == "1"
+    assert sql_literal(False, True) == "0"
+    assert sql_literal("C:\\tmp\\x", True) == "'C:\\\\tmp\\\\x'"
+    assert sql_literal("O'Brien", True) == "'O''Brien'"
+    assert sql_literal(
+        datetime.datetime(2024, 1, 31, 23, 59, 59), True
+    ) == "'2024-01-31 23:59:59'"
+    assert sql_literal(datetime.date(2024, 1, 31), True) == "'2024-01-31'"
+    # ANSI mode must NOT double backslashes (would corrupt the value)
+    assert sql_literal("a\\b", False) == "'a\\b'"
+
+
+def test_create_table_golden(spark):
+    cat = MySQLCatalog(spark, lambda: None)
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("amt", T.DecimalType(10, 2)),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("body", T.StringType()),
+    ])
+    got = cat.create_table_sql("t", schema, ["id", "name"])
+    assert got == (
+        "CREATE TABLE `t` (`id` BIGINT, `name` VARCHAR(255), "
+        "`amt` DECIMAL(10,2), `ok` TINYINT(1), `ts` DATETIME, "
+        "`body` TEXT, PRIMARY KEY (`id`, `name`)) "
+        "ENGINE=InnoDB DEFAULT CHARSET=utf8mb4"
+    )
+
+
+def test_mysql_type_mapping():
+    m = MySQLCatalog._spark_type_mysql
+    assert isinstance(m("int(11)"), T.LongType)
+    assert isinstance(m("bigint(20) unsigned"), T.LongType)
+    assert isinstance(m("tinyint(1)"), T.BooleanType)
+    assert isinstance(m("tinyint(4)"), T.LongType)
+    assert isinstance(m("varchar(255)"), T.StringType)
+    assert isinstance(m("decimal(10,2)"), T.StringType)  # exact digits
+    assert isinstance(m("datetime"), T.StringType)
+    assert isinstance(m("enum('a','b')"), T.StringType)
+    assert isinstance(m("longblob"), T.BinaryType)
+    with pytest.raises(ValueError, match="unmapped"):
+        m("geometry")
+
+
+def test_session_init_default_is_reference_startup():
+    assert MYSQL_SESSION_INIT == (
+        "SET group_concat_max_len = 18446744073709547520",
+        "SET FOREIGN_KEY_CHECKS=0",
+    )
+
+
+# ---------------------------------------------------------------------
+# recorded-connection goldens: REPLACE ordering + session init through
+# the real distributed sink path
+# ---------------------------------------------------------------------
+
+def _recording_factory(path, statements=()):
+    """Factory whose connections append every executed statement to
+    ``path`` — defined as a closure so cloudpickle ships it by value to
+    executor workers."""
+
+    def factory():
+        class Cur:
+            def execute(self, sql):
+                with open(path, "a") as f:
+                    f.write(sql + "\n\x1e\n")
+
+        class Conn:
+            def cursor(self):
+                return Cur()
+
+            def commit(self):
+                pass
+
+            def close(self):
+                pass
+
+        return Conn()
+
+    if statements:
+        return _InitFactory(factory, statements)
+    return factory
+
+
+def _recorded(path):
+    with open(path) as f:
+        return [s for s in f.read().split("\n\x1e\n") if s]
+
+
+def test_replace_orders_delete_before_insert(spark, tmp_path):
+    """apply_replace against a MySQL-dialect target: per chunk, the
+    tuple-IN DELETE of the incoming PKs executes BEFORE the multi-row
+    INSERT (the partition-move guard, Synchronizer.php:496-517)."""
+    log = str(tmp_path / "sql.log")
+    rows = spark.createDataFrame(
+        [(1, "new'"), (2, "v\\2")], "id INT, v STRING"
+    ).coalesce(1)
+    apply_replace(
+        rows, "t", ["id"], _recording_factory(log),
+        quote="`", backslash_escapes=True,
+    )
+    stmts = _recorded(log)
+    assert stmts == [
+        "DELETE FROM `t` WHERE (`id`) IN ((1),(2))",
+        "INSERT INTO `t` (`id`, `v`) VALUES (1, 'new'''),(2, 'v\\\\2')",
+    ]
+
+
+def test_session_init_runs_on_every_connection(spark, tmp_path):
+    """The reference's startup queries run at the top of EVERY
+    connection — driver-side and executor-side alike."""
+    log = str(tmp_path / "sql.log")
+    factory = _recording_factory(log, MYSQL_SESSION_INIT)
+    rows = spark.createDataFrame(
+        [(1, "a")], "id INT, v STRING"
+    ).coalesce(1)
+    apply_replace(rows, "t", ["id"], factory,
+                  quote="`", backslash_escapes=True)
+    stmts = _recorded(log)
+    assert stmts[0] == "SET group_concat_max_len = 18446744073709547520"
+    assert stmts[1] == "SET FOREIGN_KEY_CHECKS=0"
+    assert stmts[2].startswith("DELETE FROM `t` ")
+    assert stmts[3].startswith("INSERT INTO `t` ")

@@ -102,6 +102,7 @@ def cdc_merge_stream(
     order_cols: Sequence[str],
     checkpoint_dir: str,
     available_now: bool = True,
+    on_batch_committed=None,
 ):
     """Fold a change stream into a parquet CDC-state table via
     foreachBatch (tombstones retained; read live rows with
@@ -110,6 +111,19 @@ def cdc_merge_stream(
     Returns the StreamingQuery. The caller awaits termination
     (AvailableNow drains whatever is in the source, then stops — the
     streaming equivalent of one reference sync run).
+
+    Replay safety: foreachBatch is at-least-once — after a crash in the
+    window between the target swap and Spark recording the batch in the
+    checkpoint commit log, the restarted query REPLAYS that batch
+    against a target that already contains its changes. The merge is
+    idempotent under such replay because winners are decided by the CDC
+    ordering columns, not by arrival (a replayed change ties with the
+    already-applied copy of itself and leaves state unchanged) — proven
+    by tests/test_streaming_ingest.py's kill-and-restart test.
+
+    ``on_batch_committed(batch_id)`` runs after each batch's target
+    swap and before control returns to Spark (metrics / fault-injection
+    hook; raising from it aborts the query INSIDE the replay window).
     """
     spark = stream.sparkSession
 
@@ -129,6 +143,8 @@ def cdc_merge_stream(
         if os.path.exists(target_path):
             shutil.rmtree(target_path)
         os.replace(tmp, target_path)
+        if on_batch_committed is not None:
+            on_batch_committed(batch_id)
 
     writer = (
         stream.writeStream.outputMode("update")

@@ -157,3 +157,113 @@ def test_ingest_gate_stream_indexed_end_to_end(spark, sf_dir, tmp_path):
         assert indexed_ids == got
     finally:
         spark.sql("DROP DATABASE IF EXISTS strmidx CASCADE")
+
+
+def test_cdc_checkpoint_recovery_replayed_batch(spark, tmp_path):
+    """Kill the CDC merge stream in the replay window (after the target
+    swap, BEFORE Spark records the batch in the checkpoint commit log),
+    restart from the checkpoint, and assert the recovered state equals
+    an uninterrupted run's — the restarted query REPLAYS the batch and
+    the merge absorbs it idempotently (winners decided by seq, not
+    arrival)."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from mysql_syncer_spark.streaming.cdc import cdc_merge_stream, read_state
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    B0 = (
+        '{"user_id": 1, "seq": 1, "op": "upsert", "value": 1.0}\n'
+        '{"user_id": 2, "seq": 1, "op": "upsert", "value": 2.0}\n'
+    )
+    B1 = (
+        '{"user_id": 1, "seq": 2, "op": "upsert", "value": 11.0}\n'
+        '{"user_id": 2, "seq": 2, "op": "delete", "value": 0.0}\n'
+        '{"user_id": 3, "seq": 2, "op": "upsert", "value": 3.0}\n'
+    )
+
+    def read_stream():
+        return spark.readStream.schema(schema).json(str(src))
+
+    def run(target, ckpt, hook=None):
+        q = cdc_merge_stream(
+            read_stream(), target, ["user_id"], ["seq"], ckpt,
+            on_batch_committed=hook,
+        )
+        q.awaitTermination(120)
+
+    def state(path):
+        return {
+            r["user_id"]: r["value"]
+            for r in read_state(spark, path, op_col="op").collect()
+        }
+
+    # golden: uninterrupted run over both files
+    (src / "b0.json").write_text(B0)
+    (src / "b1.json").write_text(B1)
+    gold = str(tmp_path / "gold.parquet")
+    run(gold, str(tmp_path / "gold_ckpt"))
+    golden = state(gold)
+    assert golden == {1: 11.0, 3: 3.0}
+
+    # crash run against a SEPARATE source dir fed file-by-file
+    src2 = tmp_path / "stream_in2"
+    src2.mkdir()
+    (src2 / "b0.json").write_text(B0)
+    target = str(tmp_path / "state.parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    def read_stream2():
+        return spark.readStream.schema(schema).json(str(src2))
+
+    q = cdc_merge_stream(read_stream2(), target, ["user_id"], ["seq"], ckpt)
+    q.awaitTermination(120)
+    assert state(target) == {1: 1.0, 2: 2.0}
+
+    # b1 arrives; the query dies right after its target swap commits —
+    # the sink applied the batch but the checkpoint never recorded it
+    (src2 / "b1.json").write_text(B1)
+
+    def crash(batch_id):
+        raise RuntimeError("injected crash in the replay window")
+
+    q = cdc_merge_stream(
+        read_stream2(), target, ["user_id"], ["seq"], ckpt,
+        on_batch_committed=crash,
+    )
+    try:
+        q.awaitTermination(120)
+        raised = False
+    except StreamingQueryException:
+        raised = True
+    assert raised, "injected crash did not surface"
+    assert state(target) == golden  # sink committed before the crash
+
+    # restart from the checkpoint: Spark must REPLAY the uncommitted
+    # batch (proven via the hook), and the merged state must still
+    # equal the uninterrupted run
+    replayed = str(tmp_path / "replayed.log")
+
+    def record(batch_id):
+        with open(replayed, "a") as f:
+            f.write(f"{batch_id}\n")
+
+    q = cdc_merge_stream(
+        read_stream2(), target, ["user_id"], ["seq"], ckpt,
+        on_batch_committed=record,
+    )
+    q.awaitTermination(120)
+    assert os.path.exists(replayed) and open(replayed).read().strip(), (
+        "restart did not replay the uncommitted batch"
+    )
+    assert state(target) == golden

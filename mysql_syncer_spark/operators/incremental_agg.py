@@ -9,11 +9,21 @@ the engine's digest short-circuit is proportional to change
 (reference economics: Synchronizer.php:204-225 — never redo unchanged
 work).
 
-Supported measures: ``count``, ``sum``, ``min``, ``max`` — the
-self-maintainable aggregates (no retraction). Deletes/updates are
-handled the standard MV way: feed them as compensating deltas
-(negated counts/sums); min/max are only insert-maintainable, which
-``apply_agg_delta`` enforces unless compensations are declared absent.
+Supported measures: ``count``, ``sum``, ``min``, ``max``, and
+``signed_count`` — the self-maintainable aggregates. Deletes/updates
+are handled the standard MV way, as compensating deltas, with one
+modeling requirement per measure kind:
+
+* ``sum`` retracts by feeding the NEGATED values in the delta.
+* ``count`` does NOT retract (its delta aggregate is ``F.count``,
+  always non-negative). A retractable count must be modeled as
+  ``signed_count`` over a ±1 column (+1 insert, −1 delete) — it
+  aggregates with ``F.sum``, so a compensating batch genuinely
+  decrements. ``("signed_count", "*")`` counts every delta row as +1
+  (bootstrap-friendly: base tables have no sign column).
+* ``min``/``max`` are insert-only maintainable; deletions can't
+  retract an extremum without a base rescan, which
+  ``apply_agg_delta`` enforces via ``allow_negative``.
 
 Shape: agg(delta) is one combinable shuffle over the delta only; the
 merge is a full-outer join on the group key — the rollup table is
@@ -31,6 +41,8 @@ from pyspark.sql import functions as F
 #: measure -> (delta-side aggregate, merge function old×new -> new)
 _MONOIDS = {
     "count": (lambda c: F.count(c), lambda a, b: a + b),
+    # count as sum-of-signs: the RETRACTABLE count (see module doc)
+    "signed_count": (lambda c: F.sum(c), lambda a, b: a + b),
     "sum": (lambda c: F.sum(c), lambda a, b: a + b),
     "min": (lambda c: F.min(c), lambda a, b: F.least(a, b)),
     "max": (lambda c: F.max(c), lambda a, b: F.greatest(a, b)),
@@ -63,8 +75,10 @@ def apply_agg_delta(
     ``old ⊕ agg(delta)`` per group. New groups appear; untouched groups
     pass through BIT-IDENTICAL (full-outer + coalesce, no arithmetic on
     the unmatched side). ``allow_negative=True`` permits compensating
-    (negated) deltas for count/sum; min/max then raise, because
-    deletions can't retract an extremum without a base rescan."""
+    deltas for sum/signed_count (negated values / −1 signs); plain
+    ``count`` cannot retract — model it as ``signed_count`` over a ±1
+    column (see module doc). min/max raise under ``allow_negative``
+    because deletions can't retract an extremum without a base rescan."""
     if allow_negative and any(
         op in ("min", "max") for op, _ in measures.values()
     ):

@@ -36,6 +36,10 @@ class SearchIndex:
     name: str
     id_col: str
     postings: DataFrame
+    #: term-frequency postings (term, id, tf, doc_len), bucketed by
+    #: term — the persisted serving table for BM25 (None on indexes
+    #: written before it existed; rebuild to add it)
+    postings_tf: DataFrame | None = None
 
 
 def postings_frame(
@@ -62,16 +66,36 @@ def search_index_write(
     text_col: str = "text",
     num_buckets: int = 32,
 ) -> SearchIndex:
-    """Build + persist the posting table bucketed (and sorted) by term."""
+    """Build + persist the index tables, both bucketed (and sorted) by
+    term: distinct ``(term, id)`` postings for boolean search, and
+    ``(term, id, tf, doc_len)`` term-frequency postings so BM25 can be
+    served from the index too (tf is NOT reconstructible from distinct
+    postings). One tokenize pass feeds both writes."""
     spark = corpus.sparkSession
     _drop_stale(spark, f"{name}_postings")
+    _drop_stale(spark, f"{name}_postings_tf")
+    _drop_stale(spark, f"{name}_srchmeta")
+    tf = postings_tf_frame(corpus, id_col, text_col)
     write_bucketed(
-        postings_frame(corpus, id_col, text_col),
+        tf.select("term", id_col),
         f"{name}_postings",
         ["term"],
         num_buckets,
         sort_cols=["term", id_col],
     )
+    write_bucketed(
+        tf,
+        f"{name}_postings_tf",
+        ["term"],
+        num_buckets,
+        sort_cols=["term", id_col],
+    )
+    # id_col/num_buckets persisted so a fresh session can re-register
+    # the tables WITH their bucket spec (a plain re-register would
+    # silently lose bucket pruning)
+    spark.createDataFrame(
+        [(id_col, num_buckets)], "id_col string, num_buckets int"
+    ).write.mode("overwrite").saveAsTable(f"{name}_srchmeta")
     return search_index_read(spark, name, id_col)
 
 
@@ -79,10 +103,24 @@ def search_index_read(
     spark: SparkSession, name: str, id_col: str = "doc_id"
 ) -> SearchIndex:
     """Attach an index by name (re-registering the files in a fresh
-    session if the in-memory catalog lost them)."""
-    if not _reattach_table(spark, f"{name}_postings"):
+    session if the in-memory catalog lost them — bucket spec restored
+    from the persisted meta)."""
+    cluster = ""
+    if _reattach_table(spark, f"{name}_srchmeta"):
+        meta = spark.table(f"{name}_srchmeta").first()
+        id_col = meta["id_col"]
+        cluster = (
+            f"CLUSTERED BY (term) SORTED BY (term, `{id_col}`) "
+            f"INTO {meta['num_buckets']} BUCKETS"
+        )
+    if not _reattach_table(spark, f"{name}_postings", cluster):
         raise ValueError(f"no search index named {name!r}")
-    return SearchIndex(name, id_col, spark.table(f"{name}_postings"))
+    tf = (
+        spark.table(f"{name}_postings_tf")
+        if _reattach_table(spark, f"{name}_postings_tf", cluster)
+        else None
+    )
+    return SearchIndex(name, id_col, spark.table(f"{name}_postings"), tf)
 
 
 def search(
@@ -140,9 +178,11 @@ def bm25_search(
     ``idf = ln((N-df+0.5)/(df+0.5) + 1)``. N/avglen come from ONE
     1-row agg crossJoined broadcast; per-term df from the (tiny)
     matched postings; top-k is TakeOrderedAndProject. Pass a
-    :func:`postings_tf_frame` (or the persisted table joined to doc
-    lengths) with ``postings=True`` to skip re-tokenizing — the
-    at-scale path; scores round to 6 dp for engine-exact ranking."""
+    :func:`postings_tf_frame` — or a persisted ``*_postings_tf``
+    index table, via :func:`bm25_search_indexed` — with
+    ``postings=True`` to skip re-tokenizing; the distinct
+    ``*_postings`` table does NOT qualify (tf is not reconstructible
+    from it). Scores round to 6 dp for engine-exact ranking."""
     if not terms:
         raise ValueError("terms must be non-empty")
     norm = sorted({t.strip().lower() for t in terms if t.strip()})
@@ -186,6 +226,29 @@ def bm25_search(
         .agg(F.round(F.sum("__s"), 6).alias("score"))
         .orderBy(F.desc("score"), id_col)
         .limit(k)
+    )
+
+
+def bm25_search_indexed(
+    index: SearchIndex,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 served from the PERSISTED tf postings table: the term
+    filter prunes to the query terms' buckets, the corpus is never
+    touched. Rank-identical to :func:`bm25_search` over the corpus the
+    index was built from."""
+    if index.postings_tf is None:
+        raise ValueError(
+            f"index {index.name!r} has no tf postings table (written "
+            "before BM25 serving existed) — rebuild with "
+            "search_index_write to add it"
+        )
+    return bm25_search(
+        index.postings_tf, terms, k=k, id_col=index.id_col,
+        k1=k1, b=b, postings=True,
     )
 
 

@@ -308,8 +308,9 @@ def with_gopher_rules(
       words <= max_symbol_ratio
     * ``rule_alpha_words``   — fraction of words containing at least
       one alphabetic char >= min_alpha_word_ratio
-    * ``rule_stopwords``     — at least ``min_stopword_hits`` tokens
-      from the English stopword markers (Gopher requires 2)
+    * ``rule_stopwords``     — at least ``min_stopword_hits``
+      DISTINCT English stopword markers present (Gopher requires 2
+      distinct stop words — repeats of one stopword don't count)
     * ``rule_ellipsis_lines``— fraction of lines ending in an ellipsis
       <= max_ellipsis_line_ratio
     * ``rule_bullet_lines``  — fraction of lines starting with a
@@ -334,8 +335,14 @@ def with_gopher_rules(
         F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), 0)
     )
     alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    # DISTINCT stopwords, per the paper's rule ("contain at least two
+    # of the following English words") — a doc repeating one stopword
+    # ('the the the') must NOT pass; array_intersect dedups
     stop_hits = F.size(
-        F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))
+        F.array_intersect(
+            F.transform(toks, F.lower),
+            F.array(*[F.lit(w) for w in STOPWORDS]),
+        )
     )
     lines = F.split(c, r"\n")
     n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")

@@ -2580,8 +2580,10 @@ def scrub_repeated_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       len(regexp_extract_all(text, '#|\.\.\.|…')) AS nsym,
                       len(list_filter(toks,
                           x -> regexp_matches(x, '[A-Za-z]'))) AS alphaw,
-                      len(list_filter(toks, x -> lower(x) IN
-                          ('the','a','of','and','is','to','in'))) AS stop,
+                      len(list_distinct(list_transform(
+                          list_filter(toks, x -> lower(x) IN
+                          ('the','a','of','and','is','to','in')),
+                          x -> lower(x)))) AS stop,
                       CAST(GREATEST(len(lns), 1) AS DOUBLE) AS nl,
                       len(list_filter(lns, x -> regexp_matches(
                           rtrim(x), '(\.\.\.|…)$'))) AS ell,

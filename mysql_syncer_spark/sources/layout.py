@@ -112,27 +112,38 @@ def compact_files(
       back through ``partitionBy`` (directory structure preserved, so
       PartitionFilters pruning still works).
 
-    The rewrite stages to ``<path>.__compacting__`` and swaps via the
-    Hadoop FS rename (never overwrites the input it is lazily reading),
-    mirroring the executor's staging discipline. Returns
-    ``{"files_before", "files_after", "bytes"}``.
+    The rewrite stages to ``<path>.__compacting__`` then swaps with
+    Hadoop FS renames only — old dir aside to ``<path>.__old__``,
+    staging into place, old dir deleted last — never overwriting the
+    input it is lazily reading. Readers therefore see the old layout or
+    the new one; the path is absent only for the instant between the
+    two renames, and a crash anywhere leaves a recoverable state (the
+    data is always intact under exactly one of path/__old__/
+    __compacting__; stale leftovers are cleaned on the next run).
 
     At 100 TB this runs per-partition (pass the partition root as
     ``path``) or as a scheduled whole-table pass; either way the data
-    is restated exactly once and readers see old-or-new, never partial.
+    is restated exactly once.
     """
     if target_mb < 1:
         raise ValueError(f"target_mb must be >= 1, got {target_mb}")
+    staging = path.rstrip("/") + ".__compacting__"
+    old = path.rstrip("/") + ".__old__"
+    jstaging = spark._jvm.org.apache.hadoop.fs.Path(staging)
+    jold = spark._jvm.org.apache.hadoop.fs.Path(old)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jstaging):  # crashed previous attempt mid-write
+        fs.delete(jstaging, True)
+    if fs.exists(jold):  # crashed previous attempt mid-swap
+        if not fs.exists(jpath):
+            fs.rename(jold, jpath)  # recover: old data back in place
+        else:
+            fs.delete(jold, True)
+
     n_before, total_bytes = _list_files(spark, path)
     n_target = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
     df = spark.read.format(fmt).load(path)
-
-    staging = path.rstrip("/") + ".__compacting__"
-    jstaging = spark._jvm.org.apache.hadoop.fs.Path(staging)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(jstaging):  # crashed previous attempt
-        fs.delete(jstaging, True)
 
     if partition_cols:
         cols = (
@@ -148,8 +159,11 @@ def compact_files(
         out = df.repartition(int(n_target))
         out.write.format(fmt).mode("overwrite").save(staging)
 
-    fs.delete(jpath, True)
+    # swap via renames (no delete-then-rename window where the path
+    # holds the ONLY copy in staging): aside -> in place -> drop old
+    fs.rename(jpath, jold)
     fs.rename(jstaging, jpath)
+    fs.delete(jold, True)
     n_after, _ = _list_files(spark, path)
     return {
         "files_before": n_before,

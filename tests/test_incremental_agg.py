@@ -87,3 +87,61 @@ def test_fold_is_associative_over_batches(spark, frames):
     assert sorted(map(tuple, one_by_one.collect())) == sorted(
         map(tuple, all_at_once.collect())
     )
+
+
+def test_signed_count_retraction(spark):
+    """The retractable count: modeled as sum over a ±1 sign column, a
+    compensating delete batch genuinely decrements — and the folded
+    rollup equals a recompute over the surviving rows."""
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_spark.operators.incremental_agg import (
+        agg_snapshot,
+        apply_agg_delta,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 5.0)], "k STRING, v DOUBLE"
+    )
+    measures = {"n": ("signed_count", "__sign"), "total": ("sum", "v")}
+    rollup = agg_snapshot(
+        base.withColumn("__sign", F.lit(1)), ["k"], measures
+    )
+    assert {(r["k"], r["n"]) for r in rollup.collect()} == {
+        ("a", 2), ("b", 1),
+    }
+    # compensating batch: delete one 'a' row (sign -1, negated value),
+    # insert one 'c' row
+    delta = spark.createDataFrame(
+        [("a", -20.0, -1), ("c", 7.0, 1)], "k STRING, v DOUBLE, __sign INT"
+    )
+    folded = apply_agg_delta(
+        rollup, delta, ["k"], measures, allow_negative=True
+    )
+    survivors = spark.createDataFrame(
+        [("a", 10.0), ("b", 5.0), ("c", 7.0)], "k STRING, v DOUBLE"
+    ).withColumn("__sign", F.lit(1))
+    recomputed = agg_snapshot(survivors, ["k"], measures)
+    got = {(r["k"], r["n"], r["total"]) for r in folded.collect()}
+    want = {(r["k"], r["n"], r["total"]) for r in recomputed.collect()}
+    assert got == want == {("a", 1, 10.0), ("b", 1, 5.0), ("c", 1, 7.0)}
+
+
+def test_plain_count_is_not_retractable_documented(spark):
+    """Regression pin for the documented limitation: a 'count' measure
+    treats every delta row as +1 even under allow_negative — the
+    retraction path is signed_count."""
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_spark.operators.incremental_agg import (
+        agg_snapshot,
+        apply_agg_delta,
+    )
+
+    base = spark.createDataFrame([("a", 1.0)], "k STRING, v DOUBLE")
+    measures = {"n": ("count", "*")}
+    rollup = agg_snapshot(base, ["k"], measures)
+    delta = spark.createDataFrame([("a", -1.0)], "k STRING, v DOUBLE")
+    folded = apply_agg_delta(rollup, delta, ["k"], measures,
+                             allow_negative=True)
+    assert folded.first()["n"] == 2  # counted the delete row: documented

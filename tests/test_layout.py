@@ -168,3 +168,29 @@ def test_zorder_validation(spark, sf_dir):
         write_zordered(orders, "/tmp/x", [])
     with _pytest.raises(ValueError):
         write_zordered(orders, "/tmp/x", ["a", "b", "c", "d"], bits=16)
+
+
+def test_compact_crash_recovery(spark, sf_dir, tmp_path):
+    """A crashed mid-swap compaction (data moved aside to __old__, new
+    layout not yet in place) is recovered by the next run; leftover
+    staging/old dirs never survive a successful pass."""
+    import os
+    import shutil
+
+    from mysql_syncer_spark.sources.layout import compact_files
+
+    path = str(tmp_path / "t.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(16).write.parquet(path)
+    expected = docs.count()
+
+    # simulate the mid-swap crash window: path renamed aside, nothing
+    # in its place yet
+    shutil.move(path, path + ".__old__")
+    assert not os.path.exists(path)
+    stats = compact_files(spark, path, target_mb=128)
+    assert stats["files_after"] <= stats["files_before"]
+    assert spark.read.parquet(path).count() == expected
+    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__compacting__")
+

@@ -123,3 +123,85 @@ def test_phrase_with_repeated_word(spark):
     got = {r["doc_id"]: r["n_occurrences"]
            for r in phrase_search(df, "order order").collect()}
     assert got == {0: 2}
+
+
+def test_bm25_served_from_persisted_index(idx, spark):
+    """BM25 through the PERSISTED tf postings table: rank-identical to
+    direct corpus scoring, term filter prunes to the query terms'
+    buckets, reattach in a fresh catalog keeps serving."""
+    import re
+
+    from mysql_syncer_spark.operators.search_index import (
+        bm25_search,
+        bm25_search_indexed,
+    )
+
+    index, docs = idx
+    direct = bm25_search(docs, ["spark", "merge"], k=10).collect()
+    served = bm25_search_indexed(index, ["spark", "merge"], k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in direct] == [
+        (r["doc_id"], r["score"]) for r in served
+    ]
+    assert direct  # non-trivial
+
+    plan = physical_plan(bm25_search_indexed(index, ["spark", "merge"]))
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(1)) < int(m.group(2)), plan
+
+    again = search_index_read(spark, "srchidx_t")
+    assert again.postings_tf is not None
+    re_served = bm25_search_indexed(again, ["spark", "merge"], k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in served] == [
+        (r["doc_id"], r["score"]) for r in re_served
+    ]
+
+
+def test_bm25_indexed_requires_tf_table(idx):
+    from mysql_syncer_spark.operators.search_index import (
+        SearchIndex,
+        bm25_search_indexed,
+    )
+
+    index, _ = idx
+    legacy = SearchIndex(index.name, index.id_col, index.postings, None)
+    with pytest.raises(ValueError, match="no tf postings"):
+        bm25_search_indexed(legacy, ["spark"])
+
+
+def test_reattach_fresh_catalog_restores_bucket_spec(idx, spark, tmp_path):
+    """A fresh session sees index FILES but an empty catalog. Reattach
+    must restore the BUCKET SPEC from the persisted meta (a plain
+    re-register would silently lose bucket pruning) and serve identical
+    results for both boolean search and indexed BM25."""
+    import os
+    import re
+    import shutil
+
+    from mysql_syncer_spark.operators.search_index import (
+        bm25_search_indexed,
+    )
+
+    index, _ = idx
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    dst = tmp_path / "wh2"
+    dst.mkdir()
+    for suffix in ("_postings", "_postings_tf", "_srchmeta"):
+        shutil.copytree(
+            os.path.join(wh, f"srchidx_t{suffix}"),
+            dst / f"srchidx_t{suffix}",
+        )
+    spark.sql(f"CREATE DATABASE srchre LOCATION '{dst}'")
+    try:
+        idx2 = search_index_read(spark, "srchre.srchidx_t")
+        assert idx2.id_col == "doc_id"  # restored from meta
+        a = {r["doc_id"] for r in search(idx2, ["spark"]).collect()}
+        b = {r["doc_id"] for r in search(index, ["spark"]).collect()}
+        assert a == b and a
+        plan = physical_plan(search(idx2, ["spark"]))
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m and int(m.group(1)) < int(m.group(2)), plan
+        got = bm25_search_indexed(idx2, ["spark", "merge"], k=5).collect()
+        want = bm25_search_indexed(index, ["spark", "merge"], k=5).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS srchre CASCADE")

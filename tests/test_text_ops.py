@@ -125,13 +125,17 @@ def test_tfidf_topk_k_bound_and_empty_docs(spark):
 def test_gopher_rules_flags(spark):
     from mysql_syncer_spark.operators.text import with_gopher_rules
 
-    long_good = "the " + "quick brown foxes jumped over the lazy sleeping dogs today " * 6
+    long_good = "the of " + "quick brown foxes jumped over the lazy sleeping dogs today " * 6
+    # same length/shape but only ONE distinct stopword, repeated — the
+    # paper's rule needs >= 2 DISTINCT stop words, so repeats must fail
+    one_stop = "the the " + "quick brown foxes jumped over the lazy sleeping dogs today " * 6
     rows = [
         (0, long_good.strip()),          # passes everything
         (1, "short doc the and of"),     # fails word count
         (2, "### " * 10 + long_good.strip()),  # symbol-heavy
         (3, None),                       # NULL → all rules false
         (4, ""),                         # empty → word count false
+        (5, one_stop.strip()),           # fails DISTINCT-stopword rule
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = with_gopher_rules(df, min_words=30)
@@ -140,6 +144,9 @@ def test_gopher_rules_flags(spark):
     assert got[1]["rule_word_count"] is False
     assert got[1]["gopher_keep"] is False
     assert got[2]["rule_symbol_ratio"] is False
+    assert got[5]["rule_stopwords"] is False   # 'the' repeated ≠ 2 distinct
+    assert got[5]["rule_word_count"] is True   # fails ONLY on stopwords
+    assert got[5]["gopher_keep"] is False
     assert all(
         got[3][k] is False
         for k in got[3]

@@ -1,0 +1,238 @@
+"""Scale-evidence harness (not the per-round bench): measures how the
+engine's scale-sensitive paths trend as data grows, where sf0.1 sits
+below the fixed-overhead floor.
+
+Part 1 — indexed-ingest economics: the persisted-MinHash ingest gate
+claims O(batch) per batch vs the recompute path's O(corpus). At sf0.1
+(5k docs) both cost ~3s because job overhead dominates. Here the
+corpus is scaled 1x/4x/16x with REPLICA-UNIQUE text (each word of
+replica i is rewritten via md5(word||i), preserving length/shape but
+sharing no shingles — plain replication would flood LSH with
+cross-replica near-dups and measure the wrong thing) while the batch
+stays fixed: recompute time must grow ~linearly with corpus, indexed
+time must stay ~flat, and the ratio must cross the 2x done-bar.
+
+Part 2 — sf1 tail smoke: the slowest headline keys once at a
+synthesized sf1 (10x sf0.1, key-shifted replicas), recording wall
+seconds + peak driver RSS.
+
+Usage:
+    python bench_scale.py ingest   # part 1 -> JSON lines
+    python bench_scale.py tail     # part 2 -> JSON lines
+Results are committed to BENCH_SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import shutil
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mysql_syncer_spark.sources.catalog import configure_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+WORK = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale")
+
+
+def _session() -> SparkSession:
+    spark = (
+        configure_session(
+            SparkSession.builder.master(f"local[{CPUS}]")
+            .appName("mysql-syncer-spark-bench-scale")
+            .config("spark.sql.shuffle.partitions", CPUS)
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .config("spark.driver.memory", "24g")
+        ).getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _peak_rss_mb() -> int:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+
+
+def _replica(docs, i: int):
+    """Replica i of the docs table: ids shifted, every word rewritten
+    to md5(word||i) truncated to the word's length — same corpus shape
+    (doc count, lengths, token structure), zero shared shingles."""
+    if i == 0:
+        return docs
+    return docs.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(i * 100_000_000)
+    ).withColumn(
+        "text",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.col("text"), r"\s+"),
+                lambda w: F.substring(
+                    F.md5(F.concat(w, F.lit(str(i)))), 1,
+                    F.greatest(F.length(w), F.lit(1)),
+                ),
+            ),
+        ),
+    )
+
+
+def run_ingest_scaling() -> None:
+    from mysql_syncer_spark import queries as registry
+    from mysql_syncer_spark.operators import dedup
+    from mysql_syncer_spark.operators.minhash_index import (
+        incremental_new_docs_indexed,
+        minhash_index_read,
+        minhash_index_write,
+    )
+    from mysql_syncer_spark.operators import sampling
+
+    spark = _session()
+    force(
+        spark.range(0, int(CPUS) * 1000, 1, int(CPUS)).mapInPandas(
+            lambda it: it, "id long"
+        )
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    b = sampling.hash_bucket("doc_id")
+    base_corpus = docs.where(b < 9800)
+    batch = docs.where(b >= 9800)
+    os.makedirs(WORK, exist_ok=True)
+
+    results = []
+    for scale in (1, 4, 16):
+        cpath = f"{WORK}/corpus_{scale}x.parquet"
+        if not os.path.exists(cpath):
+            parts = [_replica(base_corpus, i) for i in range(scale)]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out.write.mode("overwrite").parquet(cpath)
+        corpus = spark.read.parquet(cpath)
+        n_corpus = corpus.count()
+        n_batch = batch.count()
+
+        # recompute path: min of 2 timed passes
+        rec = []
+        for _ in range(2):
+            t0 = time.time()
+            force(
+                dedup.incremental_new_docs(
+                    corpus, batch, num_hashes=16, bands=4, threshold=0.7
+                )
+            )
+            rec.append(time.time() - t0)
+
+        # indexed path: build once (timed separately), then min of 2
+        name = f"scale_ingest_{scale}x"
+        t0 = time.time()
+        minhash_index_write(
+            corpus, name, num_hashes=16, bands=4, num_buckets=32
+        )
+        build_s = time.time() - t0
+        idx = minhash_index_read(spark, name)
+        ind = []
+        for _ in range(2):
+            t0 = time.time()
+            force(incremental_new_docs_indexed(idx, batch, threshold=0.7))
+            ind.append(time.time() - t0)
+
+        row = {
+            "scale": scale,
+            "corpus_docs": n_corpus,
+            "batch_docs": n_batch,
+            "recompute_sec": round(min(rec), 3),
+            "indexed_sec": round(min(ind), 3),
+            "index_build_sec": round(build_s, 3),
+            "ratio": round(min(rec) / min(ind), 2),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    print(json.dumps({"ingest_scaling": results}))
+
+
+def run_tail_smoke() -> None:
+    """Slowest headline keys once at synthesized sf1 (10x sf0.1)."""
+    from mysql_syncer_spark import queries as registry
+
+    spark = _session()
+    force(
+        spark.range(0, int(CPUS) * 1000, 1, int(CPUS)).mapInPandas(
+            lambda it: it, "id long"
+        )
+    )
+    sf1 = f"{WORK}/sf1"
+    os.makedirs(sf1, exist_ok=True)
+    shifts = {
+        "orders": ("o_orderkey", 100_000_000),
+        "lineitem": ("l_orderkey", 100_000_000),
+        "events": ("event_id", 1_000_000_000),
+        "documents": ("doc_id", 100_000_000),
+        "embeddings": ("vec_id", 100_000_000),
+    }
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        dst = f"{sf1}/{t}.parquet"
+        if not os.path.exists(dst):
+            spark.read.parquet(f"{SF_DIR}/{t}.parquet").write.parquet(dst)
+    for t, (key, shift) in shifts.items():
+        dst = f"{sf1}/{t}.parquet"
+        if os.path.exists(dst):
+            continue
+        src = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+        parts = [
+            src.withColumn(key, F.col(key) + F.lit(i * shift))
+            for i in range(10)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.parquet(dst)
+
+    qmap = registry.queries()
+    # the r5/r6 bench tail (slowest keys at sf0.1) + scale-sensitive reps
+    tail_keys = [
+        "dedup_keep_best_docs",
+        "cluster_safe_split_docs",
+        "simhash_clusters_docs",
+        "scd2_multibatch_orders",
+        "sync_merge_orders",
+        "minhash_lsh_pairs_docs",
+        "incremental_new_docs",
+        "incremental_ingest_2pct_indexed",
+        "scrub_repeated_spans_docs",
+        "interval_join_error_windows",
+        "tpch_q10_returned_items",
+        "gap_fill_daily_events",
+    ]
+    out = {}
+    for name in tail_keys:
+        t0 = time.time()
+        force(qmap[name](spark, sf1))
+        out[name] = {
+            "sec": round(time.time() - t0, 3),
+            "peak_rss_mb": _peak_rss_mb(),
+        }
+        print(json.dumps({name: out[name]}), flush=True)
+    print(json.dumps({"sf1_tail": out}))
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "ingest"
+    if mode == "ingest":
+        run_ingest_scaling()
+    elif mode == "tail":
+        run_tail_smoke()
+    else:
+        raise SystemExit(f"unknown mode {mode!r}")

@@ -2130,13 +2130,15 @@ def cluster_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_oracle_sql(
-    num_hashes: int = 16, bands: int = 4, threshold: float = 0.7
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.7,
+    split: int = 9000,
 ) -> str:
-    """Full incremental-ingest gate mirror: incoming (10% hash split)
-    minus exact-fingerprint matches of the corpus (90%), minus near-dups
-    via the same bipartite MinHash pipeline as _minhash_between_oracle_sql.
-    Near-dup ids computed over all incoming are equivalent to computing
-    over fresh-only (fresh is a subset; the anti-join discards the rest)."""
+    """Full incremental-ingest gate mirror: incoming (hash-bucket >=
+    ``split``) minus exact-fingerprint matches of the corpus (buckets
+    below ``split``), minus near-dups via the same bipartite MinHash
+    pipeline as _minhash_between_oracle_sql. Near-dup ids computed over
+    all incoming are equivalent to computing over fresh-only (fresh is
+    a subset; the anti-join discards the rest)."""
     from mysql_syncer_spark.operators.dedup import MINHASH_P, minhash_params
 
     rows_per_band = num_hashes // bands
@@ -2163,7 +2165,7 @@ def _incremental_oracle_sql(
     )
     return f"""WITH sides AS (
           SELECT doc_id,
-                 CASE WHEN {_DOC_BUCKET_SQL} < 9000 THEN 0 ELSE 1 END AS side
+                 CASE WHEN {_DOC_BUCKET_SQL} < {split} THEN 0 ELSE 1 END AS side
           FROM documents),
          fp_corpus AS (
           SELECT DISTINCT md5({_NORM_SQL}) AS fp
@@ -2204,6 +2206,46 @@ def _incremental_oracle_sql(
         WHERE f.doc_id NOT IN (SELECT id_new FROM near)"""
 
 
+def _ingest_pair(spark: SparkSession, sf_dir: str, split: int):
+    docs = load_table(spark, sf_dir, "documents")
+    b = sampling.hash_bucket("doc_id")
+    return docs.where(b < split), docs.where(b >= split)
+
+
+def _ingest_gate_indexed(
+    spark: SparkSession, sf_dir: str, split: int
+) -> DataFrame:
+    from mysql_syncer_spark.operators.minhash_index import (
+        ensure_minhash_index,
+        incremental_new_docs_indexed,
+    )
+
+    corpus, incoming = _ingest_pair(spark, sf_dir, split)
+    # Index name carries a cheap CONTENT fingerprint (one narrow
+    # two-column agg — parquet scans ids+lengths only, nothing like the
+    # full shingle/sign cost): a fresh process re-attaches the on-disk
+    # index when the corpus is byte-identical and can never silently
+    # serve an index built from different data. Cached per (sf_dir,
+    # split) so repeat calls in one session skip even the narrow scan.
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    fp = _MHIDX_FP_CACHE.get((sf_dir, split))
+    if fp is None:
+        row = corpus.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0): ANSI mode makes a long SUM of 64-bit hashes
+            # throw on overflow (same rule as the digests)
+            F.sum(
+                F.xxhash64("doc_id", F.length("text")).cast("decimal(38,0)")
+            ).alias("s"),
+        ).first()
+        fp = f"{row['n']}_{int(row['s'] or 0) & 0xFFFFFFFFFFFF:x}"
+        _MHIDX_FP_CACHE[(sf_dir, split)] = fp
+    idx = ensure_minhash_index(
+        corpus, f"mhidx_{tag}_{fp}_docs", num_hashes=16, bands=4
+    )
+    return incremental_new_docs_indexed(idx, incoming, threshold=0.7)
+
+
 @_register("incremental_new_docs", _incremental_oracle_sql())
 def incremental_new_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E44: the daily-ingest curation gate end-to-end — incoming rows
@@ -2211,10 +2253,7 @@ def incremental_new_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies nor MinHash-LSH near-dups of the corpus (the other 90%).
     Composes the broadcast fp anti-join with the O(corpus x batch)
     bipartite LSH anti-join (dedup.incremental_new_docs)."""
-    docs = load_table(spark, sf_dir, "documents")
-    b = sampling.hash_bucket("doc_id")
-    corpus = docs.where(b < 9000)
-    incoming = docs.where(b >= 9000)
+    corpus, incoming = _ingest_pair(spark, sf_dir, 9000)
     return dedup.incremental_new_docs(
         corpus, incoming, num_hashes=16, bands=4, threshold=0.7
     )
@@ -2229,41 +2268,37 @@ def incremental_new_docs_indexed_q(spark: SparkSession, sf_dir: str) -> DataFram
     and the verify join reads the id-bucketed signature table. First
     call in a session builds the index (the amortized one-time layout
     job); every later call is O(batch)."""
-    from mysql_syncer_spark.operators.minhash_index import (
-        ensure_minhash_index,
-        incremental_new_docs_indexed,
+    return _ingest_gate_indexed(spark, sf_dir, 9000)
+
+
+@_register("incremental_ingest_2pct", _incremental_oracle_sql(split=9800))
+def incremental_ingest_2pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E44 at realistic ingest economics: 98% corpus vs 2% batch
+    (corpus:batch 49:1 — a daily crawl against an accumulated store).
+    The recompute path re-shingles/re-signs the WHOLE corpus every
+    batch, so its cost is O(corpus); the bench pairs this key with
+    incremental_ingest_2pct_indexed to measure the indexed O(batch)
+    advantage at a ratio where it shows (the 90/10 split's 9:1 ratio
+    understates it — VERDICT r5)."""
+    corpus, incoming = _ingest_pair(spark, sf_dir, 9800)
+    return dedup.incremental_new_docs(
+        corpus, incoming, num_hashes=16, bands=4, threshold=0.7
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    b = sampling.hash_bucket("doc_id")
-    corpus = docs.where(b < 9000)
-    incoming = docs.where(b >= 9000)
-    # Index name carries a cheap CONTENT fingerprint (one narrow
-    # two-column agg — parquet scans ids+lengths only, nothing like the
-    # full shingle/sign cost): a fresh process re-attaches the on-disk
-    # index when the corpus is byte-identical and can never silently
-    # serve an index built from different data. Cached per sf_dir so
-    # repeat calls in one session skip even the narrow scan.
-    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
-    fp = _MHIDX_FP_CACHE.get(sf_dir)
-    if fp is None:
-        row = corpus.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal(38,0): ANSI mode makes a long SUM of 64-bit hashes
-            # throw on overflow (same rule as the digests)
-            F.sum(
-                F.xxhash64("doc_id", F.length("text")).cast("decimal(38,0)")
-            ).alias("s"),
-        ).first()
-        fp = f"{row['n']}_{int(row['s'] or 0) & 0xFFFFFFFFFFFF:x}"
-        _MHIDX_FP_CACHE[sf_dir] = fp
-    idx = ensure_minhash_index(
-        corpus, f"mhidx_{tag}_{fp}_docs", num_hashes=16, bands=4
-    )
-    return incremental_new_docs_indexed(idx, incoming, threshold=0.7)
+
+@_register(
+    "incremental_ingest_2pct_indexed", _incremental_oracle_sql(split=9800)
+)
+def incremental_ingest_2pct_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E45 at realistic ingest economics: the same 98/2 gate served
+    from the persisted MinHash index — identical output, zero corpus
+    re-shingle per batch."""
+    return _ingest_gate_indexed(spark, sf_dir, 9800)
 
 
-_MHIDX_FP_CACHE: dict[str, str] = {}
+_MHIDX_FP_CACHE: dict[tuple[str, int], str] = {}
 
 
 def _profile_oracle_sql() -> str:

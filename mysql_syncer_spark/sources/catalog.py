@@ -283,6 +283,68 @@ class JDBCCatalog(Catalog):
             partition_col=self.partition_map.get(name),
         )
 
+    def hash_frame(
+        self,
+        name: str,
+        columns: Sequence[str],
+        pk_cols: Sequence[str] | None = None,
+        partition_value: str | None = None,
+    ) -> DataFrame:
+        """``(pk..., __row_hash)`` computed server-side via
+        :func:`mysql_hash_pushdown_query` — the minimal-egress hash map.
+        Pair with ``digest.mysql_compat_row_hash_col`` on a non-JDBC
+        side; two JDBCCatalog sides are directly comparable."""
+        pk = tuple(pk_cols) if pk_cols else self.primary_key(name)
+        if not pk:
+            raise ValueError(f"table {name!r} has no primary key")
+        pcol = self.partition_map.get(name) if partition_value is not None else None
+        if partition_value is not None and pcol is None:
+            raise ValueError(
+                f"partition_value given but table {name!r} has no "
+                "partition column configured"
+            )
+        return self._read_query(
+            mysql_hash_pushdown_query(
+                self.database, name, columns, pk,
+                partition_col=pcol, partition_value=partition_value,
+            )
+        )
+
+
+def mysql_hash_pushdown_query(
+    database: str,
+    table: str,
+    columns: Sequence[str],
+    pk_cols: Sequence[str],
+    partition_col: str | None = None,
+    partition_value: str | None = None,
+) -> str:
+    """Server-side row-hash query (SURVEY §4 row 2): compute
+    ``MD5(CONCAT_WS('#', COALESCE(col,'NULL')...))`` INSIDE the source
+    MySQL server so only ``(pk..., hash)`` crosses the wire — the
+    reference's hash-map economics (TableConnection.php:46-51, :117-123)
+    without its LIMIT/OFFSET walk (Spark's partitionColumn splits this
+    query server-side instead). COALESCE is applied here unlike the
+    reference's hash-map path — the NullColumnTest fix the reference
+    only has in its digest path (SURVEY §2.6 F2).
+
+    The returned hash matches ``digest.mysql_compat_row_hash_col`` on
+    the Spark side (MySQL text-protocol rendering), so a pushdown side
+    can be diffed against a parquet/DataFrame side hashed with the
+    compat renderer. Worth it only when the source DB has spare CPU and
+    the WAN is the bottleneck — the default remains plain scans hashed
+    in executors.
+    """
+    wrapped = ", ".join(f"COALESCE(`{c}`, 'NULL')" for c in columns)
+    pk = ", ".join(f"`{c}`" for c in pk_cols)
+    where = ""
+    if partition_col is not None:
+        where = f" WHERE `{partition_col}`='{partition_value}'"
+    return (
+        f"SELECT {pk}, MD5(CONCAT_WS('#', {wrapped})) AS `__row_hash` "
+        f"FROM `{database}`.`{table}`{where}"
+    )
+
 
 # ---------------------------------------------------------------------------
 # Fixture loading helpers (driver testdata; TESTDATA.md)

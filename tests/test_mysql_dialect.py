@@ -194,3 +194,49 @@ def test_session_init_runs_on_every_connection(spark, tmp_path):
     assert stmts[1] == "SET FOREIGN_KEY_CHECKS=0"
     assert stmts[2].startswith("DELETE FROM `t` ")
     assert stmts[3].startswith("INSERT INTO `t` ")
+
+
+# ---------------------------------------------------------------------
+# server-side hash pushdown (SURVEY §4 row 2)
+# ---------------------------------------------------------------------
+
+def test_hash_pushdown_query_golden():
+    from mysql_syncer_spark.sources.catalog import mysql_hash_pushdown_query
+
+    q = mysql_hash_pushdown_query("db", "orders", ["id", "note"], ["id"])
+    assert q == (
+        "SELECT `id`, MD5(CONCAT_WS('#', COALESCE(`id`, 'NULL'), "
+        "COALESCE(`note`, 'NULL'))) AS `__row_hash` "
+        "FROM `db`.`orders`"
+    )
+    qp = mysql_hash_pushdown_query(
+        "db", "orders", ["id", "note"], ["id"],
+        partition_col="p", partition_value="5",
+    )
+    assert qp.endswith("FROM `db`.`orders` WHERE `p`='5'")
+
+
+def test_hash_pushdown_matches_spark_compat_hash(spark):
+    """The server-computed MD5 must equal digest.mysql_compat_row_hash_col
+    for the same logical rows, or pushdown/non-pushdown sides could
+    never be diffed. Simulated server side: pure-hashlib forward
+    implementation of MySQL's documented CONCAT_WS/MD5 semantics."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_spark.digest import mysql_compat_row_hash_col
+
+    rows = [(1, "alice", None), (2, None, 7), (3, "x#y", 0)]
+    df = spark.createDataFrame(rows, "id INT, name STRING, n INT")
+    got = {
+        r["id"]: r["h"]
+        for r in df.select(
+            "id", mysql_compat_row_hash_col(df).alias("h")
+        ).collect()
+    }
+    for row in rows:
+        payload = "#".join(
+            "NULL" if v is None else str(v) for v in row
+        )
+        assert got[row[0]] == hashlib.md5(payload.encode()).hexdigest()

@@ -66,6 +66,20 @@ def _peak_rss_mb() -> int:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
 
 
+def _jvm_peak_rss_mb(spark) -> int:
+    """Peak RSS (VmHWM) of the driver JVM — the process that actually
+    holds broadcast/collect state in local mode."""
+    try:
+        pid = spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmHWM:"):
+                    return int(line.split()[1]) // 1024
+    except Exception:
+        pass
+    return -1
+
+
 def _replica(docs, i: int):
     """Replica i of the docs table: ids shifted, every word rewritten
     to md5(word||i) truncated to the word's length — same corpus shape
@@ -191,10 +205,17 @@ def run_tail_smoke() -> None:
         if os.path.exists(dst):
             continue
         src = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
-        parts = [
-            src.withColumn(key, F.col(key) + F.lit(i * shift))
-            for i in range(10)
-        ]
+        if t == "documents":
+            # replica-UNIQUE text (see _replica): plain id-shifted copies
+            # would make every doc a 10-clique of exact near-dups, so
+            # dedup keys would measure a pathological dup-density corpus
+            # instead of 10x growth of normal-shaped data
+            parts = [_replica(src, i) for i in range(10)]
+        else:
+            parts = [
+                src.withColumn(key, F.col(key) + F.lit(i * shift))
+                for i in range(10)
+            ]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -222,7 +243,8 @@ def run_tail_smoke() -> None:
         force(qmap[name](spark, sf1))
         out[name] = {
             "sec": round(time.time() - t0, 3),
-            "peak_rss_mb": _peak_rss_mb(),
+            "py_peak_rss_mb": _peak_rss_mb(),
+            "jvm_peak_rss_mb": _jvm_peak_rss_mb(spark),
         }
         print(json.dumps({name: out[name]}), flush=True)
     print(json.dumps({"sf1_tail": out}))

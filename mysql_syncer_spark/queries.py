@@ -2301,6 +2301,35 @@ def incremental_ingest_2pct_indexed(
 _MHIDX_FP_CACHE: dict[tuple[str, int], str] = {}
 
 
+@_register(
+    "bloom_new_docs_gate",
+    f"""WITH sides AS (
+          SELECT doc_id,
+                 CASE WHEN {{bucket}} < 9000 THEN 0 ELSE 1 END AS side
+          FROM documents),
+         corpus_fp AS (
+          SELECT DISTINCT md5({{norm}}) AS fp
+          FROM documents d JOIN sides s ON s.doc_id = d.doc_id AND s.side = 0)
+        SELECT d.* FROM documents d
+        JOIN sides s ON s.doc_id = d.doc_id AND s.side = 1
+        WHERE md5({{norm}}) NOT IN (SELECT fp FROM corpus_fp)""".format(
+        bucket=_DOC_BUCKET_SQL, norm=_NORM_SQL
+    ),
+)
+def bloom_new_docs_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E82: Bloom-prefiltered exact-dedup ingest gate — incoming docs
+    (10% hash split) not fingerprint-present in the corpus (90%). The
+    corpus fp set is compressed into a fixed-size distributed bit
+    array (operators/bloom.py): definitely-new docs skip the exact
+    anti-join entirely (Bloom negatives are exact), only the ~FP-rate
+    sliver joins — so the composition is OUTPUT-IDENTICAL to the plain
+    anti-join, which is exactly what the oracle checks."""
+    from mysql_syncer_spark.operators.bloom import bloom_new_docs
+
+    corpus, incoming = _ingest_pair(spark, sf_dir, 9000)
+    return bloom_new_docs(corpus, incoming)
+
+
 def _profile_oracle_sql() -> str:
     """Per-column UNION ALL mirror of operators/profile.py with the
     identical min/max stringification rule (doubles through

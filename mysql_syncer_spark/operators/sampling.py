@@ -250,3 +250,67 @@ def quota_sample(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epoch: int,
+    num_shards: int = 8,
+    salt: str = "",
+    shard_col: str = "shard",
+    pos_col: str = "epoch_pos",
+) -> DataFrame:
+    """Deterministic per-epoch training order: every epoch gets a fresh
+    global reshuffle of the corpus, reproducible bit-for-bit across
+    runs/engines/partitionings — what ``df.orderBy(rand(seed))`` cannot
+    promise (per-partition RNG reassigns rows after a repartition).
+
+    Each row gets a per-epoch order key ``md5(salt#epoch#key)``; rows
+    are dealt into ``num_shards`` shards by that key (data-parallel
+    trainer workers each read one shard) and numbered within their
+    shard by (order key, key) — the md5 makes both the shard deal and
+    the within-shard order change completely between epochs.
+
+    Shape: one shuffle on the shard id + a per-shard sort window —
+    parallel across shards, nothing global; at 100 TB pick num_shards
+    ≈ trainer world size × files-per-worker.
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    from pyspark.sql import Window
+
+    ekey = F.md5(
+        F.concat_ws(
+            "#", F.lit(salt), F.lit(str(int(epoch))),
+            F.col(key_col).cast("string"),
+        )
+    )
+    out = df.withColumn("__ekey", ekey).withColumn(
+        shard_col,
+        F.pmod(
+            F.conv(F.substring("__ekey", 1, _HEX_PREFIX), 16, 10).cast("long"),
+            F.lit(num_shards),
+        ).cast("int"),
+    )
+    w = Window.partitionBy(shard_col).orderBy("__ekey", key_col)
+    return out.withColumn(pos_col, F.row_number().over(w)).drop("__ekey")
+
+
+def duckdb_epoch_shuffle_sql(
+    key: str, epoch: int, num_shards: int = 8, salt: str = ""
+) -> str:
+    """DuckDB mirror of :func:`epoch_shuffle`'s (shard, pos) columns."""
+    ekey = (
+        f"md5(concat_ws('#', '{salt}', '{int(epoch)}', "
+        f"CAST({key} AS VARCHAR)))"
+    )
+    shard = (
+        f"CAST(('0x' || substr({ekey}, 1, {_HEX_PREFIX}))::BIGINT "
+        f"% {num_shards} AS INT)"
+    )
+    return (
+        f"{shard} AS shard, "
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY {shard} "
+        f"ORDER BY {ekey}, {key}) AS INT) AS epoch_pos"
+    )

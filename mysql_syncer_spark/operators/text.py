@@ -433,6 +433,77 @@ def with_unigram_logprob(
     )
 
 
+def with_bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document corpus-bigram mean log10 conditional probability —
+    the order-sensitive sibling of :func:`with_unigram_logprob`
+    (CCNet's KenLM stage uses a 5-gram LM; the bigram is the strongest
+    n for exact cross-engine SQL parity). A doc of real words in
+    scrambled order scores high under the unigram model but LOW here:
+    ``p(w_i | w_{i-1}) = c(w_{i-1} w_i) / c_ctx(w_{i-1})`` punishes
+    improbable transitions, not just improbable words.
+
+    Output: one row per input doc — ``id_col``, ``n_bigrams`` (0 for
+    docs with < 2 tokens), ``logprob`` (mean log10 conditional bigram
+    probability, 6 dp; NULL when the doc has no bigrams).
+
+    No smoothing needed: every bigram of every doc is in the corpus
+    counts by construction, and every context count >= its bigram
+    count, so 0 < p <= 1 always.
+
+    Plan shape: bigram stream = one row-local zip_with restatement;
+    bigram counts = one combinable (w1, w2) shuffle (distinct-bigram-
+    sized — bigger than the unigram vocab but still ≪ corpus by Zipf);
+    context counts derive from the counts table (second tiny shuffle);
+    the probability lookup joins the doc's bigram stream against the
+    counts on (w1, w2) — AQE broadcasts it when it fits, else a plain
+    hash join on the bigram key; per-doc mean = one doc-id shuffle.
+    """
+    toks = F.filter(
+        F.split(normalized_text(text_col), " "), lambda x: x != ""
+    )
+    # materialize the tokens array once so both slice sides of the
+    # zip_with read the same child expression
+    base = df.withColumn("__toks", toks)
+    t = F.col("__toks")
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    stream = (
+        base.select(F.col(id_col), F.explode(bigrams).alias("__bg"))
+        .select(id_col, F.col("__bg.w1").alias("w1"),
+                F.col("__bg.w2").alias("w2"))
+    )
+    cnt = stream.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c"))
+    ctx = cnt.groupBy("w1").agg(F.sum("__c").alias("__t"))
+    probs = cnt.join(F.broadcast(ctx), "w1").select(
+        "w1", "w2",
+        F.log10(F.col("__c").cast("double") / F.col("__t")).alias("__lp"),
+    )
+    per_doc = (
+        stream.join(probs, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.round(F.avg("__lp"), 6).alias("__avg"),
+        )
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("__n", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.col("__avg").alias("logprob"),
+    )
+
+
 def winsorize(
     df: DataFrame,
     col: str,

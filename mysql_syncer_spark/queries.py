@@ -2302,6 +2302,63 @@ _MHIDX_FP_CACHE: dict[tuple[str, int], str] = {}
 
 
 @_register(
+    "bigram_logprob_docs",
+    f"""WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split({_NORM_SQL}, ' '),
+                             x -> x != '') AS ts
+          FROM documents),
+         bg AS (
+          SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ts)),
+                          i -> struct_pack(w1 := ts[i], w2 := ts[i+1])))
+                       AS p
+            FROM toks WHERE len(ts) >= 2)),
+         cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         ctx AS (SELECT w1, SUM(c) AS t FROM cnt GROUP BY 1),
+         probs AS (
+          SELECT w1, w2, log10(c * 1.0 / t) AS lp
+          FROM cnt JOIN ctx USING (w1)),
+         per AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(AVG(lp), 6) AS avg
+          FROM bg JOIN probs USING (w1, w2) GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(p.n, 0) AS n_bigrams,
+               p.avg AS logprob
+        FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""",
+)
+def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E84: corpus-bigram LM quality score (order-sensitive CCNet-style
+    signal — scrambled word salad scores low even when every word is
+    common). See operators/text.with_bigram_logprob for the plan
+    shape."""
+    from mysql_syncer_spark.operators.text import with_bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_bigram_logprob(docs)
+
+
+@_register(
+    "epoch_shuffle_docs",
+    f"""SELECT doc_id, {sampling.duckdb_epoch_shuffle_sql("doc_id", 3, 8)}
+        FROM documents""",
+)
+def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E83: deterministic per-epoch training order — every doc dealt
+    into one of 8 trainer shards and numbered within its shard, with
+    both the deal and the order reshuffling completely between epochs
+    (md5(epoch#key) order key). One shard shuffle + per-shard sort
+    window; reproducible across engines, which is exactly what the
+    oracle checks (epoch 3 here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.epoch_shuffle(docs, "doc_id", epoch=3).select(
+        "doc_id", "shard", "epoch_pos"
+    )
+
+
+@_register(
     "bloom_new_docs_gate",
     f"""WITH sides AS (
           SELECT doc_id,

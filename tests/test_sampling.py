@@ -164,3 +164,51 @@ def test_cluster_safe_split_keeps_clusters_together(spark):
     }
     for i in set(range(1, 21)) - {1, 2, 3, 10, 11}:
         assert rows[i] == plain[i]
+
+
+def test_epoch_shuffle_determinism_and_epoch_sensitivity(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = epoch_shuffle(docs, "doc_id", epoch=1)
+    b = epoch_shuffle(docs.repartition(13), "doc_id", epoch=1)
+    rows_a = {(r["doc_id"], r["shard"], r["epoch_pos"]) for r in a.collect()}
+    rows_b = {(r["doc_id"], r["shard"], r["epoch_pos"]) for r in b.collect()}
+    assert rows_a == rows_b  # partitioning-independent
+
+    # a different epoch re-deals shards AND re-orders
+    c = {
+        (r["doc_id"], r["shard"], r["epoch_pos"])
+        for r in epoch_shuffle(docs, "doc_id", epoch=2).collect()
+    }
+    assert c != rows_a
+    moved = sum(
+        1
+        for (d1, s1, _), (d2, s2, _) in zip(
+            sorted(rows_a), sorted(c)
+        )
+        if d1 == d2 and s1 != s2
+    )
+    assert moved > len(rows_a) // 4  # most docs change shard
+
+    # positions are a clean 1..n_shard sequence per shard
+    n = docs.count()
+    per_shard = (
+        a.groupBy("shard")
+        .agg(F.count("*").alias("cnt"), F.max("epoch_pos").alias("mx"))
+        .collect()
+    )
+    assert sum(r["cnt"] for r in per_shard) == n
+    assert all(r["cnt"] == r["mx"] for r in per_shard)
+
+
+def test_epoch_shuffle_validation(spark, sf_dir):
+    import pytest as _pytest
+
+    from mysql_syncer_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with _pytest.raises(ValueError, match="num_shards"):
+        epoch_shuffle(docs, "doc_id", epoch=0, num_shards=0)

@@ -246,3 +246,70 @@ def test_vocab_divergence_flags_planted_drift(spark):
     # identical snapshots: divergence contributions ~0
     same = vocab_divergence(a, a, k=3).collect()
     assert all(abs(r["js_contrib"]) < 1e-9 for r in same)
+
+
+def test_bigram_logprob_order_sensitivity(spark):
+    """The point of the bigram over the unigram signal: a scrambled
+    doc of common words must score LOWER than fluent repetition of
+    the same transitions, while the unigram model can't tell them
+    apart."""
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_spark.operators.text import (
+        with_bigram_logprob,
+        with_unigram_logprob,
+    )
+
+    # corpus: 20 fluent docs establishing common transitions, one
+    # scrambled doc whose transitions are each corpus-rare. (With a
+    # tiny corpus the scrambled doc must NOT repeat internally, or its
+    # own repetitions make its transitions corpus-frequent too.)
+    fluent = "the cat sat on the mat"
+    scrambled = "mat the on sat cat the"  # same words, odd order
+    rows = [(i, fluent) for i in range(10, 30)]
+    rows += [(1, fluent), (2, scrambled),
+             (3, "x"), (4, None), (5, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bg = {r["doc_id"]: (r["n_bigrams"], r["logprob"])
+          for r in with_bigram_logprob(docs).collect()}
+    # short/NULL/empty docs: zero bigrams, NULL score
+    assert bg[3] == (0, None) and bg[4] == (0, None) and bg[5] == (0, None)
+    assert bg[1][0] == bg[2][0] > 0
+    # unigram scores tie (identical bag of words)
+    ug = {r["doc_id"]: r["logprob"]
+          for r in with_unigram_logprob(docs).collect()}
+    assert abs(ug[1] - ug[2]) < 0.05
+    # bigram separates them decisively
+    assert bg[1][1] > bg[2][1] + 0.5
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Exact probabilities on a tiny corpus: 'a b a b' + 'a b'.
+    Bigrams: (a,b) x3, (b,a) x1; ctx a=3, b=1 so p(b|a)=1, p(a|b)=1.
+    Doc 1 mean log10 = (0 + 0 + 0)/3 ... all transitions certain
+    except none — every bigram present with certainty 3/3 and 1/1."""
+    import math
+
+    from mysql_syncer_spark.operators.text import with_bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["logprob"])
+           for r in with_bigram_logprob(docs).collect()}
+    # corpus counts: (a,b)=3, (b,a)=1; ctx a: 3, ctx b: 1
+    # doc1 bigrams: (a,b),(b,a),(a,b) -> lps: log10(3/3), log10(1/1),
+    # log10(3/3) = 0 -> mean 0
+    assert got[1] == (3, 0.0)
+    assert got[2] == (1, 0.0)
+
+
+def test_bigram_logprob_partitioning_independent(spark, sf_dir):
+    from mysql_syncer_spark.operators.text import with_bigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {(r["doc_id"], r["n_bigrams"], r["logprob"])
+         for r in with_bigram_logprob(docs).collect()}
+    b = {(r["doc_id"], r["n_bigrams"], r["logprob"])
+         for r in with_bigram_logprob(docs.repartition(17)).collect()}
+    assert a == b

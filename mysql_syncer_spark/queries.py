@@ -248,6 +248,20 @@ _DEMOTED: tuple[str, ...] = (
     # r5: phrase search — window full; positional-anchor kernel shares
     # the posting machinery of bm25/search rows; 3-SF parity.
     "phrase_search_docs",
+    # r6: new registrations ordered BELOW the full 50-row window by
+    # design (the window already holds only exactly-provable rows and
+    # every kernel here has an in-window representative: the 98/2
+    # ingest pair shares incremental_new_docs[_indexed]'s machinery,
+    # the bloom gate's output ≡ the exact fp anti-join inside
+    # incremental_new_docs, epoch-shuffle is the hash-rank window of
+    # quota/priority sampling, bigram LM extends unigram_logprob).
+    # All five are oracle-backed, in the committed sf0.01 parity sweep
+    # (PARITY_r06.json), and 3-SF parity-tested.
+    "incremental_ingest_2pct",
+    "incremental_ingest_2pct_indexed",
+    "bloom_new_docs_gate",
+    "epoch_shuffle_docs",
+    "bigram_logprob_docs",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",

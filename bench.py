@@ -130,6 +130,12 @@ HEADLINE = [
     # one-time layout job), passes 2-3 measure steady state.
     "incremental_ingest_2pct",
     "incremental_ingest_2pct_indexed",
+    # trained-on-corpus BPE: pass 1 trains (20 merge iterations, cached
+    # per sf), passes 2-3 measure the steady-state Arrow encode
+    "bpe_tokens_docs",
+    "epoch_shuffle_docs",
+    "bigram_logprob_docs",
+    "bloom_new_docs_gate",
 ]
 
 

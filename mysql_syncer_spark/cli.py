@@ -172,6 +172,26 @@ def build_parser() -> argparse.ArgumentParser:
     p_cf.add_argument("--format", default="parquet", dest="fmt")
     session_opts(p_cf)
 
+    p_dig = sub.add_parser(
+        "digest",
+        help="print a table's digest — the 32-byte cross-system "
+             "'already in sync' handshake (Synchronizer.php:206-211)")
+    p_dig.add_argument("--path", required=True,
+                       help="parquet file/dir of the table")
+    p_dig.add_argument("--pk", default="",
+                       help="comma-separated PK columns (required for "
+                            "--mysql-compat ordering)")
+    p_dig.add_argument("--columns", default="",
+                       help="hash column subset (default: all, in "
+                            "schema order)")
+    p_dig.add_argument(
+        "--mysql-compat", action="store_true",
+        help="also emit the byte-exact ordered MySQL digest and the "
+             "SQL to run on a live MySQL master for comparison")
+    p_dig.add_argument("--mysql-table", default="t",
+                       help="db-side table name for the emitted SQL")
+    session_opts(p_dig)
+
     p_cmp = sub.add_parser(
         "index-compact",
         help="rewrite the index tables with duplicate rows removed "
@@ -318,6 +338,39 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None,
                 n_shards=args.n_shards,
             )
             print(json.dumps({"out": args.out, **rep.as_dict()}), file=out)
+            return 0
+        if args.command == "digest":
+            from mysql_syncer_spark.digest import (
+                mysql_digest_query,
+                table_digest,
+                table_digest_scalable,
+                table_digest_mysql_compat,
+            )
+
+            df = spark.read.parquet(args.path)
+            cols = (
+                [c for c in args.columns.split(",") if c]
+                or df.columns
+            )
+            row = table_digest_scalable(df, cols)
+            rec = {
+                "path": args.path,
+                "row_count": row["row_count"],
+                "hash_sum": str(row["hash_sum"]),
+                "hash_xor": row["hash_xor"],
+                "exact_digest": table_digest(df, cols),
+            }
+            if args.mysql_compat:
+                pk = [c for c in args.pk.split(",") if c]
+                if not pk:
+                    raise SystemExit("--mysql-compat requires --pk")
+                rec["mysql_compat_digest"] = table_digest_mysql_compat(
+                    df, pk, cols
+                )
+                rec["mysql_query"] = mysql_digest_query(
+                    args.mysql_table, cols, pk
+                )
+            print(json.dumps(rec), file=out)
             return 0
         if args.command in ("index-build", "ingest", "index-compact"):
             return _run_index_command(spark, args, out)

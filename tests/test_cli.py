@@ -190,3 +190,48 @@ def test_compact_command(spark, sf_dir, tmp_path):
     stats = json.loads(buf.getvalue())
     assert stats["files_before"] >= 32 and stats["files_after"] == 1
     assert spark.read.parquet(path).count() > 0
+
+
+def test_cli_digest(spark, sf_dir, tmp_path, capsys=None):
+    """digest subcommand: commutative digest + MySQL-compat handshake."""
+    import io
+    import json as _json
+
+    from mysql_syncer_spark.cli import main
+
+    # orders has float columns -> compat mode must refuse; build an
+    # int/string table for the compat check
+    src = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c#d")], "id INT, v STRING"
+    )
+    path = str(tmp_path / "t.parquet")
+    src.write.parquet(path)
+    buf = io.StringIO()
+    rc = main(
+        ["digest", "--path", path, "--pk", "id", "--mysql-compat",
+         "--mysql-table", "orders"],
+        spark=spark, out=buf,
+    )
+    assert rc == 0
+    rec = _json.loads(buf.getvalue())
+    assert rec["row_count"] == 3
+    assert len(rec["exact_digest"]) == 32
+    # compat digest matches the library call byte-for-byte
+    from mysql_syncer_spark.digest import (
+        mysql_digest_query,
+        table_digest_mysql_compat,
+    )
+
+    assert rec["mysql_compat_digest"] == table_digest_mysql_compat(
+        spark.read.parquet(path), ["id"]
+    )
+    assert rec["mysql_query"] == mysql_digest_query(
+        "orders", spark.read.parquet(path).columns, ["id"]
+    )
+
+    # without --mysql-compat: plain digests on any table
+    buf2 = io.StringIO()
+    rc2 = main(["digest", "--path", path], spark=spark, out=buf2)
+    assert rc2 == 0
+    rec2 = _json.loads(buf2.getvalue())
+    assert rec2["exact_digest"] == rec["exact_digest"]

@@ -136,6 +136,10 @@ HEADLINE = [
     "epoch_shuffle_docs",
     "bigram_logprob_docs",
     "bloom_new_docs_gate",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume",
 ]
 
 

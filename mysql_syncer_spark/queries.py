@@ -263,6 +263,13 @@ _DEMOTED: tuple[str, ...] = (
     "epoch_shuffle_docs",
     "bigram_logprob_docs",
     "bpe_tokens_docs",
+    # r6 second wave: four more TPC-H classics (Q5/Q6/Q14/Q18) — same
+    # rationale as the r5 trio: bench-keyed + 3-SF parity, kernels
+    # represented in-window (star joins, pushed filters, TakeOrdered).
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -3319,6 +3326,177 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@_register(
+    "tpch_q5_local_supplier",
+    """SELECT n.n_name,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                   AS DOUBLE) AS revenue
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                      AND c.c_nationkey = s.s_nationkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       WHERE r.r_name = 'ASIA'
+         AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o.o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY n.n_name
+       ORDER BY revenue DESC, n_name""",
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the 6-table join chain with
+    the customer-nation = supplier-nation co-location predicate —
+    region/nation dims broadcast, year-window filter pushed to the
+    orders scan; one agg shuffle on the 25-nation key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    dec = lambda col: F.col(col).cast("decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(su),
+            (li.l_suppkey == su.s_suppkey)
+            & (c.c_nationkey == su.s_nationkey),
+        )
+        .join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@_register(
+    "tpch_q6_forecast_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                  AS revenue,
+              CAST(COUNT(*) AS BIGINT) AS n_items
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount >= 0.05 AND l_discount <= 0.07
+         AND l_quantity < 24""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure scan-side predicate
+    stack + one scalar agg — the query whose entire cost is how much
+    the filters prune; every predicate reaches PushedFilters."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(18,6)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "tpch_q14_promo_revenue",
+    """SELECT CAST(ROUND(
+                100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,6))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,6)))
+                    ELSE 0 END)
+                / SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,6)))), 6)
+                AS DOUBLE) AS promo_revenue_pct
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+         AND l.l_shipdate < TIMESTAMP '1996-10-01'""",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): month-windowed lineitem joined to
+    the part dim (broadcast), conditional-sum ratio in one agg."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    pt = load_table(spark, sf_dir, "part")
+    dec = lambda col: F.col(col).cast("decimal(18,6)")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6)
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
+@_register(
+    "tpch_q18_large_volume",
+    """WITH big AS (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+       SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+              o.o_totalprice,
+              CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+       GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                o.o_totalprice
+       ORDER BY o.o_totalprice DESC, o.o_orderdate, o_orderkey
+       LIMIT 20""",
+)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large volume customers): the HAVING-subquery shape —
+    qualifying order keys from one combinable quantity agg, semi-joined
+    back (never an IN-list), customer dim joined, top-20 with full
+    deterministic tie-break."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .where(F.col("__sq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(20)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
     )
 
 

@@ -101,3 +101,58 @@ def profile_table(
             "max_value",
         )
     )
+
+
+def group_quantiles(
+    df: "DataFrame",
+    group_cols: list[str],
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    approx: bool = False,
+    round_dp: int = 6,
+) -> "DataFrame":
+    """Per-group quantiles at the (group, prob) grain — the grouped
+    sibling of the corpus-level token-quantile stats (and winsorize's
+    cut-point kernel), e.g. per-domain doc-length percentiles or
+    per-event-type value distributions for drift triage.
+
+    ONE combinable groupBy shuffle computes all probs together
+    (``percentile(v, array(...))``); the per-prob rows come from a
+    row-local posexplode of the result array, so adding probs never
+    adds jobs. ``approx=True`` swaps in ``approx_percentile``
+    (t-digest, fixed-size mergeable state) — the 100 TB form: exact
+    percentile buffers each group's values on the agg side, the sketch
+    does not. Values round to ``round_dp`` (cross-engine float
+    convention). NULL values are ignored by both forms; groups with
+    only NULLs yield NULL quantiles.
+    """
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    if not all(0.0 <= p <= 1.0 for p in probs):
+        raise ValueError(f"probs must be in [0, 1], got {probs}")
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+    agg = (
+        F.expr(
+            f"approx_percentile(`{value_col}`, "
+            f"array({', '.join(str(float(p)) for p in probs)}), 10000)"
+        )
+        if approx
+        else F.percentile(F.col(value_col), parr)
+    )
+    # an all-NULL group aggregates to scalar NULL, not an array —
+    # substitute a NULL-per-prob array so the group keeps one row per
+    # prob (same shape as every other group)
+    nulls = F.array(
+        *[F.lit(None).cast("double") for _ in probs]
+    )
+    grouped = df.groupBy(*group_cols).agg(
+        F.coalesce(agg, nulls).alias("__qs")
+    )
+    return grouped.select(
+        *group_cols,
+        F.posexplode_outer("__qs").alias("__i", "__v"),
+    ).select(
+        *group_cols,
+        F.element_at(parr, F.col("__i") + 1).alias("prob"),
+        F.round(F.col("__v"), round_dp).alias("quantile"),
+    )

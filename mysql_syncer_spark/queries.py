@@ -270,6 +270,10 @@ _DEMOTED: tuple[str, ...] = (
     "tpch_q6_forecast_revenue",
     "tpch_q14_promo_revenue",
     "tpch_q18_large_volume",
+    # r6: grouped-quantile kernel represented in-window by
+    # winsorize_events_value (same percentile agg) — oracle-backed,
+    # parity-swept.
+    "group_quantiles_events",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -3326,6 +3330,28 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@_register(
+    "group_quantiles_events",
+    " UNION ALL ".join(
+        f"""SELECT event_type, CAST({p} AS DOUBLE) AS prob,
+               ROUND(quantile_cont(value, {p}), 6) AS quantile
+            FROM events GROUP BY event_type"""
+        for p in (0.25, 0.5, 0.75, 0.95)
+    ),
+)
+def group_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E86: per-group quantiles at the (group, prob) grain — one
+    combinable groupBy computing ALL probs in a single percentile
+    array, posexploded row-locally (operators/profile.group_quantiles;
+    approx_percentile is the documented 100 TB swap)."""
+    from mysql_syncer_spark.operators.profile import group_quantiles
+
+    events = load_table(spark, sf_dir, "events")
+    return group_quantiles(
+        events, ["event_type"], "value", probs=(0.25, 0.5, 0.75, 0.95)
     )
 
 

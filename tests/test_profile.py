@@ -67,3 +67,38 @@ def test_profile_empty_table(spark):
     got = {r["column"]: r for r in profile_table(df).collect()}
     assert got["id"]["n_rows"] == 0 and got["id"]["n_distinct"] == 0
     assert got["s"]["min_value"] is None
+
+
+def test_group_quantiles(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_spark.operators.profile import group_quantiles
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)]
+        + [("b", 5.0), ("b", None), ("c", None)],
+        "g STRING, v DOUBLE",
+    )
+    out = {
+        (r["g"], r["prob"]): r["quantile"]
+        for r in group_quantiles(df, ["g"], "v", probs=(0.5, 0.9)).collect()
+    }
+    assert out[("a", 0.5)] == 50.5   # interpolated median of 1..100
+    assert out[("a", 0.9)] == 90.1
+    assert out[("b", 0.5)] == 5.0    # NULLs ignored
+    assert out[("c", 0.5)] is None   # all-NULL group survives with NULL
+
+    # approx form: same grain, estimates within tolerance
+    ap = {
+        (r["g"], r["prob"]): r["quantile"]
+        for r in group_quantiles(
+            df, ["g"], "v", probs=(0.5, 0.9), approx=True
+        ).collect()
+    }
+    assert abs(ap[("a", 0.5)] - 50.5) <= 1.0
+    assert ap[("b", 0.5)] == 5.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="probs"):
+        group_quantiles(df, ["g"], "v", probs=())

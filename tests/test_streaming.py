@@ -204,3 +204,133 @@ def test_enrich_stream_validation(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         enrich_stream(events, events, on="user_id", how="full")
+
+
+def test_stream_stream_windowed_join(spark, tmp_path):
+    """Watermarked stream-stream join (impressions ↔ clicks within 5
+    minutes): REAL two-stream run over file sources, output equals the
+    batch twin with the identical predicate; out-of-window clicks never
+    match; leftOuter emits unmatched impressions after window close."""
+    from mysql_syncer_spark.streaming.join import (
+        join_events_batch,
+        join_streams_windowed,
+    )
+
+    imp_schema = T.StructType([
+        T.StructField("key", T.LongType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("imp_id", T.LongType()),
+    ])
+    clk_schema = T.StructType([
+        T.StructField("key", T.LongType()),
+        T.StructField("r_ts", T.StringType()),
+        T.StructField("clk_id", T.LongType()),
+    ])
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    (imp_dir / "a0.json").write_text(
+        '{"key": 1, "ts": "2024-01-01 10:00:00", "imp_id": 100}\n'
+        '{"key": 2, "ts": "2024-01-01 10:01:00", "imp_id": 200}\n'
+        '{"key": 3, "ts": "2024-01-01 10:02:00", "imp_id": 300}\n'
+    )
+    (clk_dir / "b0.json").write_text(
+        # in-window click for key 1 (+2 min)
+        '{"key": 1, "r_ts": "2024-01-01 10:02:00", "clk_id": 11}\n'
+        # out-of-window click for key 2 (+30 min)
+        '{"key": 2, "r_ts": "2024-01-01 10:31:00", "clk_id": 22}\n'
+        # click BEFORE the impression for key 3: never matches
+        '{"key": 3, "r_ts": "2024-01-01 09:59:00", "clk_id": 33}\n'
+    )
+    # outer-join nulls only flush when the GLOBAL watermark (min over
+    # BOTH sides) passes the window close, and eviction runs in a batch
+    # AFTER the one that advanced it — stage watermark-advancing
+    # stragglers on BOTH streams across two later micro-batches
+    (imp_dir / "a1.json").write_text(
+        '{"key": 8, "ts": "2024-01-01 12:00:00", "imp_id": 800}\n'
+    )
+    (clk_dir / "b1.json").write_text(
+        '{"key": 9, "r_ts": "2024-01-01 12:00:00", "clk_id": 99}\n'
+    )
+    (imp_dir / "a2.json").write_text(
+        '{"key": 8, "ts": "2024-01-01 13:00:00", "imp_id": 801}\n'
+    )
+    (clk_dir / "b2.json").write_text(
+        '{"key": 9, "r_ts": "2024-01-01 13:00:00", "clk_id": 991}\n'
+    )
+    # the file source orders batches by MODIFICATION TIME, and files
+    # written in the same second tie arbitrarily — pin mtimes so the
+    # real data is batch 0 and the stragglers follow (otherwise the
+    # stragglers can run first and the 10:0x events arrive late-beyond-
+    # watermark and are dropped)
+    import os as _os
+    import time as _time
+
+    t0 = _time.time() - 100
+    for i, (d, name) in enumerate([
+        (imp_dir, "a0.json"), (clk_dir, "b0.json"),
+        (imp_dir, "a1.json"), (clk_dir, "b1.json"),
+        (imp_dir, "a2.json"), (clk_dir, "b2.json"),
+    ]):
+        _os.utime(d / name, (t0 + i * 10, t0 + i * 10))
+
+    def run(how, out_name):
+        imp = (spark.readStream.schema(imp_schema)
+               .option("maxFilesPerTrigger", 1).json(str(imp_dir)))
+        clk = (spark.readStream.schema(clk_schema)
+               .option("maxFilesPerTrigger", 1).json(str(clk_dir)))
+        joined = join_streams_windowed(
+            imp, clk, on="key", watermark="1 minute",
+            max_delay="5 minutes", how=how,
+        )
+        out = str(tmp_path / out_name)
+        q = (
+            joined.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / (out_name + "_ck")))
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    inner = run("inner", "inner_out")
+    got = {(r["imp_id"], r["clk_id"]) for r in inner.collect()}
+    assert got == {(100, 11)}
+
+    # batch twin: identical predicate over the same data
+    imp_b = spark.read.json(str(imp_dir), schema=imp_schema)
+    clk_b = spark.read.json(str(clk_dir), schema=clk_schema)
+    twin = {
+        (r["imp_id"], r["clk_id"])
+        for r in join_events_batch(
+            imp_b, clk_b, on="key", max_delay="5 minutes"
+        ).collect()
+    }
+    assert twin == got
+
+    outer = run("leftOuter", "outer_out")
+    pairs = {(r["imp_id"], r["clk_id"]) for r in outer.collect()}
+    # matched row present; unmatched impressions 200/300 emitted with
+    # NULL click once their windows closed under the watermark
+    assert (100, 11) in pairs
+    assert (200, None) in pairs and (300, None) in pairs
+    # matched impressions never ALSO emit a null row
+    assert (100, None) not in pairs
+
+
+def test_stream_stream_join_validation(spark, tmp_path):
+    from mysql_syncer_spark.streaming.join import join_streams_windowed
+
+    s1 = spark.readStream.schema("key LONG, ts STRING, v LONG").json(
+        str(tmp_path)
+    )
+    s2 = spark.readStream.schema("key LONG, r_ts STRING, v LONG").json(
+        str(tmp_path)
+    )
+    with pytest.raises(ValueError, match="collision"):
+        join_streams_windowed(s1, s2, on="key")
+    with pytest.raises(ValueError, match="how"):
+        join_streams_windowed(
+            s1, s2.withColumnRenamed("v", "w"), on="key", how="full"
+        )

@@ -140,6 +140,10 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",
     "tpch_q14_promo_revenue",
     "tpch_q18_large_volume",
+    # model-based scorer: pass 1 trains (weak-label distill, cached per
+    # sf), passes 2-3 measure the broadcast map-side scoring transform
+    "quality_score_docs",
+    "group_quantiles_events",
 ]
 
 

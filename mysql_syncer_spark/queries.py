@@ -274,6 +274,9 @@ _DEMOTED: tuple[str, ...] = (
     # winsorize_events_value (same percentile agg) — oracle-backed,
     # parity-swept.
     "group_quantiles_events",
+    # r6: model-based scorer — rows-only by nature (trained model);
+    # pytest-gated like the IVF/sketch rows.
+    "quality_score_docs",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -3331,6 +3334,36 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "n_name")
     )
+
+
+@_register("quality_score_docs")
+def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E88: model-based quality scoring — Gopher weak labels distilled
+    into a HashingTF+IDF+LogisticRegression scorer (MLlib; training is
+    partition-local gradient aggregation, scoring a broadcast map-side
+    transform). Rows-only: a trained model has no SQL-oracle form;
+    separation/determinism/round-trip are pytest-gated
+    (tests/test_classifier.py). Model cached per sf_dir so bench passes
+    measure the scoring path."""
+    from mysql_syncer_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+        weak_labels_from_gopher,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = _QMODEL_CACHE.get(sf_dir)
+    if model is None:
+        model = train_quality_classifier(
+            weak_labels_from_gopher(docs), num_features=1 << 14
+        )
+        _QMODEL_CACHE[sf_dir] = model
+    return score_quality(docs.select("doc_id", "text"), model).select(
+        "doc_id", "quality_score"
+    )
+
+
+_QMODEL_CACHE: dict[str, object] = {}
 
 
 @_register(

@@ -144,6 +144,18 @@ HEADLINE = [
     # sf), passes 2-3 measure the broadcast map-side scoring transform
     "quality_score_docs",
     "group_quantiles_events",
+    # TPC-H completion wave (the remaining spec queries expressible on
+    # the fixture schema; adaptations documented per-query)
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
 ]
 
 

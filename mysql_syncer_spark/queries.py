@@ -274,6 +274,24 @@ _DEMOTED: tuple[str, ...] = (
     # winsorize_events_value (same percentile agg) — oracle-backed,
     # parity-swept.
     "group_quantiles_events",
+    # r6 third wave: TPC-H completion (the remaining spec queries
+    # expressible on the trimmed fixture schema — adaptations named in
+    # each docstring). Same placement rationale as the earlier TPC-H
+    # waves: bench-keyed, oracle-backed, in the committed sf0.01 parity
+    # sweep + 3-SF parity tests; kernels (semi/anti with cross-table
+    # inequality, outer-join count histogram, scalar-max broadcast,
+    # disjunctive pushdown, decorrelated avg) each have an in-window
+    # representative.
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
     # r6: model-based scorer — rows-only by nature (trained model);
     # pytest-gated like the IVF/sketch rows.
     "quality_score_docs",
@@ -3717,3 +3735,527 @@ def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return phrase_search(docs, "order fast")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion wave (round 6): the remaining spec queries expressible on
+# the trimmed synthetic schema. The driver fixtures omit l_shipmode /
+# l_commitdate / l_receiptdate / l_shipinstruct, o_comment / o_clerk,
+# c_phone, p_container / p_mfgr, and the partsupp table entirely, so Q2 /
+# Q9 / Q11 / Q20 (partsupp-bound) are out of reach and several below swap
+# the missing column for an available one with the SAME kernel shape; every
+# substitution is named in the docstring. Decimal-cast sums and exact
+# decimal threshold comparisons keep both engines bit-identical (no float
+# summation-order boundaries).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpch_q4_order_priority",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+       FROM orders o
+       WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+         AND o.o_orderdate < TIMESTAMP '1996-10-01'
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_shipdate > o.o_orderdate)
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority""",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), adapted: the spec's lateness
+    predicate (l_commitdate < l_receiptdate) uses columns the fixture
+    omits, so the EXISTS probe is 'some lineitem shipped after the
+    order date' — identical kernel: quarter-windowed orders LEFT SEMI
+    JOIN lineitem on key + cross-table inequality, then a tiny-key agg.
+    Window filter reaches PushedFilters; the semi join shuffles only
+    qualifying orders."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "tpch_q7_volume_shipping",
+    """SELECT supp_nation, cust_nation, l_year,
+              CAST(SUM(volume) AS DOUBLE) AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+                    CAST(l.l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,6))) AS volume
+             FROM supplier s
+             JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+             JOIN orders o ON o.o_orderkey = l.l_orderkey
+             JOIN customer c ON c.c_custkey = o.o_custkey
+             JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+             JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+             WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+               AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l.l_shipdate < TIMESTAMP '1998-01-01') shipping
+       GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year""",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bidirectional nation-pair trade flow
+    by ship year (fixture nations NATION_1/NATION_2 stand in for the
+    spec's FRANCE/GERMANY). Both nation dims broadcast; the pair
+    disjunction is evaluated post-join on broadcast columns so the big
+    fact join stays a single pass; 2-year window pushed to the scan."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,6)")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+                "volume"
+            ),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@_register(
+    "tpch_q8_market_share",
+    """SELECT o_year,
+              CAST(ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                                  ELSE 0 END) / SUM(volume), 6) AS DOUBLE)
+                  AS mkt_share
+       FROM (SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+                    CAST(l.l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,6))) AS volume,
+                    n2.n_name AS nation
+             FROM part p
+             JOIN lineitem l ON p.p_partkey = l.l_partkey
+             JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             JOIN orders o ON l.l_orderkey = o.o_orderkey
+             JOIN customer c ON o.o_custkey = c.c_custkey
+             JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+             JOIN region r ON n1.n_regionkey = r.r_regionkey
+             JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+             WHERE r.r_name = 'AMERICA'
+               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o.o_orderdate < TIMESTAMP '1998-01-01'
+               AND p.p_type = 'ECONOMY') all_nations
+       GROUP BY o_year
+       ORDER BY o_year""",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3's share of ECONOMY-
+    part volume sold into AMERICA by order year (spec's BRAZIL /
+    STEEL substitutions per the fixture domains). The 8-way join keeps
+    lineitem as the only big side — part filter prunes before the
+    join, all dims broadcast; conditional-sum ratio in one agg."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rk")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    dec = lambda col: F.col(col).cast("decimal(18,6)")
+    vol = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    nat_vol = F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"),
+                "nation")
+        .groupBy("o_year")
+        .agg(
+            F.round(F.sum(nat_vol) / F.sum("volume"), 6)
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@_register(
+    "tpch_q13_customer_distribution",
+    """WITH c_orders AS (
+          SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+       SELECT CAST(c_count AS BIGINT) AS c_count,
+              CAST(COUNT(*) AS BIGINT) AS custdist
+       FROM c_orders
+       GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC""",
+)
+def tpch_q13_customer_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution), adapted: the
+    spec excludes orders whose o_comment matches 'special requests';
+    the fixture has no o_comment, so '1-URGENT' priority is excluded —
+    same kernel: outer join that MUST keep order-less customers
+    (COUNT(col) not COUNT(*)), then a second tiny re-aggregation over
+    the count histogram."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@_register(
+    "tpch_q15_top_supplier",
+    """WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * (1 - CAST(l_discount AS DECIMAL(18,6))))
+                     AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+       SELECT s.s_suppkey, s.s_name,
+              CAST(r.total_revenue AS DOUBLE) AS total_revenue
+       FROM supplier s
+       JOIN revenue r ON s.s_suppkey = r.supplier_no
+       WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+       ORDER BY s_suppkey""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarter revenue per supplier, then
+    the argmax via a 1-row broadcast scalar join (the spec's view +
+    scalar subquery — never a driver collect). Exact DECIMAL revenue
+    makes the max-equality tie-safe across engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    dec = lambda col: F.col(col).cast("decimal(18,6)")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("__max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "tpch_q16_supplier_part_counts",
+    """SELECT p.p_brand, p.p_type, p.p_size,
+              CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+       FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+       WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+         AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29, 33)
+       GROUP BY p.p_brand, p.p_type, p.p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+)
+def tpch_q16_supplier_part_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: the spec walks
+    partsupp, which the fixture omits — the observed supplier set per
+    part from lineitem stands in (same kernel: dim-filtered join +
+    COUNT DISTINCT over a 3-column group). The spec's supplier-
+    complaint NOT IN is unexpressible without s_comment and is
+    dropped. Part filters prune before the join; distinct-count is
+    the standard 2-phase expand."""
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29, 33)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@_register(
+    "tpch_q17_small_qty_revenue",
+    """SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) / 7.0
+                   AS DOUBLE) AS avg_yearly
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       JOIN (SELECT l_partkey,
+                    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty_sum,
+                    COUNT(*) AS qty_cnt
+             FROM lineitem GROUP BY l_partkey) t
+         ON t.l_partkey = l.l_partkey
+       WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
+         AND CAST(l.l_quantity AS DECIMAL(18,6)) * t.qty_cnt * 5
+             < t.qty_sum""",
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), adapted: p_container
+    is absent so the part predicate is brand + SMALL p_type. The
+    spec's correlated 0.2*AVG subquery is decorrelated into a per-part
+    (sum, count) aggregate joined back; the threshold is compared as
+    qty*cnt*5 < sum in exact DECIMAL — algebraically identical to
+    qty < 0.2*avg with no float summation-order boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    )
+    decq = F.col("l_quantity").cast("decimal(18,6)")
+    per_part = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum(decq).alias("qty_sum"), F.count(F.lit(1)).alias("qty_cnt")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("t_partkey"))
+        .where(decq * F.col("qty_cnt") * F.lit(5) < F.col("qty_sum"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@_register(
+    "tpch_q19_discounted_revenue",
+    """SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                  AS DOUBLE) AS revenue
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+              AND l.l_quantity BETWEEN 1 AND 11)
+          OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+              AND l.l_quantity BETWEEN 10 AND 20)
+          OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+              AND l.l_quantity BETWEEN 20 AND 30)""",
+)
+def tpch_q19_discounted_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q19 (discounted revenue), adapted: p_container and
+    l_shipinstruct/l_shipmode are absent, so each disjunct pairs
+    brand + size-range (part side) with a quantity band (lineitem
+    side) — the point of the query survives: an OR-of-ANDs spanning
+    both join sides, which Catalyst must split into the part-only
+    disjunction (Brand12|Brand23|Brand3, pushed to the part scan)
+    while evaluating the full residual post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    dec = lambda col: F.col(col).cast("decimal(18,6)")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@_register(
+    "tpch_q21_waiting_supplier",
+    """SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+       FROM lineitem l1
+       JOIN orders o ON o.o_orderkey = l1.l_orderkey
+       JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+       WHERE o.o_orderstatus = 'F'
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_shipdate >= l1.l_shipdate)
+       GROUP BY s.s_name
+       ORDER BY numwait DESC, s_name
+       LIMIT 20""",
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: with no
+    commit/receipt dates, 'the lineitem every other supplier waited
+    on' is the one shipped strictly after ALL other suppliers' items
+    of a finished ('F') order — same kernel as spec: a candidate
+    lineitem, an EXISTS (other-supplier semi join) and a NOT EXISTS
+    (other-supplier-with-inequality anti join) against the same fact,
+    then a count per supplier with top-20 tie-broken on name."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.alias("l3")
+    cand = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    sole_latest = cand.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey"))
+        & (F.col("l3.l_shipdate") >= F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    return (
+        sole_latest.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@_register(
+    "tpch_q22_global_sales_opportunity",
+    """WITH pool AS (
+          SELECT c_custkey, CAST(c_nationkey AS INT) AS cntrycode,
+                 CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+          FROM customer
+          WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+         stat AS (SELECT SUM(bal) AS bal_sum, COUNT(*) AS bal_cnt
+                  FROM pool WHERE bal > 0.0)
+       SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+              CAST(SUM(bal) AS DOUBLE) AS totacctbal
+       FROM pool, stat
+       WHERE bal * stat.bal_cnt > stat.bal_sum
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = pool.c_custkey
+                           AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+       GROUP BY cntrycode
+       ORDER BY cntrycode""",
+)
+def tpch_q22_global_sales_opportunity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: c_phone is
+    absent, so the spec's phone-prefix country pool becomes a
+    c_nationkey IN-set, and (because every fixture customer has some
+    order) 'never purchased' becomes 'no order since 2000-01-01'
+    (lapsed) — same kernel: an above-average-balance filter against a
+    scalar aggregate (1-row broadcast join, never a collect), an anti
+    join to the windowed orders, and a per-country rollup. The average test is exact: bal*cnt > sum in
+    DECIMAL(18,2) avoids the float-mean boundary entirely."""
+    pool = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").cast("int").alias("cntrycode"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    stat = pool.where(F.col("bal") > 0.0).agg(
+        F.sum("bal").alias("bal_sum"), F.count(F.lit(1)).alias("bal_cnt")
+    )
+    return (
+        pool.join(F.broadcast(stat))
+        .where(F.col("bal") * F.col("bal_cnt") > F.col("bal_sum"))
+        .join(o, pool.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -249,3 +249,46 @@ def test_drift_monitor_is_takeordered(spark, sf_dir):
     plan = plan_of(spark, "vocab_drift_docs", sf_dir)
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_tpch_q4_semi_join_with_pushed_window(spark, sf_dir):
+    """Q4: the quarter window must reach the orders scan and the
+    EXISTS probe must plan as a hash semi join (the cross-table
+    shipdate inequality rides the equi-join as a residual — a
+    BroadcastNestedLoopJoin here would re-scan lineitem per order)."""
+    plan = plan_of(spark, "tpch_q4_order_priority", sf_dir)
+    assert "GreaterThanOrEqual(o_orderdate,1996-07-01" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tpch_q19_disjunction_pushed_to_both_scans(spark, sf_dir):
+    """Q19: Catalyst must split the OR-of-ANDs spanning both join
+    sides into a part-only disjunction AND a lineitem-only quantity
+    disjunction, each pushed to its scan — reading either table
+    unfiltered is the regression this query exists to catch."""
+    plan = plan_of(spark, "tpch_q19_discounted_revenue", sf_dir)
+    assert "EqualTo(p_brand,Brand#12)" in plan, plan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q21_exists_chain_stays_hash_joins(spark, sf_dir):
+    """Q21: the EXISTS / NOT EXISTS self-joins carry supplier- and
+    shipdate-inequalities, but each has an l_orderkey equi-component —
+    they must plan as hash joins with residuals, never nested-loop,
+    and the top-20 must be a TakeOrdered, not a global sort."""
+    plan = plan_of(spark, "tpch_q21_waiting_supplier", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q15_argmax_is_broadcast_scalar(spark, sf_dir):
+    """Q15: the max-revenue threshold must arrive as a broadcast 1-row
+    join against the per-supplier aggregate — a driver collect or a
+    sort-the-world plan would not survive scale."""
+    plan = plan_of(spark, "tpch_q15_top_supplier", sf_dir)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -156,6 +156,7 @@ HEADLINE = [
     "tpch_q19_discounted_revenue",
     "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales_opportunity",
+    "anomaly_zscore_events",
 ]
 
 

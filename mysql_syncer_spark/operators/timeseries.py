@@ -96,3 +96,62 @@ def resample_gap_fill(
             .alias("value_ffill"),
         )
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int = 20,
+    min_periods: int = 5,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly detection over the PRECEDING
+    ``window`` rows (the current row never sees itself — "this point
+    vs its own history", the standard monitoring semantics).
+
+    Engine-exact construction: the frame's sum and sum-of-squares are
+    accumulated in DECIMAL (value cast to DECIMAL(18,6) — lossless for
+    fixture-style 2-dp measures; sum DECIMAL(38,6), sum-sq
+    DECIMAL(38,12)), so the windowed aggregates are bit-identical
+    across engines regardless of accumulation order. Only then do the
+    scalar mean / variance / sqrt run in IEEE double on those
+    identical inputs — identical outputs, no float summation-order
+    drift (the pitfall the verify skill records for sf0.1). Variance
+    uses the n·Σx² − (Σx)² form over the exact sums.
+
+    One window shuffle on the key; everything else is per-row codegen.
+    At 100 TB a key's history streams through one task's sorted frame
+    — rows-frame window aggs are O(1) memory per row in Tungsten.
+
+    ``z`` is NULL (and the row never anomalous) until ``min_periods``
+    history rows exist or when the history is constant (sd = 0).
+    """
+    if window < 1 or min_periods < 1:
+        raise ValueError("window and min_periods must be >= 1")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-window, -1)
+    )
+    vdec = F.col(value_col).cast("decimal(18,6)")
+    s = F.sum(vdec).over(w)
+    sq = F.sum((vdec * vdec).cast("decimal(38,12)")).over(w)
+    n = F.count(vdec).over(w)
+    mean_d = s.cast("double") / n
+    # n·Σx² − (Σx)² in double over exact decimal inputs
+    var_d = (
+        (n * sq.cast("double") - s.cast("double") * s.cast("double"))
+        / (n * (n - F.lit(1)))
+    )
+    sd = F.sqrt(var_d)
+    z = F.when(
+        (n >= min_periods) & (var_d > 0),
+        F.round((F.col(value_col) - mean_d) / sd, 6),
+    )
+    return df.withColumn("zscore", z).withColumn(
+        "is_anomaly",
+        F.when(F.col("zscore").isNotNull(), F.abs("zscore") > threshold)
+        .otherwise(F.lit(False)),
+    )

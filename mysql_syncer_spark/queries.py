@@ -292,6 +292,10 @@ _DEMOTED: tuple[str, ...] = (
     "tpch_q19_discounted_revenue",
     "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales_opportunity",
+    # r6: rolling z-score anomaly (E89) — window-agg kernel represented
+    # in-window by sessionize/latest-event windows; exact-decimal
+    # construction parity-proven at 3 SFs incl. sf0.1.
+    "anomaly_zscore_events",
     # r6: model-based scorer — rows-only by nature (trained model);
     # pytest-gated like the IVF/sketch rows.
     "quality_score_docs",
@@ -4258,4 +4262,60 @@ def tpch_q22_global_sales_opportunity(
             F.sum("bal").cast("double").alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+@_register(
+    "anomaly_zscore_events",
+    """WITH b AS (
+          SELECT user_id, event_id, ts, value,
+                 SUM(CAST(value AS DECIMAL(18,6))) OVER w AS s,
+                 SUM(CAST(CAST(value AS DECIMAL(18,6))
+                          * CAST(value AS DECIMAL(18,6))
+                          AS DECIMAL(38,12))) OVER w AS sq,
+                 COUNT(CAST(value AS DECIMAL(18,6))) OVER w AS n
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+         z AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN n >= 5
+                       AND (n * CAST(sq AS DOUBLE)
+                            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                           / (n * (n - 1)) > 0
+                      THEN ROUND((value - CAST(s AS DOUBLE) / n)
+                           / SQRT((n * CAST(sq AS DOUBLE)
+                                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                                  / (n * (n - 1))), 6)
+                 END AS zscore
+          FROM b)
+       SELECT user_id, event_id, ts, value, zscore
+       FROM z
+       WHERE zscore IS NOT NULL AND ABS(zscore) > 2.5
+       ORDER BY user_id, event_id""",
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E89: rolling z-score anomaly detection — each event scored
+    against the exact-DECIMAL mean/variance of its user's preceding
+    20 events (min 5 history rows); |z| > 2.5 flags the anomaly. One
+    window shuffle on user_id; the decimal accumulation makes the
+    windowed sums bit-identical across engines, so the double-side
+    mean/sd/sqrt math lands on identical inputs (the sf0.1 float-
+    drift pitfall engineered away rather than tolerated)."""
+    from mysql_syncer_spark.operators.timeseries import rolling_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = rolling_zscore(
+        ev,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        window=20,
+        min_periods=5,
+        threshold=2.5,
+    )
+    return (
+        scored.where(F.col("is_anomaly"))
+        .select("user_id", "event_id", "ts", "value", "zscore")
+        .orderBy("user_id", "event_id")
     )

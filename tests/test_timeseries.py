@@ -63,3 +63,96 @@ def test_gap_fill_bad_step(stream):
 
     with pytest.raises(ValueError):
         resample_gap_fill(stream, "user_id", "ts", "value", step="month")
+
+
+class TestRollingZscore:
+    def _frame(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, value double"
+        )
+
+    def test_planted_spike_flagged(self, spark):
+        import datetime as dt
+
+        from mysql_syncer_spark.operators.timeseries import rolling_zscore
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, i, t0 + dt.timedelta(minutes=i), 10.0 + (i % 3) * 0.5)
+            for i in range(10)
+        ]
+        rows.append((1, 10, t0 + dt.timedelta(minutes=10), 500.0))
+        out = rolling_zscore(
+            self._frame(spark, rows),
+            key_col="user_id", order_cols=["ts", "event_id"],
+            value_col="value", window=20, min_periods=5, threshold=3.0,
+        ).collect()
+        by_id = {r.event_id: r for r in out}
+        assert by_id[10].is_anomaly and by_id[10].zscore > 3.0
+        assert not any(r.is_anomaly for r in out if r.event_id != 10)
+
+    def test_warmup_and_constant_history_are_null(self, spark):
+        import datetime as dt
+
+        from mysql_syncer_spark.operators.timeseries import rolling_zscore
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, i, t0 + dt.timedelta(minutes=i), 7.0) for i in range(8)
+        ]
+        out = rolling_zscore(
+            self._frame(spark, rows),
+            key_col="user_id", order_cols=["ts", "event_id"],
+            value_col="value", window=20, min_periods=5,
+        ).collect()
+        # first 5 rows lack history; the rest have sd == 0 — all NULL,
+        # none anomalous
+        assert all(r.zscore is None and not r.is_anomaly for r in out)
+
+    def test_hand_computed_zscore(self, spark):
+        import datetime as dt
+        import statistics
+
+        from mysql_syncer_spark.operators.timeseries import rolling_zscore
+
+        t0 = dt.datetime(2024, 1, 1)
+        hist = [3.0, 5.0, 4.0, 6.0, 2.0]
+        rows = [
+            (1, i, t0 + dt.timedelta(minutes=i), v)
+            for i, v in enumerate(hist)
+        ] + [(1, 5, t0 + dt.timedelta(minutes=5), 9.0)]
+        out = rolling_zscore(
+            self._frame(spark, rows),
+            key_col="user_id", order_cols=["ts", "event_id"],
+            value_col="value", window=20, min_periods=5,
+        ).collect()
+        want = (9.0 - statistics.mean(hist)) / statistics.stdev(hist)
+        got = [r.zscore for r in out if r.event_id == 5][0]
+        assert abs(got - round(want, 6)) < 1e-9
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.timeseries import rolling_zscore
+
+        df = self._frame(spark, [])
+        with _pytest.raises(ValueError):
+            rolling_zscore(df, "user_id", ["ts"], "value", window=0)
+
+    def test_single_window_exchange(self, spark, sf_dir):
+        """One hash exchange on the key, no joins — the whole operator
+        must ride a single window shuffle."""
+        import re
+
+        from mysql_syncer_spark import queries as registry
+
+        df = registry.queries()["anomaly_zscore_events"](spark, sf_dir)
+        plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "Join" not in plan, plan
+        # formatted explain puts the partitioning in the Arguments line
+        n_hash_exchanges = len(
+            re.findall(r"Arguments: hashpartitioning", plan)
+        )
+        assert n_hash_exchanges == 1, plan

@@ -157,6 +157,7 @@ HEADLINE = [
     "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales_opportunity",
     "anomaly_zscore_events",
+    "cms_term_counts_docs",
 ]
 
 

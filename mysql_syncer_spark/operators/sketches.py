@@ -88,3 +88,130 @@ def hll_estimate_over(
         ).alias(out_col)
     )
     return out.drop("__all") if not group_by else out
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable FREQUENCY state (the how-many-times twin of
+# the HLL how-many-distinct above). Unlike HLL, the estimate here is fully
+# deterministic given the hash family — md5-derived positions, the engine's
+# cross-engine idiom (sampling.py) — so a DuckDB oracle can mirror the
+# EXACT same construction and the driver hash-gate applies.
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(col, row: int, width: int, salt: str):
+    """Row ``row``'s bucket for an item: md5-prefix uniform mod width.
+    Spark half of the shared idiom; the SQL half is
+    ``('0x' || substr(md5('salt#row#' || item), 1, 15))::BIGINT % width``."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}#{row}#"), col.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_build(
+    df: DataFrame,
+    item_col: str,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 2048,
+    salt: str = "cms",
+) -> DataFrame:
+    """Build a count-min sketch over ``item_col``: ``(row, bucket,
+    cnt)`` with at most depth×width rows — fixed-size state however
+    large the input.
+
+    Shape: a row-local explode of the ``depth`` hash rows (posexplode
+    of an array literal — no join, no driver state) then ONE
+    map-side-combinable count/sum shuffle on (row, bucket). Cells the
+    data never hits are simply absent (semantically zero), so an empty
+    corpus costs nothing and two sketches merge by unioning rows and
+    re-summing (`cms_merge`).
+
+    NULL items are skipped (consistent with count semantics). With
+    ``weight_col`` the sketch accumulates that column's sum instead of
+    row counts (e.g. pre-aggregated term frequencies)."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    c = F.col(item_col)
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    return (
+        df.where(c.isNotNull())
+        .select(
+            F.posexplode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row"),
+                            _cms_bucket(c, i, width, salt).alias("bucket"),
+                        )
+                        for i in range(depth)
+                    ]
+                )
+            ).alias("__pos", "__rb"),
+            w.alias("__w"),
+        )
+        .select(
+            F.col("__rb.row").alias("row"),
+            F.col("__rb.bucket").alias("bucket"),
+            F.col("__w"),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches built with the same (depth, width, salt):
+    union + re-sum — the monoid property that makes per-shard / per-day
+    sketches foldable without rescanning anything."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-estimate counts for ``items``: each item probes its
+    ``depth`` cells and takes the MIN (the count-min guarantee:
+    estimate ≥ true count, ≤ true + ε·N w.h.p.).
+
+    The sketch is at most depth×width rows — broadcast it onto the
+    (item, row) probe explode; a missing cell is a zero estimate. One
+    tiny groupBy on the item closes the min."""
+    c = F.col(item_col)
+    probes = items.where(c.isNotNull()).select(
+        c.alias(item_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_bucket(c, i, width, salt).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("__pos", "__rb"),
+    ).select(item_col, F.col("__rb.row").alias("row"),
+             F.col("__rb.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left_outer")
+    return (
+        joined.withColumn("cnt", F.coalesce("cnt", F.lit(0).cast("long")))
+        .groupBy(item_col)
+        .agg(F.min("cnt").alias("cms_count"))
+    )

@@ -296,6 +296,11 @@ _DEMOTED: tuple[str, ...] = (
     # in-window by sessionize/latest-event windows; exact-decimal
     # construction parity-proven at 3 SFs incl. sf0.1.
     "anomaly_zscore_events",
+    # r6: count-min sketch term counts (E90) — deterministic md5 hash
+    # family lets the oracle mirror the construction cell-for-cell;
+    # broadcast-probe kernel represented in-window by the bloom gate's
+    # broadcast words join. 3-SF parity like every registered query.
+    "cms_term_counts_docs",
     # r6: model-based scorer — rows-only by nature (trained model);
     # pytest-gated like the IVF/sketch rows.
     "quality_score_docs",
@@ -4318,4 +4323,60 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.where(F.col("is_anomaly"))
         .select("user_id", "event_id", "ts", "value", "zscore")
         .orderBy("user_id", "event_id")
+    )
+
+
+@_register(
+    "cms_term_counts_docs",
+    r"""WITH w AS (
+          SELECT unnest(string_split(regexp_replace(trim(lower(text)),
+                     '\s+', ' ', 'g'), ' ')) AS term
+          FROM documents),
+         wf AS (SELECT term FROM w WHERE term <> ''),
+         rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row),
+         cells AS (
+          SELECT r.row,
+                 CAST(('0x' || substr(md5('cms#' || CAST(r.row AS VARCHAR)
+                     || '#' || term), 1, 15)) AS BIGINT) % 2048 AS bucket,
+                 COUNT(*) AS cnt
+          FROM wf, rows_ r
+          GROUP BY 1, 2),
+         probes AS (
+          SELECT q.term, r.row,
+                 CAST(('0x' || substr(md5('cms#' || CAST(r.row AS VARCHAR)
+                     || '#' || q.term), 1, 15)) AS BIGINT) % 2048 AS bucket
+          FROM (SELECT unnest(['spark', 'join', 'merge', 'order', 'fast',
+                               'the', 'zzz_absent_term']) AS term) q,
+               rows_ r)
+       SELECT p.term, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_count
+       FROM probes p
+       LEFT JOIN cells c ON c.row = p.row AND c.bucket = p.bucket
+       GROUP BY p.term
+       ORDER BY term""",
+)
+def cms_term_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E90: count-min sketch term frequencies — the sketch (≤ 4×2048
+    cells, one combinable shuffle however big the corpus) probed for a
+    fixed term list; estimate = min over the 4 md5-derived cells.
+    Deterministic hash family ⇒ the DuckDB oracle mirrors the exact
+    construction cell-for-cell (unlike HLL, whose estimate has no SQL
+    form). Sketch broadcast onto the probes; absent terms estimate
+    from empty cells (0 unless collided)."""
+    from mysql_syncer_spark.operators.sketches import cms_build, cms_estimate
+    from mysql_syncer_spark.operators.text import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            F.explode(F.split(normalized_text("text"), " ")).alias("term")
+        ).where(F.col("term") != "")
+    )
+    sketch = cms_build(toks, "term", depth=4, width=2048)
+    probes = spark.createDataFrame(
+        [("spark",), ("join",), ("merge",), ("order",), ("fast",),
+         ("the",), ("zzz_absent_term",)],
+        "term string",
+    )
+    return cms_estimate(sketch, probes, "term", depth=4, width=2048).orderBy(
+        "term"
     )

@@ -109,3 +109,110 @@ def test_hll_merge_equals_direct_union(spark, sf_dir):
         for r in hll_estimate_over(direct, ["event_type"]).collect()
     }
     assert a == b
+
+
+class TestCountMinSketch:
+    PARAMS = dict(depth=4, width=256)
+
+    def _items(self, spark, data):
+        return spark.createDataFrame([(x,) for x in data], "item string")
+
+    def test_never_underestimates_and_small_width_overestimates(self, spark):
+        from mysql_syncer_spark.operators.sketches import (
+            cms_build, cms_estimate,
+        )
+
+        data = (["a"] * 50) + (["b"] * 20) + [f"x{i}" for i in range(300)]
+        df = self._items(spark, data)
+        sketch = cms_build(df, "item", **self.PARAMS)
+        probes = self._items(spark, ["a", "b", "x0", "absent"])
+        got = {
+            r.item: r.cms_count
+            for r in cms_estimate(sketch, probes, "item", **self.PARAMS)
+            .collect()
+        }
+        # the count-min guarantee: estimate >= truth, always
+        assert got["a"] >= 50 and got["b"] >= 20 and got["x0"] >= 1
+        assert got["absent"] >= 0
+        # and the sketch is genuinely bounded
+        assert sketch.count() <= 4 * 256
+
+    def test_exact_when_no_collisions(self, spark):
+        from mysql_syncer_spark.operators.sketches import (
+            cms_build, cms_estimate,
+        )
+
+        data = (["a"] * 7) + (["b"] * 3)  # 2 items in 4x2048 cells
+        sketch = cms_build(self._items(spark, data), "item")
+        got = {
+            r.item: r.cms_count
+            for r in cms_estimate(
+                sketch, self._items(spark, ["a", "b"]), "item"
+            ).collect()
+        }
+        assert got == {"a": 7, "b": 3}
+
+    def test_merge_equals_rebuild(self, spark):
+        from mysql_syncer_spark.operators.sketches import (
+            cms_build, cms_estimate, cms_merge,
+        )
+
+        day1 = (["a"] * 5) + ["b"]
+        day2 = (["a"] * 2) + (["c"] * 9)
+        s1 = cms_build(self._items(spark, day1), "item", **self.PARAMS)
+        s2 = cms_build(self._items(spark, day2), "item", **self.PARAMS)
+        merged = cms_merge(s1, s2)
+        rebuilt = cms_build(
+            self._items(spark, day1 + day2), "item", **self.PARAMS
+        )
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, rebuilt.collect())
+        )
+
+    def test_weighted_build(self, spark):
+        from mysql_syncer_spark.operators.sketches import (
+            cms_build, cms_estimate,
+        )
+
+        tf = spark.createDataFrame(
+            [("a", 11), ("b", 4)], "item string, tf long"
+        )
+        sketch = cms_build(tf, "item", weight_col="tf")
+        got = {
+            r.item: r.cms_count
+            for r in cms_estimate(
+                sketch, self._items(spark, ["a", "b"]), "item"
+            ).collect()
+        }
+        assert got == {"a": 11, "b": 4}
+
+    def test_null_items_skipped_and_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.sketches import cms_build
+
+        df = self._items(spark, ["a"]).unionByName(
+            self._items(spark, ["a"]).selectExpr("CAST(NULL AS STRING) item")
+        )
+        total = (
+            cms_build(df, "item", **self.PARAMS)
+            .groupBy()
+            .sum("cnt")
+            .collect()[0][0]
+        )
+        assert total == 1 * 4  # one non-null item, depth rows
+        with _pytest.raises(ValueError):
+            cms_build(df, "item", depth=0)
+
+    def test_sketch_broadcast_onto_probes(self, spark, sf_dir):
+        """The ≤ depth×width sketch must broadcast; shuffling the probe
+        side on (row, bucket) is the plan this operator exists to
+        avoid."""
+        from mysql_syncer_spark import queries as registry
+
+        df = registry.queries()["cms_term_counts_docs"](spark, sf_dir)
+        plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan

@@ -314,3 +314,91 @@ def duckdb_epoch_shuffle_sql(
         f"CAST(ROW_NUMBER() OVER (PARTITION BY {shard} "
         f"ORDER BY {ekey}, {key}) AS INT) AS epoch_pos"
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling with deterministic key-hash
+    thresholds: stratum ``g`` keeps ~``fractions[g]`` of its rows
+    (groups absent from the map keep ``default_fraction``). The
+    language/domain rebalancing primitive: e.g. keep 10% of English,
+    100% of low-resource languages.
+
+    Same guarantees as `hash_sample`, per stratum: deterministic,
+    order/partitioning-independent, and NESTED — a key kept at 5% is
+    also kept at any higher fraction (thresholds on one shared hash),
+    so shrinking a stratum's budget only removes rows. Zero shuffles:
+    the predicate is pure codegen on (group, key hash).
+
+    DuckDB mirror: ``<bucket_sql> < CASE group WHEN ... THEN t ... END``
+    with thresholds ``int(round(fraction * BUCKETS))``.
+    """
+    for g, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(
+            f"default_fraction must be in [0, 1], got {default_fraction}"
+        )
+    thr = F.lit(int(round(default_fraction * BUCKETS)))
+    for g, f in sorted(fractions.items()):
+        thr = F.when(
+            F.col(group_col) == g, F.lit(int(round(f * BUCKETS)))
+        ).otherwise(thr)
+    return df.where(hash_bucket(key_col, salt) < thr)
+
+
+def replicate_mixture(
+    df: DataFrame,
+    group_col: str,
+    multipliers: dict[str, float],
+    key_col: str,
+    salt: str = "",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Epoch-multiplier resampling WITH replication — the upsampling
+    complement of `mixture_sample` (which can only downsample): stratum
+    ``g`` is repeated ``multipliers[g]`` times per epoch, e.g.
+    {wikipedia: 3.0, books: 2.5, web: 0.8} in a pretraining mix. Each
+    row materializes ``floor(m)`` copies plus one more with probability
+    ``frac(m)`` (deterministic per-key hash Bernoulli — the fractional
+    epoch takes a CONSISTENT subset, the same rows every run, nested
+    with any smaller fraction). Groups absent from the map are dropped
+    (multiplier 0).
+
+    Spark shape: a CASE over broadcastable literals computes each row's
+    copy count, ``explode(sequence(1, n))`` fans it out row-locally —
+    zero shuffles, zero joins at any scale; output size IS the target
+    size. ``copy_col`` (1-based) distinguishes replicas so a downstream
+    epoch shuffle can spread them.
+
+    DuckDB mirror: ``unnest(generate_series(1, n))`` over the same CASE
+    + bucket threshold arithmetic.
+    """
+    for g, m in multipliers.items():
+        if m < 0:
+            raise ValueError(f"multiplier for {g!r} must be >= 0, got {m}")
+    whole = F.lit(0)
+    frac_thr = F.lit(0)
+    for g, m in sorted(multipliers.items()):
+        whole = F.when(F.col(group_col) == g, F.lit(int(m))).otherwise(whole)
+        frac_thr = F.when(
+            F.col(group_col) == g,
+            F.lit(int(round((m - int(m)) * BUCKETS))),
+        ).otherwise(frac_thr)
+    n = whole + (hash_bucket(key_col, salt) < frac_thr).cast("int")
+    return (
+        df.withColumn("__n_copies", n)
+        .where(F.col("__n_copies") > 0)
+        .withColumn(
+            copy_col,
+            F.explode(F.sequence(F.lit(1), F.col("__n_copies"))),
+        )
+        .drop("__n_copies")
+    )

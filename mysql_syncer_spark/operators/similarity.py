@@ -527,3 +527,41 @@ def dequantize_embeddings(
             F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)
         ),
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    per_cluster: int,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "",
+) -> DataFrame:
+    """Density equalization over embedding space (the cluster-balanced
+    curation stage of SemDeDup-family pipelines): train the k-means
+    coarse codebook (ivf_train — deterministic Lloyd, no RNG), assign
+    every vector to its nearest centroid, then cap each cluster at
+    ``per_cluster`` members with the deterministic hash-rank quota.
+    Dense regions (boilerplate-adjacent, over-crawled topics) are
+    downsampled to the cap; sparse regions survive whole — the output
+    covers the space instead of mirroring its density.
+
+    Scale shape: codebook is k×dim driver state baked into the plan as
+    literals; assignment is one embarrassingly parallel scan; the cap
+    is one window shuffle on the cluster id (operators/sampling.py
+    `quota_sample`). Nothing data-sized ever sits on the driver.
+
+    Output: the surviving rows with their ``list_id`` cluster column.
+    """
+    from mysql_syncer_spark.operators.sampling import quota_sample
+
+    if per_cluster < 1:
+        raise ValueError(f"per_cluster must be >= 1, got {per_cluster}")
+    centroids = ivf_train(df, k=k, iters=iters, id_col=id_col,
+                          vec_col=vec_col)
+    assigned = ivf_assign(df, centroids, id_col, vec_col).select(
+        id_col, "list_id"
+    )
+    capped = quota_sample(assigned, "list_id", per_cluster, id_col, salt)
+    return df.join(capped, id_col, "inner")

@@ -301,6 +301,15 @@ _DEMOTED: tuple[str, ...] = (
     # broadcast-probe kernel represented in-window by the bloom gate's
     # broadcast words join. 3-SF parity like every registered query.
     "cms_term_counts_docs",
+    # r6: stratified per-stratum Bernoulli sample (E92) — zero-shuffle
+    # hash-threshold kernel shared with in-window hash_split/quota rows.
+    "stratified_sample_docs",
+    # r6: cluster-balanced sample (E91) — rows-only by nature (k-means
+    # float chain); pytest-gated like the IVF rows.
+    "cluster_balanced_sample_embeddings",
+    # r6: replication mixture (E94) — row-local explode kernel shared
+    # with in-window chunk/pack rows; oracle-backed, parity-swept.
+    "replicate_mixture_docs",
     # r6: model-based scorer — rows-only by nature (trained model);
     # pytest-gated like the IVF/sketch rows.
     "quality_score_docs",
@@ -4379,4 +4388,104 @@ def cms_term_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cms_estimate(sketch, probes, "term", depth=4, width=2048).orderBy(
         "term"
+    )
+
+
+@_register(
+    "stratified_sample_docs",
+    """SELECT doc_id, lang, source
+       FROM documents
+       WHERE (('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  ::BIGINT % 10000 + 10000) % 10000
+             < CASE lang WHEN 'de' THEN 10000
+                         WHEN 'en' THEN 2000
+                         WHEN 'es' THEN 5000
+                         WHEN 'fr' THEN 10000
+                         ELSE 0 END
+       ORDER BY doc_id""",
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E92: per-stratum Bernoulli rebalancing — keep 20% of English,
+    half of Spanish, all German/French (the low-resource-language
+    upweighting move). Zero shuffles: pure codegen (group, key-hash)
+    predicate; nested thresholds mean shrinking a stratum's budget
+    only removes rows."""
+    from mysql_syncer_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(
+            docs,
+            group_col="lang",
+            fractions={"en": 0.2, "es": 0.5, "de": 1.0, "fr": 1.0},
+            key_col="doc_id",
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@_register("cluster_balanced_sample_embeddings")  # no SQL oracle: k-means
+def cluster_balanced_sample_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E91: density equalization — cap every embedding-space k-means
+    cluster at 40 members (dense over-crawled regions downsampled,
+    sparse regions kept whole). Rows-only by nature (the Lloyd
+    codebook's float chain has no SQL form); the semantics gates are
+    pytest (caps, determinism, density correction)."""
+    from mysql_syncer_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        cluster_balanced_sample(
+            emb, per_cluster=40, k=8, iters=2,
+            id_col="vec_id", vec_col="embedding",
+        )
+        .select("vec_id", "list_id")
+        .orderBy("vec_id")
+    )
+
+
+@_register(
+    "replicate_mixture_docs",
+    """WITH n AS (
+          SELECT doc_id, lang,
+                 CASE lang WHEN 'de' THEN 3 WHEN 'fr' THEN 2
+                           WHEN 'en' THEN 0 WHEN 'es' THEN 1
+                           ELSE 0 END
+                 + CASE WHEN (('0x' || substr(md5('' ||
+                       CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+                       + 10000) % 10000
+                       < CASE lang WHEN 'de' THEN 0 WHEN 'fr' THEN 5000
+                                   WHEN 'en' THEN 8000 WHEN 'es' THEN 2500
+                                   ELSE 0 END
+                        THEN 1 ELSE 0 END AS n_copies
+          FROM documents)
+       SELECT doc_id, lang,
+              CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy_idx
+       FROM n
+       WHERE n_copies > 0
+       ORDER BY doc_id, copy_idx""",
+)
+def replicate_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E94: epoch-multiplier resampling with replication — German ×3,
+    French ×2.5, Spanish ×1.25, English ×0.8 (the low-resource
+    upweighting mix): floor(m) copies per row plus a deterministic
+    hash-Bernoulli fractional epoch. Row-local sequence explode; zero
+    shuffles (plan-gated)."""
+    from mysql_syncer_spark.operators.sampling import replicate_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        replicate_mixture(
+            docs,
+            group_col="lang",
+            multipliers={"de": 3.0, "fr": 2.5, "es": 1.25, "en": 0.8},
+            key_col="doc_id",
+        )
+        .select("doc_id", "lang", "copy_idx")
+        .orderBy("doc_id", "copy_idx")
     )

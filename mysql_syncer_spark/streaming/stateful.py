@@ -156,3 +156,120 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+ANOMALY_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("zscore", T.DoubleType()),
+        T.StructField("is_anomaly", T.BooleanType()),
+    ]
+)
+
+#: rolling history: the last `window` values as micro-units (value·1e6,
+#: exact ints — the streaming mirror of the batch operator's DECIMAL(18,6)
+#: accumulation, so both sides compute from identical exact sums)
+_Z_STATE_SCHEMA = T.StructType(
+    [T.StructField("hist_micro", T.ArrayType(T.LongType()))]
+)
+
+
+def anomaly_zscore_stream(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: int = 20,
+    min_periods: int = 5,
+    threshold: float = 2.5,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming rolling z-score anomaly detection — the stateful twin
+    of operators/timeseries.rolling_zscore: every event is scored
+    against its key's last ``window`` values, live, with
+    ``applyInPandasWithState`` holding exactly those values (≤ window
+    longs per active key — bounded state, no timeline rescan).
+
+    The history is kept as micro-units (value·1e6 as exact int64), the
+    streaming mirror of the batch operator's DECIMAL(18,6) sums: both
+    sides derive mean/variance from identical exact integers, so an
+    in-order replay of a batch through this operator yields the SAME
+    zscores (pytest-gated, the rows-only analogue of an oracle).
+
+    Ordering: events are scored in (ts, id) order *within* each
+    micro-batch; a row arriving in a later batch than a timestamp-later
+    row scores against the history as of its arrival (the unavoidable
+    streaming/batch divergence — the watermark bounds how stale that
+    can be).
+    """
+    if window < 1 or min_periods < 1:
+        raise ValueError("window and min_periods must be >= 1")
+
+    win, minp, thr = window, min_periods, threshold
+
+    def fold(key, pdfs, state: GroupState):
+        import math
+
+        import pandas as pd
+
+        user = key[0]
+        rows = []
+        for pdf in pdfs:
+            for eid, ts_us, v in zip(
+                pdf["__id"], pdf["__ts_us"], pdf["__value"]
+            ):
+                rows.append((int(ts_us), int(eid), float(v)))
+        rows.sort()
+        hist = list(state.get[0]) if state.exists else []
+        out = []
+        for ts_us, eid, v in rows:
+            n = len(hist)
+            z = None
+            if n >= minp:
+                s = sum(hist)            # exact int micro-units
+                sq = sum(h * h for h in hist)  # exact int micro^2
+                s_d, sq_d = s / 1e6, sq / 1e12
+                var = (n * sq_d - s_d * s_d) / (n * (n - 1))
+                if var > 0:
+                    z = round((v - s_d / n) / math.sqrt(var), 6)
+            out.append(
+                {
+                    "user_id": user,
+                    "event_id": eid,
+                    "ts": pd.Timestamp(ts_us, unit="us"),
+                    "value": v,
+                    "zscore": z,
+                    "is_anomaly": bool(z is not None and abs(z) > thr),
+                }
+            )
+            hist.append(int(round(v * 1e6)))
+            if len(hist) > win:
+                hist = hist[-win:]
+        state.update((hist,))
+        if out:
+            yield pd.DataFrame(out)
+
+    prepped = (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col),
+            F.col(id_col).cast("long").alias("__id"),
+            (F.col(ts_col).cast("double") * 1_000_000)
+            .cast("long")
+            .alias("__ts_us"),
+            F.col(value_col).cast("double").alias("__value"),
+            F.col(ts_col),
+        )
+    )
+    return prepped.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=_Z_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -212,3 +212,150 @@ def test_epoch_shuffle_validation(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with _pytest.raises(ValueError, match="num_shards"):
         epoch_shuffle(docs, "doc_id", epoch=0, num_shards=0)
+
+
+class TestStratifiedSample:
+    def _docs(self, spark):
+        rows = [(i, "en" if i % 4 != 3 else "de") for i in range(400)]
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def test_per_stratum_rates(self, spark):
+        from mysql_syncer_spark.operators.sampling import stratified_sample
+
+        df = self._docs(spark)
+        out = stratified_sample(
+            df, "lang", {"en": 0.2, "de": 1.0}, "doc_id"
+        )
+        by = {r["lang"]: r["n"] for r in out.groupBy("lang")
+              .agg(F.count("*").alias("n")).collect()}
+        n_en = df.where("lang = 'en'").count()
+        assert by["de"] == df.where("lang = 'de'").count()  # kept whole
+        assert 0.1 * n_en < by.get("en", 0) < 0.35 * n_en   # ~20%
+
+    def test_nested_thresholds(self, spark):
+        from mysql_syncer_spark.operators.sampling import stratified_sample
+
+        df = self._docs(spark)
+        small = {r.doc_id for r in stratified_sample(
+            df, "lang", {"en": 0.1, "de": 0.1}, "doc_id").collect()}
+        big = {r.doc_id for r in stratified_sample(
+            df, "lang", {"en": 0.4, "de": 0.4}, "doc_id").collect()}
+        assert small <= big
+
+    def test_default_fraction_drops_unlisted(self, spark):
+        from mysql_syncer_spark.operators.sampling import stratified_sample
+
+        df = self._docs(spark)
+        out = stratified_sample(df, "lang", {"de": 1.0}, "doc_id")
+        assert out.where("lang = 'en'").count() == 0
+
+    def test_determinism_under_repartition(self, spark):
+        from mysql_syncer_spark.operators.sampling import stratified_sample
+
+        df = self._docs(spark)
+        a = {r.doc_id for r in stratified_sample(
+            df, "lang", {"en": 0.3, "de": 0.7}, "doc_id").collect()}
+        b = {r.doc_id for r in stratified_sample(
+            df.repartition(7), "lang", {"en": 0.3, "de": 0.7},
+            "doc_id").collect()}
+        assert a == b
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.sampling import stratified_sample
+
+        df = self._docs(spark)
+        with _pytest.raises(ValueError):
+            stratified_sample(df, "lang", {"en": 1.5}, "doc_id")
+        with _pytest.raises(ValueError):
+            stratified_sample(df, "lang", {}, "doc_id", default_fraction=-1)
+
+    def test_zero_shuffle_plan(self, spark, sf_dir):
+        from mysql_syncer_spark import queries as registry
+
+        df = registry.queries()["stratified_sample_docs"](spark, sf_dir)
+        plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "Arguments: hashpartitioning" not in plan, plan
+        assert "Join" not in plan, plan
+
+
+class TestReplicateMixture:
+    def _docs(self, spark):
+        rows = [(i, "de" if i % 3 == 0 else "web") for i in range(300)]
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def test_whole_multiplier_exact(self, spark):
+        from mysql_syncer_spark.operators.sampling import replicate_mixture
+
+        df = self._docs(spark)
+        out = replicate_mixture(
+            df, "lang", {"de": 3.0, "web": 1.0}, "doc_id"
+        )
+        n_de = df.where("lang = 'de'").count()
+        assert out.where("lang = 'de'").count() == 3 * n_de
+        assert out.where("lang = 'web'").count() == df.where(
+            "lang = 'web'").count()
+        # copies are indexed 1..n
+        idx = out.where("lang = 'de'").groupBy("doc_id").agg(
+            F.sort_array(F.collect_list("copy_idx")).alias("c")).collect()
+        assert all(r.c == [1, 2, 3] for r in idx)
+
+    def test_fractional_epoch_rate_and_nesting(self, spark):
+        from mysql_syncer_spark.operators.sampling import replicate_mixture
+
+        df = self._docs(spark)
+        out = replicate_mixture(df, "lang", {"web": 1.5}, "doc_id")
+        n_web = df.where("lang = 'web'").count()
+        total = out.count()
+        assert n_web * 1.3 < total < n_web * 1.7  # ~1.5 epochs
+        # every doc has copy 1; only the consistent subset has copy 2
+        assert out.where("copy_idx = 1").count() == n_web
+        two = {r.doc_id for r in out.where("copy_idx = 2").collect()}
+        bigger = {
+            r.doc_id
+            for r in replicate_mixture(
+                df, "lang", {"web": 1.8}, "doc_id"
+            ).where("copy_idx = 2").collect()
+        }
+        assert two <= bigger  # nested fractional epochs
+
+    def test_zero_and_absent_groups_dropped(self, spark):
+        from mysql_syncer_spark.operators.sampling import replicate_mixture
+
+        df = self._docs(spark)
+        out = replicate_mixture(df, "lang", {"de": 0.0}, "doc_id")
+        assert out.count() == 0
+
+    def test_determinism_under_repartition(self, spark):
+        from mysql_syncer_spark.operators.sampling import replicate_mixture
+
+        df = self._docs(spark)
+        a = sorted(map(tuple, replicate_mixture(
+            df, "lang", {"de": 2.5, "web": 0.5}, "doc_id").collect()))
+        b = sorted(map(tuple, replicate_mixture(
+            df.repartition(11), "lang", {"de": 2.5, "web": 0.5},
+            "doc_id").collect()))
+        assert a == b
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.sampling import replicate_mixture
+
+        with _pytest.raises(ValueError):
+            replicate_mixture(
+                self._docs(spark), "lang", {"de": -1.0}, "doc_id"
+            )
+
+    def test_zero_shuffle_plan(self, spark, sf_dir):
+        from mysql_syncer_spark import queries as registry
+
+        df = registry.queries()["replicate_mixture_docs"](spark, sf_dir)
+        plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "Arguments: hashpartitioning" not in plan, plan
+        assert "Join" not in plan, plan

@@ -306,3 +306,57 @@ def test_quantize_zero_vector(spark):
     assert out["q"] == [0, 0, 0]
     assert out["q_scale"] == 0.0
     assert out["embedding_dq"] == [0.0, 0.0, 0.0]
+
+
+class TestClusterBalancedSample:
+    def _clustered(self, spark):
+        # dense blob near (1, 0, ...), sparse blob near (0, 1, ...).
+        # ids 0 and 1 straddle the blobs so the deterministic Lloyd
+        # init (first k by id) seeds one centroid in each.
+        rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+        for i in range(2, 120):
+            rows.append((i, [1.0, 0.001 * i, 0.0, 0.0]))
+        for i in range(4):
+            rows.append((1001 + i, [0.001 * i, 1.0, 0.0, 0.0]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_caps_dense_keeps_sparse(self, spark):
+        from mysql_syncer_spark.operators.similarity import (
+            cluster_balanced_sample,
+        )
+
+        out = cluster_balanced_sample(
+            self._clustered(spark), per_cluster=10, k=2, iters=2
+        ).collect()
+        dense = [r for r in out if r.vec_id < 1000 and r.vec_id != 1]
+        sparse = [r for r in out if r.vec_id >= 1000 or r.vec_id == 1]
+        assert len(dense) == 10       # capped
+        assert len(sparse) == 5       # kept whole
+        # clusters are real: the two blobs land in different lists
+        assert {r.list_id for r in dense} != {r.list_id for r in sparse}
+
+    def test_deterministic_under_repartition(self, spark):
+        from mysql_syncer_spark.operators.similarity import (
+            cluster_balanced_sample,
+        )
+
+        df = self._clustered(spark)
+        a = sorted(r.vec_id for r in cluster_balanced_sample(
+            df, per_cluster=7, k=2, iters=2).collect())
+        b = sorted(r.vec_id for r in cluster_balanced_sample(
+            df.repartition(5), per_cluster=7, k=2, iters=2).collect())
+        assert a == b
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.similarity import (
+            cluster_balanced_sample,
+        )
+
+        with _pytest.raises(ValueError):
+            cluster_balanced_sample(
+                self._clustered(spark), per_cluster=0
+            )

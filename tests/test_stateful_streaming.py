@@ -107,3 +107,106 @@ def test_sessionize_stream_gap_and_timeout(spark, tmp_path):
     assert a["session_start"].minute == 0 and a["session_end"].minute == 20
     assert b["n_events"] == 1
     assert b["session_start"].hour == 12
+
+
+ANOM_IN_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+class TestAnomalyZscoreStream:
+    def _run(self, spark, tmp_path, batches, **kw):
+        from mysql_syncer_spark.streaming.stateful import (
+            anomaly_zscore_stream,
+        )
+
+        src = tmp_path / "anom_in"
+        src.mkdir()
+        _write_ordered(src, batches)
+        stream = (
+            spark.readStream.schema(ANOM_IN_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        scored = anomaly_zscore_stream(stream, **kw)
+        _run_to_memory(scored, "anom_out", str(tmp_path / "anom_ck"))
+        return {r.event_id: r for r in spark.table("anom_out").collect()}
+
+    @staticmethod
+    def _lines(rows):
+        return "\n".join(
+            f'{{"user_id": {u}, "event_id": {e}, '
+            f'"ts": "2026-01-01T10:{m:02d}:00", "value": {v}}}'
+            for u, e, m, v in rows
+        )
+
+    def test_matches_batch_twin_on_in_order_replay(self, spark, tmp_path):
+        """An in-order replay must yield the batch operator's zscores —
+        the rows-only analogue of the oracle gate (both sides compute
+        from identical exact micro-unit sums)."""
+        import datetime as dt
+
+        from mysql_syncer_spark.operators.timeseries import rolling_zscore
+
+        vals = [10.25, 11.5, 9.75, 10.0, 12.25, 10.5, 55.5, 10.75,
+                9.5, 11.0]
+        rows = [(1, i, i, vals[i]) for i in range(10)]
+        # two batches, split mid-stream, arriving in event order
+        got = self._run(
+            spark, tmp_path,
+            [("b0.json", self._lines(rows[:6])),
+             ("b1.json", self._lines(rows[6:]))],
+            window=5, min_periods=3, threshold=2.0,
+        )
+        t0 = dt.datetime(2026, 1, 1, 10, 0)
+        batch_in = spark.createDataFrame(
+            [
+                (1, i, t0 + dt.timedelta(minutes=i), vals[i])
+                for i in range(10)
+            ],
+            "user_id long, event_id long, ts timestamp, value double",
+        )
+        want = {
+            r.event_id: r
+            for r in rolling_zscore(
+                batch_in, "user_id", ["ts", "event_id"], "value",
+                window=5, min_periods=3, threshold=2.0,
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for eid in want:
+            assert got[eid].zscore == want[eid].zscore, eid
+            assert got[eid].is_anomaly == want[eid].is_anomaly, eid
+        assert got[6].is_anomaly  # the planted spike fired
+
+    def test_state_bounded_to_window(self, spark, tmp_path):
+        """History beyond the window must be forgotten: a level shift
+        `window` events ago no longer influences the score."""
+        rows_a = [(1, i, i, 1000.0) for i in range(4)]      # old regime
+        rows_b = [(1, 4 + i, 4 + i, 10.0 + 0.25 * i) for i in range(8)]
+        probe = [(1, 12, 12, 10.9)]
+        got = self._run(
+            spark, tmp_path,
+            [("b0.json", self._lines(rows_a + rows_b)),
+             ("b1.json", self._lines(probe))],
+            window=6, min_periods=3, threshold=3.0,
+        )
+        # probe's window holds only new-regime values — unremarkable
+        assert not got[12].is_anomaly
+        assert abs(got[12].zscore) < 3.0
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.streaming.stateful import (
+            anomaly_zscore_stream,
+        )
+
+        stream = spark.readStream.schema(ANOM_IN_SCHEMA).json("/tmp/nope")
+        with _pytest.raises(ValueError):
+            anomaly_zscore_stream(stream, window=0)

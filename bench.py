@@ -168,6 +168,7 @@ HEADLINE = [
     "stratified_sample_docs",
     "cluster_balanced_sample_embeddings",
     "replicate_mixture_docs",
+    "snapshot_cdc_orders",
 ]
 
 

@@ -310,6 +310,10 @@ _DEMOTED: tuple[str, ...] = (
     # r6: replication mixture (E94) — row-local explode kernel shared
     # with in-window chunk/pack rows; oracle-backed, parity-swept.
     "replicate_mixture_docs",
+    # r6: snapshot-diff change capture (E95) — the full-outer hash-diff
+    # kernel runs in-window inside sync_merge/scd2 rows; oracle-backed,
+    # parity-swept.
+    "snapshot_cdc_orders",
     # r6: model-based scorer — rows-only by nature (trained model);
     # pytest-gated like the IVF/sketch rows.
     "quality_score_docs",
@@ -4488,4 +4492,60 @@ def replicate_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "copy_idx")
         .orderBy("doc_id", "copy_idx")
+    )
+
+
+@_register(
+    "snapshot_cdc_orders",
+    f"""WITH newsnap AS (
+          SELECT * FROM ({_SLAVE_ORDERS_SQL})
+          UNION ALL
+          SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+                 o_totalprice, o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 101 = 0),
+         o AS (SELECT *, {_ORDERS_HASH} AS h FROM orders),
+         n AS (SELECT *, {_ORDERS_HASH} AS h FROM newsnap)
+       SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+              CASE WHEN n.h IS NULL THEN o.o_custkey
+                   ELSE n.o_custkey END AS o_custkey,
+              CASE WHEN n.h IS NULL THEN o.o_orderstatus
+                   ELSE n.o_orderstatus END AS o_orderstatus,
+              CASE WHEN n.h IS NULL THEN o.o_totalprice
+                   ELSE n.o_totalprice END AS o_totalprice,
+              CASE WHEN n.h IS NULL THEN o.o_orderdate
+                   ELSE n.o_orderdate END AS o_orderdate,
+              CASE WHEN n.h IS NULL THEN o.o_orderpriority
+                   ELSE n.o_orderpriority END AS o_orderpriority,
+              CASE WHEN o.h IS NULL THEN 'insert'
+                   WHEN n.h IS NULL THEN 'delete'
+                   ELSE 'update' END AS op
+       FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+       WHERE o.h IS NULL OR n.h IS NULL OR o.h <> n.h
+       ORDER BY o_orderkey""",
+)
+def snapshot_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E95: snapshot-diff change capture — extract the typed changelog
+    (insert / update / delete) between the orders table and a
+    perturbed successor snapshot (dropped keys -> deletes, price bumps
+    -> updates, shifted new keys -> inserts). One full-outer join on
+    the pk over (pk, canonical row hash) projections; unchanged keys
+    emit nothing. Replaying the output through cdc_upsert_batch
+    reproduces the new snapshot exactly (property-tested)."""
+    from mysql_syncer_spark.streaming.cdc import snapshot_to_cdc
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    slave = orders.where(k % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 89 == 0, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    new = slave.unionByName(
+        orders.where(k % 101 == 0).withColumn(
+            "o_orderkey", k + 100000000
+        )
+    )
+    return snapshot_to_cdc(orders, new, ["o_orderkey"]).orderBy(
+        "o_orderkey"
     )

@@ -184,3 +184,68 @@ def windowed_counts_stream(
             key_col, "n_events", "total_value",
         )
     )
+
+
+def snapshot_to_cdc(
+    old: DataFrame,
+    new: DataFrame,
+    pk_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Extract a typed changelog from two snapshots — the INVERSE of
+    `cdc_upsert_batch`: ``insert`` rows (pk only in ``new``),
+    ``delete`` rows (pk only in ``old``, emitted with the OLD values),
+    ``update`` rows (same pk, different row hash, emitted with the NEW
+    values). Unchanged keys emit nothing. Replaying the result through
+    `cdc_upsert_batch(old, changes, pk, [])` reproduces ``new`` exactly
+    (property-tested) — so a periodic snapshot pair becomes a CDC feed
+    for any downstream consumer without log access, the classic
+    snapshot-diff capture.
+
+    Shape: both sides project (pk, canonical row hash) — the engine's
+    diff kernel (canon.with_row_hash, the reference's hash-map staging
+    idea: TableConnection.php:31-95) — then ONE full-outer join on the
+    pk decides the op per key; data columns ride the same join, no
+    second scan. Shuffles: one per side on the pk (co-partitioned by
+    the join). Unchanged rows are filtered before the select so the
+    output is change-sized.
+    """
+    from mysql_syncer_spark.canon import row_hash_col
+
+    if not pk_cols:
+        raise ValueError("pk_cols must be non-empty")
+    data_cols = [c for c in new.columns if c not in pk_cols]
+    if [c for c in old.columns] != [c for c in new.columns]:
+        raise ValueError(
+            f"snapshot schemas differ: {old.columns} vs {new.columns}"
+        )
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in old.columns],
+        row_hash_col(old).alias("__o_h"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in new.columns],
+        row_hash_col(new).alias("__n_h"),
+    )
+    cond = None
+    for c in pk_cols:
+        eq = F.col(f"__o_{c}") == F.col(f"__n_{c}")
+        cond = eq if cond is None else (cond & eq)
+    joined = o.join(n, cond, "full_outer").where(
+        F.col("__o_h").isNull()
+        | F.col("__n_h").isNull()
+        | (F.col("__o_h") != F.col("__n_h"))
+    )
+    op = (
+        F.when(F.col("__o_h").isNull(), F.lit("insert"))
+        .when(F.col("__n_h").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    side = lambda c: F.when(
+        F.col("__n_h").isNull(), F.col(f"__o_{c}")
+    ).otherwise(F.col(f"__n_{c}"))
+    return joined.select(
+        *[side(c).alias(c) for c in pk_cols],
+        *[side(c).alias(c) for c in data_cols],
+        op.alias(op_col),
+    )

@@ -334,3 +334,79 @@ def test_stream_stream_join_validation(spark, tmp_path):
         join_streams_windowed(
             s1, s2.withColumnRenamed("v", "w"), on="key", how="full"
         )
+
+
+class TestSnapshotToCdc:
+    def _snap(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "pk long, val string, n long"
+        )
+
+    def test_ops_and_values(self, spark):
+        from mysql_syncer_spark.streaming.cdc import snapshot_to_cdc
+
+        old = self._snap(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)])
+        new = self._snap(spark, [(2, "b", 20), (3, "c2", 30), (4, "d", 40)])
+        got = {
+            r.pk: (r.op, r.val, r.n)
+            for r in snapshot_to_cdc(old, new, ["pk"]).collect()
+        }
+        assert got == {
+            1: ("delete", "a", 10),   # old values ride the delete
+            3: ("update", "c2", 30),  # new values ride the update
+            4: ("insert", "d", 40),
+        }  # pk 2 unchanged -> absent
+
+    def test_replay_roundtrip(self, spark):
+        """cdc_upsert_batch(old, snapshot_to_cdc(old, new)) == new —
+        the property that makes a snapshot pair a real CDC feed."""
+        from mysql_syncer_spark.streaming.cdc import (
+            cdc_upsert_batch, snapshot_to_cdc,
+        )
+
+        old = self._snap(
+            spark, [(i, f"v{i}", i * 10) for i in range(1, 30)]
+        )
+        new = self._snap(
+            spark,
+            [(i, f"v{i}" if i % 3 else "CHANGED", i * 10)
+             for i in range(1, 30) if i % 7 != 0]
+            + [(100, "fresh", 0)],
+        )
+        changes = snapshot_to_cdc(old, new, ["pk"]).withColumn(
+            "op",
+            F.when(F.col("op") == "delete", "delete").otherwise("upsert"),
+        ).withColumn("seq", F.lit(1).cast("long"))
+        state = old.withColumn("op", F.lit("upsert")).withColumn(
+            "seq", F.lit(0).cast("long")
+        )
+        replayed = (
+            cdc_upsert_batch(state, changes, ["pk"], ["seq"])
+            .where(F.col("op") != "delete")
+            .select("pk", "val", "n")
+        )
+        assert sorted(map(tuple, replayed.collect())) == sorted(
+            map(tuple, new.collect())
+        )
+
+    def test_nulls_in_data_cols(self, spark):
+        from mysql_syncer_spark.streaming.cdc import snapshot_to_cdc
+
+        old = self._snap(spark, [(1, None, 10)])
+        new = self._snap(spark, [(1, None, 11)])
+        got = snapshot_to_cdc(old, new, ["pk"]).collect()
+        assert len(got) == 1 and got[0].op == "update" and got[0].n == 11
+        # NULL == NULL must NOT be a change
+        same = snapshot_to_cdc(old, old, ["pk"]).collect()
+        assert same == []
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.streaming.cdc import snapshot_to_cdc
+
+        old = self._snap(spark, [(1, "a", 1)])
+        with _pytest.raises(ValueError):
+            snapshot_to_cdc(old, old, [])
+        with _pytest.raises(ValueError):
+            snapshot_to_cdc(old, old.select("pk", "n", "val"), ["pk"])

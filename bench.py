@@ -169,6 +169,7 @@ HEADLINE = [
     "cluster_balanced_sample_embeddings",
     "replicate_mixture_docs",
     "snapshot_cdc_orders",
+    "integrity_check_orders",
 ]
 
 

@@ -156,3 +156,68 @@ def group_quantiles(
         F.element_at(parr, F.col("__i") + 1).alias("prob"),
         F.round(F.col("__v"), round_dp).alias("quantile"),
     )
+
+
+def fk_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_cols: list[str],
+    pk_cols: list[str] | None = None,
+) -> DataFrame:
+    """Child rows whose foreign key matches NO parent row — the
+    referential-integrity breakage a sync that copies tables
+    independently can introduce (the reference syncs table-by-table
+    with FK checks OFF: SynchronizerFactory.php:16-19, so orphan
+    auditing is the matching post-sync gate). NULL foreign keys are
+    NOT orphans (SQL FK semantics: NULL references nothing).
+
+    One left-anti hash join on the key; the parent side is projected
+    to its key columns before the join (a parent's width never crosses
+    the shuffle)."""
+    if not fk_cols:
+        raise ValueError("fk_cols must be non-empty")
+    pk_cols = pk_cols or fk_cols
+    if len(pk_cols) != len(fk_cols):
+        raise ValueError("fk_cols and pk_cols must align")
+    pkeys = parent.select(
+        *[F.col(p).alias(f"__pk_{i}") for i, p in enumerate(pk_cols)]
+    ).dropDuplicates()
+    cond = None
+    for i, f in enumerate(fk_cols):
+        eq = F.col(f) == F.col(f"__pk_{i}")
+        cond = eq if cond is None else (cond & eq)
+    non_null = None
+    for f in fk_cols:
+        nn = F.col(f).isNotNull()
+        non_null = nn if non_null is None else (non_null & nn)
+    return child.where(non_null).join(pkeys, cond, "left_anti")
+
+
+def duplicate_pks(df: DataFrame, pk_cols: list[str]) -> DataFrame:
+    """Primary-key values appearing more than once: ``(pk..., n_rows)``
+    — one combinable count shuffle + a HAVING filter."""
+    if not pk_cols:
+        raise ValueError("pk_cols must be non-empty")
+    return (
+        df.groupBy(*pk_cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .where(F.col("n_rows") > 1)
+    )
+
+
+def integrity_report(
+    checks: list[tuple[str, DataFrame]],
+) -> DataFrame:
+    """Fold named violation frames (from `fk_orphans` /
+    `duplicate_pks`) into one ``(constraint, violations)`` summary —
+    each check is a count agg over its (already change-sized)
+    violation frame; the union is constraint-sized."""
+    if not checks:
+        raise ValueError("checks must be non-empty")
+    out = None
+    for name, frame in checks:
+        row = frame.agg(
+            F.count(F.lit(1)).cast("long").alias("violations")
+        ).select(F.lit(name).alias("constraint"), "violations")
+        out = row if out is None else out.unionByName(row)
+    return out

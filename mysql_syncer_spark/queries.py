@@ -314,6 +314,9 @@ _DEMOTED: tuple[str, ...] = (
     # kernel runs in-window inside sync_merge/scd2 rows; oracle-backed,
     # parity-swept.
     "snapshot_cdc_orders",
+    # r6: integrity audit (E96) — anti-join + count kernels run
+    # in-window inside sync_merge; oracle-backed, parity-swept.
+    "integrity_check_orders",
     # r6: model-based scorer — rows-only by nature (trained model);
     # pytest-gated like the IVF/sketch rows.
     "quality_score_docs",
@@ -4548,4 +4551,71 @@ def snapshot_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return snapshot_to_cdc(orders, new, ["o_orderkey"]).orderBy(
         "o_orderkey"
+    )
+
+
+@_register(
+    "integrity_check_orders",
+    """WITH cust AS (SELECT * FROM customer WHERE c_custkey % 11 <> 0),
+         orphan_orders AS (
+          SELECT o.o_orderkey FROM orders o
+          WHERE o.o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM cust c
+                            WHERE c.c_custkey = o.o_custkey)),
+         dup_orders AS (
+          SELECT o_orderkey FROM (
+            SELECT o_orderkey, COUNT(*) AS n
+            FROM (SELECT o_orderkey FROM orders
+                  UNION ALL
+                  SELECT o_orderkey FROM orders WHERE o_orderkey % 500 = 0)
+            GROUP BY o_orderkey)
+          WHERE n > 1),
+         orphan_li AS (
+          SELECT l.l_orderkey FROM lineitem l
+          WHERE l.l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+       SELECT 'orders.o_custkey->customer' AS constraint,
+              CAST((SELECT COUNT(*) FROM orphan_orders) AS BIGINT)
+                  AS violations
+       UNION ALL
+       SELECT 'orders.pk_unique',
+              CAST((SELECT COUNT(*) FROM dup_orders) AS BIGINT)
+       UNION ALL
+       SELECT 'lineitem.l_orderkey->orders',
+              CAST((SELECT COUNT(*) FROM orphan_li) AS BIGINT)""",
+)
+def integrity_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E96: post-sync referential-integrity audit — the gate matching
+    the reference's FOREIGN_KEY_CHECKS=0 sync mode (orphans CAN be
+    introduced mid-sync; this measures them). Three planted checks:
+    orders->customer orphans against a customer table with every 11th
+    key dropped (nonzero), duplicate order PKs against a doubled
+    subset (nonzero), and lineitem->orders orphans on the intact pair
+    (zero). Each check is an anti-join / count over change-sized
+    frames; the report is constraint-sized."""
+    from mysql_syncer_spark.operators.profile import (
+        duplicate_pks, fk_orphans, integrity_report,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 11 != 0
+    )
+    dup_fixture = orders.select("o_orderkey").unionByName(
+        orders.where(F.col("o_orderkey") % 500 == 0).select("o_orderkey")
+    )
+    return integrity_report(
+        [
+            (
+                "orders.o_custkey->customer",
+                fk_orphans(orders, cust, ["o_custkey"], ["c_custkey"]),
+            ),
+            ("orders.pk_unique", duplicate_pks(dup_fixture, ["o_orderkey"])),
+            (
+                "lineitem.l_orderkey->orders",
+                fk_orphans(li, orders, ["l_orderkey"], ["o_orderkey"]),
+            ),
+        ]
     )

@@ -102,3 +102,68 @@ def test_group_quantiles(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="probs"):
         group_quantiles(df, ["g"], "v", probs=())
+
+
+class TestIntegrity:
+    def test_fk_orphans_and_null_semantics(self, spark):
+        from mysql_syncer_spark.operators.profile import fk_orphans
+
+        parent = spark.createDataFrame([(1,), (2,)], "pid long")
+        child = spark.createDataFrame(
+            [(10, 1), (11, 2), (12, 3), (13, None)],
+            "cid long, fk long",
+        )
+        got = sorted(
+            r.cid for r in fk_orphans(
+                child, parent, ["fk"], ["pid"]).collect()
+        )
+        assert got == [12]  # NULL fk is NOT an orphan
+
+    def test_composite_key_orphans(self, spark):
+        from mysql_syncer_spark.operators.profile import fk_orphans
+
+        parent = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+        child = spark.createDataFrame(
+            [(10, 1, "a"), (11, 1, "b"), (12, 2, "b")],
+            "cid long, fk long, fs string",
+        )
+        got = sorted(
+            r.cid for r in fk_orphans(
+                child, parent, ["fk", "fs"], ["k", "s"]).collect()
+        )
+        assert got == [11]  # (1,'b') exists in neither parent row
+
+    def test_duplicate_pks(self, spark):
+        from mysql_syncer_spark.operators.profile import duplicate_pks
+
+        df = spark.createDataFrame(
+            [(1,), (2,), (2,), (3,), (3,), (3,)], "pk long"
+        )
+        got = {r.pk: r.n_rows for r in duplicate_pks(df, ["pk"]).collect()}
+        assert got == {2: 2, 3: 3}
+
+    def test_integrity_report_shape_and_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.profile import (
+            duplicate_pks, fk_orphans, integrity_report,
+        )
+
+        parent = spark.createDataFrame([(1,)], "pid long")
+        child = spark.createDataFrame([(10, 9)], "cid long, fk long")
+        rep = {
+            r.constraint: r.violations
+            for r in integrity_report(
+                [
+                    ("fk", fk_orphans(child, parent, ["fk"], ["pid"])),
+                    ("pk", duplicate_pks(parent, ["pid"])),
+                ]
+            ).collect()
+        }
+        assert rep == {"fk": 1, "pk": 0}
+        with _pytest.raises(ValueError):
+            integrity_report([])
+        with _pytest.raises(ValueError):
+            fk_orphans(child, parent, [], [])
+        with _pytest.raises(ValueError):
+            fk_orphans(child, parent, ["fk"], ["pid", "x"])

@@ -200,13 +200,15 @@ class TestAnomalyZscoreStream:
         assert not got[12].is_anomaly
         assert abs(got[12].zscore) < 3.0
 
-    def test_validation(self, spark):
+    def test_validation(self, spark, tmp_path):
         import pytest as _pytest
 
         from mysql_syncer_spark.streaming.stateful import (
             anomaly_zscore_stream,
         )
 
-        stream = spark.readStream.schema(ANOM_IN_SCHEMA).json("/tmp/nope")
+        src_dir = tmp_path / "anom_val_in"
+        src_dir.mkdir()
+        stream = spark.readStream.schema(ANOM_IN_SCHEMA).json(str(src_dir))
         with _pytest.raises(ValueError):
             anomaly_zscore_stream(stream, window=0)

@@ -192,6 +192,25 @@ def build_parser() -> argparse.ArgumentParser:
                        help="db-side table name for the emitted SQL")
     session_opts(p_dig)
 
+    p_int = sub.add_parser(
+        "integrity",
+        help="post-sync referential-integrity audit: FK orphans + "
+             "duplicate PKs (the gate matching the reference's "
+             "FOREIGN_KEY_CHECKS=0 sync mode)")
+    p_int.add_argument("--db", required=True,
+                       help="parquet catalog dir (<table>.parquet files)")
+    p_int.add_argument(
+        "--fk", action="append", default=[],
+        help="child.col[,col...]=parent.col[,col...] — repeatable, e.g. "
+             "--fk orders.o_custkey=customer.c_custkey")
+    p_int.add_argument(
+        "--unique", action="append", default=[],
+        help="table.col[,col...] whose values must be unique — repeatable")
+    p_int.add_argument(
+        "--fail-on-violation", action="store_true",
+        help="exit 1 if any constraint has violations")
+    session_opts(p_int)
+
     p_cmp = sub.add_parser(
         "index-compact",
         help="rewrite the index tables with duplicate rows removed "
@@ -339,6 +358,39 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None,
             )
             print(json.dumps({"out": args.out, **rep.as_dict()}), file=out)
             return 0
+        if args.command == "integrity":
+            from mysql_syncer_spark.operators.profile import (
+                duplicate_pks, fk_orphans, integrity_report,
+            )
+
+            def tbl(name):
+                return spark.read.parquet(f"{args.db}/{name}.parquet")
+
+            checks = []
+            for spec in args.fk:
+                child_s, parent_s = spec.split("=", 1)
+                ct, ccols = child_s.split(".", 1)
+                pt, pcols = parent_s.split(".", 1)
+                checks.append((
+                    f"{child_s}->{pt}",
+                    fk_orphans(tbl(ct), tbl(pt), ccols.split(","),
+                               pcols.split(",")),
+                ))
+            for spec in args.unique:
+                t, cols = spec.split(".", 1)
+                checks.append((
+                    f"{spec} unique", duplicate_pks(tbl(t), cols.split(","))
+                ))
+            if not checks:
+                print(json.dumps(
+                    {"error": "no constraints given (use --fk/--unique)"}
+                ), file=out)
+                return 2
+            rows = integrity_report(checks).collect()
+            rep = {r["constraint"]: r["violations"] for r in rows}
+            print(json.dumps({"db": args.db, "violations": rep}), file=out)
+            bad = sum(rep.values())
+            return 1 if (args.fail_on_violation and bad) else 0
         if args.command == "digest":
             from mysql_syncer_spark.digest import (
                 mysql_digest_query,

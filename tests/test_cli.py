@@ -235,3 +235,50 @@ def test_cli_digest(spark, sf_dir, tmp_path, capsys=None):
     assert rc2 == 0
     rec2 = _json.loads(buf2.getvalue())
     assert rec2["exact_digest"] == rec["exact_digest"]
+
+
+def test_cli_integrity(spark, tmp_path):
+    """integrity subcommand: FK orphans + unique checks over a catalog
+    dir, JSON report, --fail-on-violation exit code."""
+    db = tmp_path / "intdb"
+    db.mkdir()
+    spark.createDataFrame([(1,), (2,)], "c_custkey long").write.parquet(
+        str(db / "customer.parquet")
+    )
+    spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 9), (12, 1)],
+        "o_orderkey long, o_custkey long",
+    ).write.parquet(str(db / "orders.parquet"))
+
+    code, lines = run_cli(
+        spark,
+        ["integrity", "--db", str(db),
+         "--fk", "orders.o_custkey=customer.c_custkey",
+         "--unique", "orders.o_orderkey"],
+    )
+    assert code == 0
+    rep = lines[0]["violations"]
+    assert rep["orders.o_custkey->customer"] == 1   # key 9
+    assert rep["orders.o_orderkey unique"] == 1     # key 12 twice
+
+    code2, _ = run_cli(
+        spark,
+        ["integrity", "--db", str(db),
+         "--fk", "orders.o_custkey=customer.c_custkey",
+         "--fail-on-violation"],
+    )
+    assert code2 == 1
+
+    # clean constraint set passes under --fail-on-violation
+    code3, lines3 = run_cli(
+        spark,
+        ["integrity", "--db", str(db),
+         "--unique", "customer.c_custkey", "--fail-on-violation"],
+    )
+    assert code3 == 0 and lines3[0]["violations"] == {
+        "customer.c_custkey unique": 0
+    }
+
+    # no constraints -> usage exit 2
+    code4, _ = run_cli(spark, ["integrity", "--db", str(db)])
+    assert code4 == 2

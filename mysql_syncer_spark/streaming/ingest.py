@@ -186,3 +186,68 @@ def read_accepted(spark, accepted_path: str) -> Optional[DataFrame]:
     if not subdirs:
         return None
     return spark.read.parquet(accepted_path).drop("batch_id")
+
+
+def cms_maintain_stream(
+    stream: DataFrame,
+    sketch_path: str,
+    checkpoint_dir: str,
+    item_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    salt: str = "cms",
+    available_now: bool = True,
+):
+    """Maintain a persisted count-min sketch over a live stream: each
+    micro-batch is sketched (operators/sketches.cms_build — one tiny
+    combinable shuffle) and FOLDED into the parquet sketch at
+    ``sketch_path`` via the CMS monoid (`cms_merge` = union + re-sum).
+    The state that crosses batches is the ≤ depth×width-row sketch,
+    never the stream — frequency estimates over an unbounded stream at
+    fixed cost, queryable at any time with `cms_estimate` on the
+    written sketch.
+
+    Write discipline: merge into a ``.__staging__`` sibling, then an
+    atomic-enough rename swap (the layout/compaction discipline) — a
+    reader sees the old or the new sketch, never a partial. Replayed
+    batches double-count their items (counts drift HIGH, the safe
+    direction for an over-estimating sketch); rebuild from the corpus
+    if replays accumulate.
+    """
+    from mysql_syncer_spark.operators.sketches import cms_build, cms_merge
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        batch_sketch = cms_build(
+            batch, item_col, depth=depth, width=width, salt=salt
+        )
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(sketch_path)
+        fs = path.getFileSystem(jsc)
+        if fs.exists(path):
+            prior = spark.read.parquet(sketch_path)
+            merged = cms_merge(prior, batch_sketch)
+        else:
+            merged = batch_sketch
+        staging = jvm.org.apache.hadoop.fs.Path(
+            sketch_path + ".__staging__"
+        )
+        merged.write.mode("overwrite").parquet(str(staging))
+        old = jvm.org.apache.hadoop.fs.Path(sketch_path + ".__old__")
+        if fs.exists(old):
+            fs.delete(old, True)
+        if fs.exists(path):
+            fs.rename(path, old)
+        fs.rename(staging, path)
+        if fs.exists(old):
+            fs.delete(old, True)
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(
+        fold
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -267,3 +267,72 @@ def test_cdc_checkpoint_recovery_replayed_batch(spark, tmp_path):
         "restart did not replay the uncommitted batch"
     )
     assert state(target) == golden
+
+
+class TestCmsMaintainStream:
+    def test_streamed_sketch_equals_batch_sketch(self, spark, tmp_path):
+        """Fold three micro-batches into the persisted sketch; the
+        result must EQUAL the one-shot batch sketch of the full data
+        (the CMS monoid property, live)."""
+        import json as _json
+        import os
+        import time
+
+        from pyspark.sql import types as T
+
+        from mysql_syncer_spark.operators.sketches import (
+            cms_build, cms_estimate,
+        )
+        from mysql_syncer_spark.streaming.ingest import cms_maintain_stream
+
+        src = tmp_path / "cms_in"
+        src.mkdir()
+        batches = [
+            ["a", "a", "b"],
+            ["a", "c", "c", "c"],
+            ["b", "d"],
+        ]
+        base = time.time() - 100
+        for i, items in enumerate(batches):
+            p = src / f"b{i}.json"
+            p.write_text(
+                "\n".join(_json.dumps({"item": x}) for x in items)
+            )
+            os.utime(p, (base + i * 10, base + i * 10))
+
+        stream = (
+            spark.readStream.schema(
+                T.StructType([T.StructField("item", T.StringType())])
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        sketch_path = str(tmp_path / "cms_sketch")
+        q = cms_maintain_stream(
+            stream, sketch_path, str(tmp_path / "cms_ck"),
+            item_col="item", depth=4, width=64,
+        )
+        q.awaitTermination(180)
+
+        streamed = spark.read.parquet(sketch_path)
+        flat = [x for b in batches for x in b]
+        direct = cms_build(
+            spark.createDataFrame([(x,) for x in flat], "item string"),
+            "item", depth=4, width=64,
+        )
+        assert sorted(map(tuple, streamed.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+        probes = spark.createDataFrame(
+            [("a",), ("c",), ("zz",)], "item string"
+        )
+        got = {
+            r.item: r.cms_count
+            for r in cms_estimate(
+                streamed, probes, "item", depth=4, width=64
+            ).collect()
+        }
+        assert got["a"] >= 3 and got["c"] >= 3 and got["zz"] >= 0
+        # no staging/old residue after the swap
+        assert not os.path.exists(sketch_path + ".__staging__")
+        assert not os.path.exists(sketch_path + ".__old__")

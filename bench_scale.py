@@ -236,6 +236,15 @@ def run_tail_smoke() -> None:
         "interval_join_error_windows",
         "tpch_q10_returned_items",
         "gap_fill_daily_events",
+        # r6 second half: the new heavy keys
+        "anomaly_zscore_events",
+        "cms_term_counts_docs",
+        "snapshot_cdc_orders",
+        "cluster_balanced_sample_embeddings",
+        "tpch_q21_waiting_supplier",
+        "tpch_q18_large_volume",
+        "tpch_q8_market_share",
+        "replicate_mixture_docs",
     ]
     out = {}
     for name in tail_keys:

@@ -170,6 +170,8 @@ HEADLINE = [
     "replicate_mixture_docs",
     "snapshot_cdc_orders",
     "integrity_check_orders",
+    "ks_drift_events",
+    "psi_drift_events",
 ]
 
 

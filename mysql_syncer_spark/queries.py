@@ -317,6 +317,10 @@ _DEMOTED: tuple[str, ...] = (
     # r6: integrity audit (E96) — anti-join + count kernels run
     # in-window inside sync_merge; oracle-backed, parity-swept.
     "integrity_check_orders",
+    # r6: numeric drift monitors (E98) — value-grain window + binned
+    # combinable kernels; oracle-backed, parity-swept at 3 SFs.
+    "ks_drift_events",
+    "psi_drift_events",
     # r6: model-based scorer — rows-only by nature (trained model);
     # pytest-gated like the IVF/sketch rows.
     "quality_score_docs",
@@ -4618,4 +4622,87 @@ def integrity_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fk_orphans(li, orders, ["l_orderkey"], ["o_orderkey"]),
             ),
         ]
+    )
+
+
+@_register(
+    "ks_drift_events",
+    """WITH va AS (SELECT value AS v FROM events
+                   WHERE event_type = 'click' AND value IS NOT NULL),
+         vb AS (SELECT value AS v FROM events
+                   WHERE event_type = 'error' AND value IS NOT NULL),
+         pv AS (SELECT v, SUM(a) AS n_a, SUM(b) AS n_b
+                FROM (SELECT v, 1 AS a, 0 AS b FROM va
+                      UNION ALL
+                      SELECT v, 0, 1 FROM vb)
+                GROUP BY v),
+         cum AS (SELECT
+                   SUM(n_a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS c_a,
+                   SUM(n_b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS c_b
+                 FROM pv),
+         tot AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM pv)
+       SELECT CAST(MAX(t_a) AS BIGINT) AS n_a,
+              CAST(MAX(t_b) AS BIGINT) AS n_b,
+              ROUND(MAX(ABS(c_a / t_a - c_b / t_b)), 9) AS ks_stat
+       FROM cum, tot""",
+)
+def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E98a: exact two-sample Kolmogorov-Smirnov drift between the
+    click and error events' value distributions. Per-distinct-value
+    counts via one combinable shuffle (the raw stream never reaches
+    the window); the running-sum window sees value-grain rows only;
+    1-row output."""
+    from mysql_syncer_spark.operators.drift import ks_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_drift(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "error"),
+        "value",
+    )
+
+
+@_register(
+    "psi_drift_events",
+    """WITH ba AS (SELECT LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS INT),
+                                         0), 9) AS bin,
+                          COUNT(*) AS n_a
+                   FROM events
+                   WHERE event_type = 'click' AND value IS NOT NULL
+                   GROUP BY 1),
+         bb AS (SELECT LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS INT),
+                                      0), 9) AS bin,
+                       COUNT(*) AS n_b
+                FROM events
+                WHERE event_type = 'error' AND value IS NOT NULL
+                GROUP BY 1),
+         grid AS (SELECT COALESCE(ba.bin, bb.bin) AS bin,
+                         COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+                  FROM ba FULL OUTER JOIN bb ON ba.bin = bb.bin),
+         tot AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM grid)
+       SELECT CAST(SUM(n_a) AS BIGINT) AS n_a,
+              CAST(SUM(n_b) AS BIGINT) AS n_b,
+              ROUND(SUM((((n_a + 1.0) / (t_a + 10))
+                         - ((n_b + 1.0) / (t_b + 10)))
+                        * LN(((n_a + 1.0) / (t_a + 10))
+                             / ((n_b + 1.0) / (t_b + 10)))), 9) AS psi
+       FROM grid, tot""",
+)
+def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E98b: Population Stability Index over 10 equal-width bins on
+    [0, 500) between click and error value distributions — the fully
+    map-side-combinable drift path (no value-grain window at all);
+    Laplace add-one smoothing keeps empty bins defined."""
+    from mysql_syncer_spark.operators.drift import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return psi_drift(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "error"),
+        "value",
+        lo=0.0,
+        hi=500.0,
+        bins=10,
     )

@@ -1,0 +1,72 @@
+"""Numeric drift monitors: exact two-sample KS + binned PSI."""
+
+import math
+
+import pytest
+
+from mysql_syncer_spark.operators.drift import ks_drift, psi_drift
+
+
+def _vals(spark, xs):
+    return spark.createDataFrame([(float(x),) for x in xs], "value double")
+
+
+class TestKsDrift:
+    def test_hand_computed(self, spark):
+        a = _vals(spark, [1, 2, 3, 4])
+        b = _vals(spark, [3, 4, 5, 6])
+        row = ks_drift(a, b, "value").collect()[0]
+        # F_a jumps to 1.0 at v=4 while F_b is 2/4 -> D = 0.5
+        assert row.n_a == 4 and row.n_b == 4
+        assert abs(row.ks_stat - 0.5) < 1e-9
+
+    def test_identical_distributions_zero(self, spark):
+        a = _vals(spark, range(50))
+        row = ks_drift(a, a, "value").collect()[0]
+        assert row.ks_stat == 0.0
+
+    def test_disjoint_distributions_one(self, spark):
+        a = _vals(spark, range(0, 10))
+        b = _vals(spark, range(100, 110))
+        assert ks_drift(a, b, "value").collect()[0].ks_stat == 1.0
+
+    def test_nulls_excluded(self, spark):
+        a = spark.createDataFrame(
+            [(1.0,), (None,), (2.0,)], "value double"
+        )
+        row = ks_drift(a, _vals(spark, [1, 2]), "value").collect()[0]
+        assert row.n_a == 2 and row.ks_stat == 0.0
+
+
+class TestPsiDrift:
+    def test_hand_computed(self, spark):
+        # 2 bins on [0, 10): a = 3 low 1 high, b = 1 low 3 high
+        a = _vals(spark, [1, 2, 3, 7])
+        b = _vals(spark, [2, 6, 7, 8])
+        row = psi_drift(a, b, "value", lo=0.0, hi=10.0, bins=2).collect()[0]
+        p_lo, p_hi = (3 + 1) / 6, (1 + 1) / 6
+        q_lo, q_hi = (1 + 1) / 6, (3 + 1) / 6
+        want = (p_lo - q_lo) * math.log(p_lo / q_lo) + (
+            p_hi - q_hi
+        ) * math.log(p_hi / q_hi)
+        assert abs(row.psi - round(want, 9)) < 1e-9
+
+    def test_identical_near_zero_and_shift_detected(self, spark):
+        a = _vals(spark, range(100))
+        shifted = _vals(spark, range(50, 150))
+        same = psi_drift(a, a, "value", 0.0, 150.0, bins=10).collect()[0]
+        moved = psi_drift(a, shifted, "value", 0.0, 150.0, 10).collect()[0]
+        assert same.psi == 0.0
+        assert moved.psi > 0.25  # "shifted" band
+
+    def test_out_of_range_clamps_to_edge_bins(self, spark):
+        a = _vals(spark, [-100, 0.5, 999])
+        row = psi_drift(a, a, "value", 0.0, 1.0, bins=2).collect()[0]
+        assert row.n_a == 3 and row.psi == 0.0
+
+    def test_validation(self, spark):
+        a = _vals(spark, [1])
+        with pytest.raises(ValueError):
+            psi_drift(a, a, "value", 0.0, 1.0, bins=1)
+        with pytest.raises(ValueError):
+            psi_drift(a, a, "value", 2.0, 1.0)

@@ -172,6 +172,7 @@ HEADLINE = [
     "integrity_check_orders",
     "ks_drift_events",
     "psi_drift_events",
+    "fuzzy_name_pairs_part",
 ]
 
 

@@ -694,3 +694,61 @@ def semantic_dedup(
     )
     clusters = duplicate_clusters(pairs)
     return dedup_by_clusters(df, clusters, id_col)
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Entity-resolution style fuzzy matching on a short string column:
+    pairs whose Levenshtein distance is ≤ ``max_dist``, found WITHOUT
+    the n² cross join via token blocking — two candidate generations
+    (shared FIRST token, shared LAST token), unioned and deduped, then
+    the exact edit-distance verify on the candidates only. Recall
+    note: a true match sharing NEITHER its first nor last token with
+    its partner is missed — the standard blocking trade-off; widen
+    with more block keys if the domain needs it.
+
+    Scale shape: each blocking is an equi self-join on the token
+    (bounded by token frequency; hot tokens are ordinary AQE skew),
+    the verify is per-row codegen `levenshtein`, and the pair set is
+    candidate-sized — nothing quadratic in the table. Output:
+    ``(id_a, id_b, name_a, name_b, dist)`` with ``id_a < id_b``.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(name_col).alias("__name")
+    ).where(F.col("__name").isNotNull())
+    toks = F.split(F.col("__name"), r"\s+")
+    keyed = base.select(
+        "__id", "__name",
+        F.element_at(toks, 1).alias("__first"),
+        F.element_at(toks, -1).alias("__last"),
+    )
+
+    def block(key: str) -> DataFrame:
+        a = keyed.select(
+            F.col("__id").alias("id_a"), F.col("__name").alias("name_a"),
+            F.col(key).alias("__k"),
+        )
+        b = keyed.select(
+            F.col("__id").alias("id_b"), F.col("__name").alias("name_b"),
+            F.col(key).alias("__k"),
+        )
+        return a.join(b, "__k").where(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b", "name_a", "name_b"
+        )
+
+    cands = block("__first").unionByName(block("__last")).dropDuplicates(
+        ["id_a", "id_b"]
+    )
+    return (
+        cands.withColumn(
+            "dist", F.levenshtein(F.col("name_a"), F.col("name_b"))
+        )
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )

@@ -321,6 +321,9 @@ _DEMOTED: tuple[str, ...] = (
     # combinable kernels; oracle-backed, parity-swept at 3 SFs.
     "ks_drift_events",
     "psi_drift_events",
+    # r6: blocked fuzzy entity matching (E99) — equi-join blocking +
+    # codegen verify, kernels shared with in-window LSH rows.
+    "fuzzy_name_pairs_part",
     # r6: model-based scorer — rows-only by nature (trained model);
     # pytest-gated like the IVF/sketch rows.
     "quality_score_docs",
@@ -4705,4 +4708,40 @@ def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo=0.0,
         hi=500.0,
         bins=10,
+    )
+
+
+@_register(
+    "fuzzy_name_pairs_part",
+    """WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+         p AS (SELECT name, string_split(name, ' ')[1] AS f,
+                      string_split(name, ' ')[-1] AS l
+               FROM n),
+         c AS (SELECT a.name AS name_a, b.name AS name_b
+               FROM p a JOIN p b ON a.f = b.f AND a.name < b.name
+               UNION
+               SELECT a.name, b.name
+               FROM p a JOIN p b ON a.l = b.l AND a.name < b.name)
+       SELECT name_a, name_b,
+              CAST(levenshtein(name_a, name_b) AS INT) AS dist
+       FROM c
+       WHERE levenshtein(name_a, name_b) <= 2
+       ORDER BY name_a, name_b""",
+)
+def fuzzy_name_pairs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E99: blocked fuzzy entity matching — near-identical part names
+    (edit distance ≤ 2) found via first/last-token blocking + exact
+    Levenshtein verify on candidates only, never the n² cross join;
+    run over the DISTINCT name vocabulary (canonicalization grain)."""
+    from mysql_syncer_spark.operators.dedup import fuzzy_match_pairs
+
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    return (
+        fuzzy_match_pairs(names, "name", "name", max_dist=2)
+        .select("name_a", "name_b", "dist")
+        .orderBy("name_a", "name_b")
     )

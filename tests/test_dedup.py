@@ -198,3 +198,57 @@ def test_incremental_new_docs_gate(spark, sf_dir):
     )
     kept = {r["doc_id"] for r in incremental_new_docs(base, incoming).collect()}
     assert kept == {300003}
+
+
+class TestFuzzyMatchPairs:
+    def _names(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, name string")
+
+    def test_finds_near_names_within_blocks(self, spark):
+        from mysql_syncer_spark.operators.dedup import fuzzy_match_pairs
+
+        df = self._names(spark, [
+            (1, "red widget"), (2, "red widgets"), (3, "blue widget"),
+            (4, "green bolt"), (5, None),
+        ])
+        got = {
+            (r.id_a, r.id_b): r.dist
+            for r in fuzzy_match_pairs(df, "id", "name", 2).collect()
+        }
+        assert got[(1, 2)] == 1          # shared first token
+        assert (1, 3) not in got         # dist 3 ("red"->"blue"), filtered
+        assert got[(2, 3)] == 4 if (2, 3) in got else True
+        assert all(a < b for a, b in got)
+
+    def test_last_token_block_catches_first_token_change(self, spark):
+        from mysql_syncer_spark.operators.dedup import fuzzy_match_pairs
+
+        df = self._names(spark, [(1, "hot gear"), (2, "hob gear")])
+        got = fuzzy_match_pairs(df, "id", "name", 2).collect()
+        assert len(got) == 1 and got[0].dist == 1
+
+    def test_blocking_miss_documented(self, spark):
+        """A pair sharing neither first nor last token is (by design)
+        not a candidate, even if the edit distance qualifies."""
+        from mysql_syncer_spark.operators.dedup import fuzzy_match_pairs
+
+        df = self._names(spark, [(1, "ab cd"), (2, "axb cxd")])
+        assert fuzzy_match_pairs(df, "id", "name", 4).collect() == []
+
+    def test_no_duplicate_pairs_across_blocks(self, spark):
+        """A pair sharing BOTH tokens must appear once, not twice."""
+        from mysql_syncer_spark.operators.dedup import fuzzy_match_pairs
+
+        df = self._names(spark, [(1, "red gear"), (2, "red gears")])
+        got = fuzzy_match_pairs(df, "id", "name", 2).collect()
+        assert len(got) == 1
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.dedup import fuzzy_match_pairs
+
+        with _pytest.raises(ValueError):
+            fuzzy_match_pairs(
+                self._names(spark, [(1, "a b")]), "id", "name", -1
+            )

@@ -173,6 +173,7 @@ HEADLINE = [
     "ks_drift_events",
     "psi_drift_events",
     "fuzzy_name_pairs_part",
+    "tpch_q1_incremental",
 ]
 
 

@@ -324,6 +324,10 @@ _DEMOTED: tuple[str, ...] = (
     # r6: blocked fuzzy entity matching (E99) — equi-join blocking +
     # codegen verify, kernels shared with in-window LSH rows.
     "fuzzy_name_pairs_part",
+    # r6: incrementally-maintained TPC-H Q1 (E100) — the rollup-fold
+    # kernel is in-window via incremental_agg_orders; oracle = full
+    # recompute, parity-swept at 3 SFs.
+    "tpch_q1_incremental",
     # r6: model-based scorer — rows-only by nature (trained model);
     # pytest-gated like the IVF/sketch rows.
     "quality_score_docs",
@@ -4745,3 +4749,99 @@ def fuzzy_name_pairs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", "dist")
         .orderBy("name_a", "name_b")
     )
+
+
+@_register(
+    "tpch_q1_incremental",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                       * (1 - CAST(l_discount AS DECIMAL(18,6))))
+                   AS DOUBLE) AS sum_disc_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                       * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                       * (1 + CAST(l_tax AS DECIMAL(18,6))))
+                   AS DOUBLE) AS sum_charge,
+              ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                         AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+              ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                         AS DOUBLE) / COUNT(*), 6) AS avg_price,
+              ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6)))
+                         AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+              COUNT(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+)
+def tpch_q1_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E100: TPC-H Q1 maintained INCREMENTALLY — the pricing summary
+    as a materialized rollup (exact DECIMAL monoid state: five sums +
+    a count per cell) bootstrapped from 90% of lineitem, then a 10%
+    delta batch folded in via apply_agg_delta (one delta-sized
+    combinable shuffle + a 4-cell merge; the base is NEVER rescanned).
+    The oracle recomputes Q1 over the full table from scratch — the
+    fold must equal the recompute bit-for-bit, which is the entire
+    materialized-view-maintenance contract applied to the benchmark's
+    own flagship aggregate. Averages derive from the maintained
+    sums/count at read time (AVG is not a monoid; SUM/COUNT are)."""
+    from mysql_syncer_spark.operators.incremental_agg import (
+        agg_snapshot, apply_agg_delta,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,6)")
+
+    def prep(df: DataFrame) -> DataFrame:
+        return df.select(
+            "l_returnflag",
+            "l_linestatus",
+            dec("l_quantity").alias("qty"),
+            dec("l_extendedprice").alias("base"),
+            (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+                "disc_price"
+            ),
+            (
+                dec("l_extendedprice")
+                * (F.lit(1) - dec("l_discount"))
+                * (F.lit(1) + dec("l_tax"))
+            ).alias("charge"),
+            dec("l_discount").alias("disc"),
+        )
+
+    keys = ["l_returnflag", "l_linestatus"]
+    measures = {
+        "s_qty": ("sum", "qty"),
+        "s_base": ("sum", "base"),
+        "s_disc_price": ("sum", "disc_price"),
+        "s_charge": ("sum", "charge"),
+        "s_disc": ("sum", "disc"),
+        "n": ("count", "*"),
+    }
+    k = F.col("l_orderkey")
+    state = agg_snapshot(prep(li.where(k % 10 != 0)), keys, measures)
+    folded = apply_agg_delta(
+        state, prep(li.where(k % 10 == 0)), keys, measures
+    )
+    return folded.select(
+        *keys,
+        F.col("s_qty").cast("double").alias("sum_qty"),
+        F.col("s_base").cast("double").alias("sum_base_price"),
+        F.col("s_disc_price").cast("double").alias("sum_disc_price"),
+        F.col("s_charge").cast("double").alias("sum_charge"),
+        F.round(F.col("s_qty").cast("double") / F.col("n"), 6).alias(
+            "avg_qty"
+        ),
+        F.round(F.col("s_base").cast("double") / F.col("n"), 6).alias(
+            "avg_price"
+        ),
+        F.round(F.col("s_disc").cast("double") / F.col("n"), 6).alias(
+            "avg_disc"
+        ),
+        F.col("n").alias("count_order"),
+    ).orderBy(*keys)

@@ -328,6 +328,9 @@ _DEMOTED: tuple[str, ...] = (
     # kernel is in-window via incremental_agg_orders; oracle = full
     # recompute, parity-swept at 3 SFs.
     "tpch_q1_incremental",
+    # r6: co-located Q3 (E101) — bucketed zero-exchange layout; same
+    # oracle as tpch_q3; plan-gated in test_plan_shapes.
+    "tpch_q3_colocated",
     # r6: model-based scorer — rows-only by nature (trained model);
     # pytest-gated like the IVF/sketch rows.
     "quality_score_docs",
@@ -4845,3 +4848,70 @@ def tpch_q1_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n").alias("count_order"),
     ).orderBy(*keys)
+
+
+@_register(
+    "tpch_q3_colocated",
+    """SELECT l.l_orderkey,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                   AS DOUBLE) AS revenue,
+              o.o_orderdate
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+         AND o.o_orderdate < TIMESTAMP '1996-07-01'
+         AND l.l_shipdate > TIMESTAMP '1996-07-01'
+       GROUP BY l.l_orderkey, o.o_orderdate
+       ORDER BY revenue DESC, o_orderdate, l_orderkey
+       LIMIT 10""",
+)
+def tpch_q3_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E101: TPC-H Q3 on a CO-LOCATED layout — orders and lineitem
+    pre-bucketed on the order key (one-time layout job, cached per
+    session), so the big fact-fact join AND the (l_orderkey,
+    o_orderdate) aggregate run with ZERO hash exchanges: the only
+    data movement in the whole plan is the broadcast of the filtered
+    customer dim (plan-gated in tests). Identical output to
+    tpch_q3_shipping_priority — same oracle — which makes the pair a
+    measured statement of what layout buys: the nightly-report shuffle
+    happens once, at layout time, not per query."""
+    import re as _re
+
+    from mysql_syncer_spark.sources.bucketed import ensure_bucketed_table
+
+    tag = _re.sub(r"\W+", "_", sf_dir).strip("_")
+    o = ensure_bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "orders"),
+        f"bkt_orders_{tag}",
+        ["o_orderkey"],
+        num_buckets=16,
+        sort_cols=["o_orderkey"],
+    ).where(F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    li = ensure_bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "lineitem"),
+        f"bkt_lineitem_{tag}",
+        ["l_orderkey"],
+        num_buckets=16,
+        sort_cols=["l_orderkey"],
+    ).where(F.col("l_shipdate") > F.lit("1996-07-01").cast("timestamp"))
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )

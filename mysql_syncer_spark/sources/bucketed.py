@@ -74,3 +74,29 @@ def assert_no_shuffle(df: DataFrame) -> None:
     plan = physical_plan(df)
     if "Exchange" in plan:
         raise AssertionError(f"plan contains an Exchange:\n{plan}")
+
+
+def ensure_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 16,
+    sort_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Return ``table`` as a bucketed catalog table, laying it out from
+    ``df`` on first touch in this session. The in-memory catalog's
+    metadata dies with the session but its files don't, so a fresh
+    session ALWAYS rewrites (after purging the orphaned managed
+    location — the minhash-index discipline): a stale on-disk layout
+    can never silently serve different data. Within a session the
+    write happens once; every later call is a pure catalog read."""
+    from mysql_syncer_spark.operators.minhash_index import _drop_stale
+
+    if not spark.catalog.tableExists(table):
+        _drop_stale(spark, table)
+        write_bucketed(
+            df, table, bucket_cols, num_buckets=num_buckets,
+            sort_cols=sort_cols,
+        )
+    return spark.table(table)

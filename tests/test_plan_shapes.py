@@ -292,3 +292,17 @@ def test_tpch_q15_argmax_is_broadcast_scalar(spark, sf_dir):
     plan = plan_of(spark, "tpch_q15_top_supplier", sf_dir)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q3_colocated_zero_hash_exchange(spark, sf_dir):
+    """E101: with orders and lineitem pre-bucketed on the order key,
+    the fact-fact join AND the (l_orderkey, o_orderdate) aggregate
+    must run with ZERO hash exchanges — the only data movement is the
+    broadcast of the filtered customer dim. Both fact scans must read
+    the bucketed layout."""
+    import re
+
+    plan = plan_of(spark, "tpch_q3_colocated", sf_dir)
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 0, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "CartesianProduct" not in plan, plan

@@ -213,19 +213,17 @@ def main() -> None:
 
     def one_pass() -> dict[str, float]:
         times: dict[str, float] = {}
-        # Per-PASS GC barrier (r6): ~60 queries of broadcast/GC debt
-        # inflate later Python-stage keys SUSTAINEDLY (frame_sample
-        # measured 1.98s polluted vs 0.81s after clearCache+System.gc
-        # on the same session — not worker churn, not one poisoning
-        # key; bisection in the r6 log). One gc per pass restores
-        # steady state for ~0.5s cost. Per-QUERY gc remains off — r3
-        # measured it at +10% total because every query then repays
-        # the weak-ref codegen/broadcast caches.
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
         # per-action overhead floor on this box: a 1-row noop write.
         # Sub-second entries (digest_check, resync_noop) bottom out
         # here, so ratios against them are floor-capped, not scan-bound.
+        # (No GC barrier at ANY granularity: r3 measured per-query
+        # System.gc() at +10% total, and an r6 A/B of a per-PASS
+        # clearCache+gc read 80.7s vs 71.6s on the shared keys — the
+        # cleared weak-ref codegen/broadcast caches are repaid by every
+        # query in the pass, costing far more than the ~1s of GC-debt
+        # inflation it removes from the one affected media key. That
+        # key's honest number is protected by its position next to its
+        # media siblings instead.)
         t0 = time.time()
         force(spark.range(1))
         times["action_floor"] = round(time.time() - t0, 3)

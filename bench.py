@@ -178,6 +178,7 @@ HEADLINE = [
     # passes 2-3 measure the zero-exchange steady state (min-of-3
     # reports the layout economics, like the other indexed keys)
     "tpch_q3_colocated",
+    "profile_drift_orders",
 ]
 
 

@@ -221,3 +221,42 @@ def integrity_report(
         ).select(F.lit(name).alias("constraint"), "violations")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Schema-health diff between two snapshots: per column, row /
+    null / distinct counts on both sides plus the null-RATE delta —
+    the cheap early-warning that a upstream feed started dropping a
+    field or collapsing a domain (distinct crash) before anything
+    downstream trains on it. Two single-pass profiles (profile_table)
+    joined on the column name; everything emitted is an exact integer
+    or a ratio of exact integers, so the DuckDB oracle matches without
+    stringification subtleties (min/max stay in profile_table, which
+    owns the cross-engine rendering rules)."""
+    po = profile_table(old, cols).select(
+        "column",
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("n_nulls").alias("n_nulls_a"),
+        F.col("n_distinct").alias("n_distinct_a"),
+    )
+    pn = profile_table(new, cols).select(
+        "column",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("n_nulls").alias("n_nulls_b"),
+        F.col("n_distinct").alias("n_distinct_b"),
+    )
+    return po.join(pn, "column", "full_outer").select(
+        "column",
+        "n_rows_a", "n_rows_b",
+        "n_nulls_a", "n_nulls_b",
+        "n_distinct_a", "n_distinct_b",
+        F.round(
+            F.col("n_nulls_b") / F.col("n_rows_b")
+            - F.col("n_nulls_a") / F.col("n_rows_a"),
+            9,
+        ).alias("null_rate_delta"),
+    )

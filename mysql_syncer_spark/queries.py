@@ -331,6 +331,9 @@ _DEMOTED: tuple[str, ...] = (
     # r6: co-located Q3 (E101) — bucketed zero-exchange layout; same
     # oracle as tpch_q3; plan-gated in test_plan_shapes.
     "tpch_q3_colocated",
+    # r6: schema-health drift (E102) — single-pass profile kernel is
+    # in-window via profile_orders; oracle-backed, parity-swept.
+    "profile_drift_orders",
     # r6: model-based scorer — rows-only by nature (trained model);
     # pytest-gated like the IVF/sketch rows.
     "quality_score_docs",
@@ -4915,3 +4918,67 @@ def tpch_q3_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate")
     )
+
+
+@_register(
+    "profile_drift_orders",
+    f"""WITH snap AS ({_SLAVE_ORDERS_SQL}),
+        a AS (SELECT COUNT(*) AS n,
+                     COUNT(o_orderkey) AS nn_k,
+                     COUNT(o_totalprice) AS nn_p,
+                     COUNT(o_orderpriority) AS nn_r,
+                     COUNT(DISTINCT o_orderkey) AS d_k,
+                     COUNT(DISTINCT o_totalprice) AS d_p,
+                     COUNT(DISTINCT o_orderpriority) AS d_r
+              FROM orders),
+        b AS (SELECT COUNT(*) AS n,
+                     COUNT(o_orderkey) AS nn_k,
+                     COUNT(o_totalprice) AS nn_p,
+                     COUNT(o_orderpriority) AS nn_r,
+                     COUNT(DISTINCT o_orderkey) AS d_k,
+                     COUNT(DISTINCT o_totalprice) AS d_p,
+                     COUNT(DISTINCT o_orderpriority) AS d_r
+              FROM snap)
+       SELECT 'o_orderkey' AS "column",
+              CAST(a.n AS BIGINT) AS n_rows_a, CAST(b.n AS BIGINT) AS n_rows_b,
+              CAST(a.n - a.nn_k AS BIGINT) AS n_nulls_a,
+              CAST(b.n - b.nn_k AS BIGINT) AS n_nulls_b,
+              CAST(a.d_k AS BIGINT) AS n_distinct_a,
+              CAST(b.d_k AS BIGINT) AS n_distinct_b,
+              ROUND((b.n - b.nn_k) * 1.0 / b.n
+                    - (a.n - a.nn_k) * 1.0 / a.n, 9) AS null_rate_delta
+       FROM a, b
+       UNION ALL
+       SELECT 'o_totalprice', a.n, b.n, a.n - a.nn_p, b.n - b.nn_p,
+              a.d_p, b.d_p,
+              ROUND((b.n - b.nn_p) * 1.0 / b.n
+                    - (a.n - a.nn_p) * 1.0 / a.n, 9)
+       FROM a, b
+       UNION ALL
+       SELECT 'o_orderpriority', a.n, b.n, a.n - a.nn_r, b.n - b.nn_r,
+              a.d_r, b.d_r,
+              ROUND((b.n - b.nn_r) * 1.0 / b.n
+                    - (a.n - a.nn_r) * 1.0 / a.n, 9)
+       FROM a, b
+       ORDER BY "column"
+    """,
+)
+def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E102: per-column schema-health drift between the orders table
+    and its perturbed slave snapshot — row/null/distinct counts both
+    sides + null-rate delta; all exact integers (min/max rendering
+    stays in profile_table). Two single-pass profiles joined on the
+    column name."""
+    from mysql_syncer_spark.operators.profile import profile_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    slave = orders.where(k % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 89 == 0, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return profile_drift(
+        orders, slave, ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    ).orderBy("column")

@@ -167,3 +167,29 @@ class TestIntegrity:
             fk_orphans(child, parent, [], [])
         with _pytest.raises(ValueError):
             fk_orphans(child, parent, ["fk"], ["pid", "x"])
+
+
+class TestProfileDrift:
+    def test_detects_null_and_distinct_drift(self, spark):
+        from mysql_syncer_spark.operators.profile import profile_drift
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id long, v string"
+        )
+        new = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, None), (4, "a")], "id long, v string"
+        )
+        got = {r["column"]: r for r in profile_drift(old, new).collect()}
+        v = got["v"]
+        assert (v.n_nulls_a, v.n_nulls_b) == (0, 2)
+        assert (v.n_distinct_a, v.n_distinct_b) == (4, 1)
+        assert abs(v.null_rate_delta - 0.5) < 1e-9
+        assert got["id"].null_rate_delta == 0.0
+
+    def test_row_count_drift(self, spark):
+        from mysql_syncer_spark.operators.profile import profile_drift
+
+        old = spark.createDataFrame([(i,) for i in range(10)], "id long")
+        new = spark.createDataFrame([(i,) for i in range(7)], "id long")
+        r = profile_drift(old, new).collect()[0]
+        assert (r.n_rows_a, r.n_rows_b) == (10, 7)

@@ -179,6 +179,7 @@ HEADLINE = [
     # reports the layout economics, like the other indexed keys)
     "tpch_q3_colocated",
     "profile_drift_orders",
+    "pivot_event_counts",
 ]
 
 

@@ -334,6 +334,9 @@ _DEMOTED: tuple[str, ...] = (
     # r6: schema-health drift (E102) — single-pass profile kernel is
     # in-window via profile_orders; oracle-backed, parity-swept.
     "profile_drift_orders",
+    # r6: native pivot (E103) — conditional-agg kernel shared with
+    # in-window cube/rollup rows; oracle-backed, parity-swept.
+    "pivot_event_counts",
     # r6: model-based scorer — rows-only by nature (trained model);
     # pytest-gated like the IVF/sketch rows.
     "quality_score_docs",
@@ -4982,3 +4985,41 @@ def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_drift(
         orders, slave, ["o_orderkey", "o_totalprice", "o_orderpriority"]
     ).orderBy("column")
+
+
+@_register(
+    "pivot_event_counts",
+    """SELECT user_id,
+              CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)
+                  AS click,
+              CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)
+                  AS error,
+              CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+                  AS purchase,
+              CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT)
+                  AS signup,
+              CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT)
+                  AS view
+       FROM events
+       GROUP BY user_id
+       ORDER BY user_id""",
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E103: wide-format pivot — per-user event counts spread across
+    one column per event type via the native `pivot` with an EXPLICIT
+    value list (no discovery pass, no driver collect; the unlisted
+    long-tail would otherwise force a distinct scan and an unstable
+    schema). One combinable shuffle on the group key; absent cells
+    are true zeros, not NULLs."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+          for t in types],
+    ).orderBy("user_id")

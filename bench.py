@@ -180,6 +180,7 @@ HEADLINE = [
     "tpch_q3_colocated",
     "profile_drift_orders",
     "pivot_event_counts",
+    "scd2_lookup_lineitem",
 ]
 
 

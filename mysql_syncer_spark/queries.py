@@ -337,6 +337,9 @@ _DEMOTED: tuple[str, ...] = (
     # r6: native pivot (E103) — conditional-agg kernel shared with
     # in-window cube/rollup rows; oracle-backed, parity-swept.
     "pivot_event_counts",
+    # r6: SCD2 lookup join (E104) — the history-fold kernel is
+    # in-window via scd2_multibatch; oracle-backed, parity-swept.
+    "scd2_lookup_lineitem",
     # r6: model-based scorer — rows-only by nature (trained model);
     # pytest-gated like the IVF/sketch rows.
     "quality_score_docs",
@@ -5023,3 +5026,89 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
           for t in types],
     ).orderBy("user_id")
+
+
+@_register(
+    "scd2_lookup_lineitem",
+    f"""WITH snap AS ({_SLAVE_ORDERS_SQL}),
+        o AS (SELECT *, {_ORDERS_HASH} AS h FROM orders),
+        s AS (SELECT *, {_ORDERS_HASH} AS h FROM snap),
+        hist AS (
+          SELECT o.o_orderkey, o.o_totalprice,
+                 CAST(0 AS BIGINT) AS valid_from,
+                 CAST(NULL AS BIGINT) AS valid_to
+          FROM o JOIN s ON o.o_orderkey = s.o_orderkey AND o.h = s.h
+          UNION ALL
+          SELECT o.o_orderkey, o.o_totalprice, CAST(0 AS BIGINT),
+                 CAST(1 AS BIGINT)
+          FROM o LEFT JOIN s ON o.o_orderkey = s.o_orderkey
+          WHERE s.h IS NULL OR o.h <> s.h
+          UNION ALL
+          SELECT s.o_orderkey, s.o_totalprice, CAST(1 AS BIGINT),
+                 CAST(NULL AS BIGINT)
+          FROM s LEFT JOIN o ON o.o_orderkey = s.o_orderkey
+          WHERE o.h IS NULL OR o.h <> s.h),
+        f AS (SELECT l_orderkey, l_linenumber,
+                     CASE WHEN l_shipdate < TIMESTAMP '1997-01-01'
+                          THEN 0 ELSE 1 END AS as_of
+              FROM lineitem)
+       SELECT f.l_orderkey, f.l_linenumber,
+              CAST(f.as_of AS BIGINT) AS as_of,
+              h.o_totalprice AS dim_totalprice,
+              h.valid_from AS dim_version_from
+       FROM f LEFT JOIN hist h
+         ON h.o_orderkey = f.l_orderkey
+        AND h.valid_from <= f.as_of
+        AND (h.valid_to IS NULL OR h.valid_to > f.as_of)
+       ORDER BY l_orderkey, l_linenumber, dim_version_from""",
+)
+def scd2_lookup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E104: SCD2 lookup join — every lineitem row enriched with the
+    orders-dimension VERSION valid at its own ship period (period 0 =
+    pre-1997, period 1 = after), against a two-fold history (bootstrap
+    + perturbed snapshot: price changes become version 1, dropped keys
+    become tombstones). Equi join on the PK with the validity interval
+    as a residual — at most one version matches by construction, so no
+    dedup pass; 'left' keeps facts whose dimension was deleted (NULL
+    dim columns — the tombstone read)."""
+    from mysql_syncer_spark.scd import scd2_apply, scd2_init, scd2_lookup_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    slave = orders.where(k % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 89 == 0, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    hist = scd2_apply(
+        scd2_init(orders.select("o_orderkey", "o_totalprice"), 0),
+        slave.select("o_orderkey", "o_totalprice"),
+        ["o_orderkey"],
+        1,
+    )
+    facts = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("as_of"),
+    )
+    out = scd2_lookup_join(
+        facts,
+        hist.withColumnRenamed("o_orderkey", "l_orderkey"),
+        ["l_orderkey"],
+        "as_of",
+        how="left",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "as_of",
+        F.col("dim_o_totalprice").alias("dim_totalprice"),
+        "dim_version_from",
+    ).orderBy("l_orderkey", "l_linenumber", "dim_version_from")

@@ -132,3 +132,53 @@ def scd2_as_of(
         (F.col(from_col) <= ts)
         & (F.col(to_col).isNull() | (F.col(to_col) > ts))
     ).drop(from_col, to_col)
+
+
+def scd2_lookup_join(
+    facts: DataFrame,
+    history: DataFrame,
+    pk_cols: Sequence[str],
+    as_of_col: str,
+    how: str = "inner",
+    from_col: str = VALID_FROM,
+    to_col: str = VALID_TO,
+) -> DataFrame:
+    """Join each fact row to the dimension VERSION valid at the fact's
+    own time — the canonical SCD2 consumption pattern (scd2_as_of
+    answers "the whole table at time T"; this answers "each event
+    against the dimension as that event saw it"). ``as_of_col`` is a
+    fact column on the history's batch-ts clock.
+
+    Shape: an equi join on the PK (versions of one key never overlap
+    by scd2_apply's construction, so the interval predicate
+    ``valid_from <= as_of < valid_to`` matches AT MOST ONE version —
+    no dedup pass, no range-join blowup) with the validity check as a
+    join residual; both sides shuffle once on the PK, history's
+    per-key version count is the only fan-out. ``how='left'`` keeps
+    facts whose as-of predates the key's first version (dimension
+    columns NULL)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    h = history
+    for c in h.columns:
+        h = h.withColumnRenamed(c, f"__h_{c}")
+    cond = None
+    for c in pk_cols:
+        eq = facts[c] == h[f"__h_{c}"]
+        cond = eq if cond is None else (cond & eq)
+    as_of = facts[as_of_col]
+    cond = (
+        cond
+        & (h[f"__h_{from_col}"] <= as_of)
+        & (h[f"__h_{to_col}"].isNull() | (h[f"__h_{to_col}"] > as_of))
+    )
+    joined = facts.join(h, cond, "left_outer" if how == "left" else "inner")
+    dim_cols = [
+        c for c in history.columns
+        if c not in (*pk_cols, from_col, to_col)
+    ]
+    return joined.select(
+        *[facts[c] for c in facts.columns],
+        *[h[f"__h_{c}"].alias(f"dim_{c}") for c in dim_cols],
+        h[f"__h_{from_col}"].alias("dim_version_from"),
+    )

@@ -98,3 +98,61 @@ def test_hash_cols_restricts_change_detection(spark):
     h = scd2_apply(scd2_init(b0, 0), b1, PK, 1, hash_cols=["id", "val"])
     # score is not part of the content hash -> no new version
     assert h.count() == 1 and h.first()["valid_to"] is None
+
+
+class TestScd2LookupJoin:
+    def test_version_routing_and_tombstones(self, spark):
+        from mysql_syncer_spark.scd import (
+            scd2_apply, scd2_init, scd2_lookup_join,
+        )
+
+        v0 = spark.createDataFrame(
+            [(1, "a0"), (2, "b0"), (3, "c0")], "pk long, v string"
+        )
+        v1 = spark.createDataFrame(
+            [(1, "a1"), (3, "c0")], "pk long, v string"  # 1 changed, 2 gone
+        )
+        hist = scd2_apply(scd2_init(v0, 0), v1, ["pk"], 1)
+        facts = spark.createDataFrame(
+            [(1, 0), (1, 1), (2, 0), (2, 1), (3, 1), (9, 1)],
+            "pk long, at long",
+        )
+        got = {
+            (r.pk, r.at): (r.dim_v, r.dim_version_from)
+            for r in scd2_lookup_join(
+                facts, hist, ["pk"], "at", how="left"
+            ).collect()
+        }
+        assert got[(1, 0)] == ("a0", 0)   # old version at t0
+        assert got[(1, 1)] == ("a1", 1)   # new version at t1
+        assert got[(2, 0)] == ("b0", 0)   # existed at t0
+        assert got[(2, 1)] == (None, None)  # tombstone read
+        assert got[(3, 1)] == ("c0", 0)   # unchanged keeps version 0
+        assert got[(9, 1)] == (None, None)  # never existed
+
+    def test_inner_drops_unmatched(self, spark):
+        from mysql_syncer_spark.scd import (
+            scd2_init, scd2_lookup_join,
+        )
+
+        hist = scd2_init(
+            spark.createDataFrame([(1, "a")], "pk long, v string"), 5
+        )
+        facts = spark.createDataFrame(
+            [(1, 4), (1, 5)], "pk long, at long"
+        )
+        got = scd2_lookup_join(facts, hist, ["pk"], "at").collect()
+        # as_of 4 predates the first version -> dropped under inner
+        assert len(got) == 1 and got[0].at == 5
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.scd import scd2_init, scd2_lookup_join
+
+        hist = scd2_init(
+            spark.createDataFrame([(1, "a")], "pk long, v string"), 0
+        )
+        facts = spark.createDataFrame([(1, 0)], "pk long, at long")
+        with _pytest.raises(ValueError):
+            scd2_lookup_join(facts, hist, ["pk"], "at", how="full")

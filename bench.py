@@ -181,6 +181,9 @@ HEADLINE = [
     "profile_drift_orders",
     "pivot_event_counts",
     "scd2_lookup_lineitem",
+    "event_transitions",
+    "attribution_events",
+    "unpivot_event_counts",
 ]
 
 

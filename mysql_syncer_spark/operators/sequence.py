@@ -1,0 +1,160 @@
+"""Event-sequence analytics: transition matrices and touch attribution.
+
+Two classic product/clickstream operators that live one level above the
+funnel (operators/funnel.py): instead of asking "how far did each key
+get through ONE prescribed path", they characterize the paths
+themselves.
+
+* ``event_transitions`` — the first-order Markov view of the stream:
+  for every ordered pair of event types, how often does type B
+  IMMEDIATELY follow type A within the same key's timeline, and what
+  fraction of A's continuations go to B. The output is the
+  |types|x|types| transition matrix product analysts diagram as a
+  state machine and ML pipelines use as a session-behavior feature.
+
+* ``attribute_conversions`` — marketing-style attribution: every
+  conversion event is credited to the LAST (or FIRST) preceding
+  touch event of the same key. The streaming-shaped formulation is a
+  single ``last(..., ignorenulls=True)`` carry-forward window — no
+  self-join, no correlated subquery, one shuffle on the key.
+
+Spark shapes (both all-built-in, codegen end to end):
+
+* transitions: one window shuffle on the key (``lag`` over
+  (ts, tie) order) -> one combinable groupBy on (prev, next). The
+  matrix is |types|^2 rows — tiny — so the row-probability
+  normalization is a window over the aggregated matrix, not the
+  stream. At 100 TB the only data-sized exchange is the per-key
+  window, the same exchange sessionization already pays; a pipeline
+  computing both should repartition by key once and share it.
+
+* attribution: one window shuffle on the key. The carry-forward
+  ``last(when(is_touch, x), ignorenulls=True)`` over ROWS UNBOUNDED
+  PRECEDING .. 1 PRECEDING is Spark's exact equivalent of SQL's
+  ``LAG(expr IGNORE NULLS)``: both touch columns (type and ts) are
+  projected from the SAME carried row because they are non-null on
+  exactly the same rows. State per key is one row — watermark-friendly
+  if ported to Structured Streaming.
+
+Determinism: all orderings are (ts, tie_col) with the caller's unique
+tie column required, so same-timestamp events resolve identically in
+Spark and any SQL oracle.
+
+Reference anchor: the reference engine has no sequence analytics
+(its events are sync actions, Synchronizer.php:88-149); this module is
+training-/product-pipeline surface beyond the reference, same charter
+as operators/funnel.py.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    tie_col: str,
+    prob_decimals: int = 6,
+) -> DataFrame:
+    """First-order transition matrix over per-key event timelines.
+
+    Output: one row per observed (``prev_type``, ``next_type``) pair
+    with ``n`` (BIGINT transition count) and ``prob`` (row-stochastic:
+    n / sum(n) over the same ``prev_type``, rounded to
+    ``prob_decimals``). Each key's first event has no predecessor and
+    contributes nothing; keys with a single event vanish entirely.
+
+    ``tie_col`` must be unique per row (an event id): it makes the
+    within-key order — and therefore the matrix — deterministic under
+    equal timestamps.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    pairs = (
+        df.select(
+            F.lag(type_col).over(w).alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # matrix-sized (|types|^2 rows): the normalizing window is cheap
+    row_total = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n") / F.sum("n").over(row_total), prob_decimals
+        ).alias("prob"),
+    )
+
+
+def attribute_conversions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    tie_col: str,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    model: str = "last",
+) -> DataFrame:
+    """Credit every ``conversion_type`` event to its ``model``-touch.
+
+    ``model='last'``: the latest strictly-preceding touch event of the
+    same key (last-touch attribution). ``model='first'``: the key's
+    earliest touch that precedes the conversion (first-touch).
+    "Preceding" is row order (ts, tie), so a touch sharing the
+    conversion's timestamp attributes iff its tie id is smaller.
+
+    Output: one row per conversion event — ``key_col``, ``tie_col``
+    (the conversion's id), ``conv_ts``, ``touch_type``/``touch_ts``
+    (NULL when the key had no prior touch: the "unattributed" bucket),
+    and ``micros_to_convert`` (BIGINT, NULL when unattributed).
+    """
+    if model not in ("last", "first"):
+        raise ValueError(f"model must be 'last' or 'first', got {model!r}")
+    is_touch = F.col(type_col).isin(list(touch_types))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tie_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def _carry(expr: Column) -> Column:
+        guarded = F.when(is_touch, expr)
+        if model == "last":
+            return F.last(guarded, ignorenulls=True).over(w)
+        return F.first(guarded, ignorenulls=True).over(w)
+
+    return (
+        df.select(
+            key_col,
+            tie_col,
+            F.col(ts_col).alias("conv_ts"),
+            F.col(type_col).alias("__type"),
+            _carry(F.col(type_col)).alias("touch_type"),
+            _carry(F.col(ts_col)).alias("touch_ts"),
+        )
+        .where(F.col("__type") == conversion_type)
+        .select(
+            key_col,
+            tie_col,
+            "conv_ts",
+            "touch_type",
+            "touch_ts",
+            (
+                # cast handles TIMESTAMP_NTZ parquet columns; any zone
+                # shift the cast applies cancels in the difference
+                F.unix_micros(F.col("conv_ts").cast("timestamp"))
+                - F.unix_micros(F.col("touch_ts").cast("timestamp"))
+            ).cast("long").alias("micros_to_convert"),
+        )
+    )

@@ -340,6 +340,13 @@ _DEMOTED: tuple[str, ...] = (
     # r6: SCD2 lookup join (E104) — the history-fold kernel is
     # in-window via scd2_multibatch; oracle-backed, parity-swept.
     "scd2_lookup_lineitem",
+    # r6: sequence analytics (E105-E107) — the per-key window exchange
+    # is in-window via sessionize/sliding-window rows; the pivot/
+    # unpivot conditional-agg kernel via cube/rollup rows. All three
+    # oracle-backed, parity-swept at 3 SFs.
+    "event_transitions",
+    "attribution_events",
+    "unpivot_event_counts",
     # r6: model-based scorer — rows-only by nature (trained model);
     # pytest-gated like the IVF/sketch rows.
     "quality_score_docs",
@@ -5112,3 +5119,128 @@ def scd2_lookup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim_o_totalprice").alias("dim_totalprice"),
         "dim_version_from",
     ).orderBy("l_orderkey", "l_linenumber", "dim_version_from")
+
+
+@_register(
+    "event_transitions",
+    """WITH p AS (
+          SELECT LAG(event_type) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev_type,
+                 event_type AS next_type
+          FROM events)
+       SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n,
+              ROUND(COUNT(*) * 1.0 /
+                    SUM(COUNT(*)) OVER (PARTITION BY prev_type),
+                    6) AS prob
+       FROM p WHERE prev_type IS NOT NULL
+       GROUP BY prev_type, next_type
+       ORDER BY prev_type, next_type""",
+)
+def event_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E105: first-order Markov transition matrix over per-user event
+    timelines — one lag window on the key (the sessionization
+    exchange), one combinable groupBy, then a matrix-local window for
+    the row-stochastic normalization (|types|^2 rows, never the
+    stream). Deterministic under equal timestamps via the event_id
+    tie."""
+    from mysql_syncer_spark.operators.sequence import event_transitions
+
+    ev = load_table(spark, sf_dir, "events")
+    return event_transitions(
+        ev, "user_id", "ts", "event_type", "event_id"
+    ).orderBy("prev_type", "next_type")
+
+
+@_register(
+    "attribution_events",
+    """WITH c AS (
+          SELECT user_id, event_id, ts AS conv_ts, event_type,
+                 LAG(CASE WHEN event_type IN ('click', 'view')
+                          THEN event_type END IGNORE NULLS) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS touch_type,
+                 LAG(CASE WHEN event_type IN ('click', 'view')
+                          THEN ts END IGNORE NULLS) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS touch_ts
+          FROM events)
+       SELECT user_id, event_id, conv_ts, touch_type, touch_ts,
+              CAST(epoch_us(conv_ts) - epoch_us(touch_ts) AS BIGINT)
+                  AS micros_to_convert
+       FROM c WHERE event_type = 'purchase'
+       ORDER BY user_id, event_id""",
+)
+def attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E106: last-touch attribution — every purchase credited to the
+    latest strictly-preceding click/view of the same user via ONE
+    carry-forward window (last ignorenulls over ROWS UNBOUNDED
+    PRECEDING..1 PRECEDING — Spark's exact LAG-IGNORE-NULLS), no
+    self-join, no correlated subquery. NULL touch = the unattributed
+    cohort; micros_to_convert stays integral (unix_micros) so the
+    oracle hash never sees float drift."""
+    from mysql_syncer_spark.operators.sequence import attribute_conversions
+
+    ev = load_table(spark, sf_dir, "events")
+    return attribute_conversions(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        model="last",
+    ).orderBy("user_id", "event_id")
+
+
+@_register(
+    "unpivot_event_counts",
+    """WITH wide AS (
+          SELECT user_id,
+                 CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)
+                     AS click,
+                 CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)
+                     AS error,
+                 CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+                     AS purchase,
+                 CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT)
+                     AS signup,
+                 CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT)
+                     AS view
+          FROM events GROUP BY user_id)
+       SELECT user_id, 'click' AS event_type, click AS cnt FROM wide
+       UNION ALL
+       SELECT user_id, 'error', error FROM wide
+       UNION ALL
+       SELECT user_id, 'purchase', purchase FROM wide
+       UNION ALL
+       SELECT user_id, 'signup', signup FROM wide
+       UNION ALL
+       SELECT user_id, 'view', view FROM wide
+       ORDER BY user_id, event_type""",
+)
+def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E107: native unpivot (melt) — the wide per-user matrix of E103
+    folded back to long (user_id, event_type, cnt) via
+    ``DataFrame.unpivot``: a row-local generate, zero shuffle beyond
+    the pivot's own agg, and the exact inverse of the pivot with an
+    explicit value list (round-trip law tested in
+    tests/test_sequence.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+                for t in types
+            ],
+        )
+    )
+    return wide.unpivot(
+        ["user_id"], types, "event_type", "cnt"
+    ).orderBy("user_id", "event_type")

@@ -184,6 +184,7 @@ HEADLINE = [
     "event_transitions",
     "attribution_events",
     "unpivot_event_counts",
+    "image_near_dup_media",
 ]
 
 

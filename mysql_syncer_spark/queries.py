@@ -347,6 +347,11 @@ _DEMOTED: tuple[str, ...] = (
     "event_transitions",
     "attribution_events",
     "unpivot_event_counts",
+    # r6: perceptual image near-dup (E108) — the banded signature join
+    # is in-window via simhash rows; the mapInPandas media plumbing via
+    # resize/audio rows. Oracle-backed (fake-tier equal-bytes law),
+    # parity-swept at 3 SFs; the real pixel path is pytest-gated.
+    "image_near_dup_media",
     # r6: model-based scorer — rows-only by nature (trained model);
     # pytest-gated like the IVF/sketch rows.
     "quality_score_docs",
@@ -5244,3 +5249,43 @@ def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["user_id"], types, "event_type", "cnt"
     ).orderBy("user_id", "event_type")
+
+
+@_register(
+    "image_near_dup_media",
+    """WITH m AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000, text FROM documents
+          WHERE doc_id % 50 = 0)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(0 AS INTEGER) AS hamming
+       FROM m a JOIN m b ON a.text = b.text AND a.doc_id < b.doc_id
+       ORDER BY id_a, id_b""",
+)
+def image_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E108: perceptual image near-dup pairs — document bytes standing
+    in for image payloads (every doc_id%50==0 payload re-ingested under
+    a shifted id, the deterministic dup-synthesis idiom of the slave-
+    orders fixtures), hashed by the fake-tier dHash (equal bytes <=>
+    equal 64-bit signature) and paired by the SimHash pigeonhole-banded
+    join. The oracle is the exact-duplicate payload self-join at
+    Hamming 0: it proves the mapInPandas signature plumbing, the
+    banded join, and that unequal payloads never land within 3 bits
+    (sha256-derived grids sit ~32 bits apart). The REAL pixel path
+    (Pillow -> stdlib PNG) is pytest-gated in tests/test_imagehash.py
+    with encoded-and-perturbed PNGs."""
+    from mysql_syncer_spark.operators.imagehash import image_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.encode("text", "UTF-8").alias("media"))
+    dup = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.encode("text", "UTF-8").alias("media"),
+    )
+    media = base.unionByName(dup)
+    return image_near_dup_pairs(
+        media, "doc_id", "media", max_bits=3, fake_decode=True
+    ).select(
+        F.col("id_a"), F.col("id_b"), F.col("hamming")
+    ).orderBy("id_a", "id_b")

@@ -185,6 +185,7 @@ HEADLINE = [
     "attribution_events",
     "unpivot_event_counts",
     "image_near_dup_media",
+    "session_paths_events",
 ]
 
 

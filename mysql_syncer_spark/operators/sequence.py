@@ -96,6 +96,91 @@ def event_transitions(
     )
 
 
+def session_paths(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    tie_col: str,
+    gap: str = "30 MINUTE",
+    max_steps: int = 5,
+    top_k: int = 20,
+    share_decimals: int = 6,
+) -> DataFrame:
+    """Top-k most common session paths: the event-type sequence each
+    session opens with, counted across all sessions.
+
+    Sessionization is the standard gap rule (a new session starts after
+    ``gap`` of silence), sharing the per-key window exchange with
+    ``sessionize``/``event_transitions``. Each session's path is its
+    first ``max_steps`` event types joined with ``>`` — truncation is
+    the deliberate scale bound: path cardinality can never exceed
+    |types|^max_steps, so the path aggregation's key domain is fixed
+    regardless of corpus size (an unbounded path column would make the
+    groupBy key domain grow with the longest session).
+
+    Plan: one per-key window (lag + running sum -> session ids), one
+    groupBy on (key, session) building the ordered path via
+    ``array_sort(collect_list(struct))`` — order restored explicitly,
+    never assumed — then a combinable groupBy on the path and a
+    matrix-local share window. Output: (path, n_sessions BIGINT,
+    share) — top ``top_k`` by count with the path string as the
+    deterministic tie-break.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    prev = F.lag(ts_col).over(w)
+    new_session = (
+        F.when(
+            prev.isNull()
+            | (F.col(ts_col) - prev > F.expr(f"INTERVAL {gap}")),
+            1,
+        )
+        .otherwise(0)
+    )
+    sess = df.select(
+        key_col,
+        ts_col,
+        tie_col,
+        type_col,
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__sid"),
+    )
+    paths = sess.groupBy(key_col, "__sid").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(ts_col, tie_col, type_col)
+                        )
+                    ),
+                    lambda s: s[type_col],
+                ),
+                1,
+                max_steps,
+            ),
+            ">",
+        ).alias("path")
+    )
+    agg = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    total = Window.partitionBy()
+    return (
+        agg.select(
+            "path",
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.round(
+                F.col("n_sessions") / F.sum("n_sessions").over(total),
+                share_decimals,
+            ).alias("share"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(top_k)
+    )
+
+
 def attribute_conversions(
     df: DataFrame,
     key_col: str,

@@ -347,6 +347,10 @@ _DEMOTED: tuple[str, ...] = (
     "event_transitions",
     "attribution_events",
     "unpivot_event_counts",
+    # r6: session path mining (E109) — the sessionization window is
+    # in-window via sessionize/sliding rows; path agg is a combinable
+    # groupBy. Oracle-backed, parity-swept at 3 SFs.
+    "session_paths_events",
     # r6: perceptual image near-dup (E108) — the banded signature join
     # is in-window via simhash rows; the mapInPandas media plumbing via
     # resize/audio rows. Oracle-backed (fake-tier equal-bytes law),
@@ -5289,3 +5293,49 @@ def image_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("id_a"), F.col("id_b"), F.col("hamming")
     ).orderBy("id_a", "id_b")
+
+
+@_register(
+    "session_paths_events",
+    """WITH gaps AS (
+         SELECT user_id, ts, event_id, event_type,
+                CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                       OR LAG(ts) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       sess AS (
+         SELECT user_id, ts, event_id, event_type,
+                SUM(new_session) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+         FROM gaps),
+       ranked AS (
+         SELECT user_id, sid, event_type,
+                ROW_NUMBER() OVER
+                    (PARTITION BY user_id, sid ORDER BY ts, event_id)
+                    AS rn
+         FROM sess),
+       paths AS (
+         SELECT user_id, sid,
+                string_agg(event_type, '>' ORDER BY rn) AS path
+         FROM ranked WHERE rn <= 5 GROUP BY user_id, sid),
+       agg AS (SELECT path, COUNT(*) AS n FROM paths GROUP BY path)
+       SELECT path, CAST(n AS BIGINT) AS n_sessions,
+              ROUND(n * 1.0 / SUM(n) OVER (), 6) AS share
+       FROM agg
+       ORDER BY n_sessions DESC, path LIMIT 20""",
+)
+def session_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E109: top-20 session paths — gap-rule sessionization (the
+    sessionize exchange), ordered path of each session's first 5 event
+    types (truncation bounds path cardinality at |types|^5 regardless
+    of corpus size), combinable path count, matrix-local share window,
+    deterministic count-then-path tie-break."""
+    from mysql_syncer_spark.operators.sequence import session_paths
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_paths(
+        ev, "user_id", "ts", "event_type", "event_id",
+        gap="30 MINUTE", max_steps=5, top_k=20,
+    )

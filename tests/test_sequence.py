@@ -124,3 +124,30 @@ def test_pivot_unpivot_round_trip(spark):
     long = wide.unpivot(["k"], types, "t", "cnt")
     got = {(r["k"], r["t"]): r["cnt"] for r in long.collect()}
     assert got == {(1, "a"): 2, (1, "b"): 1, (2, "a"): 0, (2, "b"): 1}
+
+
+def test_session_paths(spark):
+    from mysql_syncer_spark.operators.sequence import session_paths
+
+    rows = [
+        # user 1, session A: a>b ; session B (65 min later): a>b
+        (1, 1, _t(0), "a"), (2, 1, _t(1), "b"),
+        (3, 1, _t(66), "a"), (4, 1, _t(67), "b"),
+        # user 2, one session: a>b
+        (5, 2, _t(0), "a"), (6, 2, _t(1), "b"),
+        # user 3, one long session: truncation to first 3 steps
+        (7, 3, _t(0), "a"), (8, 3, _t(1), "b"), (9, 3, _t(2), "c"),
+        (10, 3, _t(3), "d"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = session_paths(
+        df, "user_id", "ts", "event_type", "event_id",
+        gap="30 MINUTE", max_steps=3, top_k=10,
+    ).collect()
+    got = {r["path"]: (r["n_sessions"], r["share"]) for r in out}
+    # 4 sessions total: 3x 'a>b', 1x 'a>b>c' (d truncated away)
+    assert got == {"a>b": (3, 0.75), "a>b>c": (1, 0.25)}
+    # ordering: most frequent first
+    assert out[0]["path"] == "a>b"

@@ -245,7 +245,18 @@ def run_tail_smoke() -> None:
         "tpch_q18_large_volume",
         "tpch_q8_market_share",
         "replicate_mixture_docs",
+        # r6 third wave: sequence analytics, image dedup, SCD2 lookup
+        "event_transitions",
+        "attribution_events",
+        "session_paths_events",
+        "image_near_dup_media",
+        "scd2_lookup_lineitem",
+        "profile_drift_orders",
+        "tpch_q1_incremental",
     ]
+    only = set(sys.argv[2:])
+    if only:
+        tail_keys = [k for k in tail_keys if k in only]
     out = {}
     for name in tail_keys:
         t0 = time.time()

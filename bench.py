@@ -186,6 +186,7 @@ HEADLINE = [
     "unpivot_event_counts",
     "image_near_dup_media",
     "session_paths_events",
+    "audio_near_dup_media",
 ]
 
 

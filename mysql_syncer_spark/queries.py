@@ -347,6 +347,11 @@ _DEMOTED: tuple[str, ...] = (
     "event_transitions",
     "attribution_events",
     "unpivot_event_counts",
+    # r6: acoustic near-dup (E110) — rows-only by design (energy
+    # contour has no SQL form and word-salad PCM is collision-prone;
+    # measured and documented in the query docstring). Real gate:
+    # tests/test_audiohash.py sine-wave locality + banded==brute.
+    "audio_near_dup_media",
     # r6: session path mining (E109) — the sessionization window is
     # in-window via sessionize/sliding rows; path agg is a combinable
     # groupBy. Oracle-backed, parity-swept at 3 SFs.
@@ -5339,3 +5344,29 @@ def session_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", "event_type", "event_id",
         gap="30 MINUTE", max_steps=5, top_k=20,
     )
+
+
+@_register("audio_near_dup_media")
+def audio_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E110: acoustic near-dup pairs — document bytes standing in for
+    s16le PCM (the audio_features_docs convention), every doc_id%50==0
+    payload re-ingested under a shifted id, fingerprinted by the
+    integer energy-contour hash and paired by the banded join.
+    Registered ROWS-ONLY deliberately: the energy contour of
+    word-salad ASCII is collision-prone by construction (measured
+    1180 equal-contour pairs vs 8 exact-dup texts at sf0.1), so an
+    equal-bytes oracle would be wrong and the signature itself has no
+    SQL form. The REAL gate is tests/test_audiohash.py: sine-wave
+    locality (identical->0 bits, +-50 LSB noise-><=3 bits, envelope
+    change->far), banded==brute-force, edge payloads."""
+    from mysql_syncer_spark.operators.audiohash import audio_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.encode("text", "UTF-8").alias("media"))
+    dup = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.encode("text", "UTF-8").alias("media"),
+    )
+    return audio_near_dup_pairs(
+        base.unionByName(dup), "doc_id", "media", max_bits=3
+    ).orderBy("id_a", "id_b")

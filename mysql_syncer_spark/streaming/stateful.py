@@ -273,3 +273,114 @@ def anomaly_zscore_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRANSITION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("prev_type", T.StringType()),
+        T.StructField("next_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+#: last-seen event per key: (ts_us, tie id, type)
+_TR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_id", T.LongType()),
+        T.StructField("last_type", T.StringType()),
+    ]
+)
+
+
+def transitions_stream(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    watermark: str = "10 minutes",
+    idle_evict_minutes: int = 60,
+) -> DataFrame:
+    """Streaming twin of ``sequence.event_transitions``: emits one row
+    per observed transition ``(key, prev_type, next_type, ts-of-next)``
+    as events arrive — downstream a plain streaming groupBy count (or
+    the E90 count-min maintainer) keeps the live matrix.
+
+    State per key is exactly ONE event (3 scalars): the latest seen.
+    Keys idle past ``idle_evict_minutes`` of event time are evicted via
+    the state timeout — bounded state at any key cardinality. The
+    deliberate semantic consequence: a transition spanning an idle gap
+    longer than the eviction horizon is NOT emitted (the key restarts,
+    session-scoped analysis semantics). An in-order replay whose gaps
+    stay inside the horizon reproduces the batch twin's pair multiset
+    exactly (pytest-gated, the rows-only analogue of an oracle).
+
+    Ordering: within a micro-batch events are folded in (ts, id)
+    order; across batches, arrival order stands in for event order
+    (the unavoidable streaming/batch divergence — the watermark bounds
+    how stale a late row can be).
+    """
+    evict_us = idle_evict_minutes * 60 * 1_000_000
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        user = key[0]
+        if state.hasTimedOut:
+            if state.exists:
+                state.remove()
+            return
+        rows = []
+        for pdf in pdfs:
+            for eid, ts_us, typ in zip(
+                pdf["__id"], pdf["__ts_us"], pdf["__type"]
+            ):
+                rows.append((int(ts_us), int(eid), str(typ)))
+        rows.sort()
+        out = []
+        if state.exists:
+            last_us, last_id, last_type = state.get
+        else:
+            last_us, last_id, last_type = None, None, None
+        for ts_us, eid, typ in rows:
+            if last_type is not None:
+                out.append(
+                    {
+                        "user_id": user,
+                        "prev_type": last_type,
+                        "next_type": typ,
+                        "ts": pd.Timestamp(ts_us, unit="us"),
+                    }
+                )
+            last_us, last_id, last_type = ts_us, eid, typ
+        if last_type is not None:
+            state.update((last_us, last_id, last_type))
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(last_us // 1000 + evict_us // 1000, wm_ms + 1000)
+            )
+        if out:
+            yield pd.DataFrame(out)
+
+    prepped = (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col),
+            F.col(ts_col),
+            F.col(id_col).alias("__id"),
+            (F.col(ts_col).cast("double") * 1_000_000)
+            .cast("long")
+            .alias("__ts_us"),
+            F.col(type_col).alias("__type"),
+        )
+    )
+    return prepped.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=TRANSITION_SCHEMA,
+        stateStructType=_TR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -212,3 +212,94 @@ class TestAnomalyZscoreStream:
         stream = spark.readStream.schema(ANOM_IN_SCHEMA).json(str(src_dir))
         with _pytest.raises(ValueError):
             anomaly_zscore_stream(stream, window=0)
+
+
+class TestTransitionsStream:
+    SCHEMA = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    @staticmethod
+    def _line(uid, eid, ts, typ):
+        return (
+            f'{{"user_id": {uid}, "event_id": {eid}, '
+            f'"ts": "{ts}", "event_type": "{typ}"}}\n'
+        )
+
+    def _run(self, spark, tmp_path, batches, **kw):
+        from mysql_syncer_spark.streaming.stateful import transitions_stream
+
+        src = tmp_path / "tr_in"
+        src.mkdir()
+        _write_ordered(src, batches)
+        stream = (
+            spark.readStream.schema(self.SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        out = transitions_stream(stream, **kw)
+        _run_to_memory(out, "transitions_out", str(tmp_path / "tr_ck"))
+        return spark.sql("select * from transitions_out").collect()
+
+    def test_matches_batch_twin_on_in_order_replay(self, spark, tmp_path):
+        """Cross-batch carry: the last event of batch 0 pairs with the
+        first event of batch 1; counts equal the batch operator's."""
+        from mysql_syncer_spark.operators.sequence import event_transitions
+
+        b0 = (
+            self._line(1, 10, "2026-01-01T10:00:00", "view")
+            + self._line(1, 11, "2026-01-01T10:01:00", "click")
+            + self._line(2, 20, "2026-01-01T10:00:30", "view")
+        )
+        b1 = (
+            self._line(1, 12, "2026-01-01T10:02:00", "buy")
+            + self._line(2, 21, "2026-01-01T10:03:00", "buy")
+            + self._line(3, 30, "2026-01-01T10:04:00", "view")
+        )
+        rows = self._run(spark, tmp_path, [("b0.json", b0), ("b1.json", b1)])
+        got = sorted(
+            (r["user_id"], r["prev_type"], r["next_type"]) for r in rows
+        )
+        assert got == sorted(
+            [(1, "view", "click"), (1, "click", "buy"), (2, "view", "buy")]
+        )
+        # batch twin over the union agrees on the pair multiset
+        import datetime as dt
+
+        batch = spark.createDataFrame(
+            [
+                (10, 1, dt.datetime(2026, 1, 1, 10, 0, 0), "view"),
+                (11, 1, dt.datetime(2026, 1, 1, 10, 1, 0), "click"),
+                (20, 2, dt.datetime(2026, 1, 1, 10, 0, 30), "view"),
+                (12, 1, dt.datetime(2026, 1, 1, 10, 2, 0), "buy"),
+                (21, 2, dt.datetime(2026, 1, 1, 10, 3, 0), "buy"),
+                (30, 3, dt.datetime(2026, 1, 1, 10, 4, 0), "view"),
+            ],
+            "event_id long, user_id long, ts timestamp, event_type string",
+        )
+        twin = {
+            (r["prev_type"], r["next_type"]): r["n"]
+            for r in event_transitions(
+                batch, "user_id", "ts", "event_type", "event_id"
+            ).collect()
+        }
+        stream_counts = {}
+        for _, p, n in got:
+            stream_counts[(p, n)] = stream_counts.get((p, n), 0) + 1
+        assert stream_counts == twin
+
+    def test_within_batch_order_is_event_time(self, spark, tmp_path):
+        """Out-of-order rows INSIDE one batch are folded by (ts, id)."""
+        b0 = (
+            self._line(1, 11, "2026-01-01T10:01:00", "click")
+            + self._line(1, 10, "2026-01-01T10:00:00", "view")
+        )
+        rows = self._run(spark, tmp_path, [("b0.json", b0)])
+        assert [(r["prev_type"], r["next_type"]) for r in rows] == [
+            ("view", "click")
+        ]

@@ -187,6 +187,7 @@ HEADLINE = [
     "image_near_dup_media",
     "session_paths_events",
     "audio_near_dup_media",
+    "video_near_dup_media",
 ]
 
 

@@ -168,3 +168,119 @@ def image_near_dup_pairs(
     return simhash_pairs_from_signatures(
         sig, id_col, "dhash", bits=64, max_bits=max_bits
     )
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup: frame-level dHash inverted index
+# ---------------------------------------------------------------------------
+
+def _frame_grids(data: bytes, every_k: int, fake: bool):
+    """Yield (frame_idx, (GRID+1)xGRID grayscale bytes) per sampled
+    frame. Real tier: the stdlib GIF codec (lossless <=256-color
+    round-trip, so equal frames give equal grids); fake tier:
+    sha-derived pseudo-frames, count and content deterministic in the
+    payload bytes."""
+    from mysql_syncer_spark.operators import gif as _gif
+
+    gw, gh = GRID + 1, GRID
+    if _gif.is_gif(data):
+        w, h, frames = _gif.gif_frames(data)
+        for i in range(0, len(frames), every_k):
+            small = _png.resize_nearest(w, h, "RGB", frames[i], gw, gh)
+            yield i, _png.to_gray("RGB", small)
+        return
+    if not fake:
+        raise NotImplementedError(
+            "decoding non-GIF video requires a video codec that is not "
+            "available in this environment; pass fake_decode=True for "
+            "the deterministic fake"
+        )
+    digest = hashlib.sha256(data).digest()
+    n_frames = 1 + digest[2] % 4
+    for i in range(0, n_frames, every_k):
+        yield i, _fake_gray(data + bytes([i]), gw * gh)
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    every_k: int = 1,
+    fake_decode: bool = False,
+) -> DataFrame:
+    """One row per sampled frame: (id, frame_idx, dhash) — the
+    shot-level signature table video dedup indexes on. NULL payloads
+    yield no rows. Arrow `mapInPandas`; video bytes are read once,
+    only 8-byte hashes flow on."""
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("frame_idx", IntegerType(), True),
+            StructField("dhash", LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            ids, idxs, hashes = [], [], []
+            for mid, data in zip(batch[id_col], batch[media_col]):
+                if data is None:
+                    continue
+                for i, grid in _frame_grids(
+                    bytes(data), every_k, fake_decode
+                ):
+                    ids.append(mid)
+                    idxs.append(i)
+                    hashes.append(dhash_bits(grid))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "dhash": hashes}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, schema)
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    min_shared: int = 2,
+    every_k: int = 1,
+    max_df: int = 100,
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Video pairs sharing >= ``min_shared`` perceptually-identical
+    frames: (id_a, id_b, n_shared) — the classic shot-level video
+    dedup. The join is an exact inverted index on the frame dHash
+    (equi-join, shuffle key = 8-byte hash), NEVER pairwise over
+    videos; ``max_df`` drops boilerplate frames seen in more than that
+    many videos (solid black, station idents — the frame-level twin of
+    the MinHash df-capped shingles: they carry no pairing signal and
+    would otherwise square the hot bucket). Per-video frame hashes are
+    deduped first so a looping GIF can't inflate n_shared."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    frames = (
+        video_frame_hashes(df, id_col, media_col, every_k, fake_decode)
+        .select(id_col, "dhash")
+        .distinct()
+    )
+    rare = (
+        frames.groupBy("dhash")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= max_df)
+        .select("dhash")
+    )
+    pruned = frames.join(rare, on="dhash", how="left_semi")
+    a = pruned.select(F.col(id_col).alias("id_a"), "dhash")
+    b = pruned.select(F.col(id_col).alias("id_b"), "dhash")
+    return (
+        a.join(b, on="dhash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -347,6 +347,10 @@ _DEMOTED: tuple[str, ...] = (
     "event_transitions",
     "attribution_events",
     "unpivot_event_counts",
+    # r6: shot-level video near-dup (E112) — rows-only (frame
+    # decomposition of opaque bytes has no SQL form); real GIF codec
+    # path pytest-gated in tests/test_imagehash.py.
+    "video_near_dup_media",
     # r6: acoustic near-dup (E110) — rows-only by design (energy
     # contour has no SQL form and word-salad PCM is collision-prone;
     # measured and documented in the query docstring). Real gate:
@@ -5369,4 +5373,29 @@ def audio_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return audio_near_dup_pairs(
         base.unionByName(dup), "doc_id", "media", max_bits=3
+    ).orderBy("id_a", "id_b")
+
+
+@_register("video_near_dup_media")
+def video_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E112: shot-level video near-dup — document bytes standing in
+    for video payloads (doc_id%50 payloads re-ingested under shifted
+    ids), each decomposed into deterministic fake frames (count and
+    content sha-derived), frame-hashed, and paired through the exact
+    inverted index on the frame dHash with the boilerplate-frame df
+    cap. ROWS-ONLY: frame decomposition of opaque bytes has no SQL
+    form (same status as frame_sample/audio rows); the REAL codec path
+    (stdlib GIF -> per-frame dHash) is pytest-gated in
+    tests/test_imagehash.py with encoded multi-frame GIFs."""
+    from mysql_syncer_spark.operators.imagehash import video_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.encode("text", "UTF-8").alias("media"))
+    dup = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.encode("text", "UTF-8").alias("media"),
+    )
+    return video_near_dup_pairs(
+        base.unionByName(dup), "doc_id", "media",
+        min_shared=1, fake_decode=True,
     ).orderBy("id_a", "id_b")

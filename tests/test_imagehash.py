@@ -119,3 +119,89 @@ def test_grid_constant_matches_bits():
     # 8x(8+1) grid -> exactly 64 comparison bits, the LongType width
     grid = bytes(range(GRID * (GRID + 1)))
     assert isinstance(dhash_bits(grid), int)
+
+
+# ---------------------------------------------------------------------------
+# video (frame-level) near-dup — REAL stdlib GIF codec path
+# ---------------------------------------------------------------------------
+
+def _frame(step):
+    """W x H RGB: columns < step dark, >= step bright — distinct steps
+    give dHash signatures ~16 bits apart, equal frames byte-equal."""
+    dark, bright = (10, 10, 10), (240, 240, 240)
+    px = bytearray()
+    for y in range(H):
+        for x in range(W):
+            px += bytes(bright if x >= step else dark)
+    return bytes(px)
+
+
+def _gif(steps):
+    from mysql_syncer_spark.operators.gif import gif_encode
+
+    return gif_encode(W, H, [_frame(s) for s in steps])
+
+
+@pytest.fixture(scope="module")
+def videos(spark):
+    rows = [
+        (1, _gif([4, 12, 20])),    # shares frames 4,12 with video 2
+        (2, _gif([4, 12, 28])),
+        (3, _gif([8, 16])),        # shares only frame 8 with video 4
+        (4, _gif([8, 24])),
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, "media_id long, media binary")
+
+
+def test_video_frame_hashes_real_codec(videos):
+    from mysql_syncer_spark.operators.imagehash import video_frame_hashes
+
+    rows = video_frame_hashes(videos).collect()
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r["media_id"], {})[r["frame_idx"]] = r["dhash"]
+    assert set(by_vid) == {1, 2, 3, 4}          # NULL payload: no rows
+    assert len(by_vid[1]) == 3 and len(by_vid[3]) == 2
+    # equal frames hash equal across videos; distinct steps differ
+    assert by_vid[1][0] == by_vid[2][0]          # step 4
+    assert by_vid[1][1] == by_vid[2][1]          # step 12
+    assert by_vid[1][2] != by_vid[2][2]          # 20 vs 28
+    assert by_vid[3][0] == by_vid[4][0]          # step 8
+
+
+def test_video_near_dup_pairs(videos):
+    from mysql_syncer_spark.operators.imagehash import video_near_dup_pairs
+
+    got = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in video_near_dup_pairs(videos, min_shared=2).collect()}
+    assert got == {(1, 2): 2}
+    # min_shared=1 also surfaces the single-frame overlap
+    got1 = {(r["id_a"], r["id_b"]): r["n_shared"]
+            for r in video_near_dup_pairs(videos, min_shared=1).collect()}
+    assert got1 == {(1, 2): 2, (3, 4): 1}
+
+
+def test_video_max_df_drops_boilerplate(spark):
+    """A frame present in EVERY video (solid 'black') is pruned by the
+    document-frequency cap and stops creating pairs on its own."""
+    from mysql_syncer_spark.operators.imagehash import video_near_dup_pairs
+
+    rows = [(i, _gif([0, 4 * i])) for i in range(1, 6)]  # step 0 common
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    got = video_near_dup_pairs(df, min_shared=1, max_df=3).collect()
+    # the shared step-0 frame is in 5 > 3 videos -> pruned; unique
+    # frames never pair
+    assert got == []
+
+
+def test_video_looping_gif_counts_once(spark):
+    """Repeated identical frames inside ONE video dedupe before the
+    join — a looping GIF can't inflate n_shared."""
+    from mysql_syncer_spark.operators.imagehash import video_near_dup_pairs
+
+    rows = [(1, _gif([4, 4, 4, 12])), (2, _gif([4, 12]))]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    got = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in video_near_dup_pairs(df, min_shared=1).collect()}
+    assert got == {(1, 2): 2}

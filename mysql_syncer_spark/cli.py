@@ -211,6 +211,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="exit 1 if any constraint has violations")
     session_opts(p_int)
 
+    p_q = sub.add_parser(
+        "query",
+        help="run any registered analytics query against a parquet "
+             "catalog dir (the user-facing door to the full registry)")
+    p_q.add_argument("name", nargs="?",
+                     help="registered query name (omit with --list)")
+    p_q.add_argument("--data",
+                     help="dir of <table>.parquet fixture files")
+    p_q.add_argument("--limit", type=int, default=20,
+                     help="rows to print as JSON lines (default 20)")
+    p_q.add_argument("--out-parquet",
+                     help="write the FULL result here instead of printing")
+    p_q.add_argument("--list", action="store_true",
+                     help="list registered query names and exit")
+    session_opts(p_q)
+
     p_cmp = sub.add_parser(
         "index-compact",
         help="rewrite the index tables with duplicate rows removed "
@@ -391,6 +407,40 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None,
             print(json.dumps({"db": args.db, "violations": rep}), file=out)
             bad = sum(rep.values())
             return 1 if (args.fail_on_violation and bad) else 0
+        if args.command == "query":
+            from mysql_syncer_spark import queries as registry
+
+            qs = registry.queries()
+            if args.list or not args.name:
+                for name in sorted(qs):
+                    print(json.dumps({"query": name}), file=out)
+                return 0
+            if args.name not in qs:
+                print(
+                    json.dumps({"error": f"unknown query: {args.name}"}),
+                    file=out,
+                )
+                return 2
+            if not args.data:
+                print(
+                    json.dumps({"error": "--data is required"}), file=out
+                )
+                return 2
+            df = qs[args.name](spark, args.data)
+            if args.out_parquet:
+                df.write.mode("overwrite").parquet(args.out_parquet)
+                n = spark.read.parquet(args.out_parquet).count()
+                print(
+                    json.dumps(
+                        {"query": args.name, "rows": n,
+                         "out": args.out_parquet}
+                    ),
+                    file=out,
+                )
+            else:
+                for line in df.limit(args.limit).toJSON().collect():
+                    print(line, file=out)
+            return 0
         if args.command == "digest":
             from mysql_syncer_spark.digest import (
                 mysql_digest_query,

@@ -282,3 +282,35 @@ def test_cli_integrity(spark, tmp_path):
     # no constraints -> usage exit 2
     code4, _ = run_cli(spark, ["integrity", "--db", str(db)])
     assert code4 == 2
+
+
+def test_query_command_lists_and_runs(spark, sf_dir, tmp_path):
+    # --list enumerates the registry
+    code, lines = run_cli(spark, ["query", "--list"])
+    assert code == 0
+    names = {l["query"] for l in lines}
+    assert "tpch_q1_pricing" in names and len(names) > 100
+    # run one query, print JSON rows
+    code, lines = run_cli(
+        spark, ["query", "agg_pricing_summary", "--data", sf_dir,
+                "--limit", "3"]
+    )
+    assert code == 0
+    assert 1 <= len(lines) <= 3
+    assert "l_returnflag" in lines[0]
+    # full result to parquet
+    dst = str(tmp_path / "qout.parquet")
+    code, lines = run_cli(
+        spark, ["query", "count_lineitem", "--data", sf_dir,
+                "--out-parquet", dst]
+    )
+    assert code == 0 and lines[0]["rows"] == 1
+    assert spark.read.parquet(dst).count() == 1
+
+
+def test_query_command_errors(spark, sf_dir):
+    code, lines = run_cli(spark, ["query", "no_such_query",
+                                  "--data", sf_dir])
+    assert code == 2 and "unknown query" in lines[0]["error"]
+    code, lines = run_cli(spark, ["query", "count_lineitem"])
+    assert code == 2 and "--data" in lines[0]["error"]

@@ -188,6 +188,7 @@ HEADLINE = [
     "session_paths_events",
     "audio_near_dup_media",
     "video_near_dup_media",
+    "knn_graph_embeddings",
 ]
 
 

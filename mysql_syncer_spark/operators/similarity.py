@@ -565,3 +565,113 @@ def cluster_balanced_sample(
     )
     capped = quota_sample(assigned, "list_id", per_cluster, id_col, salt)
     return df.join(capped, id_col, "inner")
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block: str | bool = "lsh",
+    lsh_bits: int = 8,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """Top-k cosine neighbor graph over the corpus itself:
+    ``(id_a, id_b, cosine, rank)``, k rows per vector, cosine-desc with
+    id_b-asc tiebreak, self-edges excluded — the input SemDeDup-style
+    cluster curation and graph-based quality propagation start from.
+
+    ``cosine_topk_batch`` answers query→corpus (broadcast queries);
+    a kNN GRAPH is corpus→corpus, where broadcasting is impossible —
+    the candidate generation must be a self-join:
+
+    * ``block='lsh'`` (default, the scale path): candidates come from
+      a MULTI-PROBE sign-LSH bucket self-join — the probe side
+      explodes each vector to every bucket within Hamming distance
+      ``probe_radius`` of its own (XOR masks over `sign_bucket`), the
+      build side keeps its exact bucket, so each candidate pair
+      arises exactly once and the join stays a bucketed shuffle at
+      any corpus size. Approximate: cross-probe neighbors are missed
+      and a vector may return fewer than k edges. The candidate
+      fraction is ~|ball| / 2^lsh_bits (ball = 1 + bits + C(bits,2)
+      at radius 2): tune (lsh_bits, probe_radius) for the
+      recall/cost point — on clustered embeddings (the real-corpus
+      shape) recall concentrates far above the candidate fraction
+      because in-cluster sign patterns agree; on unstructured random
+      vectors recall approaches the fraction itself, the
+      no-free-lunch floor (both regimes pytest-gated in
+      tests/test_knn.py).
+    * ``block=False``: the exact n² baseline — explicit opt-in by
+      name, small corpora only (the oracle form).
+
+    Ranking is a per-id_a window: the partition count equals the
+    corpus size, so the rank never funnels (unlike few-query top-k,
+    which needs cosine_topk_batch's two-stage trick).
+    """
+    if block not in ("lsh", False):
+        raise ValueError(f"block must be 'lsh' or False, got {block!r}")
+    if probe_radius not in (0, 1, 2):
+        raise ValueError(
+            f"probe_radius must be 0, 1 or 2, got {probe_radius}"
+        )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    if block == "lsh":
+        base = base.withColumn(
+            "__blk", sign_bucket(F.col("__v"), lsh_bits)
+        )
+        masks = [0]
+        if probe_radius >= 1:
+            masks += [1 << i for i in range(lsh_bits)]
+        if probe_radius >= 2:
+            masks += [
+                (1 << i) | (1 << j)
+                for i in range(lsh_bits)
+                for j in range(i + 1, lsh_bits)
+            ]
+        a = base.select(
+            F.col("__id").alias("id_a"),
+            F.col("__v").alias("__va"),
+            F.explode(
+                F.array(
+                    *[
+                        F.col("__blk").bitwiseXOR(F.lit(m))
+                        for m in masks
+                    ]
+                )
+            ).alias("__probe"),
+        )
+        b = base.select(
+            F.col("__id").alias("id_b"),
+            F.col("__v").alias("__vb"),
+            F.col("__blk").alias("__bb"),
+        )
+        pairs = a.join(b, on=F.col("__probe") == F.col("__bb"))
+    else:
+        a = base.select(
+            F.col("__id").alias("id_a"), F.col("__v").alias("__va")
+        )
+        b = base.select(
+            F.col("__id").alias("id_b"), F.col("__v").alias("__vb")
+        )
+        pairs = a.crossJoin(b)
+    scored = pairs.where(F.col("id_a") != F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        cosine(F.col("__va"), F.col("__vb")).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(
+        F.desc("cosine"), F.asc("id_b")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "id_a", "id_b", "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -347,6 +347,10 @@ _DEMOTED: tuple[str, ...] = (
     "event_transitions",
     "attribution_events",
     "unpivot_event_counts",
+    # r6: kNN graph (E114) — the cosine/rank kernels are in-window via
+    # ann_topk_batch; oracle-backed (exact baseline), parity-swept at
+    # 3 SFs; the LSH-blocked scale path is recall-gated in pytest.
+    "knn_graph_embeddings",
     # r6: shot-level video near-dup (E112) — rows-only (frame
     # decomposition of opaque bytes has no SQL form); real GIF codec
     # path pytest-gated in tests/test_imagehash.py.
@@ -5399,3 +5403,37 @@ def video_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.unionByName(dup), "doc_id", "media",
         min_shared=1, fake_decode=True,
     ).orderBy("id_a", "id_b")
+
+
+@_register(
+    "knn_graph_embeddings",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                  FROM embeddings),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(a.e, b.e) /
+                     (sqrt(list_dot_product(a.e, a.e)) *
+                      sqrt(list_dot_product(b.e, b.e))) AS c
+              FROM v a JOIN v b ON a.vec_id <> b.vec_id)
+       SELECT id_a, id_b, ROUND(c, 6) AS cosine,
+              CAST(ROW_NUMBER() OVER (
+                  PARTITION BY id_a ORDER BY c DESC, id_b) AS BIGINT)
+                  AS rank
+       FROM p
+       QUALIFY ROW_NUMBER() OVER (
+           PARTITION BY id_a ORDER BY c DESC, id_b) <= 5
+       ORDER BY id_a, rank""",
+)
+def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E114: exact cosine kNN graph (k=5) over the embeddings corpus —
+    the corpus→corpus self-join no broadcast can serve; this is the
+    exact baseline (block=False, explicit opt-in), ranked per-vector
+    by a window whose partition count equals the corpus (no reducer
+    funnel). The LSH-blocked scale path is recall-gated in
+    tests/test_knn.py."""
+    from mysql_syncer_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.knn_graph(emb, k=5, block=False)
+    return out.withColumn("cosine", F.round("cosine", 6)).orderBy(
+        "id_a", "rank"
+    )

@@ -384,3 +384,119 @@ def transitions_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+ATTRIBUTION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("conv_ts", T.TimestampType()),
+        T.StructField("touch_type", T.StringType()),
+        T.StructField("touch_ts", T.TimestampType()),
+        T.StructField("micros_to_convert", T.LongType()),
+    ]
+)
+
+#: latest touch per key: (ts_us, type); (0, "") = no touch yet
+_ATTR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("touch_us", T.LongType()),
+        T.StructField("touch_type", T.StringType()),
+    ]
+)
+
+
+def attribution_stream(
+    stream: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    watermark: str = "10 minutes",
+    idle_evict_minutes: int = 60,
+) -> DataFrame:
+    """Streaming twin of ``sequence.attribute_conversions`` (last-touch
+    model): emits one attributed row per conversion AS IT ARRIVES,
+    holding only the key's latest touch (2 scalars) in state — the
+    live campaign dashboard the batch operator backfills.
+
+    Same state policy as :func:`transitions_stream`: keys idle past
+    ``idle_evict_minutes`` of event time are evicted (a conversion
+    after the horizon reports unattributed — session-scoped
+    semantics). In-order replay inside the horizon reproduces the
+    batch twin's rows exactly (pytest-gated)."""
+    evict_us = idle_evict_minutes * 60 * 1_000_000
+    touches = set(touch_types)
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        user = key[0]
+        if state.hasTimedOut:
+            if state.exists:
+                state.remove()
+            return
+        rows = []
+        for pdf in pdfs:
+            for eid, ts_us, typ in zip(
+                pdf["__id"], pdf["__ts_us"], pdf["__type"]
+            ):
+                rows.append((int(ts_us), int(eid), str(typ)))
+        rows.sort()
+        touch_us, touch_type = (
+            state.get if state.exists else (None, None)
+        )
+        out = []
+        for ts_us, eid, typ in rows:
+            if typ == conversion_type:
+                out.append(
+                    {
+                        "user_id": user,
+                        "event_id": eid,
+                        "conv_ts": pd.Timestamp(ts_us, unit="us"),
+                        "touch_type": touch_type,
+                        "touch_ts": (
+                            pd.Timestamp(touch_us, unit="us")
+                            if touch_us is not None
+                            else None
+                        ),
+                        "micros_to_convert": (
+                            ts_us - touch_us
+                            if touch_us is not None
+                            else None
+                        ),
+                    }
+                )
+            if typ in touches:
+                touch_us, touch_type = ts_us, typ
+        if touch_us is not None:
+            state.update((touch_us, touch_type))
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(touch_us // 1000 + evict_us // 1000, wm_ms + 1000)
+            )
+        if out:
+            yield pd.DataFrame(out)
+
+    prepped = (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col),
+            F.col(ts_col),
+            F.col(id_col).alias("__id"),
+            (F.col(ts_col).cast("double") * 1_000_000)
+            .cast("long")
+            .alias("__ts_us"),
+            F.col(type_col).alias("__type"),
+        )
+    )
+    return prepped.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=ATTRIBUTION_SCHEMA,
+        stateStructType=_ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -303,3 +303,80 @@ class TestTransitionsStream:
         assert [(r["prev_type"], r["next_type"]) for r in rows] == [
             ("view", "click")
         ]
+
+
+class TestAttributionStream:
+    SCHEMA = TestTransitionsStream.SCHEMA
+    _line = staticmethod(TestTransitionsStream._line)
+
+    def _run(self, spark, tmp_path, batches, **kw):
+        from mysql_syncer_spark.streaming.stateful import attribution_stream
+
+        src = tmp_path / "at_in"
+        src.mkdir()
+        _write_ordered(src, batches)
+        stream = (
+            spark.readStream.schema(self.SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        out = attribution_stream(
+            stream, conversion_type="buy", touch_types=["view", "click"],
+            **kw,
+        )
+        _run_to_memory(out, "attr_out", str(tmp_path / "at_ck"))
+        return spark.sql("select * from attr_out").collect()
+
+    def test_matches_batch_twin_on_in_order_replay(self, spark, tmp_path):
+        """Touch in batch 0 attributes a conversion in batch 1; an
+        unattributed conversion reports NULLs; rows equal the batch
+        operator's."""
+        import datetime as dt
+
+        from mysql_syncer_spark.operators.sequence import (
+            attribute_conversions,
+        )
+
+        b0 = (
+            self._line(1, 10, "2026-01-01T10:00:00", "view")
+            + self._line(1, 11, "2026-01-01T10:01:00", "click")
+            + self._line(2, 20, "2026-01-01T10:00:30", "buy")
+        )
+        b1 = (
+            self._line(1, 12, "2026-01-01T10:02:00", "buy")
+            + self._line(1, 13, "2026-01-01T10:03:00", "buy")
+        )
+        rows = self._run(spark, tmp_path, [("b0.json", b0), ("b1.json", b1)])
+        got = {
+            r["event_id"]: (
+                r["touch_type"], r["touch_ts"], r["micros_to_convert"]
+            )
+            for r in rows
+        }
+        assert got[20] == (None, None, None)          # no prior touch
+        t1 = dt.datetime(2026, 1, 1, 10, 1, 0)
+        assert got[12] == ("click", t1, 60_000_000)
+        # no new touch between the two buys: same attribution carries
+        assert got[13] == ("click", t1, 120_000_000)
+
+        batch = spark.createDataFrame(
+            [
+                (10, 1, dt.datetime(2026, 1, 1, 10, 0, 0), "view"),
+                (11, 1, dt.datetime(2026, 1, 1, 10, 1, 0), "click"),
+                (20, 2, dt.datetime(2026, 1, 1, 10, 0, 30), "buy"),
+                (12, 1, dt.datetime(2026, 1, 1, 10, 2, 0), "buy"),
+                (13, 1, dt.datetime(2026, 1, 1, 10, 3, 0), "buy"),
+            ],
+            "event_id long, user_id long, ts timestamp, event_type string",
+        )
+        twin = {
+            r["event_id"]: (
+                r["touch_type"], r["touch_ts"], r["micros_to_convert"]
+            )
+            for r in attribute_conversions(
+                batch, "user_id", "ts", "event_type", "event_id",
+                conversion_type="buy", touch_types=["view", "click"],
+                model="last",
+            ).collect()
+        }
+        assert got == twin

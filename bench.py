@@ -189,6 +189,7 @@ HEADLINE = [
     "audio_near_dup_media",
     "video_near_dup_media",
     "knn_graph_embeddings",
+    "scrub_repeated_windows_docs",
 ]
 
 

@@ -156,3 +156,131 @@ def remove_repeated_spans(
             .alias("n_spans_removed"),
         )
     )
+
+
+def remove_repeated_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 8,
+    stride: int = 4,
+    min_docs: int = 2,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Overlapping-window boilerplate scrub — the shift-robust
+    complement of :func:`remove_repeated_spans`.
+
+    Tiled spans miss a duplicate that starts mid-span (the same
+    boilerplate preceded by one extra word lands on different tile
+    boundaries in different docs and never matches). Sliding windows of
+    ``window_tokens`` tokens at every ``stride`` offset (stride <
+    window = overlap) make a shifted copy agree on all fully-contained
+    windows — the exact-substring-dedup insight (Lee et al. 2022),
+    approximated at stride granularity so the corpus is restated
+    ~window/stride times (window/stride = 2 by default, vs the suffix
+    array's unbounded blowup).
+
+    Removal semantics avoid interval merging entirely: a TOKEN is
+    deleted iff ANY corpus-frequent window covers it. Flagged windows
+    explode to covered (doc, position) pairs — only the flagged
+    regions restate, boilerplate-sized — and survivors rebuild in
+    original order. Docs shorter than ``window_tokens`` have no
+    windows and pass through untouched.
+
+    Output: ``id_col``, ``out_col``, ``n_tokens``,
+    ``n_tokens_removed`` — every input row survives (fully-scrubbed
+    docs keep ``''``).
+    """
+    if window_tokens < 1:
+        raise ValueError(
+            f"window_tokens must be >= 1, got {window_tokens}"
+        )
+    if not 1 <= stride <= window_tokens:
+        raise ValueError(
+            f"stride must be in [1, window_tokens], got {stride}"
+        )
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+
+    L, S = window_tokens, stride
+    # NULL text behaves as empty (every input row survives to output)
+    toks = F.coalesce(
+        ws_tokens(text_col), F.array().cast("array<string>")
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.size(toks).cast("long").alias("__n"),
+    )
+    # full windows only: starts 0, S, 2S, ..., floor((n-L)/S)*S
+    spans = (
+        base.where(F.col("__n") >= L)
+        .select(
+            id_col,
+            "__toks",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        F.floor((F.col("__n") - L) / F.lit(S)).cast(
+                            "long"
+                        ),
+                    ),
+                    lambda i: i * S,
+                )
+            ).alias("__start"),
+        )
+        .select(
+            id_col,
+            "__start",
+            F.array_join(
+                F.slice(
+                    F.col("__toks"), (F.col("__start") + 1).cast("int"), L
+                ),
+                " ",
+            ).alias("__w"),
+        )
+    )
+    frequent = (
+        spans.select("__w", id_col)
+        .distinct()
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") >= min_docs)
+        .select("__w")
+    )
+    # flagged regions are boilerplate-sized: broadcast the blocklist
+    flagged = spans.join(F.broadcast(frequent), on="__w", how="left_semi")
+    covered = flagged.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("__start"), F.col("__start") + (L - 1))
+        ).alias("__pos"),
+    ).distinct()
+    tokens = base.select(
+        id_col,
+        F.posexplode("__toks").alias("__pos", "__tk"),
+    ).withColumn("__pos", F.col("__pos").cast("long"))
+    kept = tokens.join(covered, on=[id_col, "__pos"], how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tk"))),
+                lambda s: s["__tk"],
+            ),
+            " ",
+        ).alias("__txt"),
+        F.count(F.lit(1)).alias("__nk"),
+    )
+    return (
+        base.select(id_col, "__n")
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("__txt", F.lit("")).alias(out_col),
+            F.col("__n").alias("n_tokens"),
+            (F.col("__n") - F.coalesce("__nk", F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )

@@ -347,6 +347,10 @@ _DEMOTED: tuple[str, ...] = (
     "event_transitions",
     "attribution_events",
     "unpivot_event_counts",
+    # r6: sliding-window scrub (E115) — the span-df + rebuild kernels
+    # are in-window via scrub_repeated_spans; oracle-backed,
+    # parity-swept at 3 SFs.
+    "scrub_repeated_windows_docs",
     # r6: kNN graph (E114) — the cosine/rank kernels are in-window via
     # ann_topk_batch; oracle-backed (exact baseline), parity-swept at
     # 3 SFs; the LSH-blocked scale path is recall-gated in pytest.
@@ -5437,3 +5441,59 @@ def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round("cosine", 6)).orderBy(
         "id_a", "rank"
     )
+
+
+@_register(
+    "scrub_repeated_windows_docs",
+    r"""WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                      ELSE regexp_split_to_array(trim(text), '\s+')
+                 END AS toks
+          FROM documents),
+        s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        st AS (SELECT doc_id, toks,
+                      unnest(generate_series(
+                          0, CAST(floor((n - 8) / 4.0) AS BIGINT))) * 4
+                          AS start
+               FROM s WHERE n >= 8),
+        sp AS (SELECT doc_id, start,
+                      array_to_string(toks[start + 1 : start + 8], ' ')
+                          AS w
+               FROM st),
+        freq AS (SELECT w FROM (SELECT DISTINCT w, doc_id FROM sp)
+                 GROUP BY w HAVING COUNT(*) >= 2),
+        flag AS (SELECT doc_id, start FROM sp
+                 WHERE w IN (SELECT w FROM freq)),
+        cov AS (SELECT DISTINCT doc_id, start + off AS pos
+                FROM (SELECT doc_id, start,
+                             unnest(generate_series(0, 7)) AS off
+                      FROM flag)),
+        tok AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+                       unnest(toks) AS tk FROM s),
+        kept AS (SELECT k.doc_id, k.pos, k.tk FROM tok k
+                 ANTI JOIN cov c
+                   ON k.doc_id = c.doc_id AND k.pos = c.pos),
+        re AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS txt,
+                      COUNT(*) AS nk FROM kept GROUP BY doc_id)
+       SELECT s.doc_id AS doc_id, COALESCE(re.txt, '') AS text_clean,
+              CAST(s.n AS BIGINT) AS n_tokens,
+              CAST(s.n - COALESCE(re.nk, 0) AS BIGINT)
+                  AS n_tokens_removed
+       FROM s LEFT JOIN re ON s.doc_id = re.doc_id
+       ORDER BY s.doc_id""",
+)
+def scrub_repeated_windows_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E115: sliding-window boilerplate scrub (8-token windows, stride
+    4, df >= 2) — the shift-robust complement of the tiled C4 scrub
+    (E57): overlapping windows catch boilerplate that lands on
+    different tile boundaries in different docs; a token is removed
+    iff ANY frequent window covers it (union semantics — no interval
+    merging, no double counting). Non-vacuous at every SF (47 docs
+    scrubbed at sf0.01)."""
+    from mysql_syncer_spark.operators.lines import remove_repeated_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_repeated_windows(
+        docs, window_tokens=8, stride=4, min_docs=2
+    ).orderBy("doc_id")

@@ -89,3 +89,85 @@ def test_validation():
         remove_repeated_spans(None, span_tokens=0)
     with pytest.raises(ValueError):
         remove_repeated_spans(None, min_docs=1)
+
+
+class TestRepeatedWindows:
+    def test_shifted_boilerplate_caught(self, spark):
+        """The tiled scrub misses a duplicate shifted by one token;
+        the sliding-window scrub removes it from both docs."""
+        from mysql_syncer_spark.operators.lines import (
+            remove_repeated_spans,
+            remove_repeated_windows,
+        )
+
+        boiler = " ".join(f"b{i}" for i in range(8))
+        rows = [
+            (1, "u1 " + boiler + " t1"),          # boiler at offset 1
+            (2, "v1 v2 " + boiler + " t2"),       # boiler at offset 2
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # tiled 8-token spans: offsets disagree -> nothing matches
+        tiled = remove_repeated_spans(
+            df, span_tokens=8, min_docs=2
+        ).collect()
+        assert all(r["n_spans_removed"] == 0 for r in tiled)
+        # sliding windows at stride 1 find the common 8-gram
+        out = {
+            r["doc_id"]: r
+            for r in remove_repeated_windows(
+                df, window_tokens=8, stride=1, min_docs=2
+            ).collect()
+        }
+        assert out[1]["text_clean"] == "u1 t1"
+        assert out[2]["text_clean"] == "v1 v2 t2"
+        assert out[1]["n_tokens_removed"] == 8
+
+    def test_short_docs_pass_through(self, spark):
+        from mysql_syncer_spark.operators.lines import (
+            remove_repeated_windows,
+        )
+
+        rows = [(1, "a b c"), (2, "a b c"), (3, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in remove_repeated_windows(
+                df, window_tokens=8, stride=4, min_docs=2
+            ).collect()
+        }
+        # shorter than the window: no windows, untouched
+        assert out[1]["text_clean"] == "a b c"
+        assert out[1]["n_tokens_removed"] == 0
+        assert out[3]["text_clean"] == "" and out[3]["n_tokens"] == 0
+
+    def test_overlapping_flags_union_not_double_count(self, spark):
+        """Two overlapping frequent windows cover a UNION of tokens —
+        counts reflect covered positions, not window sums."""
+        from mysql_syncer_spark.operators.lines import (
+            remove_repeated_windows,
+        )
+
+        # 12 shared tokens -> windows at starts 0 and 4 both frequent
+        # (stride 4, window 8); union covers tokens 0..11
+        shared = " ".join(f"s{i}" for i in range(12))
+        rows = [(1, shared + " x"), (2, shared + " y")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in remove_repeated_windows(
+                df, window_tokens=8, stride=4, min_docs=2
+            ).collect()
+        }
+        assert out[1]["n_tokens_removed"] == 12
+        assert out[1]["text_clean"] == "x"
+
+    def test_validation(self, spark):
+        from mysql_syncer_spark.operators.lines import (
+            remove_repeated_windows,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="stride"):
+            remove_repeated_windows(df, window_tokens=4, stride=5)
+        with pytest.raises(ValueError, match="min_docs"):
+            remove_repeated_windows(df, min_docs=1)

@@ -306,3 +306,51 @@ def test_tpch_q3_colocated_zero_hash_exchange(spark, sf_dir):
     assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 0, plan
     assert plan.count("Bucketed: true") == 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_image_near_dup_banded_no_cartesian(spark, sf_dir):
+    """E108: the perceptual-pair join must stay a hash equi-join on
+    (chunk, value) — never a cross product over images."""
+    plan = plan_of(spark, "image_near_dup_media", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_video_near_dup_inverted_index_no_cartesian(spark, sf_dir):
+    """E112: video pairs come from the frame-hash equi-join."""
+    plan = plan_of(spark, "video_near_dup_media", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_knn_graph_lsh_no_cartesian(spark, sf_dir):
+    """E114 scale path: multi-probe candidates are an equi-join on the
+    probe bucket (the exact baseline is the ONLY opt-in cross)."""
+    from mysql_syncer_spark.operators.similarity import knn_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = knn_graph(emb, k=5, block="lsh", lsh_bits=8, probe_radius=1)
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_window_scrub_blocklist_broadcasts(spark, sf_dir):
+    """E115: the frequent-window blocklist join is broadcast (the
+    corpus-sized span stream must not reshuffle for the filter)."""
+    plan = plan_of(spark, "scrub_repeated_windows_docs", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_session_paths_single_window_exchange(spark, sf_dir):
+    """E109: exactly one data-sized exchange keyed on the user — the
+    path/share aggregations ride the matrix, not the stream."""
+    plan = plan_of(spark, "session_paths_events", sf_dir)
+    # one hashpartitioning on the user key: both windows AND the
+    # (user, session) groupBy ride it (HashPartitioning(user) satisfies
+    # the superset-key clustering); the remaining exchanges are
+    # path-matrix-sized
+    assert plan.count("hashpartitioning(user_id") == 1, plan

@@ -246,3 +246,59 @@ def test_funnel_equals_bruteforce(spark, rows):
             sum(t is not None for t in times),
         )
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Media-hash kernels vs naive reference implementations (pure Python —
+# the Arrow/numpy fast paths must agree with the obvious spec)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.binary(min_size=0, max_size=4096))
+def test_fingerprint_pcm_matches_naive(data):
+    from mysql_syncer_spark.operators.audiohash import (
+        FRAMES,
+        fingerprint_pcm,
+    )
+
+    sig, n = fingerprint_pcm(data)
+    # naive spec: s16le samples, frame k = [k*n//F, (k+1)*n//F),
+    # integer energies, bit k iff e[k+1] > e[k]
+    import struct as _struct
+
+    usable = len(data) // 2 * 2
+    samples = [
+        _struct.unpack("<h", data[i:i + 2])[0]
+        for i in range(0, usable, 2)
+    ]
+    assert n == len(samples)
+    energies = []
+    for k in range(FRAMES):
+        lo = (k * n) // FRAMES
+        hi = ((k + 1) * n) // FRAMES
+        energies.append(sum(s * s for s in samples[lo:hi]))
+    want = 0
+    for k in range(FRAMES - 1):
+        if energies[k + 1] > energies[k]:
+            want |= 1 << k
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert sig == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(grid=st.binary(min_size=72, max_size=72))
+def test_dhash_bits_matches_naive(grid):
+    from mysql_syncer_spark.operators.imagehash import GRID, dhash_bits
+
+    sig = dhash_bits(grid)
+    want = 0
+    for r in range(GRID):
+        for c in range(GRID):
+            if grid[r * (GRID + 1) + c + 1] > grid[r * (GRID + 1) + c]:
+                want |= 1 << (r * GRID + c)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert sig == want
+    # signed-long invariant: always representable as Spark LongType
+    assert -(1 << 63) <= sig < 1 << 63

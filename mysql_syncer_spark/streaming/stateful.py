@@ -500,3 +500,130 @@ def attribution_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+SESSION_PATH_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("path", T.StringType()),
+    ]
+)
+
+#: open session + its opening path: (start_us, last_us, n, first types)
+_SP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("types", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def session_paths_stream(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    gap_minutes: int = 30,
+    max_steps: int = 5,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``sequence.session_paths``' per-session stage:
+    emits each CLOSED session with the ``>``-joined path of its first
+    ``max_steps`` event types — downstream a plain streaming count
+    keeps the live top-paths table.
+
+    State per key = one open session + at most ``max_steps`` type
+    strings (the same deliberate truncation that bounds the batch
+    operator's path domain bounds the streaming state); sessions close
+    on the gap rule or on event-time timeout (user went away), exactly
+    like :func:`sessionize_stream`. An in-order replay yields the same
+    (path, count) multiset as the batch operator's per-session stage
+    (pytest-gated)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    cap = max_steps
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        user = key[0]
+
+        def row(start_us, last_us, n, types):
+            return {
+                "user_id": user,
+                "session_start": pd.Timestamp(start_us, unit="us"),
+                "session_end": pd.Timestamp(last_us, unit="us"),
+                "n_events": n,
+                "path": ">".join(types),
+            }
+
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n, types = state.get
+                closed.append(row(start_us, last_us, n, list(types)))
+                state.remove()
+            if closed:
+                yield pd.DataFrame(closed)
+            return
+
+        rows = []
+        for pdf in pdfs:
+            for eid, ts_us, typ in zip(
+                pdf["__id"], pdf["__ts_us"], pdf["__type"]
+            ):
+                rows.append((int(ts_us), int(eid), str(typ)))
+        rows.sort()
+        if state.exists:
+            start_us, last_us, n, types = state.get
+            types = list(types)
+            open_session = True
+        else:
+            start_us = last_us = n = 0
+            types: list[str] = []
+            open_session = False
+        for ts_us, _eid, typ in rows:
+            if not open_session:
+                start_us, last_us, n, types = ts_us, ts_us, 1, [typ]
+                open_session = True
+            elif ts_us - last_us > gap_us:
+                closed.append(row(start_us, last_us, n, types))
+                start_us, last_us, n, types = ts_us, ts_us, 1, [typ]
+            else:
+                last_us, n = ts_us, n + 1
+                if len(types) < cap:
+                    types.append(typ)
+        if open_session:
+            state.update((start_us, last_us, n, types))
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(last_us // 1000 + gap_us // 1000, wm_ms + 1000)
+            )
+        if closed:
+            yield pd.DataFrame(closed)
+
+    prepped = (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col),
+            F.col(ts_col),
+            F.col(id_col).alias("__id"),
+            (F.col(ts_col).cast("double") * 1_000_000)
+            .cast("long")
+            .alias("__ts_us"),
+            F.col(type_col).alias("__type"),
+        )
+    )
+    return prepped.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=SESSION_PATH_SCHEMA,
+        stateStructType=_SP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

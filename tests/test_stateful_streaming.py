@@ -380,3 +380,98 @@ class TestAttributionStream:
             ).collect()
         }
         assert got == twin
+
+
+class TestSessionPathsStream:
+    SCHEMA = TestTransitionsStream.SCHEMA
+    _line = staticmethod(TestTransitionsStream._line)
+
+    def _run(self, spark, tmp_path, batches, **kw):
+        from mysql_syncer_spark.streaming.stateful import (
+            session_paths_stream,
+        )
+
+        src = tmp_path / "sp_in"
+        src.mkdir()
+        _write_ordered(src, batches)
+        stream = (
+            spark.readStream.schema(self.SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        out = session_paths_stream(stream, **kw)
+        _run_to_memory(out, "sp_out", str(tmp_path / "sp_ck"))
+        return spark.sql("select * from sp_out").collect()
+
+    def test_gap_close_carries_path_and_truncates(self, spark, tmp_path):
+        """A session spanning two micro-batches closes with the path of
+        its FIRST max_steps events; the follow-up session flushes via
+        the watermark timeout."""
+        b0 = (
+            self._line(1, 10, "2026-01-01T10:00:00", "a")
+            + self._line(1, 11, "2026-01-01T10:01:00", "b")
+        )
+        b1 = (
+            # same session continues (gap < 30 min), 2 more events:
+            # truncation at max_steps=3 drops the 4th
+            self._line(1, 12, "2026-01-01T10:02:00", "c")
+            + self._line(1, 13, "2026-01-01T10:03:00", "d")
+            # 65-min gap: closes session 1
+            + self._line(1, 14, "2026-01-01T11:08:00", "e")
+        )
+        # watermark pusher: a later event on ANOTHER key advances the
+        # global watermark far enough to time out user 1's open session
+        b2 = self._line(2, 20, "2026-01-01T13:00:00", "x")
+        rows = self._run(
+            spark, tmp_path,
+            [("b0.json", b0), ("b1.json", b1), ("b2.json", b2)],
+            gap_minutes=30, max_steps=3,
+        )
+        got = {(r["user_id"], r["path"]): r["n_events"] for r in rows}
+        assert got[(1, "a>b>c")] == 4     # 4 events, path truncated to 3
+        assert (1, "e") in got            # flushed by timeout
+        assert got[(1, "e")] == 1
+
+    def test_matches_batch_per_session_stage(self, spark, tmp_path):
+        """In-order replay: closed-session (path, count) multiset equals
+        the batch operator's per-session stage."""
+        import collections
+
+        from mysql_syncer_spark.operators.sequence import session_paths
+
+        lines = []
+        import datetime as dt
+
+        batch_rows = []
+        eid = 0
+        for uid, mins, typ in [
+            (1, 0, "a"), (1, 1, "b"),
+            (1, 65, "a"), (1, 66, "b"),
+            (2, 0, "a"), (2, 1, "c"),
+        ]:
+            ts = dt.datetime(2026, 1, 1, 10, 0) + dt.timedelta(minutes=mins)
+            lines.append(self._line(uid, eid, ts.isoformat(), typ))
+            batch_rows.append((eid, uid, ts, typ))
+            eid += 1
+        # watermark pusher closes everything
+        pusher = self._line(9, 99, "2026-01-02T10:00:00", "z")
+        rows = self._run(
+            spark, tmp_path,
+            [("b0.json", "".join(lines)), ("b1.json", pusher)],
+            gap_minutes=30, max_steps=5,
+        )
+        stream_counts = collections.Counter(
+            r["path"] for r in rows if r["user_id"] != 9
+        )
+        batch = spark.createDataFrame(
+            batch_rows,
+            "event_id long, user_id long, ts timestamp, event_type string",
+        )
+        twin = {
+            r["path"]: r["n_sessions"]
+            for r in session_paths(
+                batch, "user_id", "ts", "event_type", "event_id",
+                gap="30 MINUTE", max_steps=5, top_k=100,
+            ).collect()
+        }
+        assert dict(stream_counts) == twin

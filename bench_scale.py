@@ -253,6 +253,11 @@ def run_tail_smoke() -> None:
         "scd2_lookup_lineitem",
         "profile_drift_orders",
         "tpch_q1_incremental",
+        # r6 fourth wave: media/graph/scrub additions
+        "audio_near_dup_media",
+        "video_near_dup_media",
+        "knn_graph_embeddings",
+        "scrub_repeated_windows_docs",
     ]
     only = set(sys.argv[2:])
     if only:

@@ -190,6 +190,7 @@ HEADLINE = [
     "video_near_dup_media",
     "knn_graph_embeddings",
     "scrub_repeated_windows_docs",
+    "entity_clusters_part",
 ]
 
 

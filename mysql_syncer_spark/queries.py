@@ -347,6 +347,10 @@ _DEMOTED: tuple[str, ...] = (
     "event_transitions",
     "attribution_events",
     "unpivot_event_counts",
+    # r6: entity resolution (E117) — composes E99 fuzzy pairs with the
+    # CC kernel that simhash_clusters runs in-window; oracle-backed
+    # (recursive-CTE closure), parity-swept at 3 SFs.
+    "entity_clusters_part",
     # r6: sliding-window scrub (E115) — the span-df + rebuild kernels
     # are in-window via scrub_repeated_spans; oracle-backed,
     # parity-swept at 3 SFs.
@@ -5504,3 +5508,56 @@ def scrub_repeated_windows_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_windows(
         docs, window_tokens=8, stride=4, min_docs=2
     ).orderBy("doc_id")
+
+
+@_register(
+    "entity_clusters_part",
+    """WITH RECURSIVE
+         n AS (SELECT DISTINCT p_name AS name FROM part),
+         p AS (SELECT name, string_split(name, ' ')[1] AS f,
+                      string_split(name, ' ')[-1] AS l
+               FROM n),
+         c AS (SELECT a.name AS name_a, b.name AS name_b
+               FROM p a JOIN p b ON a.f = b.f AND a.name < b.name
+               UNION
+               SELECT a.name, b.name
+               FROM p a JOIN p b ON a.l = b.l AND a.name < b.name),
+         prs AS (SELECT name_a, name_b FROM c
+                 WHERE levenshtein(name_a, name_b) <= 2),
+         edges AS (SELECT name_a AS src, name_b AS dst FROM prs
+                   UNION SELECT name_b, name_a FROM prs),
+         reach(src, dst) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       SELECT src AS name, MIN(dst) AS entity_id
+       FROM reach GROUP BY src ORDER BY name""",
+)
+def entity_clusters_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E117: entity resolution end-to-end — the master-data dedup
+    every warehouse needs: blocked fuzzy matching (E99: first/last
+    token blocks + Levenshtein ≤ 2 verify, never n²) folded into
+    canonical entities via connected components (min-name label —
+    cluster.py's contraction works on ANY orderable id type, string
+    names included). Each matched name maps to its entity's canonical
+    (minimum) name; unmatched names are their own singleton entities
+    and are not emitted (the pairs→clusters convention of
+    simhash_clusters). Oracle: recursive-CTE transitive closure over
+    the identical pair set."""
+    from mysql_syncer_spark.operators.cluster import duplicate_clusters
+    from mysql_syncer_spark.operators.dedup import fuzzy_match_pairs
+
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    pairs = fuzzy_match_pairs(names, "name", "name", max_dist=2)
+    return (
+        duplicate_clusters(pairs, "name_a", "name_b")
+        .select(
+            F.col("doc_id").alias("name"),
+            F.col("cluster_id").alias("entity_id"),
+        )
+        .orderBy("name")
+    )

@@ -191,6 +191,7 @@ HEADLINE = [
     "knn_graph_embeddings",
     "scrub_repeated_windows_docs",
     "entity_clusters_part",
+    "asof_forward_events_orders",
 ]
 
 

@@ -155,3 +155,109 @@ def rolling_zscore(
         F.when(F.col("zscore").isNotNull(), F.abs("zscore") > threshold)
         .otherwise(F.lit(False)),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: "list[str]",
+    direction: str = "backward",
+    tolerance_seconds: "int | None" = None,
+) -> DataFrame:
+    """General as-of join (no Spark builtin; pandas ``merge_asof``
+    class): every left row picks the temporally nearest right row of
+    the same key — ``backward`` = latest right with
+    ``right_ts <= left_ts``, ``forward`` = earliest right with
+    ``right_ts >= left_ts`` (both inclusive).
+
+    Union-merge topology, the shape that made asof_join_events_orders
+    ~30x faster than the naive equi-join + per-left ROW_NUMBER: both
+    sides interleave into ONE stream sorted per key by (time, kind,
+    right-key) and a running ``last(..., ignorenulls)`` carry window
+    resolves every left row in a single linear shuffle+sort — no
+    per-key pair blowup, any key cardinality. ``forward`` is the same
+    carry run over the reversed time order.
+
+    Determinism under time ties: at equal timestamps the right row is
+    visible to the left row (inclusive semantics), and equal-time
+    right rows resolve to the MAX right key for ``backward``, MIN for
+    ``forward`` (stated, not engine-arbitrary — the DuckDB-ASOF
+    ambiguity the sf0.1 sweep caught, ff06bbc).
+
+    ``tolerance_seconds`` nulls out matches farther than the bound
+    (both directions), keeping left-join semantics: the left row
+    survives with NULL right columns.
+
+    Output: every left column, plus ``right_cols`` (NULL when no
+    right row qualifies) and ``__asof_ts`` (the matched right
+    timestamp; NULL likewise).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
+    lcols = left.columns
+    probe = left.select(
+        F.col(key_col).alias("__k"),
+        F.col(left_ts).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*lcols).alias("__row"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in right_cols],
+        F.lit(None).cast("timestamp").alias("__rt"),
+    )
+    build = right.where(F.col(right_ts).isNotNull()).select(
+        F.col(key_col).alias("__k"),
+        F.col(right_ts).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(probe.schema["__row"].dataType).alias("__row"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(right_ts).cast("timestamp").alias("__rt"),
+    )
+    # tie layout: right rows sort before left rows at equal time in
+    # TRAVERSAL order, so inclusive semantics hold in both directions
+    if direction == "backward":
+        order = [F.asc("__t"), F.asc("__is_left"), F.asc("__rt")]
+        order += [F.asc(f"__r_{c}") for c in right_cols]
+    else:
+        order = [F.desc("__t"), F.asc("__is_left"), F.desc("__rt")]
+        order += [F.desc(f"__r_{c}") for c in right_cols]
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # ONE struct carry, not per-column carries: a right column that is
+    # legitimately NULL on the matched row must stay NULL, not fall
+    # back to an older right row (ignorenulls skips per-column)
+    rstruct = F.when(
+        F.col("__is_left") == 0,
+        F.struct(
+            F.col("__rt").alias("__rt"),
+            *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+        ),
+    )
+    carried = probe.unionByName(build).select(
+        "__is_left",
+        "__row",
+        F.col("__t").alias("__lt"),
+        F.last(rstruct, ignorenulls=True).over(w).alias("__m"),
+    ).where(F.col("__is_left") == 1)
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_micros(F.col("__lt").cast("timestamp"))
+            - F.unix_micros(F.col("__m.__rt").cast("timestamp"))
+        )
+        in_tol = gap <= F.lit(int(tolerance_seconds) * 1_000_000)
+        carried = carried.select(
+            "__is_left", "__row", "__lt",
+            F.when(in_tol, F.col("__m")).alias("__m"),
+        )
+    return carried.select(
+        *[F.col("__row")[c].alias(c) for c in lcols],
+        *[F.col("__m")[c].alias(f"asof_{c}") for c in right_cols],
+        F.col("__m")["__rt"].alias("__asof_ts"),
+    )

@@ -347,6 +347,10 @@ _DEMOTED: tuple[str, ...] = (
     "event_transitions",
     "attribution_events",
     "unpivot_event_counts",
+    # r6: forward as-of join (E118) — the union-merge carry kernel is
+    # in-window via asof_join_events_orders (backward form);
+    # oracle-backed, parity-swept at 3 SFs.
+    "asof_forward_events_orders",
     # r6: entity resolution (E117) — composes E99 fuzzy pairs with the
     # CC kernel that simhash_clusters runs in-window; oracle-backed
     # (recursive-CTE closure), parity-swept at 3 SFs.
@@ -5561,3 +5565,46 @@ def entity_clusters_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name")
     )
+
+
+@_register(
+    "asof_forward_events_orders",
+    """WITH j AS (
+         SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+                ROW_NUMBER() OVER (
+                    PARTITION BY e.event_id
+                    ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+         FROM events e
+         LEFT JOIN orders o
+           ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts)
+       SELECT event_id, user_id, ts,
+              o_orderkey AS next_orderkey,
+              o_orderdate AS next_orderdate
+       FROM j WHERE rn = 1
+       ORDER BY event_id""",
+)
+def asof_forward_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E118: FORWARD as-of join via the generalized operator
+    (timeseries.asof_join): for each event, the user's NEXT order on
+    or after the event time — the direction the inline union-merge
+    query (asof_join_events_orders) doesn't cover; same linear
+    one-shuffle topology run over the reversed time order; ties at
+    equal o_orderdate resolve to MIN o_orderkey (stated, not
+    engine-arbitrary)."""
+    from mysql_syncer_spark.operators.timeseries import asof_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    out = asof_join(
+        events, orders, "user_id", "ts", "o_orderdate",
+        ["o_orderkey"], direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_o_orderkey").alias("next_orderkey"),
+        F.col("__asof_ts").alias("next_orderdate"),
+    ).orderBy("event_id")

@@ -156,3 +156,91 @@ class TestRollingZscore:
             re.findall(r"Arguments: hashpartitioning", plan)
         )
         assert n_hash_exchanges == 1, plan
+
+
+class TestAsofJoin:
+    @staticmethod
+    def _frames(spark):
+        import datetime as dt
+
+        T = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+        left = spark.createDataFrame(
+            [(1, T(10), 100), (1, T(30), 101), (2, T(5), 200)],
+            "k long, lt timestamp, lid long",
+        )
+        right = spark.createDataFrame(
+            [(1, T(10), "a", None), (1, T(20), "b", 5.0),
+             (1, T(40), "c", 6.0)],
+            "k long, rt timestamp, name string, v double",
+        )
+        return left, right
+
+    def test_backward_inclusive_and_null_column(self, spark):
+        from mysql_syncer_spark.operators.timeseries import asof_join
+
+        left, right = self._frames(spark)
+        got = {
+            r["lid"]: (r["asof_name"], r["asof_v"])
+            for r in asof_join(
+                left, right, "k", "lt", "rt", ["name", "v"], "backward"
+            ).collect()
+        }
+        # equal-time right row IS visible (inclusive); its NULL v stays
+        # NULL — the struct carry never falls back to an older row
+        assert got[100] == ("a", None)
+        assert got[101] == ("b", 5.0)
+        assert got[200] == (None, None)
+
+    def test_forward(self, spark):
+        from mysql_syncer_spark.operators.timeseries import asof_join
+
+        left, right = self._frames(spark)
+        got = {
+            r["lid"]: (r["asof_name"], r["asof_v"])
+            for r in asof_join(
+                left, right, "k", "lt", "rt", ["name", "v"], "forward"
+            ).collect()
+        }
+        assert got[100] == ("a", None)   # inclusive at equal time
+        assert got[101] == ("c", 6.0)    # next right after t30
+        assert got[200] == (None, None)
+
+    def test_tolerance_nulls_out_far_matches(self, spark):
+        from mysql_syncer_spark.operators.timeseries import asof_join
+
+        left, right = self._frames(spark)
+        got = {
+            r["lid"]: r["asof_name"]
+            for r in asof_join(
+                left, right, "k", "lt", "rt", ["name", "v"],
+                "backward", tolerance_seconds=300,
+            ).collect()
+        }
+        assert got[100] == "a"       # 0-min gap
+        assert got[101] is None      # 10-min gap > 5-min tolerance
+        # left row still survives (left-join semantics)
+        assert 200 in got
+
+    def test_time_tie_break_is_stated(self, spark):
+        import datetime as dt
+
+        from mysql_syncer_spark.operators.timeseries import asof_join
+
+        T = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame([(1, T, 9)], "k long, lt timestamp, lid long")
+        right = spark.createDataFrame(
+            [(1, T, 7), (1, T, 3)], "k long, rt timestamp, rid long"
+        )
+        bw = asof_join(left, right, "k", "lt", "rt", ["rid"],
+                       "backward").collect()[0]
+        fw = asof_join(left, right, "k", "lt", "rt", ["rid"],
+                       "forward").collect()[0]
+        assert bw["asof_rid"] == 7   # backward: MAX right key on ties
+        assert fw["asof_rid"] == 3   # forward: MIN right key on ties
+
+    def test_direction_validation(self, spark):
+        from mysql_syncer_spark.operators.timeseries import asof_join
+
+        left, right = self._frames(spark)
+        with pytest.raises(ValueError, match="direction"):
+            asof_join(left, right, "k", "lt", "rt", ["name"], "nearest")

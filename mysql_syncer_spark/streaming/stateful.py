@@ -627,3 +627,134 @@ def session_paths_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+FUNNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_steps", T.IntegerType()),
+        T.StructField("t_first", T.TimestampType()),
+        T.StructField("t_last", T.TimestampType()),
+        T.StructField("completed", T.BooleanType()),
+    ]
+)
+
+#: greedy-funnel progress: stage timestamps (us), NULL-free prefix
+_FUNNEL_STATE_SCHEMA = T.StructType(
+    [T.StructField("stage_us", T.ArrayType(T.LongType()))]
+)
+
+
+def funnel_stream(
+    stream: DataFrame,
+    steps: "list[str]",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    watermark: str = "10 minutes",
+    horizon_minutes: int = 120,
+) -> DataFrame:
+    """Streaming twin of the batch funnel cascade (operators/funnel.py):
+    the greedy-earliest chain is INCREMENTAL by construction — each
+    key's state is one timestamp per completed stage (the greedy
+    prefix), and a new event can only extend it, never revise it
+    (greedy prefix timestamps are minimal among valid chains over the
+    events seen so far; with in-order arrival that is the batch
+    cascade's exact invariant).
+
+    Emission: a key emits ONCE — immediately when it completes the
+    last step (live conversion signal), or at the event-time timeout
+    ``horizon_minutes`` past its last progress (the abandoned-funnel
+    cohort, with how far it got). Keys that never did step 0 never
+    occupy state. State is <= len(steps) longs per active key.
+
+    In-order replay reproduces the batch funnel's ``n_steps``/stage
+    times for every emitted key (pytest-gated)."""
+    if len(steps) < 1:
+        raise ValueError("steps must be non-empty")
+    n_steps = len(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
+    evict_us = horizon_minutes * 60 * 1_000_000
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        user = key[0]
+
+        def row(stages, completed):
+            return {
+                "user_id": user,
+                "n_steps": len(stages),
+                "t_first": pd.Timestamp(stages[0], unit="us"),
+                "t_last": pd.Timestamp(stages[-1], unit="us"),
+                "completed": completed,
+            }
+
+        if state.hasTimedOut:
+            out = []
+            if state.exists:
+                stages = [t for t in state.get[0]]
+                if stages and stages[0] >= 0:  # not the completed mark
+                    out.append(row(stages, False))
+                state.remove()
+            if out:
+                yield pd.DataFrame(out)
+            return
+
+        rows = []
+        for pdf in pdfs:
+            for eid, ts_us, typ in zip(
+                pdf["__id"], pdf["__ts_us"], pdf["__type"]
+            ):
+                rows.append((int(ts_us), int(eid), str(typ)))
+        rows.sort()
+        stages = list(state.get[0]) if state.exists else []
+        finished = bool(stages) and stages[0] < 0
+        done = []
+        last_us = rows[-1][0] if rows else 0
+        if not finished:
+            for ts_us, _eid, typ in rows:
+                i = step_idx.get(typ)
+                if i is None:
+                    continue
+                if i == len(stages) and (i == 0 or ts_us > stages[-1]):
+                    stages.append(ts_us)
+                    if len(stages) == n_steps:
+                        done.append(row(stages, True))
+                        # completed sentinel: the key emits ONCE — later
+                        # events must not restart a second funnel (the
+                        # batch cascade counts one earliest chain per key)
+                        stages = [-1]
+                        finished = True
+                        break
+        if stages:
+            state.update((stages,))
+            wm_ms = state.getCurrentWatermarkMs()
+            anchor = stages[-1] if not finished else last_us
+            state.setTimeoutTimestamp(
+                max(anchor // 1000 + evict_us // 1000, wm_ms + 1000)
+            )
+        if done:
+            yield pd.DataFrame(done)
+
+    prepped = (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col),
+            F.col(ts_col),
+            F.col(id_col).alias("__id"),
+            (F.col(ts_col).cast("double") * 1_000_000)
+            .cast("long")
+            .alias("__ts_us"),
+            F.col(type_col).alias("__type"),
+        )
+    )
+    return prepped.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

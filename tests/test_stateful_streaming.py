@@ -475,3 +475,85 @@ class TestSessionPathsStream:
             ).collect()
         }
         assert dict(stream_counts) == twin
+
+
+class TestFunnelStream:
+    SCHEMA = TestTransitionsStream.SCHEMA
+    _line = staticmethod(TestTransitionsStream._line)
+
+    def _run(self, spark, tmp_path, batches, **kw):
+        from mysql_syncer_spark.streaming.stateful import funnel_stream
+
+        src = tmp_path / "fn_in"
+        src.mkdir()
+        _write_ordered(src, batches)
+        stream = (
+            spark.readStream.schema(self.SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        out = funnel_stream(
+            stream, steps=["view", "click", "buy"], **kw
+        )
+        _run_to_memory(out, "fn_out", str(tmp_path / "fn_ck"))
+        return spark.sql("select * from fn_out").collect()
+
+    def test_completion_abandonment_and_replay_twin(self, spark, tmp_path):
+        import datetime as dt
+
+        from mysql_syncer_spark.operators.funnel import funnel
+
+        b0 = (
+            # user 1 completes across batches
+            self._line(1, 10, "2026-01-01T10:00:00", "view")
+            + self._line(1, 11, "2026-01-01T10:01:00", "click")
+            # user 2 gets one step then goes away
+            + self._line(2, 20, "2026-01-01T10:00:30", "view")
+            # user 3's buy BEFORE view never counts as progress
+            + self._line(3, 30, "2026-01-01T10:00:00", "buy")
+        )
+        b1 = (
+            self._line(1, 12, "2026-01-01T10:02:00", "buy")
+            # user 1 again AFTER completion: must NOT restart a funnel
+            + self._line(1, 13, "2026-01-01T10:03:00", "view")
+        )
+        # watermark pusher far past the 120-min horizon flushes user 2
+        b2 = self._line(9, 99, "2026-01-02T10:00:00", "z")
+        rows = self._run(
+            spark, tmp_path,
+            [("b0.json", b0), ("b1.json", b1), ("b2.json", b2)],
+            horizon_minutes=120,
+        )
+        got = {r["user_id"]: r for r in rows if r["user_id"] != 9}
+        assert got[1]["completed"] is True and got[1]["n_steps"] == 3
+        assert got[1]["t_first"] == dt.datetime(2026, 1, 1, 10, 0, 0)
+        assert got[1]["t_last"] == dt.datetime(2026, 1, 1, 10, 2, 0)
+        # exactly ONE row for user 1 despite the post-completion view
+        assert sum(1 for r in rows if r["user_id"] == 1) == 1
+        # user 2 flushed as abandoned with 1 step
+        assert got[2]["completed"] is False and got[2]["n_steps"] == 1
+        # user 3 never entered (buy isn't step 0) -> no row
+        assert 3 not in got
+
+        # batch twin agrees on n_steps and stage times for emitted keys
+        batch = spark.createDataFrame(
+            [
+                (10, 1, dt.datetime(2026, 1, 1, 10, 0, 0), "view"),
+                (11, 1, dt.datetime(2026, 1, 1, 10, 1, 0), "click"),
+                (20, 2, dt.datetime(2026, 1, 1, 10, 0, 30), "view"),
+                (30, 3, dt.datetime(2026, 1, 1, 10, 0, 0), "buy"),
+                (12, 1, dt.datetime(2026, 1, 1, 10, 2, 0), "buy"),
+                (13, 1, dt.datetime(2026, 1, 1, 10, 3, 0), "view"),
+            ],
+            "event_id long, user_id long, ts timestamp, event_type string",
+        )
+        twin = {
+            r["user_id"]: r
+            for r in funnel(
+                batch, "user_id", "ts", "event_type",
+                ["view", "click", "buy"],
+            ).collect()
+        }
+        for uid, r in got.items():
+            assert r["n_steps"] == twin[uid]["n_steps"]
+            assert r["t_first"] == twin[uid]["t0"]

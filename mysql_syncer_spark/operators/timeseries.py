@@ -171,7 +171,10 @@ def asof_join(
     class): every left row picks the temporally nearest right row of
     the same key — ``backward`` = latest right with
     ``right_ts <= left_ts``, ``forward`` = earliest right with
-    ``right_ts >= left_ts`` (both inclusive).
+    ``right_ts >= left_ts`` (both inclusive), ``nearest`` = whichever
+    of the two is closer in time (equal gaps -> backward, the pandas
+    convention; both carries share one hash exchange, the planner
+    adds only the second sort).
 
     Union-merge topology, the shape that made asof_join_events_orders
     ~30x faster than the naive equi-join + per-left ROW_NUMBER: both
@@ -195,9 +198,10 @@ def asof_join(
     right row qualifies) and ``__asof_ts`` (the matched right
     timestamp; NULL likewise).
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
-            f"direction must be 'backward' or 'forward', got {direction!r}"
+            "direction must be 'backward', 'forward' or 'nearest', "
+            f"got {direction!r}"
         )
     lcols = left.columns
     probe = left.select(
@@ -219,17 +223,18 @@ def asof_join(
     )
     # tie layout: right rows sort before left rows at equal time in
     # TRAVERSAL order, so inclusive semantics hold in both directions
-    if direction == "backward":
-        order = [F.asc("__t"), F.asc("__is_left"), F.asc("__rt")]
-        order += [F.asc(f"__r_{c}") for c in right_cols]
-    else:
-        order = [F.desc("__t"), F.asc("__is_left"), F.desc("__rt")]
-        order += [F.desc(f"__r_{c}") for c in right_cols]
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    bw_order = [F.asc("__t"), F.asc("__is_left"), F.asc("__rt")]
+    bw_order += [F.asc(f"__r_{c}") for c in right_cols]
+    fw_order = [F.desc("__t"), F.asc("__is_left"), F.desc("__rt")]
+    fw_order += [F.desc(f"__r_{c}") for c in right_cols]
+
+    def _w(order):
+        return (
+            Window.partitionBy("__k")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
     # ONE struct carry, not per-column carries: a right column that is
     # legitimately NULL on the matched row must stay NULL, not fall
     # back to an older right row (ignorenulls skips per-column)
@@ -240,12 +245,48 @@ def asof_join(
             *[F.col(f"__r_{c}").alias(c) for c in right_cols],
         ),
     )
-    carried = probe.unionByName(build).select(
-        "__is_left",
-        "__row",
-        F.col("__t").alias("__lt"),
-        F.last(rstruct, ignorenulls=True).over(w).alias("__m"),
-    ).where(F.col("__is_left") == 1)
+    stream = probe.unionByName(build)
+    if direction == "nearest":
+        # both carries share ONE hash exchange on the key; Catalyst
+        # inserts the second Sort only. Tie (equal gaps) -> backward,
+        # the pandas merge_asof convention.
+        both = stream.select(
+            "__is_left",
+            "__row",
+            F.col("__t").alias("__lt"),
+            F.last(rstruct, ignorenulls=True)
+            .over(_w(bw_order))
+            .alias("__mb"),
+            F.last(rstruct, ignorenulls=True)
+            .over(_w(fw_order))
+            .alias("__mf"),
+        ).where(F.col("__is_left") == 1)
+        gap_b = F.abs(
+            F.unix_micros(F.col("__lt").cast("timestamp"))
+            - F.unix_micros(F.col("__mb.__rt").cast("timestamp"))
+        )
+        gap_f = F.abs(
+            F.unix_micros(F.col("__lt").cast("timestamp"))
+            - F.unix_micros(F.col("__mf.__rt").cast("timestamp"))
+        )
+        carried = both.select(
+            "__is_left",
+            "__row",
+            "__lt",
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(gap_b <= gap_f, F.col("__mb"))
+            .otherwise(F.col("__mf"))
+            .alias("__m"),
+        )
+    else:
+        order = bw_order if direction == "backward" else fw_order
+        carried = stream.select(
+            "__is_left",
+            "__row",
+            F.col("__t").alias("__lt"),
+            F.last(rstruct, ignorenulls=True).over(_w(order)).alias("__m"),
+        ).where(F.col("__is_left") == 1)
     if tolerance_seconds is not None:
         gap = F.abs(
             F.unix_micros(F.col("__lt").cast("timestamp"))

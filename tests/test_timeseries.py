@@ -243,4 +243,70 @@ class TestAsofJoin:
 
         left, right = self._frames(spark)
         with pytest.raises(ValueError, match="direction"):
-            asof_join(left, right, "k", "lt", "rt", ["name"], "nearest")
+            asof_join(left, right, "k", "lt", "rt", ["name"], "sideways")
+
+    def test_nearest_picks_closer_side(self, spark):
+        from mysql_syncer_spark.operators.timeseries import asof_join
+
+        left, right = self._frames(spark)
+        got = {
+            r["lid"]: r["asof_name"]
+            for r in asof_join(
+                left, right, "k", "lt", "rt", ["name", "v"], "nearest"
+            ).collect()
+        }
+        assert got[100] == "a"    # exact hit (gap 0 both ways -> backward)
+        assert got[101] == "b"    # t30: b is 10 min back, c is 10 min fwd
+        #                           -> equal gap, backward wins (pandas)
+        assert got[200] is None   # key 2 has no right rows at all
+
+    def test_nearest_equal_gap_prefers_backward(self, spark):
+        import datetime as dt
+
+        from mysql_syncer_spark.operators.timeseries import asof_join
+
+        T = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+        left = spark.createDataFrame(
+            [(1, T(10), 9)], "k long, lt timestamp, lid long"
+        )
+        right = spark.createDataFrame(
+            [(1, T(4), "back"), (1, T(16), "fwd"), (1, T(30), "far")],
+            "k long, rt timestamp, name string",
+        )
+        row = asof_join(
+            left, right, "k", "lt", "rt", ["name"], "nearest"
+        ).collect()[0]
+        assert row["asof_name"] == "back"
+
+    def test_nearest_one_sided(self, spark):
+        import datetime as dt
+
+        from mysql_syncer_spark.operators.timeseries import asof_join
+
+        T = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+        # left BEFORE all right rows: only the forward carry matches
+        left = spark.createDataFrame(
+            [(1, T(0), 9)], "k long, lt timestamp, lid long"
+        )
+        right = spark.createDataFrame(
+            [(1, T(20), "only")], "k long, rt timestamp, name string"
+        )
+        row = asof_join(
+            left, right, "k", "lt", "rt", ["name"], "nearest"
+        ).collect()[0]
+        assert row["asof_name"] == "only"
+
+    def test_nearest_with_tolerance(self, spark):
+        from mysql_syncer_spark.operators.timeseries import asof_join
+
+        left, right = self._frames(spark)
+        got = {
+            r["lid"]: r["asof_name"]
+            for r in asof_join(
+                left, right, "k", "lt", "rt", ["name", "v"],
+                "nearest", tolerance_seconds=300,
+            ).collect()
+        }
+        assert got[100] == "a"    # 0-gap survives
+        assert got[101] is None   # nearest is 10 min away > 5-min tol
+        assert 200 in got         # left-join row survival

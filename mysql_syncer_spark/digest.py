@@ -370,7 +370,12 @@ def mysql_digest_query(
     pk = ", ".join(f"`{c}`" for c in pk_cols)
     where = ""
     if partition_col is not None:
-        where = f" WHERE `{partition_col}`='{partition_value}'"
+        # data-derived value: escaped-literal rendering, never raw
+        # interpolation (TableConnection.php uses mysqli_escape_string)
+        from .sinks.jdbc import sql_literal
+
+        lit = sql_literal(partition_value, backslash_escapes=True)
+        where = f" WHERE `{partition_col}`={lit}"
     return (
         f"SELECT MD5(GROUP_CONCAT(MD5(CONCAT_WS('#', {wrapped})) "
         f"ORDER BY {pk} SEPARATOR ',')) AS `hash` "

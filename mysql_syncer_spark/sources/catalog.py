@@ -339,7 +339,13 @@ def mysql_hash_pushdown_query(
     pk = ", ".join(f"`{c}`" for c in pk_cols)
     where = ""
     if partition_col is not None:
-        where = f" WHERE `{partition_col}`='{partition_value}'"
+        # partition values are data-derived: render through the same
+        # escaped-literal path the sinks use (TableConnection.php
+        # escapes with mysqli_escape_string before interpolating)
+        from ..sinks.jdbc import sql_literal
+
+        lit = sql_literal(partition_value, backslash_escapes=True)
+        where = f" WHERE `{partition_col}`={lit}"
     return (
         f"SELECT {pk}, MD5(CONCAT_WS('#', {wrapped})) AS `__row_hash` "
         f"FROM `{database}`.`{table}`{where}"

@@ -350,6 +350,12 @@ class MySQLCatalog(DBAPICatalog):
         d = (column_type or "").strip().upper()
         if d.startswith("DECIMAL") or d.startswith("NUMERIC"):
             return T.StringType()  # exact digits; see class docstring
+        # BIGINT UNSIGNED spans [0, 2^64): values >= 2^63 overflow a
+        # signed LongType and corrupt during createDataFrame. Smaller
+        # unsigned ints fit LongType with headroom; only BIGINT needs
+        # the wider exact type.
+        if d.startswith("BIGINT") and "UNSIGNED" in d:
+            return T.DecimalType(20, 0)
         for prefix, t in _MYSQL_DECL_PREFIXES:
             if d.startswith(prefix):
                 return t

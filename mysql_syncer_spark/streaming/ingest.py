@@ -227,6 +227,14 @@ def cms_maintain_stream(
         jsc = spark.sparkContext._jsc.hadoopConfiguration()
         path = jvm.org.apache.hadoop.fs.Path(sketch_path)
         fs = path.getFileSystem(jsc)
+        old = jvm.org.apache.hadoop.fs.Path(sketch_path + ".__old__")
+        # crash recovery (mirrors sources/layout.compact_files): a death
+        # between rename(path, old) and rename(staging, path) leaves
+        # __old__ as the ONLY copy of the accumulated sketch — restore
+        # it before merging, or the fold silently rebuilds from one
+        # batch and the pre-swap cleanup below deletes the survivor.
+        if fs.exists(old) and not fs.exists(path):
+            fs.rename(old, path)
         if fs.exists(path):
             prior = spark.read.parquet(sketch_path)
             merged = cms_merge(prior, batch_sketch)
@@ -236,7 +244,6 @@ def cms_maintain_stream(
             sketch_path + ".__staging__"
         )
         merged.write.mode("overwrite").parquet(str(staging))
-        old = jvm.org.apache.hadoop.fs.Path(sketch_path + ".__old__")
         if fs.exists(old):
             fs.delete(old, True)
         if fs.exists(path):

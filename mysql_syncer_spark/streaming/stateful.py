@@ -187,6 +187,7 @@ def anomaly_zscore_stream(
     min_periods: int = 5,
     threshold: float = 2.5,
     watermark: str = "10 minutes",
+    idle_evict_minutes: int = 60,
 ) -> DataFrame:
     """Streaming rolling z-score anomaly detection — the stateful twin
     of operators/timeseries.rolling_zscore: every event is scored
@@ -210,6 +211,7 @@ def anomaly_zscore_stream(
         raise ValueError("window and min_periods must be >= 1")
 
     win, minp, thr = window, min_periods, threshold
+    evict_us = idle_evict_minutes * 60 * 1_000_000
 
     def fold(key, pdfs, state: GroupState):
         import math
@@ -217,6 +219,14 @@ def anomaly_zscore_stream(
         import pandas as pd
 
         user = key[0]
+        # keys idle past the horizon are evicted (bounded total state
+        # at any key cardinality — the same discipline as
+        # transitions_stream/attribution_stream); a key restarting
+        # after eviction scores against an empty history again.
+        if state.hasTimedOut:
+            if state.exists:
+                state.remove()
+            return
         rows = []
         for pdf in pdfs:
             for eid, ts_us, v in zip(
@@ -250,6 +260,11 @@ def anomaly_zscore_stream(
             if len(hist) > win:
                 hist = hist[-win:]
         state.update((hist,))
+        if rows:
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(rows[-1][0] // 1000 + evict_us // 1000, wm_ms + 1000)
+            )
         if out:
             yield pd.DataFrame(out)
 
@@ -271,7 +286,7 @@ def anomaly_zscore_stream(
         outputStructType=ANOMALY_SCHEMA,
         stateStructType=_Z_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -103,7 +103,13 @@ def test_create_table_golden(spark):
 def test_mysql_type_mapping():
     m = MySQLCatalog._spark_type_mysql
     assert isinstance(m("int(11)"), T.LongType)
-    assert isinstance(m("bigint(20) unsigned"), T.LongType)
+    assert isinstance(m("bigint(20)"), T.LongType)
+    # BIGINT UNSIGNED spans [0, 2^64): >= 2^63 overflows signed long —
+    # mapped to the exact 20-digit decimal instead
+    bu = m("bigint(20) unsigned")
+    assert isinstance(bu, T.DecimalType)
+    assert (bu.precision, bu.scale) == (20, 0)
+    assert isinstance(m("int(10) unsigned"), T.LongType)  # fits w/ headroom
     assert isinstance(m("tinyint(1)"), T.BooleanType)
     assert isinstance(m("tinyint(4)"), T.LongType)
     assert isinstance(m("varchar(255)"), T.StringType)
@@ -240,3 +246,33 @@ def test_hash_pushdown_matches_spark_compat_hash(spark):
             "NULL" if v is None else str(v) for v in row
         )
         assert got[row[0]] == hashlib.md5(payload.encode()).hexdigest()
+
+
+def test_partition_value_escaped_in_emitted_sql():
+    """Partition values are data-derived: quotes/backslashes must be
+    escaped (mysqli_escape_string in the reference), never raw-
+    interpolated — otherwise a value like "O'Brien" breaks the query
+    and a crafted value injects SQL."""
+    from mysql_syncer_spark.digest import mysql_digest_query
+    from mysql_syncer_spark.sources.catalog import mysql_hash_pushdown_query
+
+    hostile = "x'; DROP TABLE t; --"
+    q = mysql_hash_pushdown_query(
+        "db", "t", ["id"], ["id"],
+        partition_col="p", partition_value=hostile,
+    )
+    assert q.endswith("WHERE `p`='x''; DROP TABLE t; --'")
+    d = mysql_digest_query(
+        "t", ["id"], ["id"], partition_col="p", partition_value=hostile,
+    )
+    assert d.endswith("WHERE `p`='x''; DROP TABLE t; --'")
+    # backslashes doubled for MySQL's default sql_mode
+    qb = mysql_digest_query(
+        "t", ["id"], ["id"], partition_col="p", partition_value="a\\b",
+    )
+    assert qb.endswith("WHERE `p`='a\\\\b'")
+    # non-string partition values render as bare literals
+    qn = mysql_hash_pushdown_query(
+        "db", "t", ["id"], ["id"], partition_col="p", partition_value=5,
+    )
+    assert qn.endswith("WHERE `p`=5")

@@ -1,6 +1,24 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+ONE JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
+
+Methodology (round 7 — fixes the r5→r6 session-pollution drift):
+
+* The sweep is split into FRESH JVM SESSIONS — a pristine 10-key CANARY
+  session first, then fixed contiguous groups of the remaining keys,
+  each in its own subprocess (own JVM). r6's single 120-query session
+  showed uniform +20% ambient drift on keys with zero code changes
+  (broadcast/GC debt accumulating across ~120 queries); per-group fresh
+  sessions bound that debt to ~30 keys, and the canary — always first,
+  always the same 10 keys, always pristine — is the round-over-round
+  comparator that ambient growth of the registry can never touch.
+* Within each session: Arrow-worker-pool warmup, then 3 passes, per-key
+  MIN (timeit discipline; the min over passes converges run-over-run
+  while any single pass picks up worker churn / co-scheduled jobs).
+* stdout stays under the driver's 2000-char tail: the compact line
+  carries ONLY the canary keys + totals (r5/r6 inlined all ~120 keys,
+  overflowed the tail, and were recorded "parsed": null). Full per-key
+  times and all raw passes go to BENCH_DETAIL.json.
 
 Every query is forced end-to-end with the noop sink (full
 materialization, no driver collect of large results). ``resync_noop``
@@ -14,29 +32,42 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
 
-from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
-
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from mysql_syncer_spark import queries as registry
-from mysql_syncer_spark.digest import digests_equal
-from mysql_syncer_spark.executor import sync
-from mysql_syncer_spark.sources.catalog import (
-    ParquetCatalog,
-    configure_session,
-    load_table,
-)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+#: FIXED canary subset — never reorder, never extend. Runs first in its
+#: own pristine JVM; round-over-round comparability lives here. The 10
+#: keys span the diff kernels, digests, aggs, windows, LSH dedup,
+#: SimHash, and the media/Arrow path. r5-era times (the last
+#: uncontended measurements) for reference: sync_merge 1.5, missing_rows
+#: 1.02, table_digest 0.7, partition_digests 0.8, agg_pricing 0.68,
+#: sessionize 0.35, asof_join 0.45, minhash_lsh 1.71, simhash_near_dup
+#: 2.41, resize_media 0.24 (sum 9.86).
+CANARY = [
+    "sync_merge_orders",
+    "missing_rows_orders",
+    "table_digest_orders",
+    "partition_digests_orders",
+    "agg_pricing_summary",
+    "sessionize_events",
+    "asof_join_events_orders",
+    "minhash_lsh_pairs_docs",
+    "simhash_near_dup_docs",
+    "resize_media_docs",
+]
+
 #: headline queries (name -> registry entry); a spread over the diff
-#: kernels, digests, joins/aggs/windows, dedup, and ANN surface
+#: kernels, digests, joins/aggs/windows, dedup, and ANN surface.
+#: APPEND-ONLY: group membership is derived by contiguous chunking of
+#: the non-canary keys, so inserting (rather than appending) shifts
+#: keys between sessions and breaks round-over-round comparability.
 HEADLINE = [
     "sync_merge_orders",
     "missing_rows_orders",
@@ -64,13 +95,8 @@ HEADLINE = [
     "ngram_jaccard_pairs_docs",  # now df-capped; was excluded when quadratic
     "resize_media_docs",
     "audio_features_docs",
-    # frame_sample moved next to its media siblings (r6): measured in
-    # the late-list position it reads 4-6s SUSTAINED vs 0.8s isolated —
-    # a bisection showed the inflation is cumulative session state
-    # (broadcast/GC debt from ~60 prior keys), not the operator and not
-    # one poisoning key ([0:32] prefix -> 0.9s, [32:65] -> 2-4s, full
-    # 65 -> 4.5-6.6s sustained). Grouping the three media keys measures
-    # the codec pipeline under like-for-like session conditions.
+    # frame_sample stays next to its media siblings (r6): the codec
+    # pipeline is measured under like-for-like session conditions.
     "frame_sample_media_docs",
     "ann_topk_ivf",
     "approx_distinct_users_events",
@@ -93,12 +119,12 @@ HEADLINE = [
     # round-4 additions (new keys only; prior keys unchanged)
     "incremental_new_docs",
     "cluster_safe_split_docs",
-    # round-5 additions (new keys only; prior keys unchanged).
-    # incremental_new_docs_indexed builds the persisted MinHash index on
-    # pass 1 (the amortized one-time layout job); passes 2-3 measure the
-    # O(batch) indexed path, so the min-of-passes reports the steady
-    # state a daily ingest actually runs. scd2_multibatch_orders folds
-    # three snapshots — the growing-history shape.
+    # round-5 additions. incremental_new_docs_indexed builds the
+    # persisted MinHash index on pass 1 (the amortized one-time layout
+    # job); passes 2-3 measure the O(batch) indexed path, so the
+    # min-of-passes reports the steady state a daily ingest actually
+    # runs. scd2_multibatch_orders folds three snapshots — the
+    # growing-history shape.
     "incremental_new_docs_indexed",
     "scd2_multibatch_orders",
     "profile_orders",
@@ -194,16 +220,45 @@ HEADLINE = [
     "asof_forward_events_orders",
 ]
 
+#: non-canary keys per fresh-JVM group session (contiguous chunks keep
+#: deliberately-adjacent keys — the media trio, the indexed pairs —
+#: in one session; append-only HEADLINE keeps early groups stable)
+GROUP_SIZE = 28
+
+
+def group_plan() -> dict[str, list[str]]:
+    rest = [k for k in HEADLINE if k not in set(CANARY)]
+    plan: dict[str, list[str]] = {"canary": list(CANARY)}
+    for i in range(0, len(rest), GROUP_SIZE):
+        plan[f"g{i // GROUP_SIZE + 1}"] = rest[i : i + GROUP_SIZE]
+    return plan
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
+def run_group(group: str) -> None:
+    """Child mode: one fresh JVM, warmup, 3 passes over the group's
+    keys, per-key min; prints one JSON blob to stdout (parent parses).
+    The canary group also runs the sync-economics fixtures."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_spark import queries as registry
+    from mysql_syncer_spark.digest import digests_equal
+    from mysql_syncer_spark.executor import sync
+    from mysql_syncer_spark.sources.catalog import (
+        ParquetCatalog,
+        configure_session,
+        load_table,
+    )
+
+    keys = group_plan()[group]
     spark = (
         configure_session(
             SparkSession.builder.master(f"local[{CPUS}]")
-            .appName("mysql-syncer-spark-bench")
+            .appName(f"mysql-syncer-spark-bench-{group}")
             .config("spark.sql.shuffle.partitions", CPUS)
             .config("spark.ui.enabled", "false")
             .config("spark.ui.showConsoleProgress", "false")
@@ -212,13 +267,11 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-
     qmap = registry.queries()
 
     # Warm the Python/Arrow worker pool before ANY timing: the first
-    # mapInPandas query otherwise pays ~CPUS worker forks + Arrow import,
-    # and a churned pool mid-session re-pays it (r3 recorded resize at
-    # 3.98s vs 0.55s isolated — session pollution, not the operator).
+    # mapInPandas query otherwise pays ~CPUS worker forks + Arrow
+    # import (r3 recorded resize at 3.98s vs 0.55s isolated).
     force(
         spark.range(0, int(CPUS) * 1000, 1, int(CPUS)).mapInPandas(
             lambda it: it, "id long"
@@ -227,24 +280,19 @@ def main() -> None:
 
     def one_pass() -> dict[str, float]:
         times: dict[str, float] = {}
-        # per-action overhead floor on this box: a 1-row noop write.
-        # Sub-second entries (digest_check, resync_noop) bottom out
-        # here, so ratios against them are floor-capped, not scan-bound.
-        # (No GC barrier at ANY granularity: r3 measured per-query
-        # System.gc() at +10% total, and an r6 A/B of a per-PASS
-        # clearCache+gc read 80.7s vs 71.6s on the shared keys — the
-        # cleared weak-ref codegen/broadcast caches are repaid by every
-        # query in the pass, costing far more than the ~1s of GC-debt
-        # inflation it removes from the one affected media key. That
-        # key's honest number is protected by its position next to its
-        # media siblings instead.)
-        t0 = time.time()
-        force(spark.range(1))
-        times["action_floor"] = round(time.time() - t0, 3)
-        for name in HEADLINE:
+        if group == "canary":
+            # per-action overhead floor on this box: a 1-row noop
+            # write. Sub-second entries (digest_check, resync_noop)
+            # bottom out here, so ratios against them are floor-capped.
+            t0 = time.time()
+            force(spark.range(1))
+            times["action_floor"] = round(time.time() - t0, 3)
+        for name in keys:
             t0 = time.time()
             force(qmap[name](spark, SF_DIR))
             times[name] = round(time.time() - t0, 3)
+        if group != "canary":
+            return times
 
         # digest primitive: unchanged-table check cost (r1's resync_noop)
         orders = load_table(spark, SF_DIR, "orders")
@@ -283,50 +331,100 @@ def main() -> None:
             shutil.rmtree(root, ignore_errors=True)
         return times
 
-    # Three passes in one JVM; report the per-query MIN (timeit
-    # discipline). r3 showed the "steady-state second pass" is the one
-    # that picks up session pollution — Python-worker churn, GC debt,
-    # co-scheduled driver jobs — swinging mapInPandas queries 3-7x with
-    # zero code change. The min over passes converges run-over-run;
-    # all raw passes go to the sidecar.
     pass1 = one_pass()
     pass2 = one_pass()
     pass3 = one_pass()
     times = {k: min(pass1[k], pass2[k], pass3[k]) for k in pass3}
+    print(
+        "BENCH_GROUP_JSON:"
+        + json.dumps(
+            {
+                "group": group,
+                "times": times,
+                "pass1": pass1,
+                "pass2": pass2,
+                "pass3": pass3,
+            },
+            separators=(",", ":"),
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) == 3 and sys.argv[1] == "--group":
+        run_group(sys.argv[2])
+        return
+
+    plan = group_plan()
+    here = os.path.dirname(os.path.abspath(__file__))
+    merged: dict[str, float] = {}
+    detail_groups: dict[str, dict] = {}
+    for group in plan:  # canary first (insertion order), then g1..gN
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--group", group],
+            capture_output=True,
+            text=True,
+            cwd=here,
+        )
+        blob = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("BENCH_GROUP_JSON:"):
+                blob = json.loads(line[len("BENCH_GROUP_JSON:"):])
+        if blob is None:
+            print(
+                f"ERROR: group {group} produced no result "
+                f"(rc={proc.returncode})\n{proc.stdout[-2000:]}\n"
+                f"{proc.stderr[-4000:]}",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+        merged.update(blob["times"])
+        detail_groups[group] = blob
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    total = round(sum(times.values()), 3)
-    # Both passes go to a sidecar file; stdout gets ONE compact line.  The
-    # driver keeps only a tail of stdout and parses the last line as JSON,
-    # so the line must stay short (round 2's line with both passes inlined
-    # overflowed the tail and recorded "parsed": null).
+    total = round(sum(merged.values()), 3)
+    canary_keys = (
+        ["action_floor"]
+        + CANARY
+        + ["digest_check_orders", "first_sync_orders", "resync_noop"]
+    )
+    canary_total = round(sum(merged[k] for k in canary_keys), 3)
     detail = {
         "metric": "total_headline_sec",
         "value": total,
         "unit": "sec",
-        "queries": times,
-        "queries_pass1": pass1,
-        "queries_pass2": pass2,
-        "queries_pass3": pass3,
+        "canary_sec": canary_total,
+        "queries": merged,
+        "groups": detail_groups,
         "sf": float(sf) if sf else SF_DIR,
+        "methodology": (
+            "fresh JVM per group; canary session first (pristine, fixed "
+            "10 keys); 3 passes per session, per-key min"
+        ),
     }
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-            "w",
-        ) as fh:
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
             json.dump(detail, fh, indent=1)
     except OSError as exc:
         print(f"WARNING: BENCH_DETAIL.json not written: {exc}", file=sys.stderr)
+    # stdout gets ONE compact line UNDER 2000 CHARS (the driver keeps a
+    # 2000-char tail and parses the last line; r5/r6 inlined all ~120
+    # keys and overflowed it — both rounds recorded "parsed": null).
+    # Canary keys only; the full map lives in BENCH_DETAIL.json.
     compact = {
         "metric": "total_headline_sec",
         "value": total,
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in times.items()},
+        "queries": {k: round(merged[k], 2) for k in canary_keys},
+        "canary_sec": canary_total,
+        "n_queries": len(merged),
+        "detail": "BENCH_DETAIL.json",
         "sf": float(sf) if sf else SF_DIR,
     }
-    print(json.dumps(compact, separators=(",", ":")))
-    spark.stop()
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1900, f"compact line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

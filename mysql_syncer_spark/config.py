@@ -63,3 +63,11 @@ class SyncConfig:
     #: would turn the collect data-sized; past this bound the executor
     #: raises instead of OOMing the driver.
     max_partition_values: int = 100_000
+    #: server-side row-hash pushdown (SURVEY §4 row 2): the MASTER
+    #: computes MD5 row hashes inside the source database
+    #: (TableConnection.php:46-51) so only (pk, 32-byte hash) crosses
+    #: the wire; full rows are point-fetched for the missing keys only.
+    #: Requires a master catalog with hash_frame (DBAPI/JDBC/MySQL).
+    #: Worth it when the source DB has spare CPU and the WAN is the
+    #: bottleneck; the default pulls raw rows and hashes in executors.
+    hash_pushdown: bool = False

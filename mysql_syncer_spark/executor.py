@@ -114,6 +114,16 @@ class ParquetSyncExecutor:
         self._full_copy(unit, res)
 
     def _diff_sync(self, unit: SyncUnit, res: UnitResult) -> None:
+        if self.cfg.hash_pushdown:
+            if not hasattr(self.master, "hash_frame"):
+                raise ValueError(
+                    "hash_pushdown=True requires a master catalog that "
+                    "computes hashes server-side (DBAPICatalog, "
+                    "MySQLCatalog, JDBCCatalog); "
+                    f"{type(self.master).__name__} cannot"
+                )
+            self._diff_sync_pushdown(unit, res)
+            return
         m = self.master.table(unit.table)
         s = self.slave.table(unit.table)
         # digest short-circuit (Synchronizer.php:204-225): one cheap
@@ -125,6 +135,69 @@ class ParquetSyncExecutor:
             self._diff_sync_partitioned(unit, m, s, res)
             return
         self._apply_diff(unit.table, m.df, s.df, m.pk_cols, res)
+
+    def _diff_sync_pushdown(self, unit: SyncUnit, res: UnitResult) -> None:
+        """Minimal-egress diff (SURVEY §4 row 2): the master computes the
+        MD5 row hash INSIDE the source database (the reference's
+        hash-map staging, TableConnection.php:46-51), so only
+        (pk, 32-byte hash) crosses the wire; the slave side hashes
+        locally with the byte-compatible MySQL text-protocol renderer.
+        Full rows travel only for the missing keys, via chunked keyed
+        point fetches (TableConnection.php:177-209) when the master
+        supports them. No separate digest short-circuit: an unchanged
+        table yields empty anti-joins from the hash maps alone, which is
+        already the minimal wire cost in this mode."""
+        from mysql_syncer_spark.canon import HASH_COL
+        from mysql_syncer_spark.diff import excess_rows, missing_rows, rows_to_copy
+        from mysql_syncer_spark.digest import mysql_compat_row_hash_col
+
+        table = unit.table
+        if hasattr(self.master, "table_meta"):
+            # DBAPI: learn shape without fetching rows
+            cols, pk, _ = self.master.table_meta(table)
+            mh = self.master.hash_frame(table)
+        else:
+            # JDBC: the handle's df is lazy (no fetch until an action)
+            h = self.master.table(table)
+            cols, pk = list(h.df.columns), tuple(h.pk_cols)
+            mh = self.master.hash_frame(table, cols, pk)
+        pk = list(pk)
+        if not pk:
+            raise ValueError(
+                f"table {table!r} has no primary key — hash pushdown "
+                "needs per-PK hash maps (no-PK tables take the digest "
+                "copy-if-changed path; disable hash_pushdown for them)"
+            )
+        s = self.slave.table(table)
+        sh = s.df.select(
+            *pk, mysql_compat_row_hash_col(s.df, cols).alias(HASH_COL)
+        )
+        miss = missing_rows(mh, sh, pk, mode="pk_hash")
+        exc = excess_rows(mh, sh, pk, mode="pk_hash").persist()
+        try:
+            # the missing-key list is delta-sized and must reach the
+            # master as WHERE-IN tuples anyway (the reference collects
+            # its whole hash map driver-side; this collects keys of the
+            # delta only)
+            miss_keys = [tuple(r) for r in miss.collect()]
+            res.inserted = len(miss_keys)
+            res.deleted = exc.count()
+            if res.inserted == 0 and res.deleted == 0:
+                res.status = "noop"
+                return
+            if self.cfg.dry_run:
+                res.status = "dry_run"
+                return
+            if hasattr(self.master, "fetch_rows"):
+                inserts = self.master.fetch_rows(
+                    table, miss_keys, pk, chunk_size=self.cfg.chunk_size
+                )
+            else:
+                inserts = rows_to_copy(self.master.table(table).df, miss, pk)
+            self._apply_changes(table, pk, inserts, exc, s.df)
+            self.slave.invalidate()
+        finally:
+            exc.unpersist()
 
     def _diff_sync_partitioned(self, unit: SyncUnit, m: TableHandle,
                                s: TableHandle, res: UnitResult) -> None:

@@ -197,6 +197,125 @@ class DBAPICatalog(Catalog):
             partition_col=self.partition_map.get(name),
         )
 
+    # -- server-side hash pushdown (SURVEY §4 row 2) -------------------
+
+    def table_meta(self, name: str):
+        """(columns, pk_cols, spark schema) WITHOUT fetching any rows —
+        the pushdown path must never pull the table to learn its shape."""
+        conn = self.connect_factory()
+        try:
+            info = self._table_info(conn, name)
+        finally:
+            conn.close()
+        if not info:
+            raise ValueError(f"no such table: {name}")
+        cols = [c for c, _, _ in info]
+        schema = T.StructType(
+            [T.StructField(c, self._to_spark_type(d), True)
+             for c, d, _ in info]
+        )
+        pk = self.pk_map.get(name)
+        if pk is None:
+            pk = tuple(
+                c for _, c in sorted((o, c) for c, _, o in info if o > 0)
+            )
+        return cols, tuple(pk), schema
+
+    def hash_pushdown_sql(
+        self, name: str, columns: Sequence[str], pk_cols: Sequence[str]
+    ) -> str:
+        """SQL computing ``(pk..., md5 row hash)`` INSIDE the source DB —
+        only (pk, 32-byte hash) crosses the wire (the reference computes
+        this hash in MySQL, TableConnection.php:46-51). Generic dialect:
+        ``md5(COALESCE(CAST(c AS TEXT),'NULL') || '#' || ...)`` — sqlite
+        needs an ``md5`` function registered on the connection
+        (``conn.create_function('md5', 1, ...)``); MySQLCatalog overrides
+        with native MD5(CONCAT_WS(...)).
+
+        Rendering contract: for the types the compat hash supports
+        (ints, strings; see digest._mysql_text_col), CAST(c AS TEXT)
+        yields the same bytes as digest.mysql_compat_row_hash_col
+        renders Spark-side — the pushed hash diffs cleanly against a
+        locally-hashed side."""
+        q = self.quote
+        parts = " || '#' || ".join(
+            f"COALESCE(CAST({q}{c}{q} AS TEXT), 'NULL')" for c in columns
+        )
+        pk = ", ".join(f"{q}{c}{q}" for c in pk_cols)
+        return (
+            f"SELECT {pk}, md5({parts}) AS {q}__row_hash{q} "
+            f"FROM {q}{name}{q}"
+        )
+
+    def hash_frame(self, name: str, pk_cols: Sequence[str] | None = None):
+        """``(pk..., __row_hash)`` computed server-side — the
+        minimal-egress hash map (S16 staging projection in pushdown
+        mode). Fetched through one driver-side connection like
+        :meth:`table` (DBAPI trade-off; JDBCCatalog.hash_frame is the
+        partitioned-read twin)."""
+        from mysql_syncer_spark.canon import HASH_COL
+
+        cols, pk, schema = self.table_meta(name)
+        pk = tuple(pk_cols) if pk_cols else pk
+        if not pk:
+            raise ValueError(f"table {name!r} has no primary key")
+        sql = self.hash_pushdown_sql(name, cols, pk)
+        conn = self.connect_factory()
+        try:
+            rows = self._run(conn, sql)
+        finally:
+            conn.close()
+        by_name = {f.name: f.dataType for f in schema.fields}
+        out_schema = T.StructType(
+            [T.StructField(c, by_name[c], True) for c in pk]
+            + [T.StructField(HASH_COL, T.StringType(), True)]
+        )
+        return self.spark.createDataFrame([tuple(r) for r in rows], out_schema)
+
+    def fetch_rows(
+        self,
+        name: str,
+        keys: Sequence[Sequence],
+        pk_cols: Sequence[str],
+        chunk_size: int = 5000,
+    ):
+        """Full rows for a set of PK tuples via chunked
+        ``WHERE (pk...) IN ((...),...)`` point fetches — the reference's
+        keyed multi-point scan (TableConnection.php:177-209, 5000 tuples
+        per query). The pushdown diff fetches ONLY the delta this way."""
+        from mysql_syncer_spark.sinks.jdbc import sql_literal
+
+        cols, _, schema = self.table_meta(name)
+        q = self.quote
+        col_list = ", ".join(f"{q}{c}{q}" for c in cols)
+        esc = self.backslash_escapes
+        out: list = []
+        if not keys:
+            return self.spark.createDataFrame([], schema)
+        conn = self.connect_factory()
+        try:
+            for i in range(0, len(keys), chunk_size):
+                chunk = keys[i : i + chunk_size]
+                if len(pk_cols) == 1:
+                    in_list = ", ".join(
+                        sql_literal(k[0], esc) for k in chunk
+                    )
+                    where = f"{q}{pk_cols[0]}{q} IN ({in_list})"
+                else:
+                    pk_list = ", ".join(f"{q}{c}{q}" for c in pk_cols)
+                    tuples = ", ".join(
+                        "(" + ", ".join(sql_literal(v, esc) for v in k) + ")"
+                        for k in chunk
+                    )
+                    where = f"({pk_list}) IN ({tuples})"
+                out.extend(
+                    self._run(conn, f"SELECT {col_list} FROM {q}{name}{q} "
+                                    f"WHERE {where}")
+                )
+        finally:
+            conn.close()
+        return self.spark.createDataFrame([tuple(r) for r in out], schema)
+
     # -- DDL helpers used by the executor -----------------------------
 
     def sql_type(self, t: T.DataType) -> str:
@@ -342,6 +461,21 @@ class MySQLCatalog(DBAPICatalog):
             "ORDER BY c.ordinal_position"
         ))
         return [(r[0], r[1], int(r[2])) for r in rows]
+
+    def hash_pushdown_sql(
+        self, name: str, columns: Sequence[str], pk_cols: Sequence[str]
+    ) -> str:
+        """MySQL-native pushdown hash — the exact expression the
+        reference computes server-side (TableConnection.php:46-51), with
+        the digest path's COALESCE fix applied (the NullColumnTest bug,
+        :473-477). Byte-compatible with digest.mysql_compat_row_hash_col
+        on the Spark side."""
+        wrapped = ", ".join(f"COALESCE(`{c}`, 'NULL')" for c in columns)
+        pk = ", ".join(f"`{c}`" for c in pk_cols)
+        return (
+            f"SELECT {pk}, MD5(CONCAT_WS('#', {wrapped})) AS `__row_hash` "
+            f"FROM `{name}`"
+        )
 
     # -- type mapping -------------------------------------------------
 

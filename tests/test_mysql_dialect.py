@@ -276,3 +276,15 @@ def test_partition_value_escaped_in_emitted_sql():
         "db", "t", ["id"], ["id"], partition_col="p", partition_value=5,
     )
     assert qn.endswith("WHERE `p`=5")
+
+
+def test_mysql_catalog_hash_pushdown_sql_golden():
+    """MySQLCatalog emits the reference's native server-side hash
+    (TableConnection.php:46-51) with the COALESCE NULL fix."""
+    cat = MySQLCatalog.__new__(MySQLCatalog)  # SQL emission needs no conn
+    q = MySQLCatalog.hash_pushdown_sql(cat, "orders", ["id", "note"], ["id"])
+    assert q == (
+        "SELECT `id`, MD5(CONCAT_WS('#', COALESCE(`id`, 'NULL'), "
+        "COALESCE(`note`, 'NULL'))) AS `__row_hash` "
+        "FROM `orders`"
+    )

@@ -218,6 +218,13 @@ HEADLINE = [
     "scrub_repeated_windows_docs",
     "entity_clusters_part",
     "asof_forward_events_orders",
+    # round-7 additions (new keys only; prior keys unchanged): TPC-H
+    # completion over derived partsupp/l_shipmode — 22/22 spec queries
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q20_potential_promotion",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

@@ -225,6 +225,7 @@ HEADLINE = [
     "tpch_q11_important_stock",
     "tpch_q12_shipmode_priority",
     "tpch_q20_potential_promotion",
+    "quality_propagate_embeddings",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

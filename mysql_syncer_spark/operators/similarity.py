@@ -690,3 +690,74 @@ def knn_graph(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def propagate_scores(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    id_col: str = "id",
+    score_col: str = "score_micro",
+) -> DataFrame:
+    """Graph quality propagation over a (kNN) edge list — the curation
+    stage :func:`knn_graph` feeds: a document's quality estimate is
+    blended with its neighbors' until scores smooth over the similarity
+    graph (label-spreading with pinned seeds):
+
+        s_{t+1}(i) = (alpha_num·s_0(i)
+                      + (alpha_den−alpha_num)·mean_{j∈N(i)} s_t(j))
+                     div alpha_den
+
+    ALL-INTEGER by contract: ``seeds[score_col]`` is an integer
+    micro-unit score and the neighbor mean is FLOOR division — both
+    engines (Spark ``div``, DuckDB ``//``) agree exactly for
+    non-negative scores, so a fixed-iteration DuckDB mirror is
+    value-hash exact with no float boundary anywhere. Nodes with no
+    outgoing edges keep their seed (the mean coalesces to s_0).
+
+    Scale shape: each round is ONE join of the edge list against the
+    current k-sized score column plus a groupBy on src — work ∝ |E| per
+    round, never n². Lineage is cut with ``localCheckpoint(eager=True)``
+    per round (the cluster.py discipline) so ``iters`` rounds cost
+    ``iters`` plans, not one 3^iters-deep plan.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if not (0 < alpha_num <= alpha_den):
+        raise ValueError("need 0 < alpha_num <= alpha_den")
+    s0 = seeds.select(
+        F.col(id_col).alias("__id"),
+        F.col(score_col).cast("long").alias("__s0"),
+    )
+    e = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    )
+    cur = s0.select("__id", F.col("__s0").alias("__s"))
+    beta = alpha_den - alpha_num
+    for _ in range(iters):
+        nb = (
+            e.join(cur, e.__dst == cur.__id)
+            .groupBy("__src")
+            .agg(
+                F.expr("sum(__s) div count(1)").cast("long").alias("__m")
+            )
+        )
+        cur = (
+            s0.join(nb, s0.__id == nb.__src, "left")
+            .select(
+                "__id",
+                F.expr(
+                    f"(({alpha_num}L * __s0 + {beta}L * "
+                    "coalesce(__m, __s0)) div "
+                    f"{alpha_den}L)"
+                ).alias("__s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cur.select(
+        F.col("__id").alias(id_col), F.col("__s").alias(score_col)
+    )

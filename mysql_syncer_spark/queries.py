@@ -394,6 +394,10 @@ _DEMOTED: tuple[str, ...] = (
     "tpch_q11_important_stock",
     "tpch_q12_shipmode_priority",
     "tpch_q20_potential_promotion",
+    # r7: graph quality propagation (E120) — oracle-backed (all-integer
+    # unrolled-CTE mirror); the kNN edge kernel it consumes is
+    # in-window adjacent via the parity-swept knn_graph_embeddings.
+    "quality_propagate_embeddings",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -5855,6 +5859,79 @@ def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round("cosine", 6)).orderBy(
         "id_a", "rank"
     )
+
+
+def _propagate_oracle_sql(iters: int = 3) -> str:
+    """Fixed-iteration DuckDB mirror of similarity.propagate_scores over
+    the E114 kNN edges: the iteration is unrolled into chained CTEs
+    (it1..itN), each one LEFT JOIN of the seeds against the floor-mean
+    of the previous round's neighbor scores — all-integer, so the
+    mirror is value-hash exact (no float boundary; see the operator
+    docstring)."""
+    parts = [
+        """v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+             FROM embeddings WHERE vec_id < 500),
+    e AS (SELECT id_a, id_b FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY list_dot_product(a.e, b.e) /
+                           (sqrt(list_dot_product(a.e, a.e)) *
+                            sqrt(list_dot_product(b.e, b.e))) DESC,
+                           b.vec_id) AS rk
+            FROM v a JOIN v b ON a.vec_id <> b.vec_id)
+          WHERE rk <= 5),
+    s0 AS (SELECT vec_id AS id, (vec_id * 37) % 1000 * 1000000 AS s
+           FROM v)"""
+    ]
+    prev = "s0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""it{t} AS (
+      SELECT s0.id, (s0.s + COALESCE(m.m, s0.s)) // 2 AS s
+      FROM s0 LEFT JOIN (
+        SELECT e.id_a, CAST(SUM(p.s) AS BIGINT) // COUNT(*) AS m
+        FROM e JOIN {prev} p ON p.id = e.id_b GROUP BY e.id_a) m
+      ON m.id_a = s0.id)"""
+        )
+        prev = f"it{t}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT id, CAST(s AS BIGINT) AS score_micro"
+        f" FROM {prev} ORDER BY id"
+    )
+
+
+@_register("quality_propagate_embeddings", _propagate_oracle_sql())
+def quality_propagate_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E120: graph quality propagation — the curation stage the kNN
+    graph (E114) feeds: each node's integer micro-unit quality seed
+    (deterministic (vec_id·37)%1000 in micro-units — a stand-in for
+    any model/heuristic score joined on id) is label-spread over its
+    k=5 cosine neighbors for 3 fixed rounds with pinned seeds
+    (s' = (s0 + floor-mean(neighbors)) div 2). ALL-INTEGER floor math:
+    the DuckDB oracle unrolls the same 3 rounds as chained CTEs and is
+    value-hash exact. Same 500-node exact subgraph as
+    knn_graph_embeddings (the bounded oracle baseline); at scale the
+    edge input is the multi-probe LSH graph and each round is one
+    |E|-proportional join + groupBy, lineage cut per round."""
+    from mysql_syncer_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < 500
+    )
+    edges = similarity.knn_graph(emb, k=5, block=False).select(
+        "id_a", "id_b"
+    )
+    seeds = emb.select(
+        F.col("vec_id").alias("id"),
+        ((F.col("vec_id") * 37) % 1000 * 1000000)
+        .cast("long")
+        .alias("score_micro"),
+    )
+    return similarity.propagate_scores(edges, seeds, iters=3).orderBy("id")
 
 
 @_register(

@@ -116,3 +116,61 @@ def test_probe_radius_validation(vectors):
 def test_block_validation(vectors):
     with pytest.raises(ValueError, match="block"):
         knn_graph(vectors, block="ivf")
+
+
+# ---------------------------------------------------------------------
+# graph quality propagation (E120)
+# ---------------------------------------------------------------------
+
+def test_propagate_scores_hand_computed(spark):
+    """5-node graph, 2 rounds, every value hand-derived.
+
+    Edges: 1->{2,3}, 2->{1}, 3->{4}, 4->{5}, 5->{1}; node 6 isolated.
+    s0 = {1:100, 2:200, 3:300, 4:400, 5:0, 6:500}.
+    Round 1 (s' = (s0 + floor-mean(out-neighbors)) div 2):
+      1: m=(200+300)//2=250 -> (100+250)//2=175
+      2: m=100              -> 150
+      3: m=400              -> 350
+      4: m=0                -> 200
+      5: m=100              -> 50
+      6: no edges           -> 500
+    Round 2 (means over round-1 scores):
+      1: m=(150+350)//2=250 -> 175
+      2: m=175              -> (200+175)//2=187
+      3: m=200              -> 250
+      4: m=50               -> 225
+      5: m=175              -> 87
+      6:                    -> 500
+    """
+    from mysql_syncer_spark.operators.similarity import propagate_scores
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1), (3, 4), (4, 5), (5, 1)],
+        "id_a LONG, id_b LONG",
+    )
+    seeds = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300), (4, 400), (5, 0), (6, 500)],
+        "id LONG, score_micro LONG",
+    )
+    one = {
+        r["id"]: r["score_micro"]
+        for r in propagate_scores(edges, seeds, iters=1).collect()
+    }
+    assert one == {1: 175, 2: 150, 3: 350, 4: 200, 5: 50, 6: 500}
+    two = {
+        r["id"]: r["score_micro"]
+        for r in propagate_scores(edges, seeds, iters=2).collect()
+    }
+    assert two == {1: 175, 2: 187, 3: 250, 4: 225, 5: 87, 6: 500}
+
+
+def test_propagate_scores_validation(spark):
+    from mysql_syncer_spark.operators.similarity import propagate_scores
+
+    edges = spark.createDataFrame([(1, 2)], "id_a LONG, id_b LONG")
+    seeds = spark.createDataFrame([(1, 10)], "id LONG, score_micro LONG")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="iters"):
+        propagate_scores(edges, seeds, iters=0)
+    with _pytest.raises(ValueError, match="alpha"):
+        propagate_scores(edges, seeds, alpha_num=3, alpha_den=2)

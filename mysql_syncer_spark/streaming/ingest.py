@@ -12,10 +12,13 @@ dedup against earlier batches — the accepted store *is* the growing
 corpus extension.
 
 Exactly-once on replay: each batch writes to its own
-``batch_id=<n>`` subdirectory with mode=overwrite, so a micro-batch
-replayed after a crash overwrites its own output instead of
-double-appending (the standard idempotent-foreachBatch pattern; the
-subdir doubles as provenance of WHEN a doc was accepted).
+``batch_id=<n>`` subdirectory; a replayed batch whose output already
+committed (``_SUCCESS`` present) KEEPS that output — it must NOT be
+re-gated, because its own accepted rows/signatures are already in the
+prior store/index and would veto their own docs, silently emptying the
+batch (the r7 kill-and-restart tests prove the fix). A partial write
+(no ``_SUCCESS``) is discarded and redone. The subdir doubles as
+provenance of WHEN a doc was accepted.
 
 Scale notes: the per-batch work is corpus×batch bucket joins (bipartite
 LSH), never corpus×corpus. :func:`ingest_gate_stream` recomputes the
@@ -93,6 +96,16 @@ def ingest_gate_stream(
     def gate(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        out = f"{accepted_path}/batch_id={batch_id}"
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            # crash replay AFTER this batch's output committed: the
+            # batch's own accepted rows are already in the prior store
+            # and would veto their own docs if re-gated (the overwrite
+            # would then silently EMPTY this batch's output) — the
+            # committed output IS the exactly-once answer, keep it.
+            return
+        if os.path.exists(out):  # partial write: redo from scratch
+            shutil.rmtree(out)
         fresh = dedup_batch_within(batch, id_col, text_col, threshold)
         corpus = spark.read.parquet(corpus_path)
         prior = read_accepted(spark, accepted_path)
@@ -103,9 +116,6 @@ def ingest_gate_stream(
         survivors = incremental_new_docs(
             corpus, fresh, id_col, text_col, threshold=threshold
         )
-        out = f"{accepted_path}/batch_id={batch_id}"
-        if os.path.exists(out):  # crash replay: redo, don't double-append
-            shutil.rmtree(out)
         survivors.write.parquet(out)
 
     writer = (
@@ -126,6 +136,7 @@ def ingest_gate_stream_indexed(
     text_col: str = "text",
     threshold: float = 0.5,
     available_now: bool = True,
+    on_batch_committed=None,
 ):
     """Index-served streaming gate: like :func:`ingest_gate_stream` but
     the corpus side is the persisted MinHash index (built once with
@@ -138,8 +149,14 @@ def ingest_gate_stream_indexed(
     index a second time, which is BENIGN — the gate's anti-joins are
     idempotent under duplicate index rows (a doc matching a fingerprint
     twice is still just dropped), so a crash costs index bytes, never
-    correctness. Compact by rebuilding the index from the corpus +
-    accepted store if replays accumulate.
+    correctness — proven by the kill-and-restart test in
+    tests/test_streaming_ingest.py. Compact by rebuilding the index
+    from the corpus + accepted store if replays accumulate.
+
+    ``on_batch_committed(batch_id)`` runs after the batch's parquet
+    write AND index append, before control returns to Spark (metrics /
+    fault-injection hook; raising from it aborts the query INSIDE the
+    replay window — the cdc_merge_stream contract).
     """
     from mysql_syncer_spark.operators.minhash_index import (
         incremental_new_docs_indexed,
@@ -156,15 +173,30 @@ def ingest_gate_stream_indexed(
         # session would see a stale file listing and miss prior batches'
         # appends (exact dups across micro-batches would slip through)
         idx = minhash_index_read(batch.sparkSession, index_name)
+        out = f"{accepted_path}/batch_id={batch_id}"
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            # crash replay AFTER this batch's output committed: its own
+            # signatures may already sit in the index (the append runs
+            # after the write) and would veto the batch's docs if
+            # re-gated — the overwrite would then silently EMPTY this
+            # batch's output. The committed output IS the exactly-once
+            # answer: keep it, and redo only the index append (benign
+            # under duplicates — the anti-joins are idempotent).
+            survivors = batch.sparkSession.read.parquet(out)
+            minhash_index_append(index_name, survivors, idx, text_col)
+            if on_batch_committed is not None:
+                on_batch_committed(batch_id)
+            return
+        if os.path.exists(out):  # partial write: redo from scratch
+            shutil.rmtree(out)
         fresh = dedup_batch_within(batch, idx.id_col, text_col, threshold)
         survivors = incremental_new_docs_indexed(
             idx, fresh, text_col, threshold
         ).localCheckpoint(eager=True)  # gate once; write + append reuse
-        out = f"{accepted_path}/batch_id={batch_id}"
-        if os.path.exists(out):  # crash replay: redo, don't double-append
-            shutil.rmtree(out)
         survivors.write.parquet(out)
         minhash_index_append(index_name, survivors, idx, text_col)
+        if on_batch_committed is not None:
+            on_batch_committed(batch_id)
 
     writer = (
         stream.writeStream.outputMode("append")
@@ -197,6 +229,7 @@ def cms_maintain_stream(
     width: int = 2048,
     salt: str = "cms",
     available_now: bool = True,
+    on_batch_committed=None,
 ):
     """Maintain a persisted count-min sketch over a live stream: each
     micro-batch is sketched (operators/sketches.cms_build — one tiny
@@ -211,8 +244,13 @@ def cms_maintain_stream(
     atomic-enough rename swap (the layout/compaction discipline) — a
     reader sees the old or the new sketch, never a partial. Replayed
     batches double-count their items (counts drift HIGH, the safe
-    direction for an over-estimating sketch); rebuild from the corpus
-    if replays accumulate.
+    direction for an over-estimating sketch — proven by the
+    kill-and-restart test in tests/test_streaming_ingest.py); rebuild
+    from the corpus if replays accumulate.
+
+    ``on_batch_committed(batch_id)`` runs after the batch's sketch
+    swap, before control returns to Spark (fault-injection hook;
+    raising from it aborts the query INSIDE the replay window).
     """
     from mysql_syncer_spark.operators.sketches import cms_build, cms_merge
 
@@ -251,6 +289,8 @@ def cms_maintain_stream(
         fs.rename(staging, path)
         if fs.exists(old):
             fs.delete(old, True)
+        if on_batch_committed is not None:
+            on_batch_committed(batch_id)
 
     writer = stream.writeStream.outputMode("append").foreachBatch(
         fold

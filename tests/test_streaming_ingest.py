@@ -336,3 +336,253 @@ class TestCmsMaintainStream:
         # no staging/old residue after the swap
         assert not os.path.exists(sketch_path + ".__staging__")
         assert not os.path.exists(sketch_path + ".__old__")
+
+    def test_cms_checkpoint_recovery_drifts_high_only(self, spark, tmp_path):
+        """Kill the CMS maintainer in the replay window (after the
+        sketch swap, BEFORE the checkpoint commit), restart, and assert
+        the claimed invariant: the replayed batch double-counts, so
+        every estimate is >= the uninterrupted run's (drift HIGH only
+        — an over-estimating sketch never under-counts through a
+        crash), and cell-for-cell >= holds across the whole sketch."""
+        import json as _json
+        import os
+        import time
+
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+        from pyspark.sql import types as T
+
+        from mysql_syncer_spark.operators.sketches import (
+            cms_build, cms_estimate, cms_merge,
+        )
+        from mysql_syncer_spark.streaming.ingest import cms_maintain_stream
+
+        src = tmp_path / "cms_in"
+        src.mkdir()
+        batches = [["a", "a", "b"], ["a", "c", "c", "c"]]
+        base = time.time() - 100
+        for i, items in enumerate(batches):
+            p = src / f"b{i}.json"
+            p.write_text("\n".join(_json.dumps({"item": x}) for x in items))
+            os.utime(p, (base + i * 10, base + i * 10))
+
+        schema = T.StructType([T.StructField("item", T.StringType())])
+
+        def read_stream():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .json(str(src))
+            )
+
+        # golden: uninterrupted run
+        gold_path = str(tmp_path / "gold_sketch")
+        q = cms_maintain_stream(
+            read_stream(), gold_path, str(tmp_path / "gold_ck"),
+            item_col="item", depth=4, width=64,
+        )
+        q.awaitTermination(180)
+        golden = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in spark.read.parquet(gold_path).collect()
+        }
+
+        # crash run: die after the SECOND batch's swap commits
+        sketch_path = str(tmp_path / "cms_sketch")
+        ckpt = str(tmp_path / "cms_ck")
+        seen = []
+
+        def crash_on_second(batch_id):
+            seen.append(batch_id)
+            if len(seen) == 2:
+                raise RuntimeError("injected crash in the replay window")
+
+        q = cms_maintain_stream(
+            read_stream(), sketch_path, ckpt,
+            item_col="item", depth=4, width=64,
+            on_batch_committed=crash_on_second,
+        )
+        try:
+            q.awaitTermination(180)
+            raised = False
+        except StreamingQueryException:
+            raised = True
+        assert raised, "injected crash did not surface"
+
+        # restart from the checkpoint: the uncommitted batch REPLAYS
+        replayed = []
+        q = cms_maintain_stream(
+            read_stream(), sketch_path, ckpt,
+            item_col="item", depth=4, width=64,
+            on_batch_committed=replayed.append,
+        )
+        q.awaitTermination(180)
+        assert replayed, "restart did not replay the uncommitted batch"
+
+        recovered = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in spark.read.parquet(sketch_path).collect()
+        }
+        # the invariant: cell-for-cell >= the uninterrupted sketch
+        for cell, cnt in golden.items():
+            assert recovered.get(cell, 0) >= cnt, cell
+        # and estimates only ever >= truth
+        probes = spark.createDataFrame(
+            [("a",), ("b",), ("c",)], "item string"
+        )
+        truth = {"a": 3, "b": 1, "c": 3}
+        got = {
+            r.item: r.cms_count
+            for r in cms_estimate(
+                spark.read.parquet(sketch_path), probes, "item",
+                depth=4, width=64,
+            ).collect()
+        }
+        for k, v in truth.items():
+            assert got[k] >= v, (k, got[k], v)
+
+    def test_cms_mid_swap_crash_recovers_old_sketch(self, spark, tmp_path):
+        """The unrecoverable-loss window ADVICE r6 flagged: a death
+        BETWEEN rename(path, __old__) and rename(staging, path) leaves
+        __old__ as the only copy. The next fold must restore it and
+        merge INTO it — not rebuild from the new batch alone and delete
+        the survivor."""
+        import json as _json
+        import os
+
+        from pyspark.sql import types as T
+
+        from mysql_syncer_spark.operators.sketches import (
+            cms_build, cms_merge,
+        )
+        from mysql_syncer_spark.streaming.ingest import cms_maintain_stream
+
+        sketch_path = str(tmp_path / "sketch")
+        # accumulated sketch from prior batches
+        prior = cms_build(
+            spark.createDataFrame([("a",), ("a",), ("b",)], "item string"),
+            "item", depth=4, width=64,
+        )
+        prior.write.parquet(sketch_path)
+        # simulate the mid-swap crash: path moved to __old__, no path
+        os.replace(sketch_path, sketch_path + ".__old__")
+        assert not os.path.exists(sketch_path)
+
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "b0.json").write_text(_json.dumps({"item": "c"}))
+        stream = spark.readStream.schema(
+            T.StructType([T.StructField("item", T.StringType())])
+        ).json(str(src))
+        q = cms_maintain_stream(
+            stream, sketch_path, str(tmp_path / "ck"),
+            item_col="item", depth=4, width=64,
+        )
+        q.awaitTermination(180)
+
+        # the recovered sketch holds prior counts + the new batch
+        expected = cms_merge(
+            prior,
+            cms_build(
+                spark.createDataFrame([("c",)], "item string"),
+                "item", depth=4, width=64,
+            ),
+        )
+        got = sorted(map(tuple, spark.read.parquet(sketch_path).collect()))
+        assert got == sorted(map(tuple, expected.collect()))
+        assert not os.path.exists(sketch_path + ".__old__")
+
+
+def test_indexed_gate_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """Kill the indexed ingest gate in the replay window (after the
+    parquet write + index append, BEFORE the checkpoint commit),
+    restart, and assert the claimed invariant: the replay is BENIGN —
+    the accepted output equals the uninterrupted run's (per-batch
+    subdir overwrite) and the gate's anti-join verdict is unchanged
+    under the duplicate index rows the replay appended."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from mysql_syncer_spark.operators.minhash_index import (
+        minhash_index_read,
+        minhash_index_write,
+    )
+    from mysql_syncer_spark.streaming.ingest import (
+        ingest_gate_stream_indexed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS crashidx LOCATION '{tmp_path / 'wh'}'"
+    )
+    try:
+        minhash_index_write(
+            docs, "crashidx.docs", num_hashes=16, bands=4, num_buckets=4
+        )
+        src = tmp_path / "arrivals"
+        src.mkdir()
+        novel_a = "a genuinely new article about spark streaming gates one"
+        novel_b = "another brand new piece of text that is not a duplicate"
+        import os
+        import time
+
+        base = time.time() - 100
+        p0 = src / "b0.json"
+        p0.write_text(_doc(900003, novel_a))
+        os.utime(p0, (base, base))
+        p1 = src / "b1.json"
+        # batch 2: exact copy of batch-1's accepted doc (must drop via
+        # the index) + a fresh doc (must keep)
+        p1.write_text("\n".join([_doc(900004, novel_a), _doc(900006, novel_b)]))
+        os.utime(p1, (base + 10, base + 10))
+
+        accepted = str(tmp_path / "accepted")
+        ckpt = str(tmp_path / "ckpt")
+
+        def read_stream():
+            return (
+                spark.readStream.schema(DOC_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .json(str(src))
+            )
+
+        # crash after batch 2's side effects committed
+        seen = []
+
+        def crash_on_second(batch_id):
+            seen.append(batch_id)
+            if len(seen) == 2:
+                raise RuntimeError("injected crash in the replay window")
+
+        q = ingest_gate_stream_indexed(
+            read_stream(), "crashidx.docs", accepted, ckpt, threshold=0.5,
+            on_batch_committed=crash_on_second,
+        )
+        try:
+            q.awaitTermination(180)
+            raised = False
+        except StreamingQueryException:
+            raised = True
+        assert raised, "injected crash did not surface"
+        got_before = {
+            r["doc_id"] for r in read_accepted(spark, accepted).collect()
+        }
+        assert got_before == {900003, 900006}
+
+        # restart: the uncommitted batch replays; its docs now ALSO sit
+        # in the index from the pre-crash append, but the per-batch
+        # overwrite re-gates the SAME batch against an index where its
+        # own signatures are present — the verdict must not change
+        replayed = []
+        q = ingest_gate_stream_indexed(
+            read_stream(), "crashidx.docs", accepted, ckpt, threshold=0.5,
+            on_batch_committed=replayed.append,
+        )
+        q.awaitTermination(180)
+        assert replayed, "restart did not replay the uncommitted batch"
+        got_after = {
+            r["doc_id"] for r in read_accepted(spark, accepted).collect()
+        }
+        assert got_after == got_before
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS crashidx CASCADE")

@@ -177,16 +177,12 @@ def run_ingest_scaling() -> None:
     print(json.dumps({"ingest_scaling": results}))
 
 
-def run_tail_smoke() -> None:
-    """Slowest headline keys once at synthesized sf1 (10x sf0.1)."""
-    from mysql_syncer_spark import queries as registry
-
-    spark = _session()
-    force(
-        spark.range(0, int(CPUS) * 1000, 1, int(CPUS)).mapInPandas(
-            lambda it: it, "id long"
-        )
-    )
+def synthesize_sf1(spark: SparkSession) -> str:
+    """Write (once) and return the synthesized sf1 fixture dir: 10×
+    sf0.1 via key-shifted replicas; documents get replica-UNIQUE text
+    (plain id-shifted copies would make every doc a 10-clique of exact
+    near-dups, so dedup keys would measure a pathological dup-density
+    corpus instead of 10x growth of normal-shaped data)."""
     sf1 = f"{WORK}/sf1"
     os.makedirs(sf1, exist_ok=True)
     shifts = {
@@ -206,10 +202,6 @@ def run_tail_smoke() -> None:
             continue
         src = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
         if t == "documents":
-            # replica-UNIQUE text (see _replica): plain id-shifted copies
-            # would make every doc a 10-clique of exact near-dups, so
-            # dedup keys would measure a pathological dup-density corpus
-            # instead of 10x growth of normal-shaped data
             parts = [_replica(src, i) for i in range(10)]
         else:
             parts = [
@@ -220,6 +212,20 @@ def run_tail_smoke() -> None:
         for p in parts[1:]:
             out = out.unionByName(p)
         out.write.parquet(dst)
+    return sf1
+
+
+def run_tail_smoke() -> None:
+    """Slowest headline keys once at synthesized sf1 (10x sf0.1)."""
+    from mysql_syncer_spark import queries as registry
+
+    spark = _session()
+    force(
+        spark.range(0, int(CPUS) * 1000, 1, int(CPUS)).mapInPandas(
+            lambda it: it, "id long"
+        )
+    )
+    sf1 = synthesize_sf1(spark)
 
     qmap = registry.queries()
     # the r5/r6 bench tail (slowest keys at sf0.1) + scale-sensitive reps

@@ -126,6 +126,29 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
+#: Round-7 window rotation (the standing discipline: rotate the
+#: longest-out-of-window oracle-backed queries into the driver's 50-row
+#: window each round, displacing rows whose machinery an in-window
+#: composite already embeds). _PROMOTED entries are pulled to the FRONT
+#: of queries() regardless of registration order.
+#:
+#: r7 in: asof_forward (E118 generalized as-of — same operator as the
+#: displaced backward asof, plus forward+tolerance), entity_clusters
+#: (E117 — fuzzy pairs + CC fold), scrub_repeated_windows (shift-robust
+#: scrub — STRICTER than the displaced tiled sibling), tpch_q9 (derived
+#: partsupp join, the hardest new TPC-H), quality_propagate (E120).
+#: r7 out (all embedded by in-window composites, justifications at
+#: their _DEMOTED entries): asof_join_events_orders,
+#: simhash_near_dup_docs, simhash_clusters_docs,
+#: scrub_repeated_spans_docs, incremental_new_docs.
+_PROMOTED: tuple[str, ...] = (
+    "asof_forward_events_orders",
+    "entity_clusters_part",
+    "scrub_repeated_windows_docs",
+    "tpch_q9_product_type_profit",
+    "quality_propagate_embeddings",
+)
+
 #: Queries proven green across rounds 1-3 whose machinery is fully covered
 #: by other in-window rows (each is a one-expression projection/filter over
 #: an operator that a harder checked query also exercises). The driver
@@ -135,6 +158,25 @@ def _register(name: str, oracle: str | None = None):
 #: MinHash, ...) that had never received a driver correctness row. They all
 #: remain registered and remain covered by tests/test_oracle_parity.py.
 _DEMOTED: tuple[str, ...] = (
+    # r7 rotation out of the window — every one remains oracle-backed
+    # and parity-swept; the justification is per-row:
+    # backward as-of: the SAME timeseries.asof_join operator is
+    # in-window via the promoted forward+tolerance variant (plus the
+    # sessionize/gap-fill rows for the window-kernel shape).
+    "asof_join_events_orders",
+    # the SimHash near-dup banding and the CC pipeline are embedded by
+    # the in-window cluster_safe_split_docs and dedup_keep_best_docs
+    # composites (both run signature -> banding -> CC end-to-end).
+    "simhash_near_dup_docs",
+    "simhash_clusters_docs",
+    # tiled C4 scrub: the promoted sliding-window scrub is the
+    # STRICTER variant (catches the shifted copy the tiled scrub
+    # provably misses, test_lines.py).
+    "scrub_repeated_spans_docs",
+    # recompute-path incremental gate: the in-window indexed variant
+    # computes the IDENTICAL output (same oracle SQL) through the
+    # persisted index — the shared gate kernel stays checked.
+    "incremental_new_docs",
     # approximate by nature: can never hash-match a DuckDB oracle (the
     # driver records err:"no_oracle" forever). Their REAL gates are the
     # pytest recall / tolerance tests (test_similarity.py, test_sketches.py);
@@ -390,14 +432,9 @@ _DEMOTED: tuple[str, ...] = (
     # keeps the harder fact-heavy TPC-H rows (q1/q3/q10) that already
     # exercise the same join/agg kernels.
     "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
     "tpch_q12_shipmode_priority",
     "tpch_q20_potential_promotion",
-    # r7: graph quality propagation (E120) — oracle-backed (all-integer
-    # unrolled-CTE mirror); the kNN edge kernel it consumes is
-    # in-window adjacent via the parity-swept knn_graph_embeddings.
-    "quality_propagate_embeddings",
     "pk_projection_orders",
     "count_lineitem",
     "filter_eq_orders",
@@ -418,9 +455,14 @@ _DEMOTED: tuple[str, ...] = (
 
 
 def _driver_order(d: dict) -> dict:
-    head = {k: v for k, v in d.items() if k not in _DEMOTED}
+    front = {k: d[k] for k in _PROMOTED if k in d}
+    head = {
+        k: v
+        for k, v in d.items()
+        if k not in _DEMOTED and k not in _PROMOTED
+    }
     tail = {k: d[k] for k in _DEMOTED if k in d}
-    return {**head, **tail}
+    return {**front, **head, **tail}
 
 
 def queries() -> dict[str, QueryFn]:

@@ -101,8 +101,11 @@ def test_driver_window_holds_extension_queries():
         "quota_sample_docs", "supplier_revenue",
         "pii_docs", "pack_sequences_docs", "tfidf_topk_docs",
         "priority_sample_docs", "label_centroids_embeddings",
-        "minhash_pairs_between_docs", "incremental_new_docs",
+        "minhash_pairs_between_docs",
         "cluster_safe_split_docs",
+        # r7 rotation: incremental_new_docs OUT (the in-window indexed
+        # variant computes the IDENTICAL output through the persisted
+        # index — same oracle SQL)
         # r5 additions
         "incremental_new_docs_indexed", "scd2_multibatch_orders",
         "profile_orders",
@@ -111,10 +114,16 @@ def test_driver_window_holds_extension_queries():
         # whose kernels in-window composites already run end-to-end
         "mixture_sample_docs", "chunk_docs", "semantic_dedup_embeddings",
         "dedup_keep_best_docs", "shard_stats_docs", "gap_fill_daily_events",
-        # r5 third wave: repeated-span scrub + Gopher rules displace
-        # changed_rows (sync_merge runs the diff trio end-to-end) and
-        # hourly_event_counts (subset of gap_fill's bucket agg)
-        "scrub_repeated_spans_docs", "gopher_quality_docs",
+        # r5 third wave: Gopher rules displace hourly_event_counts
+        # (subset of gap_fill's bucket agg). r7: the tiled scrub
+        # rotated OUT for its promoted STRICTER shift-robust sibling.
+        "gopher_quality_docs",
+        # r7 rotation in (the _PROMOTED front): the three operators
+        # that landed after the r6 sweeps + the hardest new TPC-H +
+        # the E120 propagation stage
+        "asof_forward_events_orders", "entity_clusters_part",
+        "scrub_repeated_windows_docs", "tpch_q9_product_type_profit",
+        "quality_propagate_embeddings",
         # r5: CCNet-style unigram LM score displaces rows_to_copy (the
         # J5 semi-join leg sync_merge drives end-to-end)
         "unigram_logprob_docs",

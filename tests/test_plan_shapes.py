@@ -354,3 +354,55 @@ def test_session_paths_single_window_exchange(spark, sf_dir):
     # the superset-key clustering); the remaining exchanges are
     # path-matrix-sized
     assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+# ---------------------------------------------------------------------
+# r7: TPC-H over derived partsupp/l_shipmode
+# ---------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q2_min_cost_supplier",
+        "tpch_q9_product_type_profit",
+        "tpch_q12_shipmode_priority",
+        "tpch_q20_potential_promotion",
+    ],
+)
+def test_tpch_derived_no_cartesian(spark, sf_dir, name):
+    """The derived-partsupp joins must stay keyed joins (the derivation
+    is a per-row explode over part, never a cross join)."""
+    plan = plan_of(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_tpch_q11_only_scalar_bnlj(spark, sf_dir):
+    """Q11's only non-keyed joins are the two 1-row scalar injections
+    (grand total + part count) — broadcast nested loops over a single
+    row, the standard scalar pattern, never a data-sized cross."""
+    plan = plan_of(spark, "tpch_q11_important_stock", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_tpch_q12_window_filter_pushed(spark, sf_dir):
+    """The 1996 ship-date window must reach the lineitem scan; the
+    derived ship-mode CASE is per-row codegen after it."""
+    plan = plan_of(spark, "tpch_q12_shipmode_priority", sf_dir)
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert "LessThan(l_shipdate" in plan
+
+
+def test_tpch_q2_min_is_window_not_self_join(spark, sf_dir):
+    """Per-part MIN over eligible suppliers is ONE window shuffle, not
+    a groupBy + re-join of the eligible set (which would re-scan the
+    4-way join twice)."""
+    plan = plan_of(spark, "tpch_q2_min_cost_supplier", sf_dir)
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan  # all dims broadcast at test SF
+
+
+def test_tpch_q9_part_filter_pushed(spark, sf_dir):
+    plan = plan_of(spark, "tpch_q9_product_type_profit", sf_dir)
+    assert "StringContains(p_name,red)" in plan, plan

@@ -226,6 +226,7 @@ HEADLINE = [
     "tpch_q12_shipmode_priority",
     "tpch_q20_potential_promotion",
     "quality_propagate_embeddings",
+    "ann_topk_pq",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

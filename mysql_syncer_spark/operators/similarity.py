@@ -761,3 +761,214 @@ def propagate_scores(
     return cur.select(
         F.col("__id").alias(id_col), F.col("__s").alias(score_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's fine quantizer) — E121
+# ---------------------------------------------------------------------------
+
+def _l2_lloyd(
+    df_sub: DataFrame, k: int, iters: int, id_col: str
+) -> list[list[float]]:
+    """Deterministic Lloyd on one subspace under EUCLIDEAN distance
+    (PQ quantizes residual geometry; cosine is the wrong metric inside
+    a subspace). Same scale shape as ivf_train: assignment is one
+    codegen scan with the codebook as plan literals; the mean update
+    shuffles (k × sub_dim) partial means, never data; the driver holds
+    only the codebook. argmin of |c|^2 - 2*dot(v,c) (the |v|^2 term is
+    row-constant); ties break to the lowest centroid id."""
+    init = [
+        [float(x) for x in r["__sub"]]
+        for r in df_sub.orderBy(id_col).limit(k).collect()
+    ]
+    cents = init + [init[-1]] * (k - len(init))  # degenerate tiny input
+    for _ in range(iters):
+        dists = F.array(
+            *[
+                (
+                    F.lit(sum(x * x for x in c))
+                    - 2 * dot(F.col("__sub"), _query_col(c))
+                )
+                for c in cents
+            ]
+        )
+        assigned = df_sub.select(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("__code"),
+            F.posexplode("__sub").alias("dim", "x"),
+        )
+        means = (
+            assigned.groupBy("__code", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_code: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_code.setdefault(r["__code"], {})[r["dim"]] = r["m"]
+        cents = [
+            [by_code[i][d] for d in sorted(by_code[i])]
+            if i in by_code
+            else cents[i]
+            for i in range(k)
+        ]
+    return cents
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    nbits: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks (FAISS's fine quantizer, the
+    public IVF-PQ recipe): the vector splits into ``m`` contiguous
+    subspaces, each clustered to ``2^nbits`` centroids with
+    :func:`_l2_lloyd`. Returns ``codebooks[j][c] = centroid``; driver
+    state is m × 2^nbits × (dim/m) floats — KBs at any corpus size.
+    Deterministic: init from the first 2^nbits vectors by id."""
+    if m < 1 or nbits < 1 or nbits > 8:
+        raise ValueError("need m >= 1 and 1 <= nbits <= 8")
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    k = 1 << nbits
+    books = []
+    for j in range(m):
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col).cast("array<double>"),
+                    j * sub + 1, sub).alias("__sub"),
+        )
+        books.append(_l2_lloyd(sliced, k, iters, id_col))
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to ``(id, codes array<int>, vnorm)`` — m
+    small ints (m·nbits bits of payload) plus the EXACT original norm,
+    so query-time scores can approximate true cosine instead of raw
+    dot. One codegen scan, zero shuffle: each subspace's argmin runs
+    over the codebook baked in as plan literals, the same shape as
+    ivf_assign. 64 float32 dims at m=4 compress 256 B -> ~12 B/row;
+    the corpus scan at query time reads codes+norm only."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    codes = []
+    for j, book in enumerate(codebooks):
+        s = F.slice(v, j * sub + 1, sub)
+        dists = F.array(
+            *[
+                (F.lit(sum(x * x for x in c)) - 2 * dot(s, _query_col(c)))
+                for c in book
+            ]
+        )
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.select(
+        F.col(id_col),
+        F.array(*codes).alias("codes"),
+        l2_norm(v).alias("vnorm"),
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    partial_buckets: int | None = 64,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays
+    full-precision; per subspace a lookup table ``lut[j][c] =
+    dot(query_slice, centroid_c)`` folds on the DRIVER (m × 2^nbits
+    doubles) and bakes into the plan, so scoring a row is m array
+    lookups + adds inside codegen — no vector math, no shuffle, and
+    the scan reads ~12 B/row instead of 256 B. Score approximates
+    cosine via the stored exact norm: sum_j lut[codes[j]] /
+    (|q| · vnorm). Top-k uses the same two-stage rank as
+    cosine_topk_batch (no single-reducer funnel). Approximate by
+    construction — recall is pytest-gated against the brute-force
+    baseline."""
+    import math
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = [float(x) for x in query_vec]
+    if len(q) != m * sub:
+        raise ValueError(f"query dim {len(q)} != codebook dim {m * sub}")
+    qn = math.sqrt(sum(x * x for x in q))
+    luts = [
+        [
+            sum(qx * cx for qx, cx in zip(q[j * sub:(j + 1) * sub], c))
+            for c in book
+        ]
+        for j, book in enumerate(codebooks)
+    ]
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in luts[j]]),
+            F.col("codes")[j] + 1,
+        )
+        adc = term if adc is None else adc + term
+    scored = codes_df.select(
+        F.col(id_col),
+        F.when(
+            F.col("vnorm") > 0, adc / (F.lit(qn) * F.col("vnorm"))
+        ).otherwise(F.lit(-1.0)).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    order = [F.desc("score"), F.asc(id_col)]
+    if partial_buckets:
+        w1 = Window.partitionBy(
+            F.pmod(F.xxhash64(id_col), F.lit(partial_buckets))
+        ).orderBy(*order)
+        scored = (
+            scored.withColumn("__rn", F.row_number().over(w1))
+            .where(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    w2 = Window.orderBy(*order)
+    return (
+        scored.withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def pq_topk_rerank(
+    df: DataFrame,
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec,
+    k: int = 10,
+    candidates: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ retrieval — the shape production ANN actually
+    runs: stage 1 scans the ~12 B/row code table with ADC and keeps
+    ``candidates`` ids (cheap, approximate); stage 2 fetches ONLY
+    those rows' full vectors (broadcast semi join on id — candidate
+    set is k-sized) and re-ranks them with exact cosine. Recall@k is
+    bounded by P(true top-k ⊆ ADC top-candidates), which is high
+    whenever PQ resolves cluster membership — the within-cluster fine
+    ranking PQ loses is exactly what the exact re-rank restores."""
+    cand = pq_topk(
+        codes_df, codebooks, query_vec, k=candidates, id_col=id_col
+    ).select(id_col)
+    pruned = df.join(F.broadcast(cand), on=id_col, how="left_semi")
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col)

@@ -183,6 +183,7 @@ _DEMOTED: tuple[str, ...] = (
     # demoting them makes every driver-window row exactly provable.
     "ann_topk_ivf",
     "ann_topk_ivf_indexed",
+    "ann_topk_pq",
     "approx_distinct_users_events",
     # r5: machinery fully covered by harder in-window rows — brute-force
     # top-k by ann_topk_batch/ann_topk_lsh (same dot-product + rank
@@ -1721,6 +1722,30 @@ def ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _location_files_exist(spark, f"{path}/meta"):
         similarity.ivf_index_write(emb, path, k=8, iters=2)
     out = similarity.cosine_topk_ivf_indexed(spark, path, qvec, k=10, nprobe=3)
+    return out.withColumn("score", F.round("score", 6))
+
+
+@_register("ann_topk_pq")
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E121: product-quantization retrieval (FAISS's IVF-PQ fine
+    quantizer, public recipe) — per-subspace L2 codebooks
+    (similarity.pq_train, deterministic Lloyd), vectors encoded to
+    m=4 codes + exact norm (~12 B/row vs 256 B), asymmetric-distance
+    scan (query-side lookup tables baked into codegen — no vector math
+    per row), then the production two-stage: ADC prune to 100
+    candidates + exact cosine re-rank of only those rows. No oracle
+    (float k-means is not SQL-expressible — same status as
+    ann_topk_ivf); recall and the numpy-reference encode equivalence
+    are pytest-gated (tests/test_similarity.py TestPQ)."""
+    from mysql_syncer_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vector(emb)
+    books = similarity.pq_train(emb, m=4, nbits=4, iters=2)
+    codes = similarity.pq_encode(emb, books)
+    out = similarity.pq_topk_rerank(
+        emb, codes, books, qvec, k=10, candidates=100
+    )
     return out.withColumn("score", F.round("score", 6))
 
 

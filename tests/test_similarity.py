@@ -360,3 +360,109 @@ class TestClusterBalancedSample:
             cluster_balanced_sample(
                 self._clustered(spark), per_cluster=0
             )
+
+
+# ---------------------------------------------------------------------
+# product quantization (E121)
+# ---------------------------------------------------------------------
+
+class TestPQ:
+    @staticmethod
+    def _clustered_corpus(spark, n_clusters=8, per_cluster=30, dim=64):
+        """Deterministic clustered vectors (no RNG): cluster c's center
+        puts mass on dims [8c, 8c+8); member i adds a small
+        hash-derived offset. The corpus shape real embeddings have —
+        the same construction philosophy as test_knn's recall gate."""
+        import hashlib
+
+        rows = []
+        for c in range(n_clusters):
+            for i in range(per_cluster):
+                v = [0.0] * dim
+                for d in range(8 * c, 8 * c + 8):
+                    v[d] = 1.0
+                h = hashlib.md5(f"{c}:{i}".encode()).digest()
+                for d in range(dim):
+                    v[d] += (h[d % 16] / 255.0 - 0.5) * 0.2
+                rows.append((c * per_cluster + i, v, c))
+        return spark.createDataFrame(
+            rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT"
+        )
+
+    def test_pq_recall_on_clustered_corpus(self, spark):
+        """PQ retrieval on a clustered corpus: raw ADC must resolve
+        cluster membership (candidate generation), and the two-stage
+        ADC-prune + exact-re-rank must recover the exact top-k
+        (recall@10 >= 0.9) — the production retrieval shape. On
+        UNSTRUCTURED vectors 16 centroids per 16-dim subspace cannot
+        beat the quantization floor (measured: fixture embeddings give
+        ~0.86 relative reconstruction error and recall ~0.1, matching
+        a numpy reference bit-for-bit) — the no-free-lunch shape the
+        kNN-LSH gate documents too. Real corpora are clustered; this
+        gate pins that regime."""
+        from mysql_syncer_spark.operators.similarity import (
+            cosine_topk, pq_encode, pq_topk, pq_train,
+        )
+
+        emb = self._clustered_corpus(spark)
+        qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+        exact = {
+            r["vec_id"] for r in cosine_topk(emb, qvec, k=10).collect()
+        }
+        books = pq_train(emb, m=4, nbits=4, iters=2)
+        codes = pq_encode(emb, books)
+        approx = {
+            r["vec_id"]
+            for r in pq_topk(codes, books, qvec, k=10).collect()
+        }
+        # raw ADC resolves the CLUSTER (candidate generation): every
+        # hit in the query's cluster, and well above the random floor
+        assert all(v < 30 for v in approx), approx
+        assert len(exact & approx) / 10 >= 0.4, (exact, approx)
+        # the production shape — ADC prune + exact re-rank of the
+        # candidate set — recovers the exact top-k
+        from mysql_syncer_spark.operators.similarity import pq_topk_rerank
+
+        reranked = {
+            r["vec_id"]
+            for r in pq_topk_rerank(
+                emb, codes, books, qvec, k=10, candidates=60
+            ).collect()
+        }
+        assert len(exact & reranked) / 10 >= 0.9, (exact, reranked)
+
+    def test_pq_codes_shape_and_determinism(self, spark, sf_dir):
+        from mysql_syncer_spark.operators.similarity import (
+            pq_encode, pq_train,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        books = pq_train(emb, m=4, nbits=4, iters=2)
+        assert len(books) == 4
+        assert all(len(b) == 16 for b in books)
+        assert all(len(c) == 16 for b in books for c in b)
+        a = sorted(map(tuple, pq_encode(emb, books).collect()))
+        b = sorted(map(tuple, pq_encode(emb, books).collect()))
+        assert a == b
+        # every code in range, one per subspace
+        for _, codes, vnorm in a[:50]:
+            assert len(codes) == 4
+            assert all(0 <= c < 16 for c in codes)
+            assert vnorm > 0
+
+    def test_pq_validation(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.similarity import (
+            pq_encode, pq_topk, pq_train,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        with _pytest.raises(ValueError, match="divisible"):
+            pq_train(emb, m=7)
+        with _pytest.raises(ValueError, match="nbits"):
+            pq_train(emb, m=4, nbits=9)
+        books = pq_train(emb.limit(40), m=4, nbits=2, iters=1)
+        codes = pq_encode(emb.limit(40), books)
+        with _pytest.raises(ValueError, match="query dim"):
+            pq_topk(codes, books, [1.0, 2.0], k=5)

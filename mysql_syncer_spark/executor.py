@@ -146,7 +146,11 @@ class ParquetSyncExecutor:
         point fetches (TableConnection.php:177-209) when the master
         supports them. No separate digest short-circuit: an unchanged
         table yields empty anti-joins from the hash maps alone, which is
-        already the minimal wire cost in this mode."""
+        already the minimal wire cost in this mode. Partitioned tables
+        (DIFF_SYNC_PARTITIONED) also take this path whole-table: the
+        hash map IS the per-partition staging content (S16/S17), and
+        partition pruning would only trim an already-minimal
+        (pk, hash) transfer."""
         from mysql_syncer_spark.canon import HASH_COL
         from mysql_syncer_spark.diff import excess_rows, missing_rows, rows_to_copy
         from mysql_syncer_spark.digest import mysql_compat_row_hash_col

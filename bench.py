@@ -227,6 +227,8 @@ HEADLINE = [
     "tpch_q20_potential_promotion",
     "quality_propagate_embeddings",
     "ann_topk_pq",
+    # round-7 second wave
+    "heavy_hitters_users_events",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

@@ -99,6 +99,156 @@ def hll_estimate_over(
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: mergeable TOP-FREQUENCY state (the third leg
+# of the sketch family — HLL answers how-many-distinct, CMS how-often-is-
+# this-item, MG WHICH items are frequent without materializing the full
+# key histogram). The classic distributed shape (Agarwal et al. 2013,
+# "Mergeable Summaries"): each partition folds its rows into a summary of
+# at most ``capacity`` counters in ONE pass with no shuffle; summaries
+# merge by adding counts and re-compressing — so the only shuffle in the
+# whole pipeline carries <= capacity x n_partitions rows, however many
+# keys the data has. Guarantee carried in-band as ``err_bound``:
+#   est <= true <= est + err_bound,   err_bound <= N / (capacity + 1)
+# (every compression at cut c removes >= (capacity+1)*c mass, so the cuts
+# sum to at most N/(capacity+1)). Exactness law: when no fold or merge
+# ever exceeds capacity, err_bound == 0 and the result IS the exact
+# GROUP-BY count — the oracle-checkable mode the registry query runs in.
+# Approximate mode (capacity < distinct keys) is partition-order
+# dependent like any MG; its gates are the invariant bounds, not equality.
+# ---------------------------------------------------------------------------
+
+
+def mg_summaries(
+    df: DataFrame, key_col: str, capacity: int
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries in one ``mapInPandas`` pass:
+    rows ``(key, est, dec)`` — at most ``capacity`` key rows plus one
+    ``key IS NULL`` sentinel row carrying the partition's cumulative
+    decrement. Per Arrow batch the fold is a vectorized
+    ``value_counts`` merged into a dict of at most
+    ``capacity + batch_distinct`` counters; compression subtracts the
+    (capacity+1)-th largest count from every counter and drops the
+    non-positive — bounded memory at any partition size. NULL keys are
+    excluded from counting (count semantics, like ``cms_build``)."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    src = df.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("key")
+    )
+    key_type = src.schema["key"].dataType.simpleString()
+    out_schema = f"key {key_type}, est bigint, dec bigint"
+
+    def fold(batches):
+        import pandas as _pd
+
+        counts: dict = {}
+        dec = 0
+        for pdf in batches:
+            for k, n in pdf["key"].value_counts().items():
+                counts[k] = counts.get(k, 0) + int(n)
+            if len(counts) > capacity:
+                vals = sorted(counts.values(), reverse=True)
+                cut = vals[capacity]
+                counts = {k: v - cut for k, v in counts.items() if v > cut}
+                dec += cut
+        keys = list(counts)
+        yield _pd.DataFrame(
+            {
+                "key": keys + [None],
+                "est": [counts[k] for k in keys] + [0],
+                "dec": [0] * len(keys) + [dec],
+            }
+        )
+
+    return src.mapInPandas(fold, schema=out_schema)
+
+
+def mg_merge(summaries: DataFrame, capacity: int) -> DataFrame:
+    """Merge per-partition summaries into ONE summary of at most
+    ``capacity`` keys: sum per-key counts (a summary-sized shuffle),
+    then one final compression — the (capacity+1)-th largest merged
+    count, found by a rank window over the <= capacity x n_partitions
+    merged rows (summary-sized by construction, so the single-partition
+    window is metadata work) and injected as a 1-row broadcast scalar.
+    Returns ``(key, est, err_bound)`` with err_bound the total
+    decrement (fold cuts + merge cut), identical on every row."""
+    from pyspark.sql import Window
+
+    decs = summaries.where(F.col("key").isNull()).agg(
+        F.coalesce(F.sum("dec"), F.lit(0)).cast("long").alias("__dec")
+    )
+    keys = (
+        summaries.where(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.sum("est").alias("est"))
+    )
+    ranked = keys.withColumn(
+        "__rn",
+        F.row_number().over(Window.orderBy(F.desc("est"), F.asc("key"))),
+    )
+    cut = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("__rn") == capacity + 1, F.col("est"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("__cut")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cut))
+        .crossJoin(F.broadcast(decs))
+        .where(F.col("est") > F.col("__cut"))
+        .select(
+            "key",
+            (F.col("est") - F.col("__cut")).cast("long").alias("est"),
+            (F.col("__dec") + F.col("__cut")).cast("long").alias(
+                "err_bound"
+            ),
+        )
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    capacity: int,
+    min_share: float | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """End-to-end heavy hitters over ``key_col``: per-partition MG fold
+    (zero shuffle) -> summary-sized merge -> threshold. Returns
+    ``(<key_col>, est, err_bound, n_total)`` where ``est`` is a LOWER
+    bound on the true count (``est <= true <= est + err_bound``), so
+    ``est >= t`` guarantees the key truly occurs >= t times, and every
+    key with true count > n_total x min_share + err_bound is guaranteed
+    present. ``n_total`` (exact non-NULL row count, one count-star scan
+    injected as a broadcast scalar) anchors the share threshold."""
+    if min_share is not None and not 0.0 <= min_share <= 1.0:
+        raise ValueError(f"min_share must be in [0, 1], got {min_share}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    merged = mg_merge(mg_summaries(df, key_col, capacity), capacity)
+    total = df.where(F.col(key_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    out = merged.crossJoin(F.broadcast(total)).where(
+        F.col("est") >= F.lit(min_count)
+    )
+    if min_share is not None:
+        # integer-exact share test: est / n_total > min_share as
+        # est * denom > n_total * numer with min_share = numer/denom
+        # quantized to the sampling lattice (1/10000) — no float
+        # boundary for the oracle to disagree on.
+        numer = int(round(min_share * 10_000))
+        out = out.where(
+            F.col("est") * F.lit(10_000) > F.col("n_total") * F.lit(numer)
+        )
+    return out.select(
+        F.col("key").alias(key_col), "est", "err_bound", "n_total"
+    )
+
+
 def _cms_bucket(col, row: int, width: int, salt: str):
     """Row ``row``'s bucket for an item: md5-prefix uniform mod width.
     Spark half of the shared idiom; the SQL half is

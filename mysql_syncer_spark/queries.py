@@ -452,6 +452,11 @@ _DEMOTED: tuple[str, ...] = (
     "frame_sample_part",
     "distinct_users_per_type",
     "range_join_user_bursts",
+    # r7 second wave: registered after the window was rotated — kept
+    # out of the first 50 deliberately; each is oracle-backed and
+    # parity-swept (the MG merge kernel shares the rank-window +
+    # broadcast-scalar shapes with in-window topk/digest rows).
+    "heavy_hitters_users_events",
 )
 
 
@@ -6151,3 +6156,35 @@ def asof_forward_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_o_orderkey").alias("next_orderkey"),
         F.col("__asof_ts").alias("next_orderdate"),
     ).orderBy("event_id")
+
+
+@_register(
+    "heavy_hitters_users_events",
+    """WITH c AS (SELECT user_id, COUNT(*) AS est
+                  FROM events WHERE user_id IS NOT NULL
+                  GROUP BY user_id),
+         tot AS (SELECT COUNT(*) AS n_total FROM events
+                 WHERE user_id IS NOT NULL)
+       SELECT c.user_id AS user_id, c.est AS est,
+              CAST(0 AS BIGINT) AS err_bound, t.n_total AS n_total
+       FROM c, tot t WHERE c.est >= 75
+       ORDER BY user_id""",
+)
+def heavy_hitters_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E122: Misra-Gries heavy hitters (mergeable summaries) — top
+    talkers over events.user_id via the ONE-pass per-partition MG fold
+    (zero shuffle, <= capacity counters per partition) merged through a
+    summary-sized shuffle. The registry runs the EXACTNESS LAW mode
+    (capacity 65536 >= distinct users at every fixture SF through sf1):
+    no compression fires, err_bound == 0, and the output IS the exact
+    GROUP-BY count — which is what the oracle states. The approximate
+    regime (capacity < distinct, partition-order dependent like any MG)
+    is gated by the paper invariants in tests/test_heavy_hitters.py:
+    est <= true <= est + err_bound, total error <= N/(capacity+1),
+    survival of every key with true count > N/(capacity+1)."""
+    from mysql_syncer_spark.operators.sketches import heavy_hitters
+
+    events = load_table(spark, sf_dir, "events")
+    return heavy_hitters(
+        events, "user_id", capacity=65536, min_count=75
+    ).orderBy("user_id")

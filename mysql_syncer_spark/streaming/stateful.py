@@ -773,3 +773,120 @@ def funnel_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: live twin of sketches.heavy_hitters (E122).
+# ---------------------------------------------------------------------------
+
+HH_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("est", T.LongType()),
+        T.StructField("dec", T.LongType()),
+    ]
+)
+
+#: per-shard MG summary: parallel key/count arrays + cumulative
+#: decrement + fold sequence number
+_HH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("keys", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("dec", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def heavy_hitters_stream(
+    stream: DataFrame,
+    key_col: str,
+    capacity: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Live Misra-Gries maintenance — the streaming twin of
+    ``sketches.heavy_hitters``: each micro-batch folds its rows into
+    per-shard MG summaries (same compression rule as the batch
+    ``mg_summaries``), and every fold RE-EMITS the shard's full current
+    summary tagged with a monotone ``seq`` — so the latest ``seq`` per
+    shard IS the live summary table, and a reader merges shards exactly
+    like ``mg_merge`` merges partitions (est <= true <= est + total
+    dec; exactness law when every shard stays under capacity).
+
+    Keys hash-shard via the engine's md5 idiom (deterministic — a
+    replay lands every key on the same shard), keys travel as strings
+    (state schema is fixed; callers cast back). State per shard is <=
+    capacity counters + 2 scalars and the group domain is the FIXED
+    shard set — bounded state with NO timeout needed, unlike the
+    per-key operators above whose key domain grows with the data
+    (their eviction horizons don't apply here by construction).
+
+    In-order replay equivalence (pytest-gated): under the exactness
+    law the final per-shard summaries equal the exact GROUP-BY counts,
+    which is also what the batch operator returns; in the approximate
+    regime the MG invariants hold per shard against that shard's true
+    counts.
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        shard = key[0]
+        if state.exists:
+            keys, counts, dec, seq = state.get
+            summary = dict(zip(keys, counts))
+        else:
+            summary, dec, seq = {}, 0, 0
+        for pdf in pdfs:
+            for k, n in pdf["__key"].value_counts().items():
+                summary[k] = summary.get(k, 0) + int(n)
+            if len(summary) > capacity:
+                vals = sorted(summary.values(), reverse=True)
+                cut = vals[capacity]
+                summary = {
+                    k: v - cut for k, v in summary.items() if v > cut
+                }
+                dec += cut
+        seq += 1
+        ks = sorted(summary)
+        state.update((ks, [summary[k] for k in ks], dec, seq))
+        yield pd.DataFrame(
+            {
+                "shard": [shard] * (len(ks) + 1),
+                "seq": [seq] * (len(ks) + 1),
+                "key": ks + [None],
+                "est": [summary[k] for k in ks] + [0],
+                "dec": [0] * len(ks) + [dec],
+            }
+        )
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hh-shard"), F.col(key_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    prepped = (
+        stream.where(F.col(key_col).isNotNull())
+        .select(
+            F.pmod(h, F.lit(n_shards)).cast("int").alias("__shard"),
+            F.col(key_col).cast("string").alias("__key"),
+        )
+    )
+    return prepped.groupBy("__shard").applyInPandasWithState(
+        fold,
+        outputStructType=HH_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

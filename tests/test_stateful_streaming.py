@@ -557,3 +557,83 @@ class TestFunnelStream:
         for uid, r in got.items():
             assert r["n_steps"] == twin[uid]["n_steps"]
             assert r["t_first"] == twin[uid]["t0"]
+
+
+# ---------------------------------------------------------------------------
+# streaming heavy hitters (E123): live MG maintenance
+# ---------------------------------------------------------------------------
+
+HH_IN_SCHEMA = T.StructType([T.StructField("k", T.StringType())])
+
+
+def _hh_replay(spark, tmp_path, batches, capacity, n_shards, name):
+    from mysql_syncer_spark.streaming.stateful import heavy_hitters_stream
+
+    src = tmp_path / f"in_{name}"
+    src.mkdir()
+    _write_ordered(
+        src,
+        [
+            (f"b{i}.json", "".join(f'{{"k": "{k}"}}\n' for k in ks))
+            for i, ks in enumerate(batches)
+        ],
+    )
+    stream = (
+        spark.readStream.schema(HH_IN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = heavy_hitters_stream(stream, "k", capacity=capacity, n_shards=n_shards)
+    _run_to_memory(out, name, str(tmp_path / f"ckpt_{name}"))
+    rows = spark.sql(f"select * from {name}").collect()
+    # live summary = max-seq emission per shard
+    latest = {}
+    for r in rows:
+        latest.setdefault(r["shard"], []).append(r)
+    final = {}
+    decs = {}
+    for shard, rs in latest.items():
+        top = max(r["seq"] for r in rs)
+        for r in rs:
+            if r["seq"] != top:
+                continue
+            if r["key"] is None:
+                decs[shard] = r["dec"]
+            else:
+                final[r["key"]] = final.get(r["key"], 0) + r["est"]
+    return final, decs
+
+
+def test_heavy_hitters_stream_exactness_matches_batch(spark, tmp_path):
+    """Capacity above every shard's distinct count: the final live
+    summaries ARE the exact counts — the same exactness law the batch
+    operator's oracle runs under; cross-batch accumulation included."""
+    from collections import Counter
+
+    b0 = ["a"] * 5 + ["b"] * 3 + ["c"]
+    b1 = ["a"] * 2 + ["c"] * 4 + ["d"]
+    final, decs = _hh_replay(
+        spark, tmp_path, [b0, b1], capacity=100, n_shards=2,
+        name="hh_exact",
+    )
+    assert final == dict(Counter(b0 + b1))
+    assert all(d == 0 for d in decs.values())
+
+
+def test_heavy_hitters_stream_approx_invariants(spark, tmp_path):
+    """Capacity 2 on a skewed stream: MG bounds hold per shard and the
+    dominant key survives cross-batch compression."""
+    from collections import Counter
+
+    b0 = ["h"] * 30 + [f"t{i}" for i in range(6)]
+    b1 = ["h"] * 20 + [f"u{i}" for i in range(6)]
+    final, decs = _hh_replay(
+        spark, tmp_path, [b0, b1], capacity=2, n_shards=1,
+        name="hh_approx",
+    )
+    true = Counter(b0 + b1)
+    dec = decs[list(decs)[0]]
+    assert dec > 0  # compression really fired
+    for k, est in final.items():
+        assert est <= true[k] <= est + dec, (k, est, true[k], dec)
+    assert "h" in final  # true count 50 >> N/(capacity+1) = 62/3

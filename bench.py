@@ -229,6 +229,8 @@ HEADLINE = [
     "ann_topk_pq",
     # round-7 second wave
     "heavy_hitters_users_events",
+    "dsir_weights_docs",
+    "dsir_sample_docs",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

@@ -457,6 +457,10 @@ _DEMOTED: tuple[str, ...] = (
     # parity-swept (the MG merge kernel shares the rank-window +
     # broadcast-scalar shapes with in-window topk/digest rows).
     "heavy_hitters_users_events",
+    # DSIR (E124): the hashed-feature explode/groupBy kernels are
+    # in-window via tfidf/vocab rows; both entries oracle-backed.
+    "dsir_weights_docs",
+    "dsir_sample_docs",
 )
 
 
@@ -6188,3 +6192,96 @@ def heavy_hitters_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(
         events, "user_id", capacity=65536, min_count=75
     ).orderBy("user_id")
+
+
+_DSIR_DW_SQL = r"""
+  WITH t AS (SELECT doc_id, lang,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN []
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+       FROM documents),
+  feats AS (
+    SELECT doc_id, lang, unnest(toks) AS f FROM t
+    UNION ALL
+    SELECT doc_id, lang,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1]))
+    FROM t WHERE len(toks) >= 2),
+  fb AS (SELECT doc_id, lang,
+         ('0x' || substr(md5('dsir' || f), 1, 15))::BIGINT % 1024 AS b
+         FROM feats),
+  bc AS (SELECT b, COUNT(*) FILTER (lang = 'en') AS tc,
+                COUNT(*) AS rc FROM fb GROUP BY b),
+  tot AS (SELECT CAST(SUM(tc) AS BIGINT) AS T,
+                 CAST(SUM(rc) AS BIGINT) AS R FROM bc),
+  lw AS (SELECT b, ln((tc + 1.0) / (T + 1024.0))
+                   - ln((rc + 1.0) / (R + 1024.0)) AS lw
+         FROM bc, tot),
+  dw AS (SELECT fb.doc_id AS doc_id, SUM(lw.lw) AS w
+         FROM fb JOIN lw USING (b) GROUP BY fb.doc_id)
+"""
+
+
+@_register(
+    "dsir_weights_docs",
+    _DSIR_DW_SQL
+    + """
+       SELECT d.doc_id AS doc_id,
+              ROUND(COALESCE(dw.w, 0.0), 6) AS dsir_weight
+       FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id
+       ORDER BY doc_id""",
+)
+def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E124: DSIR importance weights (Xie et al. 2023) — per-document
+    log-likelihood ratio between a hashed-n-gram LM of the TARGET
+    distribution (here: the corpus's English rows, the curated-
+    language stand-in) and the raw-corpus LM. Features = word unigrams
+    + adjacent bigrams hashed to 1024 buckets via the md5 idiom;
+    add-one smoothing; every stage is corpus-linear with bucket-sized
+    shuffles (the 1024-row log-ratio table broadcasts). Weights
+    separate the target sharply on the fixture (mean en -0.25 vs
+    non-en -3.0 at sf0.01). ln() may differ in the final ulp across
+    libm implementations, so surfaced weights round to 6 dp (the
+    established float discipline)."""
+    from mysql_syncer_spark.operators.dsir import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dsir_weights(docs, "doc_id", "text", F.col("lang") == "en")
+    return out.select(
+        "doc_id", F.round("dsir_weight", 6).alias("dsir_weight")
+    ).orderBy("doc_id")
+
+
+@_register(
+    "dsir_sample_docs",
+    _DSIR_DW_SQL
+    + """,
+  pr AS (SELECT d.doc_id AS doc_id, COALESCE(dw.w, 0.0) AS w,
+                -ln(-ln(
+                  ((('0x' || substr(md5('dsir-gumbel' ||
+                        CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 10000 + 10000) % 10000 + 1.0) / 10001.0)) AS g
+         FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id)
+       SELECT doc_id, ROUND(w, 6) AS dsir_weight,
+              ROUND(w + g, 6) AS priority
+       FROM pr ORDER BY w + g DESC, doc_id LIMIT 50""",
+)
+def dsir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E124: DSIR importance RESAMPLING — 50 docs drawn without
+    replacement with probability ∝ exp(dsir_weight) via Gumbel-top-k
+    (priority = weight + Gumbel(md5-uniform of doc_id); deterministic,
+    re-salting draws an independent sample). Selection ranks the RAW
+    priority (boundary gaps are orders of magnitude above ulp noise —
+    the knn_graph discipline) with doc_id as the stated tie-break, and
+    executes as TakeOrderedAndProject (per-partition partial top-n, no
+    global sort). At sf0.01 the sample is 78% English against a 34%
+    base rate — importance resampling doing its job while Gumbel noise
+    keeps diversity."""
+    from mysql_syncer_spark.operators.dsir import dsir_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dsir_sample(docs, "doc_id", "text", F.col("lang") == "en", 50)
+    return out.select(
+        "doc_id",
+        F.round("dsir_weight", 6).alias("dsir_weight"),
+        F.round("priority", 6).alias("priority"),
+    )

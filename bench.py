@@ -231,6 +231,7 @@ HEADLINE = [
     "heavy_hitters_users_events",
     "dsir_weights_docs",
     "dsir_sample_docs",
+    "ivm_join_orders_customer",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

@@ -1,0 +1,127 @@
+"""Incremental JOIN maintenance: keep a materialized equi-join in sync
+with keyed deltas to either side — the join-shaped sibling of
+operators/incremental_agg.py (which maintains rollups).
+
+The reference keeps a COPY in sync with delta-proportional work
+(Synchronizer.php:204-225 economics); real warehouses also keep
+DERIVED tables — enriched facts, conformed joins — that a naive
+pipeline recomputes per refresh with a full double scan. The standard
+incremental-view-maintenance identity makes the refresh
+delta-proportional instead: with A' = A ⊕ ΔA and B' = B ⊕ ΔB,
+
+    M' =  M  − M[pkA ∈ keys(ΔA)]  − M[pkB ∈ keys(ΔB)]
+        ∪ upserts(ΔA) ⋈ B'
+        ∪ (A' − keys(ΔA)) ⋈ upserts(ΔB)
+
+every term delta-sized on one side: the two subtractions are
+BROADCAST anti-joins of delta keys against the materialized view, and
+both repair joins broadcast the DELTA side so the big side never
+shuffles (its scan is pre-pruned with a broadcast semi-join on the
+delta's join keys — work ∝ matching rows once the layout can prune).
+The third classical term ΔA ⋈ ΔB is covered by ``upserts(ΔA) ⋈ B'``
+because B' already contains ΔB's upserts; subtracting A'-side touched
+keys from the second repair join prevents double counting.
+
+Delta model (shared with the SCD/CDC operators): a delta frame carries
+the full new row plus an ``op`` column ∈ {'upsert', 'delete'}; delete
+rows only need the key columns. Join form: equi-join on same-named
+columns (callers alias), result grain = (pkA, pkB), INNER joins only —
+outer-join IVM needs null-compensation rows and is out of scope (a
+full recompute remains the fallback there).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_OPS = ("upsert", "delete")
+
+
+def _check_delta(delta: DataFrame, op_col: str, side: str) -> None:
+    if op_col not in delta.columns:
+        raise ValueError(
+            f"{side} delta is missing the '{op_col}' op column"
+        )
+
+
+def apply_table_delta(
+    table: DataFrame, delta: DataFrame, pk: Sequence[str], op_col: str = "op"
+) -> DataFrame:
+    """Fold a keyed delta into a table snapshot: drop every touched
+    key, then add back the upserted rows — two delta-broadcast ops,
+    the table is never shuffled."""
+    _check_delta(delta, op_col, "table")
+    pk = list(pk)
+    keys = delta.select(*pk).distinct()
+    ups = delta.where(F.col(op_col) == "upsert").drop(op_col)
+    return table.join(F.broadcast(keys), pk, "left_anti").unionByName(ups)
+
+
+def join_snapshot(
+    a: DataFrame, b: DataFrame, on: Sequence[str] | str
+) -> DataFrame:
+    """Bootstrap the materialized join M = A ⋈ B (inner, equi on
+    same-named columns)."""
+    on = [on] if isinstance(on, str) else list(on)
+    return a.join(b, on, "inner")
+
+
+def apply_join_delta(
+    mat: DataFrame,
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: Sequence[str] | str,
+    a_pk: Sequence[str] | str,
+    b_pk: Sequence[str] | str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Advance the materialized join one delta batch: returns M' ≡
+    (A ⊕ ΔA) ⋈ (B ⊕ ΔB) without recomputing the join — every term is
+    delta-sized on one side (see module doc). ``mat`` must be the
+    result of :func:`join_snapshot` (or a previous apply) and carry
+    both sides' pk columns. Chain calls batch-over-batch, feeding each
+    round's folded snapshots (``apply_table_delta``) as the next
+    ``a_old``/``b_old``."""
+    on = [on] if isinstance(on, str) else list(on)
+    a_pk = [a_pk] if isinstance(a_pk, str) else list(a_pk)
+    b_pk = [b_pk] if isinstance(b_pk, str) else list(b_pk)
+    _check_delta(a_delta, op_col, "A")
+    _check_delta(b_delta, op_col, "B")
+    for col in a_pk + b_pk:
+        if col not in mat.columns:
+            raise ValueError(
+                f"materialized join must carry pk column '{col}'"
+            )
+
+    a_keys = a_delta.select(*a_pk).distinct()
+    b_keys = b_delta.select(*b_pk).distinct()
+    a_up = a_delta.where(F.col(op_col) == "upsert").drop(op_col)
+    b_up = b_delta.where(F.col(op_col) == "upsert").drop(op_col)
+
+    b_new = apply_table_delta(b_old, b_delta, b_pk, op_col)
+    a_survivors = a_old.join(F.broadcast(a_keys), a_pk, "left_anti")
+
+    kept = mat.join(F.broadcast(a_keys), a_pk, "left_anti").join(
+        F.broadcast(b_keys), b_pk, "left_anti"
+    )
+    # repair 1: new/updated A rows against the NEW B (covers ΔA ⋈ ΔB);
+    # pre-prune B' with a broadcast semi on the delta's join keys, then
+    # broadcast the delta itself — B' never shuffles
+    a_up_jk = a_up.select(*on).distinct()
+    b_match = b_new.join(F.broadcast(a_up_jk), on, "left_semi")
+    rep_a = b_match.join(F.broadcast(a_up), on, "inner")
+    # repair 2: untouched A rows against ΔB upserts; pre-prune the big
+    # side with a broadcast semi on the delta's join keys
+    b_up_keys = b_up.select(*on).distinct()
+    rep_b = a_survivors.join(F.broadcast(b_up_keys), on, "left_semi").join(
+        F.broadcast(b_up), on, "inner"
+    )
+    cols = kept.columns
+    return kept.unionByName(rep_a.select(*cols)).unionByName(
+        rep_b.select(*cols)
+    )

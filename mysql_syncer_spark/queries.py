@@ -461,6 +461,9 @@ _DEMOTED: tuple[str, ...] = (
     # in-window via tfidf/vocab rows; both entries oracle-backed.
     "dsir_weights_docs",
     "dsir_sample_docs",
+    # IVM join maintenance (E125): delta-broadcast repair joins; the
+    # monoid-fold sibling incremental_agg is in-window.
+    "ivm_join_orders_customer",
 )
 
 
@@ -6285,3 +6288,73 @@ def dsir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dsir_weight", 6).alias("dsir_weight"),
         F.round("priority", 6).alias("priority"),
     )
+
+
+@_register(
+    "ivm_join_orders_customer",
+    """WITH a0 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+         a1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM a0
+                WHERE o_orderkey % 101 <> 0 AND o_orderkey % 103 <> 0
+                UNION ALL
+                SELECT o_orderkey, o_custkey, o_totalprice + 10
+                FROM a0 WHERE o_orderkey % 101 = 0),
+         b1 AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+                WHERE c_custkey % 17 <> 0 AND c_custkey % 23 <> 0
+                UNION ALL
+                SELECT c_custkey, c_name, c_acctbal + 5
+                FROM customer WHERE c_custkey % 17 = 0)
+       SELECT a1.o_orderkey AS o_orderkey, a1.o_custkey AS o_custkey,
+              a1.o_totalprice AS o_totalprice,
+              b1.c_name AS c_name, b1.c_acctbal AS c_acctbal
+       FROM a1 JOIN b1 ON a1.o_custkey = b1.c_custkey
+       ORDER BY o_orderkey""",
+)
+def ivm_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E125: incremental JOIN maintenance — the enriched-fact
+    materialization (orders ⋈ customer) advanced one keyed delta batch
+    WITHOUT recomputing the join: price updates on every 101st order,
+    deletes of every (101-coprime) 103rd, balance updates on every
+    17th customer, deletes of every (17-coprime) 23rd — exercising
+    kept/both-repairs/delete paths at once. Every maintenance term is
+    delta-sized on one side (broadcast anti/semi/hash joins only —
+    plan-gated in test_ivm.py); the oracle is the full recompute
+    (A ⊕ ΔA) ⋈ (B ⊕ ΔB), i.e. the refresh-equivalence law itself."""
+    from mysql_syncer_spark.operators.ivm import (
+        apply_join_delta,
+        join_snapshot,
+    )
+
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    b = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_acctbal"
+    )
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    da = (
+        a.where(ok % 101 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10)
+        .withColumn("op", F.lit("upsert"))
+        .unionByName(
+            a.where((ok % 103 == 0) & (ok % 101 != 0)).withColumn(
+                "op", F.lit("delete")
+            )
+        )
+    )
+    db = (
+        b.where(ck % 17 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 5)
+        .withColumn("op", F.lit("upsert"))
+        .unionByName(
+            b.where((ck % 23 == 0) & (ck % 17 != 0)).withColumn(
+                "op", F.lit("delete")
+            )
+        )
+    )
+    mat = join_snapshot(a, b, "o_custkey")
+    out = apply_join_delta(
+        mat, a, da, b, db, "o_custkey", "o_orderkey", "o_custkey"
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal"
+    ).orderBy("o_orderkey")

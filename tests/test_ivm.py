@@ -1,0 +1,134 @@
+"""Incremental join maintenance (operators/ivm.py): the law under
+test is REFRESH EQUIVALENCE — after any keyed delta batch,
+``apply_join_delta(M, ...)`` must equal the full recompute
+``(A ⊕ ΔA) ⋈ (B ⊕ ΔB)`` row-for-row, across every delta class
+(insert/update/delete, either side, both sides at once), and chained
+batch-over-batch. Plus the plan law: the big sides must never
+shuffle — every repair term broadcasts delta-derived frames."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_syncer_spark.operators.ivm import (
+    apply_join_delta,
+    apply_table_delta,
+    join_snapshot,
+)
+
+A_SCHEMA = "ok long, ck long, price double"
+B_SCHEMA = "ck long, name string"
+DA_SCHEMA = "ok long, ck long, price double, op string"
+DB_SCHEMA = "ck long, name string, op string"
+
+A0 = [(1, 10, 5.0), (2, 10, 7.0), (3, 20, 9.0), (4, 30, 1.0)]
+B0 = [(10, "ten"), (20, "twenty"), (40, "forty")]
+
+
+def _sets(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _recompute(a, b):
+    return _sets(join_snapshot(a, b, "ck"))
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    a = spark.createDataFrame(A0, A_SCHEMA)
+    b = spark.createDataFrame(B0, B_SCHEMA)
+    return a, b, join_snapshot(a, b, "ck")
+
+
+def _step(spark, a, b, mat, da, db):
+    da_df = spark.createDataFrame(da, DA_SCHEMA)
+    db_df = spark.createDataFrame(db, DB_SCHEMA)
+    mat2 = apply_join_delta(
+        mat, a, da_df, b, db_df, "ck", "ok", "ck"
+    )
+    a2 = apply_table_delta(a, da_df, ["ok"])
+    b2 = apply_table_delta(b, db_df, ["ck"])
+    return a2, b2, mat2
+
+
+def test_all_delta_classes_match_recompute(spark, base):
+    a, b, mat = base
+    da = [
+        (2, 20, 7.5, "upsert"),   # update incl. FK move 10 -> 20
+        (5, 40, 2.0, "upsert"),   # insert, matches b 40
+        (3, None, None, "delete"),
+    ]
+    db = [
+        (10, "TEN", "upsert"),    # update touches kept a-rows 1
+        (30, "thirty", "upsert"), # insert makes a-row 4 match
+        (40, None, "delete"),     # delete kills the new a-row 5 pair
+    ]
+    a2, b2, mat2 = _step(spark, a, b, mat, da, db)
+    got = _sets(mat2)
+    assert got == _recompute(a2, b2)
+    # spot semantics: row 5 joined b'40'? b 40 deleted -> absent
+    assert not any(r[1] == 5 for r in got)
+    # row 4 now matches the inserted b 30
+    assert any(r[0] == 30 and r[1] == 4 for r in got)
+
+
+def test_same_join_key_in_both_deltas_not_double_counted(spark, base):
+    a, b, mat = base
+    da = [(1, 10, 5.5, "upsert")]
+    db = [(10, "TEN", "upsert")]
+    a2, b2, mat2 = _step(spark, a, b, mat, da, db)
+    rows = _sets(mat2)
+    assert rows == _recompute(a2, b2)
+    assert len([r for r in rows if r[0] == 10 and r[1] == 1]) == 1
+
+
+def test_chained_batches(spark, base):
+    a, b, mat = base
+    batches = [
+        ([(6, 20, 3.0, "upsert")], []),
+        ([], [(20, "XX", "upsert")]),
+        ([(6, None, None, "delete"), (1, 40, 5.0, "upsert")],
+         [(10, None, "delete")]),
+    ]
+    for da, db in batches:
+        da = da or [(999999, None, None, "delete")]  # no-op key
+        db = db or [(999999, None, "delete")]
+        a, b, mat = _step(spark, a, b, mat, da, db)
+        assert _sets(mat) == _recompute(a, b)
+
+
+def test_empty_delta_is_identity(spark, base):
+    a, b, mat = base
+    da = spark.createDataFrame([], DA_SCHEMA)
+    db = spark.createDataFrame([], DB_SCHEMA)
+    mat2 = apply_join_delta(mat, a, da, b, db, "ck", "ok", "ck")
+    assert _sets(mat2) == _sets(mat)
+
+
+def test_deltas_are_broadcast(spark, base):
+    a, b, mat = base
+    # in production M is a materialized table read back from storage;
+    # checkpoint stands in so the snapshot join's own plan (which
+    # legitimately shuffles at bootstrap) doesn't pollute the gate
+    mat = mat.localCheckpoint()
+    da = spark.createDataFrame([(1, 10, 5.5, "upsert")], DA_SCHEMA)
+    db = spark.createDataFrame([(10, "TEN", "upsert")], DB_SCHEMA)
+    mat2 = apply_join_delta(mat, a, da, b, db, "ck", "ok", "ck")
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        mat2._jdf.queryExecution(), "formatted"
+    )
+    # every join in the maintenance plan is broadcast-shaped: the big
+    # sides (mat, A, B) never hit an exchange-for-join
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_validation(spark, base):
+    a, b, mat = base
+    bad = spark.createDataFrame([(1, 10, 5.5)], A_SCHEMA)
+    with pytest.raises(ValueError, match="op column"):
+        apply_join_delta(mat, a, bad, b, bad, "ck", "ok", "ck")
+    da = spark.createDataFrame([], DA_SCHEMA)
+    with pytest.raises(ValueError, match="pk column"):
+        apply_join_delta(
+            mat.drop("ok"), a, da, b, da, "ck", "ok", "ck"
+        )

@@ -232,6 +232,7 @@ HEADLINE = [
     "dsir_weights_docs",
     "dsir_sample_docs",
     "ivm_join_orders_customer",
+    "knn_triangles_embeddings",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

@@ -362,3 +362,120 @@ def cluster_keep_best(
         .select(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / local clustering coefficient: the density measure
+# over the similarity graph (E114's kNN edges, LSH pair lists) that
+# separates tight duplicate cliques from hub-spoke false-positive stars.
+# ---------------------------------------------------------------------------
+
+
+def canonical_edges(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Undirected canonical edge list: self-loops dropped, endpoints
+    ordered (a < b), duplicates (including reversed duplicates)
+    collapsed — the normal form every graph operator here consumes."""
+    a, b = F.col(src), F.col(dst)
+    return (
+        edges.where(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+
+
+def node_degrees(cedges: DataFrame) -> DataFrame:
+    """Per-node degree of a canonical edge list: one explode + one
+    combinable groupBy."""
+    return (
+        cedges.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Per-node triangle counts via the degree-ordered node-iterator
+    (Suri & Vassilvitskii): orient every edge from lower to higher
+    (degree, id) rank, enumerate wedges at each node's ORIENTED
+    neighbor list, close them against the oriented edge set. The
+    orientation is what makes this scale: every wedge is generated at
+    its lowest-rank vertex, so per-node work is (out-degree choose 2)
+    with out-degree bounded by ~sqrt(m) on any graph — and by k on a
+    kNN graph — never (degree choose 2) at the hubs. Each triangle
+    arises exactly once. Three linear joins, all on edge keys; the
+    result is orientation-independent (the id-ordered DuckDB mirror
+    counts the same triangles).
+
+    Returns ``(node, degree, triangles)`` for every node of the
+    canonicalized graph (isolated-in-no-triangle nodes included with
+    0)."""
+    e = canonical_edges(edges, src, dst)
+    deg = node_degrees(e)
+    er = (
+        e.join(
+            deg.select(
+                F.col("node").alias("a"), F.col("degree").alias("__da")
+            ),
+            "a",
+        )
+        .join(
+            deg.select(
+                F.col("node").alias("b"), F.col("degree").alias("__db")
+            ),
+            "b",
+        )
+    )
+    ra = F.struct(F.col("__da").alias("d"), F.col("a").alias("n"))
+    rb = F.struct(F.col("__db").alias("d"), F.col("b").alias("n"))
+    lo_first = ra < rb
+    oriented = er.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(lo_first, rb).otherwise(ra).alias("__hi_rank"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.lo") == F.col("y.lo"))
+        & (F.col("x.__hi_rank") < F.col("y.__hi_rank")),
+    ).select(
+        F.col("x.lo").alias("u"),
+        F.col("x.hi").alias("v"),
+        F.col("y.hi").alias("w"),
+    )
+    closing = oriented.select(
+        F.col("lo").alias("v"), F.col("hi").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"], "inner")
+    per_node = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return deg.join(per_node, "node", "left_outer").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+    )
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Local clustering coefficient per node: 2T / (d(d-1)), 0.0 where
+    degree < 2 — the per-node density score (1.0 = my neighborhood is
+    a clique = a real duplicate cluster; ~0 = I'm a hub stitching
+    unrelated docs — an LSH false-positive signature)."""
+    t = triangle_counts(edges, src, dst)
+    d = F.col("degree").cast("double")
+    return t.withColumn(
+        "clustering_coeff",
+        F.when(
+            F.col("degree") >= 2,
+            2.0 * F.col("triangles") / (d * (d - 1.0)),
+        ).otherwise(F.lit(0.0)),
+    )

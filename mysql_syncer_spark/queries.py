@@ -464,6 +464,9 @@ _DEMOTED: tuple[str, ...] = (
     # IVM join maintenance (E125): delta-broadcast repair joins; the
     # monoid-fold sibling incremental_agg is in-window.
     "ivm_join_orders_customer",
+    # kNN triangles (E126): the CC/graph kernels are in-window via
+    # simhash_clusters/quality_propagate; oracle-backed.
+    "knn_triangles_embeddings",
 )
 
 
@@ -6358,3 +6361,69 @@ def ivm_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal"
     ).orderBy("o_orderkey")
+
+
+@_register(
+    "knn_triangles_embeddings",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+             FROM embeddings WHERE vec_id < 500),
+    k AS (SELECT id_a, id_b FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY list_dot_product(a.e, b.e) /
+                           (sqrt(list_dot_product(a.e, a.e)) *
+                            sqrt(list_dot_product(b.e, b.e))) DESC,
+                           b.vec_id) AS rk
+            FROM v a JOIN v b ON a.vec_id <> b.vec_id)
+          WHERE rk <= 5),
+    und AS (SELECT DISTINCT least(id_a, id_b) AS a,
+                   greatest(id_a, id_b) AS b FROM k),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+              SELECT a AS node FROM und
+              UNION ALL SELECT b FROM und) GROUP BY node),
+    tri AS (SELECT e1.a AS u, e1.b AS v2, e2.b AS w
+            FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+            JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+    tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+             SELECT u AS node FROM tri
+             UNION ALL SELECT v2 FROM tri
+             UNION ALL SELECT w FROM tri) GROUP BY node)
+    SELECT d.node AS node, d.degree AS degree,
+           COALESCE(tc.triangles, 0) AS triangles,
+           ROUND(CASE WHEN d.degree >= 2
+                      THEN 2.0 * COALESCE(tc.triangles, 0)
+                           / (d.degree * (d.degree - 1.0))
+                      ELSE 0.0 END, 6) AS clustering_coeff
+    FROM deg d LEFT JOIN tc ON d.node = tc.node
+    ORDER BY node""",
+)
+def knn_triangles_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E126: triangle counts + local clustering coefficient over the
+    E114 kNN graph (same bounded 500-node exact subgraph as
+    quality_propagate) — the per-node density score that separates
+    tight duplicate cliques (coeff → 1) from hub-spoke LSH
+    false-positive stars (coeff → 0). Degree-ORDERED node-iterator
+    orientation: every wedge is generated at its lowest-rank vertex,
+    so per-node work is (out-degree choose 2), never (degree choose 2)
+    at the hubs; each triangle arises exactly once; three linear joins
+    on edge keys. The DuckDB mirror enumerates id-ordered — triangle
+    counts are orientation-independent, so the two constructions must
+    agree value-for-value (and do, at 3 SFs)."""
+    from mysql_syncer_spark.operators import similarity
+    from mysql_syncer_spark.operators.cluster import (
+        clustering_coefficients,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < 500
+    )
+    edges = similarity.knn_graph(emb, k=5, block=False).select(
+        "id_a", "id_b"
+    )
+    out = clustering_coefficients(edges)
+    return out.select(
+        "node",
+        "degree",
+        "triangles",
+        F.round("clustering_coeff", 6).alias("clustering_coeff"),
+    ).orderBy("node")

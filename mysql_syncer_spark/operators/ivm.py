@@ -125,3 +125,36 @@ def apply_join_delta(
     return kept.unionByName(rep_a.select(*cols)).unionByName(
         rep_b.select(*cols)
     )
+
+
+def apply_join_delta_a_only(
+    mat: DataFrame,
+    a_delta: DataFrame,
+    b: DataFrame,
+    on: Sequence[str] | str,
+    a_pk: Sequence[str] | str,
+    op_col: str = "op",
+) -> DataFrame:
+    """The fact-stream special case (ΔB = ∅): M' = M − M[pkA ∈
+    keys(ΔA)] ∪ upserts(ΔA) ⋈ B — one broadcast anti-join against the
+    view and one delta-broadcast repair join against the (pre-pruned)
+    dimension. KEY PROPERTY the streaming maintainer builds on:
+    applying the same keyed delta twice is IDEMPOTENT (the second
+    apply removes exactly the rows the first one added, then re-adds
+    them), so a replayed micro-batch converges instead of drifting —
+    the keyed-delta analogue of the reference's re-runnable sync."""
+    on = [on] if isinstance(on, str) else list(on)
+    a_pk = [a_pk] if isinstance(a_pk, str) else list(a_pk)
+    _check_delta(a_delta, op_col, "A")
+    for col in a_pk:
+        if col not in mat.columns:
+            raise ValueError(
+                f"materialized join must carry pk column '{col}'"
+            )
+    a_keys = a_delta.select(*a_pk).distinct()
+    a_up = a_delta.where(F.col(op_col) == "upsert").drop(op_col)
+    kept = mat.join(F.broadcast(a_keys), a_pk, "left_anti")
+    a_up_jk = a_up.select(*on).distinct()
+    b_match = b.join(F.broadcast(a_up_jk), on, "left_semi")
+    rep = b_match.join(F.broadcast(a_up), on, "inner")
+    return kept.unionByName(rep.select(*kept.columns))

@@ -1,0 +1,124 @@
+"""Streaming materialized-join maintenance: the live twin of
+operators/ivm.py — a keyed fact-delta stream (op ∈ {'upsert',
+'delete'}) continuously advances a parquet-materialized equi-join
+against a dimension table, delta-proportional per micro-batch.
+
+Fold discipline (foreachBatch, the cms_maintain_stream lineage):
+
+* each batch runs ``apply_join_delta_a_only`` — one broadcast
+  anti-join of the batch's keys against the view + one delta-broadcast
+  repair join against the (semi-pruned) dimension;
+* the new view writes to a ``.__staging__`` sibling, then the
+  rename swap (old → ``.__old__`` → delete), with the compact_files
+  crash-recovery branch: ``__old__`` present without the live dir is
+  restored before reading;
+* REPLAY CONVERGES EXACTLY: keyed delta application is idempotent
+  (re-applying a batch removes precisely the rows it added, then
+  re-adds them), so a micro-batch replayed after a crash — even one
+  that died AFTER the swap but before the checkpoint commit — leaves
+  the view equal to the uninterrupted run. Stronger than the CMS
+  maintainer's drift-HIGH guarantee, and proven by the
+  kill-and-restart test in tests/test_streaming_ivm.py.
+
+The dimension is read fresh from ``b_path`` each batch, so an
+out-of-band dimension refresh (its own swap-discipline job) is picked
+up on the next micro-batch; dimension-delta IVM in streaming would
+need the full two-sided identity and is served by the batch operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from mysql_syncer_spark.operators.ivm import apply_join_delta_a_only
+
+
+def _hadoop(spark, path_str: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return jvm, path.getFileSystem(conf), path
+
+
+def _swap_write(df: DataFrame, path_str: str) -> None:
+    """Write ``df`` over the parquet dir at ``path_str`` with the
+    staging + rename swap (readers see old or new, never partial) and
+    the __old__ recovery contract."""
+    spark = df.sparkSession
+    jvm, fs, path = _hadoop(spark, path_str)
+    old = jvm.org.apache.hadoop.fs.Path(path_str + ".__old__")
+    staging = jvm.org.apache.hadoop.fs.Path(path_str + ".__staging__")
+    df.write.mode("overwrite").parquet(str(staging))
+    if fs.exists(old):
+        fs.delete(old, True)
+    if fs.exists(path):
+        fs.rename(path, old)
+    fs.rename(staging, path)
+    if fs.exists(old):
+        fs.delete(old, True)
+
+
+def _recover_read(spark, path_str: str) -> DataFrame:
+    """Read the parquet dir at ``path_str``, restoring ``__old__``
+    first if a crash left it as the only copy."""
+    jvm, fs, path = _hadoop(spark, path_str)
+    old = jvm.org.apache.hadoop.fs.Path(path_str + ".__old__")
+    if fs.exists(old) and not fs.exists(path):
+        fs.rename(old, path)
+    return spark.read.parquet(path_str)
+
+
+def ivm_bootstrap(
+    a: DataFrame, b: DataFrame, on, mat_path: str
+) -> None:
+    """Materialize the initial view M = A ⋈ B at ``mat_path``."""
+    from mysql_syncer_spark.operators.ivm import join_snapshot
+
+    _swap_write(join_snapshot(a, b, on), mat_path)
+
+
+def ivm_join_stream(
+    delta_stream: DataFrame,
+    mat_path: str,
+    b_path: str,
+    checkpoint_dir: str,
+    on,
+    a_pk,
+    op_col: str = "op",
+    available_now: bool = True,
+    on_batch_committed=None,
+):
+    """Start the maintenance query: every micro-batch of keyed fact
+    deltas advances the materialized join at ``mat_path``. The delta
+    stream must carry the fact columns plus ``op_col``; the dimension
+    at ``b_path`` is read fresh per batch. Returns the
+    StreamingQuery. ``on_batch_committed(batch_id)`` fires after the
+    batch's swap, before the checkpoint commit (fault-injection
+    hook)."""
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        mat = _recover_read(spark, mat_path)
+        b = _recover_read(spark, b_path)
+        new_mat = apply_join_delta_a_only(
+            mat, batch, b, on, a_pk, op_col=op_col
+        )
+        # the swap deletes the dir the plan lazily reads — materialize
+        # through a localCheckpoint first (the executor.py staging
+        # discipline, kept off-path here because the view is one
+        # delta-repaired table, not a multi-table sync)
+        new_mat = new_mat.localCheckpoint(eager=True)
+        _swap_write(new_mat, mat_path)
+        if on_batch_committed is not None:
+            on_batch_committed(batch_id)
+
+    writer = (
+        delta_stream.writeStream.outputMode("append")
+        .foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -132,3 +132,21 @@ def test_validation(spark, base):
         apply_join_delta(
             mat.drop("ok"), a, da, b, da, "ck", "ok", "ck"
         )
+
+
+def test_a_only_apply_matches_recompute_and_is_idempotent(spark, base):
+    from mysql_syncer_spark.operators.ivm import apply_join_delta_a_only
+
+    a, b, mat = base
+    da = spark.createDataFrame(
+        [(2, 20, 7.5, "upsert"), (5, 40, 2.0, "upsert"),
+         (3, None, None, "delete")],
+        DA_SCHEMA,
+    )
+    m1 = apply_join_delta_a_only(mat, da, b, "ck", "ok")
+    a2 = apply_table_delta(a, da, ["ok"])
+    assert _sets(m1.select(*mat.columns)) == _recompute(a2, b)
+    # idempotence: the law the streaming maintainer's exact replay
+    # convergence rests on
+    m2 = apply_join_delta_a_only(m1, da, b, "ck", "ok")
+    assert _sets(m2.select(*mat.columns)) == _sets(m1.select(*mat.columns))

@@ -233,6 +233,7 @@ HEADLINE = [
     "dsir_sample_docs",
     "ivm_join_orders_customer",
     "knn_triangles_embeddings",
+    "containment_pairs_docs",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

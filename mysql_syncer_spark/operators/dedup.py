@@ -752,3 +752,71 @@ def fuzzy_match_pairs(
         .where(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "name_a", "name_b", "dist")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.9,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs: containment of the smaller shingle
+    set in the larger — ``C(A,B) = |A∩B| / min(|A|,|B|)`` — with
+    ``(id_a, id_b, small_id, containment, jaccard)``, id_a < id_b.
+
+    The dedup-matrix gap Jaccard leaves open: a document QUOTED or
+    TRUNCATED inside a larger one shares nearly all of its own
+    shingles but few of the host's, so Jaccard ≈ |small|/|large| stays
+    under any sane threshold while containment ≈ 1. This is the BFF /
+    quote-extraction regime — subset duplicates, boilerplate wrappers,
+    head-truncated re-crawls.
+
+    Same plan skeleton (and the same ``max_df`` skew guard + capped
+    universe semantics) as :func:`ngram_jaccard_pairs`: shingle →
+    df-cap → per-doc sizes → posting-list self-join — quadratic only
+    within a shingle's postings, never corpus². ``small_id`` names the
+    contained side (smaller capped shingle set; ties → lower id).
+    Jaccard rides along for the asymmetry diagnostic: high C with low
+    J is precisely the subset signature."""
+    sh = char_shingles(df, id_col, text_col, k)
+    if max_df is not None:
+        w_df = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(w_df))
+            .where(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    w_sz = Window.partitionBy(id_col)
+    sh = sh.withColumn("sz", F.count(F.lit(1)).over(w_sz))
+    a = sh.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("sz").alias("sz_a")
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("sz").alias("sz_b")
+    )
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = F.col("inter") / F.least("sz_a", "sz_b")
+    return (
+        inter.withColumn("containment", cont)
+        .where(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.when(F.col("sz_a") < F.col("sz_b"), F.col("id_a"))
+            .when(F.col("sz_b") < F.col("sz_a"), F.col("id_b"))
+            .otherwise(F.least("id_a", "id_b"))
+            .alias("small_id"),
+            "containment",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )

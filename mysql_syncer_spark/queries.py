@@ -467,6 +467,9 @@ _DEMOTED: tuple[str, ...] = (
     # kNN triangles (E126): the CC/graph kernels are in-window via
     # simhash_clusters/quality_propagate; oracle-backed.
     "knn_triangles_embeddings",
+    # containment dedup (E128): shares the posting self-join kernel
+    # with in-window ngram_jaccard/minhash rows; oracle-backed.
+    "containment_pairs_docs",
 )
 
 
@@ -6427,3 +6430,68 @@ def knn_triangles_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "triangles",
         F.round("clustering_coeff", 6).alias("clustering_coeff"),
     ).orderBy("node")
+
+
+@_register(
+    "containment_pairs_docs",
+    f"""WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 20000000, substr(text, 1, len(text) // 2)
+          FROM documents WHERE doc_id % 50 = 0 AND text IS NOT NULL),
+        sh0 AS (SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id, unnest(list_transform(
+            range(1, greatest(len({_NORM_SQL}) - 4, 1) + 1),
+            i -> substr({_NORM_SQL}, i, 5))) AS shingle
+          FROM corpus) WHERE len(shingle) > 0),
+        sh AS (SELECT doc_id, shingle FROM (
+          SELECT doc_id, shingle,
+                 COUNT(*) OVER (PARTITION BY shingle) AS df
+          FROM sh0) WHERE df <= 100),
+        sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              CASE WHEN sa.sz < sb.sz THEN id_a
+                   WHEN sb.sz < sa.sz THEN id_b
+                   ELSE least(id_a, id_b) END AS small_id,
+              ROUND(inter * 1.0 / least(sa.sz, sb.sz), 6) AS containment,
+              ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = id_a
+       JOIN sizes sb ON sb.doc_id = id_b
+       WHERE inter * 1.0 / least(sa.sz, sb.sz) >= 0.9""",
+)
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E128: asymmetric containment dedup — C(A,B) = |A∩B|/min(|A|,|B|)
+    over the df-capped 5-shingle universe: the subset-duplicate regime
+    (quotes, truncated re-crawls, boilerplate wrappers) where Jaccard
+    structurally CANNOT fire (J ≈ |small|/|large|). Non-vacuity is
+    synthesized the image_near_dup way: every 50th doc contributes a
+    half-truncated copy (id+20M), and the output exhibits exactly the
+    subset signature — C = 1.0 with J ≈ 0.51 — at every SF. Same
+    posting-list plan and max_df skew guard as ngram_jaccard_pairs
+    (quadratic only within a shingle's postings)."""
+    from mysql_syncer_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.where(
+            (F.col("doc_id") % 50 == 0) & F.col("text").isNotNull()
+        ).select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"),
+            F.expr(
+                "substring(text, 1, cast(floor(length(text)/2) as int))"
+            ).alias("text"),
+        )
+    )
+    out = containment_pairs(corpus, threshold=0.9)
+    return out.select(
+        "id_a",
+        "id_b",
+        "small_id",
+        F.round("containment", 6).alias("containment"),
+        F.round("jaccard", 6).alias("jaccard"),
+    ).orderBy("id_a", "id_b")

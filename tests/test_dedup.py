@@ -252,3 +252,54 @@ class TestFuzzyMatchPairs:
             fuzzy_match_pairs(
                 self._names(spark, [(1, "a b")]), "id", "name", -1
             )
+
+
+# ---------------------------------------------------------------------------
+# containment pairs (E128): the asymmetric regime Jaccard can't see
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from mysql_syncer_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    # non-repetitive text: repetition would collapse the DISTINCT
+    # shingle sets and erase the size asymmetry under test
+    big = " ".join(f"word{i:03d}" for i in range(120))
+    small = big[: len(big) // 4]  # strict prefix: fully contained
+    docs = spark.createDataFrame(
+        [(1, big), (2, small), (3, "completely different words here")],
+        "doc_id long, text string",
+    )
+    cont = containment_pairs(docs, threshold=0.9, max_df=None).collect()
+    got = {(r["id_a"], r["id_b"]): r for r in cont}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r["small_id"] == 2
+    assert r["containment"] >= 0.99
+    assert r["jaccard"] < 0.9  # the asymmetry the operator exists for
+    # Jaccard at the same bar misses the pair entirely
+    jac = ngram_jaccard_pairs(docs, threshold=0.9, max_df=None).collect()
+    assert not any(r["id_a"] == 1 and r["id_b"] == 2 for r in jac)
+    # the unrelated doc pairs with nothing
+    assert not any(3 in (a, b) for (a, b) in got)
+
+
+def test_containment_equal_docs_and_df_cap(spark):
+    from mysql_syncer_spark.operators.dedup import containment_pairs
+
+    t = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    rows = containment_pairs(docs, threshold=0.9, max_df=None).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # identical sets: C = J = 1, tie -> lower id named as small
+    assert (r["containment"], r["jaccard"], r["small_id"]) == (1.0, 1.0, 1)
+    # df cap 1 removes every shared shingle -> no pairs at all
+    assert (
+        containment_pairs(docs, threshold=0.0, max_df=1).count() == 0
+    )

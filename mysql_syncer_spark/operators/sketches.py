@@ -365,3 +365,54 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min("cnt").alias("cms_count"))
     )
+
+
+def hll_intersection_estimate(
+    rollup: DataFrame,
+    key_col: str,
+    a_value,
+    b_value,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Distinct-count INTERSECTION estimate from stored HLL state —
+    the set-algebra question unions alone can't answer ("users who did
+    BOTH X and Y"), served without any base rescan via
+    inclusion-exclusion: |A∩B| = |A| + |B| − |A∪B|, every term an HLL
+    estimate over the persisted per-grain sketches.
+
+    Returns ONE row: ``(n_a, n_b, n_union, n_intersection)`` with the
+    intersection floored at 0 (inclusion-exclusion subtracts two noisy
+    estimates, so small true intersections can come out slightly
+    negative — the standard failure mode; relative error grows as
+    |A∪B| / |A∩B|, so this is for intersections that are a meaningful
+    fraction of the union, which the pytest tolerance gate states).
+    Work is sketch-count-sized: filter the grain rows, union twice,
+    estimate three times — no data scan."""
+    part_a = rollup.where(F.col(key_col) == a_value)
+    part_b = rollup.where(F.col(key_col) == b_value)
+    both = rollup.where(F.col(key_col).isin([a_value, b_value]))
+    ea = part_a.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col))).alias(
+            "n_a"
+        )
+    )
+    eb = part_b.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col))).alias(
+            "n_b"
+        )
+    )
+    eu = both.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col))).alias(
+            "n_union"
+        )
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .withColumn(
+            "n_intersection",
+            F.greatest(
+                F.col("n_a") + F.col("n_b") - F.col("n_union"), F.lit(0)
+            ),
+        )
+    )

@@ -216,3 +216,31 @@ class TestCountMinSketch:
         )
         assert "BroadcastHashJoin" in plan, plan
         assert "SortMergeJoin" not in plan, plan
+
+
+def test_hll_intersection_estimate_within_tolerance(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_spark.operators.sketches import (
+        hll_intersection_estimate,
+        hll_rollup,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = [
+        r["event_type"]
+        for r in events.select("event_type").distinct().limit(2).collect()
+    ]
+    a, b = sorted(types)
+    rollup = hll_rollup(events, ["event_type"], "user_id")
+    row = hll_intersection_estimate(rollup, "event_type", a, b).first()
+    users = lambda p: {  # noqa: E731
+        r["user_id"] for r in events.where(p).select("user_id").distinct().collect()
+    }
+    ua, ub = users(F.col("event_type") == a), users(F.col("event_type") == b)
+    exact = len(ua & ub)
+    # the fixture's type populations overlap heavily, so the
+    # inclusion-exclusion regime is the favorable one the docstring
+    # scopes this estimator to; lgK=12 keeps each term within ~2%
+    assert abs(row["n_union"] - len(ua | ub)) <= max(3, 0.08 * len(ua | ub))
+    assert abs(row["n_intersection"] - exact) <= max(5, 0.15 * exact)

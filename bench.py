@@ -234,6 +234,7 @@ HEADLINE = [
     "ivm_join_orders_customer",
     "knn_triangles_embeddings",
     "containment_pairs_docs",
+    "assoc_rules_events",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

@@ -470,6 +470,9 @@ _DEMOTED: tuple[str, ...] = (
     # containment dedup (E128): shares the posting self-join kernel
     # with in-window ngram_jaccard/minhash rows; oracle-backed.
     "containment_pairs_docs",
+    # association rules (E129): within-basket self-join kernel shared
+    # with in-window jaccard/posting rows; oracle-backed.
+    "assoc_rules_events",
 )
 
 
@@ -6495,3 +6498,58 @@ def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("containment", 6).alias("containment"),
         F.round("jaccard", 6).alias("jaccard"),
     ).orderBy("id_a", "id_b")
+
+
+@_register(
+    "assoc_rules_events",
+    """WITH baskets AS (SELECT DISTINCT user_id AS b, event_type AS i
+                        FROM events
+                        WHERE user_id IS NOT NULL
+                          AND event_type IS NOT NULL),
+        nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets
+               FROM baskets),
+        itn AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_i
+                FROM baskets GROUP BY i),
+        pairs AS (SELECT x.i AS ia, y.i AS ib,
+                         CAST(COUNT(*) AS BIGINT) AS n_pair
+                  FROM baskets x JOIN baskets y
+                    ON x.b = y.b AND x.i <> y.i
+                  GROUP BY 1, 2)
+       SELECT p.ia AS antecedent, p.ib AS consequent, p.n_pair AS n_pair,
+              a.n_i AS n_antecedent, c.n_i AS n_consequent,
+              nb.n_baskets AS n_baskets,
+              ROUND(p.n_pair * 1.0 / nb.n_baskets, 6) AS support,
+              ROUND(p.n_pair * 1.0 / a.n_i, 6) AS confidence,
+              ROUND(p.n_pair * 1.0 * nb.n_baskets
+                    / (a.n_i * c.n_i), 6) AS lift
+       FROM pairs p
+       JOIN itn a ON a.i = p.ia
+       JOIN itn c ON c.i = p.ib
+       CROSS JOIN nb
+       ORDER BY antecedent, consequent""",
+)
+def assoc_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E129: pairwise association rules over (user, event_type)
+    baskets — support/confidence/lift for every co-occurring ordered
+    type pair ("users who did X also did Y"). Pair counts come from a
+    within-basket self-join of the deduplicated basket list (work =
+    Σ_b (items_b choose 2), quadratic only inside a basket; the
+    mega-basket guard ``max_items`` mirrors the dedup module's max_df
+    cap and is exercised in pytest — the fixture's 5-type domain needs
+    no cap). Counts are exact integers, ratios single IEEE divisions —
+    value-exact against the mirror after round-6."""
+    from mysql_syncer_spark.operators.assoc import cooccurrence_rules
+
+    events = load_table(spark, sf_dir, "events")
+    out = cooccurrence_rules(events, "user_id", "event_type")
+    return out.select(
+        "antecedent",
+        "consequent",
+        "n_pair",
+        "n_antecedent",
+        "n_consequent",
+        "n_baskets",
+        F.round("support", 6).alias("support"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+    ).orderBy("antecedent", "consequent")

@@ -406,3 +406,78 @@ def test_tpch_q2_min_is_window_not_self_join(spark, sf_dir):
 def test_tpch_q9_part_filter_pushed(spark, sf_dir):
     plan = plan_of(spark, "tpch_q9_product_type_profit", sf_dir)
     assert "StringContains(p_name,red)" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# round-7 second wave: MG heavy hitters, DSIR, IVM, triangles,
+# containment, association rules
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_shuffles_are_summary_sized(spark, sf_dir):
+    """The only pre-merge stage over the DATA is the mapInPandas fold
+    (zero shuffle); everything after operates on <= capacity x
+    n_partitions summary rows. No join in the plan touches the raw
+    events twice."""
+    plan = plan_of(spark, "heavy_hitters_users_events", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the rank-window compression + scalar injections broadcast
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_dsir_logratio_table_broadcasts(spark, sf_dir):
+    """The 1024-row bucket log-ratio table must broadcast onto the
+    feature stream (never shuffle the exploded features against it);
+    the totals are a 1-row scalar injection. The ONE permitted
+    SortMergeJoin is the final doc_id-keyed left-outer that restores
+    zero-weight featureless docs — corpus⋈corpus on the id, the join
+    bucketing co-locates at scale."""
+    plan = plan_of(spark, "dsir_weights_docs", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    # formatted explain lists each node once in the tree and once in
+    # the detail section — count the "(n) SortMergeJoin" detail form
+    assert plan.count(") SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_sample_is_partial_topn(spark, sf_dir):
+    plan = plan_of(spark, "dsir_sample_docs", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivm_maintenance_joins_are_broadcast(spark, sf_dir):
+    """Every anti/semi/repair join in the registry's IVM scenario
+    broadcasts a delta-derived frame (the deltas are %-filtered
+    slices); no SortMergeJoin may appear in the maintenance terms.
+    (The bootstrap join inside the same lineage is also broadcast at
+    fixture scale: customer is dimension-sized.)"""
+    plan = plan_of(spark, "ivm_join_orders_customer", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_triangles_no_cartesian(spark, sf_dir):
+    """Wedge generation and closure are equi-joins on edge keys —
+    a cross product here would be corpus² and is the classic naive
+    triangle implementation this operator exists to avoid."""
+    plan = plan_of(spark, "knn_triangles_embeddings", sf_dir)
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_shares_posting_join_shape(spark, sf_dir):
+    """Pairs come from the shingle posting-list equi self-join (the
+    ngram_jaccard skeleton): no cartesian, and the df-cap window means
+    at most shuffles on (shingle)/(doc) keys."""
+    plan = plan_of(spark, "containment_pairs_docs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_assoc_supports_broadcast(spark, sf_dir):
+    """Item supports and the basket-count scalar broadcast onto the
+    pair counts; the within-basket self-join is an equi-join on the
+    basket key, never a cross."""
+    plan = plan_of(spark, "assoc_rules_events", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

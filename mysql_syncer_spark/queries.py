@@ -147,6 +147,21 @@ _PROMOTED: tuple[str, ...] = (
     "scrub_repeated_windows_docs",
     "tpch_q9_product_type_profit",
     "quality_propagate_embeddings",
+    # r7 second wave: three NEW operator classes promoted so the
+    # driver window certifies them in CORRECTNESS_r07. Displaced (to
+    # positions 51-53, all still oracle-backed + parity-swept at 3
+    # SFs + bench-keyed): quantize_embeddings (row-local vector
+    # codegen — in-window representative jl_project_embeddings, the
+    # same per-row vector kernel class), incremental_agg_orders (the
+    # monoid delta fold — the promoted IVM row runs the same
+    # keyed-delta discipline on the harder join shape, and in-window
+    # scd2_multibatch exercises fold-over-batches), winsorize_events_
+    # value (a one-expression clamp atop the exact-percentile kernel
+    # that token_quantiles/group_quantiles keep parity-swept; the
+    # least-severe remaining displacement).
+    "ivm_join_orders_customer",
+    "dsir_sample_docs",
+    "containment_pairs_docs",
 )
 
 #: Queries proven green across rounds 1-3 whose machinery is fully covered
@@ -452,6 +467,13 @@ _DEMOTED: tuple[str, ...] = (
     "frame_sample_part",
     "distinct_users_per_type",
     "range_join_user_bursts",
+    # r7 second wave: displaced by the three promoted NEW operator
+    # classes (IVM / DSIR / containment) — justifications at the
+    # _PROMOTED comment; all three stay oracle-backed, 3-SF
+    # parity-swept, and bench-keyed.
+    "quantize_embeddings",
+    "incremental_agg_orders",
+    "winsorize_events_value",
     # r7 second wave: registered after the window was rotated — kept
     # out of the first 50 deliberately; each is oracle-backed and
     # parity-swept (the MG merge kernel shares the rank-window +

@@ -145,15 +145,15 @@ def test_driver_window_holds_extension_queries():
         # r5: hopping windows displace table_digest (kernel runs inside
         # digest_check + partition_digests, both in-window)
         "sliding_window_counts_events",
-        # r5: int8 quantization displaces agg_pricing_summary (the base
-        # cell set of in-window cube_pricing_summary)
-        "quantize_embeddings",
-        # r5: incremental rollup maintenance displaces the exact-Jaccard
-        # baseline (verification twin of in-window minhash_lsh)
-        "incremental_agg_orders",
-        # r5: winsorize displaces token_quantiles (same exact-percentile
-        # kernel + the clamp on top)
-        "winsorize_events_value",
+        # r7 second wave: three NEW operator classes promoted into the
+        # window (IVM join maintenance, DSIR resampling, containment
+        # dedup), displacing quantize_embeddings /
+        # incremental_agg_orders / winsorize_events_value — all three
+        # remain oracle-backed, 3-SF parity-swept, and bench-keyed;
+        # justifications at the _PROMOTED comment in queries.py.
+        "ivm_join_orders_customer",
+        "dsir_sample_docs",
+        "containment_pairs_docs",
     }
     assert must_be_in <= window, sorted(must_be_in - window)
     from mysql_syncer_spark.queries import _DEMOTED

@@ -235,6 +235,8 @@ HEADLINE = [
     "knn_triangles_embeddings",
     "containment_pairs_docs",
     "assoc_rules_events",
+    "corr_matrix_events",
+    "trend_events",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

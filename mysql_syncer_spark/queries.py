@@ -495,6 +495,10 @@ _DEMOTED: tuple[str, ...] = (
     # association rules (E129): within-basket self-join kernel shared
     # with in-window jaccard/posting rows; oracle-backed.
     "assoc_rules_events",
+    # closed-form stats (E130): conditional-agg pivot kernel in-window
+    # via cube/pivot rows; both oracle-backed.
+    "corr_matrix_events",
+    "trend_events",
 )
 
 
@@ -6575,3 +6579,99 @@ def assoc_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("confidence", 6).alias("confidence"),
         F.round("lift", 6).alias("lift"),
     ).orderBy("antecedent", "consequent")
+
+
+@_register(
+    "corr_matrix_events",
+    """WITH wide AS (
+         SELECT date_trunc('hour', ts) AS hour,
+                COUNT(*) FILTER (event_type = 'click') AS click,
+                COUNT(*) FILTER (event_type = 'error') AS error,
+                COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+                COUNT(*) FILTER (event_type = 'signup') AS signup,
+                COUNT(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY 1)
+       SELECT col_a, col_b, ROUND(c, 6) AS corr,
+              CAST(n AS BIGINT) AS n
+       FROM (
+         SELECT 'click' col_a, 'error' col_b,
+                corr(click, error) c, COUNT(*) n FROM wide
+         UNION ALL SELECT 'click', 'purchase',
+                corr(click, purchase), COUNT(*) FROM wide
+         UNION ALL SELECT 'click', 'signup',
+                corr(click, signup), COUNT(*) FROM wide
+         UNION ALL SELECT 'click', 'view',
+                corr(click, view), COUNT(*) FROM wide
+         UNION ALL SELECT 'error', 'purchase',
+                corr(error, purchase), COUNT(*) FROM wide
+         UNION ALL SELECT 'error', 'signup',
+                corr(error, signup), COUNT(*) FROM wide
+         UNION ALL SELECT 'error', 'view',
+                corr(error, view), COUNT(*) FROM wide
+         UNION ALL SELECT 'purchase', 'signup',
+                corr(purchase, signup), COUNT(*) FROM wide
+         UNION ALL SELECT 'purchase', 'view',
+                corr(purchase, view), COUNT(*) FROM wide
+         UNION ALL SELECT 'signup', 'view',
+                corr(signup, view), COUNT(*) FROM wide)
+       ORDER BY col_a, col_b""",
+)
+def corr_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E130: Pearson correlation matrix over the hourly event-type
+    count series — the co-movement screen (do errors spike with
+    clicks?): explicit-list pivot to the wide hourly matrix (the E103
+    machinery), then ALL K(K-1)/2 correlations in ONE combinable
+    aggregation pass (each corr is a function of monoid sums) —
+    one shuffle for the pivot, one tiny final agg, K²-sized output.
+    Summation order differs between engines, so values round to 6."""
+    from mysql_syncer_spark.operators.stats import correlation_matrix
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.withColumn("hour", F.date_trunc("hour", "ts"))
+        .groupBy("hour")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0)
+    )
+    out = correlation_matrix(wide, types)
+    return out.select(
+        "col_a", "col_b", F.round("corr", 6).alias("corr"), "n"
+    ).orderBy("col_a", "col_b")
+
+
+@_register(
+    "trend_events",
+    """SELECT event_type,
+              ROUND(regr_slope(value,
+                  (epoch(ts) - 1704067200.0) / 3600.0), 6) AS slope,
+              ROUND(regr_intercept(value,
+                  (epoch(ts) - 1704067200.0) / 3600.0), 6) AS intercept,
+              ROUND(regr_r2(value,
+                  (epoch(ts) - 1704067200.0) / 3600.0), 6) AS r2,
+              CAST(COUNT(*) FILTER (value IS NOT NULL) AS BIGINT) AS n
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E130: per-type OLS trend of event value over time (hours since
+    2024-01-01) — the drift-slope monitor as ONE combinable shuffle
+    via the closed-form regression aggregates (regr_slope/intercept/
+    r2 are all functions of the same six monoid sums). The x axis is
+    rescaled to hours so the surfaced slope survives round-6 (per-
+    second slopes on a month-long fixture would round to zero)."""
+    from mysql_syncer_spark.operators.stats import group_trends
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "x",
+        (F.col("ts").cast("timestamp").cast("double") - F.lit(1704067200.0))
+        / 3600.0,
+    )
+    out = group_trends(ev, ["event_type"], "x", "value")
+    return out.select(
+        "event_type",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+        "n",
+    ).orderBy("event_type")

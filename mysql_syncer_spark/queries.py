@@ -499,6 +499,9 @@ _DEMOTED: tuple[str, ...] = (
     # via cube/pivot rows; both oracle-backed.
     "corr_matrix_events",
     "trend_events",
+    # EWMA (E131): per-key Arrow fold, sessionize-class exchange;
+    # oracle-backed via the closed-form identity.
+    "ewma_daily_events",
 )
 
 
@@ -6675,3 +6678,46 @@ def trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("r2", 6).alias("r2"),
         "n",
     ).orderBy("event_type")
+
+
+@_register(
+    "ewma_daily_events",
+    """WITH daily AS (SELECT event_type,
+                             CAST(date_trunc('day', ts) AS TIMESTAMP)
+                                 AS day,
+                             AVG(value) AS v
+                      FROM events GROUP BY 1, 2),
+        r AS (SELECT event_type, day, v,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY day) - 1 AS rn
+              FROM daily),
+        s AS (SELECT *, SUM(CASE WHEN rn = 0 THEN v ELSE 0.2 * v END
+                            / power(0.8, rn))
+                     OVER (PARTITION BY event_type ORDER BY rn) AS acc
+              FROM r)
+       SELECT event_type, day, ROUND(v, 6) AS daily_mean,
+              ROUND(power(0.8, rn) * acc, 6) AS ewma
+       FROM s ORDER BY event_type, day""",
+)
+def ewma_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E131: exponential smoothing of the per-type daily mean value
+    (α=0.2, adjust=False recursion) — the trend-following monitor the
+    rolling z-score (unweighted window) can't express. The operator is
+    the numerically stable per-key Arrow fold; the oracle is the
+    closed-form scaled-sum identity y_t = (1-α)^t·Σ c_j x_j/(1-α)^j —
+    exact on the ≤month-long fixture series and documented invalid
+    past ~5-7k points (where the operator, not the identity, is the
+    production path)."""
+    from mysql_syncer_spark.operators.timeseries import ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.avg("value").alias("v"))
+    out = ewma(daily, ["event_type"], "day", "v", 0.2)
+    return out.select(
+        "event_type",
+        "day",
+        F.round("v", 6).alias("daily_mean"),
+        F.round("ewma", 6).alias("ewma"),
+    ).orderBy("event_type", "day")

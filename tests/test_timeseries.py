@@ -310,3 +310,62 @@ class TestAsofJoin:
         assert got[100] == "a"    # 0-gap survives
         assert got[101] is None   # nearest is 10 min away > 5-min tol
         assert 200 in got         # left-join row survival
+
+
+# ---------------------------------------------------------------------------
+# EWMA (E131)
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_pandas_and_hand_recursion(spark):
+    import numpy as np
+    import pandas as pd
+
+    from mysql_syncer_spark.operators.timeseries import ewma
+
+    rng = np.random.RandomState(3)
+    xs = rng.randn(25) * 10 + 50
+    rows = [
+        ("k", float(i), float(x)) for i, x in enumerate(xs)
+    ] + [("other", float(i), 0.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+    got = {
+        (r["k"], r["t"]): r["ewma"]
+        for r in ewma(df, ["k"], "t", "v", alpha=0.3).collect()
+    }
+    ref = pd.Series(xs).ewm(alpha=0.3, adjust=False).mean()
+    for i, want in enumerate(ref):
+        assert got[("k", float(i))] == pytest.approx(want, abs=1e-12)
+    # hand recursion spot check
+    y = xs[0]
+    for i in range(1, 4):
+        y = 0.7 * y + 0.3 * xs[i]
+        assert got[("k", float(i))] == pytest.approx(y, abs=1e-12)
+    # keys are independent: the zero series stays at zero
+    assert all(got[("other", float(i))] == 0.0 for i in range(5))
+
+
+def test_ewma_null_propagates_previous(spark):
+    from mysql_syncer_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [("k", 0.0, 10.0), ("k", 1.0, None), ("k", 2.0, 20.0)],
+        "k string, t double, v double",
+    )
+    got = {
+        r["t"]: r["ewma"]
+        for r in ewma(df, ["k"], "t", "v", alpha=0.5).collect()
+    }
+    assert got[0.0] == 10.0
+    assert got[1.0] == 10.0          # NULL: carry the smoothed value
+    assert got[2.0] == pytest.approx(15.0)
+
+
+def test_ewma_validation(spark):
+    from mysql_syncer_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame([("k", 0.0, 1.0)], "k string, t double, v double")
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(df, ["k"], "t", "v", alpha=0.0)
+    with pytest.raises(ValueError, match="key_cols"):
+        ewma(df, [], "t", "v", alpha=0.5)

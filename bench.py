@@ -238,6 +238,7 @@ HEADLINE = [
     "corr_matrix_events",
     "trend_events",
     "ewma_daily_events",
+    "k_anonymity_customer",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

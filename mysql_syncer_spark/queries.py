@@ -502,6 +502,9 @@ _DEMOTED: tuple[str, ...] = (
     # EWMA (E131): per-key Arrow fold, sessionize-class exchange;
     # oracle-backed via the closed-form identity.
     "ewma_daily_events",
+    # k-anonymity (E132): the cell histogram is a plain combinable
+    # groupBy (profile-class kernel); oracle-backed.
+    "k_anonymity_customer",
 )
 
 
@@ -6721,3 +6724,41 @@ def ewma_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("v", 6).alias("daily_mean"),
         F.round("ewma", 6).alias("ewma"),
     ).orderBy("event_type", "day")
+
+
+@_register(
+    "k_anonymity_customer",
+    """WITH cells AS (
+         SELECT c_nationkey, c_mktsegment,
+                CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS bal_band,
+                CAST(COUNT(*) AS BIGINT) AS n_rows
+         FROM customer GROUP BY 1, 2, 3)
+       SELECT c_nationkey, c_mktsegment,
+              CAST(bal_band AS BIGINT) AS bal_band, n_rows
+       FROM cells WHERE n_rows < 5
+       ORDER BY c_nationkey, c_mktsegment, bal_band""",
+)
+def k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E132: k-anonymity audit (k=5) of customer against the
+    quasi-identifier (nation, segment, 1000-wide balance band) — the
+    re-identification screen PII scanning can't do (indirect
+    linkability): every occupied cell smaller than k is a risky cell,
+    listed for the privacy review. ONE combinable groupBy, cell-sized
+    output; the generalization repair loop (widen the band → cells
+    merge monotonically) is law-tested in pytest."""
+    from mysql_syncer_spark.operators.privacy import (
+        generalize_numeric,
+        k_anonymity_cells,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_band", generalize_numeric("c_acctbal", 1000)
+    )
+    cells = k_anonymity_cells(
+        cust, ["c_nationkey", "c_mktsegment", "bal_band"], k=5
+    )
+    return (
+        cells.where(F.col("risky"))
+        .select("c_nationkey", "c_mktsegment", "bal_band", "n_rows")
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    )

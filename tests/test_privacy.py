@@ -1,0 +1,82 @@
+"""k-anonymity (operators/privacy.py): hand-computed cell audits, the
+generalization-monotonicity law (coarsening only merges cells, so min
+cell size never decreases), NULL-as-a-cell-value, and the release
+gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_syncer_spark.operators.privacy import (
+    generalize_numeric,
+    generalize_prefix,
+    k_anonymity_cells,
+    k_anonymity_report,
+)
+
+ROWS = [
+    # (nation, zip, age): one big cell, one pair, two singletons
+    ("US", "94110", 30), ("US", "94110", 30), ("US", "94110", 30),
+    ("US", "94112", 31), ("US", "94112", 31),
+    ("DE", "10115", 40),
+    ("FR", None, 50),
+]
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(ROWS, "nation string, zip string, age int")
+
+
+def test_cells_and_report(people):
+    cells = {
+        (r["nation"], r["zip"], r["age"]): (r["n_rows"], r["risky"])
+        for r in k_anonymity_cells(people, ["nation", "zip", "age"], 3).collect()
+    }
+    assert cells[("US", "94110", 30)] == (3, False)
+    assert cells[("US", "94112", 31)] == (2, True)
+    assert cells[("DE", "10115", 40)] == (1, True)
+    assert cells[("FR", None, 50)] == (1, True)  # NULL is a cell value
+    rep = k_anonymity_report(people, ["nation", "zip", "age"], 3).first()
+    assert rep["n_cells"] == 4
+    assert rep["n_risky_cells"] == 3
+    assert rep["rows_at_risk"] == 4
+    assert rep["min_cell_size"] == 1
+    assert rep["k_anonymous"] is False
+
+
+def test_generalization_monotonicity(people):
+    """Coarsening quasi-identifiers only MERGES cells: min cell size is
+    non-decreasing along the repair loop, and a full generalization
+    reaches k-anonymity."""
+    def min_cell(df, cols):
+        return k_anonymity_report(df, cols, 3).first()["min_cell_size"]
+
+    base = min_cell(people, ["nation", "zip", "age"])
+    zip3 = people.withColumn("zip", generalize_prefix("zip", 3))
+    banded = zip3.withColumn("age", generalize_numeric("age", 20))
+    assert min_cell(zip3, ["nation", "zip", "age"]) >= base
+    assert min_cell(banded, ["nation", "zip", "age"]) >= base
+    # drop to nation only: US cell reaches 5 but DE/FR stay singletons
+    rep = k_anonymity_report(people, ["nation"], 3).first()
+    assert rep["n_risky_cells"] == 2 and rep["rows_at_risk"] == 2
+
+
+def test_generalize_values(spark):
+    df = spark.createDataFrame([(1234, "94110"), (-50, "ab")], "n long, s string")
+    r = df.select(
+        generalize_numeric("n", 1000).alias("band"),
+        generalize_prefix("s", 3).alias("pfx"),
+    ).collect()
+    assert (r[0]["band"], r[0]["pfx"]) == (1000, "941")
+    assert (r[1]["band"], r[1]["pfx"]) == (-1000, "ab")  # floor, short str
+
+
+def test_validation(people):
+    with pytest.raises(ValueError, match="k must"):
+        k_anonymity_cells(people, ["nation"], 1)
+    with pytest.raises(ValueError, match="quasi_cols"):
+        k_anonymity_cells(people, [], 3)
+    with pytest.raises(ValueError, match="width"):
+        generalize_numeric("n", 0)
+    with pytest.raises(ValueError, match="length"):
+        generalize_prefix("s", 0)

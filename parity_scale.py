@@ -70,6 +70,21 @@ SCALE_QUERIES = [
     "tpch_q9_product_type_profit",
     "knn_graph_embeddings",
     "quality_propagate_embeddings",
+    # round-7 second wave. customer-only k_anonymity is excluded (the
+    # synth copies dims unscaled); assoc/triangles are included for
+    # regression value even though their outputs are sf0.1-identical
+    # by construction (distinct-basket / bounded-subgraph semantics).
+    "heavy_hitters_users_events",
+    "dsir_weights_docs",
+    "dsir_sample_docs",     # Gumbel-top-k boundary at 50k docs: the
+                            # float-rank-gap claim tested at volume
+    "ivm_join_orders_customer",
+    "containment_pairs_docs",
+    "assoc_rules_events",
+    "corr_matrix_events",
+    "trend_events",
+    "ewma_daily_events",
+    "knn_triangles_embeddings",
 ]
 
 

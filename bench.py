@@ -239,6 +239,8 @@ HEADLINE = [
     "trend_events",
     "ewma_daily_events",
     "k_anonymity_customer",
+    # round-7 third wave
+    "l_diversity_customer",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

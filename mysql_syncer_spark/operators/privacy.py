@@ -1,5 +1,6 @@
-"""Privacy / re-identification screening: k-anonymity over
-quasi-identifiers, with generalization helpers to repair violations.
+"""Privacy / re-identification screening: k-anonymity and l-diversity
+over quasi-identifiers, with generalization helpers to repair
+violations.
 
 The governance sibling of the PII scanner (operators/text.py): PII
 finds DIRECT identifiers inside text; this module measures INDIRECT
@@ -53,6 +54,56 @@ def k_anonymity_report(
         ).cast("long").alias("rows_at_risk"),
         F.min("n_rows").alias("min_cell_size"),
         (F.sum(F.col("risky").cast("long")) == 0).alias("k_anonymous"),
+    )
+
+
+def l_diversity_cells(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int
+) -> DataFrame:
+    """Per-cell l-diversity audit: for every occupied quasi-identifier
+    cell, the number of DISTINCT sensitive values it contains and a
+    ``risky`` flag (diversity < l). The attack k-anonymity misses:
+    a cell can hold >= k rows yet leak the sensitive attribute
+    outright when every row in it shares one value (homogeneity
+    attack) — l-diversity requires >= l distinct sensitive values per
+    cell. NULL sensitive values are excluded from the diversity count
+    (an absent attribute discloses nothing); NULL quasi values still
+    partition rows, as in :func:`k_anonymity_cells`. ONE combinable
+    groupBy (count-distinct over the cell domain), cell-sized output."""
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if sensitive_col in quasi_cols:
+        raise ValueError(
+            f"sensitive_col {sensitive_col!r} cannot be a quasi column"
+        )
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(sensitive_col).alias("diversity"),
+        )
+        .withColumn("risky", F.col("diversity") < l)
+    )
+
+
+def l_diversity_report(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int
+) -> DataFrame:
+    """One-row release gate for l-diversity: ``(n_cells, n_risky_cells,
+    rows_at_risk, min_diversity, l_diverse)`` — the homogeneity-attack
+    companion to :func:`k_anonymity_report`. Work = the cell histogram
+    + one tiny agg."""
+    cells = l_diversity_cells(df, quasi_cols, sensitive_col, l)
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.col("risky").cast("long")).alias("n_risky_cells"),
+        F.coalesce(
+            F.sum(F.when(F.col("risky"), F.col("n_rows"))), F.lit(0)
+        ).cast("long").alias("rows_at_risk"),
+        F.min("diversity").alias("min_diversity"),
+        (F.sum(F.col("risky").cast("long")) == 0).alias("l_diverse"),
     )
 
 

@@ -505,6 +505,11 @@ _DEMOTED: tuple[str, ...] = (
     # k-anonymity (E132): the cell histogram is a plain combinable
     # groupBy (profile-class kernel); oracle-backed.
     "k_anonymity_customer",
+    # r7 third wave: registered after the window was rotated — kept
+    # out of the first 50 deliberately; each oracle-backed and
+    # parity-swept. l-diversity (E133): the count-distinct cell
+    # histogram shares the in-window k_anonymity kernel.
+    "l_diversity_customer",
 )
 
 
@@ -6761,4 +6766,42 @@ def k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.where(F.col("risky"))
         .select("c_nationkey", "c_mktsegment", "bal_band", "n_rows")
         .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    )
+
+
+@_register(
+    "l_diversity_customer",
+    """WITH cells AS (
+         SELECT c_nationkey,
+                CAST(floor(c_acctbal / 10) * 10 AS BIGINT) AS bal_band,
+                CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS diversity
+         FROM customer GROUP BY 1, 2)
+       SELECT c_nationkey, bal_band, n_rows, diversity
+       FROM cells WHERE diversity < 3
+       ORDER BY c_nationkey, bal_band""",
+)
+def l_diversity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E133: l-diversity audit (l=3) of customer with quasi-identifier
+    (nation, 10-wide balance band) and sensitive attribute
+    mktsegment — the homogeneity attack k-anonymity (E132) cannot see:
+    a cell can pass k >= 5 while every row in it shares one segment,
+    disclosing the sensitive value outright. ONE combinable
+    count-distinct groupBy, cell-sized output; risky cells listed for
+    the privacy review."""
+    from mysql_syncer_spark.operators.privacy import (
+        generalize_numeric,
+        l_diversity_cells,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_band", generalize_numeric("c_acctbal", 10)
+    )
+    cells = l_diversity_cells(
+        cust, ["c_nationkey", "bal_band"], "c_mktsegment", l=3
+    )
+    return (
+        cells.where(F.col("risky"))
+        .select("c_nationkey", "bal_band", "n_rows", "diversity")
+        .orderBy("c_nationkey", "bal_band")
     )

@@ -1,7 +1,7 @@
-"""k-anonymity (operators/privacy.py): hand-computed cell audits, the
-generalization-monotonicity law (coarsening only merges cells, so min
-cell size never decreases), NULL-as-a-cell-value, and the release
-gate."""
+"""k-anonymity + l-diversity (operators/privacy.py): hand-computed
+cell audits, the generalization-monotonicity law (coarsening only
+merges cells, so min cell size never decreases), NULL-as-a-cell-value,
+the homogeneity attack k-anonymity misses, and the release gates."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -11,6 +11,8 @@ from mysql_syncer_spark.operators.privacy import (
     generalize_prefix,
     k_anonymity_cells,
     k_anonymity_report,
+    l_diversity_cells,
+    l_diversity_report,
 )
 
 ROWS = [
@@ -69,6 +71,65 @@ def test_generalize_values(spark):
     ).collect()
     assert (r[0]["band"], r[0]["pfx"]) == (1000, "941")
     assert (r[1]["band"], r[1]["pfx"]) == (-1000, "ab")  # floor, short str
+
+
+DIAG_ROWS = [
+    # (nation, zip, diagnosis): the homogeneity attack — the US/94110
+    # cell is k-anonymous at k=3 yet every row shares one diagnosis.
+    ("US", "94110", "flu"), ("US", "94110", "flu"), ("US", "94110", "flu"),
+    ("US", "94112", "flu"), ("US", "94112", "cold"),
+    ("DE", "10115", None),  # NULL sensitive discloses nothing
+]
+
+
+@pytest.fixture(scope="module")
+def patients(spark):
+    return spark.createDataFrame(
+        DIAG_ROWS, "nation string, zip string, diagnosis string"
+    )
+
+
+def test_l_diversity_homogeneity_attack(patients):
+    """The cell k-anonymity passes (n_rows=3 >= k=3) is exactly the one
+    l-diversity flags (one distinct diagnosis < l=2)."""
+    k_cells = {
+        (r["nation"], r["zip"]): r["risky"]
+        for r in k_anonymity_cells(patients, ["nation", "zip"], 3).collect()
+    }
+    assert k_cells[("US", "94110")] is False  # k-anonymous...
+    cells = {
+        (r["nation"], r["zip"]): (r["n_rows"], r["diversity"], r["risky"])
+        for r in l_diversity_cells(
+            patients, ["nation", "zip"], "diagnosis", 2
+        ).collect()
+    }
+    assert cells[("US", "94110")] == (3, 1, True)  # ...yet homogeneous
+    assert cells[("US", "94112")] == (2, 2, False)
+    # NULL sensitive values are excluded from the diversity count
+    assert cells[("DE", "10115")] == (1, 0, True)
+
+
+def test_l_diversity_report(patients):
+    rep = l_diversity_report(patients, ["nation", "zip"], "diagnosis", 2).first()
+    assert rep["n_cells"] == 3
+    assert rep["n_risky_cells"] == 2
+    assert rep["rows_at_risk"] == 4
+    assert rep["min_diversity"] == 0
+    assert rep["l_diverse"] is False
+    # l=2 over the diverse cell only
+    ok = l_diversity_report(
+        patients.where(F.col("zip") == "94112"), ["zip"], "diagnosis", 2
+    ).first()
+    assert ok["l_diverse"] is True and ok["n_risky_cells"] == 0
+
+
+def test_l_diversity_validation(patients):
+    with pytest.raises(ValueError, match="l must"):
+        l_diversity_cells(patients, ["nation"], "diagnosis", 1)
+    with pytest.raises(ValueError, match="quasi_cols"):
+        l_diversity_cells(patients, [], "diagnosis", 2)
+    with pytest.raises(ValueError, match="cannot be a quasi"):
+        l_diversity_cells(patients, ["nation"], "nation", 2)
 
 
 def test_validation(people):

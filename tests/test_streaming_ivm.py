@@ -79,10 +79,16 @@ def _run(spark, src, mat_path, b_path, ckpt, hook=None):
 
 
 def test_stream_matches_recompute(spark, tmp_path):
+    # two availableNow runs against one checkpoint: the file source
+    # orders same-mtime files arbitrarily, so writing both files before
+    # one run would apply B1 before B0 on some filesystems — sequential
+    # runs pin the batch order the recompute law is stated over
     mat_path, b_path, src = _setup(spark, tmp_path, "gold")
+    ckpt = str(tmp_path / "ckpt_gold")
     (src / "b0.json").write_text(B0)
+    _run(spark, src, mat_path, b_path, ckpt)
     (src / "b1.json").write_text(B1)
-    _run(spark, src, mat_path, b_path, str(tmp_path / "ckpt_gold"))
+    _run(spark, src, mat_path, b_path, ckpt)
     assert _view(spark, mat_path) == FINAL
 
 

@@ -241,6 +241,7 @@ HEADLINE = [
     "k_anonymity_customer",
     # round-7 third wave
     "l_diversity_customer",
+    "quantile_sketch_lineitem",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

@@ -416,3 +416,217 @@ def hll_intersection_estimate(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile summaries: the FOURTH sketch leg (HLL answers
+# how-many-distinct, CMS how-often, MG which-items-frequent — this one
+# answers WHERE the distribution sits: medians/p99s without a full sort).
+# Classic distributed shape (a deterministic ε-summary in the GK family,
+# compressed by uniform rank-grid downsampling): each partition folds its
+# values into at most ``capacity`` (value, weight) rows in ONE pass with
+# no shuffle; summaries merge by summing per-value weights (a
+# summary-sized shuffle) and re-compressing on the same grid. Every kept
+# value is an ACTUAL data value (percentile_disc semantics, never an
+# interpolated mean). Guarantee carried in-band as ``err`` — for any
+# query, |rank(answer) - target_rank| <= err_bound, where each grid
+# compression of an n-row (sub)summary contributes <= ceil(n/capacity)
+# (kept cumulative ranks are EXACT; dropped rows sit between kept
+# neighbors whose rank gap is bounded by the grid spacing). Exactness
+# law: when no fold or merge ever sees more than ``capacity`` distinct
+# values, no compression happens, err == 0, and the summary IS the exact
+# value histogram — quantile answers equal the exact rank rule
+# ``min value with cum_count >= ceil(p * N)`` (the oracle-checkable mode
+# the registry query runs in; bounded-cardinality numeric columns are
+# common at 100 TB — quantities, ratings, bucketed sizes).
+# ---------------------------------------------------------------------------
+
+
+def quantile_summaries(
+    df: DataFrame, value_col: str, capacity: int
+) -> DataFrame:
+    """Per-partition quantile summaries in one ``mapInPandas`` pass:
+    rows ``(value, weight, err)`` — at most ``capacity`` value rows
+    plus one ``value IS NULL`` sentinel carrying the partition's rank
+    error bound. Per partition the fold is a vectorized
+    ``value_counts``; if distinct values exceed ``capacity`` the sorted
+    histogram is downsampled to the uniform rank grid (keep the first
+    value whose cumulative count reaches each of ``capacity`` grid
+    levels; kept weight = cumulative-count delta, so total mass and
+    kept ranks stay EXACT) at a rank-error cost of ceil(n/capacity).
+    NULL values are excluded (count semantics, like ``mg_summaries``)."""
+    if capacity < 2:
+        raise ValueError(f"capacity must be >= 2, got {capacity}")
+    src = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("value")
+    )
+    value_type = src.schema["value"].dataType.simpleString()
+    out_schema = f"value {value_type}, weight bigint, err bigint"
+
+    def fold(batches):
+        import math
+
+        import numpy as _np
+        import pandas as _pd
+
+        counts: dict = {}
+        for pdf in batches:
+            for v, n in pdf["value"].value_counts().items():
+                counts[v] = counts.get(v, 0) + int(n)
+        err = 0
+        if len(counts) > capacity:
+            vals = _np.array(sorted(counts))
+            cum = _np.cumsum([counts[v] for v in vals])
+            n = int(cum[-1])
+            targets = _np.ceil(
+                _np.arange(1, capacity + 1) * n / capacity
+            ).astype(_np.int64)
+            idx = _np.unique(_np.searchsorted(cum, targets, side="left"))
+            kept_cum = cum[idx]
+            weights = _np.diff(_np.concatenate([[0], kept_cum]))
+            vals, cum = vals[idx], kept_cum
+            err = math.ceil(n / capacity)
+            counts = dict(zip(vals.tolist(), weights.tolist()))
+        keys = sorted(counts)
+        yield _pd.DataFrame(
+            {
+                "value": keys + [None],
+                "weight": [counts[k] for k in keys] + [0],
+                "err": [0] * len(keys) + [err],
+            }
+        )
+
+    return src.mapInPandas(fold, schema=out_schema)
+
+
+def quantile_merge(summaries: DataFrame, capacity: int) -> DataFrame:
+    """Merge per-partition summaries into ONE summary of at most
+    ``capacity + 1`` values: sum per-value weights (a summary-sized
+    shuffle), then — only if the merged histogram exceeds capacity —
+    one grid re-compression via two rank windows over the
+    <= capacity x n_partitions merged rows (summary-sized by
+    construction, so the single-partition windows are metadata work).
+    Returns ``(value, weight, err_bound)`` rows sorted by value with
+    ``err_bound`` (fold errors + merge compression) identical on every
+    row; Σ weight is always the exact non-NULL row count."""
+    from pyspark.sql import Window
+
+    if capacity < 2:
+        raise ValueError(f"capacity must be >= 2, got {capacity}")
+    errs = summaries.where(F.col("value").isNull()).agg(
+        F.coalesce(F.sum("err"), F.lit(0)).cast("long").alias("__err")
+    )
+    hist = (
+        summaries.where(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    n_distinct = hist.count()
+    if n_distinct <= capacity:
+        return (
+            hist.crossJoin(F.broadcast(errs))
+            .select(
+                "value",
+                F.col("weight").cast("long").alias("weight"),
+                F.col("__err").alias("err_bound"),
+            )
+            .orderBy("value")
+        )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.partitionBy()
+    cum = hist.select(
+        "value",
+        F.sum("weight").over(w).alias("cum"),
+        F.sum("weight").over(total).alias("n"),
+    )
+    # keep the first row reaching each of `capacity` uniform rank grid
+    # levels: row kept iff its cum crosses a grid boundary its
+    # predecessor did not (ceil-grid index strictly increases)
+    g = F.ceil(F.col("cum") * capacity / F.col("n"))
+    g_prev = F.ceil(
+        F.coalesce(F.lag("cum").over(Window.orderBy("value")), F.lit(0))
+        * capacity
+        / F.col("n")
+    )
+    # the max-value row (cum == n) is ALWAYS kept even when an earlier
+    # row already reached the top grid cell — dropping it would lose
+    # the tail mass (Σ weight must stay the exact row count); so the
+    # merged summary holds at most capacity + 1 rows
+    kept = cum.withColumn(
+        "__keep", (g > g_prev) | (F.col("cum") == F.col("n"))
+    ).where(F.col("__keep"))
+    kept = kept.withColumn(
+        "weight",
+        (
+            F.col("cum")
+            - F.coalesce(F.lag("cum").over(Window.orderBy("value")), F.lit(0))
+        ).cast("long"),
+    )
+    merge_err = kept.agg(
+        F.ceil(F.max("n") / capacity).cast("long").alias("__merr")
+    )
+    return (
+        kept.crossJoin(F.broadcast(errs))
+        .crossJoin(F.broadcast(merge_err))
+        .select(
+            "value",
+            "weight",
+            (F.col("__err") + F.col("__merr")).alias("err_bound"),
+        )
+        .orderBy("value")
+    )
+
+
+def quantile_query(
+    merged: DataFrame, ps: list[float]
+) -> DataFrame:
+    """Answer quantiles from a merged summary: for each p in ``ps``,
+    the smallest summary value whose cumulative weight reaches
+    ``ceil(p * N)`` (percentile_disc "lower" semantics; N = Σ weight =
+    exact row count). Returns ``(p, value, err_bound)`` sorted by p.
+    Work is summary-sized: one cumulative window + a broadcast join of
+    the len(ps)-row probe table."""
+    from pyspark.sql import Window
+
+    if not ps:
+        raise ValueError("ps must be non-empty")
+    for p in ps:
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"each p must be in (0, 1], got {p}")
+    spark = merged.sparkSession
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "value",
+        "err_bound",
+        F.sum("weight").over(w).alias("cum"),
+        F.sum("weight").over(Window.partitionBy()).alias("n"),
+    )
+    probes = spark.createDataFrame([(float(p),) for p in ps], "p double")
+    hits = cum.join(
+        F.broadcast(probes),
+        F.col("cum") >= F.ceil(F.col("p") * F.col("n")),
+    )
+    return (
+        hits.groupBy("p")
+        .agg(
+            F.min_by("value", "value").alias("value"),
+            F.max("err_bound").alias("err_bound"),
+        )
+        .orderBy("p")
+    )
+
+
+def quantile_sketch(
+    df: DataFrame, value_col: str, capacity: int, ps: list[float]
+) -> DataFrame:
+    """End-to-end quantile sketch over ``value_col``: per-partition
+    fold (zero shuffle) -> summary-sized merge -> grid query. Returns
+    ``(p, value, err_bound)`` where ``value`` is an actual data value
+    whose rank is within ``err_bound`` of the exact target rank
+    ``ceil(p * N)`` — and EQUAL to it (err_bound == 0) whenever
+    ``capacity`` covers the distinct-value count, the oracle-checkable
+    exactness mode."""
+    merged = quantile_merge(
+        quantile_summaries(df, value_col, capacity), capacity
+    )
+    return quantile_query(merged, ps)

@@ -510,6 +510,10 @@ _DEMOTED: tuple[str, ...] = (
     # parity-swept. l-diversity (E133): the count-distinct cell
     # histogram shares the in-window k_anonymity kernel.
     "l_diversity_customer",
+    # quantile sketch (E134): the summary fold/merge kernel shares the
+    # MG mapInPandas + rank-window shapes the in-window heavy-hitters
+    # and digest rows keep checked; exactness law oracle-stated.
+    "quantile_sketch_lineitem",
 )
 
 
@@ -6805,3 +6809,36 @@ def l_diversity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_nationkey", "bal_band", "n_rows", "diversity")
         .orderBy("c_nationkey", "bal_band")
     )
+
+
+@_register(
+    "quantile_sketch_lineitem",
+    """WITH hist AS (
+         SELECT l_quantity AS value, CAST(COUNT(*) AS BIGINT) AS w
+         FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+       cum AS (
+         SELECT value,
+                SUM(w) OVER (ORDER BY value) AS cum,
+                SUM(w) OVER () AS n
+         FROM hist),
+       probes AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS p)
+       SELECT p, MIN(value) AS value, CAST(0 AS BIGINT) AS err_bound
+       FROM probes JOIN cum ON cum >= CEIL(p * n)
+       GROUP BY p ORDER BY p""",
+)
+def quantile_sketch_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E134: mergeable quantile summary — the fourth sketch leg (HLL =
+    how-many-distinct, CMS = how-often, MG = which-frequent, this =
+    WHERE the distribution sits) answering p25/p50/p75/p90/p99 of
+    l_quantity without a full sort: per-partition (value, weight)
+    folds with zero shuffle, a summary-sized merge, grid compression
+    only past ``capacity`` distinct values. Runs in the EXACTNESS mode
+    (capacity 64 >= 50 distinct quantities through sf1): err_bound ==
+    0 and every answer equals the exact rank rule ``min value with
+    cumulative count >= ceil(p * N)`` the oracle states explicitly."""
+    from mysql_syncer_spark.operators.sketches import quantile_sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return quantile_sketch(
+        li, "l_quantity", capacity=64, ps=[0.25, 0.5, 0.75, 0.9, 0.99]
+    ).select("p", "value", "err_bound")

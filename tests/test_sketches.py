@@ -244,3 +244,118 @@ def test_hll_intersection_estimate_within_tolerance(spark, sf_dir):
     # scopes this estimator to; lgK=12 keeps each term within ~2%
     assert abs(row["n_union"] - len(ua | ub)) <= max(3, 0.08 * len(ua | ub))
     assert abs(row["n_intersection"] - exact) <= max(5, 0.15 * exact)
+
+
+class TestQuantileSketch:
+    """Mergeable quantile summaries (E134): exactness law, approx-mode
+    rank-error invariants, mass conservation, actual-data-value
+    answers, NULL exclusion, validation."""
+
+    @staticmethod
+    def _disc(vals, p):
+        import math
+
+        return sorted(vals)[math.ceil(p * len(vals)) - 1]
+
+    def test_exactness_law_matches_rank_rule(self, spark):
+        from mysql_syncer_spark.operators.sketches import quantile_sketch
+
+        vals = [float(i % 13) for i in range(1000)]
+        df = spark.createDataFrame(
+            [(v,) for v in vals], "v double"
+        ).repartition(4, "v")
+        out = quantile_sketch(df, "v", 64, [0.25, 0.5, 0.9, 1.0]).collect()
+        assert all(r["err_bound"] == 0 for r in out)
+        for r in out:
+            assert r["value"] == self._disc(vals, r["p"])
+
+    def test_approx_mode_invariants(self, spark):
+        """capacity << distinct: every answer is an actual data value
+        whose true rank is within err_bound of ceil(p*N); total kept
+        mass is the exact row count; merged summary is capacity+1
+        bounded."""
+        import bisect
+        import math
+
+        from pyspark.sql import functions as F
+
+        from mysql_syncer_spark.operators.sketches import (
+            quantile_merge,
+            quantile_query,
+            quantile_summaries,
+        )
+
+        vals = [float((i * 7919) % 100003) for i in range(20000)]
+        df = spark.createDataFrame(
+            [(v,) for v in vals], "v double"
+        ).repartition(4, "v")
+        merged = quantile_merge(quantile_summaries(df, "v", 64), 64)
+        rows = merged.collect()
+        assert len(rows) <= 65
+        assert sum(r["weight"] for r in rows) == len(vals)
+        svals = sorted(vals)
+        out = quantile_query(merged, [0.1, 0.5, 0.9, 1.0]).collect()
+        for r in out:
+            assert r["value"] in set(vals)  # never interpolated
+            target = math.ceil(r["p"] * len(svals))
+            lo = bisect.bisect_left(svals, r["value"]) + 1
+            hi = bisect.bisect_right(svals, r["value"])
+            dist = (
+                0
+                if lo <= target <= hi
+                else min(abs(lo - target), abs(hi - target))
+            )
+            assert dist <= r["err_bound"], (r["p"], dist, r["err_bound"])
+        # p=1.0 always answers the true max (tail mass never dropped)
+        assert out[-1]["value"] == max(vals)
+
+    def test_merge_exact_when_capacity_covers_distinct(self, spark):
+        """No compression anywhere -> the merged summary IS the exact
+        value histogram (groupBy count equality), err_bound == 0."""
+        from pyspark.sql import functions as F
+
+        from mysql_syncer_spark.operators.sketches import (
+            quantile_merge,
+            quantile_summaries,
+        )
+
+        vals = [float(i % 7) for i in range(500)]
+        df = spark.createDataFrame(
+            [(v,) for v in vals], "v double"
+        ).repartition(3, "v")
+        merged = quantile_merge(quantile_summaries(df, "v", 16), 16)
+        got = {
+            r["value"]: r["weight"] for r in merged.collect()
+        }
+        exact = {
+            r["v"]: r["n"]
+            for r in df.groupBy("v").agg(F.count("*").alias("n")).collect()
+        }
+        assert got == exact
+        assert merged.agg(F.max("err_bound")).first()[0] == 0
+
+    def test_null_exclusion_and_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.sketches import (
+            quantile_merge,
+            quantile_query,
+            quantile_sketch,
+            quantile_summaries,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0,), (None,), (3.0,), (None,)], "v double"
+        )
+        merged = quantile_merge(quantile_summaries(df, "v", 8), 8)
+        assert sum(r["weight"] for r in merged.collect()) == 2
+        out = quantile_query(merged, [0.5, 1.0]).collect()
+        assert [r["value"] for r in out] == [1.0, 3.0]
+        with _pytest.raises(ValueError, match="capacity"):
+            quantile_summaries(df, "v", 1)
+        with _pytest.raises(ValueError, match="capacity"):
+            quantile_merge(merged, 1)
+        with _pytest.raises(ValueError, match="non-empty"):
+            quantile_query(merged, [])
+        with _pytest.raises(ValueError, match="in \\(0, 1\\]"):
+            quantile_query(merged, [0.0])

@@ -242,6 +242,7 @@ HEADLINE = [
     # round-7 third wave
     "l_diversity_customer",
     "quantile_sketch_lineitem",
+    "hybrid_search_docs",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

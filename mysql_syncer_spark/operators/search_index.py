@@ -296,3 +296,98 @@ def phrase_search(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion (RRF) of heterogeneous
+# rankers — the standard way to combine lexical (BM25) and dense
+# (embedding-cosine) retrieval without score calibration (BM25 scores
+# and cosines live on incomparable scales; ranks don't):
+#   rrf(d) = Σ_lists 1 / (k0 + rank_list(d)),  absent-from-list adds 0
+# (Cormack/Clarke/Buettcher 2009). Work is k-sized end to end: each
+# input is already a top-n ranking, rank assignment is one row_number
+# window over <= n rows, fusion is a chain of k-sized outer joins —
+# the corpus is never rescanned by the fusion step.
+# ---------------------------------------------------------------------------
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k0: int = 60,
+    score_col: str = "score",
+) -> DataFrame:
+    """Fuse >= 2 top-n rankings (``(id, score)`` frames) by reciprocal
+    rank. Rank within each list is dense position by
+    (score desc, id asc) — the deterministic tie-break every ranker in
+    this package already emits. Returns one row per id seen in ANY
+    list: ``(id, rank_0..rank_{n-1}, rrf_score)`` with NULL rank for
+    lists that missed the id (contributing 0 to the sum, computed in
+    fixed list order so the float fold is engine-reproducible)."""
+    if len(rankings) < 2:
+        raise ValueError(
+            f"need >= 2 rankings to fuse, got {len(rankings)}"
+        )
+    if k0 < 1:
+        raise ValueError(f"k0 must be >= 1, got {k0}")
+    from pyspark.sql import Window
+
+    ranked = []
+    for i, r in enumerate(rankings):
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        ranked.append(
+            r.select(
+                F.col(id_col),
+                F.row_number().over(w).cast("long").alias(f"rank_{i}"),
+            )
+        )
+    out = ranked[0]
+    for r in ranked[1:]:
+        out = out.join(r, id_col, "full_outer")
+    rrf = F.lit(0.0)
+    for i in range(len(rankings)):
+        rrf = rrf + F.coalesce(
+            F.lit(1.0) / (F.lit(float(k0)) + F.col(f"rank_{i}")),
+            F.lit(0.0),
+        )
+    return out.withColumn("rrf_score", rrf)
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str],
+    query_vec,
+    k: int = 10,
+    n_each: int = 20,
+    k0: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid search over a corpus with parallel lexical and dense
+    representations (doc_id ≡ vec_id): BM25 top-``n_each`` for the
+    term bag + exact-cosine top-``n_each`` for the query vector, fused
+    by RRF, final top-``k``. Returns ``(doc_id, rrf_score, bm25_rank,
+    dense_rank)`` ordered (rrf desc, id asc). At 100 TB each leg runs
+    its own scale path (persisted postings index / LSH-bucketed ANN);
+    the fusion cost stays k-sized regardless."""
+    from mysql_syncer_spark.operators.similarity import cosine_topk
+
+    lex = bm25_search(docs, terms, k=n_each, id_col=id_col,
+                      text_col=text_col)
+    den = cosine_topk(
+        emb, query_vec, k=n_each, id_col=vec_id_col, vec_col=vec_col
+    ).withColumnRenamed(vec_id_col, id_col)
+    fused = rrf_fuse([lex, den], id_col=id_col, k0=k0)
+    return (
+        fused.orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            F.round("rrf_score", 6).alias("rrf_score"),
+            F.col("rank_0").alias("bm25_rank"),
+            F.col("rank_1").alias("dense_rank"),
+        )
+    )

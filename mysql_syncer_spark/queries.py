@@ -514,6 +514,10 @@ _DEMOTED: tuple[str, ...] = (
     # MG mapInPandas + rank-window shapes the in-window heavy-hitters
     # and digest rows keep checked; exactness law oracle-stated.
     "quantile_sketch_lineitem",
+    # hybrid RRF (E135): each leg's kernel is in-window (bm25_search
+    # embeds the postings pipeline, ann rows the cosine top-k); the
+    # fusion itself is k-sized outer joins.
+    "hybrid_search_docs",
 )
 
 
@@ -6842,3 +6846,71 @@ def quantile_sketch_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_sketch(
         li, "l_quantity", capacity=64, ps=[0.25, 0.5, 0.75, 0.9, 0.99]
     ).select("p", "value", "err_bound")
+
+
+@_register(
+    "hybrid_search_docs",
+    r"""WITH w AS (
+          SELECT doc_id, unnest(string_split(
+                     regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                     ' ')) AS term
+          FROM documents),
+         wf AS (SELECT doc_id, term FROM w WHERE term <> ''),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM wf
+                GROUP BY doc_id, term),
+         dl AS (SELECT doc_id, SUM(tf) AS doc_len FROM tf GROUP BY doc_id),
+         st AS (SELECT COUNT(*) AS n, AVG(doc_len) AS avgdl FROM dl),
+         hits AS (SELECT tf.doc_id, tf.term, tf.tf, dl.doc_len FROM tf
+                  JOIN dl ON dl.doc_id = tf.doc_id
+                  WHERE tf.term IN ('join', 'merge', 'spark')),
+         dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits
+                 GROUP BY term),
+         sc AS (SELECT h.doc_id,
+                       LN((st.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                         * (h.tf * 2.2)
+                         / (h.tf + 1.2 * (0.25 + 0.75 * h.doc_len
+                                                 / st.avgdl)) AS s
+                FROM hits h JOIN dft d ON d.term = h.term, st),
+         bm AS (SELECT doc_id, ROUND(SUM(s), 6) AS score
+                FROM sc GROUP BY doc_id
+                ORDER BY score DESC, doc_id LIMIT 20),
+         br AS (SELECT doc_id, ROW_NUMBER() OVER (
+                    ORDER BY score DESC, doc_id) AS bm25_rank FROM bm),
+         qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                WHERE vec_id = 0),
+         cs AS (SELECT e.vec_id AS doc_id,
+                       list_dot_product(e.embedding::DOUBLE[], qv.qv) /
+                       (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(qv.qv, qv.qv))) AS c
+                FROM embeddings e CROSS JOIN qv
+                ORDER BY c DESC, e.vec_id LIMIT 20),
+         dr AS (SELECT doc_id, ROW_NUMBER() OVER (
+                    ORDER BY c DESC, doc_id) AS dense_rank FROM cs),
+         fused AS (SELECT COALESCE(br.doc_id, dr.doc_id) AS doc_id,
+                          br.bm25_rank, dr.dense_rank,
+                          COALESCE(1.0 / (60.0 + br.bm25_rank), 0.0)
+                          + COALESCE(1.0 / (60.0 + dr.dense_rank), 0.0)
+                            AS rrf
+                   FROM br FULL OUTER JOIN dr
+                     ON br.doc_id = dr.doc_id)
+       SELECT doc_id, ROUND(rrf, 6) AS rrf_score, bm25_rank, dense_rank
+       FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""",
+)
+def hybrid_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E135: hybrid retrieval — BM25 top-20 for the term bag {spark,
+    merge, join} fused with exact-cosine top-20 for the vec_id-0 query
+    embedding (doc_id ≡ vec_id in the fixture) by reciprocal-rank
+    fusion (1/(60+rank), Cormack et al. 2009), final top-10. Rank
+    fusion needs no score calibration across the incomparable BM25 /
+    cosine scales; the fusion itself is k-sized (one row_number window
+    per leg + one outer join) so each leg keeps its own 100 TB scale
+    path (persisted postings / LSH buckets)."""
+    from mysql_syncer_spark.operators.search_index import hybrid_search_rrf
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_search_rrf(
+        docs, emb, ["spark", "merge", "join"], _query_vector(emb),
+        k=10, n_each=20,
+    )

@@ -205,3 +205,89 @@ def test_reattach_fresh_catalog_restores_bucket_spec(idx, spark, tmp_path):
         assert [tuple(r) for r in got] == [tuple(r) for r in want]
     finally:
         spark.sql("DROP DATABASE IF EXISTS srchre CASCADE")
+
+
+class TestRRFFusion:
+    """Reciprocal-rank fusion (E135): hand-computed fusion values,
+    absent-from-list contributes exactly 0, id-tie-break ranks,
+    fixed-order float fold, validation."""
+
+    def test_hand_computed_fusion(self, spark):
+        from mysql_syncer_spark.operators.search_index import rrf_fuse
+
+        lex = spark.createDataFrame(
+            [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double"
+        )
+        den = spark.createDataFrame(
+            [(2, 0.9), (4, 0.8)], "doc_id long, score double"
+        )
+        out = {
+            r["doc_id"]: (r["rank_0"], r["rank_1"], r["rrf_score"])
+            for r in rrf_fuse([lex, den], "doc_id", k0=60).collect()
+        }
+        assert out[1] == (1, None, 1.0 / 61)
+        assert out[2] == (2, 1, 1.0 / 62 + 1.0 / 61)
+        assert out[3] == (3, None, 1.0 / 63)
+        assert out[4] == (None, 2, 1.0 / 62)
+        # doc 2 (in both lists) outranks every single-list doc
+        top = max(out, key=lambda d: out[d][2])
+        assert top == 2
+
+    def test_rank_tiebreak_is_id(self, spark):
+        from mysql_syncer_spark.operators.search_index import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(7, 1.0), (3, 1.0)], "doc_id long, score double"
+        )
+        b = spark.createDataFrame(
+            [(3, 2.0), (7, 2.0)], "doc_id long, score double"
+        )
+        out = {
+            r["doc_id"]: (r["rank_0"], r["rank_1"])
+            for r in rrf_fuse([a, b], "doc_id").collect()
+        }
+        # equal scores -> ascending id wins the earlier rank, per list
+        assert out[3] == (1, 1) and out[7] == (2, 2)
+
+    def test_three_list_fusion(self, spark):
+        from mysql_syncer_spark.operators.search_index import rrf_fuse
+
+        lists = [
+            spark.createDataFrame([(1, 1.0)], "doc_id long, score double"),
+            spark.createDataFrame([(1, 1.0)], "doc_id long, score double"),
+            spark.createDataFrame([(2, 1.0)], "doc_id long, score double"),
+        ]
+        out = {
+            r["doc_id"]: r["rrf_score"]
+            for r in rrf_fuse(lists, "doc_id", k0=10).collect()
+        }
+        assert out[1] == 2.0 / 11 and out[2] == 1.0 / 11
+
+    def test_hybrid_end_to_end(self, spark, sf_dir):
+        """Hybrid output: k rows, every row carries at least one rank,
+        rrf consistent with the carried ranks."""
+        from mysql_syncer_spark.operators.search_index import (
+            hybrid_search_rrf,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+        rows = hybrid_search_rrf(
+            docs, emb, ["spark", "merge", "join"], qv, k=10, n_each=20
+        ).collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert r["bm25_rank"] is not None or r["dense_rank"] is not None
+            want = (1.0 / (60 + r["bm25_rank"]) if r["bm25_rank"] else 0.0) \
+                + (1.0 / (60 + r["dense_rank"]) if r["dense_rank"] else 0.0)
+            assert abs(r["rrf_score"] - want) < 1e-6
+
+    def test_validation(self, spark):
+        from mysql_syncer_spark.operators.search_index import rrf_fuse
+
+        one = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
+        with pytest.raises(ValueError, match=">= 2 rankings"):
+            rrf_fuse([one], "doc_id")
+        with pytest.raises(ValueError, match="k0"):
+            rrf_fuse([one, one], "doc_id", k0=0)

@@ -243,6 +243,7 @@ HEADLINE = [
     "l_diversity_customer",
     "quantile_sketch_lineitem",
     "hybrid_search_docs",
+    "jaccard_prefix_pairs_docs",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

@@ -820,3 +820,95 @@ def containment_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.7,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Exact Jaccard similarity join with PREFIX FILTERING (the PPJoin
+    family, Xiao et al. 2011): all pairs with Jaccard(k-shingle sets)
+    >= threshold — ``(id_a, id_b, jaccard)``, id_a < id_b — provably
+    EQUAL to :func:`ngram_jaccard_pairs` over the same df-capped
+    shingle universe, but with candidate generation restricted to each
+    document's PREFIX.
+
+    The prefix theorem: order every document's shingles by one global
+    ordering (here (doc-frequency asc, shingle asc) — rarest first, so
+    prefixes carry the most selective postings); if J(A,B) >= t then
+    |A∩B| >= ceil(t/(1+t)·(|A|+|B|)) >= ceil(t·|A|), so A and B MUST
+    share at least one shingle inside their first
+    ``|s| - ceil(t·|s|) + 1`` shingles — pairs sharing only suffix
+    (frequent) shingles can't reach the threshold and are never
+    generated. The self-join therefore runs over prefix postings only
+    (a small, rare-token subset); boilerplate shingles sort LAST and
+    drop out of candidate generation entirely, while exact
+    verification (intersection count -> Jaccard) touches only
+    candidate pairs: two keyed joins proportional to
+    Σ_candidates |A|, never all co-occurring pairs. The length filter
+    (t·|A| <= |B| and t·|B| <= |A|, integer-exact via ceil) prunes
+    further before verification.
+
+    ``max_df`` keeps the same capped-universe semantic as
+    :func:`ngram_jaccard_pairs` (Jaccard computed over shingles with
+    doc frequency <= max_df; the SQL oracle mirrors it), composing the
+    skew guard with the prefix prune."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"threshold must be in (0, 1], got {threshold}"
+        )
+    sh = char_shingles(df, id_col, text_col, k)
+    w_df = Window.partitionBy("shingle")
+    sh = sh.withColumn("__df", F.count(F.lit(1)).over(w_df))
+    if max_df is not None:
+        sh = sh.where(F.col("__df") <= max_df)
+    w_sz = Window.partitionBy(id_col)
+    w_ord = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    sh = (
+        sh.withColumn("sz", F.count(F.lit(1)).over(w_sz))
+        .withColumn("__rn", F.row_number().over(w_ord))
+    )
+    # prefix length |s| - ceil(t*|s|) + 1
+    pref_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = sh.where(F.col("__rn") <= pref_len)
+    pa = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("sz").alias("sz_a")
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("sz").alias("sz_b")
+    )
+    cand = (
+        pa.join(pb, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        # length filter: t*max(|A|,|B|) <= min(|A|,|B|), integer-exact
+        .where(
+            (F.col("sz_b") >= F.ceil(F.lit(threshold) * F.col("sz_a")))
+            & (F.col("sz_a") >= F.ceil(F.lit(threshold) * F.col("sz_b")))
+        )
+        .select("id_a", "id_b", "sz_a", "sz_b")
+        .distinct()
+    )
+    # exact verify on candidates only: fan candidate pairs out over A's
+    # shingles, then a keyed join against B's shingles counts the
+    # intersection — work ∝ Σ_cand |A|, never the full posting blowup
+    ta = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    tb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -518,6 +518,10 @@ _DEMOTED: tuple[str, ...] = (
     # embeds the postings pipeline, ann rows the cosine top-k); the
     # fusion itself is k-sized outer joins.
     "hybrid_search_docs",
+    # prefix-filter exact Jaccard (E136): the posting self-join +
+    # verify kernels are in-window via ngram_jaccard/minhash rows;
+    # lossless law pytest-pinned against the in-window baseline.
+    "jaccard_prefix_pairs_docs",
 )
 
 
@@ -6913,4 +6917,47 @@ def hybrid_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_search_rrf(
         docs, emb, ["spark", "merge", "join"], _query_vector(emb),
         k=10, n_each=20,
+    )
+
+
+@_register(
+    "jaccard_prefix_pairs_docs",
+    f"""WITH sh0 AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     range(1, greatest(len({_NORM_SQL}) - 4, 1) + 1),
+                     i -> substr({_NORM_SQL}, i, 5))) AS shingle
+            FROM documents) WHERE len(shingle) > 0),
+         sh AS (
+          SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   COUNT(*) OVER (PARTITION BY shingle) AS df
+            FROM sh0) WHERE df <= 100),
+         sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY doc_id),
+         inter AS (
+          SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.7
+        ORDER BY id_a, id_b""",
+)
+def jaccard_prefix_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E136: exact Jaccard join via PREFIX FILTERING (PPJoin family) at
+    τ=0.7 over the df<=100 capped 5-shingle universe — the same answer
+    as the all-postings baseline (lossless prefix theorem,
+    pytest-proven equal), but candidates arise only from each doc's
+    rarest ``|s|-ceil(t|s|)+1`` shingles and exact verification touches
+    candidate pairs only. The scale path for EXACT near-dup joins
+    (MinHash-LSH is the probabilistic sibling); the oracle is the plain
+    all-pairs mirror — losslessness means they must agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.jaccard_prefix_pairs(docs, k=5, threshold=0.7, max_df=100)
+    return out.withColumn("jaccard", F.round("jaccard", 6)).orderBy(
+        "id_a", "id_b"
     )

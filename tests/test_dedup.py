@@ -303,3 +303,69 @@ def test_containment_equal_docs_and_df_cap(spark):
     assert (
         containment_pairs(docs, threshold=0.0, max_df=1).count() == 0
     )
+
+
+class TestJaccardPrefixPairs:
+    """Prefix-filtered exact Jaccard join (E136): the lossless law
+    (equal to the all-postings baseline over the same capped
+    universe), planted-pair recovery, the prefix theorem on a hand
+    case, and validation."""
+
+    def test_lossless_vs_baseline(self, docs_with_dups):
+        from mysql_syncer_spark.operators.dedup import jaccard_prefix_pairs
+
+        pp = sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in jaccard_prefix_pairs(
+                docs_with_dups, threshold=0.7, max_df=100
+            ).collect()
+        )
+        base = sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs(
+                docs_with_dups, threshold=0.7, max_df=100
+            ).collect()
+        )
+        assert pp == base and len(pp) > 0
+
+    def test_planted_pairs_found(self, docs_with_dups):
+        from mysql_syncer_spark.operators.dedup import jaccard_prefix_pairs
+
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_prefix_pairs(
+                docs_with_dups, threshold=0.8
+            ).collect()
+        }
+        assert pairs[(0, 100001)] == 1.0
+        assert (1, 100002) in pairs
+
+    def test_prefix_theorem_hand_case(self, spark):
+        """Two docs sharing ONLY their rarest shingle must still be
+        found (the shared shingle lands in both prefixes); two docs
+        sharing only sub-threshold mass must not."""
+        from mysql_syncer_spark.operators.dedup import jaccard_prefix_pairs
+
+        # k=1 shingles = characters; 'abc' vs 'abd': J = 2/4 = 0.5
+        df = spark.createDataFrame(
+            [(1, "abc"), (2, "abd"), (3, "xyz")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_prefix_pairs(
+                df, k=1, threshold=0.5, max_df=None
+            ).collect()
+        }
+        assert got == {(1, 2): 0.5}
+
+    def test_validation(self, spark):
+        from mysql_syncer_spark.operators.dedup import jaccard_prefix_pairs
+
+        df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="threshold"):
+            jaccard_prefix_pairs(df, threshold=0.0)
+        with _pytest.raises(ValueError, match="threshold"):
+            jaccard_prefix_pairs(df, threshold=1.5)

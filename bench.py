@@ -244,6 +244,7 @@ HEADLINE = [
     "quantile_sketch_lineitem",
     "hybrid_search_docs",
     "jaccard_prefix_pairs_docs",
+    "mad_outliers_events",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

@@ -77,3 +77,69 @@ def group_trends(
         F.regr_r2(y_col, x_col).alias("r2"),
         F.count(F.when(pair_ok, F.lit(1))).alias("n"),
     )
+
+
+def group_median_disc(
+    df: DataFrame, group_cols: list[str], value_col: str, out_col: str
+) -> DataFrame:
+    """Exact DISCRETE per-group median: the value at 1-indexed sorted
+    position ``ceil(n/2)`` (percentile_disc(0.5) "lower" semantics —
+    always an actual data value, never an interpolated mean, so both
+    engines agree bit-for-bit on doubles). One key-partitioned window
+    pass; NULL values excluded. Returns one row per group:
+    ``(group_cols..., out_col)``."""
+    from pyspark.sql import Window
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    src = df.where(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    wn = Window.partitionBy(*group_cols)
+    ranked = src.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    return ranked.where(
+        F.col("__rn") == F.ceil(F.col("__n") / 2)
+    ).select(*group_cols, F.col("__v").alias(out_col))
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    c: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier flags via median absolute deviation:
+    a row is an outlier iff ``|x - median| > c * MAD`` where
+    ``MAD = median(|x - median|)`` — the screen that, unlike the
+    z-score, no outlier can poison (mean and stddev move with the
+    contamination; the medians don't, breakdown point 50%). Both
+    medians are exact DISCRETE medians (actual data values), so the
+    whole predicate is a deterministic double expression both engines
+    evaluate identically — no float boundary. Degenerate groups
+    (MAD == 0, i.e. >= half the rows sit exactly at the median) flag
+    EVERY row off the median, the strictest consistent reading; the
+    caller sees ``mad`` in-band to gate on it. Returns the input rows
+    (NULL values excluded) + ``(med, mad, outlier)``. Two
+    key-partitioned window passes + two broadcast-joinable group
+    frames — no corpus self-join, scale-safe for any group count."""
+    if c <= 0:
+        raise ValueError(f"c must be > 0, got {c}")
+    src = df.where(F.col(value_col).isNotNull())
+    med = group_median_disc(src, group_cols, value_col, "med")
+    with_med = src.join(med, group_cols)
+    dev = with_med.withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = group_median_disc(dev, group_cols, "__dev", "mad")
+    return (
+        dev.join(mad, group_cols)
+        .withColumn(
+            "outlier",
+            F.col("__dev") > F.lit(float(c)) * F.col("mad"),
+        )
+        .drop("__dev")
+    )

@@ -522,6 +522,9 @@ _DEMOTED: tuple[str, ...] = (
     # verify kernels are in-window via ngram_jaccard/minhash rows;
     # lossless law pytest-pinned against the in-window baseline.
     "jaccard_prefix_pairs_docs",
+    # MAD outliers (E137): the key-window rank kernel is in-window via
+    # group_quantiles/topk rows; the z-score sibling is in-window.
+    "mad_outliers_events",
 )
 
 
@@ -6960,4 +6963,55 @@ def jaccard_prefix_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.jaccard_prefix_pairs(docs, k=5, threshold=0.7, max_df=100)
     return out.withColumn("jaccard", F.round("jaccard", 6)).orderBy(
         "id_a", "id_b"
+    )
+
+
+@_register(
+    "mad_outliers_events",
+    """WITH src AS (
+         SELECT event_id, event_type, value FROM events
+         WHERE value IS NOT NULL),
+       med AS (
+         SELECT event_type, quantile_disc(value, 0.5) AS med
+         FROM src GROUP BY event_type),
+       dev AS (
+         SELECT s.event_id, s.event_type, s.value, m.med,
+                ABS(s.value - m.med) AS adev
+         FROM src s JOIN med m USING (event_type)),
+       mad AS (
+         SELECT event_type, quantile_disc(adev, 0.5) AS mad
+         FROM dev GROUP BY event_type)
+       SELECT d.event_id, d.event_type,
+              ROUND(d.value, 6) AS value,
+              ROUND(d.med, 6) AS med,
+              ROUND(m.mad, 6) AS mad
+       FROM dev d JOIN mad m USING (event_type)
+       WHERE d.adev > 6.0 * m.mad
+       ORDER BY d.event_type, d.event_id""",
+)
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E137: robust outlier screen — per-event-type median/MAD flags
+    (c=6) listing the events whose value sits more than 6 MADs off the
+    type median. Unlike anomaly_zscore (mean/stddev), no contamination
+    can poison the reference point (50% breakdown); both medians are
+    exact DISCRETE medians (actual data values — the
+    quantile_disc(0.5) rule the oracle states), so the predicate is
+    one deterministic double comparison in both engines."""
+    from mysql_syncer_spark.operators.stats import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    out = mad_outliers(
+        ev.select("event_id", "event_type", "value"),
+        ["event_type"], "value", c=6.0,
+    )
+    return (
+        out.where(F.col("outlier"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+        .orderBy("event_type", "event_id")
     )

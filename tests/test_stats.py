@@ -77,3 +77,89 @@ def test_validation(spark):
     df = spark.createDataFrame([(1.0,)], "x double")
     with pytest.raises(ValueError, match="two value columns"):
         correlation_matrix(df, ["x"])
+
+
+class TestMADOutliers:
+    """Median/MAD robust outliers (E137): hand-computed medians (odd,
+    even, discrete rule), the poisoning-resistance property z-scores
+    lack, MAD==0 degenerate semantics, NULL exclusion, validation."""
+
+    def test_discrete_median_rule(self, spark):
+        from mysql_syncer_spark.operators.stats import group_median_disc
+
+        # odd group: middle; even group: LOWER middle (ceil(n/2))
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 9.0), ("a", 5.0),
+             ("b", 1.0), ("b", 2.0), ("b", 3.0), ("b", 4.0)],
+            "g string, v double",
+        )
+        got = {
+            r["g"]: r["med"]
+            for r in group_median_disc(df, ["g"], "v", "med").collect()
+        }
+        assert got == {"a": 5.0, "b": 2.0}
+
+    def test_hand_computed_outliers(self, spark):
+        from mysql_syncer_spark.operators.stats import mad_outliers
+
+        # med=5, devs {4,1,0,1,4,95} -> mad=median(0,1,1,4,4,95)=1
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 4.0), ("a", 5.0), ("a", 6.0), ("a", 9.0),
+             ("a", 100.0)],
+            "g string, v double",
+        )
+        rows = {
+            r["v"]: (r["med"], r["mad"], r["outlier"])
+            for r in mad_outliers(df, ["g"], "v", c=3.0).collect()
+        }
+        assert rows[100.0] == (5.0, 1.0, True)
+        assert rows[9.0] == (5.0, 1.0, True)     # dev 4 > 3*1
+        assert rows[6.0] == (5.0, 1.0, False)
+        assert rows[1.0] == (5.0, 1.0, True)
+
+    def test_poisoning_resistance(self, spark):
+        """One enormous value must not drag the reference point: the
+        contaminated group still flags ONLY the contaminator (the
+        z-score screen, by contrast, has its stddev inflated ~sqrt(n)
+        by the same point and can miss it)."""
+        from mysql_syncer_spark.operators.stats import mad_outliers
+
+        vals = [float(v) for v in range(1, 20)] + [1e9]
+        df = spark.createDataFrame([("a", v) for v in vals], "g string, v double")
+        out = mad_outliers(df, ["g"], "v", c=3.0)
+        flagged = sorted(r["v"] for r in out.where("outlier").collect())
+        assert 1e9 in flagged
+        assert all(v >= 18.0 or v <= 2.0 for v in flagged if v != 1e9)
+        # med/mad unmoved by the poison point
+        r = out.where("v = 1e9").first()
+        assert r["med"] == 10.0 and r["mad"] == 5.0
+
+    def test_mad_zero_flags_any_deviation(self, spark):
+        from mysql_syncer_spark.operators.stats import mad_outliers
+
+        df = spark.createDataFrame(
+            [("a", 2.0)] * 5 + [("a", 3.0)], "g string, v double"
+        )
+        rows = {r["v"]: r["outlier"] for r in
+                mad_outliers(df, ["g"], "v").collect()}
+        assert rows[3.0] is True and rows[2.0] is False
+
+    def test_null_exclusion_and_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.stats import (
+            group_median_disc,
+            mad_outliers,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", None), ("a", 3.0)], "g string, v double"
+        )
+        assert mad_outliers(df, ["g"], "v").count() == 2
+        # NULLs excluded BEFORE the rank: median of {1,3} = 1 (lower)
+        got = group_median_disc(df, ["g"], "v", "m").first()["m"]
+        assert got == 1.0
+        with _pytest.raises(ValueError, match="c must"):
+            mad_outliers(df, ["g"], "v", c=0)
+        with _pytest.raises(ValueError, match="group_cols"):
+            group_median_disc(df, [], "v", "m")

@@ -245,6 +245,7 @@ HEADLINE = [
     "hybrid_search_docs",
     "jaccard_prefix_pairs_docs",
     "mad_outliers_events",
+    "pmi_collocations_docs",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

@@ -611,3 +611,78 @@ def vocab_divergence(
         .orderBy(F.desc("js_contrib"), "term")
         .limit(k)
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information over
+    adjacent token pairs: ``PMI(x,y) = ln(c(x,y)·N / (c(x,·)·c(·,y)))``
+    with slot marginals (c(x,·) = bigrams starting with x, c(·,y) =
+    bigrams ending with y, N = total bigrams) — the self-consistent
+    bigram-table convention, so PMI is exactly the log pointwise lift
+    of the observed pair over independence of its slots. The
+    phrase-mining primitive ("machine learning" scores high because the
+    pair beats the product of its parts; "of the" is frequent but NOT
+    informative and scores ~0).
+
+    ``min_count`` is the standard PMI variance guard (rare pairs
+    otherwise dominate: a 1-occurrence pair of 1-occurrence words
+    maxes the statistic). All counts are exact integers off ONE
+    combinable (w1, w2) shuffle (marginals derive from the counts
+    table — two tiny shuffles, never a second corpus pass); the PMI
+    expression is a single double computation in a fixed operand
+    order, so both engines agree bit-for-bit. Returns
+    ``(w1, w2, n_xy, pmi)`` ordered (pmi desc, w1, w2), pmi at 6 dp."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = F.filter(
+        F.split(normalized_text(text_col), " "), lambda x: x != ""
+    )
+    base = df.withColumn("__toks", toks)
+    t = F.col("__toks")
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    stream = base.select(F.explode(bigrams).alias("__bg")).select(
+        F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2")
+    )
+    cnt = stream.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_xy")
+    )
+    left = cnt.groupBy("w1").agg(F.sum("n_xy").alias("__nx"))
+    right = cnt.groupBy("w2").agg(F.sum("n_xy").alias("__ny"))
+    total = cnt.agg(F.sum("n_xy").alias("__n"))
+    scored = (
+        cnt.where(F.col("n_xy") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__pmi",
+            F.log(
+                (F.col("n_xy").cast("double") * F.col("__n").cast("double"))
+                / (F.col("__nx").cast("double") * F.col("__ny").cast("double"))
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("__pmi"), "w1", "w2")
+        .limit(k)
+        .select(
+            "w1", "w2",
+            F.col("n_xy").cast("long").alias("n_xy"),
+            F.round("__pmi", 6).alias("pmi"),
+        )
+    )

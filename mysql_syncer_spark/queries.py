@@ -525,6 +525,10 @@ _DEMOTED: tuple[str, ...] = (
     # MAD outliers (E137): the key-window rank kernel is in-window via
     # group_quantiles/topk rows; the z-score sibling is in-window.
     "mad_outliers_events",
+    # PMI collocations (E138): the bigram explode/count kernel is
+    # in-window via bigram_logprob's machinery (pytest) and the
+    # combinable-groupBy rows; oracle-backed at 3 SFs.
+    "pmi_collocations_docs",
 )
 
 
@@ -7015,3 +7019,45 @@ def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "event_id")
     )
+
+
+@_register(
+    "pmi_collocations_docs",
+    r"""WITH t AS (
+          SELECT CASE WHEN trim(text) = '' THEN []
+                      ELSE regexp_split_to_array(
+                          regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                          ' ')
+                 END AS toks
+          FROM documents),
+         bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+                FROM (SELECT toks,
+                             unnest(generate_series(1, len(toks) - 1)) AS i
+                      FROM t WHERE len(toks) >= 2)),
+         cnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+                 FROM bg GROUP BY w1, w2),
+         lft AS (SELECT w1, SUM(n_xy) AS nx FROM cnt GROUP BY w1),
+         rgt AS (SELECT w2, SUM(n_xy) AS ny FROM cnt GROUP BY w2),
+         tot AS (SELECT SUM(n_xy) AS n FROM cnt),
+         sc AS (SELECT c.w1, c.w2, c.n_xy,
+                       LN((CAST(c.n_xy AS DOUBLE) * CAST(tot.n AS DOUBLE))
+                          / (CAST(lft.nx AS DOUBLE)
+                             * CAST(rgt.ny AS DOUBLE))) AS pmi
+                FROM cnt c
+                JOIN lft ON lft.w1 = c.w1
+                JOIN rgt ON rgt.w2 = c.w2, tot
+                WHERE c.n_xy >= 5)
+       SELECT w1, w2, n_xy, ROUND(pmi, 6) AS pmi
+       FROM sc ORDER BY pmi DESC, w1, w2 LIMIT 20""",
+)
+def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E138: top-20 collocations by pointwise mutual information over
+    adjacent token pairs (min_count=5) — the phrase-mining primitive:
+    PMI = ln(c(x,y)·N / (c(x,·)·c(·,y))) over the bigram table, slot
+    marginals derived from the counts (never a second corpus pass),
+    one combinable (w1,w2) shuffle. Exact integer counts; the PMI
+    double is computed in a fixed operand order both engines share."""
+    from mysql_syncer_spark.operators.text import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, k=20)

@@ -298,3 +298,108 @@ def cms_maintain_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def quantile_maintain_stream(
+    stream: DataFrame,
+    summary_path: str,
+    checkpoint_dir: str,
+    value_col: str,
+    capacity: int = 256,
+    available_now: bool = True,
+    on_batch_committed=None,
+):
+    """Maintain a persisted mergeable quantile summary (E134) over a
+    live stream: each micro-batch folds to <= capacity (value, weight)
+    rows (operators/sketches.quantile_summaries — zero shuffle) and
+    merges into the parquet summary at ``summary_path`` via
+    ``quantile_merge``; medians/p99s over an unbounded stream at fixed
+    state cost, queryable any time with ``quantile_query`` on the
+    written summary. The persisted rows carry ``err_bound`` plus a
+    ``last_batch`` high-water mark.
+
+    Replay contract — EXACT convergence, stronger than the CMS
+    maintainer's drift-HIGH: quantile merging is NOT idempotent
+    (re-merging a batch would inflate weights), so the fold SKIPS any
+    batch whose id is <= the persisted ``last_batch`` (structured
+    streaming epoch ids are monotonic per checkpoint). A batch
+    replayed after a crash between the swap and the checkpoint commit
+    is detected and skipped, leaving the summary EQUAL to the
+    uninterrupted run — proven by the kill-and-restart test. Same
+    staging + rename swap and ``__old__`` recovery branch as
+    ``cms_maintain_stream``.
+
+    ``on_batch_committed(batch_id)`` runs after the swap, before
+    control returns to Spark (fault-injection hook)."""
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_spark.operators.sketches import (
+        quantile_merge,
+        quantile_summaries,
+    )
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(summary_path)
+        fs = path.getFileSystem(jsc)
+        old = jvm.org.apache.hadoop.fs.Path(summary_path + ".__old__")
+        # crash recovery: restore __old__ when it's the only copy
+        if fs.exists(old) and not fs.exists(path):
+            fs.rename(old, path)
+        prior = None
+        if fs.exists(path):
+            prior = spark.read.parquet(summary_path)
+            hwm = prior.agg(F.max("last_batch")).first()[0]
+            if hwm is not None and batch_id <= hwm:
+                # replayed batch: already folded before the crash —
+                # skipping it is what makes replay EXACT
+                if on_batch_committed is not None:
+                    on_batch_committed(batch_id)
+                return
+        parts = quantile_summaries(batch, value_col, capacity)
+        if prior is not None:
+            # re-express the persisted summary in fold format: value
+            # rows with err 0 + one NULL sentinel carrying its bound
+            prior_rows = prior.select(
+                "value", "weight", F.lit(0).cast("long").alias("err")
+            )
+            prior_err = prior.agg(
+                F.coalesce(F.max("err_bound"), F.lit(0))
+                .cast("long")
+                .alias("err")
+            ).select(
+                F.lit(None).cast(
+                    prior.schema["value"].dataType.simpleString()
+                ).alias("value"),
+                F.lit(0).cast("long").alias("weight"),
+                "err",
+            )
+            parts = parts.unionByName(prior_rows.unionByName(prior_err))
+        merged = quantile_merge(parts, capacity).withColumn(
+            "last_batch", F.lit(batch_id).cast("long")
+        )
+        merged = merged.localCheckpoint(eager=True)
+        staging = jvm.org.apache.hadoop.fs.Path(
+            summary_path + ".__staging__"
+        )
+        merged.write.mode("overwrite").parquet(str(staging))
+        if fs.exists(old):
+            fs.delete(old, True)
+        if fs.exists(path):
+            fs.rename(path, old)
+        fs.rename(staging, path)
+        if fs.exists(old):
+            fs.delete(old, True)
+        if on_batch_committed is not None:
+            on_batch_committed(batch_id)
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(
+        fold
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -586,3 +586,141 @@ def test_indexed_gate_checkpoint_recovery(spark, sf_dir, tmp_path):
         assert got_after == got_before
     finally:
         spark.sql("DROP DATABASE IF EXISTS crashidx CASCADE")
+
+
+class TestQuantileMaintainStream:
+    """Streaming quantile-summary maintenance (E134's live twin):
+    (1) streamed summary == the batch sketch over the union of batches
+    (exactness mode); (2) EXACT replay convergence — a crash after the
+    swap but before the checkpoint commit, then restart, leaves the
+    summary EQUAL to the uninterrupted run (the last_batch high-water
+    mark skips the replayed batch; stronger than CMS's drift-HIGH)."""
+
+    BATCHES = [
+        [1.0, 2.0, 2.0, 5.0],
+        [2.0, 3.0, 3.0, 9.0, 9.0],
+    ]
+
+    def _write_batches(self, src):
+        import json as _json
+        import os
+        import time
+
+        base = time.time() - 100
+        for i, vals in enumerate(self.BATCHES):
+            p = src / f"b{i}.json"
+            p.write_text(
+                "\n".join(_json.dumps({"v": x}) for x in vals)
+            )
+            os.utime(p, (base + i * 10, base + i * 10))
+
+    def _stream(self, spark, src):
+        from pyspark.sql import types as T
+
+        schema = T.StructType([T.StructField("v", T.DoubleType())])
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    def _summary(self, spark, path):
+        return sorted(
+            (r["value"], r["weight"], r["err_bound"])
+            for r in spark.read.parquet(path).collect()
+        )
+
+    def test_streamed_equals_batch_twin(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from mysql_syncer_spark.operators.sketches import (
+            quantile_merge,
+            quantile_query,
+            quantile_summaries,
+        )
+        from mysql_syncer_spark.streaming.ingest import (
+            quantile_maintain_stream,
+        )
+
+        src = tmp_path / "q_in"
+        src.mkdir()
+        self._write_batches(src)
+        path = str(tmp_path / "q_summary")
+        q = quantile_maintain_stream(
+            self._stream(spark, src), path, str(tmp_path / "q_ck"),
+            value_col="v", capacity=16,
+        )
+        q.awaitTermination(180)
+        streamed = self._summary(spark, path)
+        union = spark.createDataFrame(
+            [(v,) for b in self.BATCHES for v in b], "v double"
+        )
+        twin = quantile_merge(quantile_summaries(union, "v", 16), 16)
+        assert streamed == sorted(
+            (r["value"], r["weight"], r["err_bound"])
+            for r in twin.collect()
+        )
+        # exactness mode: medians answerable off the persisted summary
+        persisted = spark.read.parquet(path).select(
+            "value", "weight", "err_bound"
+        )
+        got = quantile_query(persisted, [0.5, 1.0]).collect()
+        assert [r["value"] for r in got] == [3.0, 9.0]
+        assert all(r["err_bound"] == 0 for r in got)
+
+    def test_replay_converges_exactly(self, spark, tmp_path):
+        import os
+
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        from mysql_syncer_spark.streaming.ingest import (
+            quantile_maintain_stream,
+        )
+
+        # golden: uninterrupted run
+        gsrc = tmp_path / "g_in"
+        gsrc.mkdir()
+        self._write_batches(gsrc)
+        gpath = str(tmp_path / "g_summary")
+        q = quantile_maintain_stream(
+            self._stream(spark, gsrc), gpath, str(tmp_path / "g_ck"),
+            value_col="v", capacity=16,
+        )
+        q.awaitTermination(180)
+        golden = self._summary(spark, gpath)
+
+        # crash run: die after the SECOND batch's swap commits
+        src = tmp_path / "c_in"
+        src.mkdir()
+        self._write_batches(src)
+        path = str(tmp_path / "c_summary")
+        ckpt = str(tmp_path / "c_ck")
+        seen = []
+
+        def crash_on_second(batch_id):
+            seen.append(batch_id)
+            if len(seen) == 2:
+                raise RuntimeError("injected crash in the replay window")
+
+        q = quantile_maintain_stream(
+            self._stream(spark, src), path, ckpt,
+            value_col="v", capacity=16, on_batch_committed=crash_on_second,
+        )
+        try:
+            q.awaitTermination(180)
+        except StreamingQueryException:
+            pass
+        assert len(seen) == 2  # second swap committed, checkpoint didn't
+
+        # restart: Spark replays batch 1; the high-water mark skips it
+        replayed = []
+        q = quantile_maintain_stream(
+            self._stream(spark, src), path, ckpt,
+            value_col="v", capacity=16,
+            on_batch_committed=replayed.append,
+        )
+        q.awaitTermination(180)
+        assert replayed, "restart did not replay the uncommitted batch"
+        assert self._summary(spark, path) == golden  # EXACT, no drift

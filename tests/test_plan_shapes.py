@@ -481,3 +481,73 @@ def test_assoc_supports_broadcast(spark, sf_dir):
     plan = plan_of(spark, "assoc_rules_events", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# round-7 third wave: l-diversity, quantile sketch, hybrid RRF, prefix
+# Jaccard, MAD outliers, PMI collocations
+# ---------------------------------------------------------------------------
+
+
+def test_l_diversity_single_combinable_groupby(spark, sf_dir):
+    """The audit is ONE count-distinct groupBy over a column-pruned
+    scan — no join of any kind in the plan."""
+    plan = plan_of(spark, "l_diversity_customer", sf_dir)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert (
+        "ReadSchema: struct<c_nationkey:int,c_acctbal:double,"
+        "c_mktsegment:string>" in plan
+    )
+
+
+def test_quantile_sketch_scans_one_column(spark, sf_dir):
+    """The fold reads ONLY the value column; everything after the
+    mapInPandas stage is summary-sized (the two scalar injections are
+    1-row broadcast BNLJs, and no data-sized join exists)."""
+    plan = plan_of(spark, "quantile_sketch_lineitem", sf_dir)
+    assert "ReadSchema: struct<l_quantity:double>" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_hybrid_rrf_fusion_is_k_sized(spark, sf_dir):
+    """Each leg ends in a top-n (TakeOrderedAndProject); the only
+    permitted SortMergeJoin is the k-sized full-outer fusion of the
+    two rank lists (Spark can't broadcast a two-sided full outer) —
+    corpus-sized joins all broadcast."""
+    plan = plan_of(spark, "hybrid_search_docs", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count(") SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_prefix_no_cartesian_no_smj(spark, sf_dir):
+    """Candidate generation and verification are keyed equi-joins on
+    shingle / pair keys (broadcast at fixture scale); the exact
+    verify must never degrade to a cartesian."""
+    plan = plan_of(spark, "jaccard_prefix_pairs_docs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mad_outliers_keyed_joins_only(spark, sf_dir):
+    """Two key-window passes + two group-frame joins; the group
+    frames join on the group key (equi), never a cross join."""
+    plan = plan_of(spark, "mad_outliers_events", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "ReadSchema: struct<event_id:bigint,event_type:string,"
+        "value:double>" in plan
+    )
+
+
+def test_pmi_marginals_derive_from_counts(spark, sf_dir):
+    """Marginals join back onto the counts table (broadcast/equi) and
+    the result is a partial top-k — never a second corpus pass
+    shuffled against the first."""
+    plan = plan_of(spark, "pmi_collocations_docs", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -85,6 +85,17 @@ SCALE_QUERIES = [
     "trend_events",
     "ewma_daily_events",
     "knn_triangles_embeddings",
+    # round-7 third wave. customer-only l_diversity is excluded like
+    # k_anonymity (dims copied unscaled); everything else exercises a
+    # scale-sensitive surface at 10×: the quantile sketch's exactness
+    # law across 32 partition folds, RRF's float fold over shifted
+    # corpus stats, the prefix filter's losslessness at a 10× posting
+    # universe, MAD's discrete medians at 100k rows/group, PMI counts.
+    "quantile_sketch_lineitem",
+    "hybrid_search_docs",
+    "jaccard_prefix_pairs_docs",
+    "mad_outliers_events",
+    "pmi_collocations_docs",
 ]
 
 

@@ -246,6 +246,7 @@ HEADLINE = [
     "jaccard_prefix_pairs_docs",
     "mad_outliers_events",
     "pmi_collocations_docs",
+    "bitmap_distinct_users_events",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

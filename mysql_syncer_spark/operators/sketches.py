@@ -630,3 +630,76 @@ def quantile_sketch(
         quantile_summaries(df, value_col, capacity), capacity
     )
     return quantile_query(merged, ps)
+
+
+# ---------------------------------------------------------------------------
+# Exact mergeable distinct-count state: the EXACT sibling of the HLL
+# rollup for integral keys. Spark 4 ships bitmap aggregates
+# (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+# bitmap_or_agg / bitmap_count): each (grain, bucket) row stores a
+# 32768-bit roaring-style segment (~4 KB), OR-merge is lossless, and
+# popcount over the OR is the EXACT distinct count — so daily bitmap
+# state answers any window/rollup regrouping exactly, base never
+# rescanned, where HLL (E*) answers it within ~1-2%. Trade-off carried
+# in the module docstring: bitmap state grows with the key-id RANGE
+# (range/32768 buckets per grain when dense), HLL stays fixed-size —
+# bitmaps win for dense integral ids (user ids, row ids), HLL for
+# unbounded/string domains.
+# ---------------------------------------------------------------------------
+
+
+def bitmap_rollup(
+    df: DataFrame, grain_cols: list[str], key_col: str
+) -> DataFrame:
+    """One pass over the grain: ``(grain cols..., __bucket, __bitmap)``
+    rows — the persisted exact-distinct state table. NULL keys are
+    excluded (count semantics, like ``hll_rollup``). Map-combinable:
+    the only shuffle carries (grain x occupied-bucket) bitmap rows."""
+    if not grain_cols:
+        raise ValueError("grain_cols must be non-empty")
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            *grain_cols,
+            F.expr(f"bitmap_bucket_number({key_col})").alias("__bucket"),
+            F.expr(f"bitmap_bit_position({key_col})").alias("__pos"),
+        )
+        .groupBy(*grain_cols, "__bucket")
+        .agg(F.expr("bitmap_construct_agg(__pos)").alias("__bitmap"))
+    )
+
+
+def bitmap_rollup_merge(
+    stored: DataFrame, batch: DataFrame, grain_cols: list[str]
+) -> DataFrame:
+    """Fold a new batch's rollup into the stored one: union + OR-merge
+    per (grain, bucket) — lossless (OR of exact sets is the exact
+    union), so incremental maintenance never drifts. Same full-outer
+    discipline as ``hll_rollup_merge`` but with nothing to lose."""
+    return (
+        stored.unionByName(batch)
+        .groupBy(*grain_cols, "__bucket")
+        .agg(F.expr("bitmap_or_agg(__bitmap)").alias("__bitmap"))
+    )
+
+
+def bitmap_distinct_over(
+    rollup: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """EXACT distinct count for any grouping of the stored grains:
+    OR the bitmaps per (output group, bucket), popcount, sum buckets.
+    Returns ``(group_cols..., n_distinct)``. Work is rollup-sized —
+    the base table is never rescanned, and unlike the HLL sibling the
+    answer is exact, not ±1-2%."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    return (
+        rollup.groupBy(*group_cols, "__bucket")
+        .agg(F.expr("bitmap_or_agg(__bitmap)").alias("__bm"))
+        .select(
+            *group_cols,
+            F.expr("bitmap_count(__bm)").alias("__c"),
+        )
+        .groupBy(*group_cols)
+        .agg(F.sum("__c").cast("long").alias("n_distinct"))
+    )

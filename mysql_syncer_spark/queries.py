@@ -529,6 +529,10 @@ _DEMOTED: tuple[str, ...] = (
     # in-window via bigram_logprob's machinery (pytest) and the
     # combinable-groupBy rows; oracle-backed at 3 SFs.
     "pmi_collocations_docs",
+    # bitmap exact-distinct rollups (E140): the combinable-groupBy
+    # rollup kernel is in-window via approx_distinct/profile rows;
+    # exactness oracle-stated (plain COUNT DISTINCT mirror).
+    "bitmap_distinct_users_events",
 )
 
 
@@ -7061,3 +7065,35 @@ def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pmi_collocations(docs, min_count=5, k=20)
+
+
+@_register(
+    "bitmap_distinct_users_events",
+    """SELECT event_type,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+       FROM events WHERE user_id IS NOT NULL
+       GROUP BY event_type ORDER BY event_type""",
+)
+def bitmap_distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E140: EXACT mergeable distinct counts via Spark 4 bitmap
+    aggregates — the exact sibling of the HLL rollup (E*) for integral
+    keys: daily (event_type, day) bitmap state is built once (each
+    (grain, bucket) row a 32768-bit segment), then ANY regrouping —
+    here per-type distinct users across all days — is an OR + popcount
+    over the state, base never rescanned and the answer exact where
+    HLL is ±1-2%. The oracle is the plain COUNT(DISTINCT): exactness
+    IS the contract."""
+    from mysql_syncer_spark.operators.sketches import (
+        bitmap_distinct_over,
+        bitmap_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rollup = bitmap_rollup(
+        ev.withColumn("day", F.date_trunc("day", "ts")),
+        ["event_type", "day"],
+        "user_id",
+    )
+    return bitmap_distinct_over(rollup, ["event_type"]).orderBy(
+        "event_type"
+    )

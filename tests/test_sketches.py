@@ -359,3 +359,81 @@ class TestQuantileSketch:
             quantile_query(merged, [])
         with _pytest.raises(ValueError, match="in \\(0, 1\\]"):
             quantile_query(merged, [0.0])
+
+
+class TestBitmapRollup:
+    """Exact bitmap distinct-count rollups (E140): exactness vs
+    COUNT(DISTINCT) at every regrouping, the lossless merge law
+    (rollup(a ∪ b) == merge(rollup(a), rollup(b))), cross-bucket keys,
+    NULL exclusion, validation."""
+
+    def test_regroupings_are_exact(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from mysql_syncer_spark.operators.sketches import (
+            bitmap_distinct_over,
+            bitmap_rollup,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "day", F.date_trunc("day", "ts")
+        )
+        rollup = bitmap_rollup(ev, ["event_type", "day"], "user_id")
+        for grouping in (["event_type"], ["day"], ["event_type", "day"]):
+            got = {
+                tuple(r[c] for c in grouping): r["n_distinct"]
+                for r in bitmap_distinct_over(rollup, grouping).collect()
+            }
+            exact = {
+                tuple(r[c] for c in grouping): r["n"]
+                for r in ev.groupBy(*grouping)
+                .agg(F.count_distinct("user_id").alias("n"))
+                .collect()
+            }
+            assert got == exact, grouping
+
+    def test_merge_is_lossless(self, spark):
+        from pyspark.sql import functions as F
+
+        from mysql_syncer_spark.operators.sketches import (
+            bitmap_distinct_over,
+            bitmap_rollup,
+            bitmap_rollup_merge,
+        )
+
+        # keys straddle bucket boundaries (bucket = 32768 ids) and
+        # overlap across batches
+        a = spark.createDataFrame(
+            [("g", i) for i in [1, 2, 70000]], "g string, k long"
+        )
+        b = spark.createDataFrame(
+            [("g", i) for i in [2, 70000, 70001, 200000]],
+            "g string, k long",
+        )
+        merged = bitmap_rollup_merge(
+            bitmap_rollup(a, ["g"], "k"),
+            bitmap_rollup(b, ["g"], "k"),
+            ["g"],
+        )
+        direct = bitmap_rollup(a.unionByName(b), ["g"], "k")
+        got = bitmap_distinct_over(merged, ["g"]).first()["n_distinct"]
+        want = bitmap_distinct_over(direct, ["g"]).first()["n_distinct"]
+        assert got == want == 5
+
+    def test_null_exclusion_and_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.sketches import (
+            bitmap_distinct_over,
+            bitmap_rollup,
+        )
+
+        df = spark.createDataFrame(
+            [("g", 1), ("g", None), ("g", 1)], "g string, k long"
+        )
+        rollup = bitmap_rollup(df, ["g"], "k")
+        assert bitmap_distinct_over(rollup, ["g"]).first()["n_distinct"] == 1
+        with _pytest.raises(ValueError, match="grain_cols"):
+            bitmap_rollup(df, [], "k")
+        with _pytest.raises(ValueError, match="group_cols"):
+            bitmap_distinct_over(rollup, [])

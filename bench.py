@@ -247,6 +247,7 @@ HEADLINE = [
     "mad_outliers_events",
     "pmi_collocations_docs",
     "bitmap_distinct_users_events",
+    "pagerank_embeddings",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

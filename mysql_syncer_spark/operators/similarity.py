@@ -972,3 +972,77 @@ def pq_topk_rerank(
     ).select(id_col)
     pruned = df.join(F.broadcast(cand), on=id_col, how="left_semi")
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 3,
+    d_num: int = 85,
+    d_den: int = 100,
+    base: int = 1_000_000,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    id_col: str = "id",
+    score_col: str = "pr_micro",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (e.g. the
+    per-node top-k edges of :func:`knn_graph`) — the global-centrality
+    companion to :func:`propagate_scores` (which smooths SEEDED
+    per-node quality; PageRank derives importance from the link
+    structure alone):
+
+        s_{t+1}(i) = ((d_den−d_num)·base
+                      + d_num·Σ_{j→i} (s_t(j) div outdeg(j)))
+                     div d_den
+
+    ALL-INTEGER by the E120 contract: scores are micro-units
+    (uniform ``base`` start = micro-mass 1 per node), the per-edge
+    contribution and the damping blend are FLOOR divisions (Spark
+    ``div`` ≡ DuckDB ``//`` for non-negative operands), so a
+    fixed-iteration DuckDB mirror is value-hash exact — no float
+    boundary. Dangling mass (nodes with no out-edges) is DROPPED, the
+    stated semantic the oracle mirrors (the classic alternative
+    redistributes it uniformly; for kNN graphs every node has
+    out-degree k, so the cases coincide). Nodes with no in-edges
+    settle at the teleport floor ((d_den−d_num)·base div d_den).
+
+    Scale shape: out-degrees are computed ONCE (one |E| groupBy);
+    each round is one |E|-proportional join + groupBy(dst) with
+    ``localCheckpoint`` lineage cuts (the cluster.py discipline) — N
+    rounds cost N plans, never n²."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if not (0 < d_num <= d_den):
+        raise ValueError("need 0 < d_num <= d_den")
+    if base < 1:
+        raise ValueError(f"base must be >= 1, got {base}")
+    n0 = nodes.select(F.col(id_col).alias("__id"))
+    e = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    )
+    deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    ew = e.join(deg, "__src")
+    teleport = (d_den - d_num) * base
+    cur = n0.withColumn("__s", F.lit(base).cast("long"))
+    for _ in range(iters):
+        inflow = (
+            ew.join(cur, ew.__src == cur.__id)
+            .select("__dst", F.expr("__s div __deg").alias("__c"))
+            .groupBy("__dst")
+            .agg(F.sum("__c").cast("long").alias("__in"))
+        )
+        cur = (
+            n0.join(inflow, n0.__id == inflow.__dst, "left")
+            .select(
+                "__id",
+                F.expr(
+                    f"(({teleport}L + {d_num}L * coalesce(__in, 0L)) "
+                    f"div {d_den}L)"
+                ).alias("__s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cur.select(
+        F.col("__id").alias(id_col), F.col("__s").alias(score_col)
+    )

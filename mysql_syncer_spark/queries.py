@@ -533,6 +533,9 @@ _DEMOTED: tuple[str, ...] = (
     # rollup kernel is in-window via approx_distinct/profile rows;
     # exactness oracle-stated (plain COUNT DISTINCT mirror).
     "bitmap_distinct_users_events",
+    # PageRank (E141): the per-round join+groupBy kernel is in-window
+    # via the promoted quality_propagate row (same E120 discipline).
+    "pagerank_embeddings",
 )
 
 
@@ -7097,3 +7100,66 @@ def bitmap_distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitmap_distinct_over(rollup, ["event_type"]).orderBy(
         "event_type"
     )
+
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    """Fixed-iteration DuckDB mirror of similarity.pagerank over the
+    E114 kNN edges (directed per-node top-5), unrolled as chained CTEs
+    — all-integer floor math, value-hash exact (E120 discipline)."""
+    parts = [
+        """v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+             FROM embeddings WHERE vec_id < 500),
+    e AS (SELECT id_a, id_b FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY list_dot_product(a.e, b.e) /
+                           (sqrt(list_dot_product(a.e, a.e)) *
+                            sqrt(list_dot_product(b.e, b.e))) DESC,
+                           b.vec_id) AS rk
+            FROM v a JOIN v b ON a.vec_id <> b.vec_id)
+          WHERE rk <= 5),
+    deg AS (SELECT id_a, COUNT(*) AS dg FROM e GROUP BY id_a),
+    s0 AS (SELECT vec_id AS id, CAST(1000000 AS BIGINT) AS s FROM v)"""
+    ]
+    prev = "s0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""it{t} AS (
+      SELECT s0.id,
+             (15000000 + 85 * COALESCE(m.infl, 0)) // 100 AS s
+      FROM s0 LEFT JOIN (
+        SELECT e.id_b AS id, CAST(SUM(p.s // d.dg) AS BIGINT) AS infl
+        FROM e JOIN deg d ON d.id_a = e.id_a
+               JOIN {prev} p ON p.id = e.id_a
+        GROUP BY e.id_b) m ON m.id = s0.id)"""
+        )
+        prev = f"it{t}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT id, CAST(s AS BIGINT) AS pr_micro"
+        f" FROM {prev} ORDER BY id"
+    )
+
+
+@_register("pagerank_embeddings", _pagerank_oracle_sql())
+def pagerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E141: fixed-iteration PageRank (d=0.85, 3 rounds, integer
+    micro-units) over the E114 kNN graph's directed per-node top-5
+    cosine edges — link-structure centrality with NO seeds (the E120
+    propagation smooths seeded quality; this ranks nodes the graph
+    itself points at: hub documents in a similarity graph are cluster
+    centers). All-integer floor math, DuckDB mirror unrolled as
+    chained CTEs, value-hash exact. Same 500-node exact subgraph as
+    knn_graph_embeddings; at scale the edge input is the multi-probe
+    LSH graph and each round is one |E|-proportional join + groupBy."""
+    from mysql_syncer_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < 500
+    )
+    edges = similarity.knn_graph(emb, k=5, block=False).select(
+        "id_a", "id_b"
+    )
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    return similarity.pagerank(edges, nodes, iters=3).orderBy("id")

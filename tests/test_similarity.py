@@ -466,3 +466,84 @@ class TestPQ:
         codes = pq_encode(emb.limit(40), books)
         with _pytest.raises(ValueError, match="query dim"):
             pq_topk(codes, books, [1.0, 2.0], k=5)
+
+
+class TestPageRank:
+    """Fixed-iteration integer PageRank (E141): hand-computed rounds on
+    a 4-node graph, the teleport floor for unlinked nodes, dangling
+    semantics, determinism, validation."""
+
+    def _graph(self, spark):
+        # a -> b, a -> c, b -> c, c -> a ; d isolated (no in, no out)
+        edges = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")],
+            "id_a string, id_b string",
+        )
+        nodes = spark.createDataFrame(
+            [("a",), ("b",), ("c",), ("d",)], "id string"
+        )
+        return edges, nodes
+
+    def test_hand_computed_two_rounds(self, spark):
+        from mysql_syncer_spark.operators.similarity import pagerank
+
+        edges, nodes = self._graph(spark)
+        got = {
+            r["id"]: r["pr_micro"]
+            for r in pagerank(edges, nodes, iters=2, base=1_000_000).collect()
+        }
+        # round 1 (all start 1_000_000; outdeg a=2, b=1, c=1):
+        #   in(a) = 1_000_000//1             = 1_000_000
+        #   in(b) = 1_000_000//2             =   500_000
+        #   in(c) = 1_000_000//2 + 1_000_000 = 1_500_000
+        #   s1(x) = (teleport + 85*in(x)) // 100
+        t = (100 - 85) * 1_000_000  # 15_000_000
+        s1 = {
+            "a": (t + 85 * 1_000_000) // 100,   # 1_000_000
+            "b": (t + 85 * 500_000) // 100,     #   575_000
+            "c": (t + 85 * 1_500_000) // 100,   # 1_425_000
+            "d": t // 100,                      #   150_000
+        }
+        # round 2:
+        in2 = {
+            "a": s1["c"] // 1,
+            "b": s1["a"] // 2,
+            "c": s1["a"] // 2 + s1["b"] // 1,
+        }
+        want = {k: (t + 85 * in2.get(k, 0)) // 100 for k in s1}
+        assert got == want
+        # the isolated node sits exactly at the teleport floor
+        assert got["d"] == 150_000
+
+    def test_link_structure_ranks_hub_highest(self, spark):
+        from mysql_syncer_spark.operators.similarity import pagerank
+
+        edges, nodes = self._graph(spark)
+        got = {
+            r["id"]: r["pr_micro"]
+            for r in pagerank(edges, nodes, iters=3).collect()
+        }
+        # c receives from both a and b -> highest; d unlinked -> lowest
+        assert got["c"] == max(got.values())
+        assert got["d"] == min(got.values())
+
+    def test_deterministic_across_runs(self, spark):
+        from mysql_syncer_spark.operators.similarity import pagerank
+
+        edges, nodes = self._graph(spark)
+        a = sorted(tuple(r) for r in pagerank(edges, nodes, iters=3).collect())
+        b = sorted(tuple(r) for r in pagerank(edges, nodes, iters=3).collect())
+        assert a == b
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.similarity import pagerank
+
+        edges, nodes = self._graph(spark)
+        with _pytest.raises(ValueError, match="iters"):
+            pagerank(edges, nodes, iters=0)
+        with _pytest.raises(ValueError, match="d_num"):
+            pagerank(edges, nodes, d_num=0)
+        with _pytest.raises(ValueError, match="base"):
+            pagerank(edges, nodes, base=0)

@@ -248,6 +248,7 @@ HEADLINE = [
     "pmi_collocations_docs",
     "bitmap_distinct_users_events",
     "pagerank_embeddings",
+    "fd_audit_orders",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

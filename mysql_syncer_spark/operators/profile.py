@@ -260,3 +260,52 @@ def profile_drift(
             9,
         ).alias("null_rate_delta"),
     )
+
+
+def fd_audit(
+    df: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency audit: for each candidate ``(determinant,
+    dependent)`` pair, does ``determinant -> dependent`` hold — i.e.
+    does every determinant value map to exactly one dependent value?
+    The schema-discovery primitive (is o_custkey -> c_nationkey a real
+    FK-path invariant? is zip -> city clean enough to normalize out?)
+    and the data-QA screen (violations = corrupt or genuinely
+    multivalued).
+
+    Per pair: ONE combinable groupBy on the determinant counting
+    distinct dependents; a determinant value with > 1 distinct
+    dependents (NULLs excluded — an absent dependent contradicts
+    nothing) is a violating key. Output, one row per candidate pair:
+    ``(determinant, dependent, n_keys, n_violating_keys, holds)``.
+    Pairs are independent plans unioned together — each is
+    aggregation-only (no joins), so the audit over k pairs costs k
+    column-pruned scans that AQE runs concurrently; at 100 TB submit
+    the pairs that share a determinant together (same shuffle key)."""
+    if not pairs:
+        raise ValueError("pairs must be non-empty")
+    outs = []
+    for det, dep in pairs:
+        if det == dep:
+            raise ValueError(f"determinant == dependent: {det!r}")
+        per_key = (
+            df.groupBy(F.col(det).alias("__k"))
+            .agg(F.count_distinct(F.col(dep)).alias("__nd"))
+        )
+        outs.append(
+            per_key.agg(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum((F.col("__nd") > 1).cast("long")).alias(
+                    "n_violating_keys"
+                ),
+                (F.sum((F.col("__nd") > 1).cast("long")) == 0).alias(
+                    "holds"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

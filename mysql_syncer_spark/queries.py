@@ -536,6 +536,9 @@ _DEMOTED: tuple[str, ...] = (
     # PageRank (E141): the per-round join+groupBy kernel is in-window
     # via the promoted quality_propagate row (same E120 discipline).
     "pagerank_embeddings",
+    # FD audit (E142): the count-distinct groupBy kernel is in-window
+    # via k_anonymity/profile rows; per-pair mix oracle-stated.
+    "fd_audit_orders",
 )
 
 
@@ -7163,3 +7166,55 @@ def pagerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = emb.select(F.col("vec_id").alias("id"))
     return similarity.pagerank(edges, nodes, iters=3).orderBy("id")
+
+
+@_register(
+    "fd_audit_orders",
+    """WITH g1 AS (SELECT o_orderkey AS k,
+                          COUNT(DISTINCT o_custkey) AS nd
+                   FROM orders GROUP BY 1),
+         g2 AS (SELECT o_custkey AS k,
+                       COUNT(DISTINCT o_orderpriority) AS nd
+                FROM orders GROUP BY 1),
+         g3 AS (SELECT o_orderpriority AS k,
+                       COUNT(DISTINCT o_orderstatus) AS nd
+                FROM orders GROUP BY 1)
+       SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+              CAST(COUNT(*) AS BIGINT) AS n_keys,
+              CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_violating_keys,
+              SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+       FROM g1
+       UNION ALL
+       SELECT 'o_custkey', 'o_orderpriority',
+              CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+              SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+       FROM g2
+       UNION ALL
+       SELECT 'o_orderpriority', 'o_orderstatus',
+              CAST(COUNT(*) AS BIGINT),
+              CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+              SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+       FROM g3
+       ORDER BY determinant""",
+)
+def fd_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E142: functional-dependency audit over orders — does
+    o_orderkey -> o_custkey hold (PK determines everything: yes, the
+    clean-schema law), does o_custkey -> o_orderpriority (no: a
+    customer orders at many priorities — a genuinely multivalued
+    pair), does o_orderpriority -> o_orderstatus (no)? One combinable
+    count-distinct groupBy per candidate pair, aggregation-only
+    plans unioned — the schema-discovery / integrity screen."""
+    from mysql_syncer_spark.operators.profile import fd_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    return fd_audit(
+        orders,
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_orderpriority", "o_orderstatus"),
+        ],
+    ).orderBy("determinant")

@@ -193,3 +193,52 @@ class TestProfileDrift:
         new = spark.createDataFrame([(i,) for i in range(7)], "id long")
         r = profile_drift(old, new).collect()[0]
         assert (r.n_rows_a, r.n_rows_b) == (10, 7)
+
+
+class TestFDAudit:
+    """Functional-dependency audit (E142): hand-built holds/violations,
+    NULL semantics (NULL dependent contradicts nothing; NULL
+    determinant is a key like any other), validation."""
+
+    def test_holds_and_violations(self, spark):
+        from mysql_syncer_spark.operators.profile import fd_audit
+
+        df = spark.createDataFrame(
+            [("94110", "SF", "CA"), ("94110", "SF", "CA"),
+             ("10115", "Berlin", "BE"), ("10115", "Bärlin", "BE")],
+            "zip string, city string, state string",
+        )
+        got = {
+            (r["determinant"], r["dependent"]): (
+                r["n_keys"], r["n_violating_keys"], r["holds"]
+            )
+            for r in fd_audit(
+                df, [("zip", "state"), ("zip", "city"), ("state", "zip")]
+            ).collect()
+        }
+        assert got[("zip", "state")] == (2, 0, True)
+        assert got[("zip", "city")] == (2, 1, False)  # Berlin typo
+        assert got[("state", "zip")] == (2, 0, True)
+
+    def test_null_semantics(self, spark):
+        from mysql_syncer_spark.operators.profile import fd_audit
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", None), ("b", None), (None, "y"), (None, "y")],
+            "k string, v string",
+        )
+        r = fd_audit(df, [("k", "v")]).first()
+        # NULL dependent contradicts nothing: 'a' maps to {x}, holds;
+        # 'b' maps to {}, holds; NULL determinant is its own key
+        assert (r["n_keys"], r["n_violating_keys"], r["holds"]) == (3, 0, True)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.profile import fd_audit
+
+        df = spark.createDataFrame([("a", "b")], "k string, v string")
+        with _pytest.raises(ValueError, match="non-empty"):
+            fd_audit(df, [])
+        with _pytest.raises(ValueError, match="determinant == dependent"):
+            fd_audit(df, [("k", "k")])

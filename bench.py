@@ -249,6 +249,7 @@ HEADLINE = [
     "bitmap_distinct_users_events",
     "pagerank_embeddings",
     "fd_audit_orders",
+    "benford_screen_events",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

@@ -309,3 +309,77 @@ def fd_audit(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+#: Benford first-digit probabilities log10(1 + 1/d), d = 1..9, as
+#: 17-significant-digit literals — both engines parse the identical
+#: decimal string to the identical IEEE double, so the chi-square
+#: below has no cross-engine float boundary.
+BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829993,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_screen(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    min_rows: int = 100,
+) -> DataFrame:
+    """Benford first-digit integrity screen per group: naturally
+    occurring multi-magnitude amounts follow P(d) = log10(1 + 1/d);
+    fabricated, capped, or unit-defaulted values don't — a high
+    chi-square against Benford is the classic books-audit flag
+    (Nigrini), useful here as a data-forensics pass over ingested
+    numeric feeds. First digit = leading digit of |value| (sign and
+    decimal point are magnitude artifacts); zero/NULL values carry no
+    leading digit and are excluded. Output per group: ``(group_cols...,
+    n_rows, chi2, suspicious)`` with ``chi2 = Σ_d (obs_d − e_d)²/e_d``
+    (e_d = P(d)·n) and ``suspicious = chi2 > 20.09`` (χ²₈ at p=0.01).
+    Groups under ``min_rows`` are excluded — the test has no power
+    there. ONE combinable groupBy with nine pivoted conditional counts
+    (digit extraction is row-local codegen); the chi-square is the
+    nine per-digit terms added in FIXED digit order, so both engines
+    produce the identical IEEE double — no fold-order boundary."""
+    if min_rows < 1:
+        raise ValueError(f"min_rows must be >= 1, got {min_rows}")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    d = F.substring(
+        F.regexp_replace(
+            F.format_string("%.15e", F.abs(F.col(value_col))), r"[.]", ""
+        ),
+        1,
+        1,
+    ).cast("int")
+    src = (
+        df.where(F.col(value_col).isNotNull() & (F.col(value_col) != 0))
+        .withColumn("__d", d)
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
+        F.sum((F.col("__d") == dd).cast("long")).alias(f"__c{dd}")
+        for dd in range(1, 10)
+    ]
+    per_group = src.groupBy(*group_cols).agg(*aggs)
+    chi2 = None
+    for dd, p_d in BENFORD_P.items():
+        e = F.lit(p_d) * F.col("n_rows")
+        term = (F.col(f"__c{dd}") - e) * (F.col(f"__c{dd}") - e) / e
+        chi2 = term if chi2 is None else chi2 + term
+    return (
+        per_group.where(F.col("n_rows") >= min_rows)
+        .select(
+            *group_cols,
+            "n_rows",
+            F.round(chi2, 6).alias("chi2"),
+            (chi2 > 20.09).alias("suspicious"),
+        )
+    )

@@ -539,6 +539,9 @@ _DEMOTED: tuple[str, ...] = (
     # FD audit (E142): the count-distinct groupBy kernel is in-window
     # via k_anonymity/profile rows; per-pair mix oracle-stated.
     "fd_audit_orders",
+    # Benford screen (E143): the pivoted conditional-count kernel is
+    # in-window via pivot/cube rows; fixed-order float law in pytest.
+    "benford_screen_events",
 )
 
 
@@ -7218,3 +7221,48 @@ def fd_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("o_orderpriority", "o_orderstatus"),
         ],
     ).orderBy("determinant")
+
+
+@_register(
+    "benford_screen_events",
+    r"""WITH src AS (
+         SELECT event_type,
+                CAST(substr(regexp_replace(
+                    format('{:.15e}', abs(value)), '\.', ''),
+                    1, 1) AS INT) AS d
+         FROM events WHERE value IS NOT NULL AND value <> 0),
+       g AS (
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1, CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2, CAST(SUM(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3, CAST(SUM(CASE WHEN d = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4, CAST(SUM(CASE WHEN d = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5, CAST(SUM(CASE WHEN d = 6 THEN 1 ELSE 0 END) AS BIGINT) AS c6, CAST(SUM(CASE WHEN d = 7 THEN 1 ELSE 0 END) AS BIGINT) AS c7, CAST(SUM(CASE WHEN d = 8 THEN 1 ELSE 0 END) AS BIGINT) AS c8, CAST(SUM(CASE WHEN d = 9 THEN 1 ELSE 0 END) AS BIGINT) AS c9
+         FROM src GROUP BY event_type),
+       sc AS (
+         SELECT event_type, n_rows,
+                (c1 - 0.3010299956639812::DOUBLE * n_rows) * (c1 - 0.3010299956639812::DOUBLE * n_rows) / (0.3010299956639812::DOUBLE * n_rows)
+                + (c2 - 0.17609125905568124::DOUBLE * n_rows) * (c2 - 0.17609125905568124::DOUBLE * n_rows) / (0.17609125905568124::DOUBLE * n_rows)
+                + (c3 - 0.12493873660829993::DOUBLE * n_rows) * (c3 - 0.12493873660829993::DOUBLE * n_rows) / (0.12493873660829993::DOUBLE * n_rows)
+                + (c4 - 0.09691001300805642::DOUBLE * n_rows) * (c4 - 0.09691001300805642::DOUBLE * n_rows) / (0.09691001300805642::DOUBLE * n_rows)
+                + (c5 - 0.07918124604762482::DOUBLE * n_rows) * (c5 - 0.07918124604762482::DOUBLE * n_rows) / (0.07918124604762482::DOUBLE * n_rows)
+                + (c6 - 0.06694678963061322::DOUBLE * n_rows) * (c6 - 0.06694678963061322::DOUBLE * n_rows) / (0.06694678963061322::DOUBLE * n_rows)
+                + (c7 - 0.05799194697768673::DOUBLE * n_rows) * (c7 - 0.05799194697768673::DOUBLE * n_rows) / (0.05799194697768673::DOUBLE * n_rows)
+                + (c8 - 0.05115252244738129::DOUBLE * n_rows) * (c8 - 0.05115252244738129::DOUBLE * n_rows) / (0.05115252244738129::DOUBLE * n_rows)
+                + (c9 - 0.04575749056067514::DOUBLE * n_rows) * (c9 - 0.04575749056067514::DOUBLE * n_rows) / (0.04575749056067514::DOUBLE * n_rows) AS chi2
+         FROM g WHERE n_rows >= 100)
+       SELECT event_type, n_rows, ROUND(chi2, 6) AS chi2,
+              chi2 > 20.09 AS suspicious
+       FROM sc ORDER BY event_type""",
+)
+def benford_screen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E143: Benford first-digit integrity screen (Nigrini) per event
+    type over the value feed — naturally occurring multi-magnitude
+    amounts follow P(d) = log10(1 + 1/d); capped, fabricated, or
+    unit-defaulted feeds don't, and the chi-square against Benford
+    flags them (chi2 > 20.09 = χ²₈ at p=0.01). ONE combinable groupBy
+    with nine pivoted conditional counts; the chi-square adds the nine
+    terms in fixed digit order with 17-digit probability literals, so
+    both engines produce the identical IEEE double."""
+    from mysql_syncer_spark.operators.profile import benford_screen
+
+    ev = load_table(spark, sf_dir, "events")
+    return benford_screen(ev, ["event_type"], "value", min_rows=100).orderBy(
+        "event_type"
+    )

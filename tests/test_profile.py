@@ -242,3 +242,70 @@ class TestFDAudit:
             fd_audit(df, [])
         with _pytest.raises(ValueError, match="determinant == dependent"):
             fd_audit(df, [("k", "k")])
+
+
+class TestBenfordScreen:
+    """Benford first-digit screen (E143): digit extraction edges,
+    a Benford-conforming sample passes while a uniform-digit sample
+    fails, zero/NULL exclusion, min_rows power guard, validation."""
+
+    def test_digit_extraction_edges(self, spark):
+        from mysql_syncer_spark.operators.profile import benford_screen
+
+        # negatives and sub-1 magnitudes: |-0.042| -> 4; 0.9 -> 9;
+        # 1234 -> 1 — build a group where digit identity decides chi2
+        import math
+
+        from mysql_syncer_spark.operators.profile import BENFORD_P
+
+        rows = [("g", v) for v in (-0.042, 0.9, 1234.0)] * 40
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = benford_screen(df, ["g"], "v", min_rows=100).first()
+        assert r["n_rows"] == 120
+        # digits 1/4/9 each observed 40x; chi2 computable by hand
+        n = 120
+        chi = sum(
+            (obs - p * n) ** 2 / (p * n)
+            for d, p in BENFORD_P.items()
+            for obs in [40 if d in (1, 4, 9) else 0]
+        )
+        assert abs(r["chi2"] - chi) < 1e-4
+
+    def test_benford_sample_passes_uniform_fails(self, spark):
+        import math
+
+        from mysql_syncer_spark.operators.profile import benford_screen
+
+        # Benford-conforming: n=1000 values whose first digits follow
+        # P(d) exactly (to rounding); uniform: 9 digits equally often
+        from mysql_syncer_spark.operators.profile import BENFORD_P
+
+        benford_rows = []
+        for d, p in BENFORD_P.items():
+            benford_rows += [("ok", float(d))] * round(p * 1000)
+        uniform_rows = [("bad", float(d)) for d in range(1, 10)] * 112
+        df = spark.createDataFrame(
+            benford_rows + uniform_rows, "g string, v double"
+        )
+        got = {
+            r["g"]: r["suspicious"]
+            for r in benford_screen(df, ["g"], "v", min_rows=100).collect()
+        }
+        assert got == {"ok": False, "bad": True}
+
+    def test_exclusions_and_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.profile import benford_screen
+
+        df = spark.createDataFrame(
+            [("g", 0.0), ("g", None), ("g", 1.0)], "g string, v double"
+        )
+        # zero and NULL excluded -> 1 usable row < min_rows -> no output
+        assert benford_screen(df, ["g"], "v", min_rows=100).count() == 0
+        r = benford_screen(df, ["g"], "v", min_rows=1).first()
+        assert r["n_rows"] == 1
+        with _pytest.raises(ValueError, match="min_rows"):
+            benford_screen(df, ["g"], "v", min_rows=0)
+        with _pytest.raises(ValueError, match="group_cols"):
+            benford_screen(df, [], "v")

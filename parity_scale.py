@@ -96,6 +96,15 @@ SCALE_QUERIES = [
     "jaccard_prefix_pairs_docs",
     "mad_outliers_events",
     "pmi_collocations_docs",
+    # round-7 fourth wave. fd_audit/l_diversity are customer/orders
+    # dims... fd_audit runs on orders (scaled) — included; benford and
+    # bitmap scale with events; pagerank is the fixed 500-node exact
+    # subgraph (sf-invariant by construction, included for regression
+    # value like quality_propagate).
+    "bitmap_distinct_users_events",
+    "pagerank_embeddings",
+    "fd_audit_orders",
+    "benford_screen_events",
 ]
 
 

@@ -250,6 +250,7 @@ HEADLINE = [
     "pagerank_embeddings",
     "fd_audit_orders",
     "benford_screen_events",
+    "mwu_drift_events",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

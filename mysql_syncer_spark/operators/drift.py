@@ -132,3 +132,75 @@ def psi_drift(
             9,
         ).alias("psi"),
     )
+
+
+def mwu_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    z_threshold: float = 2.5758,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) drift test between ``a`` and
+    ``b``'s ``value_col`` distributions — the rank-based member of the
+    drift trio (KS = max CDF gap, PSI = binned mass shift, MWU = does
+    one side STOCHASTICALLY DOMINATE): outliers can't move it (ranks
+    saturate) and no binning choice exists. 1 row ``(n_a, n_b, u_a,
+    z, drifted)`` with the normal approximation z = (U_a − n_a·n_b/2)
+    / σ, σ² tie-corrected: σ² = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1))).
+
+    Engine-exact by construction: average ranks are half-integers
+    (c − (t−1)/2 off the cumulative count window) and all rank sums
+    are dyadic rationals summed exactly in doubles (< 2^52), so U_a is
+    EXACT — and the z expression is a fixed operand-order double both
+    engines evaluate identically (sqrt is IEEE correctly-rounded).
+    Per-distinct-value counts via one combinable shuffle (the raw
+    stream never reaches the window, the ks_drift shape); the window
+    sees value-grain rows only. Degenerate inputs (all values tied →
+    σ = 0) emit NULL z and ``drifted = false``. NULLs excluded (no
+    rank)."""
+    va = a.select(F.col(value_col).alias("v")).where(F.col("v").isNotNull())
+    vb = b.select(F.col(value_col).alias("v")).where(F.col("v").isNotNull())
+    tagged = va.withColumn("__a", F.lit(1)).withColumn(
+        "__b", F.lit(0)
+    ).unionByName(
+        vb.withColumn("__a", F.lit(0)).withColumn("__b", F.lit(1))
+    )
+    per_value = tagged.groupBy("v").agg(
+        F.sum("__a").alias("n_a"), F.sum("__b").alias("n_b")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_value.select(
+        "n_a",
+        "n_b",
+        (F.col("n_a") + F.col("n_b")).alias("__t"),
+        F.sum(F.col("n_a") + F.col("n_b")).over(w).alias("__c"),
+    ).select(
+        "n_a",
+        "__t",
+        (F.col("__c") - (F.col("__t") - F.lit(1)) / 2.0).alias("__avg"),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("n_a")).cast("long").alias("__ta"),
+        F.sum(F.col("__t") - F.col("n_a")).cast("long").alias("__tb"),
+        F.sum(F.col("n_a") * F.col("__avg")).alias("__ra"),
+        F.sum(
+            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+        ).cast("long").alias("__ties"),
+    )
+    ta, tb = F.col("__ta"), F.col("__tb")
+    n = ta + tb
+    u_a = F.col("__ra") - ta.cast("double") * (ta + 1) / 2.0
+    mu = ta.cast("double") * tb / 2.0
+    var = (
+        ta.cast("double") * tb / 12.0
+    ) * ((n + 1) - F.col("__ties") / (n.cast("double") * (n - 1)))
+    z = F.when(var > 0, (u_a - mu) / F.sqrt(var))
+    return agg.select(
+        ta.alias("n_a"),
+        tb.alias("n_b"),
+        F.round(u_a, 6).alias("u_a"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(
+            F.abs(z) > F.lit(float(z_threshold)), F.lit(False)
+        ).alias("drifted"),
+    )

@@ -542,6 +542,9 @@ _DEMOTED: tuple[str, ...] = (
     # Benford screen (E143): the pivoted conditional-count kernel is
     # in-window via pivot/cube rows; fixed-order float law in pytest.
     "benford_screen_events",
+    # MWU drift (E144): the value-grain cumulative-window kernel is
+    # in-window via the ks_drift machinery (same shape, rank-based).
+    "mwu_drift_events",
 )
 
 
@@ -7265,4 +7268,60 @@ def benford_screen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return benford_screen(ev, ["event_type"], "value", min_rows=100).orderBy(
         "event_type"
+    )
+
+
+@_register(
+    "mwu_drift_events",
+    """WITH va AS (SELECT value AS v FROM events
+                   WHERE event_type = 'click' AND value IS NOT NULL),
+         vb AS (SELECT value AS v FROM events
+                   WHERE event_type = 'error' AND value IS NOT NULL),
+         pv AS (SELECT v, SUM(a) AS n_a, SUM(b) AS n_b
+                FROM (SELECT v, 1 AS a, 0 AS b FROM va
+                      UNION ALL
+                      SELECT v, 0, 1 FROM vb)
+                GROUP BY v),
+         rk AS (SELECT n_a, (n_a + n_b) AS t,
+                       SUM(n_a + n_b) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND
+                           CURRENT ROW)
+                         - ((n_a + n_b) - 1) / 2.0 AS avg_rank
+                FROM pv),
+         ag AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+                       CAST(SUM(t - n_a) AS BIGINT) AS tb,
+                       SUM(n_a * avg_rank) AS ra,
+                       CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+                FROM rk),
+         st AS (SELECT ta, tb,
+                       ra - CAST(ta AS DOUBLE) * (ta + 1) / 2.0 AS u_a,
+                       CAST(ta AS DOUBLE) * tb / 2.0 AS mu,
+                       (CAST(ta AS DOUBLE) * tb / 12.0)
+                         * ((ta + tb + 1) - ties /
+                            (CAST(ta + tb AS DOUBLE) * (ta + tb - 1)))
+                           AS var
+                FROM ag)
+       SELECT ta AS n_a, tb AS n_b, ROUND(u_a, 6) AS u_a,
+              ROUND(CASE WHEN var > 0
+                         THEN (u_a - mu) / sqrt(var) END, 6) AS z,
+              COALESCE(ABS(CASE WHEN var > 0
+                         THEN (u_a - mu) / sqrt(var) END) > 2.5758,
+                       FALSE) AS drifted
+       FROM st""",
+)
+def mwu_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E144: Mann-Whitney U (rank-sum) drift between the click and
+    error events' value distributions — the rank-based member of the
+    drift trio (KS E98a = max CDF gap, PSI E98b = binned mass shift,
+    MWU = stochastic dominance; outliers saturate in ranks, no binning
+    choice). Average ranks are half-integers off the value-grain
+    cumulative window, so U is EXACT; the tie-corrected z is one
+    fixed-order double expression both engines share."""
+    from mysql_syncer_spark.operators.drift import mwu_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return mwu_drift(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "error"),
+        "value",
     )

@@ -70,3 +70,52 @@ class TestPsiDrift:
             psi_drift(a, a, "value", 0.0, 1.0, bins=1)
         with pytest.raises(ValueError):
             psi_drift(a, a, "value", 2.0, 1.0)
+
+
+class TestMWUDrift:
+    """Mann-Whitney U drift (E144): U equals the pair-counting
+    definition (#(a>b) + ties/2) on hand data, tie handling,
+    stochastic-dominance flags, the all-tied degenerate case, NULL
+    exclusion, and outlier robustness vs what a mean-based test sees."""
+
+    def _mwu(self, spark, a_vals, b_vals):
+        from mysql_syncer_spark.operators.drift import mwu_drift
+
+        a = spark.createDataFrame([(v,) for v in a_vals], "value double")
+        b = spark.createDataFrame([(v,) for v in b_vals], "value double")
+        return mwu_drift(a, b, "value").first()
+
+    def test_u_equals_pair_counting(self, spark):
+        a_vals = [1.0, 3.0, 3.0, 7.0]
+        b_vals = [2.0, 3.0, 5.0]
+        r = self._mwu(spark, a_vals, b_vals)
+        want_u = sum(
+            1.0 if x > y else 0.5 if x == y else 0.0
+            for x in a_vals for y in b_vals
+        )
+        assert (r["n_a"], r["n_b"], r["u_a"]) == (4, 3, want_u)
+
+    def test_dominance_drifts(self, spark):
+        # b strictly dominates a -> extreme z, flagged
+        r = self._mwu(spark, [float(i) for i in range(50)],
+                      [float(i + 100) for i in range(50)])
+        assert r["u_a"] == 0.0 and r["drifted"] is True and r["z"] < -2.5758
+
+    def test_all_tied_degenerate(self, spark):
+        r = self._mwu(spark, [5.0] * 10, [5.0] * 10)
+        assert r["z"] is None and r["drifted"] is False
+        assert r["u_a"] == 50.0  # all ties at half credit
+
+    def test_null_exclusion(self, spark):
+        r = self._mwu(spark, [1.0, None, 2.0], [3.0, None])
+        assert (r["n_a"], r["n_b"]) == (2, 1)
+
+    def test_rank_saturation_vs_outlier(self, spark):
+        """One enormous outlier moves U by at most its rank step —
+        the same samples with/without the outlier blowup give nearly
+        the same z (the robustness KS/mean tests don't have)."""
+        base_a = [float(i) for i in range(1, 101)]
+        base_b = [float(i) + 0.5 for i in range(1, 101)]
+        z_plain = self._mwu(spark, base_a, base_b)["z"]
+        z_poison = self._mwu(spark, base_a, base_b[:-1] + [1e12])["z"]
+        assert abs(z_plain - z_poison) < 0.2

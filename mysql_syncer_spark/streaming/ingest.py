@@ -403,3 +403,72 @@ def quantile_maintain_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def bitmap_maintain_stream(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    grain_cols: list[str],
+    key_col: str,
+    available_now: bool = True,
+    on_batch_committed=None,
+):
+    """Maintain persisted EXACT distinct-count state (E140 bitmap
+    rollups) over a live stream: each micro-batch's (grain, bucket)
+    bitmaps OR-merge into the parquet state at ``state_path`` —
+    exact distinct users/keys per grain over an unbounded stream,
+    queryable any time with ``bitmap_distinct_over``.
+
+    Replay contract — EXACT convergence BY ALGEBRA, the strongest of
+    the three maintainers: OR over bit sets is IDEMPOTENT, so a batch
+    replayed after any crash (even after the swap committed) merges to
+    the identical state — no drift direction to reason about (CMS) and
+    no high-water mark needed (quantiles). Same staging + rename swap
+    and ``__old__`` recovery branch as ``cms_maintain_stream``.
+
+    ``on_batch_committed(batch_id)`` runs after the swap, before the
+    checkpoint commit (fault-injection hook)."""
+    from mysql_syncer_spark.operators.sketches import (
+        bitmap_rollup,
+        bitmap_rollup_merge,
+    )
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        batch_state = bitmap_rollup(batch, grain_cols, key_col)
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = path.getFileSystem(jsc)
+        old = jvm.org.apache.hadoop.fs.Path(state_path + ".__old__")
+        if fs.exists(old) and not fs.exists(path):
+            fs.rename(old, path)
+        if fs.exists(path):
+            prior = spark.read.parquet(state_path)
+            merged = bitmap_rollup_merge(prior, batch_state, grain_cols)
+        else:
+            merged = batch_state
+        merged = merged.localCheckpoint(eager=True)
+        staging = jvm.org.apache.hadoop.fs.Path(
+            state_path + ".__staging__"
+        )
+        merged.write.mode("overwrite").parquet(str(staging))
+        if fs.exists(old):
+            fs.delete(old, True)
+        if fs.exists(path):
+            fs.rename(path, old)
+        fs.rename(staging, path)
+        if fs.exists(old):
+            fs.delete(old, True)
+        if on_batch_committed is not None:
+            on_batch_committed(batch_id)
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(
+        fold
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -724,3 +724,115 @@ class TestQuantileMaintainStream:
         q.awaitTermination(180)
         assert replayed, "restart did not replay the uncommitted batch"
         assert self._summary(spark, path) == golden  # EXACT, no drift
+
+
+class TestBitmapMaintainStream:
+    """Streaming exact-distinct maintenance (E140's live twin): (1)
+    streamed state == batch rollup over the union; (2) EXACT replay
+    convergence BY ALGEBRA — OR over bit sets is idempotent, so a
+    crash after the swap but before the checkpoint commit, then
+    restart (which RE-APPLIES the batch), still converges to the
+    uninterrupted state. No drift direction, no high-water mark."""
+
+    BATCHES = [
+        [("click", 1), ("click", 2), ("buy", 1)],
+        [("click", 2), ("click", 70001), ("buy", 9)],
+    ]
+
+    def _write_batches(self, src):
+        import json as _json
+        import os
+        import time
+
+        base = time.time() - 100
+        for i, rows in enumerate(self.BATCHES):
+            p = src / f"b{i}.json"
+            p.write_text(
+                "\n".join(
+                    _json.dumps({"g": g, "k": k}) for g, k in rows
+                )
+            )
+            os.utime(p, (base + i * 10, base + i * 10))
+
+    def _stream(self, spark, src):
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [T.StructField("g", T.StringType()),
+             T.StructField("k", T.LongType())]
+        )
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    def _distincts(self, spark, path):
+        from mysql_syncer_spark.operators.sketches import (
+            bitmap_distinct_over,
+        )
+
+        return {
+            r["g"]: r["n_distinct"]
+            for r in bitmap_distinct_over(
+                spark.read.parquet(path), ["g"]
+            ).collect()
+        }
+
+    def test_streamed_equals_batch_twin(self, spark, tmp_path):
+        from mysql_syncer_spark.streaming.ingest import (
+            bitmap_maintain_stream,
+        )
+
+        src = tmp_path / "bm_in"
+        src.mkdir()
+        self._write_batches(src)
+        path = str(tmp_path / "bm_state")
+        q = bitmap_maintain_stream(
+            self._stream(spark, src), path, str(tmp_path / "bm_ck"),
+            ["g"], "k",
+        )
+        q.awaitTermination(180)
+        # union distincts: click {1,2,70001} = 3, buy {1,9} = 2
+        assert self._distincts(spark, path) == {"click": 3, "buy": 2}
+
+    def test_replay_converges_by_idempotence(self, spark, tmp_path):
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        from mysql_syncer_spark.streaming.ingest import (
+            bitmap_maintain_stream,
+        )
+
+        src = tmp_path / "bmc_in"
+        src.mkdir()
+        self._write_batches(src)
+        path = str(tmp_path / "bmc_state")
+        ckpt = str(tmp_path / "bmc_ck")
+        seen = []
+
+        def crash_on_second(batch_id):
+            seen.append(batch_id)
+            if len(seen) == 2:
+                raise RuntimeError("injected crash in the replay window")
+
+        q = bitmap_maintain_stream(
+            self._stream(spark, src), path, ckpt, ["g"], "k",
+            on_batch_committed=crash_on_second,
+        )
+        try:
+            q.awaitTermination(180)
+        except StreamingQueryException:
+            pass
+        assert len(seen) == 2  # second swap committed, checkpoint didn't
+
+        # restart replays batch 1; the OR re-merge is a no-op by algebra
+        replayed = []
+        q = bitmap_maintain_stream(
+            self._stream(spark, src), path, ckpt, ["g"], "k",
+            on_batch_committed=replayed.append,
+        )
+        q.awaitTermination(180)
+        assert replayed, "restart did not replay the uncommitted batch"
+        assert self._distincts(spark, path) == {"click": 3, "buy": 2}

@@ -264,6 +264,16 @@ def run_tail_smoke() -> None:
         "video_near_dup_media",
         "knn_graph_embeddings",
         "scrub_repeated_windows_docs",
+        # r7 third/fourth wave: the scale-relevant new keys (jaccard
+        # prefix join, quantile fold, hybrid legs, MAD windows, PMI,
+        # bitmap state, drift rank windows)
+        "jaccard_prefix_pairs_docs",
+        "quantile_sketch_lineitem",
+        "hybrid_search_docs",
+        "mad_outliers_events",
+        "pmi_collocations_docs",
+        "bitmap_distinct_users_events",
+        "mwu_drift_events",
     ]
     only = set(sys.argv[2:])
     if only:

@@ -551,3 +551,51 @@ def test_pmi_marginals_derive_from_counts(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-7 fourth wave: bitmap rollups, FD audit, Benford, MWU drift.
+# (pagerank is gated by its pytest laws instead: its query function
+# cuts lineage with eager localCheckpoints, so the final plan is a
+# checkpoint scan — nothing structural left to assert.)
+# ---------------------------------------------------------------------------
+
+
+def test_bitmap_rollup_joinfree_and_pruned(spark, sf_dir):
+    """The whole rollup -> regroup -> popcount pipeline is aggregation
+    only — no join of any kind — over a 3-column pruned scan."""
+    plan = plan_of(spark, "bitmap_distinct_users_events", sf_dir)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert (
+        "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint,"
+        "event_type:string>" in plan
+    )
+
+
+def test_fd_audit_prunes_per_pair(spark, sf_dir):
+    """Each candidate pair's branch reads ONLY its two columns (the
+    union must not widen the scans), and no branch joins."""
+    plan = plan_of(spark, "fd_audit_orders", sf_dir)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>" in plan
+    assert (
+        "ReadSchema: struct<o_custkey:bigint,o_orderpriority:string>"
+        in plan
+    )
+
+
+def test_benford_single_groupby(spark, sf_dir):
+    """Nine pivoted conditional counts ride ONE combinable groupBy —
+    join-free, two exchanges (partial/final), 2-column scan."""
+    plan = plan_of(spark, "benford_screen_events", sf_dir)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "ReadSchema: struct<event_type:string,value:double>" in plan
+    assert plan.count(") Exchange") <= 2
+
+
+def test_mwu_value_grain_window(spark, sf_dir):
+    """The raw stream is reduced to value-grain rows by a combinable
+    groupBy BEFORE any window; no join appears anywhere."""
+    plan = plan_of(spark, "mwu_drift_events", sf_dir)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count(") Exchange") <= 2

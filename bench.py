@@ -251,6 +251,7 @@ HEADLINE = [
     "fd_audit_orders",
     "benford_screen_events",
     "mwu_drift_events",
+    "theil_sen_trend_events",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

@@ -143,3 +143,63 @@ def mad_outliers(
         )
         .drop("__dev")
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Theil-Sen robust trend: the slope is the exact
+    DISCRETE median of all pairwise slopes (y_j − y_i)/(x_j − x_i)
+    over x_i < x_j — the estimator that tolerates ~29% contaminated
+    points where OLS (:func:`group_trends`) is moved by one (same
+    robust pairing as median/MAD vs mean/stddev). Returns one row per
+    group: ``(group_cols..., n_points, n_pairs, slope)``.
+
+    The pair join is QUADRATIC IN POINTS by definition — standard
+    practice (followed here) is to run it on a bounded pre-aggregated
+    series (daily/hourly rollups, ≤ thousands of points per group),
+    where n(n−1)/2 pairs is trivial; the join is group-keyed so groups
+    never multiply against each other. Each pairwise slope is one
+    double division both engines evaluate identically, and the median
+    picks an ACTUAL slope (the :func:`group_median_disc` ceil(n/2)
+    rule) — no averaging, no float-order boundary. Groups with < 2
+    points emit NULL slope (no pair exists); NULL x or y rows are
+    excluded."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    src = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(*group_cols, F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+    a = src
+    b = (
+        src.withColumnRenamed("__x", "__x2")
+        .withColumnRenamed("__y", "__y2")
+    )
+    pairs = a.join(b, group_cols).where(F.col("__x") < F.col("__x2"))
+    slopes = pairs.select(
+        *group_cols,
+        (
+            (F.col("__y2") - F.col("__y"))
+            / (F.col("__x2") - F.col("__x")).cast("double")
+        ).alias("__slope"),
+    )
+    med = group_median_disc(slopes, group_cols, "__slope", "slope")
+    stats = src.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    n_pairs = slopes.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    return (
+        stats.join(n_pairs, group_cols, "left")
+        .join(med, group_cols, "left")
+        .select(
+            *group_cols,
+            "n_points",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            "slope",
+        )
+    )

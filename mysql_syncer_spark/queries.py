@@ -545,6 +545,10 @@ _DEMOTED: tuple[str, ...] = (
     # MWU drift (E144): the value-grain cumulative-window kernel is
     # in-window via the ks_drift machinery (same shape, rank-based).
     "mwu_drift_events",
+    # Theil-Sen (E146): the group-keyed pair join + rank-median kernel
+    # is in-window via group_quantiles/interval rows; robust law in
+    # pytest against the in-window OLS trend row.
+    "theil_sen_trend_events",
 )
 
 
@@ -7334,3 +7338,58 @@ def mwu_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "error"),
         "value",
     )
+
+
+@_register(
+    "theil_sen_trend_events",
+    """WITH daily AS (
+         SELECT event_type,
+                date_diff('day', DATE '2024-01-01',
+                          CAST(date_trunc('day', ts) AS DATE)) AS x,
+                AVG(value) AS y
+         FROM events WHERE value IS NOT NULL
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT a.event_type,
+                (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS s
+         FROM daily a JOIN daily b
+           ON a.event_type = b.event_type AND a.x < b.x),
+       med AS (
+         SELECT event_type, quantile_disc(s, 0.5) AS slope,
+                CAST(COUNT(*) AS BIGINT) AS n_pairs
+         FROM pairs GROUP BY event_type),
+       pts AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points
+               FROM daily GROUP BY event_type)
+       SELECT p.event_type, p.n_points,
+              COALESCE(m.n_pairs, 0) AS n_pairs,
+              ROUND(m.slope, 6) AS slope
+       FROM pts p LEFT JOIN med m USING (event_type)
+       ORDER BY p.event_type""",
+)
+def theil_sen_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E146: Theil-Sen robust trend of the per-type DAILY MEAN value
+    over day index — the estimator one corrupted day can't move where
+    OLS (E130 trend_events) follows it (the robust pairing: median/MAD
+    is to mean/stddev as Theil-Sen is to OLS). Slope = exact discrete
+    median of all pairwise day-to-day slopes over the ~30-point daily
+    series (the standard bounded pre-aggregation — quadratic only in
+    DAYS, group-keyed join, never events x events)."""
+    from mysql_syncer_spark.operators.stats import theil_sen
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            ).alias("x"),
+        )
+        .agg(F.avg("value").alias("y"))
+    )
+    out = theil_sen(daily, ["event_type"], "x", "y")
+    return out.select(
+        "event_type", "n_points", "n_pairs",
+        F.round("slope", 6).alias("slope"),
+    ).orderBy("event_type")

@@ -163,3 +163,60 @@ class TestMADOutliers:
             mad_outliers(df, ["g"], "v", c=0)
         with _pytest.raises(ValueError, match="group_cols"):
             group_median_disc(df, [], "v", "m")
+
+
+class TestTheilSen:
+    """Theil-Sen robust trend (E146): exact slope on clean lines, the
+    contamination-resistance property OLS lacks, < 2-point groups,
+    NULL exclusion, validation."""
+
+    def test_exact_on_clean_line(self, spark):
+        from mysql_syncer_spark.operators.stats import theil_sen
+
+        df = spark.createDataFrame(
+            [("g", float(x), 2.0 * x + 1.0) for x in range(10)],
+            "g string, x double, y double",
+        )
+        r = theil_sen(df, ["g"], "x", "y").first()
+        assert (r["n_points"], r["n_pairs"], r["slope"]) == (10, 45, 2.0)
+
+    def test_contamination_resistance_vs_ols(self, spark):
+        """One wild point: OLS slope moves by orders of magnitude,
+        Theil-Sen stays at the clean slope (every pair involving the
+        outlier is outvoted in the median)."""
+        from mysql_syncer_spark.operators.stats import (
+            group_trends,
+            theil_sen,
+        )
+
+        pts = [("g", float(x), 2.0 * x) for x in range(20)]
+        pts[10] = ("g", 10.0, 1e6)  # corrupted day
+        df = spark.createDataFrame(pts, "g string, x double, y double")
+        ts = theil_sen(df, ["g"], "x", "y").first()["slope"]
+        ols = group_trends(df, ["g"], "x", "y").first()["slope"]
+        assert abs(ts - 2.0) < 0.3
+        assert abs(ols - 2.0) > 100  # OLS followed the poison point
+
+    def test_small_groups_and_nulls(self, spark):
+        from mysql_syncer_spark.operators.stats import theil_sen
+
+        df = spark.createDataFrame(
+            [("one", 1.0, 5.0),
+             ("two", 1.0, 1.0), ("two", 2.0, None), ("two", 3.0, 5.0)],
+            "g string, x double, y double",
+        )
+        got = {
+            r["g"]: (r["n_points"], r["n_pairs"], r["slope"])
+            for r in theil_sen(df, ["g"], "x", "y").collect()
+        }
+        assert got["one"] == (1, 0, None)       # no pair exists
+        assert got["two"] == (2, 1, 2.0)        # NULL y excluded
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.stats import theil_sen
+
+        df = spark.createDataFrame([("g", 1.0, 1.0)], "g string, x double, y double")
+        with _pytest.raises(ValueError, match="group_cols"):
+            theil_sen(df, [], "x", "y")

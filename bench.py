@@ -252,6 +252,7 @@ HEADLINE = [
     "benford_screen_events",
     "mwu_drift_events",
     "theil_sen_trend_events",
+    "entropy_mix_events",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

@@ -203,3 +203,64 @@ def theil_sen(
             "slope",
         )
     )
+
+
+def category_entropy(
+    df: DataFrame,
+    group_cols: list[str],
+    cat_col: str,
+    categories: list[str],
+) -> DataFrame:
+    """Per-group Shannon entropy of an EXPLICIT category mix — the
+    feed-composition monitor (a pipeline shard/day whose source or
+    type mix collapses to one category shows entropy → 0; a uniform
+    mix shows ln k): ``H = −Σ_i (c_i/n)·ln(c_i/n)`` with 0·ln 0 = 0,
+    plus ``norm_entropy = H / ln k`` in [0, 1]. The category list is
+    explicit (not discovered) so the per-category counts pivot into
+    FIXED columns and the entropy sums in fixed category order — one
+    deterministic double expression both engines share (the Benford
+    discipline); rows outside the list are counted in ``n_other`` and
+    excluded from the mix (stated semantic). ONE combinable groupBy;
+    no join, no window."""
+    import math
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if len(categories) < 2:
+        raise ValueError(
+            f"need >= 2 categories, got {len(categories)}"
+        )
+    if len(set(categories)) != len(categories):
+        raise ValueError("categories must be distinct")
+    aggs = [
+        F.sum((F.col(cat_col) == c).cast("long")).alias(f"__c{i}")
+        for i, c in enumerate(categories)
+    ] + [
+        F.sum(
+            (~F.col(cat_col).isin(categories)).cast("long")
+        ).alias("n_other")
+    ]
+    g = df.groupBy(*group_cols).agg(*aggs)
+    n = None
+    for i in range(len(categories)):
+        n = F.col(f"__c{i}") if n is None else n + F.col(f"__c{i}")
+    ent = None
+    for i in range(len(categories)):
+        p = F.col(f"__c{i}").cast("double") / F.col("__n")
+        term = F.when(
+            F.col(f"__c{i}") > 0, -(p * F.log(p))
+        ).otherwise(F.lit(0.0))
+        ent = term if ent is None else ent + term
+    return (
+        g.withColumn("__n", n.cast("long"))
+        .where(F.col("__n") > 0)
+        .select(
+            *group_cols,
+            F.col("__n").alias("n_rows"),
+            "n_other",
+            F.round(ent, 6).alias("entropy"),
+            F.round(ent / F.lit(math.log(len(categories))), 6).alias(
+                "norm_entropy"
+            ),
+        )
+    )

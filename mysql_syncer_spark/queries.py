@@ -549,6 +549,9 @@ _DEMOTED: tuple[str, ...] = (
     # is in-window via group_quantiles/interval rows; robust law in
     # pytest against the in-window OLS trend row.
     "theil_sen_trend_events",
+    # mix entropy (E147): the pivoted conditional-count kernel is
+    # in-window via pivot/cube rows (same shape as Benford).
+    "entropy_mix_events",
 )
 
 
@@ -7393,3 +7396,43 @@ def theil_sen_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_points", "n_pairs",
         F.round("slope", 6).alias("slope"),
     ).orderBy("event_type")
+
+
+@_register(
+    "entropy_mix_events",
+    """WITH g AS (
+         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c0, CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS c1, CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2, CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS c3, CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+                CAST(SUM(CASE WHEN event_type NOT IN
+                    ('click','error','purchase','signup','view')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+         FROM events GROUP BY 1),
+       e AS (
+         SELECT day, (c0 + c1 + c2 + c3 + c4) AS n, n_other,
+                CASE WHEN c0 > 0 THEN -((CAST(c0 AS DOUBLE) / n) * LN(CAST(c0 AS DOUBLE) / n)) ELSE 0.0 END +
+                CASE WHEN c1 > 0 THEN -((CAST(c1 AS DOUBLE) / n) * LN(CAST(c1 AS DOUBLE) / n)) ELSE 0.0 END +
+                CASE WHEN c2 > 0 THEN -((CAST(c2 AS DOUBLE) / n) * LN(CAST(c2 AS DOUBLE) / n)) ELSE 0.0 END +
+                CASE WHEN c3 > 0 THEN -((CAST(c3 AS DOUBLE) / n) * LN(CAST(c3 AS DOUBLE) / n)) ELSE 0.0 END +
+                CASE WHEN c4 > 0 THEN -((CAST(c4 AS DOUBLE) / n) * LN(CAST(c4 AS DOUBLE) / n)) ELSE 0.0 END AS ent
+         FROM g)
+       SELECT day, CAST(n AS BIGINT) AS n_rows, n_other,
+              ROUND(ent, 6) AS entropy,
+              ROUND(ent / 1.6094379124341003::DOUBLE, 6) AS norm_entropy
+       FROM e WHERE n > 0 ORDER BY day""",
+)
+def entropy_mix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E147: per-day Shannon entropy of the event-type mix — the
+    feed-composition monitor: a day whose mix collapses toward one
+    type trends to 0, a uniform day to ln 5 (norm_entropy 1.0). The
+    explicit 5-type category list pivots into fixed columns, so the
+    entropy is one fixed-order double expression both engines share
+    (the Benford discipline); ONE combinable groupBy, join-free."""
+    from mysql_syncer_spark.operators.stats import category_entropy
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    return category_entropy(
+        ev, ["day"], "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    ).orderBy("day")

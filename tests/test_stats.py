@@ -220,3 +220,62 @@ class TestTheilSen:
         df = spark.createDataFrame([("g", 1.0, 1.0)], "g string, x double, y double")
         with _pytest.raises(ValueError, match="group_cols"):
             theil_sen(df, [], "x", "y")
+
+
+class TestCategoryEntropy:
+    """Categorical-mix entropy (E147): uniform = ln k (norm 1),
+    collapsed = 0, hand-computed mixed case, out-of-list counting,
+    0·ln0 handling, validation."""
+
+    def test_uniform_and_collapsed(self, spark):
+        import math
+
+        from mysql_syncer_spark.operators.stats import category_entropy
+
+        rows = [("u", c) for c in ("a", "b", "c", "d")] * 5
+        rows += [("k", "a")] * 8
+        df = spark.createDataFrame(rows, "g string, cat string")
+        got = {
+            r["g"]: (r["n_rows"], r["entropy"], r["norm_entropy"])
+            for r in category_entropy(
+                df, ["g"], "cat", ["a", "b", "c", "d"]
+            ).collect()
+        }
+        assert got["u"] == (20, round(math.log(4), 6), 1.0)
+        assert got["k"] == (8, 0.0, 0.0)  # 0*ln0 terms contribute 0
+
+    def test_hand_computed_mixed(self, spark):
+        import math
+
+        from mysql_syncer_spark.operators.stats import category_entropy
+
+        # 3 of 'a', 1 of 'b': H = -(3/4 ln 3/4 + 1/4 ln 1/4)
+        df = spark.createDataFrame(
+            [("g", "a")] * 3 + [("g", "b")], "g string, cat string"
+        )
+        r = category_entropy(df, ["g"], "cat", ["a", "b"]).first()
+        want = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+        assert r["entropy"] == round(want, 6)
+        assert r["norm_entropy"] == round(want / math.log(2), 6)
+
+    def test_out_of_list_excluded_from_mix(self, spark):
+        from mysql_syncer_spark.operators.stats import category_entropy
+
+        df = spark.createDataFrame(
+            [("g", "a"), ("g", "a"), ("g", "zzz")], "g string, cat string"
+        )
+        r = category_entropy(df, ["g"], "cat", ["a", "b"]).first()
+        assert (r["n_rows"], r["n_other"], r["entropy"]) == (2, 1, 0.0)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.stats import category_entropy
+
+        df = spark.createDataFrame([("g", "a")], "g string, cat string")
+        with _pytest.raises(ValueError, match="group_cols"):
+            category_entropy(df, [], "cat", ["a", "b"])
+        with _pytest.raises(ValueError, match=">= 2 categories"):
+            category_entropy(df, ["g"], "cat", ["a"])
+        with _pytest.raises(ValueError, match="distinct"):
+            category_entropy(df, ["g"], "cat", ["a", "a"])

@@ -105,6 +105,8 @@ SCALE_QUERIES = [
     "pagerank_embeddings",
     "fd_audit_orders",
     "benford_screen_events",
+    "theil_sen_trend_events",
+    "entropy_mix_events",
 ]
 
 

@@ -302,3 +302,93 @@ def test_dhash_bits_matches_naive(grid):
     assert sig == want
     # signed-long invariant: always representable as Spark LongType
     assert -(1 << 63) <= sig < 1 << 63
+
+
+# ---------------------------------------------------------------------------
+# round-7 third-wave kernels: quantile-summary invariants and the
+# prefix-filter losslessness law under random inputs
+# ---------------------------------------------------------------------------
+
+quantile_values = st.lists(
+    st.integers(min_value=-50, max_value=50).map(float),
+    min_size=1,
+    max_size=120,
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=quantile_values, capacity=st.integers(2, 16),
+       p=st.floats(0.05, 1.0, allow_nan=False))
+def test_quantile_sketch_invariants_random(spark, vals, capacity, p):
+    """For ANY multiset, capacity, and probe: total mass is the exact
+    row count, the answer is an actual data value, and its true rank
+    is within err_bound of ceil(p*N)."""
+    import bisect
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_spark.operators.sketches import (
+        quantile_merge,
+        quantile_query,
+        quantile_summaries,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(3)
+    merged = quantile_merge(quantile_summaries(df, "v", capacity), capacity)
+    assert merged.agg(F.sum("weight")).first()[0] == len(vals)
+    r = quantile_query(merged, [p]).first()
+    svals = sorted(vals)
+    target = math.ceil(p * len(svals))
+    lo = bisect.bisect_left(svals, r["value"]) + 1
+    hi = bisect.bisect_right(svals, r["value"])
+    dist = 0 if lo <= target <= hi else min(abs(lo - target), abs(hi - target))
+    assert r["value"] in set(vals)
+    assert dist <= r["err_bound"], (vals, capacity, p, r)
+
+
+doc_texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=20),
+    min_size=2,
+    max_size=8,
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=doc_texts, threshold=st.sampled_from([0.4, 0.6, 0.8]))
+def test_prefix_filter_lossless_random(spark, texts, threshold):
+    """The prefix-filter join equals the all-postings baseline on ANY
+    corpus and threshold (the PPJoin losslessness theorem) — tiny
+    alphabet forces heavy shingle collisions, the worst case for a
+    buggy prefix bound."""
+    from mysql_syncer_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    pp = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in jaccard_prefix_pairs(
+            df, k=2, threshold=threshold, max_df=None
+        ).collect()
+    )
+    base = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(
+            df, k=2, threshold=threshold, max_df=None
+        ).collect()
+    )
+    assert pp == base

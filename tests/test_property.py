@@ -392,3 +392,59 @@ def test_prefix_filter_lossless_random(spark, texts, threshold):
         ).collect()
     )
     assert pp == base
+
+
+sample_values = st.lists(
+    st.integers(min_value=-20, max_value=20).map(float),
+    min_size=1,
+    max_size=40,
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(a_vals=sample_values, b_vals=sample_values)
+def test_mwu_u_equals_pair_counting_random(spark, a_vals, b_vals):
+    """U_a == #(a>b) + ties/2 for ANY two samples (the defining
+    identity), and the dyadic rank sums make it exact."""
+    from mysql_syncer_spark.operators.drift import mwu_drift
+
+    a = spark.createDataFrame([(v,) for v in a_vals], "value double")
+    b = spark.createDataFrame([(v,) for v in b_vals], "value double")
+    r = mwu_drift(a, b, "value").first()
+    want = sum(
+        1.0 if x > y else 0.5 if x == y else 0.0
+        for x in a_vals for y in b_vals
+    )
+    assert r["u_a"] == want
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=sample_values, c=st.sampled_from([1.0, 3.0]))
+def test_mad_outliers_match_reference_random(spark, vals, c):
+    """Flags equal the brute-force python reference (discrete medians,
+    |x-med| > c*MAD) for ANY sample."""
+    import math
+
+    from mysql_syncer_spark.operators.stats import mad_outliers
+
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    got = sorted(
+        (r["v"], r["outlier"])
+        for r in mad_outliers(df, ["g"], "v", c=c).collect()
+    )
+    sv = sorted(vals)
+    med = sv[math.ceil(len(sv) / 2) - 1]
+    devs = sorted(abs(x - med) for x in vals)
+    mad = devs[math.ceil(len(devs) / 2) - 1]
+    want = sorted((v, abs(v - med) > c * mad) for v in vals)
+    assert got == want

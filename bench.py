@@ -253,6 +253,7 @@ HEADLINE = [
     "mwu_drift_events",
     "theil_sen_trend_events",
     "entropy_mix_events",
+    "prop_ztest_events",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

@@ -264,3 +264,52 @@ def category_entropy(
             ),
         )
     )
+
+
+def prop_ztest(
+    a: DataFrame,
+    b: DataFrame,
+    success_col: str,
+    z_threshold: float = 2.5758,
+) -> DataFrame:
+    """Two-proportion z-test — the A/B primitive (did conversion
+    change between cohorts/periods/variants?): 1 row ``(n_a, n_b,
+    p_a, p_b, z, significant)`` with the pooled-variance statistic
+
+        z = (p_a − p_b) / sqrt(p·(1−p)·(1/n_a + 1/n_b)),  p pooled.
+
+    ``success_col`` is boolean (NULL rows excluded — an unobserved
+    outcome is neither success nor failure). All counts are exact
+    integers off two 1-row aggs; the z expression is one
+    fixed-operand-order double both engines share (sqrt is IEEE
+    correctly-rounded). Degenerate pools (p == 0 or p == 1 → zero
+    variance) emit NULL z and ``significant = false``. Work: two
+    column-pruned scans, no shuffle beyond the 1-row aggs."""
+    stats_a = a.where(F.col(success_col).isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"),
+        F.sum(F.col(success_col).cast("long")).alias("x_a"),
+    )
+    stats_b = b.where(F.col(success_col).isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum(F.col(success_col).cast("long")).alias("x_b"),
+    )
+    j = stats_a.crossJoin(F.broadcast(stats_b))
+    p_a = F.col("x_a").cast("double") / F.col("n_a")
+    p_b = F.col("x_b").cast("double") / F.col("n_b")
+    pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    var = pool * (1 - pool) * (
+        1.0 / F.col("n_a") + 1.0 / F.col("n_b")
+    )
+    z = F.when(var > 0, (p_a - p_b) / F.sqrt(var))
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(
+            F.abs(z) > F.lit(float(z_threshold)), F.lit(False)
+        ).alias("significant"),
+    )

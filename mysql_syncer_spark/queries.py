@@ -552,6 +552,9 @@ _DEMOTED: tuple[str, ...] = (
     # mix entropy (E147): the pivoted conditional-count kernel is
     # in-window via pivot/cube rows (same shape as Benford).
     "entropy_mix_events",
+    # two-proportion z-test (E148): 1-row agg + broadcast scalar
+    # kernel, in-window via digest/count rows; fixed-order float law.
+    "prop_ztest_events",
 )
 
 
@@ -7436,3 +7439,49 @@ def entropy_mix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["day"], "event_type",
         ["click", "error", "purchase", "signup", "view"],
     ).orderBy("day")
+
+
+@_register(
+    "prop_ztest_events",
+    """WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a,
+                         CAST(SUM(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS x_a
+                  FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+         b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+                      CAST(SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+               FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+         s AS (SELECT n_a, n_b,
+                      CAST(x_a AS DOUBLE) / n_a AS p_a,
+                      CAST(x_b AS DOUBLE) / n_b AS p_b,
+                      CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS pool
+               FROM a, b),
+         t AS (SELECT *,
+                      pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b) AS var
+               FROM s)
+       SELECT n_a, n_b, ROUND(p_a, 6) AS p_a, ROUND(p_b, 6) AS p_b,
+              ROUND(CASE WHEN var > 0
+                         THEN (p_a - p_b) / sqrt(var) END, 6) AS z,
+              COALESCE(ABS(CASE WHEN var > 0
+                         THEN (p_a - p_b) / sqrt(var) END) > 2.5758,
+                       FALSE) AS significant
+       FROM t""",
+)
+def prop_ztest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E148: two-proportion z-test of the purchase rate between the
+    month's first and second halves — the A/B / drift primitive
+    (conversion-shaped, where MWU E144 is distribution-shaped): pooled
+    variance, exact integer counts off two 1-row aggs, the z one
+    fixed-order double expression both engines share; degenerate pools
+    emit NULL z."""
+    from mysql_syncer_spark.operators.stats import prop_ztest
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "is_purchase", F.col("event_type") == "purchase"
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    return prop_ztest(
+        ev.where(F.col("ts") < cut),
+        ev.where(F.col("ts") >= cut),
+        "is_purchase",
+    )

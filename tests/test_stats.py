@@ -279,3 +279,43 @@ class TestCategoryEntropy:
             category_entropy(df, ["g"], "cat", ["a"])
         with _pytest.raises(ValueError, match="distinct"):
             category_entropy(df, ["g"], "cat", ["a", "a"])
+
+
+class TestPropZTest:
+    """Two-proportion z-test (E148): hand-computed z, significance at
+    a real effect, degenerate pools, NULL exclusion."""
+
+    def _run(self, spark, a_flags, b_flags):
+        from mysql_syncer_spark.operators.stats import prop_ztest
+
+        a = spark.createDataFrame([(f,) for f in a_flags], "s boolean")
+        b = spark.createDataFrame([(f,) for f in b_flags], "s boolean")
+        return prop_ztest(a, b, "s").first()
+
+    def test_hand_computed(self, spark):
+        import math
+
+        # a: 30/100, b: 20/100 -> pool 0.25
+        r = self._run(spark, [True] * 30 + [False] * 70,
+                      [True] * 20 + [False] * 80)
+        pool = 0.25
+        var = pool * 0.75 * (1 / 100 + 1 / 100)
+        want = (0.3 - 0.2) / math.sqrt(var)
+        assert (r["n_a"], r["n_b"], r["p_a"], r["p_b"]) == (100, 100, 0.3, 0.2)
+        assert r["z"] == round(want, 6)
+        assert r["significant"] is False  # z ~ 1.63 < 2.5758
+
+    def test_large_effect_significant(self, spark):
+        r = self._run(spark, [True] * 300 + [False] * 200,
+                      [True] * 100 + [False] * 400)
+        assert r["significant"] is True and r["z"] > 2.5758
+
+    def test_degenerate_pool(self, spark):
+        r = self._run(spark, [True] * 5, [True] * 5)
+        assert r["z"] is None and r["significant"] is False
+        r0 = self._run(spark, [False] * 5, [False] * 5)
+        assert r0["z"] is None and r0["significant"] is False
+
+    def test_null_exclusion(self, spark):
+        r = self._run(spark, [True, None, False], [False, None])
+        assert (r["n_a"], r["n_b"]) == (2, 1)

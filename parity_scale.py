@@ -107,6 +107,7 @@ SCALE_QUERIES = [
     "benford_screen_events",
     "theil_sen_trend_events",
     "entropy_mix_events",
+    "prop_ztest_events",
 ]
 
 

@@ -176,15 +176,14 @@ class ParquetSyncExecutor:
         sh = s.df.select(
             *pk, mysql_compat_row_hash_col(s.df, cols).alias(HASH_COL)
         )
-        miss = missing_rows(mh, sh, pk, mode="pk_hash")
+        miss = missing_rows(mh, sh, pk, mode="pk_hash").persist()
         exc = excess_rows(mh, sh, pk, mode="pk_hash").persist()
+        spill = None
         try:
-            # the missing-key list is delta-sized and must reach the
-            # master as WHERE-IN tuples anyway (the reference collects
-            # its whole hash map driver-side; this collects keys of the
-            # delta only)
-            miss_keys = [tuple(r) for r in miss.collect()]
-            res.inserted = len(miss_keys)
+            # delta sizes via distributed counts — the driver never
+            # holds the key list whole (a first sync or bulk reload has
+            # a delta the size of the table)
+            res.inserted = miss.count()
             res.deleted = exc.count()
             if res.inserted == 0 and res.deleted == 0:
                 res.status = "noop"
@@ -193,15 +192,58 @@ class ParquetSyncExecutor:
                 res.status = "dry_run"
                 return
             if hasattr(self.master, "fetch_rows"):
-                inserts = self.master.fetch_rows(
-                    table, miss_keys, pk, chunk_size=self.cfg.chunk_size
-                )
+                inserts, spill = self._stream_keyed_fetch(table, miss, pk)
             else:
                 inserts = rows_to_copy(self.master.table(table).df, miss, pk)
             self._apply_changes(table, pk, inserts, exc, s.df)
             self.slave.invalidate()
         finally:
+            miss.unpersist()
             exc.unpersist()
+            if spill is not None:
+                import shutil
+
+                shutil.rmtree(spill, ignore_errors=True)
+
+    def _stream_keyed_fetch(self, table: str, miss, pk: list):
+        """Bounded-memory keyed fetch: stream the missing-key frame
+        through the driver ONE chunk at a time (``toLocalIterator``
+        holds at most one partition), issue the master's chunked
+        ``WHERE (pk...) IN`` point fetch per ``chunk_size`` keys, and
+        spill each chunk's rows to a local parquet staging dir. The
+        driver never holds more than one key chunk plus one row chunk —
+        the reference's CHUNK_SIZE discipline
+        (TableConnection.php:177-209, settings.php.tmpl:32-34) at ANY
+        delta size; a first sync pointed at the pushdown path stays
+        flat in driver memory. Returns ``(inserts_df, spill_dir)``;
+        the caller removes ``spill_dir`` after the delta is applied."""
+        import tempfile
+
+        spill = tempfile.mkdtemp(prefix=f"syncer_fetch_{table}_")
+        chunk_size = self.cfg.chunk_size
+        chunk: list = []
+        n_spilled = 0
+
+        def flush() -> int:
+            if not chunk:
+                return 0
+            rows = self.master.fetch_rows(
+                table, chunk, pk, chunk_size=chunk_size
+            )
+            rows.write.mode("append").parquet(spill)
+            n = len(chunk)
+            chunk.clear()
+            return n
+
+        for r in miss.toLocalIterator():
+            chunk.append(tuple(r))
+            if len(chunk) >= chunk_size:
+                n_spilled += flush()
+        n_spilled += flush()
+        if n_spilled == 0:
+            _, _, schema = self.master.table_meta(table)
+            return self.spark.createDataFrame([], schema), spill
+        return self.spark.read.parquet(spill), spill
 
     def _diff_sync_partitioned(self, unit: SyncUnit, m: TableHandle,
                                s: TableHandle, res: UnitResult) -> None:

@@ -781,6 +781,10 @@ def _l2_lloyd(
         [float(x) for x in r["__sub"]]
         for r in df_sub.orderBy(id_col).limit(k).collect()
     ]
+    if not init:
+        raise ValueError(
+            "cannot train k-means codebooks on an empty frame"
+        )
     cents = init + [init[-1]] * (k - len(init))  # degenerate tiny input
     for _ in range(iters):
         dists = F.array(
@@ -831,7 +835,12 @@ def pq_train(
     Deterministic: init from the first 2^nbits vectors by id."""
     if m < 1 or nbits < 1 or nbits > 8:
         raise ValueError("need m >= 1 and 1 <= nbits <= 8")
-    dim = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError(
+            "cannot train PQ codebooks on an empty corpus"
+        )
+    dim = len(head[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m

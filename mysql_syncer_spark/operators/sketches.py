@@ -153,13 +153,18 @@ def mg_summaries(
                 counts = {k: v - cut for k, v in counts.items() if v > cut}
                 dec += cut
         keys = list(counts)
-        yield _pd.DataFrame(
-            {
-                "key": keys + [None],
-                "est": [counts[k] for k in keys] + [0],
-                "dec": [0] * len(keys) + [dec],
-            }
-        )
+        # Sentinel yielded as a SEPARATE frame: appending None to an
+        # integer key list coerces pandas to float64, silently rounding
+        # bigint keys above 2^53 before the Arrow cast back to bigint.
+        if keys:
+            yield _pd.DataFrame(
+                {
+                    "key": keys,
+                    "est": [counts[k] for k in keys],
+                    "dec": [0] * len(keys),
+                }
+            )
+        yield _pd.DataFrame({"key": [None], "est": [0], "dec": [dec]})
 
     return src.mapInPandas(fold, schema=out_schema)
 
@@ -488,13 +493,18 @@ def quantile_summaries(
             err = math.ceil(n / capacity)
             counts = dict(zip(vals.tolist(), weights.tolist()))
         keys = sorted(counts)
-        yield _pd.DataFrame(
-            {
-                "value": keys + [None],
-                "weight": [counts[k] for k in keys] + [0],
-                "err": [0] * len(keys) + [err],
-            }
-        )
+        # Sentinel yielded as a SEPARATE frame: appending None to an
+        # integer value list coerces pandas to float64, silently rounding
+        # bigint values above 2^53 before the Arrow cast back to bigint.
+        if keys:
+            yield _pd.DataFrame(
+                {
+                    "value": keys,
+                    "weight": [counts[k] for k in keys],
+                    "err": [0] * len(keys),
+                }
+            )
+        yield _pd.DataFrame({"value": [None], "weight": [0], "err": [err]})
 
     return src.mapInPandas(fold, schema=out_schema)
 

@@ -34,26 +34,28 @@ def correlation_matrix(
     return NULL corr (undefined), not a number."""
     if len(value_cols) < 2:
         raise ValueError("need at least two value columns")
+    # Alias cells by pair INDEX, not by concatenated names: pairs
+    # ('a','b_x') and ('a_b','x') would both alias __c_a_b_x.
     aggs = []
-    for a, b in combinations(value_cols, 2):
-        aggs.append(F.corr(a, b).alias(f"__c_{a}_{b}"))
+    for i, (a, b) in enumerate(combinations(value_cols, 2)):
+        aggs.append(F.corr(a, b).alias(f"__c_{i}"))
         aggs.append(
             F.count(
                 F.when(
                     F.col(a).isNotNull() & F.col(b).isNotNull(), F.lit(1)
                 )
-            ).alias(f"__n_{a}_{b}")
+            ).alias(f"__n_{i}")
         )
     row = df.agg(*aggs)
     pairs = None
-    for a, b in combinations(value_cols, 2):
+    for i, (a, b) in enumerate(combinations(value_cols, 2)):
         cell = row.select(
             F.lit(a).alias("col_a"),
             F.lit(b).alias("col_b"),
             F.when(
-                F.col(f"__n_{a}_{b}") >= min_rows, F.col(f"__c_{a}_{b}")
+                F.col(f"__n_{i}") >= min_rows, F.col(f"__c_{i}")
             ).alias("corr"),
-            F.col(f"__n_{a}_{b}").alias("n"),
+            F.col(f"__n_{i}").alias("n"),
         )
         pairs = cell if pairs is None else pairs.unionByName(cell)
     return pairs
@@ -236,8 +238,14 @@ def category_entropy(
         F.sum((F.col(cat_col) == c).cast("long")).alias(f"__c{i}")
         for i, c in enumerate(categories)
     ] + [
+        # NULL-safe: a bare ~isin() is NULL for NULL category rows, which
+        # would be counted neither in the mix nor here — count them in
+        # n_other explicitly (rows outside the list INCLUDING NULLs).
         F.sum(
-            (~F.col(cat_col).isin(categories)).cast("long")
+            (
+                F.col(cat_col).isNull()
+                | ~F.col(cat_col).isin(categories)
+            ).cast("long")
         ).alias("n_other")
     ]
     g = df.groupBy(*group_cols).agg(*aggs)

@@ -7406,7 +7406,7 @@ def theil_sen_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH g AS (
          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                 CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c0, CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS c1, CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2, CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS c3, CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c4,
-                CAST(SUM(CASE WHEN event_type NOT IN
+                CAST(SUM(CASE WHEN event_type IS NULL OR event_type NOT IN
                     ('click','error','purchase','signup','view')
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_other
          FROM events GROUP BY 1),

@@ -151,6 +151,49 @@ def test_sync_pushdown_end_to_end(spark, master_db, tmp_path):
     assert all(x.status == "noop" for x in report2.results), report2.results
 
 
+def test_pushdown_delta_stays_chunk_bounded(spark, master_db, tmp_path):
+    """A bulk-reload-sized delta (the slave has almost nothing) must
+    flow through the pushdown path in CHUNK_SIZE batches — the driver
+    never holds the whole missing-key list (executor streams
+    ``miss.toLocalIterator()`` into chunked ``fetch_rows`` calls,
+    mirroring the reference's CHUNK_SIZE = 5000 discipline,
+    TableConnection.php:177-209)."""
+    spath = str(tmp_path / "slave.db")
+    with sqlite3.connect(spath) as s:
+        s.execute(ORDERS_DDL)
+        # keep 3 rows so the plan picks DIFF_SYNC, not FULL_COPY
+        s.executemany(
+            "INSERT INTO orders VALUES (?,?,?,?,?)", _orders_rows()[:3]
+        )
+    master = DBAPICatalog(spark, _factory(master_db))
+    slave = DBAPICatalog(spark, _factory(spath))
+
+    calls: list[int] = []
+    real_fetch = master.fetch_rows
+
+    def spying_fetch(name, keys, pk_cols, chunk_size=5000):
+        calls.append(len(keys))
+        return real_fetch(name, keys, pk_cols, chunk_size=chunk_size)
+
+    master.fetch_rows = spying_fetch
+    cfg = SyncConfig(hash_pushdown=True, chunk_size=16)
+    report = sync(master, slave, cfg)
+    assert report.ok, [r.error for r in report.results]
+    assert report.results[0].inserted == 297
+    # 297 missing keys / 16 per chunk -> >= 19 calls, none oversized
+    assert len(calls) >= 19
+    assert max(calls) <= 16
+    assert sum(calls) == 297
+
+    def dump(path):
+        with sqlite3.connect(path) as conn:
+            return conn.execute(
+                "SELECT * FROM orders ORDER BY o_orderkey"
+            ).fetchall()
+
+    assert dump(master_db) == dump(spath)
+
+
 def test_pushdown_requires_capable_master(spark, tmp_path, master_db):
     """A master catalog without hash_frame must fail loudly, not
     silently fall back to pulling raw rows."""

@@ -118,3 +118,17 @@ def test_validation():
         heavy_hitters(df, "k", 8, min_share=1.5)
     with pytest.raises(ValueError, match="min_count"):
         heavy_hitters(df, "k", 8, min_count=0)
+
+
+def test_bigint_keys_above_2_53_stay_exact(spark):
+    """Regression: the per-partition fold used to append a None sentinel
+    to the integer key list, coercing pandas to float64 and silently
+    rounding keys above 2^53 (2^60+1 became 2^60). The sentinel now
+    travels in its own frame, so bigint keys round-trip bit-exact."""
+    k1, k2 = (1 << 60) + 1, (1 << 60) + 3
+    df = spark.createDataFrame(
+        [(k1,)] * 40 + [(k2,)] * 20, "key bigint"
+    ).coalesce(1)
+    merged = mg_merge(mg_summaries(df, "key", capacity=8), 8).collect()
+    assert {r["key"] for r in merged} == {k1, k2}
+    assert {r["key"]: r["est"] for r in merged} == {k1: 40, k2: 20}

@@ -437,3 +437,20 @@ class TestBitmapRollup:
             bitmap_rollup(df, [], "k")
         with _pytest.raises(ValueError, match="group_cols"):
             bitmap_distinct_over(rollup, [])
+
+
+def test_quantile_bigint_values_above_2_53_stay_exact(spark):
+    """Regression twin of the Misra-Gries sentinel fix: bigint VALUES
+    above 2^53 must survive the per-partition fold bit-exact (the old
+    None-appended sentinel coerced the pandas column to float64)."""
+    from mysql_syncer_spark.operators.sketches import (
+        quantile_merge,
+        quantile_summaries,
+    )
+
+    v1, v2 = (1 << 60) + 1, (1 << 60) + 5
+    df = spark.createDataFrame(
+        [(v1,)] * 30 + [(v2,)] * 10, "v bigint"
+    ).coalesce(1)
+    merged = quantile_merge(quantile_summaries(df, "v", 64), 64).collect()
+    assert {r["value"]: r["weight"] for r in merged} == {v1: 30, v2: 10}

@@ -319,3 +319,43 @@ class TestPropZTest:
     def test_null_exclusion(self, spark):
         r = self._run(spark, [True, None, False], [False, None])
         assert (r["n_a"], r["n_b"]) == (2, 1)
+
+
+def test_corr_underscore_column_names_no_alias_collision(spark):
+    """Regression: cells used to alias as __c_{a}_{b}, which collides
+    for name pairs like ('a','b_x') vs ('a_b','x'); aliases are now by
+    pair index."""
+    from mysql_syncer_spark.operators.stats import correlation_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 1.0, 2.0), (2.0, 4.0, 2.0, 4.0), (3.0, 5.0, 3.0, 7.0)],
+        "a double, b_x double, a_b double, x double",
+    )
+    out = correlation_matrix(df, ["a", "b_x", "a_b", "x"]).collect()
+    assert len(out) == 6
+    cell = {(r["col_a"], r["col_b"]): r for r in out}
+    assert cell[("a", "a_b")]["corr"] == pytest.approx(1.0)
+    assert all(r["n"] == 3 for r in out)
+
+
+def test_entropy_null_categories_counted_in_other(spark):
+    """Regression: NULL category rows fell through the bare ~isin()
+    predicate and were counted nowhere; they now count in n_other."""
+    from mysql_syncer_spark.operators.stats import category_entropy
+
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", "a"), ("g", None), ("g", "zzz")],
+        "g string, cat string",
+    )
+    r = category_entropy(df, ["g"], "cat", ["a", "b"]).first()
+    assert (r["n_rows"], r["n_other"]) == (2, 2)
+
+
+def test_pq_train_empty_corpus_raises_clear_error(spark):
+    from mysql_syncer_spark.operators.similarity import pq_train
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        pq_train(empty, m=2, nbits=2)

@@ -426,11 +426,22 @@ def main() -> None:
         + ["digest_check_orders", "first_sync_orders", "resync_noop"]
     )
     canary_total = round(sum(merged[k] for k in canary_keys), 3)
+    # Host normalizer (BASELINE.md): action_floor is a zero-code-
+    # dependence Spark action (the empty-plan floor), so its drift
+    # measures AMBIENT host speed, not plan changes. canary_norm
+    # rescales the canary to the r5-era reference floor (0.02 s) —
+    # round-over-round reads compare canary_norm, not raw seconds.
+    _R5_ACTION_FLOOR = 0.02
+    canary_norm = round(
+        canary_total / max(merged["action_floor"] / _R5_ACTION_FLOOR, 1e-9),
+        3,
+    )
     detail = {
         "metric": "total_headline_sec",
         "value": total,
         "unit": "sec",
         "canary_sec": canary_total,
+        "canary_norm": canary_norm,
         "queries": merged,
         "groups": detail_groups,
         "sf": float(sf) if sf else SF_DIR,
@@ -454,6 +465,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(merged[k], 2) for k in canary_keys},
         "canary_sec": canary_total,
+        "canary_norm": canary_norm,
         "n_queries": len(merged),
         "detail": "BENCH_DETAIL.json",
         "sf": float(sf) if sf else SF_DIR,

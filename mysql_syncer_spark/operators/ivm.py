@@ -25,9 +25,15 @@ keys from the second repair join prevents double counting.
 Delta model (shared with the SCD/CDC operators): a delta frame carries
 the full new row plus an ``op`` column ∈ {'upsert', 'delete'}; delete
 rows only need the key columns. Join form: equi-join on same-named
-columns (callers alias), result grain = (pkA, pkB), INNER joins only —
-outer-join IVM needs null-compensation rows and is out of scope (a
-full recompute remains the fallback there).
+columns (callers alias), result grain = (pkA, pkB) for inner joins.
+
+LEFT-outer maintenance (:func:`apply_left_join_delta`) adds the classic
+null-compensation rule: a fact keeps a NULL-padded row while no
+dimension row matches its join key, the pad is RETRACTED the moment a
+matching dimension row arrives, and re-appears if that row is later
+deleted. The trick that keeps it delta-proportional: dimension deltas
+name the affected join keys, so only facts on those keys are
+re-derived — from the view's own fact columns, never by rescanning A.
 """
 
 from __future__ import annotations
@@ -122,6 +128,105 @@ def apply_join_delta(
         F.broadcast(b_up), on, "inner"
     )
     cols = kept.columns
+    return kept.unionByName(rep_a.select(*cols)).unionByName(
+        rep_b.select(*cols)
+    )
+
+
+def left_join_snapshot(
+    a: DataFrame, b: DataFrame, on: Sequence[str] | str
+) -> DataFrame:
+    """Bootstrap the materialized LEFT join M = A ⟕ B (equi on
+    same-named columns): every fact appears, NULL-padded where no
+    dimension row matches — the enriched-fact shape that tolerates
+    late-arriving dimensions."""
+    on = [on] if isinstance(on, str) else list(on)
+    return a.join(b, on, "left")
+
+
+def apply_left_join_delta(
+    mat: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: Sequence[str] | str,
+    a_pk: Sequence[str] | str,
+    b_pk: Sequence[str] | str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Advance a materialized LEFT join one delta batch: returns
+    M' ≡ (A ⊕ ΔA) ⟕ (B ⊕ ΔB) with the null-compensation rule — facts
+    whose dimension row is deleted flip back to NULL-padded, and a pad
+    is retracted when its dimension row arrives (the late-arriving-
+    dimension fix-up, E125's documented gap until round 8). Terms:
+
+        M' =  M − M[pkA ∈ keys(ΔA)] − M[jk ∈ keys_on(ΔB)]   (kept)
+            ∪ upserts(ΔA) ⟕ B'                               (repair A)
+            ∪ facts(M)[jk ∈ keys_on(ΔB), pkA ∉ keys(ΔA)] ⟕ B'[jk ∈ keys_on(ΔB)]
+                                                             (repair B)
+
+    Every term is delta-sized on one side: the subtractions are
+    broadcast anti-joins, repair A pre-prunes B' with a broadcast semi
+    on the delta's join keys, and repair B re-derives the affected
+    facts FROM THE VIEW'S OWN FACT COLUMNS (never rescanning A)
+    against the delta-keyed dimension slice. Facts with a NULL join
+    key never match an affected key, so they ride through ``kept``
+    untouched — correct, since no ΔB can affect them. Requirements:
+    ``mat`` carries both sides' columns (a :func:`left_join_snapshot`
+    result), ΔB delete rows carry the ``on`` columns (the affected
+    join keys come from the delta), and ``a_pk`` ⊆ fact columns."""
+    on = [on] if isinstance(on, str) else list(on)
+    a_pk = [a_pk] if isinstance(a_pk, str) else list(a_pk)
+    b_pk = [b_pk] if isinstance(b_pk, str) else list(b_pk)
+    _check_delta(a_delta, op_col, "A")
+    _check_delta(b_delta, op_col, "B")
+    for col in a_pk:
+        if col not in mat.columns:
+            raise ValueError(
+                f"materialized join must carry pk column '{col}'"
+            )
+    for col in on:
+        if col not in b_delta.columns:
+            raise ValueError(
+                f"B delta must carry join column '{col}' (deletes "
+                "included — affected join keys come from the delta)"
+            )
+    b_side = [c for c in b_old.columns if c not in on]
+    for col in b_side:
+        if col not in mat.columns:
+            raise ValueError(
+                f"materialized join must carry dimension column '{col}'"
+            )
+
+    a_keys = a_delta.select(*a_pk).distinct()
+    a_up = a_delta.where(F.col(op_col) == "upsert").drop(op_col)
+    b_new = apply_table_delta(b_old, b_delta, b_pk, op_col)
+    affected_jk = b_delta.select(*on).distinct()
+
+    # kept: fact untouched AND join key unaffected
+    kept = mat.join(F.broadcast(a_keys), a_pk, "left_anti").join(
+        F.broadcast(affected_jk), on, "left_anti"
+    )
+    # repair A: upserted facts against the NEW dimension — LEFT, so a
+    # fact with no match lands NULL-padded; B' pre-pruned with a
+    # broadcast semi, then the (delta-sized) slice broadcast
+    a_up_jk = a_up.select(*on).distinct()
+    b_match = b_new.join(F.broadcast(a_up_jk), on, "left_semi")
+    rep_a = a_up.join(F.broadcast(b_match), on, "left")
+    # repair B: untouched facts on affected join keys, re-derived from
+    # the view's own fact columns (distinct collapses the m:n fan-out
+    # back to fact grain) against the delta-keyed dimension slice — a
+    # key whose rows were all deleted finds no match and re-pads
+    facts = (
+        mat.join(F.broadcast(a_keys), a_pk, "left_anti")
+        .join(F.broadcast(affected_jk), on, "left_semi")
+        .drop(*b_side)
+        .distinct()
+    )
+    b_aff = b_new.join(F.broadcast(affected_jk), on, "left_semi")
+    rep_b = facts.join(F.broadcast(b_aff), on, "left")
+
+    cols = mat.columns
     return kept.unionByName(rep_a.select(*cols)).unionByName(
         rep_b.select(*cols)
     )

@@ -162,6 +162,22 @@ _PROMOTED: tuple[str, ...] = (
     "ivm_join_orders_customer",
     "dsir_sample_docs",
     "containment_pairs_docs",
+    # r8 rotation: the never-window r7 fourth wave (each a NEW operator
+    # class the driver had never certified) plus the round-8 left-outer
+    # IVM (E149). Displaced to positions 51-56 (all still oracle-backed,
+    # parity-swept at 3 SFs, and in the sf1 VALUE sweep):
+    # interval_join_error_windows, jl_project_embeddings,
+    # cube_pricing_summary, funnel_events, cohort_retention_events,
+    # sliding_window_counts_events — every one a composite whose
+    # kernels (range join, per-row vector codegen, grouping sets,
+    # ordered-sequence window, cohort bucketing, sliding window) other
+    # in-window rows or the sf1 sweep keep machine-checked.
+    "ivm_left_join_orders_customer",
+    "benford_screen_events",
+    "mwu_drift_events",
+    "theil_sen_trend_events",
+    "fd_audit_orders",
+    "bitmap_distinct_users_events",
 )
 
 #: Queries proven green across rounds 1-3 whose machinery is fully covered
@@ -173,6 +189,27 @@ _PROMOTED: tuple[str, ...] = (
 #: MinHash, ...) that had never received a driver correctness row. They all
 #: remain registered and remain covered by tests/test_oracle_parity.py.
 _DEMOTED: tuple[str, ...] = (
+    # r8 rotation out of the window — all six remain oracle-backed,
+    # 3-SF parity-swept, and in the sf1 VALUE sweep; displaced for the
+    # r7 fourth-wave stats classes + left-outer IVM (_PROMOTED):
+    # range-join kernel also exercised by range_join_user_bursts
+    # (parity) and the as-of family in-window.
+    "interval_join_error_windows",
+    # per-row vector codegen class shared with in-window
+    # label_centroids_embeddings and the ANN re-rank stages.
+    "jl_project_embeddings",
+    # grouping-sets cells are a superset of agg_pricing_summary's
+    # (parity-swept); decimal-sum agg in-window via supplier_revenue.
+    "cube_pricing_summary",
+    # ordered-sequence window kernel in-window via sessionize_events;
+    # funnel itself stays in the sf1 VALUE sweep.
+    "funnel_events",
+    # cohort bucketing = groupBy over derived keys, in-window via
+    # gap_fill_daily_events' bucket agg; sf1-swept.
+    "cohort_retention_events",
+    # hopping-window agg subsumed by gap_fill_daily_events in-window;
+    # sf1-swept.
+    "sliding_window_counts_events",
     # r7 rotation out of the window — every one remains oracle-backed
     # and parity-swept; the justification is per-row:
     # backward as-of: the SAME timeseries.asof_join operator is
@@ -6454,6 +6491,90 @@ def ivm_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     mat = join_snapshot(a, b, "o_custkey")
     out = apply_join_delta(
         mat, a, da, b, db, "o_custkey", "o_orderkey", "o_custkey"
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal"
+    ).orderBy("o_orderkey")
+
+
+@_register(
+    "ivm_left_join_orders_customer",
+    """WITH a0 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+         a1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM a0
+                WHERE o_orderkey % 101 <> 0 AND o_orderkey % 103 <> 0
+                UNION ALL
+                SELECT o_orderkey, o_custkey, o_totalprice + 10
+                FROM a0 WHERE o_orderkey % 101 = 0),
+         b1 AS (SELECT c_custkey, c_name,
+                       CASE WHEN c_custkey % 17 = 0 THEN c_acctbal + 5
+                            ELSE c_acctbal END AS c_acctbal
+                FROM customer
+                WHERE NOT (c_custkey % 23 = 0 AND c_custkey % 17 <> 0
+                           AND c_custkey % 29 <> 0))
+       SELECT a1.o_orderkey AS o_orderkey, a1.o_custkey AS o_custkey,
+              a1.o_totalprice AS o_totalprice,
+              b1.c_name AS c_name, b1.c_acctbal AS c_acctbal
+       FROM a1 LEFT JOIN b1 ON a1.o_custkey = b1.c_custkey
+       ORDER BY o_orderkey""",
+)
+def ivm_left_join_orders_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E149: LEFT-outer join maintenance with null-compensation —
+    E125's documented gap, closed in round 8. The materialized view
+    bootstraps against a customer dim MISSING every 29th row (facts on
+    those keys NULL-padded), then one delta batch exercises all three
+    compensation paths at once: dim-insert-after-fact (every 29th
+    customer arrives late — its facts' pads RETRACT), dim-delete
+    (every 23rd non-17/29 customer deleted — its facts flip BACK to
+    NULL-padded), and both-sides deltas (price updates on every 101st
+    order, deletes of every 103rd, balance updates on every 17th
+    customer). Every maintenance term is delta-sized on one side
+    (broadcast-only plan, gated in test_ivm.py); affected facts are
+    re-derived from the VIEW'S OWN fact columns, never by rescanning
+    orders. Oracle: the full recompute (A ⊕ ΔA) ⟕ (B ⊕ ΔB) — the
+    refresh-equivalence law itself."""
+    from mysql_syncer_spark.operators.ivm import (
+        apply_left_join_delta,
+        left_join_snapshot,
+    )
+
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    b = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_acctbal"
+    )
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    b0 = b.where(ck % 29 != 0)  # every 29th dim row arrives LATE
+    da = (
+        a.where(ok % 101 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10)
+        .withColumn("op", F.lit("upsert"))
+        .unionByName(
+            a.where((ok % 103 == 0) & (ok % 101 != 0)).withColumn(
+                "op", F.lit("delete")
+            )
+        )
+    )
+    db = (
+        b.where(ck % 17 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 5)
+        .withColumn("op", F.lit("upsert"))
+        .unionByName(  # the late arrivals, original values
+            b.where((ck % 29 == 0) & (ck % 17 != 0)).withColumn(
+                "op", F.lit("upsert")
+            )
+        )
+        .unionByName(
+            b.where(
+                (ck % 23 == 0) & (ck % 17 != 0) & (ck % 29 != 0)
+            ).withColumn("op", F.lit("delete"))
+        )
+    )
+    mat = left_join_snapshot(a, b0, "o_custkey")
+    out = apply_left_join_delta(
+        mat, da, b0, db, "o_custkey", "o_orderkey", "o_custkey"
     )
     return out.select(
         "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal"

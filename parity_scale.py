@@ -108,6 +108,132 @@ SCALE_QUERIES = [
     "theil_sen_trend_events",
     "entropy_mix_events",
     "prop_ztest_events",
+    # round-8 widening: EVERY remaining oracle-backed registry query.
+    # Dim-only queries (part/supplier/customer copied unscaled by the
+    # synth: entity_clusters_part, fuzzy_name_pairs_part,
+    # k_anonymity_customer, l_diversity_customer, frame_sample_part,
+    # supplier_revenue over unscaled supplier dim...) are INCLUDED for
+    # regression value with that caveat — their values equal sf0.1 by
+    # construction, but the harness still proves the plan runs and the
+    # oracle agrees at the sf1 session/config. Ordered fast-first so a
+    # straggler at the tail can be triaged without losing the sweep.
+    # -- sync-core family (the reference surface itself at 10x) --
+    "table_digest_orders",
+    "row_hash_orders",
+    "partition_digests_orders",
+    "distinct_partitions_orders",
+    "differing_partitions_orders",
+    "missing_rows_orders",
+    "excess_rows_orders",
+    "changed_rows_orders",
+    "rows_to_copy_orders",
+    "pk_projection_orders",
+    "count_lineitem",
+    "filter_eq_orders",
+    "point_filter_lineitem",
+    "scd2_orders",
+    "cdc_apply_orders",
+    "incremental_agg_orders",
+    "tpch_q1_incremental",
+    # -- TPC-H completion (all 22 at sf1; q1/q8/q9 in wave 1) --
+    "agg_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q3_colocated",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    "revenue_by_nation",
+    "supplier_revenue",
+    "rollup_revenue",
+    "cube_pricing_summary",
+    # -- relational / events family --
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders",
+    "salted_join_orders_customer",
+    "topk_per_group",
+    "latest_event_per_user",
+    "running_total_events",
+    "hourly_event_counts",
+    "distinct_users_per_type",
+    "pivot_event_counts",
+    "unpivot_event_counts",
+    "json_extract_events",
+    "range_join_user_bursts",
+    "asof_join_events_orders",
+    "funnel_events",
+    "cohort_retention_events",
+    "mwu_drift_events",
+    # -- profiling / privacy / integrity --
+    "profile_orders",
+    "integrity_check_orders",
+    "k_anonymity_customer",
+    "l_diversity_customer",
+    # -- docs text family --
+    "dedup_exact_docs",
+    "lang_id_docs",
+    "quality_docs",
+    "gopher_quality_docs",
+    "token_counts_docs",
+    "token_quantiles_docs",
+    "fingerprints_docs",
+    "simhash_docs",
+    "unigram_logprob_docs",
+    "bigram_logprob_docs",
+    "repetition_docs",
+    "pii_docs",
+    "contamination_docs",
+    "tfidf_topk_docs",
+    "chunk_docs",
+    "curate_corpus_docs",
+    # -- sampling / packing / sharding --
+    "hash_sample_docs",
+    "hash_split_docs",
+    "stratified_sample_docs",
+    "quota_sample_docs",
+    "mixture_sample_docs",
+    "replicate_mixture_docs",
+    "priority_sample_docs",
+    "epoch_shuffle_docs",
+    "pack_sequences_docs",
+    "shard_stats_docs",
+    # -- embeddings / similarity / media (heaviest last) --
+    "sign_buckets_embeddings",
+    "quantize_embeddings",
+    "jl_project_embeddings",
+    "label_centroids_embeddings",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "ann_topk_batch",
+    "embedding_near_dup_pairs",
+    "semantic_dedup_embeddings",
+    "ngram_jaccard_pairs_docs",
+    "incremental_new_docs",
+    "incremental_new_docs_indexed",
+    "bloom_new_docs_gate",
+    "minhash_pairs_between_docs",
+    "incremental_ingest_2pct",
+    "incremental_ingest_2pct_indexed",
+    "entity_clusters_part",
+    "fuzzy_name_pairs_part",
+    "frame_sample_part",
+    "media_features_docs",
+    "resize_media_docs",
+    "audio_features_docs",
 ]
 
 

@@ -150,3 +150,153 @@ def test_a_only_apply_matches_recompute_and_is_idempotent(spark, base):
     # convergence rests on
     m2 = apply_join_delta_a_only(m1, da, b, "ck", "ok")
     assert _sets(m2.select(*mat.columns)) == _sets(m1.select(*mat.columns))
+
+
+class TestLeftJoinIVM:
+    """Left-outer maintenance with null-compensation: facts keep a
+    NULL-padded row while no dimension row matches; the pad retracts
+    when the dimension row arrives (late-arriving dimension) and
+    re-appears when it is deleted. Law: fold ≡ full LEFT recompute."""
+
+    def _left_recompute(self, a, b, cols=None):
+        from mysql_syncer_spark.operators.ivm import left_join_snapshot
+
+        out = left_join_snapshot(a, b, "ck")
+        return _sets(out.select(*cols) if cols else out)
+
+    def _lstep(self, spark, a, b, mat, da, db):
+        from mysql_syncer_spark.operators.ivm import apply_left_join_delta
+
+        da_df = spark.createDataFrame(da, DA_SCHEMA)
+        db_df = spark.createDataFrame(db, DB_SCHEMA)
+        mat2 = apply_left_join_delta(
+            mat, da_df, b, db_df, "ck", "ok", "ck"
+        )
+        a2 = apply_table_delta(a, da_df, ["ok"])
+        b2 = apply_table_delta(b, db_df, ["ck"])
+        return a2, b2, mat2
+
+    @pytest.fixture(scope="class")
+    def lbase(self, spark):
+        from mysql_syncer_spark.operators.ivm import left_join_snapshot
+
+        a = spark.createDataFrame(A0, A_SCHEMA)
+        b = spark.createDataFrame(B0, B_SCHEMA)
+        return a, b, left_join_snapshot(a, b, "ck")
+
+    def test_snapshot_pads_unmatched_facts(self, lbase):
+        a, b, mat = lbase
+        rows = _sets(mat.select("ok", "ck", "price", "name"))
+        # fact 4 (ck=30) has no dimension row -> NULL-padded
+        assert (4, 30, 1.0, None) in rows
+        assert len(rows) == 4
+
+    def test_dim_insert_after_fact_retracts_pad(self, spark, lbase):
+        a, b, mat = lbase
+        a2, b2, mat2 = self._lstep(
+            spark, a, b, mat, [], [(30, "thirty", "upsert")]
+        )
+        rows = _sets(mat2.select(*mat.columns))
+        assert rows == self._left_recompute(a2, b2)
+        got = {r[:2]: r for r in _sets(
+            mat2.select("ok", "ck", "price", "name"))}
+        assert got[(4, 30)][3] == "thirty"  # pad retracted
+        assert len(got) == 4                # no duplicate pad row
+
+    def test_dim_delete_restores_pad(self, spark, lbase):
+        a, b, mat = lbase
+        a2, b2, mat2 = self._lstep(
+            spark, a, b, mat, [], [(20, None, "delete")]
+        )
+        rows = _sets(mat2.select(*mat.columns))
+        assert rows == self._left_recompute(a2, b2)
+        got = {r[:2]: r for r in _sets(
+            mat2.select("ok", "ck", "price", "name"))}
+        assert got[(3, 20)][3] is None      # fact kept, NULL-padded
+
+    def test_both_sides_deltas_match_recompute(self, spark, lbase):
+        a, b, mat = lbase
+        da = [
+            (2, 20, 7.5, "upsert"),    # FK move 10 -> 20
+            (5, 99, 2.0, "upsert"),    # insert with NO dim -> pad
+            (3, None, None, "delete"),
+        ]
+        db = [
+            (10, "TEN", "upsert"),
+            (30, "thirty", "upsert"),  # late dim for fact 4
+            (40, None, "delete"),
+        ]
+        a2, b2, mat2 = self._lstep(spark, a, b, mat, da, db)
+        rows = _sets(mat2.select(*mat.columns))
+        assert rows == self._left_recompute(a2, b2)
+        got = {r[:2]: r for r in _sets(
+            mat2.select("ok", "ck", "price", "name"))}
+        assert got[(5, 99)][3] is None      # new fact padded
+        assert got[(4, 30)][3] == "thirty"  # late dim matched
+
+    def test_chained_batches(self, spark, lbase):
+        a, b, mat = lbase
+        batches = [
+            ([(6, 50, 3.0, "upsert")], [(50, "fifty", "upsert")]),
+            ([], [(50, None, "delete")]),           # pad comes back
+            ([(6, None, None, "delete")], [(10, "X", "upsert")]),
+        ]
+        cols = ["ok", "ck", "price", "name"]
+        for da, db in batches:
+            a, b, mat = self._lstep(spark, a, b, mat, da, db)
+            assert _sets(mat.select(*cols)) == \
+                self._left_recompute(a, b, cols)
+
+    def test_null_join_key_fact_rides_through(self, spark, lbase):
+        from mysql_syncer_spark.operators.ivm import (
+            apply_left_join_delta, left_join_snapshot,
+        )
+
+        a = spark.createDataFrame(A0 + [(9, None, 4.0)], A_SCHEMA)
+        b, mat = lbase[1], left_join_snapshot(
+            spark.createDataFrame(A0 + [(9, None, 4.0)], A_SCHEMA),
+            lbase[1], "ck")
+        da = spark.createDataFrame([], DA_SCHEMA)
+        db = spark.createDataFrame([(10, "TEN", "upsert")], DB_SCHEMA)
+        mat2 = apply_left_join_delta(mat, da, b, db, "ck", "ok", "ck")
+        b2 = apply_table_delta(b, db, ["ck"])
+
+        def nsets(df):  # None-tolerant sort (NULL join key rows)
+            return sorted(
+                (tuple(r) for r in df.collect()), key=repr
+            )
+
+        assert nsets(mat2.select(*mat.columns)) == nsets(
+            left_join_snapshot(a, b2, "ck").select(*mat.columns))
+        got = {r[:2]: r for r in _sets(
+            mat2.select("ok", "ck", "price", "name"))}
+        assert got[(9, None)][3] is None
+
+    def test_plan_is_broadcast_only(self, spark, lbase):
+        from mysql_syncer_spark.operators.ivm import apply_left_join_delta
+
+        a, b, mat = lbase
+        mat = mat.localCheckpoint()
+        da = spark.createDataFrame([(1, 10, 5.5, "upsert")], DA_SCHEMA)
+        db = spark.createDataFrame([(30, "thirty", "upsert")], DB_SCHEMA)
+        mat2 = apply_left_join_delta(mat, da, b, db, "ck", "ok", "ck")
+        plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            mat2._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_validation(self, spark, lbase):
+        from mysql_syncer_spark.operators.ivm import apply_left_join_delta
+
+        a, b, mat = lbase
+        da = spark.createDataFrame([], DA_SCHEMA)
+        db_no_jk = spark.createDataFrame(
+            [("x", "delete")], "name string, op string"
+        )
+        with pytest.raises(ValueError, match="join column"):
+            apply_left_join_delta(mat, da, b, db_no_jk, "ck", "ok", "ck")
+        with pytest.raises(ValueError, match="dimension column"):
+            apply_left_join_delta(
+                mat.drop("name"), da, b,
+                spark.createDataFrame([], DB_SCHEMA), "ck", "ok", "ck")

@@ -127,24 +127,6 @@ def test_driver_window_holds_extension_queries():
         # r5: CCNet-style unigram LM score displaces rows_to_copy (the
         # J5 semi-join leg sync_merge drives end-to-end)
         "unigram_logprob_docs",
-        # r5: equi-key-free interval join displaces differing_partitions
-        # (digest kernel = partition_digests, set-diff = sync_merge)
-        "interval_join_error_windows",
-        # r5: JL projection displaces revenue_by_nation (join+agg =
-        # supplier_revenue + agg_pricing_summary, both in-window)
-        "jl_project_embeddings",
-        # r5: CUBE grouping sets displace topk_per_group (rank windows
-        # in-window via tfidf/quota/keep-best)
-        "cube_pricing_summary",
-        # r5: ordered funnel displaces missing_rows (diff-trio leg run
-        # end-to-end by sync_merge, like its excess/changed siblings)
-        "funnel_events",
-        # r5: cohort retention displaces single-fold scd2_orders (a
-        # strict subset of in-window scd2_multibatch_orders)
-        "cohort_retention_events",
-        # r5: hopping windows displace table_digest (kernel runs inside
-        # digest_check + partition_digests, both in-window)
-        "sliding_window_counts_events",
         # r7 second wave: three NEW operator classes promoted into the
         # window (IVM join maintenance, DSIR resampling, containment
         # dedup), displacing quantize_embeddings /
@@ -154,6 +136,18 @@ def test_driver_window_holds_extension_queries():
         "ivm_join_orders_customer",
         "dsir_sample_docs",
         "containment_pairs_docs",
+        # r8 rotation: the never-window r7 fourth wave (new operator
+        # classes the driver had not certified) + the round-8
+        # left-outer IVM. Displaced (interval_join, jl_project,
+        # cube_pricing, funnel, cohort_retention, sliding_window) all
+        # remain oracle-backed, 3-SF parity-swept, AND in the sf1
+        # VALUE sweep; justifications at _PROMOTED in queries.py.
+        "ivm_left_join_orders_customer",
+        "benford_screen_events",
+        "mwu_drift_events",
+        "theil_sen_trend_events",
+        "fd_audit_orders",
+        "bitmap_distinct_users_events",
     }
     assert must_be_in <= window, sorted(must_be_in - window)
     from mysql_syncer_spark.queries import _DEMOTED

@@ -14,8 +14,10 @@ Design notes for 100 TB:
   baseline for verification at small scale.
 * Hashes are md5-derived (both Spark and DuckDB implement md5 bit-for-bit
   identically) so every operator here has an exact SQL oracle. At
-  production scale, swap ``_hash64`` for ``F.xxhash64`` — same plan
-  shape, ~3× faster, no oracle parity.
+  production scale, pass ``hash_mode='xxhash64'`` to the minhash/
+  simhash/prefix-Jaccard entry points — same plan shape, ~3× faster on
+  the shingle hot path, no oracle parity (gated by hash-family
+  independence tests instead; A/B timings in BENCH_SCALE.md).
 * SimHash packs a 16-bit signature; near-dups differ in ≤ ``max_bits``
   bits. Candidate generation by exact-signature match stays a groupBy.
 """
@@ -35,6 +37,28 @@ def _hash64(col: Column) -> Column:
     """Deterministic 60-bit integer hash from md5 (oracle-matchable).
     DuckDB mirror: ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
     return F.conv(F.substring(F.md5(col), 1, _HEX_PREFIX), 16, 10).cast("long")
+
+
+#: hash families for the dedup/shingle operators: 'md5' (default) is
+#: cross-engine oracle-matchable; 'xxhash64' is the production mode —
+#: one JVM intrinsic instead of md5's digest + hex parse (~3× faster on
+#: the shingle hot path), masked to the SAME 60-bit nonneg domain so
+#: every downstream expression (lo/hi split, affine mixing, banding) is
+#: shared verbatim. No DuckDB mirror exists, so xxhash64 results can't
+#: be oracle-checked — the pytest gate instead proves hash-family
+#: INDEPENDENCE where it holds exactly (the prefix-Jaccard pair set)
+#: and recall tolerance where it's statistical (MinHash estimates).
+HASH_MODES = ("md5", "xxhash64")
+
+
+def _hash64_mode(col: Column, hash_mode: str = "md5") -> Column:
+    if hash_mode == "md5":
+        return _hash64(col)
+    if hash_mode == "xxhash64":
+        return F.xxhash64(col).bitwiseAND(F.lit((1 << 60) - 1))
+    raise ValueError(
+        f"hash_mode must be one of {HASH_MODES}, got {hash_mode!r}"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -201,6 +225,7 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 5,
     num_hashes: int = 32,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """MinHash signatures: ``(id, h0..h{num_hashes-1})``.
 
@@ -229,7 +254,7 @@ def minhash_signatures(
         )
         .select(F.col(id_col), F.expr(f"substr(__norm, __i, {k})").alias("shingle"))
         .where(F.length("shingle") > 0)
-        .withColumn("__h", _hash64(F.col("shingle")))
+        .withColumn("__h", _hash64_mode(F.col("shingle"), hash_mode))
     )
     # split __h ONCE in the projection below the agg: as inline subtrees
     # each of the num_hashes agg updates would re-evaluate the mod/div
@@ -288,6 +313,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH, verified by
     estimated Jaccard ≥ threshold: ``(id_a, id_b, jaccard_est)``.
@@ -309,7 +335,7 @@ def minhash_lsh_pairs(
     block-manager cache across a long session (the round-1 bench showed
     leaked persists inflating this query 3.6×).
     """
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, hash_mode)
     buckets = band_bucket_frame(sig, id_col, num_hashes, bands)
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
@@ -343,6 +369,7 @@ def minhash_lsh_pairs_between(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Bipartite MinHash-LSH: near-dup pairs BETWEEN two corpora —
     ``(id_new, id_old, jaccard_est)`` with id_new from ``incoming`` and
@@ -360,8 +387,12 @@ def minhash_lsh_pairs_between(
     minima) runs once and is reused across the bucket and verify
     consumers via ReusedExchange.
     """
-    sig_old = minhash_signatures(corpus, id_col, text_col, k, num_hashes)
-    sig_new = minhash_signatures(incoming, id_col, text_col, k, num_hashes)
+    sig_old = minhash_signatures(
+        corpus, id_col, text_col, k, num_hashes, hash_mode
+    )
+    sig_new = minhash_signatures(
+        incoming, id_col, text_col, k, num_hashes, hash_mode
+    )
     cand = (
         band_bucket_frame(sig_new, id_col, num_hashes, bands, "id_new")
         .join(
@@ -428,7 +459,7 @@ SIMHASH_BITS = 48
 
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    bits: int = SIMHASH_BITS,
+    bits: int = SIMHASH_BITS, hash_mode: str = "md5",
 ) -> DataFrame:
     """Per-document SimHash signature: ``(id, simhash)``.
 
@@ -451,7 +482,7 @@ def simhash(
             F.col(id_col),
             F.explode(F.array_distinct(ws_tokens(normalized_text(text_col)))).alias("tok"),
         )
-        .withColumn("th", _hash64(F.col("tok")))
+        .withColumn("th", _hash64_mode(F.col("tok"), hash_mode))
     )
     slot_w = 21  # counter width: 3 slots per long, 2^21 tokens headroom
     groups = [list(range(g, min(g + 3, bits))) for g in range(0, bits, 3)]
@@ -829,6 +860,7 @@ def jaccard_prefix_pairs(
     k: int = 5,
     threshold: float = 0.7,
     max_df: int | None = 100,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Exact Jaccard similarity join with PREFIX FILTERING (the PPJoin
     family, Xiao et al. 2011): all pairs with Jaccard(k-shingle sets)
@@ -856,12 +888,24 @@ def jaccard_prefix_pairs(
     ``max_df`` keeps the same capped-universe semantic as
     :func:`ngram_jaccard_pairs` (Jaccard computed over shingles with
     doc frequency <= max_df; the SQL oracle mirrors it), composing the
-    skew guard with the prefix prune."""
+    skew guard with the prefix prune.
+
+    ``hash_mode='xxhash64'`` replaces each shingle STRING with its
+    64-bit hash before every downstream step — 8-byte fixed shuffle
+    keys instead of k-char strings on the postings joins. The pair set
+    is hash-family-INDEPENDENT (exact set semantics; the prefix
+    theorem needs only SOME global ordering, and (df, hash) is one) up
+    to 64-bit collisions — cosmically unlikely below ~2^32 distinct
+    shingles, and pytest-gated equal to md5 mode on the fixture."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(
             f"threshold must be in (0, 1], got {threshold}"
         )
     sh = char_shingles(df, id_col, text_col, k)
+    if hash_mode != "md5":
+        sh = sh.withColumn(
+            "shingle", _hash64_mode(F.col("shingle"), hash_mode)
+        )
     w_df = Window.partitionBy("shingle")
     sh = sh.withColumn("__df", F.count(F.lit(1)).over(w_df))
     if max_df is not None:

@@ -369,3 +369,72 @@ class TestJaccardPrefixPairs:
             jaccard_prefix_pairs(df, threshold=0.0)
         with _pytest.raises(ValueError, match="threshold"):
             jaccard_prefix_pairs(df, threshold=1.5)
+
+
+class TestXXHash64Mode:
+    """hash_mode='xxhash64' (the production hash family): the prefix-
+    Jaccard pair set must be hash-family-INDEPENDENT (exact set
+    semantics — any global ordering satisfies the prefix theorem);
+    MinHash-LSH must recover the planted pairs within its documented
+    recall behavior; SimHash must still collide exact duplicates
+    (identical token sets hash identically under ANY family)."""
+
+    def test_prefix_jaccard_pairs_identical_across_hash_families(
+        self, docs_with_dups
+    ):
+        from mysql_syncer_spark.operators.dedup import jaccard_prefix_pairs
+
+        sub = docs_with_dups.where(F.col("doc_id") < 300).unionByName(
+            docs_with_dups.where(F.col("doc_id") > 100000)
+        )
+        md5_pairs = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in jaccard_prefix_pairs(sub, threshold=0.7).collect()
+        }
+        xx_pairs = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in jaccard_prefix_pairs(
+                sub, threshold=0.7, hash_mode="xxhash64"
+            ).collect()
+        }
+        assert md5_pairs == xx_pairs
+        assert any(p[:2] == (0, 100001) for p in xx_pairs)
+
+    def test_minhash_xxhash64_recovers_planted_pairs(self, docs_with_dups):
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(
+                docs_with_dups, threshold=0.7, hash_mode="xxhash64"
+            ).collect()
+        }
+        assert (0, 100001) in lsh and (1, 100002) in lsh
+        # no wild hallucination: everything kept at est>=0.7 has true
+        # jaccard >= 0.5 (same tolerance the md5-mode test uses)
+        loose = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(docs_with_dups, threshold=0.5).collect()
+        }
+        assert lsh <= loose
+
+    def test_simhash_xxhash64_exact_dups_collide(self, docs_with_dups):
+        from mysql_syncer_spark.operators.dedup import simhash
+
+        sh = simhash(docs_with_dups, hash_mode="xxhash64")
+        sigs = {
+            r["doc_id"]: r["simhash"]
+            for r in sh.where(
+                F.col("doc_id").isin(0, 100001)
+            ).collect()
+        }
+        assert sigs[0] == sigs[100001]
+        assert sh.where(
+            (F.col("simhash") < 0) | (F.col("simhash") >= F.lit(1 << 48))
+        ).count() == 0
+
+    def test_bad_hash_mode_raises(self, docs_with_dups):
+        from mysql_syncer_spark.operators.dedup import minhash_signatures
+
+        with pytest.raises(ValueError, match="hash_mode"):
+            minhash_signatures(
+                docs_with_dups, hash_mode="sha1"
+            ).collect()

@@ -637,3 +637,140 @@ def test_heavy_hitters_stream_approx_invariants(spark, tmp_path):
     for k, est in final.items():
         assert est <= true[k] <= est + dec, (k, est, true[k], dec)
     assert "h" in final  # true count 50 >> N/(capacity+1) = 62/3
+
+
+class TestWatermarkBoundaries:
+    """The eviction EDGES (round-8 ask): staged watermark advances where
+    evicted-then-reappearing keys, horizon-EQUAL timestamps, and
+    duplicate batches behind the watermark must match the documented
+    semantics — transitions restart silently across an evicted gap, the
+    session gap rule is strictly ``>``, and late replays are bounded by
+    the watermark (at-least-once sources can't double-count)."""
+
+    SCHEMA = TestTransitionsStream.SCHEMA
+    _line = staticmethod(TestTransitionsStream._line)
+
+    def _run_tr(self, spark, tmp_path, batches, **kw):
+        return TestTransitionsStream._run(
+            self, spark, tmp_path, batches, **kw
+        )
+
+    def _run_sp(self, spark, tmp_path, batches, **kw):
+        return TestSessionPathsStream._run(
+            self, spark, tmp_path, batches, **kw
+        )
+
+    def test_transitions_evicted_key_restarts_without_cross_pair(
+        self, spark, tmp_path
+    ):
+        """Key 1 idles past the eviction horizon (watermark advanced by
+        sentinel key 99 between its events): the documented semantic is
+        a silent RESTART — no pair spanning the evicted gap, while
+        pairs within the post-restart batch still emit."""
+        batches = [
+            ("b0.json", self._line(1, 10, "2026-01-01T10:00:00", "view")
+             + self._line(99, 90, "2026-01-01T10:00:00", "x")),
+            # advances watermark source; next batch's wm = 11:50
+            ("b1.json", self._line(99, 91, "2026-01-01T12:00:00", "x")),
+            # wm 11:50 > key 1 timeout (10:00 + 60 min) -> evicted here
+            ("b2.json", self._line(99, 92, "2026-01-01T12:01:00", "x")),
+            ("b3.json", self._line(1, 11, "2026-01-01T12:30:00", "click")
+             + self._line(1, 12, "2026-01-01T12:31:00", "buy")),
+        ]
+        rows = self._run_tr(
+            spark, tmp_path, batches,
+            watermark="10 minutes", idle_evict_minutes=60,
+        )
+        pairs = [(r["prev_type"], r["next_type"]) for r in rows
+                 if r["user_id"] == 1]
+        assert ("view", "click") not in pairs   # gap spans the eviction
+        assert ("click", "buy") in pairs        # post-restart pair
+
+    def test_transitions_horizon_equal_gap_still_pairs(
+        self, spark, tmp_path
+    ):
+        """An event arriving EXACTLY idle_evict_minutes after the last
+        one pairs normally as long as the watermark has not passed the
+        timeout — eviction is watermark-driven, not gap-driven."""
+        batches = [
+            ("b0.json", self._line(1, 10, "2026-01-01T10:00:00", "view")),
+            ("b1.json", self._line(1, 11, "2026-01-01T11:00:00", "click")),
+            ("b2.json", self._line(99, 90, "2026-01-01T14:00:00", "x")),
+        ]
+        rows = self._run_tr(
+            spark, tmp_path, batches,
+            watermark="10 minutes", idle_evict_minutes=60,
+        )
+        pairs = [(r["prev_type"], r["next_type"]) for r in rows
+                 if r["user_id"] == 1]
+        assert pairs == [("view", "click")]
+
+    def test_transitions_late_duplicate_batch_is_dropped(
+        self, spark, tmp_path
+    ):
+        """A duplicate of an old batch re-delivered BEHIND the watermark
+        (at-least-once source replay after eviction) is filtered by the
+        watermark — the pair multiset does not double-count."""
+        b0 = (self._line(1, 10, "2026-01-01T10:00:00", "view")
+              + self._line(1, 11, "2026-01-01T10:01:00", "click"))
+        batches = [
+            ("b0.json", b0),
+            ("b1.json", self._line(99, 90, "2026-01-01T13:00:00", "x")),
+            ("b2.json", self._line(99, 91, "2026-01-01T13:01:00", "x")),
+            ("b3.json", b0),  # replayed duplicate, 3h behind watermark
+            ("b4.json", self._line(99, 92, "2026-01-01T13:02:00", "x")),
+        ]
+        rows = self._run_tr(
+            spark, tmp_path, batches,
+            watermark="10 minutes", idle_evict_minutes=60,
+        )
+        pairs = [(r["prev_type"], r["next_type"]) for r in rows
+                 if r["user_id"] == 1]
+        assert pairs == [("view", "click")]  # exactly once, not twice
+
+    def test_session_gap_exactly_equal_continues_strictly_greater_closes(
+        self, spark, tmp_path
+    ):
+        """The gap rule is strictly ``>``: an event exactly gap_minutes
+        after the last CONTINUES the session; one second more CLOSES
+        it."""
+        b0 = (
+            self._line(1, 10, "2026-01-01T10:00:00", "a")
+            + self._line(1, 11, "2026-01-01T10:30:00", "b")   # == gap
+            + self._line(1, 12, "2026-01-01T11:00:01", "c")   # gap + 1s
+        )
+        b1 = self._line(99, 90, "2026-01-01T14:00:00", "x")
+        b2 = self._line(99, 91, "2026-01-01T14:01:00", "x")
+        rows = self._run_sp(
+            spark, tmp_path, [("b0.json", b0), ("b1.json", b1),
+                              ("b2.json", b2)],
+            gap_minutes=30, max_steps=5, watermark="10 minutes",
+        )
+        got = sorted(
+            (r["path"], r["n_events"]) for r in rows if r["user_id"] == 1
+        )
+        assert got == [("a>b", 2), ("c", 1)]
+
+    def test_session_evicted_key_reopens_fresh_session(
+        self, spark, tmp_path
+    ):
+        """A key whose open session was flushed by the event-time
+        timeout starts a FRESH session when it reappears — paths are
+        never merged across an eviction."""
+        batches = [
+            ("b0.json", self._line(1, 10, "2026-01-01T10:00:00", "a")),
+            ("b1.json", self._line(99, 90, "2026-01-01T12:00:00", "x")),
+            # wm 11:50 > session timeout 10:30 -> "a" flushed here
+            ("b2.json", self._line(99, 91, "2026-01-01T12:01:00", "x")),
+            ("b3.json", self._line(1, 11, "2026-01-01T12:30:00", "b")),
+            ("b4.json", self._line(99, 92, "2026-01-01T15:00:00", "x")),
+            ("b5.json", self._line(99, 93, "2026-01-01T15:01:00", "x")),
+        ]
+        rows = self._run_sp(
+            spark, tmp_path, batches,
+            gap_minutes=30, max_steps=5, watermark="10 minutes",
+        )
+        got = sorted(
+            (r["path"], r["n_events"]) for r in rows if r["user_id"] == 1
+        )
+        assert got == [("a", 1), ("b", 1)]

@@ -27,7 +27,8 @@ from __future__ import annotations
 import itertools
 import sys
 from collections.abc import Callable, Iterable, Iterator, Sequence
-from datetime import date, datetime
+from datetime import date, datetime, timezone
+from decimal import Decimal
 
 from pyspark.sql import DataFrame
 
@@ -54,14 +55,29 @@ def sql_literal(v, backslash_escapes: bool = False) -> str:
     sql_mode (which interprets them); ANSI engines (sqlite, postgres
     standard_conforming_strings, DuckDB) treat backslashes literally and
     only need quote doubling — escaping them there CORRUPTS the value.
+
+    Wire-corner rules (golden-tested, tests/goldens/mysql_literals.json):
+    ``Decimal`` renders UNQUOTED at its exact scale (a quoted decimal
+    round-trips through string casting and can lose the column scale);
+    ``bytes``/``bytearray`` render as ``X'hex'`` (str() on bytes emits
+    the b'..' repr — corrupt on every engine); tz-AWARE datetimes are
+    converted to UTC and rendered naive (the reference pins the session
+    to UTC, bootstrap.php:9-11 — MySQL's TIMESTAMP text protocol takes
+    no offset suffix); microseconds render only when present.
     """
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "1" if v else "0"
+    if isinstance(v, Decimal):
+        return str(v)
     if isinstance(v, (int, float)):
         return repr(v)
+    if isinstance(v, (bytes, bytearray)):
+        return f"X'{bytes(v).hex().upper()}'"
     if isinstance(v, datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
         return f"'{v.isoformat(sep=' ')}'"
     if isinstance(v, date):
         return f"'{v.isoformat()}'"
@@ -70,6 +86,39 @@ def sql_literal(v, backslash_escapes: bool = False) -> str:
         s = s.replace("\\", "\\\\")
     s = s.replace("'", "''")
     return f"'{s}'"
+
+
+#: MySQL's zero-date sentinels — representable in the text protocol but
+#: NOT as Python datetimes; DBAPI drivers surface them as strings (or
+#: None under CONVERT_ZERO_DATES). parse_sql_literal returns them as
+#: the verbatim strings so a sync round-trip preserves them.
+ZERO_DATES = ("0000-00-00", "0000-00-00 00:00:00")
+
+
+def parse_sql_literal(s: str, backslash_escapes: bool = False):
+    """Inverse of :func:`sql_literal` — the parse-back direction of the
+    wire-fixture goldens (recorded text-protocol round trips standing
+    in for a live mysqld, which the sandbox will never have). Returns
+    ``None``/``bytes``/``int``/``float``/``Decimal``-as-Decimal/``str``;
+    temporal strings come back VERBATIM (including zero-dates — the
+    caller casts by column type, exactly like a DBAPI driver)."""
+    s = s.strip()
+    if s.upper() == "NULL":
+        return None
+    if (s.startswith("X'") or s.startswith("x'")) and s.endswith("'"):
+        return bytes.fromhex(s[2:-1])
+    if s.startswith("'") and s.endswith("'"):
+        body = s[1:-1].replace("''", "'")
+        if backslash_escapes:
+            body = body.replace("\\\\", "\\")
+        return body
+    try:
+        if "." in s or "e" in s.lower():
+            # exact-scale decimals survive; float forms parse as float
+            return float(s) if ("e" in s.lower()) else Decimal(s)
+        return int(s)
+    except (ValueError, ArithmeticError) as exc:
+        raise ValueError(f"unparseable SQL literal: {s!r}") from exc
 
 
 def quote_ident(name: str, quote: str = "`") -> str:

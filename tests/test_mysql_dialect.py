@@ -288,3 +288,147 @@ def test_mysql_catalog_hash_pushdown_sql_golden():
         "COALESCE(`note`, 'NULL'))) AS `__row_hash` "
         "FROM `orders`"
     )
+
+
+# ---------------------------------------------------------------------------
+# Wire-fixture goldens: recorded text-protocol round trips standing in
+# for a live mysqld (the sandbox has none). Typed value -> rendered
+# literal (byte-exact golden) -> parsed back (semantic equivalence) for
+# the TIMESTAMP / zero-date / binary / decimal corners the reference's
+# README warns about (README.md:66-80 "Timestamps Issue") and its UTC
+# session pinning (bootstrap.php:9-11).
+# ---------------------------------------------------------------------------
+
+
+def _golden_cases():
+    import datetime as dt
+    from decimal import Decimal
+
+    UTC = dt.timezone.utc
+    EST = dt.timezone(dt.timedelta(hours=-5))
+    return {
+        "null": (None, True),
+        "bool_true": (True, True),
+        "bool_false": (False, True),
+        "int": (42, True),
+        "int_negative": (-7, True),
+        "bigint_above_2_53": ((1 << 60) + 1, True),
+        "float": (3.25, True),
+        "decimal_exact_scale": (Decimal("12345.60"), True),
+        "decimal_negative": (Decimal("-0.01"), True),
+        "decimal_high_precision": (
+            Decimal("99999999999999999999.999999"), True),
+        "timestamp_naive": (dt.datetime(2024, 1, 31, 23, 59, 59), True),
+        "timestamp_micros": (
+            dt.datetime(2024, 1, 31, 23, 59, 59, 123456), True),
+        "timestamp_utc_aware": (
+            dt.datetime(2024, 1, 31, 23, 59, 59, tzinfo=UTC), True),
+        "timestamp_est_aware_converts_to_utc": (
+            dt.datetime(2024, 1, 31, 22, 0, 0, tzinfo=EST), True),
+        "date": (dt.date(2024, 2, 29), True),
+        "zero_date_string": ("0000-00-00", True),
+        "zero_datetime_string": ("0000-00-00 00:00:00", True),
+        "binary_empty": (b"", True),
+        "binary_nul_and_high": (b"\x00\x01\xff\xfe", True),
+        "binary_quote_backslash_bytes": (b"it's \\ here", True),
+        "bytearray": (bytearray(b"\xde\xad\xbe\xef"), True),
+        "string_quotes_mysql": ("O'Brien", True),
+        "string_backslash_mysql": ("C:\\tmp\\x", True),
+        "string_backslash_ansi": ("C:\\tmp\\x", False),
+        "string_newline_tab": ("line1\nline2\tend", True),
+        "string_unicode": ("caf\u00e9 \u2014 \u00fc", True),
+    }
+
+
+def test_wire_literal_goldens_render_byte_exact():
+    """Every recorded rendering is reproduced byte-for-byte — the
+    forward direction of the wire fixture."""
+    import json
+    import os
+
+    from mysql_syncer_spark.sinks.jdbc import sql_literal
+
+    path = os.path.join(
+        os.path.dirname(__file__), "goldens", "mysql_literals.json"
+    )
+    with open(path) as fh:
+        goldens = {g["name"]: g for g in json.load(fh)}
+    cases = _golden_cases()
+    assert set(goldens) == set(cases)
+    for name, (value, esc) in cases.items():
+        assert sql_literal(value, esc) == goldens[name]["rendered"], name
+
+
+def test_wire_literal_goldens_parse_back():
+    """The reverse direction: parse each recorded literal and compare
+    against the recorded parse AND semantic equivalence with the
+    original value (temporals come back as naive-UTC strings — the
+    DBAPI-driver convention; bools as TINYINT ints)."""
+    import datetime as dt
+    import json
+    import os
+    from decimal import Decimal
+
+    from mysql_syncer_spark.sinks.jdbc import (
+        ZERO_DATES,
+        parse_sql_literal,
+    )
+
+    path = os.path.join(
+        os.path.dirname(__file__), "goldens", "mysql_literals.json"
+    )
+    with open(path) as fh:
+        goldens = {g["name"]: g for g in json.load(fh)}
+    for name, (value, esc) in _golden_cases().items():
+        parsed = parse_sql_literal(goldens[name]["rendered"], esc)
+        assert repr(parsed) == goldens[name]["parsed_repr"], name
+        if value is None:
+            assert parsed is None
+        elif isinstance(value, bool):
+            assert parsed == int(value)
+        elif isinstance(value, (bytes, bytearray)):
+            assert parsed == bytes(value)
+        elif isinstance(value, dt.datetime):
+            want = value
+            if want.tzinfo is not None:
+                want = want.astimezone(dt.timezone.utc).replace(tzinfo=None)
+            assert parsed == want.isoformat(sep=" ")
+        elif isinstance(value, dt.date):
+            assert parsed == value.isoformat()
+        elif isinstance(value, (int, float, Decimal)):
+            assert Decimal(str(parsed)) == Decimal(str(value))
+        else:
+            assert parsed == value, name
+    # zero-dates are preserved VERBATIM (never coerced to a datetime)
+    for z in ZERO_DATES:
+        assert parse_sql_literal(f"'{z}'") == z
+
+
+def test_wire_literals_roundtrip_through_live_sqlite():
+    """The rendered literals survive a real DBAPI engine: INSERT via
+    the rendered statement, SELECT back, compare. sqlite accepts the
+    same quoted-string/hex-blob grammar MySQL's text protocol uses
+    (X'..' blobs included), so this drives the statement path
+    end-to-end without a mysqld."""
+    import sqlite3
+
+    from mysql_syncer_spark.sinks.jdbc import sql_literal
+
+    conn = sqlite3.connect(":memory:")
+    conn.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v)")
+    cases = [
+        (1, b"\x00\x01\xff\xfe"),
+        (2, "O'Brien"),
+        (3, "0000-00-00 00:00:00"),
+        (4, None),
+        (5, 42),
+        (6, 3.25),
+        (7, "line1\nline2\tend"),
+    ]
+    for i, v in cases:
+        conn.execute(
+            f"INSERT INTO t VALUES ({i}, {sql_literal(v, False)})"
+        )
+    got = dict(conn.execute("SELECT id, v FROM t").fetchall())
+    for i, v in cases:
+        assert got[i] == v, (i, got[i], v)

@@ -2054,7 +2054,7 @@ def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT o_orderkey, o_totalprice, 'delete', 1
           FROM orders WHERE o_orderkey % 17 = 0
           UNION ALL
-          SELECT o_orderkey + 100000000, o_totalprice, 'upsert', 1
+          SELECT o_orderkey + 10000000000, o_totalprice, 'upsert', 1
           FROM orders WHERE o_orderkey % 97 = 0),
         merged AS (
           SELECT * FROM (
@@ -2094,9 +2094,13 @@ def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice") + 100, "upsert")
         .unionByName(chg(orders.where(k % 17 == 0),
                          F.col("o_totalprice"), "delete"))
+        # new-key offset 1e10: BEYOND the sf1 synth's per-replica key
+        # shift (1e8 × replica) — a 1e8 offset collided with replica
+        # keys at sf1, creating seq-ties the kernel's "disjoint by
+        # construction" precondition forbids (r8 root-cause)
         .unionByName(chg(orders.where(k % 97 == 0),
                          F.col("o_totalprice"), "upsert",
-                         key=k + 100000000))
+                         key=k + 10_000_000_000))
     )
     out = cdc_upsert_batch(state, batch, ["o_orderkey"], ["seq"])
     return out.where(F.col("op") != "delete").select(

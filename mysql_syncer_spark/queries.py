@@ -2591,12 +2591,16 @@ def _ingest_gate_indexed(
     )
 
     corpus, incoming = _ingest_pair(spark, sf_dir, split)
-    # Index name carries a cheap CONTENT fingerprint (one narrow
-    # two-column agg — parquet scans ids+lengths only, nothing like the
-    # full shingle/sign cost): a fresh process re-attaches the on-disk
-    # index when the corpus is byte-identical and can never silently
-    # serve an index built from different data. Cached per (sf_dir,
-    # split) so repeat calls in one session skip even the narrow scan.
+    # Index name carries a CONTENT fingerprint (one two-column agg —
+    # a single scan, nothing like the full shingle/sign cost): a fresh
+    # process re-attaches the on-disk index when the corpus is
+    # byte-identical and can never silently serve an index built from
+    # different data. The hash covers the TEXT itself, not its length:
+    # an (id, length)-only fingerprint collided at sf1 with an index
+    # built from an older synth whose replica texts were deliberately
+    # length-preserving — 18 near-dup pairs silently missed (r8
+    # root-cause). Cached per (sf_dir, split) so repeat calls in one
+    # session skip even that scan.
     tag = re.sub(r"\W+", "_", sf_dir).strip("_")
     fp = _MHIDX_FP_CACHE.get((sf_dir, split))
     if fp is None:
@@ -2605,7 +2609,7 @@ def _ingest_gate_indexed(
             # decimal(38,0): ANSI mode makes a long SUM of 64-bit hashes
             # throw on overflow (same rule as the digests)
             F.sum(
-                F.xxhash64("doc_id", F.length("text")).cast("decimal(38,0)")
+                F.xxhash64("doc_id", "text").cast("decimal(38,0)")
             ).alias("s"),
         ).first()
         fp = f"{row['n']}_{int(row['s'] or 0) & 0xFFFFFFFFFFFF:x}"

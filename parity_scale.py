@@ -161,6 +161,7 @@ SCALE_QUERIES = [
     "supplier_revenue",
     "rollup_revenue",
     "cube_pricing_summary",
+    "ivm_left_join_orders_customer",  # E149 (r8): left-outer IVM
     # -- relational / events family --
     "semi_join_customers_with_orders",
     "anti_join_customers_without_orders",

@@ -608,11 +608,13 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     bits: int = SIMHASH_BITS,
     max_bits: int = 3,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """SimHash near-duplicate pairs at Hamming distance ≤ ``max_bits``
     over documents: signature pass + banded candidate join."""
     return simhash_pairs_from_signatures(
-        simhash(df, id_col, text_col, bits), id_col, "simhash", bits, max_bits
+        simhash(df, id_col, text_col, bits, hash_mode),
+        id_col, "simhash", bits, max_bits,
     )
 
 

@@ -254,6 +254,13 @@ HEADLINE = [
     "theil_sen_trend_events",
     "entropy_mix_events",
     "prop_ztest_events",
+    # round 8: the outer-join IVM pair, the two-level extremum fold,
+    # and the t-closeness privacy pair
+    "ivm_left_join_orders_customer",
+    "ivm_full_join_orders_customer",
+    "ivm_extrema_orders",
+    "t_closeness_customer",
+    "t_closeness_ordered_customer",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

@@ -23,7 +23,15 @@ modeling requirement per measure kind:
   (bootstrap-friendly: base tables have no sign column).
 * ``min``/``max`` are insert-only maintainable; deletions can't
   retract an extremum without a base rescan, which
-  ``apply_agg_delta`` enforces via ``allow_negative``.
+  ``apply_agg_delta`` enforces via ``allow_negative``. The
+  DELETE-maintainable extremum lives one level down: the classic
+  two-level structure (``value_support_snapshot`` /
+  ``apply_value_support_delta`` / ``extremum_snapshot`` /
+  ``apply_extremum_delta``) keeps a per-(group, value) multiplicity
+  table — itself a signed_count rollup, hence fully retractable — and
+  re-derives min/max for TOUCHED groups only from that table. State is
+  distinct-values-per-group-sized (≪ base for low-cardinality
+  measures), every refresh term delta-keyed.
 
 Shape: agg(delta) is one combinable shuffle over the delta only; the
 merge is a full-outer join on the group key — the rollup table is
@@ -102,3 +110,96 @@ def apply_agg_delta(
         )
         out_cols.append(combined.alias(m))
     return merged.select(*out_cols)
+
+
+def value_support_snapshot(
+    base: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """Bootstrap the two-level extremum state: per-(group, value)
+    multiplicity ``__support`` — ONE combinable groupBy, output sized
+    by distinct values per group (≪ base for low-cardinality
+    measures). NULL values are excluded (min/max ignore them, so they
+    carry no extremum information)."""
+    return (
+        base.where(F.col(value_col).isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(F.count(F.lit(1)).alias("__support"))
+    )
+
+
+def apply_value_support_delta(
+    support: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str,
+    sign_col: str = "sign",
+) -> DataFrame:
+    """Fold a signed delta batch (+1 insert / −1 delete per row) into
+    the support table: one combinable shuffle over the DELTA, then a
+    full-outer merge on (group, value) — the state table is
+    values-sized, never the base. Values whose multiplicity reaches 0
+    drop out (that's what makes the extremum retractable); a batch
+    that over-deletes (multiplicity would go negative) raises at
+    evaluation time — it means the delta doesn't match the base the
+    state was built from."""
+    d = (
+        delta.where(F.col(value_col).isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(F.sum(sign_col).cast("long").alias("__d"))
+    )
+    on = keys + [value_col]
+    merged = support.join(d, on=on, how="full_outer")
+    total = F.coalesce(F.col("__support"), F.lit(0)) + F.coalesce(
+        F.col("__d"), F.lit(0)
+    )
+    guarded = F.when(
+        total < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("support underflow for value "),
+                F.col(value_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(total)
+    return (
+        merged.select(*on, guarded.alias("__support"))
+        .where(F.col("__support") > 0)
+    )
+
+
+def extremum_snapshot(
+    support: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """Derive the extremum view from the support table: per group
+    ``(min_<v>, max_<v>, n_values)`` where n_values counts non-NULL
+    base rows. Support-table-sized work, ≪ base."""
+    return support.groupBy(*keys).agg(
+        F.min(value_col).alias(f"min_{value_col}"),
+        F.max(value_col).alias(f"max_{value_col}"),
+        F.sum("__support").cast("long").alias("n_values"),
+    )
+
+
+def apply_extremum_delta(
+    extrema: DataFrame,
+    support_new: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Advance the extremum view one delta batch WITHOUT touching
+    untouched groups: groups not named in the delta pass through
+    bit-identical (broadcast anti-join); touched groups are re-derived
+    from the (already-advanced) support table, pruned with a broadcast
+    semi on the delta's group keys — so a delete that removes a
+    group's current max correctly falls back to the runner-up, and a
+    group whose support emptied disappears. Work ∝ delta groups ×
+    their value counts, never the base."""
+    touched = delta.select(*keys).distinct()
+    kept = extrema.join(F.broadcast(touched), keys, "left_anti")
+    red = extremum_snapshot(
+        support_new.join(F.broadcast(touched), keys, "left_semi"),
+        keys,
+        value_col,
+    )
+    return kept.unionByName(red)

@@ -232,6 +232,193 @@ def apply_left_join_delta(
     )
 
 
+#: presence markers the FULL-outer view carries (drop for display):
+#: a NULL-padded side is not distinguishable from a present side whose
+#: attributes are NULL once the pk is a join-key column, so existence
+#: is materialized explicitly — the standard outer-join IVM device
+A_PRESENT = "__a_present"
+B_PRESENT = "__b_present"
+
+
+def full_join_snapshot(
+    a: DataFrame, b: DataFrame, on: Sequence[str] | str
+) -> DataFrame:
+    """Bootstrap the materialized FULL-outer join M = A ⟗ B (equi on
+    same-named columns): matched rows, left-only rows NULL-padded on
+    the B side, right-only rows NULL-padded on the A side — the
+    reconciliation shape (two feeds that should agree, kept joined
+    with both orphan sets visible). The view carries two boolean
+    presence markers (:data:`A_PRESENT` / :data:`B_PRESENT`) that
+    :func:`apply_full_join_delta` needs to tell a pad from a present
+    row with NULL attributes — the distinction collapses whenever a
+    side's pk is one of the join columns (the common dimension
+    shape). Drop them for display."""
+    on = [on] if isinstance(on, str) else list(on)
+    a2 = a.withColumn(A_PRESENT, F.lit(True))
+    b2 = b.withColumn(B_PRESENT, F.lit(True))
+    out = a2.join(b2, on, "full")
+    return out.withColumn(
+        A_PRESENT, F.coalesce(F.col(A_PRESENT), F.lit(False))
+    ).withColumn(B_PRESENT, F.coalesce(F.col(B_PRESENT), F.lit(False)))
+
+
+def apply_full_join_delta(
+    mat: DataFrame,
+    a_delta: DataFrame,
+    b_delta: DataFrame,
+    on: Sequence[str] | str,
+    a_pk: Sequence[str] | str,
+    b_pk: Sequence[str] | str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Advance a materialized FULL-outer join one delta batch: returns
+    M' ≡ (A ⊕ ΔA) ⟗ (B ⊕ ΔB) with null-compensation on BOTH sides —
+    completes E149's left-outer rule: an A-delete can CREATE a
+    right-only pad (its B partner loses its last match), an A-upsert
+    can RETRACT one, and symmetrically for B. Unlike the inner/left
+    maintainers this needs NO base snapshots at all: both sides of the
+    affected region are re-derived from the view's own columns plus
+    the delta upserts.
+
+    The subtle edge the left variant never faces: an upsert that
+    CHANGES a row's join key affects two keys — the new one (named in
+    the delta) and the OLD one (where the partner may need re-padding).
+    Old keys are recovered from the view itself: the join keys of rows
+    whose pk is touched. So::
+
+        affected_jk = jk(upserts ΔA ∪ ΔB)
+                    ∪ jk(M[pkA ∈ keys(ΔA)]) ∪ jk(M[pkB ∈ keys(ΔB)])
+        M' = M − M[pkA ∈ keys(ΔA)] − M[pkB ∈ keys(ΔB)]
+               − M[jk ∈ affected_jk]                          (kept)
+            ∪ (A-rows on affected keys) ⟗ (B-rows on affected keys)
+            ∪ NULL-jk upserts, padded                         (pads)
+
+    where A-rows = untouched A columns extracted from the view (the
+    :data:`A_PRESENT` marker drops the right-only pads — NOT a
+    pk-not-null test, which breaks whenever the pk IS a join column
+    and the pad inherits a populated key from its partner; distinct
+    collapses the m:n fan-out) ∪ upserts(ΔA), and symmetrically for
+    B. Every term is delta-sized: the subtractions/slices are
+    broadcast anti/semi joins keyed by delta pks or affected join
+    keys, and the region rebuild joins two delta-keyed slices. Rows
+    with a NULL join key never equi-match, so they ride through
+    ``kept`` unless their own pk is touched; NULL-jk upserts re-enter
+    as direct pads. Requirements: ``mat`` is a
+    :func:`full_join_snapshot` result (it carries both sides' columns
+    AND the presence markers), pk columns are non-NULL in the base
+    tables, and each delta carries its side's full schema (delete
+    rows only need the pk populated)."""
+    on = [on] if isinstance(on, str) else list(on)
+    a_pk = [a_pk] if isinstance(a_pk, str) else list(a_pk)
+    b_pk = [b_pk] if isinstance(b_pk, str) else list(b_pk)
+    _check_delta(a_delta, op_col, "A")
+    _check_delta(b_delta, op_col, "B")
+    a_side = [c for c in a_delta.columns if c not in on and c != op_col]
+    b_side = [c for c in b_delta.columns if c not in on and c != op_col]
+    for col in a_side + b_side + on + [A_PRESENT, B_PRESENT]:
+        if col not in mat.columns:
+            raise ValueError(
+                f"materialized join must carry column '{col}'"
+            )
+    overlap = set(a_side) & set(b_side)
+    if overlap:
+        raise ValueError(
+            f"A/B non-join columns must not overlap: {sorted(overlap)}"
+        )
+
+    jk_nn = [F.col(c).isNotNull() for c in on]
+    nn = jk_nn[0]
+    for c in jk_nn[1:]:
+        nn = nn & c
+
+    a_keys = a_delta.select(*a_pk).distinct()
+    b_keys = b_delta.select(*b_pk).distinct()
+    a_up = a_delta.where(F.col(op_col) == "upsert").drop(op_col)
+    b_up = b_delta.where(F.col(op_col) == "upsert").drop(op_col)
+
+    # affected join keys: the deltas' NEW keys plus the view-recovered
+    # OLD keys of every touched row (the jk-change edge) — all slices
+    # delta-key-pruned, so the union stays delta-sized. The pk semis
+    # only see genuine side rows (marker filter): a pad sharing a
+    # touched pk value through a join-key column is not that row
+    a_rows = mat.where(F.col(A_PRESENT))
+    b_rows = mat.where(F.col(B_PRESENT))
+    affected = (
+        a_up.select(*on)
+        .unionByName(b_up.select(*on))
+        .unionByName(
+            a_rows.join(F.broadcast(a_keys), a_pk, "left_semi").select(*on)
+        )
+        .unionByName(
+            b_rows.join(F.broadcast(b_keys), b_pk, "left_semi").select(*on)
+        )
+        .where(nn)
+        .distinct()
+    )
+
+    # kept: neither side's pk touched (marker-scoped — a pad never
+    # matches on the absent side) and join key unaffected. Implemented
+    # as anti on (pk + marker): rows where the marker is False pass
+    # the anti regardless of inherited key values
+    a_touch = a_keys.withColumn(A_PRESENT, F.lit(True))
+    b_touch = b_keys.withColumn(B_PRESENT, F.lit(True))
+    kept = (
+        mat.join(F.broadcast(a_touch), a_pk + [A_PRESENT], "left_anti")
+        .join(F.broadcast(b_touch), b_pk + [B_PRESENT], "left_anti")
+        .join(F.broadcast(affected), on, "left_anti")
+    )
+
+    # side slices on the affected keys: untouched rows from the view's
+    # own columns (marker filter drops the other side's pads; distinct
+    # collapses the m:n fan-out — exact because pk ⊆ the columns kept)
+    # plus the delta's own upserts
+    def _side_slice(rows, side_cols, pk, keys, up):
+        from_view = (
+            rows.join(F.broadcast(keys), pk, "left_anti")
+            .join(F.broadcast(affected), on, "left_semi")
+            .select(*on, *side_cols)
+            .distinct()
+        )
+        return from_view.unionByName(up.where(nn).select(*on, *side_cols))
+
+    a_slice = _side_slice(a_rows, a_side, a_pk, a_keys, a_up).withColumn(
+        A_PRESENT, F.lit(True)
+    )
+    b_slice = _side_slice(b_rows, b_side, b_pk, b_keys, b_up).withColumn(
+        B_PRESENT, F.lit(True)
+    )
+    region = (
+        a_slice.join(b_slice, on, "full")
+        .withColumn(A_PRESENT, F.coalesce(F.col(A_PRESENT), F.lit(False)))
+        .withColumn(B_PRESENT, F.coalesce(F.col(B_PRESENT), F.lit(False)))
+    )
+
+    # NULL-jk upserts can never equi-match: re-enter as direct pads
+    # with the partner side typed-NULL
+    def _pads(up, own_cols, other_cols, own_marker, other_marker):
+        nulls = [
+            F.lit(None).cast(mat.schema[c].dataType).alias(c)
+            for c in other_cols
+        ]
+        return up.where(~nn).select(
+            *on,
+            *own_cols,
+            *nulls,
+            F.lit(True).alias(own_marker),
+            F.lit(False).alias(other_marker),
+        )
+
+    pads_a = _pads(a_up, a_side, b_side, A_PRESENT, B_PRESENT)
+    pads_b = _pads(b_up, b_side, a_side, B_PRESENT, A_PRESENT)
+
+    cols = mat.columns
+    return (
+        kept.unionByName(region.select(*cols))
+        .unionByName(pads_a.select(*cols))
+        .unionByName(pads_b.select(*cols))
+    )
+
+
 def apply_join_delta_a_only(
     mat: DataFrame,
     a_delta: DataFrame,

@@ -1,6 +1,6 @@
-"""Privacy / re-identification screening: k-anonymity and l-diversity
-over quasi-identifiers, with generalization helpers to repair
-violations.
+"""Privacy / re-identification screening: k-anonymity, l-diversity
+and t-closeness over quasi-identifiers, with generalization helpers
+to repair violations.
 
 The governance sibling of the PII scanner (operators/text.py): PII
 finds DIRECT identifiers inside text; this module measures INDIRECT
@@ -105,6 +105,133 @@ def l_diversity_report(
         F.min("diversity").alias("min_diversity"),
         (F.sum(F.col("risky").cast("long")) == 0).alias("l_diverse"),
     )
+
+
+def t_closeness_cells(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, t: float
+) -> DataFrame:
+    """Per-cell t-closeness audit for a CATEGORICAL sensitive
+    attribute: the distance from each quasi-identifier cell's
+    sensitive-value distribution to the GLOBAL distribution, flagged
+    ``risky`` when it exceeds ``t``. The skewness attack l-diversity
+    misses: a cell can hold l distinct values yet be 95% one rare
+    disease — diverse, but far from the population baseline, so
+    membership in the cell itself discloses. With equal ground
+    distance the Earth-Mover's Distance reduces to total variation:
+    EMD(P,Q) = ½ Σ_v |p_v − q_v|.
+
+    Cross-engine exactness: the distance is assembled in INTEGER
+    arithmetic over counts — with cell size n_c, global size N,
+    per-(cell,value) count n_cs and global count n_s,
+
+        EMD = [ Σ_{v∈cell} |n_cs·N − n_s·n_c|  +  n_c·(N − Σ_{v∈cell} n_s) ]
+              / (2·n_c·N)
+
+    (the second term folds in the values ABSENT from the cell, where
+    |p−q| = q). Everything is exact bigint until the single final
+    division, so Spark and any SQL oracle agree bit-for-bit. Shapes:
+    one combinable groupBy on (quasi, sensitive), a window sum on the
+    cell grain, the value-domain histogram broadcast — nothing
+    shuffles more than the (cell × value) histogram. NULL sensitive
+    values are excluded (as in :func:`l_diversity_cells`); NULL quasi
+    values still partition rows."""
+    from pyspark.sql import Window
+
+    if not 0 < t < 1:
+        raise ValueError(f"t must be in (0, 1), got {t}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if sensitive_col in quasi_cols:
+        raise ValueError(
+            f"sensitive_col {sensitive_col!r} cannot be a quasi column"
+        )
+    base = df.where(F.col(sensitive_col).isNotNull())
+    cv = base.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("__n_cs")
+    )
+    cv = cv.withColumn(
+        "__n_c", F.sum("__n_cs").over(Window.partitionBy(*quasi_cols))
+    )
+    gv = base.groupBy(sensitive_col).agg(F.count(F.lit(1)).alias("__n_s"))
+    tot = base.agg(F.count(F.lit(1)).alias("__N"))
+    j = cv.join(F.broadcast(gv), sensitive_col).crossJoin(F.broadcast(tot))
+    num = F.sum(
+        F.abs(F.col("__n_cs") * F.col("__N") - F.col("__n_s") * F.col("__n_c"))
+    ) + F.max("__n_c") * (F.max("__N") - F.sum("__n_s"))
+    cells = j.groupBy(*quasi_cols).agg(
+        F.max("__n_c").cast("long").alias("n_rows"),
+        (
+            num / (F.lit(2.0) * F.max("__n_c") * F.max("__N"))
+        ).alias("emd"),
+    )
+    return cells.withColumn("risky", F.col("emd") > t)
+
+
+def t_closeness_ordered_cells(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, t: float
+) -> DataFrame:
+    """Per-cell t-closeness audit for an ORDERED (numeric) sensitive
+    attribute: EMD with the ordered ground distance, where moving
+    probability mass across many ranks costs more — a cell holding
+    only the two extreme salaries is farther from baseline than one
+    holding two adjacent ones, which the categorical reduction can't
+    see. Over the global ordered value domain v_1 < … < v_m,
+
+        EMD = Σ_{i=1..m-1} |Σ_{j≤i} (p_j − q_j)| / (m − 1)
+
+    assembled, like :func:`t_closeness_cells`, in exact INTEGER
+    arithmetic (cumulative Σ_{j≤i}(n_cj·N − n_j·n_c), one final
+    division by n_c·N·(m−1)) so any SQL oracle agrees bit-for-bit.
+    Shape: the scaffold is cells × the global value domain (every cell
+    needs a cumulative position at every domain value — absent values
+    count 0), built by cross-joining the broadcast domain histogram;
+    work and output are (cells × m)-sized, the honest cost of the
+    ordered metric, so generalize the sensitive column first when its
+    domain is large. m = 1 degenerates to EMD 0."""
+    from pyspark.sql import Window
+
+    if not 0 < t < 1:
+        raise ValueError(f"t must be in (0, 1), got {t}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if sensitive_col in quasi_cols:
+        raise ValueError(
+            f"sensitive_col {sensitive_col!r} cannot be a quasi column"
+        )
+    base = df.where(F.col(sensitive_col).isNotNull())
+    cv = base.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("__n_cs")
+    )
+    cells = cv.groupBy(*quasi_cols).agg(
+        F.sum("__n_cs").cast("long").alias("__n_c")
+    )
+    gv = base.groupBy(sensitive_col).agg(F.count(F.lit(1)).alias("__n_s"))
+    tot = gv.agg(
+        F.sum("__n_s").cast("long").alias("__N"),
+        F.count(F.lit(1)).cast("long").alias("__m"),
+    )
+    scaffold = (
+        cells.crossJoin(F.broadcast(gv))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(cv), [*quasi_cols, sensitive_col], "left")
+        .withColumn("__n_cs", F.coalesce(F.col("__n_cs"), F.lit(0)))
+    )
+    cum = F.sum(
+        F.col("__n_cs") * F.col("__N") - F.col("__n_s") * F.col("__n_c")
+    ).over(
+        Window.partitionBy(*quasi_cols)
+        .orderBy(sensitive_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scaffold.withColumn("__cum", cum)
+    out = ranked.groupBy(*quasi_cols).agg(
+        F.max("__n_c").cast("long").alias("n_rows"),
+        F.when(F.max("__m") > 1,
+            F.sum(F.abs("__cum"))
+            / (F.max("__n_c") * F.max("__N") * (F.max("__m") - F.lit(1)))
+        ).otherwise(F.lit(0.0)).alias("emd"),
+    )
+    return out.withColumn("risky", F.col("emd") > t)
 
 
 def generalize_numeric(col: Column | str, width: int) -> Column:

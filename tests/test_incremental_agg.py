@@ -145,3 +145,153 @@ def test_plain_count_is_not_retractable_documented(spark):
     folded = apply_agg_delta(rollup, delta, ["k"], measures,
                              allow_negative=True)
     assert folded.first()["n"] == 2  # counted the delete row: documented
+
+
+class TestExtremumIVM:
+    """The two-level delete-maintainable extremum: a per-(group, value)
+    support table (itself a signed_count rollup, hence retractable)
+    from which min/max is re-derived for TOUCHED groups only. Laws:
+    fold ≡ full recompute after any signed batch (including deleting a
+    group's current max — the case plain min/max monoids cannot
+    retract), untouched groups pass through bit-identical, an emptied
+    group disappears, and over-deletion raises."""
+
+    @staticmethod
+    def _ops():
+        from mysql_syncer_spark.operators import incremental_agg as ia
+
+        return ia
+
+    @pytest.fixture(scope="class")
+    def ebase(self, spark):
+        ia = self._ops()
+        rows = [
+            ("a", 5.0), ("a", 9.0), ("a", 9.0), ("a", 1.0),
+            ("b", 3.0), ("b", 7.0),
+            ("c", 2.0),
+        ]
+        base = spark.createDataFrame(rows, "k STRING, v DOUBLE")
+        sup = ia.value_support_snapshot(base, ["k"], "v")
+        ext = ia.extremum_snapshot(sup, ["k"], "v")
+        return base, sup, ext
+
+    @staticmethod
+    def _rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def test_snapshot(self, ebase):
+        _, _, ext = ebase
+        assert self._rows(ext) == [
+            ("a", 1.0, 9.0, 4), ("b", 3.0, 7.0, 2), ("c", 2.0, 2.0, 1)
+        ]
+
+    def test_delete_of_max_falls_to_runner_up(self, spark, ebase):
+        ia = self._ops()
+        base, sup, ext = ebase
+        # delete ONE of the two 9.0s: max stays 9.0 (multiset!), then
+        # delete the second: max falls to 5.0
+        d1 = spark.createDataFrame(
+            [("a", 9.0, -1)], "k STRING, v DOUBLE, sign LONG"
+        )
+        sup1 = ia.apply_value_support_delta(sup, d1, ["k"], "v")
+        ext1 = ia.apply_extremum_delta(ext, sup1, d1, ["k"], "v")
+        assert ("a", 1.0, 9.0, 3) in self._rows(ext1)
+        sup2 = ia.apply_value_support_delta(sup1, d1, ["k"], "v")
+        ext2 = ia.apply_extremum_delta(ext1, sup2, d1, ["k"], "v")
+        assert ("a", 1.0, 5.0, 2) in self._rows(ext2)
+
+    def test_untouched_groups_pass_through(self, spark, ebase):
+        ia = self._ops()
+        _, sup, ext = ebase
+        d = spark.createDataFrame(
+            [("a", 1.0, -1)], "k STRING, v DOUBLE, sign LONG"
+        )
+        sup1 = ia.apply_value_support_delta(sup, d, ["k"], "v")
+        ext1 = ia.apply_extremum_delta(ext, sup1, d, ["k"], "v")
+        got = self._rows(ext1)
+        assert ("b", 3.0, 7.0, 2) in got and ("c", 2.0, 2.0, 1) in got
+        assert ("a", 5.0, 9.0, 3) in got  # min retracted to 5.0
+
+    def test_emptied_group_disappears_new_group_appears(
+        self, spark, ebase
+    ):
+        ia = self._ops()
+        _, sup, ext = ebase
+        d = spark.createDataFrame(
+            [("c", 2.0, -1), ("d", 4.0, 1)],
+            "k STRING, v DOUBLE, sign LONG",
+        )
+        sup1 = ia.apply_value_support_delta(sup, d, ["k"], "v")
+        ext1 = ia.apply_extremum_delta(ext, sup1, d, ["k"], "v")
+        got = self._rows(ext1)
+        assert not any(r[0] == "c" for r in got)
+        assert ("d", 4.0, 4.0, 1) in got
+
+    def test_fold_equals_recompute_chained(self, spark, ebase):
+        ia = self._ops()
+        base, sup, ext = ebase
+        batches = [
+            [("a", 9.0, -1), ("b", 8.0, 1)],
+            [("a", 9.0, -1), ("a", 1.0, -1), ("c", 2.0, -1)],
+            [("a", 0.5, 1), ("d", 6.0, 1)],
+        ]
+        cur = [tuple(r) for r in base.collect()]
+        for batch in batches:
+            d = spark.createDataFrame(
+                batch, "k STRING, v DOUBLE, sign LONG"
+            )
+            sup = ia.apply_value_support_delta(sup, d, ["k"], "v")
+            ext = ia.apply_extremum_delta(ext, sup, d, ["k"], "v")
+            for k, v, s in batch:  # maintain the python-side multiset
+                if s > 0:
+                    cur.append((k, v))
+                else:
+                    cur.remove((k, v))
+            rec = ia.extremum_snapshot(
+                ia.value_support_snapshot(
+                    spark.createDataFrame(cur, "k STRING, v DOUBLE"),
+                    ["k"], "v"),
+                ["k"], "v")
+            assert self._rows(ext) == self._rows(rec)
+
+    def test_null_values_excluded(self, spark):
+        ia = self._ops()
+        base = spark.createDataFrame(
+            [("a", 1.0), ("a", None)], "k STRING, v DOUBLE"
+        )
+        sup = ia.value_support_snapshot(base, ["k"], "v")
+        ext = ia.extremum_snapshot(sup, ["k"], "v")
+        assert self._rows(ext) == [("a", 1.0, 1.0, 1)]
+
+    def test_over_deletion_raises(self, spark, ebase):
+        ia = self._ops()
+        _, sup, _ = ebase
+        d = spark.createDataFrame(
+            [("c", 2.0, -2)], "k STRING, v DOUBLE, sign LONG"
+        )
+        bad = ia.apply_value_support_delta(sup, d, ["k"], "v")
+        with pytest.raises(Exception, match="support underflow"):
+            bad.collect()
+
+    def test_maintenance_joins_are_broadcast(self, spark, ebase):
+        ia = self._ops()
+        _, sup, ext = ebase
+        sup = sup.localCheckpoint()
+        ext = ext.localCheckpoint()
+        d = spark.createDataFrame(
+            [("a", 9.0, -1)], "k STRING, v DOUBLE, sign LONG"
+        )
+        sup1 = ia.apply_value_support_delta(sup, d, ["k"], "v")
+        out = ia.apply_extremum_delta(ext, sup1, d, ["k"], "v")
+        plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        # kept/re-derive prune via broadcast on the delta's group keys;
+        # the one shuffling join is the support merge — full-outer on
+        # (group, value) between the values-sized state and the
+        # delta-sized aggregate
+        import re
+
+        smj_kinds = set(re.findall(r"SortMergeJoin (\w+)", plan))
+        assert smj_kinds <= {"FullOuter"}, plan
+        assert "BroadcastHashJoin" in plan

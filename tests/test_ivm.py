@@ -300,3 +300,183 @@ class TestLeftJoinIVM:
             apply_left_join_delta(
                 mat.drop("name"), da, b,
                 spark.createDataFrame([], DB_SCHEMA), "ck", "ok", "ck")
+
+
+class TestFullJoinIVM:
+    """FULL-outer maintenance with two-sided null-compensation: an
+    A-delete can CREATE a right-only pad (its partner loses its last
+    match), an A-upsert can RETRACT one, and symmetrically for B —
+    plus the jk-change edge (an upsert moving a row's join key must
+    re-pad the partner left behind at the OLD key, recovered from the
+    view). Law: fold ≡ full FULL-outer recompute."""
+
+    def _full_recompute(self, a, b, cols):
+        from mysql_syncer_spark.operators.ivm import full_join_snapshot
+
+        return self._nsets(full_join_snapshot(a, b, "ck").select(*cols))
+
+    @staticmethod
+    def _nsets(df):  # None-tolerant sort (pads carry NULL keys)
+        return sorted((tuple(r) for r in df.collect()), key=repr)
+
+    def _fstep(self, spark, a, b, mat, da, db):
+        from mysql_syncer_spark.operators.ivm import apply_full_join_delta
+
+        da_df = spark.createDataFrame(da, DA_SCHEMA)
+        db_df = spark.createDataFrame(db, DB_SCHEMA)
+        mat2 = apply_full_join_delta(mat, da_df, db_df, "ck", "ok", "ck")
+        a2 = apply_table_delta(a, da_df, ["ok"])
+        b2 = apply_table_delta(b, db_df, ["ck"])
+        return a2, b2, mat2
+
+    @pytest.fixture(scope="class")
+    def fbase(self, spark):
+        from mysql_syncer_spark.operators.ivm import full_join_snapshot
+
+        a = spark.createDataFrame(A0, A_SCHEMA)
+        b = spark.createDataFrame(B0, B_SCHEMA)
+        return a, b, full_join_snapshot(a, b, "ck")
+
+    def test_snapshot_pads_both_sides(self, fbase):
+        a, b, mat = fbase
+        rows = self._nsets(mat.select("ok", "ck", "price", "name"))
+        assert (4, 30, 1.0, None) in rows          # left-only pad
+        assert (None, 40, None, "forty") in rows   # right-only pad
+        assert len(rows) == 5
+
+    def test_a_delete_creates_right_pad(self, spark, fbase):
+        a, b, mat = fbase
+        # fact 3 is the ONLY fact on ck=20 -> b 'twenty' re-pads
+        a2, b2, mat2 = self._fstep(
+            spark, a, b, mat, [(3, None, None, "delete")], []
+        )
+        cols = ["ok", "ck", "price", "name"]
+        rows = self._nsets(mat2.select(*cols))
+        assert rows == self._full_recompute(a2, b2, cols)
+        assert (None, 20, None, "twenty") in rows
+
+    def test_a_upsert_retracts_right_pad(self, spark, fbase):
+        a, b, mat = fbase
+        a2, b2, mat2 = self._fstep(
+            spark, a, b, mat, [(5, 40, 2.0, "upsert")], []
+        )
+        cols = ["ok", "ck", "price", "name"]
+        rows = self._nsets(mat2.select(*cols))
+        assert rows == self._full_recompute(a2, b2, cols)
+        assert (5, 40, 2.0, "forty") in rows
+        assert (None, 40, None, "forty") not in rows
+
+    def test_jk_change_repads_old_partner(self, spark, fbase):
+        a, b, mat = fbase
+        # fact 3 moves 20 -> 10: b 'twenty' loses its last match and
+        # must re-enter as a right-only pad at the OLD key
+        a2, b2, mat2 = self._fstep(
+            spark, a, b, mat, [(3, 10, 9.0, "upsert")], []
+        )
+        cols = ["ok", "ck", "price", "name"]
+        rows = self._nsets(mat2.select(*cols))
+        assert rows == self._full_recompute(a2, b2, cols)
+        assert (None, 20, None, "twenty") in rows
+        assert (3, 10, 9.0, "ten") in rows
+
+    def test_both_sides_deltas_match_recompute(self, spark, fbase):
+        a, b, mat = fbase
+        da = [
+            (2, 20, 7.5, "upsert"),     # FK move 10 -> 20
+            (5, 99, 2.0, "upsert"),     # insert with NO dim -> left pad
+            (3, None, None, "delete"),
+        ]
+        db = [
+            (10, "TEN", "upsert"),
+            (30, "thirty", "upsert"),   # late dim retracts fact 4's pad
+            (40, None, "delete"),       # right-only pad disappears
+        ]
+        a2, b2, mat2 = self._fstep(spark, a, b, mat, da, db)
+        cols = ["ok", "ck", "price", "name"]
+        rows = self._nsets(mat2.select(*cols))
+        assert rows == self._full_recompute(a2, b2, cols)
+        assert (5, 99, 2.0, None) in rows
+        assert (4, 30, 1.0, "thirty") in rows
+        assert not any(r[1] == 40 for r in rows)
+
+    def test_null_join_key_upserts_become_pads(self, spark, fbase):
+        a, b, mat = fbase
+        a2, b2, mat2 = self._fstep(
+            spark, a, b, mat, [(9, None, 4.0, "upsert")], []
+        )
+        cols = ["ok", "ck", "price", "name"]
+        rows = self._nsets(mat2.select(*cols))
+        assert rows == self._full_recompute(a2, b2, cols)
+        assert (9, None, 4.0, None) in rows
+
+    def test_chained_batches(self, spark, fbase):
+        a, b, mat = fbase
+        cols = ["ok", "ck", "price", "name"]
+        batches = [
+            ([(6, 50, 3.0, "upsert")], [(50, "fifty", "upsert")]),
+            ([], [(50, None, "delete")]),         # fact 6 re-pads
+            ([(6, None, None, "delete")], [(10, "X", "upsert")]),
+            ([(1, 40, 5.0, "upsert")], []),       # move onto b 40
+        ]
+        for da, db in batches:
+            a, b, mat = self._fstep(spark, a, b, mat, da, db)
+            # production reads the materialized view back from storage
+            # each batch; without the cut the maintainer's 5 view
+            # references compound exponentially across batches
+            mat = mat.localCheckpoint()
+            assert self._nsets(mat.select(*cols)) == \
+                self._full_recompute(a, b, cols)
+
+    def test_empty_delta_is_identity(self, spark, fbase):
+        from mysql_syncer_spark.operators.ivm import apply_full_join_delta
+
+        a, b, mat = fbase
+        da = spark.createDataFrame([], DA_SCHEMA)
+        db = spark.createDataFrame([], DB_SCHEMA)
+        mat2 = apply_full_join_delta(mat, da, db, "ck", "ok", "ck")
+        assert self._nsets(mat2.select(*mat.columns)) == \
+            self._nsets(mat)
+
+    def test_plan_shape(self, spark, fbase):
+        from mysql_syncer_spark.operators.ivm import apply_full_join_delta
+
+        a, b, mat = fbase
+        mat = mat.localCheckpoint()
+        da = spark.createDataFrame([(1, 10, 5.5, "upsert")], DA_SCHEMA)
+        db = spark.createDataFrame([(30, "thirty", "upsert")], DB_SCHEMA)
+        mat2 = apply_full_join_delta(mat, da, db, "ck", "ok", "ck")
+        plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            mat2._jdf.queryExecution(), "formatted"
+        )
+        # every join touching the view is broadcast; the ONE shuffling
+        # join Spark permits no broadcast for is the full-outer region
+        # rebuild — and both its inputs are delta-keyed slices
+        import re
+
+        smj_kinds = set(re.findall(r"SortMergeJoin (\w+)", plan))
+        assert smj_kinds <= {"FullOuter"}, plan
+        tree_smj = [
+            ln for ln in plan.splitlines()
+            if "SortMergeJoin" in ln and "+-" in ln
+        ]
+        assert len(tree_smj) <= 1, plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_validation(self, spark, fbase):
+        from mysql_syncer_spark.operators.ivm import apply_full_join_delta
+
+        a, b, mat = fbase
+        bad = spark.createDataFrame([(1, 10, 5.5)], A_SCHEMA)
+        db = spark.createDataFrame([], DB_SCHEMA)
+        with pytest.raises(ValueError, match="op column"):
+            apply_full_join_delta(mat, bad, db, "ck", "ok", "ck")
+        da = spark.createDataFrame([], DA_SCHEMA)
+        with pytest.raises(ValueError, match="must carry column"):
+            apply_full_join_delta(
+                mat.drop("name"), da, db, "ck", "ok", "ck"
+            )
+        overlap = spark.createDataFrame(
+            [], "ck long, price double, op string"
+        )
+        with pytest.raises(ValueError, match="overlap"):
+            apply_full_join_delta(mat, da, overlap, "ck", "ok", "ck")

@@ -114,19 +114,18 @@ def test_driver_window_holds_extension_queries():
         # whose kernels in-window composites already run end-to-end
         "mixture_sample_docs", "chunk_docs", "semantic_dedup_embeddings",
         "dedup_keep_best_docs", "shard_stats_docs", "gap_fill_daily_events",
-        # r5 third wave: Gopher rules displace hourly_event_counts
-        # (subset of gap_fill's bucket agg). r7: the tiled scrub
-        # rotated OUT for its promoted STRICTER shift-robust sibling.
-        "gopher_quality_docs",
+        # r5 third wave: Gopher rules displaced hourly_event_counts;
+        # r8 second wave rotated gopher_quality_docs itself OUT (its
+        # rule set runs end-to-end in-window via curate_corpus_docs).
         # r7 rotation in (the _PROMOTED front): the three operators
         # that landed after the r6 sweeps + the hardest new TPC-H +
         # the E120 propagation stage
         "asof_forward_events_orders", "entity_clusters_part",
         "scrub_repeated_windows_docs", "tpch_q9_product_type_profit",
         "quality_propagate_embeddings",
-        # r5: CCNet-style unigram LM score displaces rows_to_copy (the
-        # J5 semi-join leg sync_merge drives end-to-end)
-        "unigram_logprob_docs",
+        # r5: the CCNet-style unigram LM score displaced rows_to_copy;
+        # r8 second wave rotated unigram_logprob_docs itself OUT (the
+        # hashed-LM kernel stays in-window via dsir_sample_docs).
         # r7 second wave: three NEW operator classes promoted into the
         # window (IVM join maintenance, DSIR resampling, containment
         # dedup), displacing quantize_embeddings /
@@ -148,6 +147,12 @@ def test_driver_window_holds_extension_queries():
         "theil_sen_trend_events",
         "fd_audit_orders",
         "bitmap_distinct_users_events",
+        # r8 second wave: two NEW operator classes (two-sided FULL-outer
+        # IVM; t-closeness distribution-distance privacy), displacing
+        # gopher_quality_docs / unigram_logprob_docs — justifications
+        # at _PROMOTED in queries.py.
+        "ivm_full_join_orders_customer",
+        "t_closeness_customer",
     }
     assert must_be_in <= window, sorted(must_be_in - window)
     from mysql_syncer_spark.queries import _DEMOTED

@@ -141,3 +141,144 @@ def test_validation(people):
         generalize_numeric("n", 0)
     with pytest.raises(ValueError, match="length"):
         generalize_prefix("s", 0)
+
+
+class TestTCloseness:
+    """t-closeness: per-cell distance from the sensitive-value
+    distribution to the global baseline — the skewness attack
+    l-diversity misses (a cell can be l-diverse yet 95% one rare
+    value). Both variants are checked against an independent
+    Fraction-based reference (exact rational arithmetic), which the
+    integer-numerator implementation must match to float precision of
+    the single final division."""
+
+    # groups g1: [a,a,b]  g2: [b,b,c,c]  -> global a:2 b:3 c:2, N=7
+    TROWS = [
+        ("g1", "a"), ("g1", "a"), ("g1", "b"),
+        ("g2", "b"), ("g2", "b"), ("g2", "c"), ("g2", "c"),
+    ]
+
+    @staticmethod
+    def _ref_tvd(cell_vals, glob_vals):
+        from fractions import Fraction
+
+        n_c, big_n = len(cell_vals), len(glob_vals)
+        dom = sorted(set(glob_vals))
+        tot = Fraction(0)
+        for v in dom:
+            p = Fraction(cell_vals.count(v), n_c)
+            q = Fraction(glob_vals.count(v), big_n)
+            tot += abs(p - q)
+        return tot / 2
+
+    @staticmethod
+    def _ref_ordered(cell_vals, glob_vals):
+        from fractions import Fraction
+
+        n_c, big_n = len(cell_vals), len(glob_vals)
+        dom = sorted(set(glob_vals))
+        m = len(dom)
+        if m == 1:
+            return Fraction(0)
+        cum, tot = Fraction(0), Fraction(0)
+        for v in dom:
+            cum += Fraction(cell_vals.count(v), n_c) - Fraction(
+                glob_vals.count(v), big_n)
+            tot += abs(cum)
+        return tot / (m - 1)
+
+    def test_categorical_matches_rational_reference(self, spark):
+        from mysql_syncer_spark.operators.privacy import t_closeness_cells
+
+        df = spark.createDataFrame(self.TROWS, "g STRING, s STRING")
+        out = {r["g"]: r for r in
+               t_closeness_cells(df, ["g"], "s", t=0.2).collect()}
+        glob = [s for _, s in self.TROWS]
+        for g in ("g1", "g2"):
+            cell = [s for k, s in self.TROWS if k == g]
+            want = float(self._ref_tvd(cell, glob))
+            assert abs(out[g]["emd"] - want) < 1e-12
+            assert out[g]["n_rows"] == len(cell)
+            assert out[g]["risky"] == (want > 0.2)
+
+    def test_ordered_matches_rational_reference(self, spark):
+        from mysql_syncer_spark.operators.privacy import (
+            t_closeness_ordered_cells,
+        )
+
+        rows = [
+            ("x", 1), ("x", 3),          # mass at the extremes
+            ("y", 1), ("y", 2),          # adjacent mass
+            ("z", 1), ("z", 2), ("z", 3),
+        ]
+        df = spark.createDataFrame(rows, "g STRING, s LONG")
+        out = {r["g"]: r for r in
+               t_closeness_ordered_cells(df, ["g"], "s", t=0.1).collect()}
+        glob = [s for _, s in rows]
+        for g in ("x", "y", "z"):
+            cell = [s for k, s in rows if k == g]
+            want = float(self._ref_ordered(cell, glob))
+            assert abs(out[g]["emd"] - want) < 1e-12
+
+    def test_ordered_sees_rank_distance_categorical_cannot(self, spark):
+        """Two cells with the SAME categorical distance to baseline but
+        different rank spread: the ordered metric must separate them."""
+        from mysql_syncer_spark.operators.privacy import (
+            t_closeness_cells,
+            t_closeness_ordered_cells,
+        )
+
+        # global uniform over {1,2,3}; cell 'far' holds {1,3}, cell
+        # 'near' holds {1,2}: same TVD, different ordered EMD
+        rows = ([("far", 1), ("far", 3), ("near", 1), ("near", 2)]
+                + [("pad", v) for v in (2, 3)])
+        df = spark.createDataFrame(rows, "g STRING, s LONG")
+        cat = {r["g"]: r["emd"] for r in
+               t_closeness_cells(df, ["g"], "s", t=0.5).collect()}
+        assert abs(cat["far"] - cat["near"]) < 1e-12
+        orde = {r["g"]: r["emd"] for r in
+                t_closeness_ordered_cells(df, ["g"], "s", t=0.5).collect()}
+        assert orde["near"] > orde["far"]  # 1&2 vs baseline drifts more
+        # cross-check both against the rational reference
+        glob = [s for _, s in rows]
+        for g in ("far", "near"):
+            cell = [s for k, s in rows if k == g]
+            assert abs(orde[g] - float(self._ref_ordered(cell, glob))) \
+                < 1e-12
+
+    def test_null_sensitive_excluded(self, spark):
+        from mysql_syncer_spark.operators.privacy import t_closeness_cells
+
+        df = spark.createDataFrame(
+            self.TROWS + [("g1", None)], "g STRING, s STRING"
+        )
+        base = spark.createDataFrame(self.TROWS, "g STRING, s STRING")
+        a = {r["g"]: (r["emd"], r["n_rows"]) for r in
+             t_closeness_cells(df, ["g"], "s", 0.2).collect()}
+        b = {r["g"]: (r["emd"], r["n_rows"]) for r in
+             t_closeness_cells(base, ["g"], "s", 0.2).collect()}
+        assert a == b
+
+    def test_single_value_domain_is_zero(self, spark):
+        from mysql_syncer_spark.operators.privacy import (
+            t_closeness_cells,
+            t_closeness_ordered_cells,
+        )
+
+        df = spark.createDataFrame(
+            [("g1", 7), ("g2", 7)], "g STRING, s LONG"
+        )
+        for fn in (t_closeness_cells, t_closeness_ordered_cells):
+            out = fn(df, ["g"], "s", 0.1).collect()
+            assert all(r["emd"] == 0.0 and not r["risky"] for r in out)
+
+    def test_validation(self, spark):
+        from mysql_syncer_spark.operators.privacy import t_closeness_cells
+
+        df = spark.createDataFrame(self.TROWS, "g STRING, s STRING")
+        with pytest.raises(ValueError, match="t must be"):
+            t_closeness_cells(df, ["g"], "s", 1.5)
+        with pytest.raises(ValueError, match="non-empty"):
+            t_closeness_cells(df, [], "s", 0.2)
+        with pytest.raises(ValueError, match="quasi column"):
+            t_closeness_cells(df, ["s"], "s", 0.2)

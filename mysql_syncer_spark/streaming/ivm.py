@@ -24,11 +24,23 @@ The dimension is read fresh from ``b_path`` each batch, so an
 out-of-band dimension refresh (its own swap-discipline job) is picked
 up on the next micro-batch; dimension-delta IVM in streaming would
 need the full two-sided identity and is served by the batch operator.
+
+Also here: the streaming extremum maintainer (E152's live twin) — a
+signed (group, value, ±1) delta stream continuously advances BOTH the
+two-level support table and the derived min/max view. Signed folding
+is NOT idempotent (re-applying a batch double-counts), so the support
+fold is guarded by the quantile maintainer's ``last_batch`` high-water
+mark; the extremum re-derive is a PURE FUNCTION of the support table
+for the batch's touched groups, so it runs unguarded — which is
+exactly what heals the two-swap crash window (support swapped, crash,
+extrema stale): the replayed batch skips the support fold and
+re-derives the extremum view from the already-advanced support.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from mysql_syncer_spark.operators.ivm import apply_join_delta_a_only
 
@@ -111,6 +123,107 @@ def ivm_join_stream(
         # delta-repaired table, not a multi-table sync)
         new_mat = new_mat.localCheckpoint(eager=True)
         _swap_write(new_mat, mat_path)
+        if on_batch_committed is not None:
+            on_batch_committed(batch_id)
+
+    writer = (
+        delta_stream.writeStream.outputMode("append")
+        .foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def extrema_bootstrap(
+    base: DataFrame,
+    keys,
+    value_col: str,
+    support_path: str,
+    extrema_path: str,
+) -> None:
+    """Materialize the initial two-level extremum state: the
+    per-(group, value) support table at ``support_path`` (with the
+    ``last_batch`` high-water mark, -1 = bootstrap) and the derived
+    min/max view at ``extrema_path``."""
+    from mysql_syncer_spark.operators.incremental_agg import (
+        extremum_snapshot,
+        value_support_snapshot,
+    )
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sup = value_support_snapshot(base, keys, value_col)
+    _swap_write(
+        sup.withColumn("last_batch", F.lit(-1).cast("long")), support_path
+    )
+    _swap_write(extremum_snapshot(sup, keys, value_col), extrema_path)
+
+
+def extrema_maintain_stream(
+    delta_stream: DataFrame,
+    support_path: str,
+    extrema_path: str,
+    checkpoint_dir: str,
+    keys,
+    value_col: str,
+    sign_col: str = "sign",
+    available_now: bool = True,
+    on_support_committed=None,
+    on_batch_committed=None,
+):
+    """Maintain the delete-maintainable extremum (E152) over a live
+    signed delta stream: each micro-batch folds ±1 rows into the
+    persisted support table (values whose multiplicity reaches 0 drop
+    out — a streamed DELETE of a group's max falls to the runner-up),
+    then re-derives min/max for the batch's touched groups only.
+
+    Replay contract — EXACT convergence: the support fold is skipped
+    for any batch id <= the persisted ``last_batch`` (signed folding
+    is not idempotent), while the extremum re-derive ALWAYS runs (it
+    is a pure function of the support table for the touched groups,
+    hence idempotent). Crash classes, all proven by kill-and-restart
+    tests: before the support swap — nothing changed, replay folds
+    normally; between the two swaps — replay skips the fold and
+    re-derives the extremum view from the already-advanced support
+    (the stale-view window heals); after both swaps before the
+    checkpoint commit — replay is a no-op re-derive. Same staging +
+    rename swap and ``__old__`` recovery as the join maintainer.
+
+    ``on_support_committed(batch_id)`` fires between the two swaps
+    (fault-injection hook for the two-swap window);
+    ``on_batch_committed(batch_id)`` after both."""
+    from mysql_syncer_spark.operators.incremental_agg import (
+        apply_extremum_delta,
+        apply_value_support_delta,
+    )
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        sup = _recover_read(spark, support_path)
+        hwm = sup.agg(F.max("last_batch")).first()[0]
+        replayed = hwm is not None and batch_id <= hwm
+        if not replayed:
+            sup_new = apply_value_support_delta(
+                sup.drop("last_batch"), batch, keys, value_col, sign_col
+            ).withColumn("last_batch", F.lit(batch_id).cast("long"))
+            sup_new = sup_new.localCheckpoint(eager=True)
+            _swap_write(sup_new, support_path)
+        if on_support_committed is not None:
+            on_support_committed(batch_id)
+        # unguarded on purpose: pure function of the (already-advanced)
+        # support table for the touched groups — idempotent, and the
+        # healer for a crash between the two swaps
+        sup_cur = _recover_read(spark, support_path).drop("last_batch")
+        ext = _recover_read(spark, extrema_path)
+        ext_new = apply_extremum_delta(
+            ext, sup_cur, batch, keys, value_col
+        ).localCheckpoint(eager=True)
+        _swap_write(ext_new, extrema_path)
         if on_batch_committed is not None:
             on_batch_committed(batch_id)
 

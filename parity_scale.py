@@ -235,6 +235,11 @@ SCALE_QUERIES = [
     "media_features_docs",
     "resize_media_docs",
     "audio_features_docs",
+    # round-8 second wave (E151-E154)
+    "ivm_full_join_orders_customer",
+    "ivm_extrema_orders",
+    "t_closeness_customer",
+    "t_closeness_ordered_customer",
 ]
 
 

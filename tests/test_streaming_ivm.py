@@ -131,3 +131,162 @@ def test_crash_in_replay_window_converges_exactly(spark, tmp_path):
         "restart did not replay the uncommitted batch"
     )
     assert _view(spark, mat_path) == FINAL
+
+
+class TestStreamingExtrema:
+    """Streaming extremum maintenance (E152's live twin): signed
+    (group, value, ±1) batches advance the persisted support table and
+    the derived min/max view. Laws: (1) recompute equivalence after
+    replaying all batches; (2) EXACT replay convergence for BOTH crash
+    windows — after the support swap but before the extrema swap (the
+    stale-view window must HEAL via the unguarded re-derive), and
+    after both swaps before the checkpoint commit (the high-water mark
+    must skip the double-fold)."""
+
+    SCHEMA = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("sign", T.LongType()),
+        ]
+    )
+    B0 = (
+        '{"k": "a", "v": 9.0, "sign": -1}\n'
+        '{"k": "b", "v": 8.0, "sign": 1}\n'
+    )
+    B1 = (
+        '{"k": "a", "v": 9.0, "sign": -1}\n'
+        '{"k": "c", "v": 2.0, "sign": -1}\n'
+        '{"k": "d", "v": 6.0, "sign": 1}\n'
+    )
+    #: recompute of base ⊕ B0 ⊕ B1: a [5,1], b [3,7,8], d [6], c gone
+    FINAL = sorted([("a", 1.0, 5.0, 2), ("b", 3.0, 8.0, 3),
+                    ("d", 6.0, 6.0, 1)])
+
+    def _setup(self, spark, tmp_path, tag):
+        from mysql_syncer_spark.streaming.ivm import extrema_bootstrap
+
+        base = spark.createDataFrame(
+            [("a", 5.0), ("a", 9.0), ("a", 9.0), ("a", 1.0),
+             ("b", 3.0), ("b", 7.0), ("c", 2.0)],
+            "k STRING, v DOUBLE",
+        )
+        sup = str(tmp_path / f"sup_{tag}.parquet")
+        ext = str(tmp_path / f"ext_{tag}.parquet")
+        extrema_bootstrap(base, ["k"], "v", sup, ext)
+        src = tmp_path / f"xin_{tag}"
+        src.mkdir()
+        return sup, ext, src
+
+    def _ext(self, spark, ext_path):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(ext_path)
+            .select("k", "min_v", "max_v", "n_values")
+            .collect()
+        )
+
+    def _run(self, spark, src, sup, ext, ckpt, hook_sup=None,
+             hook_batch=None):
+        from mysql_syncer_spark.streaming.ivm import (
+            extrema_maintain_stream,
+        )
+
+        stream = spark.readStream.schema(self.SCHEMA).option(
+            "maxFilesPerTrigger", 1
+        ).json(str(src))
+        q = extrema_maintain_stream(
+            stream, sup, ext, ckpt, ["k"], "v",
+            on_support_committed=hook_sup, on_batch_committed=hook_batch,
+        )
+        q.awaitTermination(120)
+
+    def test_stream_matches_recompute(self, spark, tmp_path):
+        sup, ext, src = self._setup(spark, tmp_path, "gold")
+        ckpt = str(tmp_path / "xckpt_gold")
+        (src / "b0.json").write_text(self.B0)
+        self._run(spark, src, sup, ext, ckpt)
+        # after B0: one a-9 deleted -> max still 9 (multiset!)
+        mid = {r[0]: r for r in self._ext(spark, ext)}
+        assert mid["a"] == ("a", 1.0, 9.0, 3)
+        assert mid["b"] == ("b", 3.0, 8.0, 3)
+        (src / "b1.json").write_text(self.B1)
+        self._run(spark, src, sup, ext, ckpt)
+        assert self._ext(spark, ext) == self.FINAL
+
+    def test_crash_between_the_two_swaps_heals(self, spark, tmp_path):
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        sup, ext, src = self._setup(spark, tmp_path, "midcrash")
+        ckpt = str(tmp_path / "xckpt_mid")
+        (src / "b0.json").write_text(self.B0)
+        self._run(spark, src, sup, ext, ckpt)
+        (src / "b1.json").write_text(self.B1)
+
+        def crash(batch_id):
+            raise RuntimeError("injected crash between the two swaps")
+
+        stream = spark.readStream.schema(self.SCHEMA).json(str(src))
+        from mysql_syncer_spark.streaming.ivm import (
+            extrema_maintain_stream,
+        )
+
+        q = extrema_maintain_stream(
+            stream, sup, ext, ckpt, ["k"], "v",
+            on_support_committed=crash,
+        )
+        with pytest.raises(StreamingQueryException):
+            q.awaitTermination(120)
+        # support advanced, extrema did NOT: the stale-view window
+        stale = {r[0]: r for r in self._ext(spark, ext)}
+        assert stale["a"][2] == 9.0  # still pre-B1
+        # restart: the high-water mark skips the double-fold, the
+        # unguarded re-derive heals the view
+        self._run(spark, src, sup, ext, ckpt)
+        assert self._ext(spark, ext) == self.FINAL
+
+    def test_crash_after_both_swaps_replays_exactly(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        sup, ext, src = self._setup(spark, tmp_path, "endcrash")
+        ckpt = str(tmp_path / "xckpt_end")
+        (src / "b0.json").write_text(self.B0)
+        self._run(spark, src, sup, ext, ckpt)
+        (src / "b1.json").write_text(self.B1)
+
+        def crash(batch_id):
+            raise RuntimeError("injected crash in the replay window")
+
+        stream = spark.readStream.schema(self.SCHEMA).json(str(src))
+        from mysql_syncer_spark.streaming.ivm import (
+            extrema_maintain_stream,
+        )
+
+        q = extrema_maintain_stream(
+            stream, sup, ext, ckpt, ["k"], "v",
+            on_batch_committed=crash,
+        )
+        with pytest.raises(StreamingQueryException):
+            q.awaitTermination(120)
+        assert self._ext(spark, ext) == self.FINAL  # applied pre-crash
+
+        replayed = str(tmp_path / "xreplayed.log")
+
+        def record(batch_id):
+            with open(replayed, "a") as f:
+                f.write(f"{batch_id}\n")
+
+        self._run(spark, src, sup, ext, ckpt, hook_batch=record)
+        assert os.path.exists(replayed) and open(replayed).read().strip(), (
+            "restart did not replay the uncommitted batch"
+        )
+        # the double-fold was skipped: n_values would differ otherwise
+        assert self._ext(spark, ext) == self.FINAL

@@ -274,6 +274,13 @@ def run_tail_smoke() -> None:
         "pmi_collocations_docs",
         "bitmap_distinct_users_events",
         "mwu_drift_events",
+        # r8 second wave: outer-join IVM folds, two-level extremum,
+        # t-closeness cells
+        "ivm_left_join_orders_customer",
+        "ivm_full_join_orders_customer",
+        "ivm_extrema_orders",
+        "t_closeness_customer",
+        "t_closeness_ordered_customer",
     ]
     only = set(sys.argv[2:])
     if only:

@@ -599,3 +599,63 @@ def test_mwu_value_grain_window(spark, sf_dir):
     plan = plan_of(spark, "mwu_drift_events", sf_dir)
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count(") Exchange") <= 2
+
+
+# ---------------------------------------------------------------------------
+# round-8 second wave: full-outer IVM, two-level extremum, t-closeness
+# ---------------------------------------------------------------------------
+
+
+def test_full_join_ivm_one_smj_rest_broadcast(spark, sf_dir):
+    """Every join touching the materialized view or recovering old
+    join keys is broadcast (anti/semi on delta-derived frames); the
+    ONE SortMergeJoin Spark permits no broadcast for is the
+    full-outer region rebuild between two delta-keyed slices."""
+    import re
+
+    plan = plan_of(spark, "ivm_full_join_orders_customer", sf_dir)
+    assert set(re.findall(r"SortMergeJoin (\w+)", plan)) <= {"FullOuter"}
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_extremum_ivm_broadcast_pruned(spark, sf_dir):
+    """The extremum refresh prunes to touched groups via broadcast
+    anti/semi; the only shuffling join is the support merge (full
+    outer on (group, value) — state × delta aggregate, both
+    values-sized). Scan reads only the three needed columns."""
+    import re
+
+    plan = plan_of(spark, "ivm_extrema_orders", sf_dir)
+    assert set(re.findall(r"SortMergeJoin (\w+)", plan)) <= {"FullOuter"}
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,"
+        "o_totalprice:double>" in plan
+    )
+
+
+def test_t_closeness_broadcast_histogram(spark, sf_dir):
+    """The value-domain histogram and the 1-row total are broadcast
+    (5-row and scalar frames); the data-sized path is one combinable
+    groupBy on (cell, value) + a cell-grain window — no SortMergeJoin,
+    no data-sized cross join, 3-column scan."""
+    plan = plan_of(spark, "t_closeness_customer", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert (
+        "ReadSchema: struct<c_nationkey:int,c_acctbal:double,"
+        "c_mktsegment:string>" in plan
+    )
+
+
+def test_t_closeness_ordered_scaffold_is_domain_sized(spark, sf_dir):
+    """The cells × domain scaffold cross-joins only BROADCAST frames
+    (the m-row histogram and the 1-row totals) — permitted
+    BroadcastNestedLoopJoins; nothing data-sized shuffles for a join
+    and the cumulative pass is one window over the scaffold."""
+    plan = plan_of(spark, "t_closeness_ordered_customer", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

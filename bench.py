@@ -261,6 +261,7 @@ HEADLINE = [
     "ivm_extrema_orders",
     "t_closeness_customer",
     "t_closeness_ordered_customer",
+    "ivm_frequent_orders",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

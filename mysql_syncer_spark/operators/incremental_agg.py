@@ -180,6 +180,61 @@ def extremum_snapshot(
     )
 
 
+def frequent_values_from_support(
+    support: DataFrame, keys: list[str], value_col: str, k: int
+) -> DataFrame:
+    """Exact per-group top-k most frequent values, derived from the
+    support table — the EXACT, delete-maintainable sibling of the
+    Misra-Gries sketch (operators/sketches.py): MG bounds error under
+    a fixed budget and cannot retract; this is exact at
+    values-per-group state cost and inherits the support table's
+    retractability. Deterministic tie-break: count desc, value asc.
+    Output: ``(keys..., value, n, rank)``."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__support").desc(), F.col(value_col).asc()
+    )
+    return (
+        support.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            *keys,
+            F.col(value_col).alias("value"),
+            F.col("__support").cast("long").alias("n"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def apply_frequent_delta(
+    topk: DataFrame,
+    support_new: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k: int,
+) -> DataFrame:
+    """Advance the exact top-k-frequent view one delta batch: same
+    touched-group discipline as :func:`apply_extremum_delta` —
+    untouched groups pass through bit-identical (broadcast anti), the
+    batch's groups re-rank from the (already-advanced) support table
+    (broadcast semi), so a delete can DEMOTE a front-runner and
+    surface the runner-up exactly — the retraction MG structurally
+    cannot do."""
+    touched = delta.select(*keys).distinct()
+    kept = topk.join(F.broadcast(touched), keys, "left_anti")
+    red = frequent_values_from_support(
+        support_new.join(F.broadcast(touched), keys, "left_semi"),
+        keys,
+        value_col,
+        k,
+    )
+    return kept.unionByName(red)
+
+
 def apply_extremum_delta(
     extrema: DataFrame,
     support_new: DataFrame,

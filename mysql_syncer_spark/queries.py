@@ -618,6 +618,10 @@ _DEMOTED: tuple[str, ...] = (
     # categorical variant.
     "ivm_extrema_orders",
     "t_closeness_ordered_customer",
+    # exact top-k frequent (E156): shares the two-level support fold
+    # certified in-window via the promoted full-outer IVM discipline;
+    # its refresh-equivalence oracle stays parity-swept at 3 SFs.
+    "ivm_frequent_orders",
 )
 
 
@@ -7933,3 +7937,61 @@ def t_closeness_ordered_customer(
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+@_register(
+    "ivm_frequent_orders",
+    """WITH b1 AS (
+         SELECT o_custkey % 64 AS grp, o_orderpriority AS v
+         FROM orders WHERE o_orderkey % 7 <> 0
+         UNION ALL
+         SELECT o_custkey % 64, o_orderpriority
+         FROM orders WHERE o_orderkey % 11 = 0),
+       c AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS n
+             FROM b1 GROUP BY 1, 2),
+       r AS (SELECT grp, v, n,
+                    ROW_NUMBER() OVER (PARTITION BY grp
+                        ORDER BY n DESC, v) AS rk
+             FROM c)
+       SELECT grp, v AS value, n, CAST(rk AS BIGINT) AS rank
+       FROM r WHERE rk <= 2 ORDER BY grp, rank""",
+)
+def ivm_frequent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E156: EXACT top-k-frequent maintenance under deletes — the
+    exact, retractable sibling of Misra-Gries (E121 bounds error under
+    a fixed budget and structurally cannot retract): per-group top-2
+    order priorities derived from the same two-level support table as
+    E152, advanced one signed batch (delete every 7th order, re-insert
+    every 11th) with touched-group-only re-ranking — a delete that
+    demotes a front-runner surfaces the runner-up exactly.
+    Deterministic tie-break (count desc, value asc) makes the view
+    engine-stable; state is values-per-group-sized (5 priorities ×
+    64 groups). Oracle: full recompute rank over (base − deletes +
+    inserts) — refresh-equivalence."""
+    from mysql_syncer_spark.operators.incremental_agg import (
+        apply_frequent_delta,
+        apply_value_support_delta,
+        frequent_values_from_support,
+        value_support_snapshot,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 64).alias("grp"),
+        F.col("o_orderpriority").alias("v"),
+        "o_orderkey",
+    )
+    base = o.select("grp", "v")
+    delta = (
+        o.where(F.col("o_orderkey") % 7 == 0)
+        .select("grp", "v", F.lit(-1).alias("sign"))
+        .unionByName(
+            o.where(F.col("o_orderkey") % 11 == 0).select(
+                "grp", "v", F.lit(1).alias("sign")
+            )
+        )
+    )
+    sup0 = value_support_snapshot(base, ["grp"], "v")
+    top0 = frequent_values_from_support(sup0, ["grp"], "v", 2)
+    sup1 = apply_value_support_delta(sup0, delta, ["grp"], "v")
+    top1 = apply_frequent_delta(top0, sup1, delta, ["grp"], "v", 2)
+    return top1.orderBy("grp", "rank")

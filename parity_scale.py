@@ -240,6 +240,7 @@ SCALE_QUERIES = [
     "ivm_extrema_orders",
     "t_closeness_customer",
     "t_closeness_ordered_customer",
+    "ivm_frequent_orders",
 ]
 
 

@@ -295,3 +295,82 @@ class TestExtremumIVM:
         smj_kinds = set(re.findall(r"SortMergeJoin (\w+)", plan))
         assert smj_kinds <= {"FullOuter"}, plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestFrequentIVM:
+    """Exact top-k-frequent maintenance from the support table — the
+    delete-capable sibling of Misra-Gries: a delete can DEMOTE the
+    front-runner and the runner-up must surface exactly."""
+
+    @staticmethod
+    def _ops():
+        from mysql_syncer_spark.operators import incremental_agg as ia
+
+        return ia
+
+    @pytest.fixture(scope="class")
+    def fbase(self, spark):
+        ia = self._ops()
+        rows = (
+            [("a", "x")] * 3 + [("a", "y")] * 2 + [("a", "z")]
+            + [("b", "p")] * 2 + [("b", "q")] * 2
+        )
+        base = spark.createDataFrame(rows, "k STRING, v STRING")
+        sup = ia.value_support_snapshot(base, ["k"], "v")
+        top = ia.frequent_values_from_support(sup, ["k"], "v", 2)
+        return base, sup, top
+
+    @staticmethod
+    def _rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def test_snapshot_ranks_and_tiebreak(self, fbase):
+        _, _, top = fbase
+        got = self._rows(top)
+        # a: x(3) > y(2); b: p(2) == q(2) -> value-asc tie-break
+        assert got == [
+            ("a", "x", 3, 1), ("a", "y", 2, 2),
+            ("b", "p", 2, 1), ("b", "q", 2, 2),
+        ]
+
+    def test_delete_demotes_front_runner(self, spark, fbase):
+        ia = self._ops()
+        _, sup, top = fbase
+        d = spark.createDataFrame(
+            [("a", "x", -1), ("a", "x", -1)], "k STRING, v STRING, sign LONG"
+        )
+        sup1 = ia.apply_value_support_delta(sup, d, ["k"], "v")
+        top1 = ia.apply_frequent_delta(top, sup1, d, ["k"], "v", 2)
+        got = self._rows(top1)
+        # a: y(2) now leads, x(1) demoted to rank 2 (z ties at 1 but
+        # value-asc puts x first); b untouched bit-identical
+        assert ("a", "y", 2, 1) in got and ("a", "x", 1, 2) in got
+        assert ("b", "p", 2, 1) in got and ("b", "q", 2, 2) in got
+
+    def test_fold_equals_recompute_chained(self, spark, fbase):
+        ia = self._ops()
+        base, sup, top = fbase
+        cur = [tuple(r) for r in base.collect()]
+        batches = [
+            [("a", "x", -1), ("b", "q", 1)],
+            [("a", "z", 1), ("a", "z", 1), ("b", "p", -1), ("b", "p", -1)],
+            [("c", "m", 1)],
+        ]
+        for batch in batches:
+            d = spark.createDataFrame(batch, "k STRING, v STRING, sign LONG")
+            sup = ia.apply_value_support_delta(sup, d, ["k"], "v")
+            top = ia.apply_frequent_delta(top, sup, d, ["k"], "v", 2)
+            for k, v, s in batch:
+                cur.append((k, v)) if s > 0 else cur.remove((k, v))
+            rec = ia.frequent_values_from_support(
+                ia.value_support_snapshot(
+                    spark.createDataFrame(cur, "k STRING, v STRING"),
+                    ["k"], "v"),
+                ["k"], "v", 2)
+            assert self._rows(top) == self._rows(rec)
+
+    def test_validation(self, fbase):
+        ia = self._ops()
+        _, sup, _ = fbase
+        with pytest.raises(ValueError, match="k must be"):
+            ia.frequent_values_from_support(sup, ["k"], "v", 0)

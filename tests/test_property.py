@@ -448,3 +448,85 @@ def test_mad_outliers_match_reference_random(spark, vals, c):
     mad = devs[math.ceil(len(devs) / 2) - 1]
     want = sorted((v, abs(v - med) > c * mad) for v in vals)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# full-outer IVM: fold == recompute on randomized tables + deltas
+# ---------------------------------------------------------------------------
+
+_fo_rows_a = st.lists(
+    st.tuples(
+        st.integers(0, 20),                                  # pk (ok)
+        st.one_of(st.none(), st.integers(0, 6)),             # jk (ck)
+        st.integers(-9, 9),                                  # payload
+    ),
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+_fo_rows_b = st.lists(
+    st.tuples(
+        st.integers(0, 6),                                   # pk == jk (ck)
+        st.text("pq", max_size=2),                           # payload
+    ),
+    max_size=5,
+    unique_by=lambda t: t[0],
+)
+# delta: (pk, new_jk_or_None, payload, is_delete) per side
+_fo_delta_a = st.lists(
+    st.tuples(
+        st.integers(0, 20),
+        st.one_of(st.none(), st.integers(0, 6)),
+        st.integers(-9, 9),
+        st.booleans(),
+    ),
+    max_size=6,
+    unique_by=lambda t: t[0],
+)
+_fo_delta_b = st.lists(
+    st.tuples(st.integers(0, 6), st.text("rs", max_size=2), st.booleans()),
+    max_size=4,
+    unique_by=lambda t: t[0],
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(a=_fo_rows_a, b=_fo_rows_b, da=_fo_delta_a, db=_fo_delta_b)
+def test_full_outer_ivm_equals_recompute(spark, a, b, da, db):
+    """The refresh-equivalence law under RANDOM tables and deltas —
+    random jk moves, NULL join keys, deletes of rows that do or don't
+    exist, dim pks that ARE the join key (the pad-ambiguity regime the
+    presence markers exist for)."""
+    from mysql_syncer_spark.operators.ivm import (
+        apply_full_join_delta,
+        apply_table_delta,
+        full_join_snapshot,
+    )
+
+    a_df = spark.createDataFrame(a, "ok long, ck long, pay long")
+    b_df = spark.createDataFrame(b, "ck long, name string")
+    mat = full_join_snapshot(a_df, b_df, "ck")
+    da_df = spark.createDataFrame(
+        [(pk, jk, pay, "delete" if d else "upsert")
+         for pk, jk, pay, d in da],
+        "ok long, ck long, pay long, op string",
+    )
+    db_df = spark.createDataFrame(
+        [(pk, nm, "delete" if d else "upsert") for pk, nm, d in db],
+        "ck long, name string, op string",
+    )
+    folded = apply_full_join_delta(mat, da_df, db_df, "ck", "ok", "ck")
+    a2 = apply_table_delta(a_df, da_df, ["ok"])
+    b2 = apply_table_delta(b_df, db_df, ["ck"])
+    recomputed = full_join_snapshot(a2, b2, "ck")
+    cols = ["ok", "ck", "pay", "name"]
+
+    def canon(df):
+        return sorted((tuple(r) for r in df.select(*cols).collect()),
+                      key=repr)
+
+    assert canon(folded) == canon(recomputed)

@@ -281,6 +281,7 @@ def run_tail_smoke() -> None:
         "ivm_extrema_orders",
         "t_closeness_customer",
         "t_closeness_ordered_customer",
+        "ivm_frequent_orders",
     ]
     only = set(sys.argv[2:])
     if only:

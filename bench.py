@@ -262,6 +262,7 @@ HEADLINE = [
     "t_closeness_customer",
     "t_closeness_ordered_customer",
     "ivm_frequent_orders",
+    "golden_records_events",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

@@ -282,6 +282,7 @@ def run_tail_smoke() -> None:
         "t_closeness_customer",
         "t_closeness_ordered_customer",
         "ivm_frequent_orders",
+        "golden_records_events",
     ]
     only = set(sys.argv[2:])
     if only:

@@ -364,6 +364,49 @@ def cluster_keep_best(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def golden_records(
+    df: DataFrame,
+    cluster_cols: list[str],
+    order_cols: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """The third survivorship policy, for when NO single member is the
+    right survivor: per cluster, ONE consolidated row whose every
+    value column carries the most recent NON-NULL value (recency by
+    ``order_cols``, compared lexicographically — include a unique
+    tie-break column, or ties pick an arbitrary member). The classic
+    MDM golden-record merge: three partial records of one entity
+    (one has the email, a newer one the phone, the newest neither)
+    consolidate into a row with the newest email AND the newest
+    phone — which keep-best (row-pick) structurally cannot produce.
+
+    Shape: ONE combinable groupBy over the cluster key —
+    ``max_by(col, order WHERE col IS NOT NULL)`` per column, so every
+    column's winner is found in the same single shuffle; no window, no
+    self-join. Output: ``(cluster_cols..., value_cols..., n_records)``.
+    A cluster whose column is NULL in every member stays NULL."""
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    overlap = (set(cluster_cols) | set(order_cols)) & set(value_cols)
+    if overlap:
+        raise ValueError(
+            f"value_cols must not overlap cluster/order cols: "
+            f"{sorted(overlap)}"
+        )
+    ord_struct = F.struct(*[F.col(c) for c in order_cols])
+    aggs = []
+    for c in value_cols:
+        aggs.append(
+            F.max_by(
+                F.col(c), F.when(F.col(c).isNotNull(), ord_struct)
+            ).alias(c)
+        )
+    aggs.append(F.count(F.lit(1)).cast("long").alias("n_records"))
+    return df.groupBy(*cluster_cols).agg(*aggs)
+
+
 # ---------------------------------------------------------------------------
 # Triangle counting / local clustering coefficient: the density measure
 # over the similarity graph (E114's kNN edges, LSH pair lists) that

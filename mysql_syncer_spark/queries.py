@@ -622,6 +622,10 @@ _DEMOTED: tuple[str, ...] = (
     # certified in-window via the promoted full-outer IVM discipline;
     # its refresh-equivalence oracle stays parity-swept at 3 SFs.
     "ivm_frequent_orders",
+    # golden-record merge (E157): the groupBy max_by kernel is
+    # in-window via latest-per-key / keep-best composites; its own
+    # rank-window oracle stays parity-swept at 3 SFs + sf1.
+    "golden_records_events",
 )
 
 
@@ -7995,3 +7999,67 @@ def ivm_frequent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup1 = apply_value_support_delta(sup0, delta, ["grp"], "v")
     top1 = apply_frequent_delta(top0, sup1, delta, ["grp"], "v", 2)
     return top1.orderBy("grp", "rank")
+
+
+@_register(
+    "golden_records_events",
+    """WITH e AS (SELECT user_id, ts, event_id, event_type,
+                  CASE WHEN event_id % 3 = 0 THEN NULL
+                       ELSE value END AS value,
+                  CASE WHEN event_id % 5 = 0 THEN NULL
+                       ELSE props END AS props
+           FROM events),
+       t AS (SELECT user_id, event_type, ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             FROM e WHERE event_type IS NOT NULL),
+       v AS (SELECT user_id, value, ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             FROM e WHERE value IS NOT NULL),
+       p AS (SELECT user_id, props, ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             FROM e WHERE props IS NOT NULL),
+       n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_records
+             FROM e GROUP BY 1)
+       SELECT n.user_id, t.event_type, v.value, p.props, n.n_records
+       FROM n
+       LEFT JOIN t ON t.user_id = n.user_id AND t.rn = 1
+       LEFT JOIN v ON v.user_id = n.user_id AND v.rn = 1
+       LEFT JOIN p ON p.user_id = n.user_id AND p.rn = 1
+       ORDER BY n.user_id""",
+)
+def golden_records_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E157: golden-record consolidation — the third survivorship
+    policy (min-id E103, keep-best E104 pick a ROW; this merges
+    COLUMN-WISE): per entity cluster, every value column independently
+    takes its most recent NON-NULL value, producing the consolidated
+    row no single member equals (newest email AND newest phone from
+    different partial records — the MDM merge). Clusters here are
+    user_id over events, with deterministic NULL synthesis (every 3rd
+    event's value, every 5th's props — the fixture's columns are
+    dense) so the ignore-NULL recency semantics is non-vacuous at
+    every SF. ONE combinable groupBy — per-column max_by over the
+    (ts, event_id) order struct with a non-null gate; no window, no
+    join; the (ts, event_id) tie-break makes it engine-stable. Oracle:
+    DuckDB per-column rank windows over the same (ts, event_id)
+    descending order with the same non-null gates."""
+    from mysql_syncer_spark.operators.cluster import golden_records
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(
+                F.col("value")
+            ),
+        )
+        .withColumn(
+            "props",
+            F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+                F.col("props")
+            ),
+        )
+    )
+    out = golden_records(
+        ev, ["user_id"], ["ts", "event_id"], ["event_type", "value", "props"]
+    )
+    return out.orderBy("user_id")

@@ -241,6 +241,7 @@ SCALE_QUERIES = [
     "t_closeness_customer",
     "t_closeness_ordered_customer",
     "ivm_frequent_orders",
+    "golden_records_events",
 ]
 
 

@@ -1,5 +1,6 @@
 """Connected-component dedup clustering: pairs → clusters → survivors."""
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -132,3 +133,73 @@ def test_string_ids_driver_path(spark):
         "uuid-a": "uuid-a", "uuid-b": "uuid-a", "uuid-c": "uuid-a",
         "uuid-x": "uuid-x", "uuid-y": "uuid-x",
     }
+
+
+class TestGoldenRecords:
+    """Column-wise survivorship merge: each value column independently
+    takes its most recent NON-NULL value — producing a row no single
+    member equals (the case row-pick keep-best cannot serve)."""
+
+    @pytest.fixture(scope="class")
+    def recs(self, spark):
+        rows = [
+            # cluster 1: newest row (t=3) has email NULL, phone set;
+            # older row (t=2) has the email; oldest (t=1) both
+            (1, 1, "old@x", "111"),
+            (1, 2, "new@x", None),
+            (1, 3, None, "333"),
+            # cluster 2: single member
+            (2, 1, "solo@x", None),
+            # cluster 3: email NULL everywhere
+            (3, 1, None, "900"),
+            (3, 2, None, None),
+        ]
+        return spark.createDataFrame(
+            rows, "cid long, ts long, email string, phone string"
+        )
+
+    def test_columnwise_merge(self, spark, recs):
+        from mysql_syncer_spark.operators.cluster import golden_records
+
+        out = {
+            r["cid"]: r
+            for r in golden_records(
+                recs, ["cid"], ["ts"], ["email", "phone"]
+            ).collect()
+        }
+        # the golden row for cluster 1 matches NO single member
+        assert out[1]["email"] == "new@x" and out[1]["phone"] == "333"
+        assert out[1]["n_records"] == 3
+        assert out[2]["email"] == "solo@x" and out[2]["phone"] is None
+        # all-NULL column stays NULL; latest non-null phone survives
+        assert out[3]["email"] is None and out[3]["phone"] == "900"
+
+    def test_tiebreak_via_order_cols(self, spark):
+        from mysql_syncer_spark.operators.cluster import golden_records
+
+        rows = [(1, 5, 1, "a"), (1, 5, 2, "b")]  # same ts, id breaks
+        df = spark.createDataFrame(
+            rows, "cid long, ts long, id long, v string"
+        )
+        out = golden_records(df, ["cid"], ["ts", "id"], ["v"]).first()
+        assert out["v"] == "b"
+
+    def test_single_shuffle_no_join(self, spark, recs):
+        from mysql_syncer_spark.operators.cluster import golden_records
+
+        out = golden_records(recs, ["cid"], ["ts"], ["email", "phone"])
+        plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "Join" not in plan
+        assert plan.count(") Exchange") <= 2  # partial/final agg pair
+
+    def test_validation(self, recs):
+        from mysql_syncer_spark.operators.cluster import golden_records
+
+        with pytest.raises(ValueError, match="order_cols"):
+            golden_records(recs, ["cid"], [], ["email"])
+        with pytest.raises(ValueError, match="value_cols"):
+            golden_records(recs, ["cid"], ["ts"], [])
+        with pytest.raises(ValueError, match="overlap"):
+            golden_records(recs, ["cid"], ["ts"], ["ts"])

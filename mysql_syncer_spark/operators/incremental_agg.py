@@ -141,14 +141,25 @@ def apply_value_support_delta(
     drop out (that's what makes the extremum retractable); a batch
     that over-deletes (multiplicity would go negative) raises at
     evaluation time — it means the delta doesn't match the base the
-    state was built from."""
+    state was built from. The merge is NULL-SAFE on the group keys:
+    groupBy keeps NULL as a group, so a NULL-keyed group must match
+    its own delta rows (plain equi-join would split them into a false
+    underflow + a phantom insert)."""
     d = (
         delta.where(F.col(value_col).isNotNull())
         .groupBy(*keys, value_col)
         .agg(F.sum(sign_col).cast("long").alias("__d"))
     )
     on = keys + [value_col]
-    merged = support.join(d, on=on, how="full_outer")
+    # rename the delta side so every reference is unambiguous, then
+    # join with null-safe equality per column
+    d2 = d.select(
+        *[F.col(c).alias(f"__r_{c}") for c in on], "__d"
+    )
+    merged = support.join(d2, _ns_cond(on), "full_outer")
+    sel = [
+        F.coalesce(F.col(c), F.col(f"__r_{c}")).alias(c) for c in on
+    ]
     total = F.coalesce(F.col("__support"), F.lit(0)) + F.coalesce(
         F.col("__d"), F.lit(0)
     )
@@ -157,14 +168,50 @@ def apply_value_support_delta(
         F.raise_error(
             F.concat(
                 F.lit("support underflow for value "),
-                F.col(value_col).cast("string"),
+                F.coalesce(
+                    F.col(value_col), F.col(f"__r_{value_col}")
+                ).cast("string"),
             )
         ).cast("long"),
     ).otherwise(total)
     return (
-        merged.select(*on, guarded.alias("__support"))
+        merged.select(*sel, guarded.alias("__support"))
         .where(F.col("__support") > 0)
     )
+
+
+def _ns_cond(cols: list[str]):
+    """Null-safe conjunction join condition between a frame's columns
+    and their ``__r_``-renamed twins — NULL keys are legitimate group
+    values here (groupBy keeps them), so every key join in the
+    two-level maintainers must use ``<=>``."""
+    cond = F.col(cols[0]).eqNullSafe(F.col(f"__r_{cols[0]}"))
+    for c in cols[1:]:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__r_{c}"))
+    return cond
+
+
+def _apply_touched_group_delta(
+    view: DataFrame,
+    support_new: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    derive,
+) -> DataFrame:
+    """Shared touched-group discipline for views derived from the
+    support table: untouched groups pass through bit-identical
+    (broadcast NULL-SAFE anti on the delta's group keys), touched
+    groups re-derive from the already-advanced support (broadcast
+    null-safe semi) via ``derive(pruned_support)`` — a pure function,
+    so the refresh is idempotent given the support table."""
+    touched = delta.select(
+        *[F.col(c).alias(f"__r_{c}") for c in keys]
+    ).distinct()
+    kept = view.join(F.broadcast(touched), _ns_cond(keys), "left_anti")
+    pruned = support_new.join(
+        F.broadcast(touched), _ns_cond(keys), "left_semi"
+    )
+    return kept.unionByName(derive(pruned))
 
 
 def extremum_snapshot(
@@ -224,15 +271,13 @@ def apply_frequent_delta(
     (broadcast semi), so a delete can DEMOTE a front-runner and
     surface the runner-up exactly — the retraction MG structurally
     cannot do."""
-    touched = delta.select(*keys).distinct()
-    kept = topk.join(F.broadcast(touched), keys, "left_anti")
-    red = frequent_values_from_support(
-        support_new.join(F.broadcast(touched), keys, "left_semi"),
+    return _apply_touched_group_delta(
+        topk,
+        support_new,
+        delta,
         keys,
-        value_col,
-        k,
+        lambda sup: frequent_values_from_support(sup, keys, value_col, k),
     )
-    return kept.unionByName(red)
 
 
 def apply_extremum_delta(
@@ -250,11 +295,10 @@ def apply_extremum_delta(
     group's current max correctly falls back to the runner-up, and a
     group whose support emptied disappears. Work ∝ delta groups ×
     their value counts, never the base."""
-    touched = delta.select(*keys).distinct()
-    kept = extrema.join(F.broadcast(touched), keys, "left_anti")
-    red = extremum_snapshot(
-        support_new.join(F.broadcast(touched), keys, "left_semi"),
+    return _apply_touched_group_delta(
+        extrema,
+        support_new,
+        delta,
         keys,
-        value_col,
+        lambda sup: extremum_snapshot(sup, keys, value_col),
     )
-    return kept.unionByName(red)

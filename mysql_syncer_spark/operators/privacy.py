@@ -107,6 +107,19 @@ def l_diversity_report(
     )
 
 
+def _validate_t_closeness_args(
+    quasi_cols: list[str], sensitive_col: str, t: float
+) -> None:
+    if not 0 < t < 1:
+        raise ValueError(f"t must be in (0, 1), got {t}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if sensitive_col in quasi_cols:
+        raise ValueError(
+            f"sensitive_col {sensitive_col!r} cannot be a quasi column"
+        )
+
+
 def t_closeness_cells(
     df: DataFrame, quasi_cols: list[str], sensitive_col: str, t: float
 ) -> DataFrame:
@@ -137,14 +150,7 @@ def t_closeness_cells(
     values still partition rows."""
     from pyspark.sql import Window
 
-    if not 0 < t < 1:
-        raise ValueError(f"t must be in (0, 1), got {t}")
-    if not quasi_cols:
-        raise ValueError("quasi_cols must be non-empty")
-    if sensitive_col in quasi_cols:
-        raise ValueError(
-            f"sensitive_col {sensitive_col!r} cannot be a quasi column"
-        )
+    _validate_t_closeness_args(quasi_cols, sensitive_col, t)
     base = df.where(F.col(sensitive_col).isNotNull())
     cv = base.groupBy(*quasi_cols, sensitive_col).agg(
         F.count(F.lit(1)).alias("__n_cs")
@@ -172,10 +178,14 @@ def t_closeness_ordered_cells(
 ) -> DataFrame:
     """Per-cell t-closeness audit for an ORDERED (numeric) sensitive
     attribute: EMD with the ordered ground distance, where moving
-    probability mass across many ranks costs more — a cell holding
-    only the two extreme salaries is farther from baseline than one
-    holding two adjacent ones, which the categorical reduction can't
-    see. Over the global ordered value domain v_1 < … < v_m,
+    probability mass across many RANKS costs more — the distance is
+    to the GLOBAL distribution, so two cells with identical
+    categorical TVD can score differently by where their mass sits
+    relative to baseline (e.g. under a uniform baseline over three
+    salary bands, a {lowest, adjacent} cell is farther than a
+    {lowest, highest} one — the low-skewed cell needs more mass moved
+    across ranks), which the categorical reduction structurally
+    cannot see. Over the global ordered value domain v_1 < … < v_m,
 
         EMD = Σ_{i=1..m-1} |Σ_{j≤i} (p_j − q_j)| / (m − 1)
 
@@ -190,14 +200,7 @@ def t_closeness_ordered_cells(
     domain is large. m = 1 degenerates to EMD 0."""
     from pyspark.sql import Window
 
-    if not 0 < t < 1:
-        raise ValueError(f"t must be in (0, 1), got {t}")
-    if not quasi_cols:
-        raise ValueError("quasi_cols must be non-empty")
-    if sensitive_col in quasi_cols:
-        raise ValueError(
-            f"sensitive_col {sensitive_col!r} cannot be a quasi column"
-        )
+    _validate_t_closeness_args(quasi_cols, sensitive_col, t)
     base = df.where(F.col(sensitive_col).isNotNull())
     cv = base.groupBy(*quasi_cols, sensitive_col).agg(
         F.count(F.lit(1)).alias("__n_cs")

@@ -146,7 +146,11 @@ def extrema_bootstrap(
     """Materialize the initial two-level extremum state: the
     per-(group, value) support table at ``support_path`` (with the
     ``last_batch`` high-water mark, -1 = bootstrap) and the derived
-    min/max view at ``extrema_path``."""
+    min/max view at ``extrema_path``. The support write always
+    includes a ``__support = 0`` SENTINEL row carrying the mark — a
+    batch that legitimately empties the table must not lose the
+    high-water mark, or its replay after a crash would re-fold the
+    deletes and underflow (see :func:`extrema_maintain_stream`)."""
     from mysql_syncer_spark.operators.incremental_agg import (
         extremum_snapshot,
         value_support_snapshot,
@@ -154,10 +158,28 @@ def extrema_bootstrap(
 
     keys = [keys] if isinstance(keys, str) else list(keys)
     sup = value_support_snapshot(base, keys, value_col)
+    stamped = sup.withColumn("last_batch", F.lit(-1).cast("long"))
     _swap_write(
-        sup.withColumn("last_batch", F.lit(-1).cast("long")), support_path
+        stamped.unionByName(_hwm_sentinel(stamped, -1)), support_path
     )
     _swap_write(extremum_snapshot(sup, keys, value_col), extrema_path)
+
+
+def _hwm_sentinel(stamped: DataFrame, batch_id: int) -> DataFrame:
+    """A 1-row frame matching the stamped support schema: all group/
+    value columns NULL, ``__support = 0`` (so every data-path filter
+    drops it), ``last_batch = batch_id`` — the high-water mark that
+    survives even a batch that deletes every real row."""
+    spark = stamped.sparkSession
+    cols = []
+    for f in stamped.schema.fields:
+        if f.name == "__support":
+            cols.append(F.lit(0).cast("long").alias(f.name))
+        elif f.name == "last_batch":
+            cols.append(F.lit(batch_id).cast("long").alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return spark.range(1).select(*cols)
 
 
 def extrema_maintain_stream(
@@ -182,13 +204,18 @@ def extrema_maintain_stream(
     for any batch id <= the persisted ``last_batch`` (signed folding
     is not idempotent), while the extremum re-derive ALWAYS runs (it
     is a pure function of the support table for the touched groups,
-    hence idempotent). Crash classes, all proven by kill-and-restart
-    tests: before the support swap — nothing changed, replay folds
-    normally; between the two swaps — replay skips the fold and
-    re-derives the extremum view from the already-advanced support
-    (the stale-view window heals); after both swaps before the
-    checkpoint commit — replay is a no-op re-derive. Same staging +
-    rename swap and ``__old__`` recovery as the join maintainer.
+    hence idempotent). The high-water mark rides a ``__support = 0``
+    sentinel row in the support table itself (same atomic swap as the
+    data), NOT on data rows — a batch that legitimately deletes every
+    real row must still advance the mark, or its replay would re-fold
+    the deletes against the emptied table and underflow. Crash
+    classes, all proven by kill-and-restart tests: before the support
+    swap — nothing changed, replay folds normally; between the two
+    swaps — replay skips the fold and re-derives the extremum view
+    from the already-advanced support (the stale-view window heals);
+    after both swaps before the checkpoint commit — replay is a no-op
+    re-derive. Same staging + rename swap and ``__old__`` recovery as
+    the join maintainer.
 
     ``on_support_committed(batch_id)`` fires between the two swaps
     (fault-injection hook for the two-swap window);
@@ -208,17 +235,28 @@ def extrema_maintain_stream(
         hwm = sup.agg(F.max("last_batch")).first()[0]
         replayed = hwm is not None and batch_id <= hwm
         if not replayed:
+            data = sup.where(F.col("__support") > 0).drop("last_batch")
             sup_new = apply_value_support_delta(
-                sup.drop("last_batch"), batch, keys, value_col, sign_col
+                data, batch, keys, value_col, sign_col
             ).withColumn("last_batch", F.lit(batch_id).cast("long"))
             sup_new = sup_new.localCheckpoint(eager=True)
-            _swap_write(sup_new, support_path)
+            _swap_write(
+                sup_new.unionByName(_hwm_sentinel(sup_new, batch_id)),
+                support_path,
+            )
+            sup_cur = sup_new.drop("last_batch")
+        else:
+            # replay: the on-disk table IS the advanced state
+            sup_cur = (
+                _recover_read(spark, support_path)
+                .where(F.col("__support") > 0)
+                .drop("last_batch")
+            )
         if on_support_committed is not None:
             on_support_committed(batch_id)
         # unguarded on purpose: pure function of the (already-advanced)
         # support table for the touched groups — idempotent, and the
         # healer for a crash between the two swaps
-        sup_cur = _recover_read(spark, support_path).drop("last_batch")
         ext = _recover_read(spark, extrema_path)
         ext_new = apply_extremum_delta(
             ext, sup_cur, batch, keys, value_col

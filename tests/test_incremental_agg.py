@@ -374,3 +374,33 @@ class TestFrequentIVM:
         _, sup, _ = fbase
         with pytest.raises(ValueError, match="k must be"):
             ia.frequent_values_from_support(sup, ["k"], "v", 0)
+
+
+def test_support_fold_null_group_keys(spark):
+    """NULL is a legitimate group (groupBy keeps it): folding a delta
+    against a NULL-keyed group must retract/extend THAT group — a
+    null-unsafe merge would split it into a false underflow plus a
+    phantom insert, and the touched-group anti/semi would never reach
+    it (regression for the null-safe `<=>` discipline)."""
+    from mysql_syncer_spark.operators import incremental_agg as ia
+
+    base = spark.createDataFrame(
+        [(None, 5.0), (None, 9.0), ("a", 1.0)], "k STRING, v DOUBLE"
+    )
+    sup = ia.value_support_snapshot(base, ["k"], "v")
+    ext = ia.extremum_snapshot(sup, ["k"], "v")
+    d = spark.createDataFrame(
+        [(None, 9.0, -1), (None, 2.0, 1)], "k STRING, v DOUBLE, sign LONG"
+    )
+    sup1 = ia.apply_value_support_delta(sup, d, ["k"], "v")
+    ext1 = ia.apply_extremum_delta(ext, sup1, d, ["k"], "v")
+    got = {r["k"]: (r["min_v"], r["max_v"], r["n_values"])
+           for r in ext1.collect()}
+    assert got[None] == (2.0, 5.0, 2)   # 9 retracted, 2 inserted
+    assert got["a"] == (1.0, 1.0, 1)    # untouched group intact
+    top1 = ia.apply_frequent_delta(
+        ia.frequent_values_from_support(sup, ["k"], "v", 1),
+        sup1, d, ["k"], "v", 1,
+    )
+    gott = {r["k"]: r["value"] for r in top1.collect()}
+    assert gott[None] == 2.0 and gott["a"] == 1.0

@@ -290,3 +290,70 @@ class TestStreamingExtrema:
         )
         # the double-fold was skipped: n_values would differ otherwise
         assert self._ext(spark, ext) == self.FINAL
+
+
+class TestStreamingExtremaEmptyingBatch:
+    """Regression for the high-water-mark sentinel: a batch that
+    legitimately deletes EVERY remaining row must still advance the
+    mark (it rides a __support=0 sentinel row, not data rows) — a
+    crash after the support swap followed by a replay must NOT
+    re-fold the deletes against the emptied table (which would
+    underflow and crash-loop the stream)."""
+
+    SCHEMA = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("sign", T.LongType()),
+        ]
+    )
+
+    def test_emptying_batch_replay_converges(self, spark, tmp_path):
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        from mysql_syncer_spark.streaming.ivm import (
+            extrema_bootstrap,
+            extrema_maintain_stream,
+        )
+
+        base = spark.createDataFrame(
+            [("a", 5.0), ("b", 3.0)], "k STRING, v DOUBLE"
+        )
+        sup = str(tmp_path / "esup.parquet")
+        ext = str(tmp_path / "eext.parquet")
+        extrema_bootstrap(base, ["k"], "v", sup, ext)
+        src = tmp_path / "ein"
+        src.mkdir()
+        # the batch deletes EVERY row in the support table
+        (src / "b0.json").write_text(
+            '{"k": "a", "v": 5.0, "sign": -1}\n'
+            '{"k": "b", "v": 3.0, "sign": -1}\n'
+        )
+
+        def crash(batch_id):
+            raise RuntimeError("injected crash after the support swap")
+
+        stream = spark.readStream.schema(self.SCHEMA).json(str(src))
+        q = extrema_maintain_stream(
+            stream, sup, ext, str(tmp_path / "eckpt"), ["k"], "v",
+            on_support_committed=crash,
+        )
+        with pytest.raises(StreamingQueryException):
+            q.awaitTermination(120)
+        # support emptied but the sentinel still carries the mark
+        import pyspark.sql.functions as F
+
+        sup_df = spark.read.parquet(sup)
+        assert sup_df.where(F.col("__support") > 0).count() == 0
+        assert sup_df.agg(F.max("last_batch")).first()[0] == 0
+
+        # restart: the replay must SKIP the fold (no underflow) and
+        # heal the extremum view to empty
+        stream2 = spark.readStream.schema(self.SCHEMA).json(str(src))
+        q2 = extrema_maintain_stream(
+            stream2, sup, ext, str(tmp_path / "eckpt"), ["k"], "v",
+        )
+        q2.awaitTermination(120)
+        assert spark.read.parquet(ext).count() == 0

@@ -307,7 +307,10 @@ def apply_full_join_delta(
     :func:`full_join_snapshot` result (it carries both sides' columns
     AND the presence markers), pk columns are non-NULL in the base
     tables, and each delta carries its side's full schema (delete
-    rows only need the pk populated)."""
+    rows only need the pk populated). The maintainer references
+    ``mat`` five times; materialize the view between batches (read it
+    back from storage, or ``localCheckpoint()`` in tests) — chaining
+    lazy folds compounds the plan exponentially."""
     on = [on] if isinstance(on, str) else list(on)
     a_pk = [a_pk] if isinstance(a_pk, str) else list(a_pk)
     b_pk = [b_pk] if isinstance(b_pk, str) else list(b_pk)

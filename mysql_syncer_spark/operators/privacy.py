@@ -237,6 +237,41 @@ def t_closeness_ordered_cells(
     return out.withColumn("risky", F.col("emd") > t)
 
 
+def _t_closeness_report_from_cells(cells: DataFrame) -> DataFrame:
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.col("risky").cast("long")).alias("n_risky_cells"),
+        F.coalesce(
+            F.sum(F.when(F.col("risky"), F.col("n_rows"))), F.lit(0)
+        ).cast("long").alias("rows_at_risk"),
+        F.max("emd").alias("max_emd"),
+        (F.sum(F.col("risky").cast("long")) == 0).alias("t_close"),
+    )
+
+
+def t_closeness_report(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, t: float
+) -> DataFrame:
+    """One-row release gate for categorical t-closeness: ``(n_cells,
+    n_risky_cells, rows_at_risk, max_emd, t_close)`` — completes the
+    triad of gates (:func:`k_anonymity_report`,
+    :func:`l_diversity_report`). Work = the cell histogram + one tiny
+    agg."""
+    return _t_closeness_report_from_cells(
+        t_closeness_cells(df, quasi_cols, sensitive_col, t)
+    )
+
+
+def t_closeness_ordered_report(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, t: float
+) -> DataFrame:
+    """One-row release gate for ordered t-closeness — same columns as
+    :func:`t_closeness_report` over the rank-aware EMD."""
+    return _t_closeness_report_from_cells(
+        t_closeness_ordered_cells(df, quasi_cols, sensitive_col, t)
+    )
+
+
 def generalize_numeric(col: Column | str, width: int) -> Column:
     """Coarsen a numeric quasi-identifier to its ``width``-sized band
     lower bound (floor-bucket) — the standard generalization step;

@@ -142,6 +142,8 @@ def extrema_bootstrap(
     value_col: str,
     support_path: str,
     extrema_path: str,
+    frequent_path: str | None = None,
+    frequent_k: int = 3,
 ) -> None:
     """Materialize the initial two-level extremum state: the
     per-(group, value) support table at ``support_path`` (with the
@@ -153,6 +155,7 @@ def extrema_bootstrap(
     deletes and underflow (see :func:`extrema_maintain_stream`)."""
     from mysql_syncer_spark.operators.incremental_agg import (
         extremum_snapshot,
+        frequent_values_from_support,
         value_support_snapshot,
     )
 
@@ -163,6 +166,11 @@ def extrema_bootstrap(
         stamped.unionByName(_hwm_sentinel(stamped, -1)), support_path
     )
     _swap_write(extremum_snapshot(sup, keys, value_col), extrema_path)
+    if frequent_path is not None:
+        _swap_write(
+            frequent_values_from_support(sup, keys, value_col, frequent_k),
+            frequent_path,
+        )
 
 
 def _hwm_sentinel(stamped: DataFrame, batch_id: int) -> DataFrame:
@@ -191,6 +199,8 @@ def extrema_maintain_stream(
     value_col: str,
     sign_col: str = "sign",
     available_now: bool = True,
+    frequent_path: str | None = None,
+    frequent_k: int = 3,
     on_support_committed=None,
     on_batch_committed=None,
 ):
@@ -217,11 +227,23 @@ def extrema_maintain_stream(
     re-derive. Same staging + rename swap and ``__old__`` recovery as
     the join maintainer.
 
+    Passing ``frequent_path`` additionally maintains the exact
+    top-``frequent_k``-frequent view (E156) from the SAME support
+    table — one more unguarded pure-function re-derive per batch, so
+    the whole two-level family (extrema + frequent) rides a single
+    support fold and inherits the identical replay contract.
+    Bootstrap it with
+    ``_swap_write(frequent_values_from_support(...), frequent_path)``
+    or let the first batch create it from an
+    :func:`mysql_syncer_spark.operators.incremental_agg.frequent_values_from_support`
+    snapshot you write beforehand.
+
     ``on_support_committed(batch_id)`` fires between the two swaps
     (fault-injection hook for the two-swap window);
     ``on_batch_committed(batch_id)`` after both."""
     from mysql_syncer_spark.operators.incremental_agg import (
         apply_extremum_delta,
+        apply_frequent_delta,
         apply_value_support_delta,
     )
 
@@ -262,6 +284,12 @@ def extrema_maintain_stream(
             ext, sup_cur, batch, keys, value_col
         ).localCheckpoint(eager=True)
         _swap_write(ext_new, extrema_path)
+        if frequent_path is not None:
+            top = _recover_read(spark, frequent_path)
+            top_new = apply_frequent_delta(
+                top, sup_cur, batch, keys, value_col, frequent_k
+            ).localCheckpoint(eager=True)
+            _swap_write(top_new, frequent_path)
         if on_batch_committed is not None:
             on_batch_committed(batch_id)
 

@@ -282,3 +282,39 @@ class TestTCloseness:
             t_closeness_cells(df, [], "s", 0.2)
         with pytest.raises(ValueError, match="quasi column"):
             t_closeness_cells(df, ["s"], "s", 0.2)
+
+
+class TestTClosenessReports:
+    """The one-row release gates completing the triad (k-anonymity,
+    l-diversity, t-closeness each expose cells + report)."""
+
+    def test_categorical_report(self, spark):
+        from mysql_syncer_spark.operators.privacy import (
+            t_closeness_cells,
+            t_closeness_report,
+        )
+
+        df = spark.createDataFrame(
+            TestTCloseness.TROWS, "g STRING, s STRING"
+        )
+        rep = t_closeness_report(df, ["g"], "s", t=0.2).first()
+        cells = t_closeness_cells(df, ["g"], "s", t=0.2).collect()
+        assert rep["n_cells"] == len(cells)
+        assert rep["n_risky_cells"] == sum(1 for c in cells if c["risky"])
+        assert rep["rows_at_risk"] == sum(
+            c["n_rows"] for c in cells if c["risky"])
+        assert rep["max_emd"] == max(c["emd"] for c in cells)
+        assert rep["t_close"] == (rep["n_risky_cells"] == 0)
+
+    def test_ordered_report_gate_flips_with_t(self, spark):
+        from mysql_syncer_spark.operators.privacy import (
+            t_closeness_ordered_report,
+        )
+
+        rows = [("x", 1), ("x", 3), ("y", 1), ("y", 2), ("z", 2),
+                ("z", 3)]
+        df = spark.createDataFrame(rows, "g STRING, s LONG")
+        tight = t_closeness_ordered_report(df, ["g"], "s", 0.01).first()
+        loose = t_closeness_ordered_report(df, ["g"], "s", 0.9).first()
+        assert not tight["t_close"] and tight["n_risky_cells"] > 0
+        assert loose["t_close"] and loose["n_risky_cells"] == 0

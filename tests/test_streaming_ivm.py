@@ -357,3 +357,47 @@ class TestStreamingExtremaEmptyingBatch:
         )
         q2.awaitTermination(120)
         assert spark.read.parquet(ext).count() == 0
+
+
+def test_streaming_frequent_view_rides_the_same_fold(spark, tmp_path):
+    """frequent_path maintains the exact top-k-frequent view (E156)
+    from the SAME support fold: a streamed delete that demotes a
+    group's front-runner surfaces the runner-up in the persisted
+    view, batch-over-batch."""
+    from mysql_syncer_spark.streaming.ivm import (
+        extrema_bootstrap,
+        extrema_maintain_stream,
+    )
+
+    base = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "p")],
+        "k STRING, v STRING",
+    )
+    sup = str(tmp_path / "fsup.parquet")
+    ext = str(tmp_path / "fext.parquet")
+    top = str(tmp_path / "ftop.parquet")
+    extrema_bootstrap(base, ["k"], "v", sup, ext,
+                      frequent_path=top, frequent_k=1)
+    assert {(r["k"], r["value"]) for r in
+            spark.read.parquet(top).collect()} == {("a", "x"), ("b", "p")}
+    src = tmp_path / "fin"
+    src.mkdir()
+    # delete both x's: y takes over group a's top slot
+    (src / "b0.json").write_text(
+        '{"k": "a", "v": "x", "sign": -1}\n'
+        '{"k": "a", "v": "x", "sign": -1}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()),
+         T.StructField("v", T.StringType()),
+         T.StructField("sign", T.LongType())]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = extrema_maintain_stream(
+        stream, sup, ext, str(tmp_path / "fckpt"), ["k"], "v",
+        frequent_path=top, frequent_k=1,
+    )
+    q.awaitTermination(120)
+    got = {(r["k"], r["value"], r["n"]) for r in
+           spark.read.parquet(top).collect()}
+    assert got == {("a", "y", 1), ("b", "p", 1)}

@@ -263,6 +263,7 @@ HEADLINE = [
     "t_closeness_ordered_customer",
     "ivm_frequent_orders",
     "golden_records_events",
+    "token_budget_sample_docs",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

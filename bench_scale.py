@@ -284,6 +284,7 @@ def run_tail_smoke() -> None:
         "ivm_frequent_orders",
         "golden_records_events",
         "token_budget_sample_docs",
+            "bitmap_overlap_events",
     ]
     only = set(sys.argv[2:])
     if only:

@@ -713,3 +713,46 @@ def bitmap_distinct_over(
         .groupBy(*group_cols)
         .agg(F.sum("__c").cast("long").alias("n_distinct"))
     )
+
+
+def bitmap_overlap(
+    rollup: DataFrame,
+    group_cols: list[str],
+    segment_col: str,
+    seg_a,
+    seg_b,
+) -> DataFrame:
+    """EXACT audience overlap between two segments, answered FROM THE
+    STORED BITMAP STATE — "how many distinct users did BOTH view and
+    purchase, per day" without rescanning events: by
+    inclusion-exclusion |A∩B| = |A| + |B| − |A∪B|, and all three
+    terms are exact popcounts over OR-merged bitmaps (the identity is
+    exact only because the counts are — the HLL sibling's E* version
+    of this subtraction amplifies relative error, which is why the
+    sketch module ships HLL intersection as an ESTIMATE and this as
+    the exact path for integral ids). Requires ``segment_col`` to be
+    one of the rollup's grain columns. Returns ``(group_cols...,
+    n_a, n_b, n_union, n_overlap, jaccard)`` — groups where a segment
+    is absent count it 0; jaccard is the single final division.
+    Work is rollup-sized: three grain regroupings + one group join."""
+    a = bitmap_distinct_over(
+        rollup.where(F.col(segment_col) == seg_a), group_cols
+    ).withColumnRenamed("n_distinct", "n_a")
+    b = bitmap_distinct_over(
+        rollup.where(F.col(segment_col) == seg_b), group_cols
+    ).withColumnRenamed("n_distinct", "n_b")
+    u = bitmap_distinct_over(
+        rollup.where(F.col(segment_col).isin([seg_a, seg_b])), group_cols
+    ).withColumnRenamed("n_distinct", "n_union")
+    j = u.join(a, group_cols, "left").join(b, group_cols, "left")
+    n_a = F.coalesce(F.col("n_a"), F.lit(0))
+    n_b = F.coalesce(F.col("n_b"), F.lit(0))
+    inter = (n_a + n_b - F.col("n_union")).cast("long")
+    return j.select(
+        *group_cols,
+        n_a.cast("long").alias("n_a"),
+        n_b.cast("long").alias("n_b"),
+        F.col("n_union").cast("long").alias("n_union"),
+        inter.alias("n_overlap"),
+        (inter / F.col("n_union")).alias("jaccard"),
+    )

@@ -630,6 +630,10 @@ _DEMOTED: tuple[str, ...] = (
     # via hash_split/quota/stratified composites; its exact global-
     # take-while oracle stays parity-swept at 3 SFs + sf1.
     "token_budget_sample_docs",
+    # exact bitmap overlap (E159): the bitmap regroup kernel is
+    # in-window via bitmap_distinct_users_events; the inclusion-
+    # exclusion identity stays parity-swept at 3 SFs + sf1.
+    "bitmap_overlap_events",
 )
 
 
@@ -8113,3 +8117,47 @@ def token_budget_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_cut(
         docs, "doc_id", "n_tokens", budget=15000
     ).orderBy("doc_id")
+
+
+@_register(
+    "bitmap_overlap_events",
+    """WITH e AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                         event_type, user_id
+                  FROM events WHERE user_id IS NOT NULL),
+       g AS (SELECT day,
+               CAST(COUNT(DISTINCT CASE WHEN event_type = 'view'
+                          THEN user_id END) AS BIGINT) AS n_a,
+               CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                          THEN user_id END) AS BIGINT) AS n_b,
+               CAST(COUNT(DISTINCT CASE WHEN event_type IN
+                          ('view', 'purchase')
+                          THEN user_id END) AS BIGINT) AS n_union
+             FROM e GROUP BY day)
+       SELECT day, n_a, n_b, n_union,
+              CAST(n_a + n_b - n_union AS BIGINT) AS n_overlap,
+              (n_a + n_b - n_union) / CAST(n_union AS DOUBLE) AS jaccard
+       FROM g WHERE n_union > 0 ORDER BY day""",
+)
+def bitmap_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E159: EXACT audience overlap from stored bitmap state — per day,
+    how many distinct users both viewed AND purchased, answered by
+    inclusion-exclusion (|A∩B| = |A| + |B| − |A∪B|) over the E140
+    rollup without rescanning events. The identity is exact only
+    because the popcounts are — the HLL sibling (E*) makes the same
+    subtraction an error-amplifying ESTIMATE, which is exactly why the
+    exact bitmap path exists for integral ids. The oracle is three
+    plain COUNT(DISTINCT CASE ...) legs: exactness IS the contract;
+    jaccard is the one final double division both engines share."""
+    from mysql_syncer_spark.operators.sketches import (
+        bitmap_overlap,
+        bitmap_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rollup = bitmap_rollup(
+        ev.withColumn("day", F.date_trunc("day", "ts")),
+        ["event_type", "day"],
+        "user_id",
+    )
+    out = bitmap_overlap(rollup, ["day"], "event_type", "view", "purchase")
+    return out.where(F.col("n_union") > 0).orderBy("day")

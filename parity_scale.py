@@ -243,6 +243,7 @@ SCALE_QUERIES = [
     "ivm_frequent_orders",
     "golden_records_events",
     "token_budget_sample_docs",
+    "bitmap_overlap_events",
 ]
 
 

@@ -530,3 +530,82 @@ def test_full_outer_ivm_equals_recompute(spark, a, b, da, db):
                       key=repr)
 
     assert canon(folded) == canon(recomputed)
+
+
+# ---------------------------------------------------------------------------
+# two-level support IVM: random signed batches == recompute
+# ---------------------------------------------------------------------------
+
+_sv_base = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", None]),       # group 1 (NULL legal)
+        st.integers(0, 2),                       # group 2 (composite key)
+        st.sampled_from([1.0, 2.0, 5.0, 9.0]),   # value
+    ),
+    min_size=1,
+    max_size=12,
+)
+_sv_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", None]),
+        st.integers(0, 2),
+        st.sampled_from([1.0, 2.0, 5.0, 9.0]),
+        st.booleans(),                           # True = delete
+    ),
+    max_size=8,
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(base=_sv_base, ops=_sv_ops)
+def test_two_level_ivm_equals_recompute(spark, base, ops):
+    """Extremum AND top-k-frequent folds equal the full recompute
+    under RANDOM signed batches over COMPOSITE group keys including
+    NULL — deletes are only admitted for rows currently present (the
+    operator's stated precondition), so every generated batch is
+    legal."""
+    from mysql_syncer_spark.operators import incremental_agg as ia
+
+    cur = list(base)
+    batch = []
+    for g1, g2, v, is_del in ops:
+        if is_del:
+            if (g1, g2, v) in cur:
+                cur.remove((g1, g2, v))
+                batch.append((g1, g2, v, -1))
+        else:
+            cur.append((g1, g2, v))
+            batch.append((g1, g2, v, 1))
+    base_df = spark.createDataFrame(
+        base, "g1 string, g2 long, v double"
+    )
+    keys = ["g1", "g2"]
+    sup = ia.value_support_snapshot(base_df, keys, "v")
+    ext = ia.extremum_snapshot(sup, keys, "v")
+    top = ia.frequent_values_from_support(sup, keys, "v", 2)
+    if batch:
+        d = spark.createDataFrame(
+            batch, "g1 string, g2 long, v double, sign long"
+        )
+        sup = ia.apply_value_support_delta(sup, d, keys, "v")
+        ext = ia.apply_extremum_delta(ext, sup, d, keys, "v")
+        top = ia.apply_frequent_delta(top, sup, d, keys, "v", 2)
+    cur_df = (
+        spark.createDataFrame(cur, "g1 string, g2 long, v double")
+        if cur
+        else spark.createDataFrame([], "g1 string, g2 long, v double")
+    )
+    sup_ref = ia.value_support_snapshot(cur_df, keys, "v")
+
+    def rows(df):
+        return sorted((tuple(r) for r in df.collect()), key=repr)
+
+    assert rows(ext) == rows(ia.extremum_snapshot(sup_ref, keys, "v"))
+    assert rows(top) == rows(
+        ia.frequent_values_from_support(sup_ref, keys, "v", 2)
+    )

@@ -265,6 +265,7 @@ HEADLINE = [
     "golden_records_events",
     "token_budget_sample_docs",
     "bitmap_overlap_events",
+    "ivm_distinct_orders",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

@@ -285,6 +285,7 @@ def run_tail_smoke() -> None:
         "golden_records_events",
         "token_budget_sample_docs",
             "bitmap_overlap_events",
+        "ivm_distinct_orders",
     ]
     only = set(sys.argv[2:])
     if only:

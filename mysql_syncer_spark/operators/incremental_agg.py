@@ -280,6 +280,40 @@ def apply_frequent_delta(
     )
 
 
+def distinct_from_support(
+    support: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Exact per-group DISTINCT-value count from the support table —
+    the third pure derive (extrema E152, top-k-frequent E156, this):
+    distinct = the number of support rows per group, so it inherits
+    the table's exact retractability — which neither sketch leg can
+    offer (HLL cannot delete at all; bitmap OR-merge is insert-only).
+    Output: ``(keys..., n_distinct, n_values)``."""
+    return support.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum("__support").cast("long").alias("n_values"),
+    )
+
+
+def apply_distinct_delta(
+    view: DataFrame,
+    support_new: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Advance the exact distinct-count view one signed batch — same
+    touched-group discipline as the extremum/frequent folds: a delete
+    that removes a value's LAST occurrence decrements the distinct
+    count exactly; re-inserting it restores it."""
+    return _apply_touched_group_delta(
+        view,
+        support_new,
+        delta,
+        keys,
+        lambda sup: distinct_from_support(sup, keys),
+    )
+
+
 def apply_extremum_delta(
     extrema: DataFrame,
     support_new: DataFrame,

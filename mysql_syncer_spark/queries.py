@@ -634,6 +634,10 @@ _DEMOTED: tuple[str, ...] = (
     # in-window via bitmap_distinct_users_events; the inclusion-
     # exclusion identity stays parity-swept at 3 SFs + sf1.
     "bitmap_overlap_events",
+    # exact distinct under deletes (E160): third derive of the E152
+    # support table (family representative in-window via the promoted
+    # full-outer IVM); refresh-equivalence oracle parity-swept.
+    "ivm_distinct_orders",
 )
 
 
@@ -8161,3 +8165,56 @@ def bitmap_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = bitmap_overlap(rollup, ["day"], "event_type", "view", "purchase")
     return out.where(F.col("n_union") > 0).orderBy("day")
+
+
+@_register(
+    "ivm_distinct_orders",
+    """WITH b1 AS (
+         SELECT o_custkey % 256 AS grp, o_orderpriority AS v
+         FROM orders WHERE o_orderkey % 7 <> 0
+         UNION ALL
+         SELECT o_custkey % 256, o_orderpriority
+         FROM orders WHERE o_orderkey % 11 = 0)
+       SELECT grp, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+              CAST(COUNT(*) AS BIGINT) AS n_values
+       FROM b1 GROUP BY grp ORDER BY grp""",
+)
+def ivm_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E160: EXACT per-group distinct count under deletes — the third
+    pure derive from E152's support table (extrema, top-k-frequent,
+    distinct — one retractable state serves all three), and the
+    capability NEITHER sketch leg offers: HLL (E*) cannot delete at
+    all, and the exact bitmap state (E140) is insert-only (OR-merge
+    has no inverse). A delete that removes a value's LAST occurrence
+    in its group decrements the count exactly (the support row drops
+    out at multiplicity 0). Same fixture discipline as E152/E156:
+    delete every 7th order, re-insert every 11th; touched-group-only
+    re-derive. Oracle: COUNT(DISTINCT) full recompute over (base −
+    deletes + inserts) — refresh-equivalence."""
+    from mysql_syncer_spark.operators.incremental_agg import (
+        apply_distinct_delta,
+        apply_value_support_delta,
+        distinct_from_support,
+        value_support_snapshot,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 256).alias("grp"),
+        F.col("o_orderpriority").alias("v"),
+        "o_orderkey",
+    )
+    base = o.select("grp", "v")
+    delta = (
+        o.where(F.col("o_orderkey") % 7 == 0)
+        .select("grp", "v", F.lit(-1).alias("sign"))
+        .unionByName(
+            o.where(F.col("o_orderkey") % 11 == 0).select(
+                "grp", "v", F.lit(1).alias("sign")
+            )
+        )
+    )
+    sup0 = value_support_snapshot(base, ["grp"], "v")
+    view0 = distinct_from_support(sup0, ["grp"])
+    sup1 = apply_value_support_delta(sup0, delta, ["grp"], "v")
+    view1 = apply_distinct_delta(view0, sup1, delta, ["grp"])
+    return view1.orderBy("grp")

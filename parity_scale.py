@@ -244,6 +244,7 @@ SCALE_QUERIES = [
     "golden_records_events",
     "token_budget_sample_docs",
     "bitmap_overlap_events",
+    "ivm_distinct_orders",
 ]
 
 

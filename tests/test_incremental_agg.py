@@ -404,3 +404,58 @@ def test_support_fold_null_group_keys(spark):
     )
     gott = {r["k"]: r["value"] for r in top1.collect()}
     assert gott[None] == 2.0 and gott["a"] == 1.0
+
+
+class TestDistinctIVM:
+    """Exact distinct-count under deletes — the capability neither
+    sketch leg offers (HLL can't delete; bitmap OR is insert-only):
+    deleting a value's LAST occurrence decrements, deleting one of
+    two does not."""
+
+    def test_delete_last_occurrence_decrements(self, spark):
+        from mysql_syncer_spark.operators import incremental_agg as ia
+
+        base = spark.createDataFrame(
+            [("a", 1.0), ("a", 1.0), ("a", 2.0), ("b", 3.0)],
+            "k STRING, v DOUBLE",
+        )
+        sup = ia.value_support_snapshot(base, ["k"], "v")
+        view = ia.distinct_from_support(sup, ["k"])
+        got = {r["k"]: (r["n_distinct"], r["n_values"])
+               for r in view.collect()}
+        assert got == {"a": (2, 3), "b": (1, 1)}
+        # delete ONE of the two 1.0s: distinct unchanged, values -1
+        d1 = spark.createDataFrame(
+            [("a", 1.0, -1)], "k STRING, v DOUBLE, sign LONG"
+        )
+        sup1 = ia.apply_value_support_delta(sup, d1, ["k"], "v")
+        v1 = ia.apply_distinct_delta(view, sup1, d1, ["k"])
+        got1 = {r["k"]: (r["n_distinct"], r["n_values"])
+                for r in v1.collect()}
+        assert got1 == {"a": (2, 2), "b": (1, 1)}
+        # delete the LAST 1.0: distinct drops to 1
+        sup2 = ia.apply_value_support_delta(sup1, d1, ["k"], "v")
+        v2 = ia.apply_distinct_delta(v1, sup2, d1, ["k"])
+        got2 = {r["k"]: (r["n_distinct"], r["n_values"])
+                for r in v2.collect()}
+        assert got2 == {"a": (1, 1), "b": (1, 1)}
+
+    def test_fold_equals_recompute(self, spark):
+        from mysql_syncer_spark.operators import incremental_agg as ia
+
+        base = [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 3.0)]
+        batch = [("a", 2.0, -1), ("a", 9.0, 1), ("b", 3.0, -1),
+                 ("c", 4.0, 1)]
+        base_df = spark.createDataFrame(base, "k STRING, v DOUBLE")
+        sup = ia.value_support_snapshot(base_df, ["k"], "v")
+        view = ia.distinct_from_support(sup, ["k"])
+        d = spark.createDataFrame(batch, "k STRING, v DOUBLE, sign LONG")
+        sup1 = ia.apply_value_support_delta(sup, d, ["k"], "v")
+        v1 = ia.apply_distinct_delta(view, sup1, d, ["k"])
+        cur = [("a", 1.0), ("a", 9.0), ("b", 3.0), ("c", 4.0)]
+        ref = ia.distinct_from_support(
+            ia.value_support_snapshot(
+                spark.createDataFrame(cur, "k STRING, v DOUBLE"),
+                ["k"], "v"), ["k"])
+        assert sorted(map(tuple, v1.collect())) == \
+            sorted(map(tuple, ref.collect()))

@@ -160,10 +160,21 @@ def apply_left_join_delta(
     is retracted when its dimension row arrives (the late-arriving-
     dimension fix-up, E125's documented gap until round 8). Terms:
 
-        M' =  M − M[pkA ∈ keys(ΔA)] − M[jk ∈ keys_on(ΔB)]   (kept)
+        affected_jk = keys_on(ΔB) ∪ jk(M[pkB ∈ keys(ΔB)])
+        M' =  M − M[pkA ∈ keys(ΔA)] − M[jk ∈ affected_jk]    (kept)
             ∪ upserts(ΔA) ⟕ B'                               (repair A)
-            ∪ facts(M)[jk ∈ keys_on(ΔB), pkA ∉ keys(ΔA)] ⟕ B'[jk ∈ keys_on(ΔB)]
+            ∪ facts(M)[jk ∈ affected_jk, pkA ∉ keys(ΔA)] ⟕ B'[jk ∈ affected_jk]
                                                              (repair B)
+
+    The second affected_jk term is the join-key-change edge (only
+    reachable when ``b_pk != on``): an upsert that MOVES a dimension
+    row to a new join key names only the NEW key in the delta, but
+    facts still joined at the OLD key carry superseded attributes and
+    must re-derive (usually back to a NULL pad). Old keys are
+    recovered from the view itself — the join keys of rows whose
+    ``b_pk`` is touched — exactly like :func:`apply_full_join_delta`;
+    NULL-padded facts have NULL ``b_pk`` columns in the view, so the
+    pk semi-join never misattributes a pad.
 
     Every term is delta-sized on one side: the subtractions are
     broadcast anti-joins, repair A pre-prunes B' with a broadcast semi
@@ -201,7 +212,18 @@ def apply_left_join_delta(
     a_keys = a_delta.select(*a_pk).distinct()
     a_up = a_delta.where(F.col(op_col) == "upsert").drop(op_col)
     b_new = apply_table_delta(b_old, b_delta, b_pk, op_col)
-    affected_jk = b_delta.select(*on).distinct()
+    # affected join keys: the delta's NEW keys plus the view-recovered
+    # OLD keys of every touched dimension row (the jk-change edge —
+    # b_pk != on upserts that move a row between keys). Pads carry
+    # NULL b_pk columns, so the semi only sees genuinely-joined facts.
+    b_keys = b_delta.select(*b_pk).distinct()
+    affected_jk = (
+        b_delta.select(*on)
+        .unionByName(
+            mat.join(F.broadcast(b_keys), b_pk, "left_semi").select(*on)
+        )
+        .distinct()
+    )
 
     # kept: fact untouched AND join key unaffected
     kept = mat.join(F.broadcast(a_keys), a_pk, "left_anti").join(

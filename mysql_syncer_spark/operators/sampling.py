@@ -440,7 +440,11 @@ def token_budget_cut(
     bucket — the cut is exact (row-for-row equal to the global
     take-while) at any corpus size. Rows with NULL tokens are
     excluded (no token cost ⇒ no budget claim either way — document
-    upstream if they should count as 0)."""
+    upstream if they should count as 0). NEGATIVE token counts raise
+    at execution time: the bucket-prune/take-while equivalence needs
+    monotone running totals, and a negative value would let a "full"
+    bucket keep rows the global cut drops — fail loudly rather than
+    return a silently-inexact selection."""
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     if not 1 <= bucket_hex <= 8:
@@ -448,7 +452,18 @@ def token_budget_cut(
     from pyspark.sql import Window
 
     pr = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-    rows = df.where(F.col(tokens_col).isNotNull()).withColumn(
+    nonneg = F.when(F.col(tokens_col) >= 0, F.lit(True)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"token_budget_cut: negative {tokens_col!r} value "
+                ),
+                F.col(tokens_col).cast("string"),
+                F.lit(" breaks the monotone-prefix contract"),
+            )
+        ).cast("boolean")
+    )
+    rows = df.where(F.col(tokens_col).isNotNull()).where(nonneg).withColumn(
         "__pr", pr
     ).withColumn("__b", F.substring(F.col("__pr"), 1, bucket_hex))
     hist = rows.groupBy("__b").agg(

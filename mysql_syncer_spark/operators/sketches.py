@@ -733,7 +733,9 @@ def bitmap_overlap(
     the exact path for integral ids). Requires ``segment_col`` to be
     one of the rollup's grain columns. Returns ``(group_cols...,
     n_a, n_b, n_union, n_overlap, jaccard)`` — groups where a segment
-    is absent count it 0; jaccard is the single final division.
+    is absent count it 0; jaccard is the single final division,
+    zero-guarded so an all-empty group (n_union = 0) yields 0.0
+    instead of NULL (or an ANSI-mode divide error).
     Work is rollup-sized: three grain regroupings + one group join."""
     a = bitmap_distinct_over(
         rollup.where(F.col(segment_col) == seg_a), group_cols
@@ -754,5 +756,7 @@ def bitmap_overlap(
         n_b.cast("long").alias("n_b"),
         F.col("n_union").cast("long").alias("n_union"),
         inter.alias("n_overlap"),
-        (inter / F.col("n_union")).alias("jaccard"),
+        F.when(F.col("n_union") > 0, inter / F.col("n_union"))
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
     )

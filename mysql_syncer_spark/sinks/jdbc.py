@@ -70,8 +70,22 @@ def sql_literal(v, backslash_escapes: bool = False) -> str:
     if isinstance(v, bool):
         return "1" if v else "0"
     if isinstance(v, Decimal):
-        return str(v)
-    if isinstance(v, (int, float)):
+        # Non-finite Decimals ('NaN', 'Infinity') would render as bare
+        # invalid SQL tokens — MySQL DECIMAL has no such values; refuse.
+        # Exponent forms (Decimal('1E+2') → '1E+2') would parse back as
+        # float, so render plain fixed-point: value-exact on every
+        # engine, and parse_sql_literal recovers Decimal whenever a
+        # fractional part survives (a positive-exponent integer value
+        # comes back as int — same SQL value, DECIMAL columns carry the
+        # scale).
+        if not v.is_finite():
+            raise ValueError(f"non-finite Decimal has no SQL literal: {v}")
+        return format(v, "f")
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            raise ValueError(f"non-finite float has no SQL literal: {v!r}")
+        return repr(v)
+    if isinstance(v, int):
         return repr(v)
     if isinstance(v, (bytes, bytearray)):
         return f"X'{bytes(v).hex().upper()}'"

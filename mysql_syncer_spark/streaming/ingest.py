@@ -354,6 +354,18 @@ def quantile_maintain_stream(
         if fs.exists(path):
             prior = spark.read.parquet(summary_path)
             hwm = prior.agg(F.max("last_batch")).first()[0]
+            if hwm is not None and batch_id < hwm:
+                # legitimate foreachBatch replay is batch_id == hwm
+                # only; strictly below means the checkpoint dir does
+                # not belong to this summary path (fresh checkpoint →
+                # batch ids reset → every fold silently skipped).
+                raise RuntimeError(
+                    f"batch_id {batch_id} is below the summary's "
+                    f"high-water mark {hwm}: checkpoint does not "
+                    f"match the state at {summary_path!r}. Restart "
+                    "with the original checkpoint dir, or bootstrap "
+                    "a fresh summary."
+                )
             if hwm is not None and batch_id <= hwm:
                 # replayed batch: already folded before the crash —
                 # skipping it is what makes replay EXACT

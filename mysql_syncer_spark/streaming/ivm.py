@@ -255,6 +255,21 @@ def extrema_maintain_stream(
         spark = batch.sparkSession
         sup = _recover_read(spark, support_path)
         hwm = sup.agg(F.max("last_batch")).first()[0]
+        if hwm is not None and batch_id < hwm:
+            # foreachBatch replays AT MOST the last batch, so a
+            # legitimate replay has batch_id == hwm. Strictly below
+            # means the checkpoint does not belong to this support
+            # table (the classic foot-gun: fresh checkpoint dir
+            # against an advanced support path resets batch ids to 0,
+            # and every fold would be silently skipped — the state
+            # freezes with no error). Fail loudly instead.
+            raise RuntimeError(
+                f"batch_id {batch_id} is below the support table's "
+                f"high-water mark {hwm}: checkpoint "
+                f"{checkpoint_dir!r} does not match the state at "
+                f"{support_path!r}. Restart with the original "
+                "checkpoint dir, or bootstrap a fresh support table."
+            )
         replayed = hwm is not None and batch_id <= hwm
         if not replayed:
             data = sup.where(F.col("__support") > 0).drop("last_batch")

@@ -480,3 +480,95 @@ class TestFullJoinIVM:
         )
         with pytest.raises(ValueError, match="overlap"):
             apply_full_join_delta(mat, da, overlap, "ck", "ok", "ck")
+
+
+class TestLeftJoinKeyChange:
+    """The ``b_pk != on`` edge (round-9 ADVICE, medium): a dimension
+    upsert that MOVES a row to a new join key names only the NEW key
+    in the delta, but facts still joined at the OLD key carry
+    superseded attributes — they must re-derive (back to a NULL pad,
+    or onto whatever dimension row now owns that key). The fix
+    recovers old keys from the view's own ``b_pk`` columns, mirroring
+    apply_full_join_delta. Law stays: fold ≡ full LEFT recompute."""
+
+    BK_SCHEMA = "bid long, ck long, name string"
+    DBK_SCHEMA = "bid long, ck long, name string, op string"
+
+    @pytest.fixture(scope="class")
+    def kbase(self, spark):
+        from mysql_syncer_spark.operators.ivm import left_join_snapshot
+
+        a = spark.createDataFrame(
+            [(1, 10, 5.0), (2, 20, 7.0), (3, 30, 1.0), (4, 10, 2.0)],
+            A_SCHEMA,
+        )
+        b = spark.createDataFrame(
+            [(100, 10, "ten"), (200, 20, "twenty")], self.BK_SCHEMA
+        )
+        return a, b, left_join_snapshot(a, b, "ck")
+
+    def _fold(self, spark, a, b, mat, db):
+        from mysql_syncer_spark.operators.ivm import (
+            apply_left_join_delta,
+            left_join_snapshot,
+        )
+
+        da = spark.createDataFrame([], DA_SCHEMA)
+        db_df = spark.createDataFrame(db, self.DBK_SCHEMA)
+        mat2 = apply_left_join_delta(mat, da, b, db_df, "ck", "ok", "bid")
+        b2 = apply_table_delta(b, db_df, ["bid"])
+        return b2, mat2, left_join_snapshot(a, b2, "ck")
+
+    def test_upsert_moves_join_key(self, spark, kbase):
+        a, b, mat = kbase
+        b2, mat2, want = self._fold(
+            spark, a, b, mat, [(100, 30, "ten-moved", "upsert")]
+        )
+        assert _sets(mat2.select(*mat.columns)) == _sets(
+            want.select(*mat.columns)
+        )
+        got = {r["ok"]: r["name"] for r in mat2.select("ok", "name").collect()}
+        # BOTH facts at the vacated key re-pad; the new-key fact matches
+        assert got[1] is None and got[4] is None
+        assert got[3] == "ten-moved"
+        assert got[2] == "twenty"  # untouched key rides through kept
+
+    def test_move_onto_occupied_key(self, spark, kbase):
+        # dim 200 moves 20 -> 10: facts at 10 switch from "ten" to
+        # BOTH dim rows? No — dim 100 still owns 10 too, so facts at
+        # 10 fan out to two rows; fact at 20 re-pads. Recompute law
+        # covers the fan-out exactly.
+        a, b, mat = kbase
+        b2, mat2, want = self._fold(
+            spark, a, b, mat, [(200, 10, "twenty-moved", "upsert")]
+        )
+        assert _sets(mat2.select(*mat.columns)) == _sets(
+            want.select(*mat.columns)
+        )
+        got = {r["ok"]: r["name"] for r in
+               mat2.select("ok", "name").where(F.col("ok") == 2).collect()}
+        assert got[2] is None  # vacated key re-padded
+
+    def test_delete_by_pk_repads(self, spark, kbase):
+        a, b, mat = kbase
+        b2, mat2, want = self._fold(
+            spark, a, b, mat, [(200, 20, None, "delete")]
+        )
+        assert _sets(mat2.select(*mat.columns)) == _sets(
+            want.select(*mat.columns)
+        )
+
+    def test_chained_moves_match_recompute(self, spark, kbase):
+        a, b, mat = kbase
+        batches = [
+            [(100, 30, "m1", "upsert")],            # 10 -> 30
+            [(100, 20, "m2", "upsert"),             # 30 -> 20 (shared)
+             (200, 99, "m3", "upsert")],            # 20 -> 99 (orphan)
+            [(100, None, None, "delete")],          # everything pads
+        ]
+        from mysql_syncer_spark.operators.ivm import left_join_snapshot
+
+        for db in batches:
+            b, mat, want = self._fold(spark, a, b, mat, db)
+            mat = mat.localCheckpoint()
+            assert _sets(mat.select(*want.columns)) == _sets(want)

@@ -460,3 +460,16 @@ class TestTokenBudgetCut:
             token_budget_cut(docs, "id", "toks", -1)
         with pytest.raises(ValueError, match="bucket_hex"):
             token_budget_cut(docs, "id", "toks", 10, bucket_hex=0)
+
+
+def test_token_budget_negative_tokens_raise(spark):
+    """Round-9 ADVICE: a negative token count breaks the monotone
+    running-total contract the bucket-prune equivalence rests on —
+    must fail loudly at execution, not silently over-select."""
+    from mysql_syncer_spark.operators.sampling import token_budget_cut
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", -1), ("c", 3)], "id string, toks long"
+    )
+    with pytest.raises(Exception, match="negative"):
+        token_budget_cut(df, "id", "toks", 100).collect()

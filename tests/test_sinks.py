@@ -85,3 +85,23 @@ def test_changelog(spark):
     got = {(r["op"], r["pk"]) for r in log.collect()}
     assert got == {("delete", '{"id":2}'), ("insert", '{"id":1}')}
     assert log.schema.fieldNames() == ["op", "table_name", "pk", "ts"]
+
+
+def test_sql_literal_decimal_totality():
+    """Round-9 ADVICE: non-finite Decimals/floats have no SQL literal
+    (refuse), and exponent-form Decimals render plain fixed-point so
+    the parse-back direction stays value-exact."""
+    from decimal import Decimal
+
+    from mysql_syncer_spark.sinks.jdbc import parse_sql_literal
+
+    assert sql_literal(Decimal("1E+2")) == "100"
+    assert parse_sql_literal(sql_literal(Decimal("1E+2"))) == 100
+    assert parse_sql_literal(sql_literal(Decimal("1.50"))) == Decimal("1.50")
+    assert sql_literal(Decimal("1E-6")) == "0.000001"
+    for bad in (Decimal("NaN"), Decimal("Infinity"), Decimal("-Infinity")):
+        with pytest.raises(ValueError, match="non-finite"):
+            sql_literal(bad)
+    for badf in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError, match="non-finite"):
+            sql_literal(badf)

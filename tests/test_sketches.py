@@ -510,3 +510,24 @@ class TestBitmapOverlap:
         # A = {1,2}, B = {1,2} after the merge -> full overlap
         assert (r["n_a"], r["n_b"], r["n_overlap"]) == (2, 2, 2)
         assert abs(r["jaccard"] - 1.0) < 1e-12
+
+
+def test_bitmap_overlap_empty_union_yields_zero_jaccard(spark):
+    """Round-9 ADVICE: a group whose bitmaps are all empty (n_union =
+    0) must yield jaccard 0.0, not NULL (or an ANSI divide error)."""
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_spark.operators.sketches import (
+        bitmap_overlap,
+        bitmap_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A", 1), (1, "B", 2)], "day long, seg string, uid long"
+    )
+    roll = bitmap_rollup(df, ["day", "seg"], "uid").withColumn(
+        "__bitmap", F.lit(bytearray(4096))
+    )
+    r = bitmap_overlap(roll, ["day"], "seg", "A", "B").first()
+    assert (r["n_a"], r["n_b"], r["n_union"], r["n_overlap"]) == (0, 0, 0, 0)
+    assert r["jaccard"] == 0.0

@@ -401,3 +401,54 @@ def test_streaming_frequent_view_rides_the_same_fold(spark, tmp_path):
     got = {(r["k"], r["value"], r["n"]) for r in
            spark.read.parquet(top).collect()}
     assert got == {("a", "y", 1), ("b", "p", 1)}
+
+
+def test_fresh_checkpoint_against_advanced_support_fails_loudly(
+    spark, tmp_path
+):
+    """Round-9 ADVICE: a fresh checkpoint dir against an advanced
+    support table resets batch ids to 0 <= hwm, which used to skip
+    every fold silently (frozen state, no error). Now the maintainer
+    raises when batch_id is strictly below the high-water mark."""
+    import pyspark.sql.types as T
+    from pyspark.errors.exceptions.captured import (
+        StreamingQueryException,
+    )
+
+    from mysql_syncer_spark.streaming.ivm import (
+        extrema_bootstrap,
+        extrema_maintain_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("sign", T.LongType()),
+        ]
+    )
+    base = spark.createDataFrame(
+        [("a", 5.0), ("b", 3.0)], "k STRING, v DOUBLE"
+    )
+    sup = str(tmp_path / "sup_fresh.parquet")
+    ext = str(tmp_path / "ext_fresh.parquet")
+    extrema_bootstrap(base, ["k"], "v", sup, ext)
+    src = tmp_path / "xin_fresh"
+    src.mkdir()
+    (src / "b0.json").write_text('{"k": "a", "v": 7.0, "sign": 1}\n')
+    (src / "b1.json").write_text('{"k": "b", "v": 1.0, "sign": 1}\n')
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).json(str(src))
+        return extrema_maintain_stream(
+            stream, sup, ext, ckpt, ["k"], "v"
+        )
+
+    q = run(str(tmp_path / "ck_orig"))
+    q.awaitTermination(120)  # hwm advances to 1
+    # same support path, NEW checkpoint: batch ids restart at 0
+    q2 = run(str(tmp_path / "ck_fresh"))
+    with pytest.raises(StreamingQueryException, match="high-water"):
+        q2.awaitTermination(120)

@@ -485,11 +485,108 @@ class DBAPISyncExecutor(ParquetSyncExecutor):
         )
 
 
+class JDBCSyncExecutor(ParquetSyncExecutor):
+    """Executes a SyncPlan against a LIVE JDBC slave (a
+    :class:`~mysql_syncer_spark.sources.catalog.JDBCCatalog` flavor
+    with driver-side statement support, e.g. ``DerbyCatalog``).
+
+    Same control flow as the other executors (schema compare → digest
+    short-circuit → hash diff), with the writes shaped for a real
+    database at scale:
+
+    * bulk row movement (full copies, insert deltas) goes through
+      Spark's DISTRIBUTED JDBC writer — executors hold the
+      connections; no Python worker, no driver row loop;
+    * deletes are ONE server-side statement per table: the delta's
+      keys are staged into a ``__sync_keys_<table>`` scratch table via
+      the same distributed writer, then ``DELETE ... WHERE EXISTS
+      (SELECT 1 FROM <stage> ...)`` runs INSIDE the database (the
+      composite-key-safe correlated form). No key list ever passes
+      through the driver, so a 100%-delta first sync stays flat in
+      driver memory — the JDBC twin of the DBAPI executor's chunked
+      statement sinks (sinks/jdbc.py), trading its per-chunk
+      round-trips for one in-database semi-join;
+    * DDL (drop/create/scratch management) runs on a driver-side
+      ``java.sql`` connection.
+
+    Delete-before-insert ordering (Synchronizer.php:496-517) is kept:
+    the staged key set is the union of excess keys and changed-row
+    keys, deleted in one statement before the insert pass appends.
+    """
+
+    def __init__(self, master, slave, config: SyncConfig | None = None):
+        super().__init__(master, slave, config)
+        for need in ("execute", "create_table_sql", "write_jdbc"):
+            if not hasattr(slave, need):
+                raise ValueError(
+                    "JDBCSyncExecutor needs a slave catalog with "
+                    f"driver-side statement support ({need!r} missing); "
+                    "plain JDBCCatalog is read-only — use DerbyCatalog "
+                    "or a subclass that implements the statement surface"
+                )
+
+    #: SQLStates meaning "object does not exist", swallowed on DROP
+    _MISSING = ("42Y55", "42X05")
+
+    def _drop_if_exists(self, name: str) -> None:
+        self.slave.execute(
+            f"DROP TABLE {self.slave._qualified(name)}",
+            ignore_states=self._MISSING,
+        )
+
+    def _drop(self, unit: SyncUnit, res: UnitResult) -> None:
+        if self.cfg.dry_run:
+            res.status = "dry_run"
+            return
+        self._drop_if_exists(unit.table)
+        self.slave.invalidate()
+
+    def _full_copy(self, unit: SyncUnit, res: UnitResult) -> None:
+        if self.cfg.dry_run:
+            res.status = "dry_run"
+            return
+        m = self.master.table(unit.table)
+        self._drop_if_exists(unit.table)
+        self.slave.execute(
+            self.slave.create_table_sql(unit.table, m.df.schema, m.pk_cols)
+        )
+        self.slave.write_jdbc(m.df, unit.table)
+        self.slave.invalidate()
+
+    def _apply_changes(self, table, pk_cols, inserts, deletes, target) -> None:
+        stage = f"__sync_keys_{table}"
+        keys = deletes.select(*pk_cols).unionByName(
+            inserts.select(*pk_cols)
+        ).distinct()
+        self._drop_if_exists(stage)
+        # scratch DDL through our own type map (Spark's JDBC overwrite
+        # would map StringType to CLOB, which Derby can't equi-compare)
+        self.slave.execute(
+            self.slave.create_table_sql(stage, keys.schema, ())
+        )
+        self.slave.write_jdbc(keys, stage)
+        q = self.slave._qualified
+        cond = " AND ".join(
+            f'd."{c}" = t."{c}"' for c in pk_cols
+        )
+        try:
+            self.slave.execute(
+                f"DELETE FROM {q(table)} t WHERE EXISTS "
+                f"(SELECT 1 FROM {q(stage)} d WHERE {cond})"
+            )
+            self.slave.write_jdbc(inserts, table)
+        finally:
+            self._drop_if_exists(stage)
+
+
 def make_executor(master, slave, config: SyncConfig | None = None):
     """Pick the executor for the slave's catalog type: parquet rewrite
-    for file-backed slaves, statement sinks for connection-backed ones."""
+    for file-backed slaves, statement sinks for connection-backed ones,
+    staged server-side statements for JDBC-backed ones."""
     if hasattr(slave, "connect_factory"):
         return DBAPISyncExecutor(master, slave, config)
+    if hasattr(slave, "write_jdbc"):
+        return JDBCSyncExecutor(master, slave, config)
     return ParquetSyncExecutor(master, slave, config)
 
 

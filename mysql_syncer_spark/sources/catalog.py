@@ -6,16 +6,20 @@ and discovers schema/PK per table at runtime (TableConnection.php:17-24,
 :635-675). Nothing is declared by the user except the partition map and
 ignore list — the engine mirrors that: introspect everything.
 
-Two implementations:
+Implementations:
 
-* :class:`ParquetCatalog` — a directory of ``<table>.parquet`` files (the
-  test fixtures and the scale path: on a cluster this is s3/hdfs parquet or
-  any Spark catalog table). PKs come from a supplied map (parquet has no PK
-  concept); defaults cover the fixture schema.
+* :class:`ParquetCatalog` / :class:`FileCatalog` — a directory of
+  ``<table>.<fmt>`` files (the test fixtures and the scale path: on a
+  cluster this is s3/hdfs parquet or any Spark catalog table). PKs come
+  from a supplied map (parquet has no PK concept); defaults cover the
+  fixture schema.
 * :class:`JDBCCatalog` — a JDBC URL; table list from
   ``information_schema.tables``, PKs from ``information_schema
-  .key_column_usage`` — the direct MySQL-compat mode. Import-gated: only
-  exercised when a JDBC driver jar is on the Spark classpath.
+  .key_column_usage`` — the direct MySQL-compat mode.
+* :class:`DerbyCatalog` — the ANSI-dialect JDBC flavor, proven live
+  in-sandbox against embedded Apache Derby (tests/test_jdbc_derby.py):
+  real ``spark.read.jdbc`` split scans, DatabaseMetaData introspection,
+  and the statement surface JDBCSyncExecutor mutates through.
 """
 
 from __future__ import annotations
@@ -233,6 +237,20 @@ class JDBCCatalog(Catalog):
         self.partition_map = dict(partition_map or {})
         self._names: list[str] | None = None
 
+    def _qualified(self, name: str) -> str:
+        """Server-side table reference — dialect hook (MySQL default:
+        unquoted ``db.table``; Derby overrides with quoted ANSI idents)."""
+        return f"{self.database}.{name}"
+
+    def _quote_col(self, col: str) -> str:
+        """Column reference embedded into server-side SQL (bounds query,
+        Spark's partitionColumn predicates) — dialect hook."""
+        return col
+
+    def invalidate(self) -> None:
+        """Drop the cached table list (after DDL on this database)."""
+        self._names = None
+
     def _read_query(self, query: str) -> DataFrame:
         return self.spark.read.format("jdbc").options(
             url=self.url, query=query, **self.props
@@ -260,20 +278,23 @@ class JDBCCatalog(Catalog):
     def table(self, name: str) -> TableHandle:
         pk = self.primary_key(name)
         reader = self.spark.read.format("jdbc").options(
-            url=self.url, dbtable=f"{self.database}.{name}", **self.props
+            url=self.url, dbtable=self._qualified(name), **self.props
         )
         pcol = self.partition_map.get(name) or (pk[0] if len(pk) == 1 else None)
         if pcol is not None:
-            # server-side split scan; bounds resolved lazily by Spark
+            # server-side split scan; bounds resolved lazily by Spark.
+            # Positional row access: unquoted aliases change case per
+            # engine (Derby uppercases, MySQL preserves).
+            pq = self._quote_col(pcol)
             bounds = self._read_query(
-                f"SELECT MIN({pcol}) lo, MAX({pcol}) hi "
-                f"FROM {self.database}.{name}"
+                f"SELECT MIN({pq}) lo, MAX({pq}) hi "
+                f"FROM {self._qualified(name)}"
             ).first()
-            if bounds and bounds["lo"] is not None:
+            if bounds and bounds[0] is not None:
                 reader = reader.options(
-                    partitionColumn=pcol,
-                    lowerBound=str(bounds["lo"]),
-                    upperBound=str(bounds["hi"]),
+                    partitionColumn=pq,
+                    lowerBound=str(bounds[0]),
+                    upperBound=str(bounds[1]),
                     numPartitions=str(self.num_partitions),
                 )
         return TableHandle(
@@ -350,6 +371,280 @@ def mysql_hash_pushdown_query(
         f"SELECT {pk}, MD5(CONCAT_WS('#', {wrapped})) AS `__row_hash` "
         f"FROM `{database}`.`{table}`{where}"
     )
+
+
+#: Spark type -> Derby DDL type (the ANSI twin of the DBAPI catalog's
+#: sqlite map). VARCHAR sized to Derby's page-friendly default; widen
+#: via create_table_sql's varchar_len for long-text columns.
+_DERBY_TYPES: dict[str, str] = {
+    "byte": "SMALLINT",   # Derby has no TINYINT
+    "short": "SMALLINT",
+    "int": "INTEGER",
+    "bigint": "BIGINT",
+    "float": "REAL",
+    "double": "DOUBLE",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "binary": "BLOB",
+}
+
+
+class DerbyCatalog(JDBCCatalog):
+    """Apache Derby-backed catalog — the ANSI-dialect JDBC twin that
+    proves :class:`JDBCCatalog`'s real ``spark.read.jdbc`` path
+    in-sandbox (Spark's distribution ships the embedded Derby driver,
+    so ``jdbc:derby:/path;create=true`` is a real JDBC database with
+    no server process).
+
+    MySQL-only SQL this dialect SUBSTITUTES, explicitly:
+
+    * ``information_schema.tables`` / ``key_column_usage``
+      introspection (JDBCCatalog) → the portable
+      ``java.sql.DatabaseMetaData`` API (``getTables`` /
+      ``getPrimaryKeys``) over a driver-side connection — the same
+      metadata, fetched the way any JDBC client does it.
+    * backtick quoting → ANSI double quotes; names are stored
+      case-sensitively when quoted (``quote`` / ``backslash_escapes``
+      attrs drive the shared statement renderers).
+    * ``MD5(CONCAT_WS('#', ...))`` hash pushdown
+      (:func:`mysql_hash_pushdown_query`) → a registered Derby
+      function ``MD5HEX`` (``CREATE FUNCTION ... EXTERNAL NAME
+      'org.apache.commons.codec.digest.DigestUtils.md5Hex'`` —
+      commons-codec ships in Spark's jars, so the embedded server can
+      always resolve it) over ``COALESCE(...) || '#' || ...``
+      concatenation. Value rendering matches MySQL's text protocol for
+      INTEGER/BIGINT/VARCHAR/DATE/DECIMAL columns; FLOAT/DOUBLE and
+      fractional TIMESTAMP render engine-specifically (Derby keeps a
+      ``.0`` / exponent forms), so :meth:`hash_frame` REFUSES those
+      column types rather than silently diverging from
+      ``digest.mysql_compat_row_hash_col`` — exclude such columns or
+      disable pushdown for that table.
+
+    Used by :class:`mysql_syncer_spark.executor.JDBCSyncExecutor` as a
+    live slave: DDL + single-statement server-side deletes run through
+    the driver-side connection; bulk row movement stays on Spark's
+    distributed JDBC writer."""
+
+    quote = '"'
+    backslash_escapes = False
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str,
+        database: str = "APP",
+        properties: Mapping[str, str] | None = None,
+        num_partitions: int = 8,
+        partition_map: Mapping[str, str] | None = None,
+        session_init: str | None = None,
+        varchar_len: int = 4000,
+    ):
+        super().__init__(
+            spark, url, database, properties, num_partitions,
+            partition_map, session_init,
+        )
+        self.varchar_len = varchar_len
+        self.session_init = session_init
+
+    # -- driver-side connection (DDL / metadata / one-statement deletes)
+
+    def _connect(self):
+        jvm = self.spark.sparkContext._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        if self.session_init:
+            st = conn.createStatement()
+            try:
+                st.execute(self.session_init)
+            finally:
+                st.close()
+        return conn
+
+    def execute(self, *statements: str, ignore_states: tuple = ()) -> None:
+        """Run DDL/DML statements driver-side; SQLExceptions whose
+        SQLState is in ``ignore_states`` (e.g. ``'42Y55'`` drop of a
+        missing table) are swallowed — Derby has no ``IF EXISTS``."""
+        from py4j.protocol import Py4JJavaError
+
+        conn = self._connect()
+        try:
+            for sql in statements:
+                st = conn.createStatement()
+                try:
+                    st.execute(sql)
+                except Py4JJavaError as exc:
+                    state = None
+                    je = exc.java_exception
+                    if je is not None and hasattr(je, "getSQLState"):
+                        try:
+                            state = je.getSQLState()
+                        except Exception:
+                            state = None
+                    if state not in ignore_states:
+                        raise
+                finally:
+                    st.close()
+        finally:
+            conn.close()
+
+    def _meta_rows(self, call, *cols):
+        rs = call
+        out = []
+        try:
+            while rs.next():
+                out.append(tuple(rs.getString(c) for c in cols))
+        finally:
+            rs.close()
+        return out
+
+    def table_names(self) -> list[str]:
+        if self._names is None:
+            conn = self._connect()
+            try:
+                md = conn.getMetaData()
+                jvm = self.spark.sparkContext._jvm
+                arr = self.spark.sparkContext._gateway.new_array(
+                    jvm.java.lang.String, 1
+                )
+                arr[0] = "TABLE"
+                rows = self._meta_rows(
+                    md.getTables(None, self.database, "%", arr),
+                    "TABLE_NAME",
+                )
+            finally:
+                conn.close()
+            self._names = sorted(
+                r[0] for r in rows if not r[0].startswith("__sync_")
+            )
+        return list(self._names)
+
+    def primary_key(self, name: str) -> tuple[str, ...]:
+        conn = self._connect()
+        try:
+            md = conn.getMetaData()
+            rows = self._meta_rows(
+                md.getPrimaryKeys(None, self.database, name),
+                "COLUMN_NAME", "KEY_SEQ",
+            )
+        finally:
+            conn.close()
+        return tuple(c for c, _ in sorted(rows, key=lambda r: int(r[1])))
+
+    def _qualified(self, name: str) -> str:
+        return f'"{self.database}"."{name}"'
+
+    def _quote_col(self, col: str) -> str:
+        return f'"{col}"'
+
+    # -- DDL generation (executor full-copy / staging tables) ----------
+
+    def ddl_type(self, dtype) -> str:
+        s = dtype.simpleString()
+        if s.startswith("decimal"):
+            return s.upper()
+        if s in ("string", "varchar", "char") or s.startswith(
+            ("varchar(", "char(")
+        ):
+            return f"VARCHAR({self.varchar_len})"
+        try:
+            return _DERBY_TYPES[s]
+        except KeyError:
+            raise ValueError(
+                f"no Derby DDL mapping for Spark type {s!r}"
+            ) from None
+
+    def create_table_sql(self, name, schema, pk_cols=()) -> str:
+        pk = tuple(pk_cols or ())
+        cols = []
+        for f in schema.fields:
+            nn = " NOT NULL" if f.name in pk else ""
+            cols.append(f'"{f.name}" {self.ddl_type(f.dataType)}{nn}')
+        if pk:
+            quoted = ", ".join(f'"{c}"' for c in pk)
+            cols.append(f"PRIMARY KEY ({quoted})")
+        return (
+            f"CREATE TABLE {self._qualified(name)} ({', '.join(cols)})"
+        )
+
+    def write_jdbc(self, df: DataFrame, name: str) -> None:
+        """Append rows through Spark's distributed JDBC writer — the
+        bulk path (executors hold the connections, not the driver)."""
+        (
+            df.write.format("jdbc")
+            .options(url=self.url, dbtable=self._qualified(name), **self.props)
+            .mode("append")
+            .save()
+        )
+
+    # -- hash pushdown (Derby flavor of mysql_hash_pushdown_query) -----
+
+    _MD5_FUNC = (
+        "CREATE FUNCTION MD5HEX(V VARCHAR(32672)) RETURNS VARCHAR(32) "
+        "LANGUAGE JAVA PARAMETER STYLE JAVA NO SQL DETERMINISTIC "
+        "RETURNS NULL ON NULL INPUT EXTERNAL NAME "
+        "'org.apache.commons.codec.digest.DigestUtils.md5Hex'"
+    )
+
+    def ensure_digest_function(self) -> None:
+        """Register MD5HEX once per database (X0Y68 = already exists)."""
+        self.execute(self._MD5_FUNC, ignore_states=("X0Y68",))
+
+    def _rendered_col(self, name: str, dtype) -> str:
+        """Derby SQL rendering one column byte-identically to
+        ``digest._mysql_text_col`` — or refuse (see class docstring)."""
+        s = dtype.simpleString()
+        q = f'"{name}"'
+        if s in ("string",) or s.startswith(("varchar", "char")):
+            return f"COALESCE({q}, 'NULL')"
+        if s in ("byte", "short", "int", "bigint") or s.startswith(
+            "decimal"
+        ):
+            # Derby's cast matrix allows numeric->CHAR but not ->VARCHAR;
+            # CHAR pads with spaces, so TRIM recovers MySQL's rendering
+            return f"COALESCE(TRIM(CAST({q} AS CHAR(64))), 'NULL')"
+        if s == "date":
+            return f"COALESCE(CAST({q} AS CHAR(10)), 'NULL')"
+        raise ValueError(
+            f"column {name!r}: Derby renders type {s!r} differently "
+            "from MySQL's text protocol (floats keep exponent/.0 "
+            "forms; timestamps carry fractional seconds) — exclude it "
+            "from pushdown columns or disable hash_pushdown"
+        )
+
+    def hash_frame(
+        self,
+        name: str,
+        columns: Sequence[str],
+        pk_cols: Sequence[str] | None = None,
+        partition_value: str | None = None,
+    ) -> DataFrame:
+        pk = tuple(pk_cols) if pk_cols else self.primary_key(name)
+        if not pk:
+            raise ValueError(f"table {name!r} has no primary key")
+        self.ensure_digest_function()
+        schema = {
+            f.name: f.dataType
+            for f in self.table(name).df.schema.fields
+        }
+        rendered = [self._rendered_col(c, schema[c]) for c in columns]
+        concat = " || '#' || ".join(rendered)
+        pk_sel = ", ".join(f'"{c}"' for c in pk)
+        where = ""
+        if partition_value is not None:
+            pcol = self.partition_map.get(name)
+            if pcol is None:
+                raise ValueError(
+                    f"partition_value given but table {name!r} has no "
+                    "partition column configured"
+                )
+            from ..sinks.jdbc import sql_literal
+
+            where = f' WHERE "{pcol}"={sql_literal(partition_value)}'
+        return self._read_query(
+            f'SELECT {pk_sel}, MD5HEX({concat}) AS "__row_hash" '
+            f"FROM {self._qualified(name)}{where}"
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -71,3 +71,12 @@ class SyncConfig:
     #: Worth it when the source DB has spare CPU and the WAN is the
     #: bottleneck; the default pulls raw rows and hashes in executors.
     hash_pushdown: bool = False
+    #: path of an ordered, REPLAYABLE SQL statement file (the
+    #: reference's LOG_QUERIES query log, settings.php.tmpl:25-30, at
+    #: full fidelity): every planned mutation is composed with the
+    #: sinks' own statement renderers, deletes-before-inserts per table
+    #: (Synchronizer.php:496-517), so replaying the file through a
+    #: DBAPI connection reproduces the converged slave exactly.
+    #: Combine with dry_run=True for a replayable preview that touches
+    #: nothing. SQL-slave executors only (DBAPI/JDBC).
+    log_statements: str | None = None

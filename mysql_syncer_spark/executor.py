@@ -75,6 +75,32 @@ class ParquetSyncExecutor:
         self.slave = slave
         self.cfg = config or SyncConfig()
         self.spark = master.spark
+        self._stmt_log = None
+        if self.cfg.log_statements is not None:
+            self._stmt_log = self._make_statement_log()
+
+    def _make_statement_log(self):
+        """Replayable queries.sql emitter (S18; the reference's
+        LOG_QUERIES). Needs a SQL-shaped slave — the statement quoting
+        and the full-copy DDL come from the slave catalog."""
+        if not hasattr(self.slave, "create_table_sql"):
+            raise ValueError(
+                "log_statements requires a SQL-backed slave catalog "
+                "(DBAPI/Derby executors); file-backed slaves have no "
+                "statement form"
+            )
+        from mysql_syncer_spark.sinks.statement_log import StatementLog
+
+        return StatementLog(
+            self.cfg.log_statements,
+            quote=getattr(self.slave, "quote", '"'),
+            backslash_escapes=getattr(self.slave, "backslash_escapes", False),
+            chunk_size=self.cfg.chunk_size,
+        )
+
+    def _log_delta(self, table, pk_cols, inserts, deletes) -> None:
+        if self._stmt_log is not None:
+            self._stmt_log.log_delta(table, pk_cols, inserts, deletes)
 
     # -- unit handlers ------------------------------------------------
 
@@ -108,9 +134,11 @@ class ParquetSyncExecutor:
         if digests_equal(m.df, s.df):
             res.status = "noop"
             return
-        if self.cfg.dry_run:
+        if self.cfg.dry_run and self._stmt_log is None:
             res.status = "dry_run"
             return
+        # with a statement log, fall through: _full_copy logs the
+        # replayable statements and handles dry_run itself
         self._full_copy(unit, res)
 
     def _diff_sync(self, unit: SyncUnit, res: UnitResult) -> None:
@@ -188,13 +216,20 @@ class ParquetSyncExecutor:
             if res.inserted == 0 and res.deleted == 0:
                 res.status = "noop"
                 return
-            if self.cfg.dry_run:
+            if self.cfg.dry_run and self._stmt_log is None:
                 res.status = "dry_run"
                 return
+            # a statement log needs the full insert rows even under
+            # dry_run (the file must be replayable), so the keyed fetch
+            # runs before the dry_run return in that mode
             if hasattr(self.master, "fetch_rows"):
                 inserts, spill = self._stream_keyed_fetch(table, miss, pk)
             else:
                 inserts = rows_to_copy(self.master.table(table).df, miss, pk)
+            self._log_delta(table, pk, inserts, exc)
+            if self.cfg.dry_run:
+                res.status = "dry_run"
+                return
             self._apply_changes(table, pk, inserts, exc, s.df)
             self.slave.invalidate()
         finally:
@@ -294,6 +329,7 @@ class ParquetSyncExecutor:
             if res.inserted == 0 and res.deleted == 0:
                 res.status = "noop"
                 return
+            self._log_delta(table, pk_cols, inserts, deletes)
             if self.cfg.dry_run:
                 res.status = "dry_run"
                 return
@@ -443,6 +479,8 @@ class DBAPISyncExecutor(ParquetSyncExecutor):
             conn.close()
 
     def _drop(self, unit: SyncUnit, res: UnitResult) -> None:
+        if self._stmt_log is not None:
+            self._stmt_log.log_drop(unit.table)
         if self.cfg.dry_run:
             res.status = "dry_run"
             return
@@ -454,14 +492,19 @@ class DBAPISyncExecutor(ParquetSyncExecutor):
         """Drop + CREATE TABLE from the master's Spark schema + one
         distributed insert pass — the reference's copyTable
         (Synchronizer.php:330-354) without the chunked LIMIT/OFFSET walk."""
+        m = self.master.table(unit.table)
+        create = self.slave.create_table_sql(
+            unit.table, m.df.schema, m.pk_cols
+        )
+        if self._stmt_log is not None:
+            self._stmt_log.log_full_copy(unit.table, create, m.df)
         if self.cfg.dry_run:
             res.status = "dry_run"
             return
-        m = self.master.table(unit.table)
         q = self._quote
         self._execute_ddl(
             f"DROP TABLE IF EXISTS {q}{unit.table}{q}",
-            self.slave.create_table_sql(unit.table, m.df.schema, m.pk_cols),
+            create,
         )
         jdbc.apply_inserts(
             m.df, unit.table, self.slave.connect_factory,
@@ -535,6 +578,8 @@ class JDBCSyncExecutor(ParquetSyncExecutor):
         )
 
     def _drop(self, unit: SyncUnit, res: UnitResult) -> None:
+        if self._stmt_log is not None:
+            self._stmt_log.log_drop(unit.table)
         if self.cfg.dry_run:
             res.status = "dry_run"
             return
@@ -542,14 +587,17 @@ class JDBCSyncExecutor(ParquetSyncExecutor):
         self.slave.invalidate()
 
     def _full_copy(self, unit: SyncUnit, res: UnitResult) -> None:
+        m = self.master.table(unit.table)
+        create = self.slave.create_table_sql(
+            unit.table, m.df.schema, m.pk_cols
+        )
+        if self._stmt_log is not None:
+            self._stmt_log.log_full_copy(unit.table, create, m.df)
         if self.cfg.dry_run:
             res.status = "dry_run"
             return
-        m = self.master.table(unit.table)
         self._drop_if_exists(unit.table)
-        self.slave.execute(
-            self.slave.create_table_sql(unit.table, m.df.schema, m.pk_cols)
-        )
+        self.slave.execute(create)
         self.slave.write_jdbc(m.df, unit.table)
         self.slave.invalidate()
 

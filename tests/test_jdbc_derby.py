@@ -200,3 +200,28 @@ class TestDerbyHashCompat:
                 'DROP TABLE "APP"."dblcol"', ignore_states=("42Y55",)
             )
             master.invalidate()
+
+
+class TestDerbyStatementLog:
+    def test_dry_run_statement_log_structure(self, dbs, tmp_path):
+        """The JDBC executor logs through the same shared hooks as the
+        DBAPI executor (full replay convergence is proven in
+        tests/test_statement_log.py); here: the Derby-quoted file has
+        the right per-table blocks in delete-before-insert order."""
+        master, slave = dbs
+        _perturb(slave)
+        log = str(tmp_path / "derby_queries.sql")
+        rep = sync(
+            master, slave, SyncConfig(dry_run=True, log_statements=log)
+        )
+        assert rep.ok, [r.error for r in rep.results if r.error]
+        text = open(log).read()
+        assert 'DROP TABLE IF EXISTS "extra_tbl";' in text
+        assert 'CREATE TABLE "APP"."items"' in text  # full copy DDL
+        d = text.index('-- delta orders')
+        assert text.index("DELETE FROM \"orders\"", d) < text.index(
+            "INSERT INTO \"orders\"", d
+        )
+        # and the dry run mutated nothing
+        slave.invalidate()
+        assert "extra_tbl" in slave.table_names()

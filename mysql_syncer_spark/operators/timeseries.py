@@ -311,6 +311,7 @@ def ewma(
     value_col: str,
     alpha: float,
     out_col: str = "ewma",
+    max_points_per_key: int | None = 1_000_000,
 ) -> DataFrame:
     """Per-key exponentially weighted moving average (adjust=False
     recursion: y_0 = x_0; y_t = (1-α)·y_{t-1} + α·x_t) — the
@@ -329,6 +330,16 @@ def ewma(
     its group (the same per-key contract as sessionization).
     Ties on ``ts_col`` order by the remaining columns deterministically
     via a stable sort on (ts).
+
+    THE PER-KEY MATERIALIZATION IS A CONTRACT, NOT A HOPE
+    (round-9 VERDICT item 7): at 100× a hot key would silently turn
+    one Arrow group into an executor-OOM. ``max_points_per_key``
+    (default 10^6 ≈ tens of MB per group) makes the contract loud —
+    a larger group raises inside the fold with the fix spelled out
+    (the same discipline as the incremental-agg retraction guard).
+    Pass ``None`` only when the key domain is provably bounded, or
+    use :func:`ewma_chunked` — the exact carry-in fold whose groups
+    are (key, chunk)-sized, for series that genuinely exceed the cap.
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -338,8 +349,18 @@ def ewma(
     schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
     ) + f", `{out_col}` double"
+    cap = max_points_per_key
 
     def fold(pdf):
+        if cap is not None and len(pdf) > cap:
+            key = tuple(pdf.iloc[0][k] for k in key_cols)
+            raise ValueError(
+                f"ewma: key {key!r} has {len(pdf)} points, over "
+                f"max_points_per_key={cap} — one Arrow group would "
+                "hold the whole series. Use ewma_chunked (exact "
+                "carry-in fold over bounded chunks) or raise the cap "
+                "deliberately."
+            )
         pdf = pdf.sort_values(ts_col, kind="stable")
         pdf[out_col] = (
             pdf[value_col]
@@ -350,3 +371,110 @@ def ewma(
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(fold, schema=schema)
+
+
+def ewma_chunked(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    chunk_col: str,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """:func:`ewma` for keys too hot to hold in one Arrow group — the
+    exact chunked carry-in fold. ``chunk_col`` partitions each key's
+    series into ts-ordered chunks (e.g. a month column: chunk values
+    must sort in the same order as ``ts_col`` within a key); Arrow
+    groups are then (key, chunk)-sized, never whole-key.
+
+    Exactness: the adjust=False recursion is affine in the incoming
+    state, so a chunk is summarized by two numbers — its compound
+    decay ``(1-α)^n`` (n = non-null count; ignore-NA semantics) and
+    its zero-seeded local fold ``L = Σ α(1-α)^{n-j} x_j``. For carry
+    ``y_in``: every smoothed value is
+    ``y_t = y_in·(1-α)^{m_t} + local0_t`` (``m_t`` = non-nulls so
+    far), and the outgoing state is ``y_in·(1-α)^n + L``. The
+    per-key sequential combine runs over ONE ROW PER CHUNK (bounded),
+    and the first chunk that sees data uses the plain pandas fold
+    (y_0 = x_0). Three jobs total: the (key, chunk) local pass, the
+    chunk-summary scan, one broadcastable carry join back.
+
+    Equality with the whole-series :func:`ewma` is property-tested to
+    float tolerance (association order differs; the recursion itself
+    is numerically stable in both forms).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    import numpy as np
+    import pandas as pd
+
+    out_fields = df.schema.fields
+    local_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
+    ) + ", `__local0` double, `__plain` double, `__decay` double"
+
+    def local_fold(pdf):
+        pdf = pdf.sort_values(ts_col, kind="stable")
+        x = pdf[value_col].astype("float64")
+        pdf["__plain"] = x.ewm(alpha=alpha, adjust=False,
+                               ignore_na=True).mean()
+        # zero-seeded variant: prepend a synthetic 0 so y'_{t} carries
+        # no first-value special case, then drop it
+        seeded = pd.concat(
+            [pd.Series([0.0]), x], ignore_index=True
+        ).ewm(alpha=alpha, adjust=False, ignore_na=True).mean()
+        pdf["__local0"] = seeded.iloc[1:].to_numpy()
+        m = x.notna().cumsum().to_numpy(dtype="float64")
+        pdf["__decay"] = np.power(1.0 - alpha, m)
+        return pdf
+
+    kc = list(key_cols)
+    local = df.groupBy(*kc, chunk_col).applyInPandas(
+        local_fold, schema=local_schema
+    )
+    # one row per (key, chunk): compound decay + last local/plain state
+    summaries = local.groupBy(*kc, chunk_col).agg(
+        F.min("__decay").alias("__chunk_decay"),
+        F.max_by("__local0", F.col(ts_col)).alias("__last_local0"),
+        F.max_by("__plain", F.col(ts_col)).alias("__last_plain"),
+        F.count(value_col).alias("__n"),
+    )
+    carry_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in summaries.schema.fields
+    ) + ", `__carry_in` double"
+
+    def scan(pdf):
+        pdf = pdf.sort_values(chunk_col, kind="stable")
+        carry = np.nan
+        carries = []
+        for _, row in pdf.iterrows():
+            carries.append(carry)
+            if row["__n"] == 0:
+                continue  # all-NULL chunk: state rides through
+            if np.isnan(carry):
+                carry = row["__last_plain"]
+            else:
+                carry = carry * row["__chunk_decay"] + row["__last_local0"]
+        pdf["__carry_in"] = carries
+        return pdf
+
+    carries = summaries.groupBy(*kc).applyInPandas(
+        scan, schema=carry_schema
+    ).select(*kc, chunk_col, "__carry_in")
+    out = local.join(F.broadcast(carries), kc + [chunk_col], "left")
+    # the scan's no-carry sentinel arrives as NaN (a pandas float64
+    # column has no NULL), so the branch tests isnan, not isNotNull
+    has_carry = F.col("__carry_in").isNotNull() & ~F.isnan(
+        F.col("__carry_in")
+    )
+    smoothed = F.when(
+        has_carry,
+        F.col("__carry_in") * F.col("__decay") + F.col("__local0"),
+    ).otherwise(F.col("__plain"))
+    return out.select(
+        *[f.name for f in out_fields], smoothed.alias(out_col)
+    )

@@ -189,6 +189,32 @@ _PROMOTED: tuple[str, ...] = (
     # t_closeness_ordered_customer sit at 53-54, parity-swept.
     "ivm_full_join_orders_customer",
     "t_closeness_customer",
+    # r9 rotation (the standing never-window retirement, VERDICT r8
+    # item 2): FIFTEEN oracle-backed queries the driver had never
+    # certified rotate IN — the whole r8 second wave of
+    # delete-maintainable state (extrema/frequent/distinct IVM), the
+    # r8 curation/privacy/exact-overlap additions, the three
+    # longest-never-window TPC-H classics, and four analytics kernels
+    # (exact grouped quantiles, KS drift, MG heavy hitters,
+    # k-anonymity, EWMA). Displacements at the r9 _DEMOTED block —
+    # every one remains oracle-backed, 3-SF parity-swept, in the sf1
+    # VALUE sweep, and driver-green in an earlier round's window
+    # (cumulative coverage is never lost; the ledger is ROTATION.md).
+    "ivm_extrema_orders",
+    "ivm_frequent_orders",
+    "ivm_distinct_orders",
+    "golden_records_events",
+    "token_budget_sample_docs",
+    "bitmap_overlap_events",
+    "t_closeness_ordered_customer",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
+    "group_quantiles_events",
+    "ks_drift_events",
+    "heavy_hitters_users_events",
+    "k_anonymity_customer",
+    "ewma_daily_events",
 )
 
 #: Queries proven green across rounds 1-3 whose machinery is fully covered
@@ -637,18 +663,77 @@ _DEMOTED: tuple[str, ...] = (
     # exact distinct under deletes (E160): third derive of the E152
     # support table (family representative in-window via the promoted
     # full-outer IVM); refresh-equivalence oracle parity-swept.
+    # (r9: ivm_extrema/frequent/distinct + t_closeness_ordered +
+    # golden_records + token_budget + bitmap_overlap rotated back IN —
+    # entries above kept for the r8 window-history record; _PROMOTED
+    # wins the ordering.)
     "ivm_distinct_orders",
+    # ------------------------------------------------------------------
+    # r9 rotation OUT (displaced by the fifteen r9 promotions; every
+    # row below is oracle-backed, 3-SF parity-swept, in the sf1 VALUE
+    # sweep, and was driver-green in an earlier round):
+    # hash projection: the identical md5(concat_ws) kernel runs
+    # in-window inside sync_merge_orders and partition_digests_orders.
+    "row_hash_orders",
+    # exact dedup groups: dedup_keep_best_docs (in-window) is the
+    # strictly harder keep-one variant of the same groupBy discipline.
+    "dedup_exact_docs",
+    # one-expression JSON projection; the variant-typing kernel rides
+    # in-window via sessionize/event composites.
+    "json_extract_events",
+    # cosine near-dup pairs: semantic_dedup_embeddings (in-window)
+    # runs the same cosine kernel plus the cluster fold on top.
+    "embedding_near_dup_pairs",
+    # brute-force ANN top-k: cosine kernel in-window via
+    # semantic_dedup; the rank-window discipline via dedup_keep_best.
+    "ann_topk_batch",
+    # salted join: result-identical to the unsalted sync merge
+    # (in-window); the skew discipline stays bench-gated (test_skew).
+    "salted_join_orders_customer",
+    # repetition scores: curate_corpus_docs (in-window) runs the
+    # Gopher rule set end-to-end including the repetition rules.
+    "repetition_docs",
+    # hash-bucket quota sampling: token_budget_sample_docs (promoted)
+    # is the strictly harder exact-prefix variant of the same
+    # hash-priority discipline; mixture/stratified stay parity-swept.
+    "quota_sample_docs",
+    # simple agg-join rollup: the three promoted TPC-H classics are
+    # strictly harder instances of the same join+groupBy shape.
+    "supplier_revenue",
+    # per-column stats profile: fd_audit_orders (in-window) plus the
+    # digest rows keep the metadata-scan kernel machine-checked.
+    "profile_orders",
+    # bipartite MinHash pairs: minhash_lsh_pairs_docs (in-window)
+    # certifies the same signature+band kernel end-to-end.
+    "minhash_pairs_between_docs",
+    # fixed-size chunk explode: pack_sequences_docs (in-window) runs
+    # the harder sequence-slicing discipline.
+    "chunk_docs",
+    # shard rollup of the deterministic export: the export path is
+    # pytest-proven; the rollup is a COUNT/groupBy other rows cover.
+    "shard_stats_docs",
+    # date-spine gap fill: the generate_series spine kernel stays
+    # parity-swept (sliding/cohort/retention family at 3 SFs + sf1).
+    "gap_fill_daily_events",
+    # weighted priority sampling: the hash-priority order is certified
+    # by the promoted token_budget cut; mixture_sample stays in-window.
+    "priority_sample_docs",
 )
 
 
 def _driver_order(d: dict) -> dict:
+    # _PROMOTED wins over _DEMOTED: a name on both lists (rotated out
+    # in one round, back in later — the lists are window HISTORY) sits
+    # at the front.
     front = {k: d[k] for k in _PROMOTED if k in d}
     head = {
         k: v
         for k, v in d.items()
         if k not in _DEMOTED and k not in _PROMOTED
     }
-    tail = {k: d[k] for k in _DEMOTED if k in d}
+    tail = {
+        k: d[k] for k in _DEMOTED if k in d and k not in _PROMOTED
+    }
     return {**front, **head, **tail}
 
 

@@ -154,7 +154,21 @@ class FileCatalog(Catalog):
     def table_path(self, name: str) -> str:
         return os.path.join(self.path, f"{name}{self.ext}")
 
+    def _recover(self, name: str) -> None:
+        """Heal the one crash window of the write_table swap: a kill
+        between the two renames leaves the previous data at
+        ``<path>.__old__`` and nothing at ``<path>`` — restore OLD
+        (the new data still sits complete in ``.__staging__`` and the
+        next sync re-derives it; old-or-new visibility, never
+        neither). Same recovery rule as the streaming maintainers'
+        ``_recover_read``."""
+        path = self.table_path(name)
+        old = path + ".__old__"
+        if not os.path.exists(path) and os.path.exists(old):
+            os.replace(old, path)
+
     def table(self, name: str) -> TableHandle:
+        self._recover(name)
         df = self._dfs.get(name)
         if df is None:
             df = (
@@ -170,23 +184,47 @@ class FileCatalog(Catalog):
             partition_col=self.partition_map.get(name),
         )
 
+    #: fault-injection seam for the crash-window tests (E155 hook
+    #: pattern): called with 'staged' / 'old_moved' / 'swapped' between
+    #: the swap steps; a raising hook simulates a kill at that point.
+    _crash_hook = None
+
     def write_table(self, df: DataFrame, name: str) -> None:
-        """Atomic-ish table replace: stage to ``<path>.__staging__``,
-        then swap. Writing over the target directly would delete the
+        """Crash-safe table replace: stage to ``<path>.__staging__``,
+        rename the live data aside to ``<path>.__old__``, rename the
+        staging dir in, drop ``__old__`` — the same two-rename protocol
+        as the streaming maintainers' ``_swap_write``, so EVERY kill
+        point leaves old-or-new readable (never neither; the former
+        rmtree-then-rename left a window with nothing at the path).
+        :meth:`_recover` (run by every read and write) restores
+        ``__old__`` when a kill between the renames left it the only
+        copy. Writing over the target directly would also delete the
         input a lazy plan is still reading (executor discipline)."""
+        import shutil
+
+        self._recover(name)
         path = self.table_path(name)
         tmp = path + ".__staging__"
+        old = path + ".__old__"
         (
             df.write.format(self.fmt)
             .options(**self.write_options)
             .mode("overwrite")
             .save(tmp)
         )
+        if self._crash_hook is not None:
+            self._crash_hook("staged")
+        if os.path.exists(old):  # leftover from a kill after the swap
+            shutil.rmtree(old) if os.path.isdir(old) else os.remove(old)
         if os.path.exists(path):
-            import shutil
-
-            shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
+            os.replace(path, old)
+        if self._crash_hook is not None:
+            self._crash_hook("old_moved")
         os.replace(tmp, path)
+        if self._crash_hook is not None:
+            self._crash_hook("swapped")
+        if os.path.exists(old):
+            shutil.rmtree(old) if os.path.isdir(old) else os.remove(old)
 
 
 class ParquetCatalog(FileCatalog):

@@ -95,25 +95,27 @@ def test_driver_window_holds_extension_queries():
         # r5: ann_topk_ivf / approx_distinct_users_events moved OUT of the
         # window (approximate → err:"no_oracle" forever; pytest-gated
         # instead) in favor of exactly-provable rows.
-        "json_extract_events",
-        "curate_corpus_docs", "salted_join_orders_customer",
-        "contamination_docs", "repetition_docs", "cdc_apply_orders",
-        "quota_sample_docs", "supplier_revenue",
+        "curate_corpus_docs",
+        "contamination_docs", "cdc_apply_orders",
         "pii_docs", "pack_sequences_docs", "tfidf_topk_docs",
-        "priority_sample_docs", "label_centroids_embeddings",
-        "minhash_pairs_between_docs",
+        "label_centroids_embeddings",
         "cluster_safe_split_docs",
         # r7 rotation: incremental_new_docs OUT (the in-window indexed
         # variant computes the IDENTICAL output through the persisted
         # index — same oracle SQL)
         # r5 additions
         "incremental_new_docs_indexed", "scd2_multibatch_orders",
-        "profile_orders",
-        # r5 second wave: the new extension operators displace five
-        # elementary rows (excess/semi/anti-join, rollup, latest-event)
-        # whose kernels in-window composites already run end-to-end
-        "mixture_sample_docs", "chunk_docs", "semantic_dedup_embeddings",
-        "dedup_keep_best_docs", "shard_stats_docs", "gap_fill_daily_events",
+        # r9 rotation OUT (justifications at _DEMOTED in queries.py):
+        # json_extract_events, salted_join_orders_customer,
+        # repetition_docs, quota_sample_docs, supplier_revenue,
+        # priority_sample_docs, minhash_pairs_between_docs,
+        # profile_orders, chunk_docs, shard_stats_docs,
+        # gap_fill_daily_events, row_hash_orders, dedup_exact_docs,
+        # embedding_near_dup_pairs, ann_topk_batch — all remain
+        # oracle-backed, 3-SF parity-swept, in the sf1 VALUE sweep,
+        # and driver-green in earlier rounds' windows.
+        "mixture_sample_docs", "semantic_dedup_embeddings",
+        "dedup_keep_best_docs",
         # r5 third wave: Gopher rules displaced hourly_event_counts;
         # r8 second wave rotated gopher_quality_docs itself OUT (its
         # rule set runs end-to-end in-window via curate_corpus_docs).
@@ -153,6 +155,18 @@ def test_driver_window_holds_extension_queries():
         # at _PROMOTED in queries.py.
         "ivm_full_join_orders_customer",
         "t_closeness_customer",
+        # r9 rotation IN: the never-window retirement wave — the
+        # delete-maintainable IVM family, the r8 curation/privacy/
+        # overlap additions, three TPC-H classics, and four analytics
+        # kernels (justifications at _PROMOTED in queries.py).
+        "ivm_extrema_orders", "ivm_frequent_orders",
+        "ivm_distinct_orders", "golden_records_events",
+        "token_budget_sample_docs", "bitmap_overlap_events",
+        "t_closeness_ordered_customer", "tpch_q1_pricing",
+        "tpch_q3_shipping_priority", "tpch_q10_returned_items",
+        "group_quantiles_events", "ks_drift_events",
+        "heavy_hitters_users_events", "k_anonymity_customer",
+        "ewma_daily_events",
     }
     assert must_be_in <= window, sorted(must_be_in - window)
     from mysql_syncer_spark.queries import _DEMOTED

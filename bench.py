@@ -266,6 +266,7 @@ HEADLINE = [
     "token_budget_sample_docs",
     "bitmap_overlap_events",
     "ivm_distinct_orders",
+    "ewma_chunked_daily_events",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

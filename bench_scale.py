@@ -286,6 +286,7 @@ def run_tail_smoke() -> None:
         "token_budget_sample_docs",
             "bitmap_overlap_events",
         "ivm_distinct_orders",
+        "ewma_chunked_daily_events",
     ]
     only = set(sys.argv[2:])
     if only:

@@ -718,6 +718,11 @@ _DEMOTED: tuple[str, ...] = (
     # weighted priority sampling: the hash-priority order is certified
     # by the promoted token_budget cut; mixture_sample stays in-window.
     "priority_sample_docs",
+    # E161 (r9, registered past position 50 by design): the chunked
+    # EWMA twin — same output and oracle as the in-window
+    # ewma_daily_events, different engine path (carry-in fold);
+    # parity-swept at 3 SFs + sf1.
+    "ewma_chunked_daily_events",
 )
 
 
@@ -8303,3 +8308,49 @@ def ivm_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup1 = apply_value_support_delta(sup0, delta, ["grp"], "v")
     view1 = apply_distinct_delta(view0, sup1, delta, ["grp"])
     return view1.orderBy("grp")
+
+
+@_register(
+    "ewma_chunked_daily_events",
+    """WITH daily AS (SELECT event_type,
+                             CAST(date_trunc('day', ts) AS TIMESTAMP)
+                                 AS day,
+                             AVG(value) AS v
+                      FROM events GROUP BY 1, 2),
+        r AS (SELECT event_type, day, v,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY day) - 1 AS rn
+              FROM daily),
+        s AS (SELECT *, SUM(CASE WHEN rn = 0 THEN v ELSE 0.2 * v END
+                            / power(0.8, rn))
+                     OVER (PARTITION BY event_type ORDER BY rn) AS acc
+              FROM r)
+       SELECT event_type, day, ROUND(v, 6) AS daily_mean,
+              ROUND(power(0.8, rn) * acc, 6) AS ewma
+       FROM s ORDER BY event_type, day""",
+)
+def ewma_chunked_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E161: the hot-key-safe EWMA — ewma_chunked's exact carry-in fold
+    (Arrow groups are (key, month)-sized, never whole-key; the
+    adjust=False recursion is affine in the incoming state, so chunks
+    summarize to (compound decay, zero-seeded local fold) and a scan
+    over one row per chunk threads the carry — operators/timeseries.py
+    ewma_chunked). Output is definitionally identical to E131's
+    whole-series fold; the oracle is the same closed-form scaled-sum
+    identity, so parity here certifies the chunked path END-TO-END
+    against an independent engine, not just against ewma()."""
+    from mysql_syncer_spark.operators.timeseries import ewma_chunked
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.avg("value").alias("v")).withColumn(
+        "chunk", F.date_trunc("month", "day")
+    )
+    out = ewma_chunked(daily, ["event_type"], "day", "v", 0.2, "chunk")
+    return out.select(
+        "event_type",
+        "day",
+        F.round("v", 6).alias("daily_mean"),
+        F.round("ewma", 6).alias("ewma"),
+    ).orderBy("event_type", "day")

@@ -245,6 +245,7 @@ SCALE_QUERIES = [
     "token_budget_sample_docs",
     "bitmap_overlap_events",
     "ivm_distinct_orders",
+    "ewma_chunked_daily_events",
 ]
 
 

@@ -304,11 +304,215 @@ def run_tail_smoke() -> None:
     print(json.dumps({"sf1_tail": out}))
 
 
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def run_skew_torture() -> None:
+    """Part 3 (round-9 VERDICT item 4) — the diff kernel under a
+    pathological key distribution, at equal volume with a uniform
+    twin:
+
+    * lane A (pk_hash, partitioned data): ONE partition value holds
+      50% of all rows. The full-outer hash-compare joins on the pk
+      (unique → no join hot key by construction) and the partition
+      digest is a combinable groupBy (map-side partial agg absorbs
+      the hot value before the shuffle) — the claim to demonstrate is
+      wall-time parity with the uniform twin, not a skew-split.
+    * lane B (join_mode='hash'): 1/3 of rows share IDENTICAL content,
+      so the content-hash join key itself floods. This is the lane
+      where AQE's skew-join split must ENGAGE — plan-gated by
+      `skew=true` on the executed SortMergeJoin.
+
+    The skew thresholds are lowered for the lane
+    (skewedPartitionThresholdInBytes/advisoryPartitionSizeInBytes) so
+    the mechanism trips at bench volume; at 100 TB the default 256 MB
+    threshold trips naturally on the same shape. Shuffle compression
+    is DISABLED for the lane: AQE decides skew by compressed block
+    bytes, and a synthetic flood of byte-identical rows compresses to
+    nothing (the first run measured the hot partition SMALLER than
+    the median) — a real flood at scale shares the join key but not
+    the payload bytes, which is what compression-off reproduces.
+    Done-bar: lane A and lane B each within ~2x of their uniform
+    twin, and lane B's plan shows the split.
+    """
+    from mysql_syncer_spark.diff import diff_tables, merge_tables
+
+    spark = (
+        configure_session(
+            SparkSession.builder.master(f"local[{CPUS}]")
+            .appName("mysql-syncer-spark-skew")
+            .config("spark.sql.shuffle.partitions", CPUS)
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .config("spark.driver.memory", "24g")
+            .config("spark.shuffle.compress", "false")
+            .config(
+                "spark.sql.adaptive.skewJoin."
+                "skewedPartitionThresholdInBytes",
+                "16m",
+            )
+            .config(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m"
+            )
+        ).getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    n = int(os.environ.get("SPARK_GRAFT_SKEW_ROWS", 8_000_000))
+
+    pad = F.repeat(F.lit("x"), 48)
+
+    def base_grp(skewed: bool):
+        df = spark.range(0, n, 1, int(CPUS))
+        grp = F.pmod(F.xxhash64("id"), F.lit(256))
+        if skewed:
+            # every even id lands in partition value 0 -> 50% hot
+            grp = F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(grp)
+        return df.select(
+            "id", grp.alias("grp"),
+            F.concat(F.lit("payload-"), F.col("id"), pad).alias("content"),
+        )
+
+    def base_flood(flooded: bool):
+        # the hash-mode adversary: 1/3 of rows are byte-IDENTICAL full
+        # rows (same pk, same content) — in join_mode='hash' the row
+        # hash IS the join key (it covers the pk too, so merely
+        # duplicated content with distinct pks never collides; full-row
+        # duplicates are the only true flood, the no-PK-table shape)
+        df = spark.range(0, n, 1, int(CPUS))
+        hot = F.col("id") % 3 == 0
+        if not flooded:
+            hot = F.lit(False)
+        return df.select(
+            F.when(hot, F.lit(0)).otherwise(F.col("id")).alias("id"),
+            F.when(hot, F.concat(F.lit("HOT-DUP-"), pad))
+            .otherwise(F.concat(F.lit("payload-"), F.col("id"), pad))
+            .alias("content"),
+        )
+
+    def perturb(df):
+        # drop 0.5% of the unique rows, mutate 1% — the delta shape;
+        # keyed on content so flood rows (duplicate ids) ride through
+        uniq = F.xxhash64("content")
+        return df.where(
+            F.col("content").startswith("HOT-DUP-") | (uniq % 200 != 0)
+        ).select(
+            "id",
+            *(["grp"] if "grp" in df.columns else []),
+            F.when(
+                (uniq % 100 == 0)
+                & ~F.col("content").startswith("HOT-DUP-"),
+                F.concat(F.col("content"), F.lit("-mut")),
+            ).otherwise(F.col("content")).alias("content"),
+        )
+
+    out = {}
+    # ---- lane A: pk_hash merge under the 50%-hot partition value ----
+    for tag, skewed in (("uniform", False), ("hot_partition", True)):
+        m = base_grp(skewed)
+        s = perturb(m)
+        t0 = time.time()
+        merged = merge_tables(m, s, ["id"])
+        assert merged.count() == n
+        out[f"merge_pk_hash_{tag}_sec"] = round(time.time() - t0, 3)
+    # ---- lane B: hash-mode diff under the full-row duplicate flood --
+    plans = {}
+    for tag, dup in (("uniform", False), ("hash_flood", True)):
+        m = base_flood(dup)
+        s = perturb(m)
+        t0 = time.time()
+        d = diff_tables(m, s, ["id"], mode="hash")
+        ins = d["insert"].count()
+        # execute the delete df's OWN QueryExecution so the captured
+        # plan is the final adaptive one (a .count() builds a new QE)
+        dele = len(d["delete"].collect())
+        out[f"diff_hash_{tag}_sec"] = round(time.time() - t0, 3)
+        out[f"diff_hash_{tag}_delta"] = int(ins + dele)
+        plans[tag] = _executed_plan(d["delete"])
+    out["hash_flood_skew_splits"] = plans["hash_flood"].count("skew=true")
+    out["hash_flood_skewed_reads"] = plans["hash_flood"].count(
+        "AQEShuffleRead skewed"
+    )
+    out["uniform_skew_splits"] = plans["uniform"].count("skew=true")
+    out["merge_ratio"] = round(
+        out["merge_pk_hash_hot_partition_sec"]
+        / out["merge_pk_hash_uniform_sec"], 2,
+    )
+    out["diff_hash_ratio"] = round(
+        out["diff_hash_hash_flood_sec"] / out["diff_hash_uniform_sec"], 2
+    )
+    assert out["hash_flood_skew_splits"] >= 1, (
+        "AQE skew split did not engage on the flooded anti-join"
+    )
+    print(json.dumps({"skew_torture": out, "rows": n}), flush=True)
+
+
+#: the five heaviest operators (r8 VERDICT's design-for-scale audit
+#: list + the PQ pipeline), run under the memory ceiling
+MEM_KEYS = (
+    "pagerank_embeddings",
+    "quality_propagate_embeddings",
+    "ann_topk_pq",
+    "token_budget_sample_docs",
+    "ivm_full_join_orders_customer",
+)
+
+
+def run_memory_ceiling() -> None:
+    """Part 4 (round-9 VERDICT item 6) — memory-ceiling evidence for
+    the 100 TB claims: the heaviest operators at sf1 under a
+    ``SPARK_GRAFT_MEM`` (default 512m) JVM heap. Local-mode caveat,
+    which makes this lane STRICTLY HARSHER than a real cluster: the
+    driver, the scheduler, and every executor thread share the ONE
+    capped heap, so 512 MiB here is less than 512 MiB/executor on a
+    1000-executor cluster. Parallelism drops to local[4] so the
+    per-task share stays cluster-realistic; completion without OOM =
+    the operator spills instead of crashing. Requires the sf1 fixture
+    (run ``bench_scale.py tail`` once first, or any mode that
+    synthesizes it)."""
+    from mysql_syncer_spark import queries as registry
+
+    heap = os.environ.get("SPARK_GRAFT_MEM", "512m")
+    sf1 = f"{WORK}/sf1"
+    if not os.path.exists(f"{sf1}/orders.parquet"):
+        raise SystemExit(
+            f"sf1 fixture missing at {sf1} — run bench_scale.py tail "
+            "(or ingest) once with a normal heap to synthesize it"
+        )
+    spark = (
+        configure_session(
+            SparkSession.builder.master("local[4]")
+            .appName("mysql-syncer-spark-mem-ceiling")
+            .config("spark.sql.shuffle.partitions", "64")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .config("spark.driver.memory", heap)
+        ).getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = registry.queries()
+    out = {}
+    for name in MEM_KEYS:
+        t0 = time.time()
+        force(qmap[name](spark, sf1))
+        out[name] = {
+            "sec": round(time.time() - t0, 3),
+            "py_peak_rss_mb": _peak_rss_mb(),
+            "jvm_peak_rss_mb": _jvm_peak_rss_mb(spark),
+        }
+        print(json.dumps({name: out[name]}), flush=True)
+    print(json.dumps({"mem_ceiling": out, "heap": heap}))
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "ingest"
     if mode == "ingest":
         run_ingest_scaling()
     elif mode == "tail":
         run_tail_smoke()
+    elif mode == "skew":
+        run_skew_torture()
+    elif mode == "mem":
+        run_memory_ceiling()
     else:
         raise SystemExit(f"unknown mode {mode!r}")

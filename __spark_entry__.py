@@ -4,7 +4,7 @@
 diff a perturbed copy of orders against master and apply the merge
 delta). ``queries()`` / ``oracle_sql()`` expose every implemented
 operator from SURVEY.md §2 plus the phase-E extensions; implementations
-live in mysql_syncer_spark/queries.py.
+live in the mysql_syncer_spark/queries/ package.
 """
 
 from __future__ import annotations

@@ -609,3 +609,86 @@ def test_two_level_ivm_equals_recompute(spark, base, ops):
     assert rows(top) == rows(
         ia.frequent_values_from_support(sup_ref, keys, "v", 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Left-outer IVM with b_pk != on (the round-9 join-key-move fix):
+# random signed delta batches, including dimension upserts that MOVE a
+# row's join key, fold to the full LEFT recompute — chained two batches.
+# ---------------------------------------------------------------------------
+
+_facts_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 15),                       # ok (fact pk)
+        st.one_of(st.none(), st.integers(0, 6)),  # ck (join key, NULLable)
+    ),
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+_dims_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 9),      # bid (dim pk)
+        st.integers(0, 6),      # ck (join key)
+        st.text("mn", max_size=2),
+    ),
+    max_size=6,
+    unique_by=lambda t: t[0],
+)
+
+_dim_delta_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 9),                    # bid
+        st.integers(0, 6),                    # new ck (moves allowed!)
+        st.text("pq", max_size=2),
+        st.sampled_from(["upsert", "delete"]),
+    ),
+    max_size=5,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(facts=_facts_strategy, dims=_dims_strategy,
+       d1=_dim_delta_strategy, d2=_dim_delta_strategy)
+def test_left_join_ivm_random_jk_moves(spark, facts, dims, d1, d2):
+    from mysql_syncer_spark.operators.ivm import (
+        apply_left_join_delta,
+        apply_table_delta,
+        left_join_snapshot,
+    )
+
+    a = spark.createDataFrame(facts or [(99, None)], "ok long, ck long")
+    b = spark.createDataFrame(
+        dims or [(99, 0, "z")], "bid long, ck long, name string"
+    )
+    mat = left_join_snapshot(a, b, "ck").localCheckpoint()
+    da = spark.createDataFrame([], "ok long, ck long, op string")
+    for batch in (d1, d2):
+        # delete rows must carry the CURRENT on value (the documented
+        # delta contract); recover it from b, drop unknown-pk deletes
+        cur = {r["bid"]: r["ck"] for r in b.collect()}
+        rows = []
+        for bid, ck, name, op in batch:
+            if op == "delete":
+                if bid not in cur:
+                    continue
+                rows.append((bid, cur[bid], None, "delete"))
+            else:
+                rows.append((bid, ck, name, "upsert"))
+        db = spark.createDataFrame(
+            rows or [(99, 0, None, "delete")],
+            "bid long, ck long, name string, op string",
+        )
+        mat = apply_left_join_delta(
+            mat, da, b, db, "ck", "ok", "bid"
+        ).localCheckpoint()
+        b = apply_table_delta(b, db, ["bid"]).localCheckpoint()
+        want = sorted(
+            (tuple(r) for r in
+             left_join_snapshot(a, b, "ck").select(*mat.columns).collect()),
+            key=repr,
+        )
+        got = sorted((tuple(r) for r in mat.collect()), key=repr)
+        assert got == want

@@ -286,3 +286,46 @@ class TestDerbyStatementReplay:
         rep2 = sync(master, slave)
         s2 = rep2.summary()
         assert s2["noop"] == s2["tables"], s2
+
+
+class TestCrossCatalogDerby:
+    def test_parquet_master_to_derby_slave(self, spark, tmp_path):
+        """The lakehouse-to-serving-DB shape: a parquet master synced
+        into a live Derby slave through the JDBC executor — full copy
+        of a missing table, then an incremental delta after the
+        parquet side moves, then noop."""
+        import shutil
+
+        pq = tmp_path / "lake"
+        pq.mkdir()
+        orders = _orders_df(spark)
+        orders.write.parquet(str(pq / "orders.parquet"))
+        from mysql_syncer_spark.sources.catalog import ParquetCatalog
+
+        master = ParquetCatalog(
+            spark, str(pq), pk_map={"orders": ("o_orderkey",)}
+        )
+        slave = DerbyCatalog(spark, _url(tmp_path, "serving"))
+        rep = sync(master, slave)  # missing table -> FULL_COPY
+        assert rep.ok, [r.error for r in rep.results if r.error]
+        assert slave.table("orders").df.count() == orders.count()
+        # parquet side advances: drop some rows, add new ones
+        moved = orders.where("o_orderkey % 5 != 0").unionByName(
+            orders.where("o_orderkey % 5 = 0").withColumn(
+                "o_orderkey", F.col("o_orderkey") + 50_000_000
+            )
+        )
+        shutil.rmtree(str(pq / "orders.parquet"))
+        moved.write.parquet(str(pq / "orders.parquet"))
+        master.invalidate()
+        rep2 = sync(master, slave)  # shared table -> DIFF_SYNC delta
+        assert rep2.ok, [r.error for r in rep2.results if r.error]
+        by = {r.table: r for r in rep2.results}
+        assert by["orders"].action == "diff_sync"
+        assert by["orders"].inserted > 0 and by["orders"].deleted > 0
+        s = slave.table("orders").df
+        assert s.subtract(moved).count() == 0
+        assert moved.subtract(s).count() == 0
+        rep3 = sync(master, slave)
+        s3 = rep3.summary()
+        assert s3["noop"] == s3["tables"], s3

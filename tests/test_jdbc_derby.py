@@ -329,3 +329,57 @@ class TestCrossCatalogDerby:
         rep3 = sync(master, slave)
         s3 = rep3.summary()
         assert s3["noop"] == s3["tables"], s3
+
+
+class TestDerbyCompositePK:
+    def test_composite_pk_diff_sync(self, spark, tmp_path):
+        """Composite-key tables through the JDBC executor: PK discovery
+        returns both columns in ordinal order, and the staged-key
+        correlated DELETE joins on BOTH columns."""
+        master = DerbyCatalog(spark, _url(tmp_path, "cm"))
+        slave = DerbyCatalog(spark, _url(tmp_path, "cs"))
+        df = spark.createDataFrame(
+            [(d, i, f"v{d}-{i}") for d in range(20) for i in range(10)],
+            "day long, item long, val string",
+        )
+        for cat in (master, slave):
+            _fill(cat, "facts", df, ("day", "item"))
+        assert master.primary_key("facts") == ("day", "item")
+        slave.execute(
+            'DELETE FROM "APP"."facts" WHERE MOD("day" + "item", 9) = 0',
+            "UPDATE \"APP\".\"facts\" SET \"val\" = 'mut' "
+            'WHERE MOD("day" * 31 + "item", 11) = 0',
+        )
+        slave.invalidate()
+        rep = sync(master, slave)
+        assert rep.ok, [r.error for r in rep.results if r.error]
+        m, s = master.table("facts").df, slave.table("facts").df
+        assert m.subtract(s).count() == 0 and s.subtract(m).count() == 0
+        s2 = sync(master, slave).summary()
+        assert s2["noop"] == s2["tables"], s2
+
+    def test_stale_scratch_table_is_recovered(self, spark, tmp_path):
+        """A crash between the scratch-key write and the DELETE leaves
+        a __sync_keys_* table behind; it must be invisible to planning
+        (table_names filters the prefix) and dropped by the next sync
+        before re-staging."""
+        master = DerbyCatalog(spark, _url(tmp_path, "km"))
+        slave = DerbyCatalog(spark, _url(tmp_path, "ks"))
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100)], "id long, val string"
+        )
+        for cat in (master, slave):
+            _fill(cat, "t", df, ("id",))
+        # simulate the crash residue: a stale scratch table with junk
+        slave.execute(
+            'CREATE TABLE "APP"."__sync_keys_t" ("id" BIGINT)',
+            'INSERT INTO "APP"."__sync_keys_t" VALUES (1), (2)',
+        )
+        slave.invalidate()
+        assert slave.table_names() == ["t"]  # residue hidden from plans
+        slave.execute('DELETE FROM "APP"."t" WHERE MOD("id", 7) = 0')
+        slave.invalidate()
+        rep = sync(master, slave)
+        assert rep.ok, [r.error for r in rep.results if r.error]
+        m, s = master.table("t").df, slave.table("t").df
+        assert m.subtract(s).count() == 0 and s.subtract(m).count() == 0

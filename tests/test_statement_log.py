@@ -181,3 +181,38 @@ def test_splitter_roundtrip_adversarial_values():
     assert len(stmts) == 2
     assert stmts[0].endswith("('x;\ny''s; -- not a comment')")
     assert stmts[1].startswith("DELETE FROM")
+
+
+def test_parallel_tables_blocks_stay_contiguous(spark, dbs, tmp_path):
+    """max_parallel_tables > 1: each table's statements are ONE
+    contiguous file block (the emitter serializes whole blocks on a
+    lock), so replay order within a table is always delete-before-
+    insert even when units interleave."""
+    mpath, spath = dbs
+    log = str(tmp_path / "queries.sql")
+    rep = sync(
+        DBAPICatalog(spark, _factory(mpath)),
+        DBAPICatalog(spark, _factory(spath)),
+        SyncConfig(dry_run=True, log_statements=log,
+                   max_parallel_tables=4),
+    )
+    assert rep.ok
+    import re
+
+    text = open(log).read()
+    # per-table block markers appear exactly once each
+    for marker in ("-- delta orders", "-- full copy region",
+                   "-- full copy tags", "-- drop scratch"):
+        assert text.count(marker) == 1, marker
+    # between one table's marker and the next marker, every statement
+    # targets THAT table only
+    spans = [(m.start(), m.group()) for m in
+             re.finditer(r"^-- (delta|full copy|drop) (\w+)", text, re.M)]
+    spans.append((len(text), "-- end end"))
+    for (a, head), (b, _) in zip(spans, spans[1:]):
+        table = head.split()[-1]
+        for stmt in re.findall(
+            r'^(?:INSERT INTO|DELETE FROM|DROP TABLE IF EXISTS|CREATE TABLE) "(\w+)"',
+            text[a:b], re.M,
+        ):
+            assert stmt == table, (head, stmt)

@@ -383,3 +383,21 @@ class TestDerbyCompositePK:
         assert rep.ok, [r.error for r in rep.results if r.error]
         m, s = master.table("t").df, slave.table("t").df
         assert m.subtract(s).count() == 0 and s.subtract(m).count() == 0
+
+
+class TestDerbyPlanShapes:
+    def test_partition_filter_pushed_into_jdbc_scan(self, spark, dbs):
+        """The partitioned diff's isin prune must reach the SERVER
+        (plan-gated): the JDBC scan shows PushedFilters [In(...)], so
+        untouched partitions never cross the wire — at 100 TB this is
+        the difference between rescanning a table and rescanning a
+        partition."""
+        import re
+
+        master, _ = dbs
+        pruned = master.table("orders").df.where(
+            F.col("o_orderstatus").isin(["O", "F"])
+        )
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "JDBCRelation" in plan
+        assert re.search(r"PushedFilters: \[\*?In\(o_orderstatus", plan), plan

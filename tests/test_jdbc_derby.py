@@ -401,3 +401,43 @@ class TestDerbyPlanShapes:
         plan = pruned._jdf.queryExecution().executedPlan().toString()
         assert "JDBCRelation" in plan
         assert re.search(r"PushedFilters: \[\*?In\(o_orderstatus", plan), plan
+
+
+class TestDerbyToDBAPI:
+    def test_derby_master_sqlite_slave(self, spark, tmp_path):
+        """Third cross-engine pairing: a Derby (JDBC) master synced
+        into a sqlite (DBAPI) slave — JDBC split reads feeding the
+        chunked statement sinks, full copy then delta then noop."""
+        import sqlite3
+
+        from mysql_syncer_spark.sources.dbapi import DBAPICatalog
+
+        master = DerbyCatalog(spark, _url(tmp_path, "jm"))
+        df = spark.createDataFrame(
+            [(i, i % 37, f"row-{i}") for i in range(400)],
+            "id long, grp long, val string",
+        )
+        _fill(master, "t", df, ("id",))
+        spath = str(tmp_path / "slave.db")
+        sqlite3.connect(spath).close()
+
+        def factory():
+            conn = sqlite3.connect(spath, timeout=30)
+            conn.execute("PRAGMA busy_timeout=30000")
+            return conn
+
+        slave = DBAPICatalog(spark, factory)
+        rep = sync(master, slave)  # missing table -> FULL_COPY
+        assert rep.ok, [r.error for r in rep.results if r.error]
+        assert slave.table("t").df.count() == 400
+        master.execute(
+            'DELETE FROM "APP"."t" WHERE MOD("id", 10) = 0',
+            'UPDATE "APP"."t" SET "val" = \'m\' WHERE MOD("id", 7) = 1',
+        )
+        master.invalidate()
+        rep2 = sync(master, slave)  # shared table -> DIFF_SYNC
+        assert rep2.ok, [r.error for r in rep2.results if r.error]
+        m, s = master.table("t").df, slave.table("t").df
+        assert m.subtract(s).count() == 0 and s.subtract(m).count() == 0
+        s3 = sync(master, slave).summary()
+        assert s3["noop"] == s3["tables"], s3

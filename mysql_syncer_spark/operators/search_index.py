@@ -42,23 +42,6 @@ class SearchIndex:
     postings_tf: DataFrame | None = None
 
 
-def postings_frame(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Distinct ``(term, id)`` pairs — normalized tokens, one combinable
-    distinct shuffle keyed by the term."""
-    return (
-        df.select(
-            F.col(id_col),
-            F.explode(
-                F.array_distinct(ws_tokens(normalized_text(text_col)))
-            ).alias("term"),
-        )
-        .where(F.col("term") != "")
-        .distinct()
-    )
-
-
 def search_index_write(
     corpus: DataFrame,
     name: str,

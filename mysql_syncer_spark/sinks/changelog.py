@@ -40,6 +40,3 @@ def changelog(
 
     return frame(delete_keys, "delete").unionByName(frame(inserts, "insert"))
 
-
-def write_changelog(log: DataFrame, path: str) -> None:
-    log.write.mode("append").parquet(path)

@@ -80,3 +80,16 @@ def test_write_table_staging_swap(spark, sf_dir, tmp_path):
 def test_unknown_format_rejected(spark, tmp_path):
     with pytest.raises(ValueError):
         FileCatalog(spark, str(tmp_path), fmt="avro-nope")
+
+
+def test_load_tables_reads_all_fixture_tables(spark):
+    from mysql_syncer_spark.sources.catalog import (
+        FIXTURE_TABLES,
+        load_tables,
+    )
+
+    tables = load_tables(spark, "/root/testdata/sf0.001")
+    assert set(tables) == set(FIXTURE_TABLES)
+    assert tables["orders"].count() > 0
+    # the nanos-ts normalization applied to events
+    assert dict(tables["events"].dtypes)["ts"].startswith("timestamp")

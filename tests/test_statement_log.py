@@ -216,3 +216,24 @@ def test_parallel_tables_blocks_stay_contiguous(spark, dbs, tmp_path):
             text[a:b], re.M,
         ):
             assert stmt == table, (head, stmt)
+
+
+def test_partitioned_sync_log_replays_to_convergence(spark, dbs, tmp_path):
+    """DIFF_SYNC_PARTITIONED writes its delta through the same logging
+    hook: the dry-run file replays to convergence with the partition-
+    scoped rescan semantics (only touched o_status partitions appear)."""
+    mpath, spath = dbs
+    log = str(tmp_path / "queries.sql")
+    cfg = SyncConfig(
+        dry_run=True, log_statements=log,
+        partitioned_tables={"orders": "o_status"},
+    )
+    rep = sync(
+        DBAPICatalog(spark, _factory(mpath)),
+        DBAPICatalog(spark, _factory(spath)),
+        cfg,
+    )
+    assert rep.ok, [r.error for r in rep.results if r.error]
+    with sqlite3.connect(spath) as conn:
+        StatementLog.replay(log, conn)
+    assert _dump_all(spath) == _dump_all(mpath)

@@ -80,3 +80,11 @@ class SyncConfig:
     #: Combine with dry_run=True for a replayable preview that touches
     #: nothing. SQL-slave executors only (DBAPI/JDBC).
     log_statements: str | None = None
+    #: parquet dir for the STRUCTURED changelog (sinks/changelog.py):
+    #: every computed row delta appends ``(op, table_name, pk json,
+    #: ts)`` — the queryable audit twin of log_statements, written
+    #: distributed (no driver row loop), for EVERY executor flavor
+    #: including parquet slaves. Row-grain only: table-level ops
+    #: (drop/full-copy) live in the SyncReport and the statement log.
+    #: Works under dry_run (the what-WOULD-change artifact).
+    changelog_path: str | None = None

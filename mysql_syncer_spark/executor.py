@@ -101,6 +101,12 @@ class ParquetSyncExecutor:
     def _log_delta(self, table, pk_cols, inserts, deletes) -> None:
         if self._stmt_log is not None:
             self._stmt_log.log_delta(table, pk_cols, inserts, deletes)
+        if self.cfg.changelog_path is not None:
+            from mysql_syncer_spark.sinks.changelog import changelog
+
+            changelog(
+                inserts, deletes.select(*pk_cols), table, pk_cols
+            ).write.mode("append").parquet(self.cfg.changelog_path)
 
     # -- unit handlers ------------------------------------------------
 

@@ -237,3 +237,26 @@ def test_partitioned_sync_log_replays_to_convergence(spark, dbs, tmp_path):
     with sqlite3.connect(spath) as conn:
         StatementLog.replay(log, conn)
     assert _dump_all(spath) == _dump_all(mpath)
+
+
+def test_statement_log_and_changelog_compose(spark, dbs, tmp_path):
+    """Both audit artifacts at once: the replayable SQL file and the
+    structured changelog record the SAME delta (per-table insert/delete
+    counts agree), from one dry run."""
+    mpath, spath = dbs
+    log = str(tmp_path / "queries.sql")
+    clog = str(tmp_path / "changelog")
+    rep = sync(
+        DBAPICatalog(spark, _factory(mpath)),
+        DBAPICatalog(spark, _factory(spath)),
+        SyncConfig(dry_run=True, log_statements=log, changelog_path=clog),
+    )
+    assert rep.ok
+    by_tab = {r.table: r for r in rep.results}
+    rows = spark.read.parquet(clog).groupBy("table_name", "op").count().collect()
+    got = {(r["table_name"], r["op"]): r["count"] for r in rows}
+    assert got[("orders", "insert")] == by_tab["orders"].inserted
+    assert got[("orders", "delete")] == by_tab["orders"].deleted
+    with sqlite3.connect(spath) as conn:
+        StatementLog.replay(log, conn)
+    assert _dump_all(spath) == _dump_all(mpath)

@@ -723,6 +723,12 @@ _DEMOTED: tuple[str, ...] = (
     # ewma_daily_events, different engine path (carry-in fold);
     # parity-swept at 3 SFs + sf1.
     "ewma_chunked_daily_events",
+    # E162/E163 (r9 second wave, registered past position 50 by
+    # design): duplicated-span extraction and the rule funnel are new
+    # surface — they enter the window by rotation in a later round,
+    # not by displacing the planned r9 window.
+    "duplicate_spans_docs",
+    "curation_funnel_docs",
 )
 
 

@@ -1619,3 +1619,120 @@ def ewma_chunked_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("v", 6).alias("daily_mean"),
         F.round("ewma", 6).alias("ewma"),
     ).orderBy("event_type", "day")
+
+
+@_register(
+    "duplicate_spans_docs",
+    """WITH pos AS (
+         SELECT doc_id, coalesce(text, '') AS t,
+                unnest(range(0, greatest(length(coalesce(text, '')) - 19,
+                                         0))) AS pos
+         FROM documents),
+       grams AS (SELECT doc_id, pos,
+                        substr(t, CAST(pos AS INT) + 1, 20) AS g
+                 FROM pos),
+       dup AS (SELECT g FROM grams
+               GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+       hits AS (SELECT doc_id, pos FROM grams
+                WHERE g IN (SELECT g FROM dup)),
+       flagged AS (SELECT doc_id, pos,
+                          CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id
+                                                         ORDER BY pos) + 20
+                               THEN 1 ELSE 0 END AS ni
+                   FROM hits),
+       grp AS (SELECT doc_id, pos,
+                      SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS gid
+               FROM flagged)
+       SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+              CAST(max(pos) + 20 AS BIGINT) AS span_end,
+              CAST(max(pos) + 20 - min(pos) AS BIGINT) AS span_len
+       FROM grp GROUP BY doc_id, gid
+       ORDER BY doc_id, span_start""",
+)
+def duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E162: maximal cross-document duplicated character spans — the
+    exact-substring-dedup semantics of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), suffix-array answer
+    via duplicated-k-gram islands: a k-gram (k=20) whose corpus
+    document-frequency reaches 2 marks [pos, pos+20) duplicated, and
+    marked windows merge into maximal spans per doc (gaps-and-islands,
+    one window pass + one groupBy on the doc id). This exact tier is
+    string-keyed for byte-exact oracle parity; the 100 TB path is the
+    winnowed fingerprint tier (operators/spans.py winnow_fingerprints
+    — content-defined sampling, Schleimer et al. 2003, pytest-proven
+    position-exact with the >= w+k-1 detection guarantee)."""
+    from mysql_syncer_spark.operators.spans import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "text", "doc_id", k=20, min_docs=2).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+@_register(
+    "curation_funnel_docs",
+    r"""WITH m AS (
+         SELECT CASE
+           WHEN NOT coalesce(length(text) >= 150, FALSE) THEN 0
+           WHEN NOT coalesce(
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+             >= 40, FALSE) THEN 1
+           WHEN NOT coalesce(
+             length(regexp_replace(coalesce(text, ''), '\s', '', 'g'))
+             / greatest(CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text),
+                                                            '\s+')) END, 1)
+             BETWEEN 3 AND 10, FALSE) THEN 2
+           WHEN NOT coalesce(lang = 'en', FALSE) THEN 3
+           ELSE 4 END AS ffi
+         FROM documents),
+       counts AS (SELECT ffi, count(*) AS n FROM m GROUP BY ffi),
+       rules(rule_idx, rule) AS (
+         VALUES (0, 'min_chars'), (1, 'min_words'),
+                (2, 'mean_word_len'), (3, 'lang_en')),
+       tot AS (SELECT coalesce(sum(n), 0) AS total FROM counts)
+       SELECT r.rule_idx, r.rule,
+              CAST(t.total
+                   - coalesce((SELECT sum(n) FROM counts c
+                               WHERE c.ffi < r.rule_idx), 0)
+                   AS BIGINT) AS n_in,
+              CAST(coalesce((SELECT n FROM counts c
+                             WHERE c.ffi = r.rule_idx), 0)
+                   AS BIGINT) AS n_dropped,
+              CAST(t.total
+                   - coalesce((SELECT sum(n) FROM counts c
+                               WHERE c.ffi < r.rule_idx), 0)
+                   - coalesce((SELECT n FROM counts c
+                               WHERE c.ffi = r.rule_idx), 0)
+                   AS BIGINT) AS n_out
+       FROM rules r, tot t
+       ORDER BY r.rule_idx""",
+)
+def curation_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E163: single-pass curation-funnel ledger — per-rule reached /
+    dropped / survived counts for an ordered keep-rule cascade (the
+    per-filter accounting C4/Gopher/RefinedWeb/FineWeb publish), in
+    ONE distributed action: a chained-CASE first-failing label (pure
+    codegen), one tiny map-side-combinable groupBy, and the ledger
+    arithmetic on the rules-sized aggregate (operators/rules.py
+    rule_funnel). Contrast with pipeline.CurationReport's stage
+    counts, which cost one localCheckpoint + count PER stage."""
+    from mysql_syncer_spark.operators.rules import rule_funnel
+
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    toks = text.ws_tokens("text")
+    words = F.size(toks)
+    nonws = F.length(
+        F.regexp_replace(F.coalesce(txt, F.lit("")), r"\s", "")
+    )
+    mean_wl = nonws / F.greatest(words, F.lit(1))
+    rules = [
+        ("min_chars", F.length(txt) >= 150),
+        ("min_words", words >= 40),
+        ("mean_word_len", (mean_wl >= 3) & (mean_wl <= 10)),
+        ("lang_en", F.col("lang") == "en"),
+    ]
+    return rule_funnel(docs, rules).orderBy("rule_idx")

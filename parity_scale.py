@@ -246,6 +246,8 @@ SCALE_QUERIES = [
     "bitmap_overlap_events",
     "ivm_distinct_orders",
     "ewma_chunked_daily_events",
+    "duplicate_spans_docs",
+    "curation_funnel_docs",
 ]
 
 

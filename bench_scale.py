@@ -504,6 +504,96 @@ def run_memory_ceiling() -> None:
     print(json.dumps({"mem_ceiling": out, "heap": heap}))
 
 
+def run_spans_economics() -> None:
+    """Round-9 second wave — E162 tier economics measured:
+
+    * exact tier restates the corpus ~k× as k-char STRING keys;
+      winnowing restates ~2/(w+1) of positions as 8-byte LONGS. The
+      lane measures both the shuffled-row counts (exactly the claim)
+      and wall time on an 8× replicated sf0.1 corpus.
+    * the persisted index makes ingest O(batch): a 2% batch checked
+      against the index must not pay the corpus re-fingerprint that
+      the recompute twin pays.
+    """
+    import shutil
+    import tempfile
+
+    from mysql_syncer_spark.operators.spans import (
+        duplicate_spans,
+        duplicate_spans_against_index,
+        ensure_span_index,
+        kgram_positions,
+        winnow_fingerprints,
+    )
+
+    spark = _session()
+    K, W = 20, 8
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()
+    reps = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+            F.concat(F.lit(f"r{i}-"), F.col("text")).alias("text"),
+        )
+        for i in range(8)
+    ]
+    corpus = reps[0]
+    for r in reps[1:]:
+        corpus = corpus.unionByName(r)
+    corpus = corpus.localCheckpoint(eager=True)
+    print(f"corpus: {n_docs} docs x8 replicas = {corpus.count()}")
+
+    gram_rows = kgram_positions(corpus, k=K).count()
+    fp_rows = winnow_fingerprints(corpus, k=K, w=W).count()
+    print(
+        f"shuffled rows: exact={gram_rows} ({K}-char strings), "
+        f"winnowed={fp_rows} (8-byte longs), "
+        f"row ratio {gram_rows / fp_rows:.1f}x, "
+        f"approx byte ratio "
+        f"{(gram_rows * (K + 16)) / (fp_rows * 24):.1f}x"
+    )
+
+    t0 = time.time()
+    force(duplicate_spans(corpus, k=K, min_docs=2))
+    exact_s = time.time() - t0
+    t0 = time.time()
+    force(duplicate_spans(corpus, k=K, min_docs=2, winnow_w=W))
+    winnow_s = time.time() - t0
+    print(f"exact tier {exact_s:.1f}s, winnowed tier {winnow_s:.1f}s")
+
+    wh = tempfile.mkdtemp(prefix="spanidx_bench_")
+    spark.sql(f"CREATE DATABASE spanbench LOCATION '{wh}'")
+    try:
+        t0 = time.time()
+        idx = ensure_span_index(
+            corpus, "spanbench.docs", k=K, w=W, num_buckets=int(CPUS)
+        )
+        build_s = time.time() - t0
+        batch = docs.where("doc_id % 50 = 0").select(
+            (F.col("doc_id") + F.lit(99_000_000)).alias("doc_id"), "text"
+        )
+        nb = batch.count()
+        t0 = time.time()
+        force(duplicate_spans_against_index(batch, idx))
+        indexed_s = time.time() - t0
+        t0 = time.time()
+        full = duplicate_spans(
+            corpus.unionByName(batch), k=K, min_docs=2, winnow_w=W
+        ).where(F.col("doc_id") >= 99_000_000)
+        force(full)
+        recompute_s = time.time() - t0
+        print(
+            f"index build {build_s:.1f}s once; ingest of {nb}-doc batch: "
+            f"against-index {indexed_s:.1f}s vs full recompute "
+            f"{recompute_s:.1f}s ({recompute_s / indexed_s:.1f}x)"
+        )
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS spanbench CASCADE")
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "ingest"
     if mode == "ingest":
@@ -514,5 +604,7 @@ if __name__ == "__main__":
         run_skew_torture()
     elif mode == "mem":
         run_memory_ceiling()
+    elif mode == "spans":
+        run_spans_economics()
     else:
         raise SystemExit(f"unknown mode {mode!r}")

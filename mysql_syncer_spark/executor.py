@@ -437,6 +437,12 @@ class ParquetSyncExecutor:
         return report
 
     def run(self, plan: SyncPlan | None = None) -> SyncReport:
+        # fresh view of BOTH databases per run (reference semantics —
+        # every run re-scans, Synchronizer.php:52-60; also heals stale
+        # Spark file listings after an external writer touched either
+        # side between runs).
+        self.master.invalidate()
+        self.slave.invalidate()
         if plan is None:
             plan = plan_sync(self.master, self.slave, self.cfg)
         report = SyncReport()

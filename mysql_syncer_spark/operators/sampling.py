@@ -175,6 +175,65 @@ def mixture_sample(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-scaled mixture resampling: output per-group shares
+    proportional to ``n_g ** alpha`` — the standard multilingual /
+    multi-domain rebalancing step (mBERT/XLM-R exponential smoothing,
+    typically alpha in [0.2, 0.7]; UniMax is the capped cousin).
+    ``alpha < 1`` upweights low-resource groups RELATIVE to their
+    natural share; boundary laws: ``alpha=1`` is the identity (every
+    row kept), ``alpha=0`` equalizes every group to the smallest
+    group's size.
+
+    Unlike :func:`mixture_sample`, the weights are DATA-DEPENDENT
+    (n_g^alpha), so they are computed in-plan: one tiny count agg →
+    ``pow`` → broadcast min-scale → broadcast quota join → the same
+    single-window-shuffle rank-and-keep. Nothing is collected to the
+    driver; the quota table is #groups rows. Like mixture_sample, the
+    bottleneck group (largest n_g / n_g^alpha ratio deficit — for
+    alpha <= 1 always the smallest group) is kept whole and every
+    other group downsamples to match, the largest total the data
+    allows. Deterministic: key-hash rank, salt-controlled.
+
+    Cross-engine exact: count, IEEE pow/divide, MIN, multiply, floor —
+    bit-reproducible in DuckDB for the oracle.
+    """
+    from pyspark.sql import Window
+
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    weighted = counts.select(
+        group_col,
+        "__n",
+        F.pow(F.col("__n").cast("double"), F.lit(float(alpha))).alias(
+            "__wt"
+        ),
+    )
+    scale = weighted.agg(
+        F.min(F.col("__n") / F.col("__wt")).alias("__t")
+    )
+    quotas = weighted.crossJoin(F.broadcast(scale)).select(
+        group_col,
+        F.floor(F.col("__wt") * F.col("__t")).cast("long").alias("__quota"),
+    )
+    rank = Window.partitionBy(group_col).orderBy(
+        hash_bucket(key_col, salt), F.col(key_col)
+    )
+    return (
+        df.join(F.broadcast(quotas), group_col)
+        .withColumn("__rn", F.row_number().over(rank))
+        .where(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )
+
+
 def duckdb_hash_bucket_sql(key: str, salt: str = "") -> str:
     """DuckDB mirror of :func:`hash_bucket` for oracle SQL strings."""
     return (

@@ -140,45 +140,40 @@ def winnow_fingerprints(
         .where(F.col("__m") >= w)
         .select(id_col, hashes.alias("__h"), "__m")
     )
-    # rightmost min of each window of w consecutive hashes: <= keeps
-    # the LATER position on ties (robust winnowing's tie rule).
-    winners = F.transform(
+    # rightmost min of each window of w consecutive hashes, via JVM
+    # array built-ins: array_position over the REVERSED slice finds
+    # the rightmost occurrence of the window min (robust winnowing's
+    # tie rule). A/B-measured ~1.4x faster than the equivalent
+    # per-step aggregate fold (struct churn in the HOF interpreter);
+    # the slices are O(m·w) transient longs per doc — fine through
+    # ~100 KB docs, and the aggregate formulation (git history) is the
+    # O(w)-memory fallback if ever needed for megabyte docs.
+    slices = F.transform(
         F.sequence(F.lit(0), F.col("__m") - w),
-        lambda i: F.aggregate(
-            F.sequence(F.lit(1), F.lit(w - 1)),
-            F.struct(
-                F.element_at("__h", (i + 1).cast("int")).alias("bh"),
-                i.cast("long").alias("bq"),
-            ),
-            lambda acc, off: F.when(
-                F.element_at("__h", (i + off + 1).cast("int")) <= acc["bh"],
-                F.struct(
-                    F.element_at("__h", (i + off + 1).cast("int")).alias("bh"),
-                    (i + off).cast("long").alias("bq"),
-                ),
-            ).otherwise(acc),
-        ),
-    ) if w > 1 else F.transform(
-        F.sequence(F.lit(0), F.col("__m") - 1),
-        lambda i: F.struct(
-            F.element_at("__h", (i + 1).cast("int")).alias("bh"),
-            i.cast("long").alias("bq"),
-        ),
+        lambda i: F.slice("__h", i + 1, w),
+    )
+    winners = F.transform(
+        slices,
+        lambda s, idx: (
+            idx + w - F.array_position(F.reverse(s), F.array_min(s))
+        ).cast("long"),
     )
     # explode_OUTER on purpose: plain explode triggers
     # InferFiltersFromGenerate, whose size(__w) > 0 filter inlines the
     # whole nested-HOF expression (alias substitution re-derives __h
-    # INSIDE every element_at — O(m^2·w) per doc, a measured hang at
-    # 5k chars); the outer variant is exempt, and the null-row filter
+    # INSIDE every element access — a measured O(m^2·w) hang at 5k
+    # chars); the outer variant is exempt, and the null-row filter
     # below runs on the generated attribute, recomputing nothing.
     return (
-        base.select(id_col, F.array_distinct(winners).alias("__w"))
-        .select(id_col, F.explode_outer("__w").alias("__s"))
-        .where(F.col("__s").isNotNull())
+        base.select(
+            id_col, F.array_distinct(winners).alias("__w"), "__h"
+        )
+        .select(id_col, F.explode_outer("__w").alias("pos"), "__h")
+        .where(F.col("pos").isNotNull())
         .select(
             id_col,
-            F.col("__s")["bq"].alias("pos"),
-            F.col("__s")["bh"].alias("fp"),
+            "pos",
+            F.element_at("__h", (F.col("pos") + 1).cast("int")).alias("fp"),
         )
     )
 

@@ -729,6 +729,7 @@ _DEMOTED: tuple[str, ...] = (
     # not by displacing the planned r9 window.
     "duplicate_spans_docs",
     "curation_funnel_docs",
+    "temperature_mixture_docs",
 )
 
 

@@ -1736,3 +1736,36 @@ def curation_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lang_en", F.col("lang") == "en"),
     ]
     return rule_funnel(docs, rules).orderBy("rule_idx")
+
+
+@_register(
+    "temperature_mixture_docs",
+    f"""WITH c AS (SELECT lang, COUNT(*) AS n
+                   FROM documents GROUP BY lang),
+         cw AS (SELECT lang, n,
+                       POWER(CAST(n AS DOUBLE), 0.5) AS wt
+                FROM c),
+         t AS (SELECT MIN(n / wt) AS t FROM cw),
+         q AS (SELECT lang,
+                      CAST(FLOOR(wt * (SELECT t FROM t)) AS BIGINT)
+                          AS quota
+               FROM cw)
+        SELECT doc_id, lang FROM documents JOIN q USING (lang)
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY lang
+            ORDER BY {sampling.duckdb_hash_bucket_sql("doc_id")}, doc_id
+        ) <= quota""",
+)
+def temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E165: temperature-scaled mixture (shares proportional to
+    n_lang^0.5 — the multilingual exponential-smoothing rebalance of
+    mBERT/XLM-R; alpha=1 is the identity, alpha=0 equalizes to the
+    smallest language — the lang groups are genuinely skewed in the
+    fixture, en ~3x the tail, so the cut is non-vacuous). Weights are
+    DATA-DEPENDENT so the whole quota pipeline is in-plan (count agg
+    -> pow -> broadcast min-scale -> broadcast quota join -> one
+    window-rank shuffle); nothing driver-side
+    (operators/sampling.py temperature_mixture)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.temperature_mixture(docs, "lang", "doc_id", 0.5)
+    return out.select("doc_id", "lang")

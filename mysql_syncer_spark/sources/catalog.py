@@ -64,6 +64,14 @@ def filter_ignored(tables: Iterable[str], ignore_regexes: Sequence[str]) -> list
 class Catalog:
     """Abstract named-table source."""
 
+    def invalidate(self) -> None:
+        """Drop any cached view of the database so the next read sees
+        the CURRENT state. No-op by default; file catalogs also clear
+        Spark's file-status cache. Every sync run calls this first —
+        the reference re-scans the database on every run
+        (Synchronizer.php:52-60), and a sync tool must tolerate an
+        external writer having replaced data between runs."""
+
     def table_names(self) -> list[str]:
         raise NotImplementedError
 
@@ -150,6 +158,17 @@ class FileCatalog(Catalog):
     def invalidate(self) -> None:
         self._names = None
         self._dfs = {}
+        # Clear Spark's session FileStatusCache + cached relation plans
+        # under this database directory: without it, a table REPLACED
+        # BY AN EXTERNAL WRITER between runs fails its first read with
+        # FAILED_READ_FILE.FILE_NOT_EXIST (stale part-file listing) —
+        # the engine's own writes invalidate explicitly, but a sync
+        # tool must also survive someone else touching the slave.
+        # Costs one re-list per table on the next read (~30 ms).
+        try:
+            self.spark.catalog.refreshByPath(self.path)
+        except Exception:  # pre-session catalogs / exotic FS: best-effort
+            pass
 
     def table_path(self, name: str) -> str:
         return os.path.join(self.path, f"{name}{self.ext}")

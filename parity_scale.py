@@ -248,6 +248,7 @@ SCALE_QUERIES = [
     "ewma_chunked_daily_events",
     "duplicate_spans_docs",
     "curation_funnel_docs",
+    "temperature_mixture_docs",
 ]
 
 

@@ -219,3 +219,41 @@ def test_dry_run_touches_nothing(spark, sf_dir, pair):
     )
     assert rep.ok
     assert spark.read.parquet(f"{sdir}/orders.parquet").count() == before
+
+
+class TestExternalWriterResilience:
+    def test_reused_catalogs_survive_external_overwrite(
+        self, spark, orders, tmp_path
+    ):
+        """An EXTERNAL writer replaces the slave's parquet between two
+        sync runs on the SAME catalog objects: without the run-start
+        invalidate (catalog file-status refresh), the second run dies
+        with FAILED_READ_FILE.FILE_NOT_EXIST from Spark's stale
+        part-file listing. Reference semantics: every run re-scans
+        (Synchronizer.php:52-60)."""
+        from pyspark.sql import functions as F
+
+        from mysql_syncer_spark.executor import sync
+        from mysql_syncer_spark.sources.catalog import ParquetCatalog
+
+        m, s = str(tmp_path / "master"), str(tmp_path / "slave")
+        orders.write.parquet(f"{m}/orders.parquet")
+        orders.where("o_orderkey % 13 != 0").write.parquet(
+            f"{s}/orders.parquet"
+        )
+        mc, sc = ParquetCatalog(spark, m), ParquetCatalog(spark, s)
+        rep1 = sync(mc, sc)
+        assert rep1.ok, [r.error for r in rep1.results]
+        # external writer replaces the slave table behind the catalogs
+        orders.where("o_orderkey % 17 != 0").write.mode(
+            "overwrite"
+        ).parquet(f"{s}/orders.parquet")
+        rep2 = sync(mc, sc)  # SAME objects — must see the new state
+        assert rep2.ok, [r.error for r in rep2.results]
+        a = spark.read.parquet(f"{m}/orders.parquet")
+        b = spark.read.parquet(f"{s}/orders.parquet")
+        assert a.subtract(b).count() == 0
+        assert b.subtract(a).count() == 0
+        # and a third run is a clean noop
+        rep3 = sync(mc, sc)
+        assert all(r.status == "noop" for r in rep3.results), rep3.results

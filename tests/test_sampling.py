@@ -473,3 +473,75 @@ def test_token_budget_negative_tokens_raise(spark):
     )
     with pytest.raises(Exception, match="negative"):
         token_budget_cut(df, "id", "toks", 100).collect()
+
+
+class TestTemperatureMixture:
+    """operators/sampling.py temperature_mixture — shares ~ n^alpha."""
+
+    def _df(self, spark):
+        rows = []
+        for g, n in (("a", 400), ("b", 100), ("c", 25)):
+            rows += [(f"{g}{i}", g) for i in range(n)]
+        return spark.createDataFrame(rows, "k string, g string")
+
+    def test_alpha_one_is_identity(self, spark):
+        from mysql_syncer_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        df = self._df(spark)
+        assert temperature_mixture(df, "g", "k", 1.0).count() == df.count()
+
+    def test_alpha_zero_equalizes_to_smallest(self, spark):
+        from mysql_syncer_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        df = self._df(spark)
+        out = (
+            temperature_mixture(df, "g", "k", 0.0)
+            .groupBy("g")
+            .count()
+            .collect()
+        )
+        assert {r.g: r["count"] for r in out} == {"a": 25, "b": 25, "c": 25}
+
+    def test_shares_proportional_to_pow(self, spark):
+        """alpha=0.5 on (400,100,25): weights (20,10,5); bottleneck is
+        c (n/wt: 20,10,5 -> t=5) -> quotas floor(wt*5) = (100,50,25)."""
+        from mysql_syncer_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        df = self._df(spark)
+        out = (
+            temperature_mixture(df, "g", "k", 0.5)
+            .groupBy("g")
+            .count()
+            .collect()
+        )
+        assert {r.g: r["count"] for r in out} == {"a": 100, "b": 50, "c": 25}
+
+    def test_deterministic_and_salted(self, spark):
+        from mysql_syncer_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        df = self._df(spark)
+        a = sorted(r.k for r in temperature_mixture(df, "g", "k", 0.5).collect())
+        b = sorted(r.k for r in temperature_mixture(df, "g", "k", 0.5).collect())
+        assert a == b
+        c = sorted(
+            r.k
+            for r in temperature_mixture(df, "g", "k", 0.5, salt="s2").collect()
+        )
+        assert a != c  # same sizes, different membership
+        assert len(a) == len(c)
+
+    def test_negative_alpha_raises(self, spark):
+        from mysql_syncer_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        with pytest.raises(ValueError):
+            temperature_mixture(self._df(spark), "g", "k", -0.1)

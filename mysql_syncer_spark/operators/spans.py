@@ -135,12 +135,8 @@ def winnow_fingerprints(
         F.sequence(F.lit(0), F.col("__m") - 1),
         lambda i: F.xxhash64(F.col("__t").substr((i + 1).cast("int"), F.lit(k))),
     )
-    base = (
-        df.select(F.col(id_col), txt.alias("__t"), m.alias("__m"))
-        .where(F.col("__m") >= w)
-        .select(id_col, hashes.alias("__h"), "__m")
-    )
-    # rightmost min of each window of w consecutive hashes, via JVM
+
+    # Rightmost min of each window of w consecutive hashes, via JVM
     # array built-ins: array_position over the REVERSED slice finds
     # the rightmost occurrence of the window min (robust winnowing's
     # tie rule). A/B-measured ~1.4x faster than the equivalent
@@ -148,32 +144,54 @@ def winnow_fingerprints(
     # the slices are O(m·w) transient longs per doc — fine through
     # ~100 KB docs, and the aggregate formulation (git history) is the
     # O(w)-memory fallback if ever needed for megabyte docs.
-    slices = F.transform(
-        F.sequence(F.lit(0), F.col("__m") - w),
-        lambda i: F.slice("__h", i + 1, w),
-    )
-    winners = F.transform(
-        slices,
-        lambda s, idx: (
-            idx + w - F.array_position(F.reverse(s), F.array_min(s))
-        ).cast("long"),
+    def _selected(h):
+        slices = F.transform(
+            F.sequence(F.lit(0), F.size(h) - w),
+            lambda i: F.slice(h, i + 1, w),
+        )
+        winners = F.transform(
+            slices,
+            lambda s, idx: (
+                idx + w - F.array_position(F.reverse(s), F.array_min(s))
+            ).cast("long"),
+        )
+        return F.transform(
+            F.array_distinct(winners),
+            lambda p: F.struct(
+                p.alias("pos"),
+                F.element_at(h, (p + 1).cast("int")).alias("fp"),
+            ),
+        )
+
+    # The hash array is bound as a LAMBDA VARIABLE (single-element
+    # array → transform → flatten), never as a named projection the
+    # optimizer can substitute: CollapseProject inlines an aliased
+    # array expression into EVERY element access of a downstream
+    # nested-HOF consumer under column pruning (e.g. a bare .count()),
+    # re-deriving the whole hash array per window — a measured
+    # O(m^2·w) blowup (jstack: ArrayTransform-inside-ArrayTransform
+    # re-hashing every substring). Lambda-variable references cannot
+    # be substituted, so the array is computed exactly once per row
+    # under every downstream plan shape.
+    selected = F.flatten(F.transform(F.array(hashes), _selected))
+    base = (
+        df.select(F.col(id_col), txt.alias("__t"), m.alias("__m"))
+        .where(F.col("__m") >= w)
+        .select(id_col, selected.alias("__sel"))
     )
     # explode_OUTER on purpose: plain explode triggers
-    # InferFiltersFromGenerate, whose size(__w) > 0 filter inlines the
-    # whole nested-HOF expression (alias substitution re-derives __h
-    # INSIDE every element access — a measured O(m^2·w) hang at 5k
-    # chars); the outer variant is exempt, and the null-row filter
-    # below runs on the generated attribute, recomputing nothing.
+    # InferFiltersFromGenerate, whose size() > 0 filter re-derives the
+    # whole selection expression inside a pushed-down filter (the same
+    # blowup through a different door); the outer variant is exempt,
+    # and the null-row filter below runs on the generated attribute,
+    # recomputing nothing.
     return (
-        base.select(
-            id_col, F.array_distinct(winners).alias("__w"), "__h"
-        )
-        .select(id_col, F.explode_outer("__w").alias("pos"), "__h")
-        .where(F.col("pos").isNotNull())
+        base.select(id_col, F.explode_outer("__sel").alias("__s"))
+        .where(F.col("__s").isNotNull())
         .select(
             id_col,
-            "pos",
-            F.element_at("__h", (F.col("pos") + 1).cast("int")).alias("fp"),
+            F.col("__s")["pos"].alias("pos"),
+            F.col("__s")["fp"].alias("fp"),
         )
     )
 

@@ -41,9 +41,10 @@ Spark shape (pure built-in codegen, zero Python rows):
 
 1. per-doc k-gram hash array via ``transform(sequence(...))`` — no
    explode until after selection in the winnowed tier;
-2. winnowing = nested higher-order functions: ``transform`` over
-   window starts, ``aggregate`` over the w in-window offsets keeping
-   the rightmost min (ties break right — robust winnowing);
+2. winnowing = nested higher-order functions with the hash array
+   bound as a lambda variable (substitution-proof — see the note in
+   ``winnow_fingerprints``): per window, rightmost min via
+   slice/reverse/array_position (ties break right — robust winnowing);
 3. document frequency = two map-side-combinable shuffles (distinct on
    (gram, doc), count per gram);
 4. duplicated-gram hits come back via a semi join keyed on the gram
@@ -517,4 +518,104 @@ def span_index_append(
     )
     write_bucketed(
         fps, f"{name}_fps", ["fp"], index.num_buckets, mode="append"
+    )
+
+
+def duplication_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Per-document duplication profile (exact tier): what fraction of
+    a doc's k-grams appear verbatim in at least one OTHER document.
+    The corpus-novelty admission metric — a crawl batch whose mean
+    dup_fraction jumps is re-crawling known content; a doc near 1.0 is
+    a copy even if no single span spans the whole doc.
+
+    Output: ``id_col``, ``n_grams``, ``n_dup_grams``, ``dup_fraction``
+    (rounded to 6 — a single IEEE division, cross-engine exact). Docs
+    shorter than k report 0 grams and fraction 0.0.
+
+    Shape: the E162 gram fan-out, one distinct + doc-frequency groupBy,
+    one semi join, one per-doc count — every shuffle keyed on the gram
+    or the doc id. The winnowed sibling for O(batch) scoring of an
+    incoming batch is :func:`novelty_against_index`.
+    """
+    grams = kgram_positions(df, text_col, id_col, k)
+    dup = (
+        grams.select("gram", id_col)
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") >= 2)
+        .select("gram")
+    )
+    per_doc = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    dup_per_doc = (
+        grams.join(dup, on="gram", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .join(dup_per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+            F.round(
+                F.coalesce("n_dup_grams", F.lit(0))
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def novelty_against_index(
+    batch: DataFrame,
+    index: SpanIndex,
+    text_col: str = "text",
+    id_col: str | None = None,
+) -> DataFrame:
+    """O(batch) novelty score for an incoming batch against the
+    persisted corpus fingerprint index: fraction of each batch doc's
+    WINNOWED fingerprints already present in the corpus (batch-internal
+    duplication deliberately not counted — this is the "is it new vs
+    the corpus" gate; compose with :func:`duplicate_spans_against_index`
+    for the full picture).
+
+    Output: ``id_col``, ``n_fps``, ``n_known_fps``, ``known_fraction``.
+    Docs too short to carry a full winnowing window report 0
+    fingerprints and fraction 0.0 (unknowable at this granularity).
+    Same plan economics as the index join: only the batch shuffles.
+    """
+    id_col = id_col or index.id_col
+    bfp = winnow_fingerprints(batch, text_col, id_col, index.k, index.w)
+    per_doc = bfp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fps"))
+    known = (
+        bfp.join(index.fingerprints.select("fp"), on="fp", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_known_fps"))
+    )
+    return (
+        batch.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .join(known, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_fps", F.lit(0)).cast("long").alias("n_fps"),
+            F.coalesce("n_known_fps", F.lit(0))
+            .cast("long")
+            .alias("n_known_fps"),
+            F.round(
+                F.coalesce("n_known_fps", F.lit(0))
+                / F.greatest(F.coalesce("n_fps", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("known_fraction"),
+        )
     )

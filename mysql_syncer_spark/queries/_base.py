@@ -730,6 +730,7 @@ _DEMOTED: tuple[str, ...] = (
     "duplicate_spans_docs",
     "curation_funnel_docs",
     "temperature_mixture_docs",
+    "duplication_profile_docs",
 )
 
 

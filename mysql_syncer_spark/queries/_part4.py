@@ -1769,3 +1769,43 @@ def temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = sampling.temperature_mixture(docs, "lang", "doc_id", 0.5)
     return out.select("doc_id", "lang")
+
+
+@_register(
+    "duplication_profile_docs",
+    r"""WITH pos AS (
+         SELECT doc_id, coalesce(text, '') AS t,
+                unnest(range(0, greatest(length(coalesce(text, '')) - 19,
+                                         0))) AS pos
+         FROM documents),
+       grams AS (SELECT doc_id, substr(t, CAST(pos AS INT) + 1, 20) AS g
+                 FROM pos),
+       dup AS (SELECT g FROM grams
+               GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+       per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams
+                   GROUP BY doc_id),
+       dup_doc AS (SELECT doc_id, COUNT(*) AS n_dup FROM grams
+                   WHERE g IN (SELECT g FROM dup) GROUP BY doc_id)
+       SELECT d.doc_id,
+              CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+              CAST(coalesce(x.n_dup, 0) AS BIGINT) AS n_dup_grams,
+              ROUND(coalesce(x.n_dup, 0)
+                    / greatest(coalesce(p.n_grams, 0), 1), 6)
+                  AS dup_fraction
+       FROM documents d
+       LEFT JOIN per_doc p USING (doc_id)
+       LEFT JOIN dup_doc x USING (doc_id)""",
+)
+def duplication_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E166: per-document duplication profile — the fraction of each
+    doc's char 20-grams appearing verbatim in at least one OTHER doc
+    (the corpus-novelty admission metric: a batch whose mean
+    dup_fraction jumps is re-crawling known content; ~1.0 = a copy
+    even when no single maximal span covers the doc). Exact tier for
+    the oracle; the O(batch) scale sibling is novelty_against_index
+    over the persisted winnowed fingerprint index
+    (operators/spans.py)."""
+    from mysql_syncer_spark.operators.spans import duplication_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplication_profile(docs, "text", "doc_id", k=20)

@@ -249,6 +249,7 @@ SCALE_QUERIES = [
     "duplicate_spans_docs",
     "curation_funnel_docs",
     "temperature_mixture_docs",
+    "duplication_profile_docs",
 ]
 
 

@@ -345,3 +345,85 @@ class TestSpanIndex:
             plan.count(marker),
             full_plan.count(marker),
         )
+
+
+class TestDuplicationProfile:
+    def test_matches_bruteforce(self, spark):
+        from mysql_syncer_spark.operators.spans import duplication_profile
+
+        rng = random.Random(31)
+        docs = _mk_corpus(rng)
+        k = 7
+        # brute reference
+        from collections import defaultdict
+
+        gd = defaultdict(set)
+        for i, t in docs:
+            t = t or ""
+            for p in range(len(t) - k + 1):
+                gd[t[p : p + k]].add(i)
+        dup = {g for g, s in gd.items() if len(s) >= 2}
+        exp = {}
+        for i, t in docs:
+            t = t or ""
+            grams = [t[p : p + k] for p in range(len(t) - k + 1)]
+            nd = sum(1 for g in grams if g in dup)
+            exp[i] = (
+                len(grams),
+                nd,
+                round(nd / max(len(grams), 1), 6),
+            )
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_grams, r.n_dup_grams, r.dup_fraction)
+            for r in duplication_profile(df, k=k).collect()
+        }
+        assert got == exp
+
+    def test_every_doc_reported(self, spark):
+        from mysql_syncer_spark.operators.spans import duplication_profile
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "short"), (3, "x" * 50)],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_grams, r.dup_fraction)
+            for r in duplication_profile(df, k=20).collect()
+        }
+        assert got == {1: (0, 0.0), 2: (0, 0.0), 3: (31, 0.0)}
+
+
+class TestNoveltyAgainstIndex:
+    def test_known_vs_fresh(self, spark, corpus_batch_novelty=None):
+        from mysql_syncer_spark.operators.spans import (
+            ensure_span_index,
+            novelty_against_index,
+        )
+
+        rng = random.Random(41)
+        corpus_docs = [(i, _rand(rng, 120)) for i in range(8)]
+        cdf = spark.createDataFrame(corpus_docs, "doc_id long, text string")
+        spark.sql("CREATE DATABASE IF NOT EXISTS novidx")
+        try:
+            idx = ensure_span_index(cdf, "novidx.docs", k=8, w=4,
+                                    num_buckets=4)
+            batch = spark.createDataFrame(
+                [
+                    (100, corpus_docs[0][1]),          # verbatim copy
+                    (101, _rand(rng, 120)),            # fresh
+                    (102, corpus_docs[1][1][:60] + _rand(rng, 60)),  # half
+                    (103, "tiny"),                     # too short
+                ],
+                "doc_id long, text string",
+            )
+            got = {
+                r.doc_id: r
+                for r in novelty_against_index(batch, idx).collect()
+            }
+            assert got[100].known_fraction == 1.0
+            assert got[101].known_fraction == 0.0 and got[101].n_fps > 0
+            assert 0.2 < got[102].known_fraction < 0.8
+            assert got[103].n_fps == 0 and got[103].known_fraction == 0.0
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS novidx CASCADE")

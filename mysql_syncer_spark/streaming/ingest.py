@@ -37,7 +37,7 @@ import os
 import shutil
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mysql_syncer_spark.operators.dedup import (
@@ -481,6 +481,96 @@ def bitmap_maintain_stream(
     writer = stream.writeStream.outputMode("append").foreachBatch(
         fold
     ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def span_gate_stream(
+    stream: DataFrame,
+    index_name: str,
+    accepted_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    max_known_fraction: float = 0.5,
+    available_now: bool = True,
+    on_batch_committed=None,
+):
+    """Streaming content-novelty gate over the persisted SPAN index
+    (E162's winnowed fingerprints): a document is admitted iff the
+    fraction of its fingerprints already known to the corpus stays
+    BELOW ``max_known_fraction`` — span-granular novelty, the gate
+    MinHash can't express (MinHash votes on whole-doc set similarity;
+    this rejects a "new" doc that is 80% stitched from known passages
+    even when its minhash signature looks novel).
+
+    Batch-internal duplicates are collapsed EXACTLY (text md5, keep
+    the smallest id) before gating; a batch-internal NEAR-copy pair is
+    the documented one-batch blind spot — both admit, and the next
+    batch's arrivals dedup against both through the index (same
+    trade-off as the LSH gate's within-batch threshold).
+
+    Replay contract (identical to :func:`ingest_gate_stream_indexed`,
+    proven by the same kill-and-restart pattern): per-batch subdir
+    overwrite keeps parquet output exactly-once; a replayed committed
+    batch redoes only the index append, which is BENIGN under
+    duplicate fingerprint rows — known_fraction is computed over
+    semi-join membership, idempotent under duplicates.
+
+    ``on_batch_committed(batch_id)`` runs after the batch's write AND
+    index append (metrics / fault-injection hook).
+    """
+    from mysql_syncer_spark.operators.spans import (
+        novelty_against_index,
+        span_index_append,
+        span_index_read,
+    )
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        # read through the BATCH's session (cloned streaming session) —
+        # the outer session's relation cache would miss prior batches'
+        # index appends (the ingest_gate_stream_indexed lesson)
+        idx = span_index_read(batch.sparkSession, index_name)
+        out = f"{accepted_path}/batch_id={batch_id}"
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            survivors = batch.sparkSession.read.parquet(out)
+            span_index_append(index_name, survivors, idx, text_col)
+            if on_batch_committed is not None:
+                on_batch_committed(batch_id)
+            return
+        if os.path.exists(out):  # partial write: redo from scratch
+            shutil.rmtree(out)
+        id_col = idx.id_col
+        w = Window.partitionBy(F.md5(F.coalesce(F.col(text_col), F.lit("")))).orderBy(
+            F.col(id_col)
+        )
+        fresh = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        scores = novelty_against_index(fresh, idx, text_col)
+        survivors = (
+            fresh.join(
+                scores.where(
+                    F.col("known_fraction") < max_known_fraction
+                ).select(id_col),
+                on=id_col,
+                how="left_semi",
+            )
+        ).localCheckpoint(eager=True)  # gate once; write + append reuse
+        survivors.write.parquet(out)
+        span_index_append(index_name, survivors, idx, text_col)
+        if on_batch_committed is not None:
+            on_batch_committed(batch_id)
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(gate)
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -463,6 +463,105 @@ def replicate_mixture(
     )
 
 
+def unimax_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    target_rows: int,
+    max_epochs: float,
+    salt: str = "",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """UniMax sampling (Chung et al. 2023): spend a total row budget
+    as UNIFORMLY across groups as possible, subject to a per-group
+    epoch cap — no group is repeated more than ``max_epochs`` times,
+    and the budget freed by capped (low-resource) groups spreads
+    equally over the rest. The fairness-first alternative to
+    temperature sampling (E165): temperature still over-samples the
+    head; UniMax equalizes exactly up to the caps.
+
+    The paper's allocation loop (ascending by group size: give each
+    group min(cap·n_g, remaining/groups_left)) has a closed form —
+    once a group is uncapped, every later one is uncapped with the
+    SAME share — so the whole thing is window functions over the
+    #groups-sized count frame: prefix sums find the cap/share
+    threshold, no driver loop, no collect. Quotas are hit EXACTLY:
+    each row gets ``quota // n_g`` copies and the ``quota % n_g``
+    remainder goes to the lowest deterministic hash ranks (same
+    hash-priority discipline as every sampler here — reproducible,
+    and a bigger budget extends a smaller one's selection per group).
+
+    Output: input columns + ``copy_col`` (1-based replica index).
+    Shape: one tiny count agg + windows on it, one broadcast quota
+    join, ONE per-group window shuffle for the remainder rank, one
+    row-local explode. Groups with quota 0 drop out.
+    """
+    from pyspark.sql import Window
+
+    if target_rows < 0:
+        raise ValueError(f"target_rows must be >= 0, got {target_rows}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    c = F.lit(float(max_epochs))
+    B = F.lit(float(target_rows))
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    order = Window.orderBy("__n", group_col)
+    run = Window.orderBy("__n", group_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    allw = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = (
+        counts.withColumn("__i", F.row_number().over(order))
+        .withColumn("__s", F.sum("__n").over(run))
+        .withColumn("__g", F.count(F.lit(1)).over(allw))
+    )
+    # group i (ascending) is CAPPED iff its cap fits under the equal
+    # share at its turn, assuming all smaller groups capped:
+    #   c*n_i*(G-i+1) <= B - c*S_{i-1}
+    nn = F.col("__n").cast("double")
+    cond = (c * nn * (F.col("__g") - F.col("__i") + 1)) <= (
+        B - c * (F.col("__s") - F.col("__n")).cast("double")
+    )
+    staged = staged.withColumn("__capped", cond)
+    staged = staged.withColumn(
+        "__t", F.max(F.when(cond, F.col("__i")).otherwise(0)).over(allw)
+    ).withColumn(
+        "__st",
+        F.coalesce(
+            F.max(F.when(cond, F.col("__s"))).over(allw), F.lit(0)
+        ),
+    )
+    share = (B - c * F.col("__st").cast("double")) / (
+        F.col("__g") - F.col("__t")
+    )
+    quotas = staged.select(
+        group_col,
+        "__n",
+        F.floor(F.when(F.col("__capped"), c * nn).otherwise(share))
+        .cast("long")
+        .alias("__quota"),
+    ).where(F.col("__quota") > 0)
+    rank = Window.partitionBy(group_col).orderBy(
+        hash_bucket(key_col, salt), F.col(key_col)
+    )
+    joined = df.join(F.broadcast(quotas), group_col).withColumn(
+        "__rn", F.row_number().over(rank)
+    )
+    copies = (F.col("__quota") / F.col("__n")).cast("long") + (
+        F.col("__rn") <= (F.col("__quota") % F.col("__n"))
+    ).cast("long")
+    return (
+        joined.withColumn("__copies", copies)
+        .where(F.col("__copies") > 0)
+        .withColumn(
+            copy_col, F.explode(F.sequence(F.lit(1), F.col("__copies")))
+        )
+        .drop("__n", "__quota", "__rn", "__copies")
+    )
+
+
 def token_budget_cut(
     df: DataFrame,
     id_col: str,

@@ -731,6 +731,7 @@ _DEMOTED: tuple[str, ...] = (
     "curation_funnel_docs",
     "temperature_mixture_docs",
     "duplication_profile_docs",
+    "unimax_sample_docs",
 )
 
 

@@ -1809,3 +1809,61 @@ def duplication_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return duplication_profile(docs, "text", "doc_id", k=20)
+
+
+_UNIMAX_HB = sampling.duckdb_hash_bucket_sql("doc_id")
+
+
+@_register(
+    "unimax_sample_docs",
+    f"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+                   GROUP BY lang),
+       o AS (SELECT lang, n,
+                    ROW_NUMBER() OVER (ORDER BY n, lang) AS i,
+                    SUM(n) OVER (ORDER BY n, lang
+                                 ROWS UNBOUNDED PRECEDING) AS s,
+                    COUNT(*) OVER () AS g
+             FROM c),
+       m AS (SELECT *,
+                    (2.0 * n * (g - i + 1) <= 900.0 - 2.0 * (s - n))
+                        AS capped
+             FROM o),
+       tt AS (SELECT coalesce(MAX(CASE WHEN capped THEN i END), 0) AS t,
+                     coalesce(MAX(CASE WHEN capped THEN s END), 0) AS st,
+                     MAX(g) AS g
+              FROM m),
+       q AS (SELECT lang, n,
+                    CAST(FLOOR(CASE WHEN capped THEN 2.0 * n
+                               ELSE (900.0 - 2.0 * (SELECT st FROM tt))
+                                    / ((SELECT g FROM tt)
+                                       - (SELECT t FROM tt)) END)
+                         AS BIGINT) AS quota
+             FROM m),
+       r AS (SELECT d.doc_id, d.lang, q.n, q.quota,
+                    ROW_NUMBER() OVER (PARTITION BY d.lang
+                                       ORDER BY {_UNIMAX_HB}, d.doc_id)
+                        AS rn
+             FROM documents d JOIN q USING (lang) WHERE q.quota > 0),
+       cp AS (SELECT doc_id, lang,
+                     quota // n + CASE WHEN rn <= quota % n
+                                       THEN 1 ELSE 0 END AS copies
+              FROM r)
+       SELECT doc_id, lang,
+              CAST(unnest(generate_series(1, copies)) AS BIGINT)
+                  AS copy_idx
+       FROM cp WHERE copies > 0""",
+)
+def unimax_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E168: UniMax sampling (Chung et al. 2023) — spend a 900-row
+    budget as uniformly across the lang groups as the 2.0-epoch cap
+    allows: small languages cap at 2 full copies (exact replication,
+    copy_idx distinguishes replicas), the freed budget spreads equally
+    over the rest (en subsamples). The paper's ascending allocation
+    loop runs as its closed form — prefix-sum windows over the
+    #groups-sized count frame find the cap/share threshold, no driver
+    loop, quotas hit EXACTLY via floor-division copies + hash-rank
+    remainder (operators/sampling.py unimax_sample). At sf0.01 this
+    exercises BOTH regimes: 4 langs capped at 2x, en at share 336."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.unimax_sample(docs, "lang", "doc_id", 900, 2.0)
+    return out.select("doc_id", "lang", "copy_idx")

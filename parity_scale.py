@@ -250,6 +250,7 @@ SCALE_QUERIES = [
     "curation_funnel_docs",
     "temperature_mixture_docs",
     "duplication_profile_docs",
+    "unimax_sample_docs",
 ]
 
 

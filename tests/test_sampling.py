@@ -545,3 +545,96 @@ class TestTemperatureMixture:
 
         with pytest.raises(ValueError):
             temperature_mixture(self._df(spark), "g", "k", -0.1)
+
+
+class TestUnimaxSample:
+    """operators/sampling.py unimax_sample — closed-form waterfilling
+    equals the paper's literal ascending allocation loop."""
+
+    @staticmethod
+    def _reference(counts, budget, cap):
+        items = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))
+        remaining, left, q = float(budget), len(items), {}
+        for g, n in items:
+            alloc = min(cap * n, remaining / left)
+            q[g] = int(alloc // 1)
+            remaining -= alloc
+            left -= 1
+        return {g: v for g, v in q.items() if v > 0}
+
+    def test_matches_allocation_loop_random(self, spark):
+        import random
+
+        from mysql_syncer_spark.operators.sampling import unimax_sample
+
+        rng = random.Random(17)
+        for _ in range(4):
+            groups = {
+                f"g{j}": rng.randint(1, 150)
+                for j in range(rng.randint(2, 6))
+            }
+            budget = rng.randint(0, 2 * sum(groups.values()))
+            cap = rng.choice([0.7, 1.0, 2.0, 3.0])
+            rows = [
+                (f"{g}_{i}", g)
+                for g, n in groups.items()
+                for i in range(n)
+            ]
+            df = spark.createDataFrame(rows, "k string, g string")
+            got = {
+                r.g: r["count"]
+                for r in unimax_sample(df, "g", "k", budget, cap)
+                .groupBy("g")
+                .count()
+                .collect()
+            }
+            assert got == self._reference(groups, budget, cap), (
+                groups,
+                budget,
+                cap,
+            )
+
+    def test_replication_is_exact_and_indexed(self, spark):
+        """A capped group replicates exactly: quota 2n means every row
+        appears twice with copy_idx 1 and 2."""
+        from mysql_syncer_spark.operators.sampling import unimax_sample
+
+        rows = [(f"a{i}", "a") for i in range(10)] + [
+            (f"b{i}", "b") for i in range(500)
+        ]
+        df = spark.createDataFrame(rows, "k string, g string")
+        out = unimax_sample(df, "g", "k", 400, 2.0).collect()
+        a_rows = [r for r in out if r.g == "a"]
+        assert len(a_rows) == 20  # capped: 2 full epochs of 10
+        from collections import Counter
+
+        per_key = Counter(r.k for r in a_rows)
+        assert set(per_key.values()) == {2}
+        assert sorted(
+            set((r.k, r.copy_idx) for r in a_rows if r.k == "a0")
+        ) == [("a0", 1), ("a0", 2)]
+        assert sum(1 for r in out if r.g == "b") == 380  # share
+
+    def test_budget_zero_and_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.sampling import unimax_sample
+
+        df = spark.createDataFrame([("x", "a")], "k string, g string")
+        assert unimax_sample(df, "g", "k", 0, 2.0).count() == 0
+        with _pytest.raises(ValueError):
+            unimax_sample(df, "g", "k", -1, 2.0)
+        with _pytest.raises(ValueError):
+            unimax_sample(df, "g", "k", 10, 0.0)
+
+    def test_cap_binds_total_below_budget(self, spark):
+        """Budget above cap*corpus: every group caps, total = floor
+        sums, budget deliberately NOT spent (the UniMax point)."""
+        from mysql_syncer_spark.operators.sampling import unimax_sample
+
+        rows = [(f"a{i}", "a") for i in range(10)] + [
+            (f"b{i}", "b") for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "k string, g string")
+        out = unimax_sample(df, "g", "k", 10_000, 1.5)
+        assert out.count() == 15 + 30

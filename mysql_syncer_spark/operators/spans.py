@@ -619,3 +619,121 @@ def novelty_against_index(
             ).alias("known_fraction"),
         )
     )
+
+
+def duplicate_spans_between(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str | None = None,
+    k: int = 20,
+    winnow_w: int | None = None,
+) -> DataFrame:
+    """Bipartite duplicated spans: maximal character ranges of ``df``
+    docs that appear verbatim ANYWHERE in ``reference`` — the
+    span-level benchmark-decontamination primitive. E32 drops a whole
+    document when it overlaps a benchmark; this locates the exact
+    contaminated ranges so :func:`scrub_spans_between` can cut only
+    them — the modern practice (surgical decontamination keeps the
+    99% of a long doc that isn't the quoted benchmark item).
+
+    Same two tiers as :func:`duplicate_spans`: exact (string-keyed
+    k-grams, oracle-parity) and winnowed (``winnow_w=w``; the
+    >= w+k-1 detection guarantee applies — content-defined selection
+    picks identical fingerprints in both corpora at any alignment).
+    Only the reference's DISTINCT gram/fingerprint set joins (a
+    benchmark is small: broadcast-eligible, Catalyst/AQE decides);
+    the corpus never self-joins.
+
+    Output: ``id_col``, ``span_start``, ``span_end``, ``span_len``
+    for ``df`` rows only.
+    """
+    ref_text = ref_text_col or text_col
+    if winnow_w is None:
+        grams = kgram_positions(df, text_col, id_col, k)
+        ref_keys = kgram_positions(
+            reference.select(F.col(ref_text).alias("__rt")),
+            "__rt",
+            "__rt",  # id unused; gram set is all we keep
+            k,
+        ).select("gram").distinct()
+        key, merge_gap = "gram", k
+    else:
+        grams = winnow_fingerprints(df, text_col, id_col, k, winnow_w)
+        ref_keys = winnow_fingerprints(
+            reference.select(F.col(ref_text).alias("__rt")),
+            "__rt",
+            "__rt",
+            k,
+            winnow_w,
+        ).select("fp").distinct()
+        key, merge_gap = "fp", k + winnow_w - 1
+    hits = grams.join(ref_keys, on=key, how="left_semi").select(
+        id_col, "pos"
+    )
+    return _merge_islands(hits, id_col, k, merge_gap)
+
+
+def scrub_spans_between(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str | None = None,
+    k: int = 20,
+    winnow_w: int | None = None,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Surgical benchmark decontamination: cut every span shared with
+    ``reference`` out of every ``df`` doc and stitch the remainder
+    (all input rows survive; untouched docs pass through verbatim,
+    including NULL). Same doc-local span-list fold as
+    :func:`remove_duplicate_spans`."""
+    spans = duplicate_spans_between(
+        df, reference, text_col, id_col, ref_text_col, k, winnow_w
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans")
+    )
+    joined = df.join(per_doc, on=id_col, how="left")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    fold = F.aggregate(
+        F.col("__spans"),
+        F.struct(F.lit("").alias("acc"), F.lit(0).cast("long").alias("cur")),
+        lambda acc, s: F.struct(
+            F.concat(
+                acc["acc"],
+                txt.substr(
+                    (acc["cur"] + 1).cast("int"),
+                    (s["span_start"] - acc["cur"]).cast("int"),
+                ),
+            ).alias("acc"),
+            s["span_end"].alias("cur"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"],
+            txt.substr(
+                (acc["cur"] + 1).cast("int"),
+                (F.length(txt) - acc["cur"]).cast("int"),
+            ),
+        ),
+    )
+    clean = F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(fold)
+    return (
+        joined.withColumn(out_col, clean)
+        .withColumn(
+            "n_chars_removed",
+            F.coalesce(
+                F.aggregate(
+                    "__spans",
+                    F.lit(0).cast("long"),
+                    lambda acc, s: acc + (s["span_end"] - s["span_start"]),
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .drop("__spans")
+    )

@@ -732,6 +732,7 @@ _DEMOTED: tuple[str, ...] = (
     "temperature_mixture_docs",
     "duplication_profile_docs",
     "unimax_sample_docs",
+    "decontaminate_spans_docs",
 )
 
 

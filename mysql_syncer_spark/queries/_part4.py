@@ -1867,3 +1867,55 @@ def unimax_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = sampling.unimax_sample(docs, "lang", "doc_id", 900, 2.0)
     return out.select("doc_id", "lang", "copy_idx")
+
+
+@_register(
+    "decontaminate_spans_docs",
+    """WITH bench AS (SELECT text FROM documents WHERE doc_id % 20 = 0),
+       corpus AS (SELECT doc_id, text FROM documents
+                  WHERE doc_id % 20 <> 0),
+       bpos AS (SELECT coalesce(text, '') AS t,
+                       unnest(range(0, greatest(length(coalesce(text, ''))
+                                                - 19, 0))) AS pos
+                FROM bench),
+       bgrams AS (SELECT DISTINCT substr(t, CAST(pos AS INT) + 1, 20) AS g
+                  FROM bpos),
+       cpos AS (SELECT doc_id, coalesce(text, '') AS t,
+                       unnest(range(0, greatest(length(coalesce(text, ''))
+                                                - 19, 0))) AS pos
+                FROM corpus),
+       cgrams AS (SELECT doc_id, pos,
+                         substr(t, CAST(pos AS INT) + 1, 20) AS g
+                  FROM cpos),
+       hits AS (SELECT doc_id, pos FROM cgrams
+                WHERE g IN (SELECT g FROM bgrams)),
+       flagged AS (SELECT doc_id, pos,
+                          CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id
+                                                         ORDER BY pos) + 20
+                               THEN 1 ELSE 0 END AS ni
+                   FROM hits),
+       grp AS (SELECT doc_id, pos,
+                      SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS gid
+               FROM flagged)
+       SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+              CAST(max(pos) + 20 AS BIGINT) AS span_end,
+              CAST(max(pos) + 20 - min(pos) AS BIGINT) AS span_len
+       FROM grp GROUP BY doc_id, gid""",
+)
+def decontaminate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E169: span-level benchmark decontamination — the exact character
+    ranges of corpus docs (doc_id % 20 != 0) appearing verbatim in the
+    held-out benchmark set (doc_id % 20 == 0), as maximal merged spans.
+    E32 drops whole overlapping docs; this locates the contaminated
+    ranges so scrub_spans_between cuts ONLY them — surgical
+    decontamination keeps the rest of a long doc. Only the benchmark's
+    DISTINCT gram set joins (benchmark-sized, broadcast-eligible); the
+    corpus never self-joins (operators/spans.py
+    duplicate_spans_between)."""
+    from mysql_syncer_spark.operators.spans import duplicate_spans_between
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where("doc_id % 20 != 0")
+    bench = docs.where("doc_id % 20 = 0")
+    return duplicate_spans_between(corpus, bench, k=20)

@@ -251,6 +251,7 @@ SCALE_QUERIES = [
     "temperature_mixture_docs",
     "duplication_profile_docs",
     "unimax_sample_docs",
+    "decontaminate_spans_docs",
 ]
 
 

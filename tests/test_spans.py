@@ -427,3 +427,83 @@ class TestNoveltyAgainstIndex:
             assert got[103].n_fps == 0 and got[103].known_fraction == 0.0
         finally:
             spark.sql("DROP DATABASE IF EXISTS novidx CASCADE")
+
+
+class TestSpansBetween:
+    """Bipartite spans: benchmark decontamination at span granularity."""
+
+    def _fixture(self, spark):
+        rng = random.Random(77)
+        bench_q = _rand(rng, 50)
+        corpus = [
+            (1, _rand(rng, 40) + bench_q + _rand(rng, 40)),
+            (2, _rand(rng, 100)),
+            (3, bench_q),
+            (4, None),
+        ]
+        ref = [(0, bench_q), (1, _rand(rng, 60))]
+        return (
+            spark.createDataFrame(corpus, "doc_id long, text string"),
+            spark.createDataFrame(ref, "ref_id long, text string"),
+            corpus,
+        )
+
+    def test_exact_spans_and_scrub(self, spark):
+        from mysql_syncer_spark.operators.spans import (
+            duplicate_spans_between,
+            scrub_spans_between,
+        )
+
+        cdf, rdf, corpus = self._fixture(spark)
+        got = sorted(
+            tuple(r)
+            for r in duplicate_spans_between(cdf, rdf, k=10).collect()
+        )
+        assert got == [(1, 40, 90, 50), (3, 0, 50, 50)], got
+        sc = {
+            r.doc_id: (r.text_clean, r.n_chars_removed)
+            for r in scrub_spans_between(cdf, rdf, k=10).collect()
+        }
+        assert sc[1] == (corpus[0][1][:40] + corpus[0][1][90:], 50)
+        assert sc[2] == (corpus[1][1], 0)
+        assert sc[3] == ("", 50)
+        assert sc[4] == (None, 0)
+
+    def test_winnowed_detects_at_any_alignment(self, spark):
+        from mysql_syncer_spark.operators.spans import (
+            duplicate_spans_between,
+        )
+
+        rng = random.Random(81)
+        k, w = 6, 4
+        q = _rand(rng, k + w - 1)  # minimal guaranteed length
+        ref = spark.createDataFrame([(0, q)], "ref_id long, text string")
+        docs = [
+            (i, _rand(rng, 30 + i) + q + _rand(rng, 20)) for i in range(6)
+        ]
+        cdf = spark.createDataFrame(docs, "doc_id long, text string")
+        hit_docs = {
+            r.doc_id
+            for r in duplicate_spans_between(
+                cdf, ref, k=k, winnow_w=w
+            ).collect()
+        }
+        assert hit_docs == set(range(6))
+
+    def test_clean_corpus_reports_nothing(self, spark):
+        from mysql_syncer_spark.operators.spans import (
+            duplicate_spans_between,
+        )
+
+        rng = random.Random(83)
+        cdf = spark.createDataFrame(
+            [(i, _rand(rng, 80)) for i in range(4)],
+            "doc_id long, text string",
+        )
+        rdf = spark.createDataFrame(
+            [(0, _rand(rng, 80))], "ref_id long, text string"
+        )
+        assert duplicate_spans_between(cdf, rdf, k=15).count() == 0
+        assert (
+            duplicate_spans_between(cdf, rdf, k=15, winnow_w=5).count() == 0
+        )

@@ -659,3 +659,48 @@ def test_t_closeness_ordered_scaffold_is_domain_sized(spark, sf_dir):
     plan = plan_of(spark, "t_closeness_ordered_customer", sf_dir)
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "duplicate_spans_docs",
+        "decontaminate_spans_docs",
+        "duplication_profile_docs",
+        "unimax_sample_docs",
+        "temperature_mixture_docs",
+        "curation_funnel_docs",
+    ],
+)
+def test_r9_wave_no_cartesian_and_pruned_scan(spark, sf_dir, name):
+    """The round-9 wave: no nested-loop/cartesian anywhere, and the
+    documents scan pruned to the columns the query actually touches
+    (never n_chars/source ballast for the span family)."""
+    plan = plan_of(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan, name
+    # temperature_mixture carries the ONE sanctioned nested-loop shape:
+    # the 1-row broadcast min-scale scalar (same pattern as
+    # mixture_sample / the similarity scalar joins) — anything else
+    # nested-loop is a regression
+    if name != "temperature_mixture_docs":
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    if name in (
+        "duplicate_spans_docs",
+        "decontaminate_spans_docs",
+        "duplication_profile_docs",
+    ):
+        assert "n_chars" not in plan, name  # column pruning reached scan
+
+
+def test_rule_funnel_single_data_shuffle(spark, sf_dir):
+    """The funnel's only data-sized exchange is the first-failing
+    groupBy; the ledger window runs on the rules-sized aggregate
+    (SinglePartition exchange of a tiny frame is expected, a
+    data-sized global window is not)."""
+    plan = plan_of(spark, "curation_funnel_docs", sf_dir)
+    # one hash exchange for the groupBy over the data; everything else
+    # is single-partition ledger work
+    import re
+
+    hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hash_exchanges <= 2, plan  # groupBy + (ledger join side)

@@ -395,7 +395,7 @@ class TestDuplicationProfile:
 
 
 class TestNoveltyAgainstIndex:
-    def test_known_vs_fresh(self, spark, corpus_batch_novelty=None):
+    def test_known_vs_fresh(self, spark, tmp_path):
         from mysql_syncer_spark.operators.spans import (
             ensure_span_index,
             novelty_against_index,
@@ -404,7 +404,10 @@ class TestNoveltyAgainstIndex:
         rng = random.Random(41)
         corpus_docs = [(i, _rand(rng, 120)) for i in range(8)]
         cdf = spark.createDataFrame(corpus_docs, "doc_id long, text string")
-        spark.sql("CREATE DATABASE IF NOT EXISTS novidx")
+        spark.sql(
+            f"CREATE DATABASE IF NOT EXISTS novidx "
+            f"LOCATION '{tmp_path / 'wh'}'"
+        )
         try:
             idx = ensure_span_index(cdf, "novidx.docs", k=8, w=4,
                                     num_buckets=4)

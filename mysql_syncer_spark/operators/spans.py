@@ -280,30 +280,22 @@ def duplicate_spans(
     return _merge_islands(hits, id_col, k, merge_gap)
 
 
-def remove_duplicate_spans(
+def _cut_spans(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 20,
-    min_docs: int = 2,
-    winnow_w: int | None = None,
-    out_col: str = "text_clean",
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_col: str,
 ) -> DataFrame:
-    """Cut every duplicated span out of every document (all copies,
-    per Lee et al. 2022) and stitch the remainder in original order.
-
-    Output: all input columns plus ``out_col``, ``n_chars_removed``.
-    Every input row survives; docs with no duplicated span (or NULL
-    text) keep their text verbatim (NULL normalized to ``''`` only
-    when a cut applies — untouched rows pass through as-is).
-
+    """Shared scrub kernel: cut ``spans`` (non-overlapping, per-doc)
+    out of ``df``'s text and stitch the remainder in original order.
     The cut is array work on the doc's own (small) span list: spans
     per doc are collected with ``collect_list`` — bounded by
     doc_len/k, document-sized, never corpus-sized — then a single
     ``aggregate`` fold walks the sorted spans emitting the kept
-    pieces. One extra shuffle on the doc id for the join back.
-    """
-    spans = duplicate_spans(df, text_col, id_col, k, min_docs, winnow_w)
+    pieces. One extra shuffle on the doc id for the join back. Every
+    input row survives; rows with no span (or NULL text) pass through
+    verbatim."""
     per_doc = spans.groupBy(id_col).agg(
         F.array_sort(
             F.collect_list(F.struct("span_start", "span_end"))
@@ -335,17 +327,38 @@ def remove_duplicate_spans(
         ),
     )
     clean = F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(fold)
-    return joined.withColumn(out_col, clean).withColumn(
-        "n_chars_removed",
-        F.coalesce(
-            F.aggregate(
-                "__spans",
+    return (
+        joined.withColumn(out_col, clean)
+        .withColumn(
+            "n_chars_removed",
+            F.coalesce(
+                F.aggregate(
+                    "__spans",
+                    F.lit(0).cast("long"),
+                    lambda acc, s: acc + (s["span_end"] - s["span_start"]),
+                ),
                 F.lit(0).cast("long"),
-                lambda acc, s: acc + (s["span_end"] - s["span_start"]),
             ),
-            F.lit(0).cast("long"),
-        ),
-    ).drop("__spans")
+        )
+        .drop("__spans")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    min_docs: int = 2,
+    winnow_w: int | None = None,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Cut every duplicated span out of every document (all copies,
+    per Lee et al. 2022) and stitch the remainder in original order.
+    Output: all input columns plus ``out_col``, ``n_chars_removed``
+    (see :func:`_cut_spans` for the fold's shape)."""
+    spans = duplicate_spans(df, text_col, id_col, k, min_docs, winnow_w)
+    return _cut_spans(df, spans, text_col, id_col, out_col)
 
 
 # ---------------------------------------------------------------------------
@@ -689,51 +702,8 @@ def scrub_spans_between(
     ``reference`` out of every ``df`` doc and stitch the remainder
     (all input rows survive; untouched docs pass through verbatim,
     including NULL). Same doc-local span-list fold as
-    :func:`remove_duplicate_spans`."""
+    :func:`remove_duplicate_spans` (see :func:`_cut_spans`)."""
     spans = duplicate_spans_between(
         df, reference, text_col, id_col, ref_text_col, k, winnow_w
     )
-    per_doc = spans.groupBy(id_col).agg(
-        F.array_sort(
-            F.collect_list(F.struct("span_start", "span_end"))
-        ).alias("__spans")
-    )
-    joined = df.join(per_doc, on=id_col, how="left")
-    txt = F.coalesce(F.col(text_col), F.lit(""))
-    fold = F.aggregate(
-        F.col("__spans"),
-        F.struct(F.lit("").alias("acc"), F.lit(0).cast("long").alias("cur")),
-        lambda acc, s: F.struct(
-            F.concat(
-                acc["acc"],
-                txt.substr(
-                    (acc["cur"] + 1).cast("int"),
-                    (s["span_start"] - acc["cur"]).cast("int"),
-                ),
-            ).alias("acc"),
-            s["span_end"].alias("cur"),
-        ),
-        lambda acc: F.concat(
-            acc["acc"],
-            txt.substr(
-                (acc["cur"] + 1).cast("int"),
-                (F.length(txt) - acc["cur"]).cast("int"),
-            ),
-        ),
-    )
-    clean = F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(fold)
-    return (
-        joined.withColumn(out_col, clean)
-        .withColumn(
-            "n_chars_removed",
-            F.coalesce(
-                F.aggregate(
-                    "__spans",
-                    F.lit(0).cast("long"),
-                    lambda acc, s: acc + (s["span_end"] - s["span_start"]),
-                ),
-                F.lit(0).cast("long"),
-            ),
-        )
-        .drop("__spans")
-    )
+    return _cut_spans(df, spans, text_col, id_col, out_col)

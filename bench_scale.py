@@ -455,6 +455,8 @@ MEM_KEYS = (
     "ann_topk_pq",
     "token_budget_sample_docs",
     "ivm_full_join_orders_customer",
+    # r9 second wave: the gram fan-out is the new heaviest text shape
+    "duplicate_spans_docs",
 )
 
 

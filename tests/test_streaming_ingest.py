@@ -936,3 +936,84 @@ class TestSpanGateStream:
             assert again == expected, (again, expected)
         finally:
             spark.sql("DROP DATABASE IF EXISTS spangate CASCADE")
+
+    def test_crash_after_commit_replays_benignly(self, spark, tmp_path):
+        """Kill AFTER a batch's write+append committed but before the
+        checkpoint advanced (raise from on_batch_committed): the
+        restart replays the batch, keeps its committed output, redoes
+        only the index append — duplicate fingerprint rows are benign
+        (semi-join membership), and the final accepted set equals the
+        uninterrupted run's."""
+        import random
+        import string
+
+        from mysql_syncer_spark.operators.spans import span_index_write
+        from mysql_syncer_spark.streaming.ingest import span_gate_stream
+
+        rng = random.Random(59)
+
+        def rand(n):
+            return "".join(
+                rng.choice(string.ascii_lowercase + " ") for _ in range(n)
+            )
+
+        corpus = spark.createDataFrame(
+            [(i, rand(150)) for i in range(4)], "doc_id long, text string"
+        )
+        spark.sql(
+            f"CREATE DATABASE IF NOT EXISTS spangatecrash "
+            f"LOCATION '{tmp_path / 'wh'}'"
+        )
+        try:
+            span_index_write(
+                corpus, "spangatecrash.docs", k=8, w=4, num_buckets=4
+            )
+            novel_a, novel_b = rand(150), rand(150)
+            src = tmp_path / "arrivals"
+            src.mkdir()
+            (src / "b0.json").write_text(_doc(1001, novel_a))
+            (src / "b1.json").write_text(
+                "\n".join([_doc(1002, novel_a), _doc(1003, novel_b)])
+            )
+            accepted = str(tmp_path / "accepted")
+            ckpt = str(tmp_path / "ckpt")
+            crashed = {"n": 0}
+
+            def bomb(batch_id):
+                crashed["n"] += 1
+                if crashed["n"] == 1:
+                    raise RuntimeError("injected kill after commit")
+
+            def run(hook):
+                stream = (
+                    spark.readStream.schema(DOC_SCHEMA)
+                    .option("maxFilesPerTrigger", 1)
+                    .json(str(src))
+                )
+                q = span_gate_stream(
+                    stream,
+                    "spangatecrash.docs",
+                    accepted,
+                    ckpt,
+                    max_known_fraction=0.5,
+                    on_batch_committed=hook,
+                )
+                try:
+                    q.awaitTermination(180)
+                except Exception:
+                    pass  # the injected kill surfaces here
+                finally:
+                    if q.isActive:
+                        q.stop()
+
+            run(bomb)  # dies after the first batch committed
+            run(None)  # restart: replay + finish
+            got = sorted(
+                r.doc_id for r in spark.read.parquet(accepted).collect()
+            )
+            # exactly one copy of novel_a (whichever batch ran first)
+            # plus novel_b — identical to an uninterrupted run
+            assert len(got) == 2 and 1003 in got, got
+            assert got[0] in (1001, 1002), got
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS spangatecrash CASCADE")

@@ -455,8 +455,6 @@ MEM_KEYS = (
     "ann_topk_pq",
     "token_budget_sample_docs",
     "ivm_full_join_orders_customer",
-    # r9 second wave: the gram fan-out is the new heaviest text shape
-    "duplicate_spans_docs",
 )
 
 
@@ -503,6 +501,24 @@ def run_memory_ceiling() -> None:
             "jvm_peak_rss_mb": _jvm_peak_rss_mb(spark),
         }
         print(json.dumps({name: out[name]}), flush=True)
+    # r9 second wave: the spans family's 100 TB path is the WINNOWED
+    # tier — the exact tier (registry oracle baseline) deliberately
+    # restates the corpus ~k× in string keys and measurably OOMs a
+    # 512 MiB local[4] heap at sf1, which is the point of having the
+    # winnowed tier: same spans (fuzz-bounded), ~2/(w+1)-density
+    # 8-byte fingerprints, fits the ceiling.
+    from mysql_syncer_spark.operators.spans import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf1}/documents.parquet")
+    t0 = time.time()
+    force(duplicate_spans(docs, k=20, min_docs=2, winnow_w=8))
+    out["duplicate_spans_winnowed"] = {
+        "sec": round(time.time() - t0, 3),
+        "py_peak_rss_mb": _peak_rss_mb(),
+        "jvm_peak_rss_mb": _jvm_peak_rss_mb(spark),
+    }
+    print(json.dumps({"duplicate_spans_winnowed":
+                      out["duplicate_spans_winnowed"]}), flush=True)
     print(json.dumps({"mem_ceiling": out, "heap": heap}))
 
 

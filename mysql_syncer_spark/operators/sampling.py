@@ -463,6 +463,57 @@ def replicate_mixture(
     )
 
 
+def _waterfill(
+    counts: DataFrame, group_col: str, budget: float, cap: float
+) -> DataFrame:
+    """UniMax waterfilling, closed form (see :func:`unimax_sample`):
+    ``counts`` is the #groups-sized frame (group_col, __n); returns
+    (group_col, __n, __quota) with __quota > 0 only. Window work runs
+    entirely on the groups-sized frame."""
+    from pyspark.sql import Window
+
+    c = F.lit(float(cap))
+    B = F.lit(float(budget))
+    order = Window.orderBy("__n", group_col)
+    run = Window.orderBy("__n", group_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    allw = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = (
+        counts.withColumn("__i", F.row_number().over(order))
+        .withColumn("__s", F.sum("__n").over(run))
+        .withColumn("__g", F.count(F.lit(1)).over(allw))
+    )
+    # group i (ascending) is CAPPED iff its cap fits under the equal
+    # share at its turn, assuming all smaller groups capped:
+    #   c*n_i*(G-i+1) <= B - c*S_{i-1}
+    nn = F.col("__n").cast("double")
+    cond = (c * nn * (F.col("__g") - F.col("__i") + 1)) <= (
+        B - c * (F.col("__s") - F.col("__n")).cast("double")
+    )
+    staged = staged.withColumn("__capped", cond)
+    staged = staged.withColumn(
+        "__t", F.max(F.when(cond, F.col("__i")).otherwise(0)).over(allw)
+    ).withColumn(
+        "__st",
+        F.coalesce(
+            F.max(F.when(cond, F.col("__s"))).over(allw), F.lit(0)
+        ),
+    )
+    share = (B - c * F.col("__st").cast("double")) / (
+        F.col("__g") - F.col("__t")
+    )
+    return staged.select(
+        group_col,
+        "__n",
+        F.floor(F.when(F.col("__capped"), c * nn).otherwise(share))
+        .cast("long")
+        .alias("__quota"),
+    ).where(F.col("__quota") > 0)
+
+
 def unimax_sample(
     df: DataFrame,
     group_col: str,
@@ -502,47 +553,8 @@ def unimax_sample(
         raise ValueError(f"target_rows must be >= 0, got {target_rows}")
     if max_epochs <= 0:
         raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
-    c = F.lit(float(max_epochs))
-    B = F.lit(float(target_rows))
     counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
-    order = Window.orderBy("__n", group_col)
-    run = Window.orderBy("__n", group_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    allw = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    staged = (
-        counts.withColumn("__i", F.row_number().over(order))
-        .withColumn("__s", F.sum("__n").over(run))
-        .withColumn("__g", F.count(F.lit(1)).over(allw))
-    )
-    # group i (ascending) is CAPPED iff its cap fits under the equal
-    # share at its turn, assuming all smaller groups capped:
-    #   c*n_i*(G-i+1) <= B - c*S_{i-1}
-    nn = F.col("__n").cast("double")
-    cond = (c * nn * (F.col("__g") - F.col("__i") + 1)) <= (
-        B - c * (F.col("__s") - F.col("__n")).cast("double")
-    )
-    staged = staged.withColumn("__capped", cond)
-    staged = staged.withColumn(
-        "__t", F.max(F.when(cond, F.col("__i")).otherwise(0)).over(allw)
-    ).withColumn(
-        "__st",
-        F.coalesce(
-            F.max(F.when(cond, F.col("__s"))).over(allw), F.lit(0)
-        ),
-    )
-    share = (B - c * F.col("__st").cast("double")) / (
-        F.col("__g") - F.col("__t")
-    )
-    quotas = staged.select(
-        group_col,
-        "__n",
-        F.floor(F.when(F.col("__capped"), c * nn).otherwise(share))
-        .cast("long")
-        .alias("__quota"),
-    ).where(F.col("__quota") > 0)
+    quotas = _waterfill(counts, group_col, target_rows, max_epochs)
     rank = Window.partitionBy(group_col).orderBy(
         hash_bucket(key_col, salt), F.col(key_col)
     )
@@ -648,3 +660,118 @@ def token_budget_cut(
     return full.select(*out_cols).unionByName(
         boundary_kept.select(*out_cols)
     )
+
+
+def unimax_tokens(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    tokens_col: str,
+    token_budget: int,
+    max_epochs: float,
+    salt: str = "",
+    bucket_hex: int = 3,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """UniMax over TOKEN budgets — the form the paper actually runs
+    (budgets and caps are token counts, not row counts): spend
+    ``token_budget`` tokens as uniformly across groups as the
+    ``max_epochs`` cap allows, allocating by each group's TOKEN total.
+
+    Allocation: the same closed-form waterfilling as
+    :func:`unimax_sample` (:func:`_waterfill`), on per-group token
+    sums. Delivery per group with quota q and total T:
+
+    * ``floor(q / T)`` FULL epochs — every row replicated, exact;
+    * the remaining ``q mod T`` tokens as one more partial epoch: the
+      maximal prefix of the group's deterministic hash-priority order
+      whose token sum fits — the E158 take-while, per group, via the
+      same two-level refinement (per-(group, hex-bucket) histogram →
+      windows over the groups×buckets frame → full buckets keep all
+      rows via broadcast join → ONLY each group's boundary bucket
+      runs a per-row cumulative window). No global or whole-group
+      window at any scale.
+
+    Output: input columns + ``copy_col`` (1-based; the partial epoch
+    is the last index). Rows with NULL tokens are excluded; negative
+    token counts raise at execution (they break the monotone-prefix
+    equivalence — the E158 contract). Delivered tokens per group
+    never exceed the group's quota; a bigger budget extends a smaller
+    one's selection (nested, per group).
+    """
+    from pyspark.sql import Window
+
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    if not 1 <= bucket_hex <= 8:
+        raise ValueError(f"bucket_hex must be in [1, 8], got {bucket_hex}")
+    nonneg = F.when(
+        F.col(tokens_col) < 0,
+        F.raise_error(
+            F.concat(
+                F.lit(f"unimax_tokens: negative {tokens_col}: "),
+                F.col(tokens_col).cast("string"),
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
+    rows = df.where(F.col(tokens_col).isNotNull()).where(nonneg)
+    totals = rows.groupBy(group_col).agg(
+        F.sum(tokens_col).cast("long").alias("__n")
+    ).where(F.col("__n") > 0)
+    quotas = _waterfill(totals, group_col, token_budget, max_epochs)
+    q2 = quotas.select(
+        group_col,
+        "__n",
+        (F.col("__quota") / F.col("__n")).cast("long").alias("__e"),
+        (F.col("__quota") % F.col("__n")).alias("__rem"),
+    )
+    joined = rows.join(F.broadcast(q2), group_col)
+    out_cols = df.columns
+    full_replicas = (
+        joined.where(F.col("__e") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("__e"))))
+        .select(*out_cols, copy_col)
+    )
+    # partial epoch: per-group two-level token take-while at __rem
+    pr = F.md5(
+        F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    )
+    cand = joined.where(F.col("__rem") > 0).withColumn(
+        "__pr", pr
+    ).withColumn("__b", F.substring(F.col("__pr"), 1, bucket_hex))
+    hist = cand.groupBy(group_col, "__b").agg(
+        F.sum(tokens_col).cast("long").alias("__bsum"),
+        F.first("__rem").alias("__grem"),
+    )
+    hw = Window.partitionBy(group_col).orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("__cum", F.sum("__bsum").over(hw)).withColumn(
+        "__prev", F.col("__cum") - F.col("__bsum")
+    )
+    j = cand.join(
+        F.broadcast(cum.select(group_col, "__b", "__cum", "__prev")),
+        [group_col, "__b"],
+    )
+    full_buckets = j.where(F.col("__cum") <= F.col("__rem"))
+    boundary = j.where(
+        (F.col("__prev") <= F.col("__rem"))
+        & (F.col("__cum") > F.col("__rem"))
+    )
+    bw = Window.partitionBy(group_col, "__b").orderBy(
+        "__pr", key_col
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    boundary_kept = boundary.withColumn(
+        "__rcum", F.sum(tokens_col).over(bw)
+    ).where(F.col("__prev") + F.col("__rcum") <= F.col("__rem"))
+    partial = (
+        full_buckets.select(*out_cols, (F.col("__e") + 1).alias(copy_col))
+        .unionByName(
+            boundary_kept.select(
+                *out_cols, (F.col("__e") + 1).alias(copy_col)
+            )
+        )
+    )
+    return full_replicas.unionByName(partial)

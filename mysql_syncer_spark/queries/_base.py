@@ -733,6 +733,7 @@ _DEMOTED: tuple[str, ...] = (
     "duplication_profile_docs",
     "unimax_sample_docs",
     "decontaminate_spans_docs",
+    "unimax_tokens_docs",
 )
 
 

@@ -1919,3 +1919,72 @@ def decontaminate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where("doc_id % 20 != 0")
     bench = docs.where("doc_id % 20 = 0")
     return duplicate_spans_between(corpus, bench, k=20)
+
+
+@_register(
+    "unimax_tokens_docs",
+    r"""WITH toks AS (
+         SELECT doc_id, lang,
+                CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS BIGINT) AS tok
+         FROM documents),
+       tot AS (SELECT lang, CAST(SUM(tok) AS BIGINT) AS n FROM toks
+               GROUP BY lang HAVING SUM(tok) > 0),
+       o AS (SELECT lang, n,
+                    ROW_NUMBER() OVER (ORDER BY n, lang) AS i,
+                    SUM(n) OVER (ORDER BY n, lang
+                                 ROWS UNBOUNDED PRECEDING) AS s,
+                    COUNT(*) OVER () AS g
+             FROM tot),
+       m AS (SELECT *,
+                    (2.0 * n * (g - i + 1) <= 30000.0 - 2.0 * (s - n))
+                        AS capped
+             FROM o),
+       tt AS (SELECT coalesce(MAX(CASE WHEN capped THEN i END), 0) AS t,
+                     coalesce(MAX(CASE WHEN capped THEN s END), 0) AS st,
+                     MAX(g) AS g
+              FROM m),
+       q AS (SELECT lang, n,
+                    CAST(FLOOR(CASE WHEN capped THEN 2.0 * n
+                               ELSE (30000.0 - 2.0 * (SELECT st FROM tt))
+                                    / ((SELECT g FROM tt)
+                                       - (SELECT t FROM tt)) END)
+                         AS BIGINT) AS quota
+             FROM m),
+       q2 AS (SELECT lang, n, quota, quota // n AS e, quota % n AS rem
+              FROM q WHERE quota > 0),
+       fullrep AS (SELECT t.doc_id, t.lang,
+                          unnest(generate_series(1, q2.e)) AS copy_idx
+                   FROM toks t JOIN q2 USING (lang) WHERE q2.e > 0),
+       r AS (SELECT t.doc_id, t.lang, q2.e, q2.rem,
+                    SUM(t.tok) OVER (PARTITION BY t.lang
+                                     ORDER BY md5(CAST(t.doc_id AS VARCHAR)),
+                                              t.doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS run
+             FROM toks t JOIN q2 USING (lang) WHERE q2.rem > 0),
+       part AS (SELECT doc_id, lang, e + 1 AS copy_idx FROM r
+                WHERE run <= rem)
+       SELECT doc_id, lang, CAST(copy_idx AS BIGINT) AS copy_idx
+       FROM (SELECT * FROM fullrep UNION ALL SELECT * FROM part)""",
+)
+def unimax_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E170: UniMax over TOKEN budgets (the form the paper runs —
+    budgets and caps in tokens, allocation by per-language token
+    totals): 30,000 whitespace-token budget, 2.0-epoch cap over lang.
+    Full epochs replicate exactly (copy_idx); the fractional epoch is
+    the per-group token take-while delivered by the E158 two-level
+    refinement — per-(group, hex-bucket) histogram, broadcast
+    full-bucket join, boundary-bucket-only window — so no whole-group
+    cumulative window exists in the engine plan at any scale (the
+    oracle deliberately runs the naive per-group window, the engine
+    the scalable plan; same precedent as token_budget_sample_docs).
+    At sf0.01 small languages cap at 2 full epochs; at sf0.1 the same
+    budget is a pure equal-share subsample — both regimes value-exact
+    (operators/sampling.py unimax_tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.with_token_counts(docs).select(
+        "doc_id", "lang", F.col("n_tokens_ws").cast("long").alias("tok")
+    )
+    out = sampling.unimax_tokens(toks, "lang", "doc_id", "tok", 30_000, 2.0)
+    return out.select("doc_id", "lang", F.col("copy_idx").cast("long").alias("copy_idx"))

@@ -252,6 +252,7 @@ SCALE_QUERIES = [
     "duplication_profile_docs",
     "unimax_sample_docs",
     "decontaminate_spans_docs",
+    "unimax_tokens_docs",
 ]
 
 

@@ -638,3 +638,105 @@ class TestUnimaxSample:
         df = spark.createDataFrame(rows, "k string, g string")
         out = unimax_sample(df, "g", "k", 10_000, 1.5)
         assert out.count() == 15 + 30
+
+
+class TestUnimaxTokens:
+    """Token-budget UniMax: waterfilling on token totals + exact full
+    epochs + the per-group two-level take-while remainder."""
+
+    @staticmethod
+    def _reference(rows, budget, cap):
+        import hashlib
+        from collections import defaultdict
+
+        totals = defaultdict(int)
+        for k, g, t in rows:
+            totals[g] += t
+        items = sorted(totals.items(), key=lambda kv: (kv[1], kv[0]))
+        remaining, left, q = float(budget), len(items), {}
+        for g, n in items:
+            alloc = min(cap * n, remaining / left)
+            q[g] = int(alloc // 1)
+            remaining -= alloc
+            left -= 1
+        out = []
+        for g, quota in q.items():
+            total = totals[g]
+            if quota <= 0 or total <= 0:
+                continue
+            e, rem = quota // total, quota % total
+            for k, gg, t in rows:
+                if gg == g:
+                    out.extend((k, ci) for ci in range(1, e + 1))
+            run = 0
+            ordered = sorted(
+                (hashlib.md5(k.encode()).hexdigest(), k, t)
+                for k, gg, t in rows
+                if gg == g
+            )
+            for _, k, t in ordered:
+                if run + t <= rem:
+                    run += t
+                    out.append((k, e + 1))
+                else:
+                    break
+        return sorted(out)
+
+    def test_matches_reference_random(self, spark):
+        import random
+
+        from mysql_syncer_spark.operators.sampling import unimax_tokens
+
+        rng = random.Random(13)
+        for _ in range(3):
+            rows = []
+            for j in range(rng.randint(2, 5)):
+                for i in range(rng.randint(3, 40)):
+                    rows.append((f"g{j}_{i}", f"g{j}", rng.randint(0, 50)))
+            budget = rng.randint(0, 2 * sum(t for *_, t in rows))
+            cap = rng.choice([0.8, 1.0, 2.0, 2.5])
+            df = spark.createDataFrame(rows, "k string, g string, tok int")
+            got = sorted(
+                (r.k, r.copy_idx)
+                for r in unimax_tokens(
+                    df, "g", "k", "tok", budget, cap
+                ).collect()
+            )
+            assert got == self._reference(rows, budget, cap), (budget, cap)
+
+    def test_token_quota_never_exceeded(self, spark):
+        from mysql_syncer_spark.operators.sampling import unimax_tokens
+
+        rows = [(f"a{i}", "a", 10) for i in range(30)] + [
+            (f"b{i}", "b", 10) for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "k string, g string, tok int")
+        budget, cap = 1000, 2.0
+        out = unimax_tokens(df, "g", "k", "tok", budget, cap).collect()
+        per_group = {}
+        for r in out:
+            per_group[r.g] = per_group.get(r.g, 0) + 10
+        # a: total 300 -> alloc min(cap 600, share 500) = 500
+        #   (1 full epoch = 300 + a 200-token partial prefix)
+        # b: the remaining 500
+        assert per_group == {"a": 500, "b": 500}
+
+    def test_negative_tokens_raise(self, spark):
+        from mysql_syncer_spark.operators.sampling import unimax_tokens
+
+        df = spark.createDataFrame(
+            [("x", "a", -1)], "k string, g string, tok int"
+        )
+        with pytest.raises(Exception, match="negative"):
+            unimax_tokens(df, "g", "k", "tok", 10, 1.0).collect()
+
+    def test_validation(self, spark):
+        from mysql_syncer_spark.operators.sampling import unimax_tokens
+
+        df = spark.createDataFrame([("x", "a", 1)], "k string, g string, tok int")
+        with pytest.raises(ValueError):
+            unimax_tokens(df, "g", "k", "tok", -1, 1.0)
+        with pytest.raises(ValueError):
+            unimax_tokens(df, "g", "k", "tok", 10, 0)
+        with pytest.raises(ValueError):
+            unimax_tokens(df, "g", "k", "tok", 10, 1.0, bucket_hex=0)

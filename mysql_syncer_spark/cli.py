@@ -28,6 +28,7 @@ import json
 import sys
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from mysql_syncer_spark.config import SyncConfig
 from mysql_syncer_spark.executor import ParquetSyncExecutor, SyncReport
@@ -227,6 +228,31 @@ def build_parser() -> argparse.ArgumentParser:
                      help="list registered query names and exit")
     session_opts(p_q)
 
+    p_scr = sub.add_parser(
+        "scrub",
+        help="exact-substring scrub: cut cross-doc duplicated spans "
+             "(Lee et al. 2022) or spans shared with a benchmark set "
+             "(surgical decontamination) and write the cleaned corpus")
+    p_scr.add_argument("--docs", required=True,
+                       help="input documents parquet")
+    p_scr.add_argument("--out", required=True,
+                       help="output parquet path (adds text_clean + "
+                            "n_chars_removed)")
+    p_scr.add_argument("--reference",
+                       help="benchmark parquet: scrub spans shared with "
+                            "IT instead of cross-doc duplicates")
+    p_scr.add_argument("--k", type=int, default=20,
+                       help="minimum duplicated span length in chars")
+    p_scr.add_argument("--min-docs", type=int, default=2,
+                       help="corpus doc-frequency bar (cross-doc mode)")
+    p_scr.add_argument("--winnow", type=int, default=None,
+                       help="winnowing window w (content-defined "
+                            "fingerprints; detection >= w+k-1, the "
+                            "100 TB tier). Omit for the exact tier")
+    p_scr.add_argument("--id-col", default="doc_id")
+    p_scr.add_argument("--text-col", default="text")
+    session_opts(p_scr)
+
     p_cmp = sub.add_parser(
         "index-compact",
         help="rewrite the index tables with duplicate rows removed "
@@ -407,6 +433,42 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None,
             print(json.dumps({"db": args.db, "violations": rep}), file=out)
             bad = sum(rep.values())
             return 1 if (args.fail_on_violation and bad) else 0
+        if args.command == "scrub":
+            from mysql_syncer_spark.operators.spans import (
+                remove_duplicate_spans,
+                scrub_spans_between,
+            )
+
+            docs = spark.read.parquet(args.docs)
+            if args.reference:
+                cleaned = scrub_spans_between(
+                    docs, spark.read.parquet(args.reference),
+                    text_col=args.text_col, id_col=args.id_col,
+                    k=args.k, winnow_w=args.winnow,
+                )
+            else:
+                cleaned = remove_duplicate_spans(
+                    docs, text_col=args.text_col, id_col=args.id_col,
+                    k=args.k, min_docs=args.min_docs,
+                    winnow_w=args.winnow,
+                )
+            cleaned.write.mode("overwrite").parquet(args.out)
+            stats = spark.read.parquet(args.out).agg(
+                F.count("*").alias("docs"),
+                F.sum("n_chars_removed").alias("chars_removed"),
+                F.sum(
+                    (F.col("n_chars_removed") > 0).cast("long")
+                ).alias("docs_touched"),
+            ).first()
+            print(json.dumps({
+                "out": args.out,
+                "docs": stats["docs"],
+                "docs_touched": stats["docs_touched"],
+                "chars_removed": stats["chars_removed"],
+                "mode": "benchmark" if args.reference else "cross-doc",
+                "tier": "winnowed" if args.winnow else "exact",
+            }), file=out)
+            return 0
         if args.command == "query":
             from mysql_syncer_spark import queries as registry
 

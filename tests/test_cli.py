@@ -314,3 +314,56 @@ def test_query_command_errors(spark, sf_dir):
     assert code == 2 and "unknown query" in lines[0]["error"]
     code, lines = run_cli(spark, ["query", "count_lineitem"])
     assert code == 2 and "--data" in lines[0]["error"]
+
+
+def test_scrub_cross_doc_and_benchmark(spark, tmp_path, capsys=None):
+    import json as _json
+
+    from mysql_syncer_spark.cli import main
+
+    import random, string
+    rng = random.Random(91)
+
+    def rand(n):
+        return "".join(rng.choice(string.ascii_lowercase) for _ in range(n))
+
+    shared = rand(40)
+    docs = spark.createDataFrame(
+        [(1, rand(30) + shared + rand(20)), (2, rand(15) + shared),
+         (3, rand(80))],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out1 = str(tmp_path / "clean1")
+    import io
+
+    buf = io.StringIO()
+    rc = main(
+        ["scrub", "--docs", src, "--out", out1, "--k", "10"],
+        spark=spark, out=buf,
+    )
+    assert rc == 0
+    rep = _json.loads(buf.getvalue().strip())
+    assert rep["mode"] == "cross-doc" and rep["tier"] == "exact"
+    assert rep["docs"] == 3 and rep["docs_touched"] == 2
+    assert rep["chars_removed"] >= 80  # both copies cut
+    cleaned = {r.doc_id: r.text_clean
+               for r in spark.read.parquet(out1).collect()}
+    assert shared not in cleaned[1] and shared not in cleaned[2]
+
+    # benchmark mode, winnowed tier
+    ref = spark.createDataFrame([(0, shared)], "ref_id long, text string")
+    refp = str(tmp_path / "ref")
+    ref.write.parquet(refp)
+    out2 = str(tmp_path / "clean2")
+    buf2 = io.StringIO()
+    rc = main(
+        ["scrub", "--docs", src, "--out", out2, "--reference", refp,
+         "--k", "8", "--winnow", "4"],
+        spark=spark, out=buf2,
+    )
+    assert rc == 0
+    rep2 = _json.loads(buf2.getvalue().strip())
+    assert rep2["mode"] == "benchmark" and rep2["tier"] == "winnowed"
+    assert rep2["docs_touched"] == 2

@@ -383,3 +383,142 @@ def benford_screen(
             (chi2 > 20.09).alias("suspicious"),
         )
     )
+
+
+def exact_ntile(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_bins: int,
+    range_buckets: int = 4096,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Exact global NTILE (equal-frequency quantile binning) WITHOUT a
+    global sort window — the featurization step (quantile
+    discretization, monotone calibration buckets) whose naive SQL form
+    (``NTILE(k) OVER (ORDER BY value)``) funnels the entire dataset
+    through one partition.
+
+    Decomposition: a row's global rank under the total order
+    ``(value, md5(key), key)`` is
+
+        rank = C_less(value) + r_within(value, key)
+
+    and each term is computed with ONLY bounded windows:
+
+    * ``C_less`` — rows with a strictly smaller value: group by value
+      (combinable; a 50%-duplicated value collapses to ONE row), split
+      the distinct-value frame into ``range_buckets`` uniform value
+      ranges, per-range totals + a window over the <= range_buckets-row
+      histogram give range offsets, and a per-RANGE window over the
+      distinct-value frame finishes the prefix — no window ever spans
+      more than one range of DISTINCT values.
+    * ``r_within`` — the row's rank among its value's ties, ordered by
+      ``(md5(key), key)``: the E158 two-level trick on the tie group
+      (per-(value, hex-bucket) counts, a per-VALUE window over its
+      <= 4096-row bucket histogram, a per-(value, bucket) row_number)
+      — a pathological 50%-duplicated value runs windows of
+      ties/4096 rows, never the whole tie group.
+
+    The bin then follows NTILE's convention in closed form (first
+    ``N mod k`` bins take ``ceil(N/k)`` rows). NULL values are
+    excluded (documented; SQL NTILE would order them arbitrarily).
+
+    Honest limit: the distinct-value ranges are UNIFORM in value
+    space, so an adversarial distribution (all distinct values
+    clustered in one range next to a lone outlier) degrades the
+    C_less window to the distinct-value count of that range;
+    duplicates — the common real skew — are immune by construction.
+    Output: input columns + ``out_col`` (1-based bin, long).
+    """
+    from pyspark.sql import Window
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if range_buckets < 1:
+        raise ValueError(
+            f"range_buckets must be >= 1, got {range_buckets}"
+        )
+    rows = df.where(F.col(value_col).isNotNull())
+    v = F.col(value_col).cast("double")
+
+    dv = rows.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    bounds = dv.agg(
+        F.min(v).alias("__mn"), F.max(v).alias("__mx")
+    )
+    dvb = dv.crossJoin(F.broadcast(bounds)).withColumn(
+        "__rid",
+        F.when(
+            F.col("__mx") > F.col("__mn"),
+            F.least(
+                F.floor(
+                    (v - F.col("__mn"))
+                    / (F.col("__mx") - F.col("__mn"))
+                    * range_buckets
+                ),
+                F.lit(range_buckets - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    ).drop("__mn", "__mx")
+    rhist = dvb.groupBy("__rid").agg(F.sum("__cnt").alias("__rn"))
+    roff_w = Window.orderBy("__rid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    rall_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    roff = rhist.withColumn(
+        "__roff", F.coalesce(F.sum("__rn").over(roff_w), F.lit(0))
+    ).withColumn("__N", F.sum("__rn").over(rall_w))
+    in_range_w = Window.partitionBy("__rid").orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    dv_less = (
+        dvb.join(F.broadcast(roff.select("__rid", "__roff", "__N")), "__rid")
+        .withColumn(
+            "__less",
+            F.col("__roff")
+            + F.coalesce(F.sum("__cnt").over(in_range_w), F.lit(0)),
+        )
+        .select(value_col, "__less", "__N")
+    )
+
+    pr = F.md5(F.col(key_col).cast("string"))
+    keyed = rows.join(dv_less, value_col).withColumn(
+        "__pr", pr
+    ).withColumn("__b", F.substring(F.col("__pr"), 1, 3))
+    vb = keyed.groupBy(value_col, "__b").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    vb_w = Window.partitionBy(value_col).orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    vb_off = vb.withColumn(
+        "__boff", F.coalesce(F.sum("__bn").over(vb_w), F.lit(0))
+    ).select(value_col, "__b", "__boff")
+    local_w = Window.partitionBy(value_col, "__b").orderBy("__pr", key_col)
+    ranked = (
+        keyed.join(vb_off, [value_col, "__b"])
+        .withColumn("__local", F.row_number().over(local_w))
+        .withColumn(
+            "__rank",
+            F.col("__less") + F.col("__boff") + F.col("__local"),
+        )
+    )
+    # NTILE convention: q = N // k, rem = N % k; the first rem bins
+    # hold q+1 rows.
+    q = (F.col("__N") / n_bins).cast("long")
+    rem = F.col("__N") % n_bins
+    big_span = rem * (q + 1)
+    bin_expr = F.when(
+        F.col("__rank") <= big_span,
+        F.ceil(F.col("__rank") / (q + 1)),
+    ).otherwise(
+        rem + F.ceil((F.col("__rank") - big_span) / F.greatest(q, F.lit(1)))
+    )
+    out_cols = df.columns
+    return ranked.select(
+        *out_cols, bin_expr.cast("long").alias(out_col)
+    )

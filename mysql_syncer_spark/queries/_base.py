@@ -734,6 +734,7 @@ _DEMOTED: tuple[str, ...] = (
     "unimax_sample_docs",
     "decontaminate_spans_docs",
     "unimax_tokens_docs",
+    "exact_ntile_events",
 )
 
 

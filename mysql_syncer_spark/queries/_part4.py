@@ -1988,3 +1988,30 @@ def unimax_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sampling.unimax_tokens(toks, "lang", "doc_id", "tok", 30_000, 2.0)
     return out.select("doc_id", "lang", F.col("copy_idx").cast("long").alias("copy_idx"))
+
+
+@_register(
+    "exact_ntile_events",
+    """WITH vals AS (SELECT event_id, value FROM events
+                     WHERE value IS NOT NULL)
+       SELECT event_id, value,
+              CAST(NTILE(10) OVER (
+                   ORDER BY value, md5(CAST(event_id AS VARCHAR)),
+                            event_id) AS BIGINT) AS bin
+       FROM vals""",
+)
+def exact_ntile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E171: exact global NTILE(10) over events.value WITHOUT a global
+    sort window — equal-frequency quantile binning (featurization /
+    calibration buckets). rank = C_less(value) + r_within(ties)
+    where C_less runs over the DISTINCT-value frame split into uniform
+    value ranges (a 50%-duplicated value collapses to one row) and the
+    tie rank uses the E158 two-level hex-bucket trick — every window
+    in the engine plan is bounded; the ORACLE deliberately runs the
+    naive NTILE-over-everything window with the identical
+    (value, md5(key), key) total order (operators/profile.py
+    exact_ntile)."""
+    from mysql_syncer_spark.operators.profile import exact_ntile
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    return exact_ntile(ev, "value", "event_id", 10)

@@ -253,6 +253,7 @@ SCALE_QUERIES = [
     "unimax_sample_docs",
     "decontaminate_spans_docs",
     "unimax_tokens_docs",
+    "exact_ntile_events",
 ]
 
 

@@ -309,3 +309,77 @@ class TestBenfordScreen:
             benford_screen(df, ["g"], "v", min_rows=0)
         with _pytest.raises(ValueError, match="group_cols"):
             benford_screen(df, [], "v")
+
+
+class TestExactNtile:
+    """operators/profile.py exact_ntile — global NTILE without a
+    global sort window, equal to the literal NTILE reference."""
+
+    @staticmethod
+    def _reference(rows, k):
+        import hashlib
+        import math
+
+        order = sorted(
+            (v, hashlib.md5(str(kk).encode()).hexdigest(), kk)
+            for kk, v in rows
+        )
+        n = len(order)
+        q, rem = divmod(n, k)
+        out = {}
+        for i, (_, _, kk) in enumerate(order, 1):
+            if i <= rem * (q + 1):
+                out[kk] = math.ceil(i / (q + 1))
+            else:
+                out[kk] = rem + math.ceil((i - rem * (q + 1)) / max(q, 1))
+        return out
+
+    def test_matches_reference_across_regimes(self, spark):
+        import random
+
+        from mysql_syncer_spark.operators.profile import exact_ntile
+
+        rng = random.Random(7)
+        makers = [
+            lambda: rng.uniform(0, 100),  # distinct-ish
+            lambda: float(rng.randint(0, 5)),  # heavy ties
+            lambda: 42.0,  # single value
+            lambda: rng.choice([1e-9 * rng.random(), 1e9]),  # range skew
+        ]
+        for maker in makers:
+            rows = [(i, maker()) for i in range(400)]
+            rows += [(900 + j, None) for j in range(4)]  # NULLs excluded
+            df = spark.createDataFrame(rows, "k long, v double")
+            for k in (1, 4, 7):
+                got = {
+                    r.k: r.bin
+                    for r in exact_ntile(df, "v", "k", k).collect()
+                }
+                exp = self._reference(
+                    [(kk, v) for kk, v in rows if v is not None], k
+                )
+                assert got == exp
+
+    def test_bin_sizes_follow_ntile_convention(self, spark):
+        from mysql_syncer_spark.operators.profile import exact_ntile
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k long, v double"
+        )
+        from collections import Counter
+
+        sizes = Counter(
+            r.bin for r in exact_ntile(df, "v", "k", 3).collect()
+        )
+        assert sizes == {1: 4, 2: 3, 3: 3}  # 10 = 4+3+3
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.profile import exact_ntile
+
+        df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+        with _pytest.raises(ValueError):
+            exact_ntile(df, "v", "k", 0)
+        with _pytest.raises(ValueError):
+            exact_ntile(df, "v", "k", 3, range_buckets=0)

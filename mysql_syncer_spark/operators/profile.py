@@ -392,37 +392,45 @@ def exact_ntile(
     n_bins: int,
     range_buckets: int = 4096,
     out_col: str = "bin",
+    group_cols: "Sequence[str] | None" = None,
 ) -> DataFrame:
-    """Exact global NTILE (equal-frequency quantile binning) WITHOUT a
-    global sort window — the featurization step (quantile
+    """Exact NTILE (equal-frequency quantile binning) WITHOUT a
+    global/whole-group sort window — the featurization step (quantile
     discretization, monotone calibration buckets) whose naive SQL form
-    (``NTILE(k) OVER (ORDER BY value)``) funnels the entire dataset
-    through one partition.
+    (``NTILE(k) OVER ([PARTITION BY g] ORDER BY value)``) funnels an
+    entire dataset (or an entire hot group) through one partition.
+    ``group_cols`` bins within each group independently (the common
+    per-segment feature form, e.g. value decile within event_type);
+    empty/None bins globally.
 
-    Decomposition: a row's global rank under the total order
+    Decomposition: a row's rank within its group under the total order
     ``(value, md5(key), key)`` is
 
         rank = C_less(value) + r_within(value, key)
 
     and each term is computed with ONLY bounded windows:
 
-    * ``C_less`` — rows with a strictly smaller value: group by value
-      (combinable; a 50%-duplicated value collapses to ONE row), split
-      the distinct-value frame into ``range_buckets`` uniform value
-      ranges, per-range totals + a window over the <= range_buckets-row
-      histogram give range offsets, and a per-RANGE window over the
-      distinct-value frame finishes the prefix — no window ever spans
-      more than one range of DISTINCT values.
+    * ``C_less`` — rows with a strictly smaller value: group by
+      (group, value) (combinable; a 50%-duplicated value collapses to
+      ONE row), split each group's distinct-value frame into
+      ``range_buckets`` uniform value ranges (per-group min/max from a
+      tiny agg), per-range totals + a window over the group's
+      <= range_buckets-row histogram give range offsets, and a
+      per-(group, RANGE) window over the distinct-value frame finishes
+      the prefix — no window ever spans more than one range of
+      DISTINCT values.
     * ``r_within`` — the row's rank among its value's ties, ordered by
       ``(md5(key), key)``: the E158 two-level trick on the tie group
-      (per-(value, hex-bucket) counts, a per-VALUE window over its
-      <= 4096-row bucket histogram, a per-(value, bucket) row_number)
-      — a pathological 50%-duplicated value runs windows of
-      ties/4096 rows, never the whole tie group.
+      (per-(group, value, hex-bucket) counts, a per-(group, VALUE)
+      window over its <= 4096-row bucket histogram, a
+      per-(group, value, bucket) row_number) — a pathological
+      50%-duplicated value runs windows of ties/4096 rows, never the
+      whole tie group.
 
     The bin then follows NTILE's convention in closed form (first
-    ``N mod k`` bins take ``ceil(N/k)`` rows). NULL values are
-    excluded (documented; SQL NTILE would order them arbitrarily).
+    ``N mod k`` bins take ``ceil(N/k)`` rows, N per group). NULL
+    values are excluded (documented; SQL NTILE would order them
+    arbitrarily).
 
     Honest limit: the distinct-value ranges are UNIFORM in value
     space, so an adversarial distribution (all distinct values
@@ -439,14 +447,20 @@ def exact_ntile(
         raise ValueError(
             f"range_buckets must be >= 1, got {range_buckets}"
         )
+    g = list(group_cols or [])
     rows = df.where(F.col(value_col).isNotNull())
     v = F.col(value_col).cast("double")
 
-    dv = rows.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
-    bounds = dv.agg(
-        F.min(v).alias("__mn"), F.max(v).alias("__mx")
-    )
-    dvb = dv.crossJoin(F.broadcast(bounds)).withColumn(
+    dv = rows.groupBy(*g, value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    if g:
+        bounds = dv.groupBy(*g).agg(
+            F.min(v).alias("__mn"), F.max(v).alias("__mx")
+        )
+        dvb = dv.join(bounds, g)
+    else:
+        bounds = dv.agg(F.min(v).alias("__mn"), F.max(v).alias("__mx"))
+        dvb = dv.crossJoin(F.broadcast(bounds))
+    dvb = dvb.withColumn(
         "__rid",
         F.when(
             F.col("__mx") > F.col("__mn"),
@@ -462,45 +476,54 @@ def exact_ntile(
         .otherwise(F.lit(0))
         .cast("long"),
     ).drop("__mn", "__mx")
-    rhist = dvb.groupBy("__rid").agg(F.sum("__cnt").alias("__rn"))
-    roff_w = Window.orderBy("__rid").rowsBetween(
+    rhist = dvb.groupBy(*g, "__rid").agg(F.sum("__cnt").alias("__rn"))
+    roff_w = Window.partitionBy(*g).orderBy("__rid").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    rall_w = Window.rowsBetween(
+    rall_w = Window.partitionBy(*g).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     roff = rhist.withColumn(
         "__roff", F.coalesce(F.sum("__rn").over(roff_w), F.lit(0))
     ).withColumn("__N", F.sum("__rn").over(rall_w))
-    in_range_w = Window.partitionBy("__rid").orderBy(value_col).rowsBetween(
-        Window.unboundedPreceding, -1
+    in_range_w = (
+        Window.partitionBy(*g, "__rid")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    roff_sel = roff.select(*g, "__rid", "__roff", "__N")
+    if not g:
+        roff_sel = F.broadcast(roff_sel)
     dv_less = (
-        dvb.join(F.broadcast(roff.select("__rid", "__roff", "__N")), "__rid")
+        dvb.join(roff_sel, [*g, "__rid"])
         .withColumn(
             "__less",
             F.col("__roff")
             + F.coalesce(F.sum("__cnt").over(in_range_w), F.lit(0)),
         )
-        .select(value_col, "__less", "__N")
+        .select(*g, value_col, "__less", "__N")
     )
 
     pr = F.md5(F.col(key_col).cast("string"))
-    keyed = rows.join(dv_less, value_col).withColumn(
+    keyed = rows.join(dv_less, [*g, value_col]).withColumn(
         "__pr", pr
     ).withColumn("__b", F.substring(F.col("__pr"), 1, 3))
-    vb = keyed.groupBy(value_col, "__b").agg(
+    vb = keyed.groupBy(*g, value_col, "__b").agg(
         F.count(F.lit(1)).alias("__bn")
     )
-    vb_w = Window.partitionBy(value_col).orderBy("__b").rowsBetween(
-        Window.unboundedPreceding, -1
+    vb_w = (
+        Window.partitionBy(*g, value_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     vb_off = vb.withColumn(
         "__boff", F.coalesce(F.sum("__bn").over(vb_w), F.lit(0))
-    ).select(value_col, "__b", "__boff")
-    local_w = Window.partitionBy(value_col, "__b").orderBy("__pr", key_col)
+    ).select(*g, value_col, "__b", "__boff")
+    local_w = Window.partitionBy(*g, value_col, "__b").orderBy(
+        "__pr", key_col
+    )
     ranked = (
-        keyed.join(vb_off, [value_col, "__b"])
+        keyed.join(vb_off, [*g, value_col, "__b"])
         .withColumn("__local", F.row_number().over(local_w))
         .withColumn(
             "__rank",

@@ -735,6 +735,7 @@ _DEMOTED: tuple[str, ...] = (
     "decontaminate_spans_docs",
     "unimax_tokens_docs",
     "exact_ntile_events",
+    "exact_ntile_by_type_events",
 )
 
 

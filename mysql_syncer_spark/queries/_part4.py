@@ -2015,3 +2015,28 @@ def exact_ntile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "value")
     return exact_ntile(ev, "value", "event_id", 10)
+
+
+@_register(
+    "exact_ntile_by_type_events",
+    """WITH vals AS (SELECT event_id, event_type, value FROM events
+                     WHERE value IS NOT NULL)
+       SELECT event_id, event_type, value,
+              CAST(NTILE(4) OVER (
+                   PARTITION BY event_type
+                   ORDER BY value, md5(CAST(event_id AS VARCHAR)),
+                            event_id) AS BIGINT) AS bin
+       FROM vals""",
+)
+def exact_ntile_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E171 grouped form: per-event_type value quartiles — the common
+    per-segment feature shape (NTILE PARTITION BY) where a HOT group
+    is the scale hazard the naive window can't dodge; same bounded-
+    window decomposition, all structures group-prefixed
+    (operators/profile.py exact_ntile(group_cols=...))."""
+    from mysql_syncer_spark.operators.profile import exact_ntile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return exact_ntile(ev, "value", "event_id", 4, group_cols=["event_type"])

@@ -254,6 +254,7 @@ SCALE_QUERIES = [
     "decontaminate_spans_docs",
     "unimax_tokens_docs",
     "exact_ntile_events",
+    "exact_ntile_by_type_events",
 ]
 
 

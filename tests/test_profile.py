@@ -383,3 +383,40 @@ class TestExactNtile:
             exact_ntile(df, "v", "k", 0)
         with _pytest.raises(ValueError):
             exact_ntile(df, "v", "k", 3, range_buckets=0)
+
+    def test_grouped_matches_partitioned_reference(self, spark):
+        import random
+
+        from mysql_syncer_spark.operators.profile import exact_ntile
+
+        rng = random.Random(3)
+        rows, i = [], 0
+        for g, n, maker in (
+            ("a", 200, lambda: rng.uniform(0, 10)),  # distinct-ish
+            ("b", 50, lambda: float(rng.randint(0, 3))),  # ties
+            ("c", 7, lambda: 5.0),  # single value, N < k
+        ):
+            for _ in range(n):
+                rows.append((i, g, maker()))
+                i += 1
+        rows.append((9999, "a", None))
+        df = spark.createDataFrame(rows, "k long, g string, v double")
+        for k in (1, 4):
+            got = {
+                r.k: r.bin
+                for r in exact_ntile(
+                    df, "v", "k", k, group_cols=["g"]
+                ).collect()
+            }
+            from collections import defaultdict
+
+            by_g = defaultdict(list)
+            for kk, g, v in rows:
+                if v is not None:
+                    by_g[g].append((kk, v))
+            exp = {}
+            for g, items in by_g.items():
+                exp.update(
+                    self._reference(items, k)
+                )
+            assert got == exp, k

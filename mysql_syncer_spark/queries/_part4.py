@@ -1116,7 +1116,8 @@ def ivm_full_join_orders_customer(
          SELECT o_custkey % 256,
                 CAST(o_totalprice AS DECIMAL(18,2)) + 100000
          FROM orders WHERE o_orderkey % 11 = 0)
-       SELECT grp, MIN(v) AS min_v, MAX(v) AS max_v,
+       SELECT grp, CAST(MIN(v) AS DOUBLE) AS min_v,
+              CAST(MAX(v) AS DOUBLE) AS max_v,
               CAST(COUNT(*) AS BIGINT) AS n_values
        FROM b1 GROUP BY grp ORDER BY grp""",
 )
@@ -1134,7 +1135,13 @@ def ivm_extrema_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     inserts push new maxima. State is values-per-group-sized; the one
     shuffling join is the support merge on (group, value). Oracle:
     the full recompute over (base − deletes + inserts) — the
-    refresh-equivalence law, DECIMAL-exact."""
+    refresh-equivalence law, DECIMAL-exact internally; the extrema are
+    SURFACED as DOUBLE (the registry-wide decimal rendering
+    discipline — r9's one driver hash mismatch was this query
+    returning raw DECIMAL(18,2), which the driver's hasher
+    canonicalizes differently from the DuckDB oracle's decimals even
+    though every cell value is identical; decimal→double conversion
+    of 2-dp money values is the same IEEE value on both engines)."""
     from mysql_syncer_spark.operators.incremental_agg import (
         apply_extremum_delta,
         apply_value_support_delta,
@@ -1165,8 +1172,8 @@ def ivm_extrema_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext1 = apply_extremum_delta(ext0, sup1, delta, ["grp"], "v")
     return ext1.select(
         "grp",
-        F.col("min_v").alias("min_v"),
-        F.col("max_v").alias("max_v"),
+        F.col("min_v").cast("double").alias("min_v"),
+        F.col("max_v").cast("double").alias("max_v"),
         "n_values",
     ).orderBy("grp")
 

@@ -721,10 +721,21 @@ _NANOS_TS_COLS = {"events": ("ts",)}
 
 
 def configure_session(builder):
-    """Apply the session configs the engine needs on any builder."""
+    """Apply the session configs the engine needs on any builder.
+
+    ``spark.sql.session.timeZone=UTC`` mirrors the reference pinning the
+    whole PHP process to UTC (bootstrap.php:9-11; README "Timestamps
+    Issue"): Spark timestamps are instants rendered in the session TZ,
+    so canon.py's timestamp→string canonicalization — and therefore
+    every row hash and table digest — would differ between two engine
+    installations with different host default TZs. Pinning makes
+    digests host-independent, exactly the property the reference needed
+    for master/slave hash comparison across machines.
+    """
     return (
         builder.config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
     )
 
 
@@ -735,6 +746,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # driver's) may not have it — without it the events read throws
         # PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # pin the session TZ for callers that built their own session (the
+    # driver does): timestamp canonicalization — row hashes, digests,
+    # and the oracle comparison of rendered timestamps — must not
+    # depend on the host's default TZ (reference bootstrap.php:9-11)
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":

@@ -333,9 +333,30 @@ def run_group(group: str) -> None:
             # per-action overhead floor on this box: a 1-row noop
             # write. Sub-second entries (digest_check, resync_noop)
             # bottom out here, so ratios against them are floor-capped.
+            # r10: min over 20 repeats at sub-ms precision — the r9
+            # single-shot value moved 0.05→0.04 s on one scheduler tick
+            # and swung the derived canary_norm ±20% (VERDICT r9 §wrong
+            # 2); min-of-many converges to the true floor.
+            floors = []
+            for _ in range(20):
+                t0 = time.time()
+                force(spark.range(1))
+                floors.append(time.time() - t0)
+            times["action_floor"] = round(min(floors), 4)
+            # ~1 s fixed-work host normalizer (r10, VERDICT item 3):
+            # 1.2 G-row JVM-codegen xxhash64 fold — zero registry code
+            # dependence, CPU-bound, no shuffle growth, big enough that
+            # a 10 ms tick is <2% not ±25%. canary_norm2 divides by
+            # (this / its r10 anchor); round-over-round reads use it.
             t0 = time.time()
-            force(spark.range(1))
-            times["action_floor"] = round(time.time() - t0, 3)
+            force(
+                spark.range(0, 1_200_000_000, 1, int(CPUS)).select(
+                    F.sum(
+                        F.pmod(F.xxhash64("id"), F.lit(1_000_000_007))
+                    ).alias("s")
+                )
+            )
+            times["fixed_work"] = round(time.time() - t0, 3)
         for name in keys:
             t0 = time.time()
             force(qmap[name](spark, SF_DIR))
@@ -432,7 +453,11 @@ def main() -> None:
         detail_groups[group] = blob
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    total = round(sum(merged.values()), 3)
+    # fixed_work is a pure host normalizer, not a query — keep it out
+    # of the headline total so r9↔r10 totals stay key-comparable
+    total = round(
+        sum(v for k, v in merged.items() if k != "fixed_work"), 3
+    )
     canary_keys = (
         ["action_floor"]
         + CANARY
@@ -449,12 +474,27 @@ def main() -> None:
         canary_total / max(merged["action_floor"] / _R5_ACTION_FLOOR, 1e-9),
         3,
     )
+    # r10 normalizer v2 (BASELINE.md changeover): divide by the ~1 s
+    # fixed-work key instead of the 30-50 ms action floor — a 10 ms
+    # measurement tick moved canary_norm ±20-25% in r8→r9 (larger than
+    # any real plan change); against a ~0.9 s denominator the same tick
+    # is ~1%. Anchored to the r10 measurement on this host
+    # (_R10_FIXED_WORK), so canary_norm2 ≈ canary_sec in r10 and future
+    # rounds read r10-equivalent seconds. The old canary_norm stays
+    # emitted for continuity with r5-r9.
+    _R10_FIXED_WORK = 0.85
+    canary_norm2 = round(
+        canary_total
+        / max(merged.get("fixed_work", _R10_FIXED_WORK) / _R10_FIXED_WORK, 1e-9),
+        3,
+    )
     detail = {
         "metric": "total_headline_sec",
         "value": total,
         "unit": "sec",
         "canary_sec": canary_total,
         "canary_norm": canary_norm,
+        "canary_norm2": canary_norm2,
         "queries": merged,
         "groups": detail_groups,
         "sf": float(sf) if sf else SF_DIR,
@@ -479,6 +519,7 @@ def main() -> None:
         "queries": {k: round(merged[k], 2) for k in canary_keys},
         "canary_sec": canary_total,
         "canary_norm": canary_norm,
+        "canary_norm2": canary_norm2,
         "n_queries": len(merged),
         "detail": "BENCH_DETAIL.json",
         "sf": float(sf) if sf else SF_DIR,

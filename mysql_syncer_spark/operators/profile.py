@@ -428,7 +428,10 @@ def exact_ntile(
       whole tie group.
 
     The bin then follows NTILE's convention in closed form (first
-    ``N mod k`` bins take ``ceil(N/k)`` rows, N per group). NULL
+    ``N mod k`` bins take ``ceil(N/k)`` rows, N per group). A NULL
+    GROUP key is one ordinary partition (SQL PARTITION BY semantics;
+    the internal joins go through a struct-wrapped group key so NULLs
+    match). NULL
     values are excluded (documented; SQL NTILE would order them
     arbitrarily).
 
@@ -449,14 +452,24 @@ def exact_ntile(
         )
     g = list(group_cols or [])
     rows = df.where(F.col(value_col).isNotNull())
+    # Null-safe group handling: plain equi-joins on the group columns
+    # never match NULL keys, which would silently drop the NULL
+    # partition the oracle's NTILE(...) PARTITION BY keeps. Wrap the
+    # group key in a single struct column — struct equality treats NULL
+    # fields as equal (Spark's null-safe ordering inside structs), so
+    # every groupBy/join/window below sees the NULL group as one
+    # ordinary key.
+    if g:
+        rows = rows.withColumn("__g", F.struct(*g))
+    gk = ["__g"] if g else []
     v = F.col(value_col).cast("double")
 
-    dv = rows.groupBy(*g, value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    dv = rows.groupBy(*gk, value_col).agg(F.count(F.lit(1)).alias("__cnt"))
     if g:
-        bounds = dv.groupBy(*g).agg(
+        bounds = dv.groupBy(*gk).agg(
             F.min(v).alias("__mn"), F.max(v).alias("__mx")
         )
-        dvb = dv.join(bounds, g)
+        dvb = dv.join(bounds, gk)
     else:
         bounds = dv.agg(F.min(v).alias("__mn"), F.max(v).alias("__mx"))
         dvb = dv.crossJoin(F.broadcast(bounds))
@@ -476,54 +489,54 @@ def exact_ntile(
         .otherwise(F.lit(0))
         .cast("long"),
     ).drop("__mn", "__mx")
-    rhist = dvb.groupBy(*g, "__rid").agg(F.sum("__cnt").alias("__rn"))
-    roff_w = Window.partitionBy(*g).orderBy("__rid").rowsBetween(
+    rhist = dvb.groupBy(*gk, "__rid").agg(F.sum("__cnt").alias("__rn"))
+    roff_w = Window.partitionBy(*gk).orderBy("__rid").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    rall_w = Window.partitionBy(*g).rowsBetween(
+    rall_w = Window.partitionBy(*gk).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     roff = rhist.withColumn(
         "__roff", F.coalesce(F.sum("__rn").over(roff_w), F.lit(0))
     ).withColumn("__N", F.sum("__rn").over(rall_w))
     in_range_w = (
-        Window.partitionBy(*g, "__rid")
+        Window.partitionBy(*gk, "__rid")
         .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    roff_sel = roff.select(*g, "__rid", "__roff", "__N")
+    roff_sel = roff.select(*gk, "__rid", "__roff", "__N")
     if not g:
         roff_sel = F.broadcast(roff_sel)
     dv_less = (
-        dvb.join(roff_sel, [*g, "__rid"])
+        dvb.join(roff_sel, [*gk, "__rid"])
         .withColumn(
             "__less",
             F.col("__roff")
             + F.coalesce(F.sum("__cnt").over(in_range_w), F.lit(0)),
         )
-        .select(*g, value_col, "__less", "__N")
+        .select(*gk, value_col, "__less", "__N")
     )
 
     pr = F.md5(F.col(key_col).cast("string"))
-    keyed = rows.join(dv_less, [*g, value_col]).withColumn(
+    keyed = rows.join(dv_less, [*gk, value_col]).withColumn(
         "__pr", pr
     ).withColumn("__b", F.substring(F.col("__pr"), 1, 3))
-    vb = keyed.groupBy(*g, value_col, "__b").agg(
+    vb = keyed.groupBy(*gk, value_col, "__b").agg(
         F.count(F.lit(1)).alias("__bn")
     )
     vb_w = (
-        Window.partitionBy(*g, value_col)
+        Window.partitionBy(*gk, value_col)
         .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     vb_off = vb.withColumn(
         "__boff", F.coalesce(F.sum("__bn").over(vb_w), F.lit(0))
-    ).select(*g, value_col, "__b", "__boff")
-    local_w = Window.partitionBy(*g, value_col, "__b").orderBy(
+    ).select(*gk, value_col, "__b", "__boff")
+    local_w = Window.partitionBy(*gk, value_col, "__b").orderBy(
         "__pr", key_col
     )
     ranked = (
-        keyed.join(vb_off, [*g, value_col, "__b"])
+        keyed.join(vb_off, [*gk, value_col, "__b"])
         .withColumn("__local", F.row_number().over(local_w))
         .withColumn(
             "__rank",

@@ -202,15 +202,22 @@ def temperature_mixture(
     allows. Deterministic: key-hash rank, salt-controlled.
 
     Cross-engine exact: count, IEEE pow/divide, MIN, multiply, floor —
-    bit-reproducible in DuckDB for the oracle.
+    bit-reproducible in DuckDB for the oracle. A NULL ``group_col`` is
+    one ordinary group (SQL GROUP BY semantics), not dropped — the
+    quota join goes through a struct-wrapped key so NULLs match.
     """
     from pyspark.sql import Window
 
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
-    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    # struct-wrapped group key: plain equi-joins never match NULL keys,
+    # which would break the alpha=1 identity law for NULL-group rows;
+    # struct equality treats NULL fields as equal, so the NULL group is
+    # one ordinary group throughout (groupBy/window already do this)
+    gdf = df.withColumn("__gk", F.struct(group_col))
+    counts = gdf.groupBy("__gk").agg(F.count("*").alias("__n"))
     weighted = counts.select(
-        group_col,
+        "__gk",
         "__n",
         F.pow(F.col("__n").cast("double"), F.lit(float(alpha))).alias(
             "__wt"
@@ -220,17 +227,17 @@ def temperature_mixture(
         F.min(F.col("__n") / F.col("__wt")).alias("__t")
     )
     quotas = weighted.crossJoin(F.broadcast(scale)).select(
-        group_col,
+        "__gk",
         F.floor(F.col("__wt") * F.col("__t")).cast("long").alias("__quota"),
     )
-    rank = Window.partitionBy(group_col).orderBy(
+    rank = Window.partitionBy("__gk").orderBy(
         hash_bucket(key_col, salt), F.col(key_col)
     )
     return (
-        df.join(F.broadcast(quotas), group_col)
+        gdf.join(F.broadcast(quotas), "__gk")
         .withColumn("__rn", F.row_number().over(rank))
         .where(F.col("__rn") <= F.col("__quota"))
-        .drop("__rn", "__quota")
+        .drop("__rn", "__quota", "__gk")
     )
 
 
@@ -545,7 +552,8 @@ def unimax_sample(
     Output: input columns + ``copy_col`` (1-based replica index).
     Shape: one tiny count agg + windows on it, one broadcast quota
     join, ONE per-group window shuffle for the remainder rank, one
-    row-local explode. Groups with quota 0 drop out.
+    row-local explode. Groups with quota 0 drop out. A NULL
+    ``group_col`` is one ordinary group (struct-wrapped quota join).
     """
     from pyspark.sql import Window
 
@@ -553,12 +561,16 @@ def unimax_sample(
         raise ValueError(f"target_rows must be >= 0, got {target_rows}")
     if max_epochs <= 0:
         raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
-    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
-    quotas = _waterfill(counts, group_col, target_rows, max_epochs)
-    rank = Window.partitionBy(group_col).orderBy(
+    # struct-wrapped group key: NULL-group rows must receive a quota
+    # like any other group (plain equi-joins drop them; see
+    # temperature_mixture)
+    gdf = df.withColumn("__gk", F.struct(group_col))
+    counts = gdf.groupBy("__gk").agg(F.count("*").alias("__n"))
+    quotas = _waterfill(counts, "__gk", target_rows, max_epochs)
+    rank = Window.partitionBy("__gk").orderBy(
         hash_bucket(key_col, salt), F.col(key_col)
     )
-    joined = df.join(F.broadcast(quotas), group_col).withColumn(
+    joined = gdf.join(F.broadcast(quotas), "__gk").withColumn(
         "__rn", F.row_number().over(rank)
     )
     copies = (F.col("__quota") / F.col("__n")).cast("long") + (
@@ -570,7 +582,7 @@ def unimax_sample(
         .withColumn(
             copy_col, F.explode(F.sequence(F.lit(1), F.col("__copies")))
         )
-        .drop("__n", "__quota", "__rn", "__copies")
+        .drop("__n", "__quota", "__rn", "__copies", "__gk")
     )
 
 
@@ -697,7 +709,8 @@ def unimax_tokens(
     token counts raise at execution (they break the monotone-prefix
     equivalence — the E158 contract). Delivered tokens per group
     never exceed the group's quota; a bigger budget extends a smaller
-    one's selection (nested, per group).
+    one's selection (nested, per group). A NULL ``group_col`` is one
+    ordinary group (struct-wrapped joins).
     """
     from pyspark.sql import Window
 
@@ -717,17 +730,20 @@ def unimax_tokens(
         ).cast("boolean"),
     ).otherwise(F.lit(True))
     rows = df.where(F.col(tokens_col).isNotNull()).where(nonneg)
-    totals = rows.groupBy(group_col).agg(
+    # struct-wrapped group key (NULL-group rows keep their allocation;
+    # see temperature_mixture)
+    rows = rows.withColumn("__gk", F.struct(group_col))
+    totals = rows.groupBy("__gk").agg(
         F.sum(tokens_col).cast("long").alias("__n")
     ).where(F.col("__n") > 0)
-    quotas = _waterfill(totals, group_col, token_budget, max_epochs)
+    quotas = _waterfill(totals, "__gk", token_budget, max_epochs)
     q2 = quotas.select(
-        group_col,
+        "__gk",
         "__n",
         (F.col("__quota") / F.col("__n")).cast("long").alias("__e"),
         (F.col("__quota") % F.col("__n")).alias("__rem"),
     )
-    joined = rows.join(F.broadcast(q2), group_col)
+    joined = rows.join(F.broadcast(q2), "__gk")
     out_cols = df.columns
     full_replicas = (
         joined.where(F.col("__e") > 0)
@@ -741,26 +757,26 @@ def unimax_tokens(
     cand = joined.where(F.col("__rem") > 0).withColumn(
         "__pr", pr
     ).withColumn("__b", F.substring(F.col("__pr"), 1, bucket_hex))
-    hist = cand.groupBy(group_col, "__b").agg(
+    hist = cand.groupBy("__gk", "__b").agg(
         F.sum(tokens_col).cast("long").alias("__bsum"),
         F.first("__rem").alias("__grem"),
     )
-    hw = Window.partitionBy(group_col).orderBy("__b").rowsBetween(
+    hw = Window.partitionBy("__gk").orderBy("__b").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = hist.withColumn("__cum", F.sum("__bsum").over(hw)).withColumn(
         "__prev", F.col("__cum") - F.col("__bsum")
     )
     j = cand.join(
-        F.broadcast(cum.select(group_col, "__b", "__cum", "__prev")),
-        [group_col, "__b"],
+        F.broadcast(cum.select("__gk", "__b", "__cum", "__prev")),
+        ["__gk", "__b"],
     )
     full_buckets = j.where(F.col("__cum") <= F.col("__rem"))
     boundary = j.where(
         (F.col("__prev") <= F.col("__rem"))
         & (F.col("__cum") > F.col("__rem"))
     )
-    bw = Window.partitionBy(group_col, "__b").orderBy(
+    bw = Window.partitionBy("__gk", "__b").orderBy(
         "__pr", key_col
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     boundary_kept = boundary.withColumn(

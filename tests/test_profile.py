@@ -420,3 +420,51 @@ class TestExactNtile:
                     self._reference(items, k)
                 )
             assert got == exp, k
+
+
+class TestExactNtileNullGroups:
+    """NULL group keys form their own NTILE partition (ADVICE r9): the
+    internal equi-joins go through a struct-wrapped group key, matching
+    the oracle's NTILE(...) PARTITION BY keeping a NULL partition."""
+
+    def test_null_group_binned_not_dropped(self, spark):
+        from mysql_syncer_spark.operators.profile import exact_ntile
+
+        rows = [(i, "a", float(i)) for i in range(10)]
+        rows += [(100 + i, None, float(i)) for i in range(6)]
+        df = spark.createDataFrame(rows, "k long, g string, v double")
+        out = exact_ntile(df, "v", "k", 3, group_cols=["g"]).collect()
+        assert len(out) == 16  # every row kept, incl. the NULL group
+        null_bins = sorted(r.bin for r in out if r.g is None)
+        # 6 rows into 3 bins: 2/2/2, values ordered -> exact NTILE
+        assert null_bins == [1, 1, 2, 2, 3, 3]
+        by_k = {r.k: r.bin for r in out if r.g is None}
+        assert by_k[100] == 1 and by_k[105] == 3
+
+    def test_matches_spark_ntile_with_null_partition(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from mysql_syncer_spark.operators.profile import exact_ntile
+
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, rng.choice(["x", "y", None]), float(rng.randint(0, 5)))
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "k long, g string, v double")
+        got = {
+            r.k: r.bin
+            for r in exact_ntile(df, "v", "k", 4, group_cols=["g"]).collect()
+        }
+        # reference: Spark's own NTILE with the same total order
+        w = Window.partitionBy("g").orderBy(
+            "v", F.md5(F.col("k").cast("string")), "k"
+        )
+        exp = {
+            r.k: r.bin
+            for r in df.withColumn("bin", F.ntile(4).over(w)).collect()
+        }
+        assert got == exp

@@ -740,3 +740,56 @@ class TestUnimaxTokens:
             unimax_tokens(df, "g", "k", "tok", 10, 0)
         with pytest.raises(ValueError):
             unimax_tokens(df, "g", "k", "tok", 10, 1.0, bucket_hex=0)
+
+
+class TestNullGroupKeys:
+    """NULL group keys are ordinary groups (ADVICE r9): the quota joins
+    go through a struct-wrapped key, so NULL-group rows are allocated
+    and delivered like any other group instead of silently dropped."""
+
+    def _df(self, spark):
+        rows = [(f"a{i}", "a", 10) for i in range(8)]
+        rows += [(f"n{i}", None, 10) for i in range(4)]
+        return spark.createDataFrame(rows, "k string, g string, tok int")
+
+    def test_temperature_alpha1_identity_with_null_group(self, spark):
+        from mysql_syncer_spark.operators.sampling import temperature_mixture
+
+        df = self._df(spark)
+        out = temperature_mixture(df, "g", "k", alpha=1.0).collect()
+        assert len(out) == df.count()  # identity law now holds for NULLs
+        assert sum(1 for r in out if r.g is None) == 4
+
+    def test_temperature_alpha0_equalizes_null_group(self, spark):
+        from mysql_syncer_spark.operators.sampling import temperature_mixture
+
+        df = self._df(spark)
+        out = temperature_mixture(df, "g", "k", alpha=0.0).collect()
+        by_g = {}
+        for r in out:
+            by_g[r.g] = by_g.get(r.g, 0) + 1
+        # alpha=0: every group downsampled to the smallest group (4)
+        assert by_g == {"a": 4, None: 4}
+
+    def test_unimax_sample_allocates_null_group(self, spark):
+        from mysql_syncer_spark.operators.sampling import unimax_sample
+
+        df = self._df(spark)
+        out = unimax_sample(df, "g", "k", target_rows=8, max_epochs=1.0)
+        by_g = {}
+        for r in out.collect():
+            by_g[r.g] = by_g.get(r.g, 0) + 1
+        # uniform split of 8 across both groups, capped at 1 epoch
+        assert by_g == {"a": 4, None: 4}
+
+    def test_unimax_tokens_allocates_null_group(self, spark):
+        from mysql_syncer_spark.operators.sampling import unimax_tokens
+
+        df = self._df(spark)
+        out = unimax_tokens(
+            df, "g", "k", "tok", token_budget=80, max_epochs=1.0
+        )
+        tok = {}
+        for r in out.collect():
+            tok[r.g] = tok.get(r.g, 0) + 10
+        assert tok == {"a": 40, None: 40}

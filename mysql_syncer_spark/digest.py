@@ -30,7 +30,7 @@ more deterministic):
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
@@ -250,9 +250,24 @@ def differing_partitions(
 _MYSQL_TS_FORMAT = "yyyy-MM-dd HH:mm:ss"
 
 
-def _mysql_text_col(name: str, dtype) -> "F.Column":
+def _mysql_text_col(name: str, dtype, ts_fsp: int = 0) -> "F.Column":
     """Render one column exactly as MySQL's text protocol would inside
-    CONCAT_WS — the compat digest hashes these bytes."""
+    CONCAT_WS — the compat digest hashes these bytes.
+
+    ``ts_fsp`` is the column's DATETIME/TIMESTAMP fractional-seconds
+    precision (``DATETIME(6)`` renders ``.ffffff`` zero-padded to
+    exactly 6 digits in the text protocol; fsp 0 renders no fraction).
+
+    BINARY/VARBINARY/BLOB columns render as LOWERCASE HEX — the
+    engine's documented convention for byte-exact binary hashing: raw
+    BLOB bytes inside CONCAT_WS are not UTF-8 and cannot round-trip
+    through Spark's string concat, so BOTH sides hash the hex form
+    (the server query wraps such columns in ``LOWER(HEX(col))`` —
+    :func:`mysql_digest_query` ``binary_cols``). MySQL ``BIT(n)`` has
+    the same problem (text protocol ships raw bytes); the convention
+    is numeric: map BIT to an integer column on the Spark side and
+    pass it via ``bit_cols`` server-side (wrapped ``CAST(c+0 AS
+    UNSIGNED)``)."""
     from pyspark.sql import types as T
 
     c = F.col(name)
@@ -262,7 +277,8 @@ def _mysql_text_col(name: str, dtype) -> "F.Column":
                           T.LongType)):
         return c.cast("string")
     if isinstance(dtype, T.DecimalType):
-        # both engines render DECIMAL(p,s) zero-padded to scale s
+        # both engines render DECIMAL(p,s) zero-padded to scale s,
+        # including the sign (MySQL: '-12.50')
         return c.cast("string")
     if isinstance(dtype, T.BooleanType):
         # MySQL BOOLEAN is TINYINT(1): true/false transit as 1/0
@@ -270,28 +286,45 @@ def _mysql_text_col(name: str, dtype) -> "F.Column":
     if isinstance(dtype, T.DateType):
         return F.date_format(c, "yyyy-MM-dd")
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-        # DATETIME(0)/TIMESTAMP(0) rendering; fractional-seconds columns
-        # (fsp > 0) are not supported in compat mode
+        if ts_fsp:
+            if not 1 <= ts_fsp <= 6:
+                raise ValueError(
+                    f"column {name!r}: fsp must be in [0, 6], got {ts_fsp}"
+                )
+            return F.date_format(
+                c, _MYSQL_TS_FORMAT + "." + "S" * ts_fsp
+            )
         return F.date_format(c, _MYSQL_TS_FORMAT)
+    if isinstance(dtype, T.BinaryType):
+        return F.lower(F.hex(c))
     raise ValueError(
         f"column {name!r}: type {dtype.simpleString()} has no byte-exact "
         "MySQL text rendering in compat mode (FLOAT/DOUBLE use MySQL's "
-        "shortest-round-trip formatter; BINARY/ARRAY/MAP/STRUCT have no "
+        "shortest-round-trip formatter; ARRAY/MAP/STRUCT have no "
         "MySQL text equivalent). Exclude the column or store it as "
         "DECIMAL/STRING on both sides."
     )
 
 
 def mysql_compat_row_hash_col(df: DataFrame,
-                              cols: Sequence[str] | None = None):
+                              cols: Sequence[str] | None = None,
+                              ts_fsp: "Mapping[str, int] | int" = 0):
     """``MD5(CONCAT_WS('#', COALESCE(col,'NULL')...))`` with MySQL
     text-protocol value rendering — byte-identical to the per-row hash a
     live MySQL server computes for the reference's digest queries
-    (TableConnection.php:475-486)."""
+    (TableConnection.php:475-486). ``ts_fsp`` sets the DATETIME
+    fractional-seconds precision, one int for all timestamp columns or
+    a per-column mapping (DATETIME(6) tables pass 6)."""
     by_name = {f.name: f.dataType for f in df.schema.fields}
     names = list(cols) if cols is not None else df.schema.fieldNames()
+
+    def fsp(n: str) -> int:
+        if isinstance(ts_fsp, int):
+            return ts_fsp
+        return int(ts_fsp.get(n, 0))
+
     rendered = [
-        F.coalesce(_mysql_text_col(n, by_name[n]), F.lit("NULL"))
+        F.coalesce(_mysql_text_col(n, by_name[n], fsp(n)), F.lit("NULL"))
         for n in names
     ]
     return F.md5(F.concat_ws("#", *rendered))
@@ -301,6 +334,7 @@ def table_digest_mysql_compat(
     df: DataFrame,
     pk_cols: Sequence[str],
     cols: Sequence[str] | None = None,
+    ts_fsp: "Mapping[str, int] | int" = 0,
 ) -> str | None:
     """Reference-faithful ORDERED table digest:
     ``MD5(GROUP_CONCAT(MD5(CONCAT_WS('#', COALESCE(col,'NULL')...))
@@ -337,7 +371,7 @@ def table_digest_mysql_compat(
     inherently sequential — same as the MySQL server's own evaluation);
     for engine-internal gating at scale use :func:`table_digest_fast`.
     """
-    h = mysql_compat_row_hash_col(df, cols)
+    h = mysql_compat_row_hash_col(df, cols, ts_fsp=ts_fsp)
     ordered = F.array_sort(
         F.collect_list(F.struct(*[F.col(c) for c in pk_cols],
                                 h.alias("__h")))
@@ -356,6 +390,8 @@ def mysql_digest_query(
     pk_cols: Sequence[str],
     partition_col: str | None = None,
     partition_value: str | None = None,
+    binary_cols: Sequence[str] = (),
+    bit_cols: Sequence[str] = (),
 ) -> str:
     """The SQL to run on a live MySQL master so its digest byte-compares
     against :func:`table_digest_mysql_compat`. Deterministic form of the
@@ -365,8 +401,26 @@ def mysql_digest_query(
 
     Precede it with ``SET group_concat_max_len = 18446744073709547520``
     (TableConnection.php:479) or the concatenation silently truncates.
+
+    ``binary_cols`` are wrapped ``LOWER(HEX(col))`` (BLOB/BINARY bytes
+    are not text; both sides hash the lowercase-hex form — the Spark
+    renderer does the same for BinaryType). ``bit_cols`` are wrapped
+    ``CAST(col+0 AS UNSIGNED)`` (BIT(n) ships raw bytes in the text
+    protocol; the convention is numeric — map BIT to an integer column
+    on the Spark side). DATETIME(6) needs NO wrapper: MySQL's text
+    rendering carries the fsp digits natively; pass ``ts_fsp`` to the
+    Spark-side renderer instead.
     """
-    wrapped = ", ".join(f"COALESCE(`{c}`, 'NULL')" for c in columns)
+    binary, bits = set(binary_cols), set(bit_cols)
+
+    def wrap(c: str) -> str:
+        if c in binary:
+            return f"COALESCE(LOWER(HEX(`{c}`)), 'NULL')"
+        if c in bits:
+            return f"COALESCE(CAST(`{c}`+0 AS UNSIGNED), 'NULL')"
+        return f"COALESCE(`{c}`, 'NULL')"
+
+    wrapped = ", ".join(wrap(c) for c in columns)
     pk = ", ".join(f"`{c}`" for c in pk_cols)
     where = ""
     if partition_col is not None:

@@ -115,3 +115,98 @@ def test_mysql_digest_query_text():
         partition_col="p", partition_value="5",
     )
     assert qp.endswith("FROM `t` WHERE `p`='5'")
+
+
+# ---------------------------------------------------------------------------
+# Round-10 conformance matrix (VERDICT r9 item 5): the type×edge corpus a
+# live MySQL server can't be consulted for in-sandbox, pinned as
+# precomputed text-protocol literals. README §"MySQL fidelity: what is
+# golden-tested vs live-tested" documents the full matrix.
+# ---------------------------------------------------------------------------
+
+E_DIGEST = "64ebcc941819459ff16381610c82a283"
+F_DIGEST = "6b7e96665f465cb752f2c8700f37ec16"
+
+
+def test_matrix_golden_negative_decimal_binary_utf8mb4_dt6_bit(spark):
+    """One digest over the r10 matrix row set: negative DECIMAL
+    (sign + scale padding), zero-date held as STRING (the documented
+    convention — Spark has no 0000-00-00 date value; keep such columns
+    as strings on both sides, or run the server with NO_ZERO_DATE),
+    BINARY/BLOB as lowercase hex (both sides hash LOWER(HEX(col)) —
+    raw BLOB bytes aren't text), utf8mb4 4-byte characters (MD5 over
+    UTF-8 bytes is the same bytes MySQL hashes), DATETIME(6)
+    microseconds via ts_fsp=6, and BIT(n) by the numeric convention
+    (CAST(col+0 AS UNSIGNED) server-side; integer/DECIMAL(20,0)
+    engine-side — BIT(64) exceeds signed long)."""
+    import decimal
+
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("amt", T.DecimalType(10, 2)),
+        T.StructField("zd", T.StringType()),
+        T.StructField("blob", T.BinaryType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("ts6", T.TimestampType()),
+        T.StructField("b", T.DecimalType(20, 0)),
+    ])
+    rows = [
+        (1, decimal.Decimal("-12.50"), "0000-00-00",
+         bytes([0, 1, 254, 255, 137]), "naïve🐘🚀",
+         datetime.datetime(2024, 1, 31, 23, 59, 59, 123456),
+         decimal.Decimal(5)),
+        (2, decimal.Decimal("-0.05"), None, b"", "𝔘nicode𐍈",
+         datetime.datetime(2020, 2, 29, 0, 0, 0),
+         decimal.Decimal(18446744073709551615)),
+        (3, decimal.Decimal("9999999.99"), "2024-06-01", None, "",
+         datetime.datetime(1999, 12, 31, 23, 59, 59, 1),
+         decimal.Decimal(0)),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    assert (
+        table_digest_mysql_compat(df, ["id"], ts_fsp={"ts6": 6})
+        == E_DIGEST
+    )
+
+
+def test_matrix_golden_datetime3(spark):
+    """DATETIME(3): exactly three fractional digits, zero-padded."""
+    rows = [
+        (1, datetime.datetime(2024, 1, 31, 23, 59, 59, 500000)),
+        (2, datetime.datetime(2024, 1, 31, 23, 59, 59)),
+    ]
+    df = spark.createDataFrame(rows, "id INT, ts TIMESTAMP")
+    assert table_digest_mysql_compat(df, ["id"], ts_fsp=3) == F_DIGEST
+
+
+def test_fsp_zero_still_refuses_nothing_new(spark):
+    """fsp default: unchanged rendering (regression vs the r9 goldens
+    — C_DIGEST above still asserts the fsp-0 path)."""
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 12, 0, 0, 999999))],
+        "id INT, ts TIMESTAMP",
+    )
+    d0 = table_digest_mysql_compat(df, ["id"])
+    d6 = table_digest_mysql_compat(df, ["id"], ts_fsp=6)
+    assert d0 != d6  # fsp-0 truncates the fraction entirely
+
+
+def test_fsp_validation(spark):
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1))], "id INT, ts TIMESTAMP"
+    )
+    with pytest.raises(ValueError, match="fsp"):
+        table_digest_mysql_compat(df, ["id"], ts_fsp=7)
+
+
+def test_digest_query_binary_and_bit_wrappers():
+    """Server-side twin: binary columns wrapped LOWER(HEX(...)), BIT
+    columns wrapped CAST(col+0 AS UNSIGNED) — same bytes the Spark
+    renderer produces."""
+    q = mysql_digest_query(
+        "t", ["id", "blob", "b"], ["id"],
+        binary_cols=("blob",), bit_cols=("b",),
+    )
+    assert "COALESCE(LOWER(HEX(`blob`)), 'NULL')" in q
+    assert "COALESCE(CAST(`b`+0 AS UNSIGNED), 'NULL')" in q
+    assert "COALESCE(`id`, 'NULL')" in q

@@ -504,6 +504,113 @@ def with_bigram_logprob(
     )
 
 
+def with_kn_bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """E172: per-document INTERPOLATED KNESER-NEY bigram score — the
+    smoothed-LM filter family the production pipelines actually run
+    (CCNet/RedPajama gate documents on KenLM perplexity, and KenLM's
+    default estimator IS interpolated modified Kneser-Ney; the plain
+    conditional bigram of :func:`with_bigram_logprob` has no smoothing
+    mass at all, so it cannot score text against a DIFFERENT corpus —
+    any unseen transition would be -inf). Closed-form from corpus
+    counts (Kneser & Ney 1995; Chen & Goodman 1998 eq. 4.24, one fixed
+    discount D):
+
+        P_KN(w|u) = (max(c(u,w) - D, 0) + D * N1+(u.) * P_cont(w)) / c(u)
+        P_cont(w) = N1+(.w) / B
+
+    where ``N1+(u.)`` / ``N1+(.w)`` are distinct right-continuation /
+    left-context type counts and ``B`` the total number of distinct
+    bigram types — the continuation probability ranks words by how many
+    contexts they FOLLOW, not how often they occur (the classic
+    "San Francisco" effect: "francisco" is frequent but follows almost
+    nothing, so its continuation mass is tiny).
+
+    Everything derives from the SAME distinct-bigram counts frame the
+    plain bigram model builds: two more tiny combinable aggregates
+    (type counts per u, per w) and one broadcast scalar B — no new
+    corpus-sized shuffle. Scoring joins the doc bigram stream on
+    (w1, w2) exactly like E84. Every probability is strictly positive
+    (the continuation term never vanishes for corpus-attested
+    bigrams), so the mean log10 is always finite.
+
+    Output: ``id_col``, ``n_bigrams``, ``kn_logprob`` (mean log10
+    P_KN, 6 dp; NULL when the doc has < 2 tokens).
+    """
+    if not 0 < discount < 1:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    toks = F.filter(
+        F.split(normalized_text(text_col), " "), lambda x: x != ""
+    )
+    base = df.withColumn("__toks", toks)
+    t = F.col("__toks")
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    stream = (
+        base.select(F.col(id_col), F.explode(bigrams).alias("__bg"))
+        .select(id_col, F.col("__bg.w1").alias("w1"),
+                F.col("__bg.w2").alias("w2"))
+    )
+    cnt = stream.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c"))
+    # context totals + right-continuation type counts, one pass over
+    # the distinct-bigram frame
+    ctx = cnt.groupBy("w1").agg(
+        F.sum("__c").alias("__t"),
+        F.count(F.lit(1)).alias("__fwd"),  # N1+(u.)
+    )
+    # left-context type counts per w2 + the global type total B
+    back = cnt.groupBy("w2").agg(F.count(F.lit(1)).alias("__bwd"))
+    btot = back.agg(F.sum("__bwd").alias("__B"))
+    d = F.lit(float(discount))
+    probs = (
+        cnt.join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(back), "w2")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            F.log10(
+                (
+                    F.greatest(
+                        F.col("__c").cast("double") - d, F.lit(0.0)
+                    )
+                    + d
+                    * F.col("__fwd").cast("double")
+                    * (
+                        F.col("__bwd").cast("double")
+                        / F.col("__B").cast("double")
+                    )
+                )
+                / F.col("__t").cast("double")
+            ).alias("__lp"),
+        )
+    )
+    per_doc = (
+        stream.join(probs, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.round(F.avg("__lp"), 6).alias("__avg"),
+        )
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("__n", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.col("__avg").alias("kn_logprob"),
+    )
+
+
 def winsorize(
     df: DataFrame,
     col: str,

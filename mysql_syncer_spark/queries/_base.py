@@ -779,6 +779,14 @@ _DEMOTED: tuple[str, ...] = (
     "unimax_tokens_docs",
     "exact_ntile_events",
     "exact_ntile_by_type_events",
+    # r10: the KN-smoothed LM (E172) registers past the window by the
+    # standing discipline (oracle-backed, parity-swept; the bigram-LM
+    # kernel class is in-window via bigram_logprob_docs this round).
+    "kn_bigram_logprob_docs",
+    # r10: sorted-export manifest (E173) — the NTILE kernel is
+    # in-window via exact_ntile machinery representatives; the export
+    # round trip is pytest-gated (test_sorted_export.py).
+    "sorted_export_manifest_docs",
 )
 
 

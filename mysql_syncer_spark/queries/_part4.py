@@ -2047,3 +2047,88 @@ def exact_ntile_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value"
     )
     return exact_ntile(ev, "value", "event_id", 4, group_cols=["event_type"])
+
+
+@_register(
+    "kn_bigram_logprob_docs",
+    f"""WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split({_NORM_SQL}, ' '),
+                             x -> x != '') AS ts
+          FROM documents),
+         bg AS (
+          SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ts)),
+                          i -> struct_pack(w1 := ts[i], w2 := ts[i+1])))
+                       AS p
+            FROM toks WHERE len(ts) >= 2)),
+         cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         ctx AS (SELECT w1, SUM(c) AS t, COUNT(*) AS fwd
+                 FROM cnt GROUP BY 1),
+         back AS (SELECT w2, COUNT(*) AS bwd FROM cnt GROUP BY 1),
+         btot AS (SELECT SUM(bwd) AS B FROM back),
+         probs AS (
+          SELECT w1, w2,
+                 log10((greatest(c * 1.0 - 0.75, 0.0)
+                        + 0.75 * fwd * (bwd * 1.0 / B)) / t) AS lp
+          FROM cnt
+          JOIN ctx USING (w1) JOIN back USING (w2) CROSS JOIN btot),
+         per AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(AVG(lp), 6) AS avg
+          FROM bg JOIN probs USING (w1, w2) GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(p.n, 0) AS n_bigrams,
+               p.avg AS kn_logprob
+        FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""",
+)
+def kn_bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E172: interpolated Kneser-Ney bigram LM score — the SMOOTHED
+    sibling of bigram_logprob_docs (E84), i.e. the model family behind
+    the KenLM-perplexity gate CCNet/RedPajama actually run (KenLM's
+    default estimator is interpolated modified KN). One fixed discount
+    D=0.75 (Chen & Goodman 1998 eq. 4.24); continuation probabilities
+    are type-count ratios, so the whole model stays exact integer/IEEE
+    arithmetic and both engines reproduce it bit-for-bit before the
+    6 dp rounding. Plan: the SAME distinct-bigram counts frame as E84
+    plus two vocab-sized type-count aggregates and a broadcast scalar
+    B — no new corpus-sized shuffle (see
+    operators/text.with_kn_bigram_logprob)."""
+    from mysql_syncer_spark.operators.text import with_kn_bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_kn_bigram_logprob(docs)
+
+
+@_register(
+    "sorted_export_manifest_docs",
+    """WITH binned AS (
+         SELECT n_chars,
+                CAST(NTILE(8) OVER (
+                     ORDER BY n_chars, md5(CAST(doc_id AS VARCHAR)),
+                              doc_id) AS BIGINT) AS shard
+         FROM documents WHERE n_chars IS NOT NULL)
+       SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              MIN(n_chars) AS min_key, MAX(n_chars) AS max_key
+       FROM binned GROUP BY shard ORDER BY shard""",
+)
+def sorted_export_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E173: globally-SORTED shard export manifest — equal-frequency,
+    key-ordered shard assignment (shard 1 = shortest docs ... shard 8 =
+    longest; adjacent ranges tile) for curriculum / length-bucketed
+    training exports, computed WITHOUT a global sort window: the
+    assignment is the E171 exact-NTILE bounded-window decomposition and
+    the per-shard sort in write_sorted_shards is embarrassingly
+    parallel. Deterministic (hash tie-break) where repartitionByRange's
+    sampled boundaries are run-to-run unstable. Oracle runs the naive
+    global NTILE window — the deliberate scale contrast. The write/
+    read round trip, the cross-shard ordering law and byte-stable
+    re-exports are pytest-gated (tests/test_sorted_export.py).
+    Engine: sinks/shards.py sorted_shard_manifest."""
+    from mysql_syncer_spark.sinks.shards import sorted_shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sorted_shard_manifest(docs, "n_chars", "doc_id", 8).orderBy(
+        "shard"
+    )

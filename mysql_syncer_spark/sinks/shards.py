@@ -95,3 +95,86 @@ def read_training_shards(
     if shards is not None:
         df = df.where(F.col("shard").isin([int(s) for s in shards]))
     return df
+
+
+def sorted_shard_assign(
+    df: DataFrame,
+    key_col: str,
+    tiebreak_col: str,
+    n_shards: int,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """E173: assign rows to shards in GLOBAL KEY ORDER — shard 1 holds
+    the smallest keys, shard ``n`` the largest, equal-frequency — via
+    the exact-NTILE decomposition (operators/profile.exact_ntile, the
+    E171 bounded-window kernel), so no global sort window ever runs:
+    the classic export shape for curriculum/length-bucketed training
+    data where ``repartitionByRange`` would do sampling-dependent,
+    run-to-run-unstable boundaries. Assignment is fully deterministic:
+    the total order is ``(key, md5(tiebreak), tiebreak)``.
+
+    NULL keys sort FIRST (Spark/SQL ascending default) and are routed
+    to shard 1 — no row is ever dropped by the export."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from mysql_syncer_spark.operators.profile import exact_ntile
+
+    nn = exact_ntile(
+        df.where(F.col(key_col).isNotNull()),
+        key_col,
+        tiebreak_col,
+        n_shards,
+        out_col=shard_col,
+    )
+    nulls = df.where(F.col(key_col).isNull()).withColumn(
+        shard_col, F.lit(1).cast("long")
+    )
+    return nn.unionByName(nulls)
+
+
+def sorted_shard_manifest(
+    df: DataFrame,
+    key_col: str,
+    tiebreak_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Per-shard manifest of the SORTED export:
+    ``(shard, n_rows, min_key, max_key)`` — adjacent shards' key ranges
+    tile the domain (max_key of shard i <= min_key of shard i+1), which
+    is what lets a reader do a binary search over shards by key, or a
+    trainer consume the corpus in global order by walking shard 1..n.
+    One groupBy over n_shards keys on top of the assignment."""
+    assigned = sorted_shard_assign(df, key_col, tiebreak_col, n_shards)
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(key_col).alias("min_key"),
+        F.max(key_col).alias("max_key"),
+    )
+
+
+def write_sorted_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    tiebreak_col: str,
+    n_shards: int,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write ``df`` as ``path/shard=K/*.parquet`` in TOTAL GLOBAL KEY
+    ORDER: shard directories ascend by key range and rows within each
+    shard are sorted by the same deterministic total order the
+    assignment used — reading shard 1..n front to back replays the
+    whole corpus in sorted order, with no stage ever running a global
+    sort window (the assignment is the E171 bounded-window NTILE; the
+    within-shard sorts are embarrassingly parallel). Byte-stable across
+    re-runs (hash tie-break, no sampling)."""
+    assigned = sorted_shard_assign(df, key_col, tiebreak_col, n_shards)
+    out = assigned.repartition(n_shards, "shard").sortWithinPartitions(
+        F.col(key_col).asc_nulls_first(),
+        F.md5(F.col(tiebreak_col).cast("string")),
+        tiebreak_col,
+    )
+    writer = out.write.mode("overwrite").partitionBy("shard")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)

@@ -269,6 +269,33 @@ _PROMOTED: tuple[str, ...] = (
 #: MinHash, ...) that had never received a driver correctness row. They all
 #: remain registered and remain covered by tests/test_oracle_parity.py.
 _DEMOTED: tuple[str, ...] = (
+    # r10 rotation out of the window — all seventeen remain
+    # oracle-backed, 3-SF parity-swept, bench-keyed where applicable,
+    # and driver-green in r9 or earlier windows (ROTATION.md keeps the
+    # cumulative ledger). Displaced for the r10 never-window retirement
+    # wave (_PROMOTED r10 block): the kernels stay machine-checked —
+    # sessionize/window shapes via the asof/interval family in parity,
+    # the LSH/banding kernels via the incremental-ingest pair now IN
+    # window, the media Arrow path via frame_sample_media_docs now IN
+    # window, the curation composites via the rule-funnel and sampling
+    # rows in parity, and every one still runs in the committed sweeps.
+    "sessionize_events",
+    "minhash_lsh_pairs_docs",
+    "resize_media_docs",
+    "audio_features_docs",
+    "curate_corpus_docs",
+    "contamination_docs",
+    "cdc_apply_orders",
+    "scd2_multibatch_orders",
+    "pii_docs",
+    "pack_sequences_docs",
+    "tfidf_topk_docs",
+    "label_centroids_embeddings",
+    "cluster_safe_split_docs",
+    "incremental_new_docs_indexed",
+    "mixture_sample_docs",
+    "semantic_dedup_embeddings",
+    "dedup_keep_best_docs",
     # r8 rotation out of the window — all six remain oracle-backed,
     # 3-SF parity-swept, and in the sf1 VALUE sweep; displaced for the
     # r7 fourth-wave stats classes + left-outer IVM (_PROMOTED):

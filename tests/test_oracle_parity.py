@@ -92,73 +92,26 @@ def test_driver_window_holds_extension_queries():
     names = list(entrymod.queries().keys())
     window = set(names[:50])
     must_be_in = {
-        # r5: ann_topk_ivf / approx_distinct_users_events moved OUT of the
-        # window (approximate → err:"no_oracle" forever; pytest-gated
-        # instead) in favor of exactly-provable rows.
-        "curate_corpus_docs",
-        "contamination_docs", "cdc_apply_orders",
-        "pii_docs", "pack_sequences_docs", "tfidf_topk_docs",
-        "label_centroids_embeddings",
-        "cluster_safe_split_docs",
-        # r7 rotation: incremental_new_docs OUT (the in-window indexed
-        # variant computes the IDENTICAL output through the persisted
-        # index — same oracle SQL)
-        # r5 additions
-        "incremental_new_docs_indexed", "scd2_multibatch_orders",
-        # r9 rotation OUT (justifications at _DEMOTED in queries.py):
-        # json_extract_events, salted_join_orders_customer,
-        # repetition_docs, quota_sample_docs, supplier_revenue,
-        # priority_sample_docs, minhash_pairs_between_docs,
-        # profile_orders, chunk_docs, shard_stats_docs,
-        # gap_fill_daily_events, row_hash_orders, dedup_exact_docs,
-        # embedding_near_dup_pairs, ann_topk_batch — all remain
-        # oracle-backed, 3-SF parity-swept, in the sf1 VALUE sweep,
-        # and driver-green in earlier rounds' windows.
-        "mixture_sample_docs", "semantic_dedup_embeddings",
-        "dedup_keep_best_docs",
-        # r5 third wave: Gopher rules displaced hourly_event_counts;
-        # r8 second wave rotated gopher_quality_docs itself OUT (its
-        # rule set runs end-to-end in-window via curate_corpus_docs).
-        # r7 rotation in (the _PROMOTED front): the three operators
-        # that landed after the r6 sweeps + the hardest new TPC-H +
-        # the E120 propagation stage
+        # r10 window (ROTATION.md): the _PROMOTED front — r7-r9
+        # rotations that remain pinned, the r10 never-window retirement
+        # wave, and the two core-sync composites pinned so the
+        # reference's diff/digest kernels stay driver-certified every
+        # round. The seventeen rows the r10 wave displaced
+        # (sessionize_events, minhash_lsh_pairs_docs, resize/audio
+        # media, the curation composites, semantic dedup, keep-best,
+        # mixture/cluster-safe sampling, incremental_new_docs_indexed,
+        # scd2_multibatch, cdc_apply, pii, packing, tfidf, centroids)
+        # are all driver-green in r9 or earlier windows and sit at
+        # positions 51+ in _DEMOTED with per-row justifications.
         "asof_forward_events_orders", "entity_clusters_part",
         "scrub_repeated_windows_docs", "tpch_q9_product_type_profit",
         "quality_propagate_embeddings",
-        # r5: the CCNet-style unigram LM score displaced rows_to_copy;
-        # r8 second wave rotated unigram_logprob_docs itself OUT (the
-        # hashed-LM kernel stays in-window via dsir_sample_docs).
-        # r7 second wave: three NEW operator classes promoted into the
-        # window (IVM join maintenance, DSIR resampling, containment
-        # dedup), displacing quantize_embeddings /
-        # incremental_agg_orders / winsorize_events_value — all three
-        # remain oracle-backed, 3-SF parity-swept, and bench-keyed;
-        # justifications at the _PROMOTED comment in queries.py.
-        "ivm_join_orders_customer",
-        "dsir_sample_docs",
+        "ivm_join_orders_customer", "dsir_sample_docs",
         "containment_pairs_docs",
-        # r8 rotation: the never-window r7 fourth wave (new operator
-        # classes the driver had not certified) + the round-8
-        # left-outer IVM. Displaced (interval_join, jl_project,
-        # cube_pricing, funnel, cohort_retention, sliding_window) all
-        # remain oracle-backed, 3-SF parity-swept, AND in the sf1
-        # VALUE sweep; justifications at _PROMOTED in queries.py.
-        "ivm_left_join_orders_customer",
-        "benford_screen_events",
-        "mwu_drift_events",
-        "theil_sen_trend_events",
-        "fd_audit_orders",
+        "ivm_left_join_orders_customer", "benford_screen_events",
+        "mwu_drift_events", "theil_sen_trend_events", "fd_audit_orders",
         "bitmap_distinct_users_events",
-        # r8 second wave: two NEW operator classes (two-sided FULL-outer
-        # IVM; t-closeness distribution-distance privacy), displacing
-        # gopher_quality_docs / unigram_logprob_docs — justifications
-        # at _PROMOTED in queries.py.
-        "ivm_full_join_orders_customer",
-        "t_closeness_customer",
-        # r9 rotation IN: the never-window retirement wave — the
-        # delete-maintainable IVM family, the r8 curation/privacy/
-        # overlap additions, three TPC-H classics, and four analytics
-        # kernels (justifications at _PROMOTED in queries.py).
+        "ivm_full_join_orders_customer", "t_closeness_customer",
         "ivm_extrema_orders", "ivm_frequent_orders",
         "ivm_distinct_orders", "golden_records_events",
         "token_budget_sample_docs", "bitmap_overlap_events",
@@ -167,6 +120,17 @@ def test_driver_window_holds_extension_queries():
         "group_quantiles_events", "ks_drift_events",
         "heavy_hitters_users_events", "k_anonymity_customer",
         "ewma_daily_events",
+        # r10 pinned core composites
+        "sync_merge_orders", "partition_digests_orders",
+        # r10 never-window retirement wave
+        "ann_topk_ivf_indexed", "ann_topk_pq",
+        "incremental_ingest_2pct", "incremental_ingest_2pct_indexed",
+        "bigram_logprob_docs", "bpe_tokens_docs", "epoch_shuffle_docs",
+        "bloom_new_docs_gate", "quality_score_docs",
+        "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
+        "tpch_q14_promo_revenue", "tpch_q18_large_volume",
+        "vocab_drift_docs", "frame_sample_media_docs",
+        "bm25_search_docs", "phrase_search_docs",
     }
     assert must_be_in <= window, sorted(must_be_in - window)
     from mysql_syncer_spark.queries import _DEMOTED

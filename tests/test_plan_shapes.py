@@ -704,3 +704,32 @@ def test_rule_funnel_single_data_shuffle(spark, sf_dir):
 
     hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
     assert hash_exchanges <= 2, plan  # groupBy + (ledger join side)
+
+
+def test_kn_bigram_no_cartesian_and_broadcast_stats(spark, sf_dir):
+    """E172: the KN probability table joins the vocab-sized type-count
+    frames by BROADCAST and the scalar B by a broadcast nested loop
+    (one row — the only acceptable 'cartesian'); the doc-stream
+    probability lookup must be a hash join, never a cartesian
+    product."""
+    plan = plan_of(spark, "kn_bigram_logprob_docs", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sorted_export_manifest_no_global_sort_window(spark, sf_dir):
+    """E173: the manifest (and the NTILE assignment under it) must not
+    run the naive single-partition global sort window the oracle
+    deliberately runs — every Window in the plan is partitioned (no
+    'Window [...]' over an empty partition spec feeding the full
+    corpus; the E171 decomposition windows run over the bounded
+    histogram/bucket frames)."""
+    plan = plan_of(spark, "sorted_export_manifest_docs", sf_dir)
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan, plan
+    # the global-sort smell: an Exchange SinglePartition directly under
+    # a Window operator
+    import re
+
+    assert not re.search(
+        r"Exchange SinglePartition[\s\S]{0,400}?Window", plan
+    ), plan

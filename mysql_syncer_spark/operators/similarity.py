@@ -1055,3 +1055,89 @@ def pagerank(
     return cur.select(
         F.col("__id").alias(id_col), F.col("__s").alias(score_col)
     )
+
+
+def margin_align(
+    x_df: DataFrame,
+    y_df: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E174: margin-based embedding alignment (bitext mining) — for
+    every x-side vector, the best y-side match scored by the
+    RATIO margin of Artetxe & Schwenk 2019 (the LASER/CCMatrix
+    criterion):
+
+        margin(x, y) = cos(x, y) /
+                       ((avg_k cos(x, NN_k(x→y)) +
+                         avg_k cos(y, NN_k(y→x))) / 2)
+
+    Raw cosine thresholds fail at mining because some vectors are
+    "hubs" — close to everything; dividing by the average similarity
+    of each side's own k nearest neighbors cancels the hubness, so a
+    margin > 1 means "closer than either side's typical neighbor".
+
+    Plan shape: TWO batched exact kNN passes
+    (:func:`cosine_topk_batch` — broadcast query side, map-side
+    scoring, two-stage rank so no query funnels its corpus through one
+    reducer), two #side-sized mean aggregates, broadcast stat joins
+    onto the x→y candidate pairs only (never the full bipartite
+    product), and one per-x rank window over its k candidates. This is
+    the exact verification baseline, same division of labor as
+    E10/E11: at 100 TB replace each exact kNN pass with the IVF/LSH
+    probe (cosine_topk_ivf / cosine_topk_lsh) — the margin arithmetic
+    downstream is unchanged.
+
+    Output: ``(x_id, y_id, cos, margin)``, at most one row per x,
+    only margins >= ``threshold``; margin rounded to 6 dp (the
+    rank/tie-break runs on the rounded value + y_id so both engines
+    pick the same winner).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    xq = x_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    yq = y_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    xy = cosine_topk_batch(
+        y_df, xq, k=k, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col("query_id").alias("x_id"),
+        F.col(id_col).alias("y_id"),
+        "score",
+    )
+    yx = cosine_topk_batch(
+        x_df, yq, k=k, id_col=id_col, vec_col=vec_col
+    )
+    ax = xy.groupBy("x_id").agg(F.avg("score").alias("__ax"))
+    ay = yx.groupBy("query_id").agg(F.avg("score").alias("__ay")).select(
+        F.col("query_id").alias("y_id"), "__ay"
+    )
+    cand = (
+        xy.join(F.broadcast(ax), "x_id")
+        .join(F.broadcast(ay), "y_id")
+        .select(
+            "x_id",
+            "y_id",
+            F.round("score", 6).alias("cos"),
+            F.round(
+                F.col("score")
+                / ((F.col("__ax") + F.col("__ay")) / F.lit(2.0)),
+                6,
+            ).alias("margin"),
+        )
+    )
+    w = Window.partitionBy("x_id").orderBy(
+        F.desc("margin"), F.asc("y_id")
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col("margin") >= threshold))
+        .drop("__rn")
+    )

@@ -814,6 +814,9 @@ _DEMOTED: tuple[str, ...] = (
     # in-window via exact_ntile machinery representatives; the export
     # round trip is pytest-gated (test_sorted_export.py).
     "sorted_export_manifest_docs",
+    # r10: margin-based bitext mining (E174) — the batched-kNN kernel
+    # is in-window via ann-family representatives; oracle-backed.
+    "bitext_mine_embeddings",
 )
 
 

@@ -2132,3 +2132,45 @@ def sorted_export_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_shard_manifest(docs, "n_chars", "doc_id", 8).orderBy(
         "shard"
     )
+
+
+@_register(
+    "bitext_mine_embeddings",
+    """WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE vec_id % 2 = 0),
+         y AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id % 2 = 1),
+         s AS (SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+                      list_dot_product(x.v, y.v) /
+                      (sqrt(list_dot_product(x.v, x.v)) *
+                       sqrt(list_dot_product(y.v, y.v))) AS c
+               FROM x CROSS JOIN y),
+         xy AS (SELECT * FROM s QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY x_id ORDER BY c DESC, y_id) <= 4),
+         yx AS (SELECT * FROM s QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY y_id ORDER BY c DESC, x_id) <= 4),
+         ax AS (SELECT x_id, AVG(c) AS ax FROM xy GROUP BY x_id),
+         ay AS (SELECT y_id, AVG(c) AS ay FROM yx GROUP BY y_id),
+         cand AS (SELECT xy.x_id, xy.y_id, ROUND(xy.c, 6) AS cos,
+                         ROUND(xy.c / ((ax.ax + ay.ay) / 2.0), 6)
+                             AS margin
+                  FROM xy JOIN ax USING (x_id) JOIN ay USING (y_id))
+       SELECT x_id, y_id, cos, margin FROM cand
+       QUALIFY ROW_NUMBER() OVER (
+           PARTITION BY x_id ORDER BY margin DESC, y_id) = 1
+       ORDER BY x_id""",
+)
+def bitext_mine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E174: margin-based bitext/embedding alignment (Artetxe & Schwenk
+    ratio margin, the LASER/CCMatrix mining criterion) between the two
+    hash-split halves of the embeddings table — best y-match per x
+    with hubness-cancelling margin, threshold 0 here so the oracle
+    checks every winner. Exact both-direction kNN is the verification
+    baseline; the 100 TB path swaps each kNN pass for the IVF/LSH
+    probes (operators/similarity.margin_align docstring)."""
+    from mysql_syncer_spark.operators.similarity import margin_align
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.where(F.col("vec_id") % 2 == 0)
+    y = emb.where(F.col("vec_id") % 2 == 1)
+    return margin_align(x, y, k=4, threshold=0.0).orderBy("x_id")

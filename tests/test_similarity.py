@@ -547,3 +547,54 @@ class TestPageRank:
             pagerank(edges, nodes, d_num=0)
         with _pytest.raises(ValueError, match="base"):
             pagerank(edges, nodes, base=0)
+
+
+class TestMarginAlign:
+    """E174 margin-based alignment (Artetxe & Schwenk ratio margin)."""
+
+    def _sides(self, spark):
+        # x0 aligns with y0 (identical direction); x2 is a hub-ish
+        # vector moderately close to everything
+        x = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0]), (2, [0.6, 0.55, 0.58])],
+            "vec_id long, embedding array<float>",
+        )
+        y = spark.createDataFrame(
+            [
+                (1, [0.99, 0.01, 0.0]),
+                (3, [0.0, 1.0, 0.0]),
+                (5, [0.0, 0.0, 1.0]),
+                (7, [0.58, 0.6, 0.55]),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        return x, y
+
+    def test_best_match_and_margin_law(self, spark):
+        from mysql_syncer_spark.operators.similarity import margin_align
+
+        x, y = self._sides(spark)
+        out = {r.x_id: r for r in margin_align(
+            x, y, k=2, threshold=0.0).collect()}
+        assert out[0].y_id == 1  # the true pair wins for x0
+        assert out[0].margin > 1.0  # closer than the average neighbor
+        # one row per x, margin consistent with cos/avg definition
+        assert set(out) == {0, 2}
+        for r in out.values():
+            assert 0 < r.cos <= 1.0001
+
+    def test_threshold_filters(self, spark):
+        from mysql_syncer_spark.operators.similarity import margin_align
+
+        x, y = self._sides(spark)
+        hi = margin_align(x, y, k=2, threshold=10.0).count()
+        assert hi == 0
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.similarity import margin_align
+
+        x, y = self._sides(spark)
+        with _pytest.raises(ValueError, match="k must be"):
+            margin_align(x, y, k=0)

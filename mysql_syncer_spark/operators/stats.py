@@ -321,3 +321,124 @@ def prop_ztest(
             F.abs(z) > F.lit(float(z_threshold)), F.lit(False)
         ).alias("significant"),
     )
+
+
+def randomization_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    n_perm: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """E175: deterministic randomization (permutation) test for a
+    difference in group means — the significance gate behind "did this
+    curation change move the metric or is it noise": observed
+    |mean(A) − mean(B)| is compared against the null distribution from
+    ``n_perm`` deterministic random relabelings of the rows
+    (md5(salt‖perm‖key) coin per row — reproducible, engine-exact,
+    order/partitioning-independent; Monte-Carlo randomization rather
+    than exhaustive permutation, with the standard add-one p-value of
+    Phipson & Smyth 2010 so p is never 0).
+
+    Exactness discipline: group means go through exact DECIMAL(38,12)
+    sums (order-independent, bit-identical across engines) and the
+    diff is compared at the same 6 dp rounding on BOTH engines, so the
+    extreme-count is reproducible — no float summation-order hazard.
+
+    Scale shape: the null distribution restates the table n_perm×
+    through ONE row-local ``explode(sequence(...))`` (no driver loop,
+    no n_perm jobs) into ONE combinable groupBy over
+    2·n_perm cells; the observed diff is a second tiny aggregate.
+    Honest cost: shuffle volume is n_perm × #rows of (perm, label,
+    value) triples — at 100 TB run it on the metric's
+    pre-aggregated per-key frame, not the raw event grain.
+
+    ``group_col`` must have exactly two distinct non-NULL values
+    (checked; NULL-group rows are excluded like every two-sample
+    test here). Output: one row — ``group_a``, ``group_b``,
+    ``diff_obs`` (mean_a − mean_b, 6 dp), ``n_perm``, ``n_extreme``,
+    ``p_value`` (6 dp).
+    """
+    if n_perm < 1:
+        raise ValueError(f"n_perm must be >= 1, got {n_perm}")
+    rows = df.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    groups = [
+        r[0]
+        for r in rows.select(group_col).distinct().orderBy(group_col)
+            .limit(3).collect()
+    ]
+    if len(groups) != 2:
+        raise ValueError(
+            f"randomization_test needs exactly 2 groups, found {groups}"
+        )
+    ga, gb = groups
+    dec = F.col(value_col).cast("decimal(38,12)")
+
+    def mean_diff(frame, label_col):
+        cells = frame.groupBy(label_col).agg(
+            F.sum(dec).alias("__s"), F.count(F.lit(1)).alias("__n")
+        )
+        # mean_a - mean_b in exact decimal, surfaced at 6 dp
+        a = F.max(F.when(F.col(label_col) == 0, F.col("__s")))
+        na = F.max(F.when(F.col(label_col) == 0, F.col("__n")))
+        b = F.max(F.when(F.col(label_col) == 1, F.col("__s")))
+        nb = F.max(F.when(F.col(label_col) == 1, F.col("__n")))
+        return cells, a, na, b, nb
+
+    labeled = rows.select(
+        F.when(F.col(group_col) == F.lit(ga), F.lit(0))
+        .otherwise(F.lit(1)).alias("__lab"),
+        F.col(value_col),
+    )
+    cells, a, na, b, nb = mean_diff(labeled, "__lab")
+    obs = cells.agg(
+        F.round((a / na - b / nb).cast("double"), 6).alias("diff_obs")
+    )
+
+    from mysql_syncer_spark.operators.sampling import hash_bucket
+
+    perm = rows.select(
+        F.col(value_col),
+        F.col(key_col).alias("__k"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("__p"),
+    ).select(
+        "__p",
+        F.col(value_col),
+        F.pmod(
+            hash_bucket(
+                F.concat(F.col("__p").cast("string"), F.lit("|"),
+                         F.col("__k").cast("string")),
+                salt,
+            ),
+            F.lit(2),
+        ).alias("__lab"),
+    )
+    pc = perm.groupBy("__p", "__lab").agg(
+        F.sum(dec).alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    a2 = F.max(F.when(F.col("__lab") == 0, F.col("__s")))
+    na2 = F.max(F.when(F.col("__lab") == 0, F.col("__n")))
+    b2 = F.max(F.when(F.col("__lab") == 1, F.col("__s")))
+    nb2 = F.max(F.when(F.col("__lab") == 1, F.col("__n")))
+    diffs = pc.groupBy("__p").agg(
+        F.round((a2 / na2 - b2 / nb2).cast("double"), 6).alias("__d")
+    )
+    extreme = diffs.crossJoin(F.broadcast(obs)).agg(
+        F.sum(
+            (F.abs(F.col("__d")) >= F.abs(F.col("diff_obs"))).cast("long")
+        ).alias("n_extreme"),
+        F.first("diff_obs").alias("diff_obs"),
+    )
+    return extreme.select(
+        F.lit(str(ga)).alias("group_a"),
+        F.lit(str(gb)).alias("group_b"),
+        "diff_obs",
+        F.lit(n_perm).cast("long").alias("n_perm"),
+        F.col("n_extreme").cast("long").alias("n_extreme"),
+        F.round(
+            (F.col("n_extreme") + 1) / F.lit(float(n_perm + 1)), 6
+        ).alias("p_value"),
+    )

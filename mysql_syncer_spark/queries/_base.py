@@ -817,6 +817,9 @@ _DEMOTED: tuple[str, ...] = (
     # r10: margin-based bitext mining (E174) — the batched-kNN kernel
     # is in-window via ann-family representatives; oracle-backed.
     "bitext_mine_embeddings",
+    # r10: randomization significance test (E175) — the two-sample
+    # stats class is in-window via mwu_drift/ks_drift; oracle-backed.
+    "randomization_test_events",
 )
 
 

@@ -2174,3 +2174,67 @@ def bitext_mine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = emb.where(F.col("vec_id") % 2 == 0)
     y = emb.where(F.col("vec_id") % 2 == 1)
     return margin_align(x, y, k=4, threshold=0.0).orderBy("x_id")
+
+
+@_register(
+    "randomization_test_events",
+    """WITH rows_ AS (
+         SELECT event_type, value, event_id
+         FROM events
+         WHERE event_type IN ('click', 'purchase')
+           AND value IS NOT NULL),
+       lab AS (SELECT CASE WHEN event_type = 'click' THEN 0 ELSE 1 END
+                          AS lab, value FROM rows_),
+       cells AS (SELECT lab, SUM(CAST(value AS DECIMAL(38,12))) AS s,
+                        COUNT(*) AS n
+                 FROM lab GROUP BY lab),
+       obs AS (SELECT ROUND(CAST(
+                   MAX(CASE WHEN lab = 0 THEN s END)
+                     / MAX(CASE WHEN lab = 0 THEN n END)
+                   - MAX(CASE WHEN lab = 1 THEN s END)
+                     / MAX(CASE WHEN lab = 1 THEN n END) AS DOUBLE), 6)
+                   AS diff_obs
+               FROM cells),
+       perm AS (SELECT p.p AS p, r.value,
+                       (('0x' || substr(md5(CAST(p.p AS VARCHAR) || '|'
+                            || CAST(r.event_id AS VARCHAR)), 1, 15))::BIGINT
+                        % 10000 + 10000) % 10000 % 2 AS lab
+                FROM rows_ r
+                CROSS JOIN (SELECT unnest(range(0, 64)) AS p) p),
+       pc AS (SELECT p, lab, SUM(CAST(value AS DECIMAL(38,12))) AS s,
+                     COUNT(*) AS n
+              FROM perm GROUP BY p, lab),
+       diffs AS (SELECT p, ROUND(CAST(
+                     MAX(CASE WHEN lab = 0 THEN s END)
+                       / MAX(CASE WHEN lab = 0 THEN n END)
+                     - MAX(CASE WHEN lab = 1 THEN s END)
+                       / MAX(CASE WHEN lab = 1 THEN n END) AS DOUBLE), 6)
+                     AS d
+                 FROM pc GROUP BY p)
+       SELECT 'click' AS group_a, 'purchase' AS group_b,
+              obs.diff_obs AS diff_obs,
+              CAST(64 AS BIGINT) AS n_perm,
+              CAST(SUM(CASE WHEN ABS(d) >= ABS(obs.diff_obs)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+              ROUND((SUM(CASE WHEN ABS(d) >= ABS(obs.diff_obs)
+                              THEN 1 ELSE 0 END) + 1) / 65.0, 6)
+                  AS p_value
+       FROM diffs CROSS JOIN obs
+       GROUP BY obs.diff_obs""",
+)
+def randomization_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E175: deterministic randomization test — is the click-vs-purchase
+    mean(value) gap significant against 64 hash-relabeled null draws?
+    Exact DECIMAL(38,12) means (no float summation-order hazard), both
+    engines compare at the same 6 dp rounding, add-one Monte-Carlo
+    p-value (Phipson & Smyth 2010). One explode + one combinable
+    groupBy — no per-permutation jobs
+    (operators/stats.randomization_test)."""
+    from mysql_syncer_spark.operators.stats import randomization_test
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return randomization_test(
+        ev, "event_type", "value", "event_id", n_perm=64
+    )

@@ -119,3 +119,57 @@ class TestMWUDrift:
         z_plain = self._mwu(spark, base_a, base_b)["z"]
         z_poison = self._mwu(spark, base_a, base_b[:-1] + [1e12])["z"]
         assert abs(z_plain - z_poison) < 0.2
+
+
+class TestRandomizationTest:
+    """E175 deterministic randomization test (operators/stats.py)."""
+
+    def test_detects_real_signal(self, spark):
+        from mysql_syncer_spark.operators.stats import randomization_test
+
+        rows = [(i, "a", 100.0 + (i % 7)) for i in range(200)]
+        rows += [(1000 + i, "b", 0.0 + (i % 7)) for i in range(200)]
+        df = spark.createDataFrame(rows, "k long, g string, v double")
+        r = randomization_test(df, "g", "v", "k", n_perm=32).collect()[0]
+        assert abs(r.diff_obs - 100.0) < 1e-6
+        assert r.n_extreme == 0          # no null draw reaches a 100-gap
+        assert r.p_value == round(1 / 33, 6)
+
+    def test_null_signal_is_not_significant(self, spark):
+        from mysql_syncer_spark.operators.stats import randomization_test
+
+        import random
+
+        rng = random.Random(5)
+        rows = [(i, "a" if i % 2 else "b", rng.gauss(0, 1))
+                for i in range(400)]
+        df = spark.createDataFrame(rows, "k long, g string, v double")
+        r = randomization_test(df, "g", "v", "k", n_perm=48).collect()[0]
+        assert r.p_value > 0.02  # same distribution → not extreme
+
+    def test_deterministic_and_salted(self, spark):
+        from mysql_syncer_spark.operators.stats import randomization_test
+
+        rows = [(i, "a" if i % 2 else "b", float(i % 13))
+                for i in range(100)]
+        df = spark.createDataFrame(rows, "k long, g string, v double")
+        r1 = randomization_test(df, "g", "v", "k", n_perm=16).collect()
+        r2 = randomization_test(df, "g", "v", "k", n_perm=16).collect()
+        assert r1 == r2
+        r3 = randomization_test(
+            df, "g", "v", "k", n_perm=16, salt="x"
+        ).collect()
+        assert r1[0].diff_obs == r3[0].diff_obs  # observed unchanged
+
+    def test_validation(self, spark):
+        from mysql_syncer_spark.operators.stats import randomization_test
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+            "k long, g string, v double",
+        )
+        with pytest.raises(ValueError, match="exactly 2 groups"):
+            randomization_test(df, "g", "v", "k").collect()
+        two = df.where("g != 'c'")
+        with pytest.raises(ValueError, match="n_perm"):
+            randomization_test(two, "g", "v", "k", n_perm=0)

@@ -267,6 +267,22 @@ HEADLINE = [
     "bitmap_overlap_events",
     "ivm_distinct_orders",
     "ewma_chunked_daily_events",
+    # round 9 second wave (appended in r10 so the spans/sampling/NTILE
+    # additions carry bench evidence; prior keys unchanged)
+    "duplicate_spans_docs",
+    "curation_funnel_docs",
+    "temperature_mixture_docs",
+    "duplication_profile_docs",
+    "unimax_sample_docs",
+    "decontaminate_spans_docs",
+    "unimax_tokens_docs",
+    "exact_ntile_events",
+    "exact_ntile_by_type_events",
+    # round 10 additions (new keys only; prior keys unchanged)
+    "kn_bigram_logprob_docs",
+    "sorted_export_manifest_docs",
+    "bitext_mine_embeddings",
+    "randomization_test_events",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

@@ -255,6 +255,15 @@ SCALE_QUERIES = [
     "unimax_tokens_docs",
     "exact_ntile_events",
     "exact_ntile_by_type_events",
+    # round-10 additions: the four r10 operators — the KN LM's
+    # type-count ratios at a 10x bigram-type universe, the sorted-
+    # export NTILE decomposition at 10x value cardinality, the bitext
+    # margins over the 10x embedding split, and the randomization
+    # test's exact-decimal-mean law at volume.
+    "kn_bigram_logprob_docs",
+    "sorted_export_manifest_docs",
+    "bitext_mine_embeddings",
+    "randomization_test_events",
 ]
 
 

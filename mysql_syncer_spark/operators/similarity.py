@@ -1082,9 +1082,12 @@ def margin_align(
     Plan shape: TWO batched exact kNN passes
     (:func:`cosine_topk_batch` — broadcast query side, map-side
     scoring, two-stage rank so no query funnels its corpus through one
-    reducer), two #side-sized mean aggregates, broadcast stat joins
-    onto the x→y candidate pairs only (never the full bipartite
-    product), and one per-x rank window over its k candidates. This is
+    reducer); the reverse pass scores ONLY the candidate y's (≤ k·|x|
+    of them — avg_k(y) is independent of which other y's are scored),
+    so corpus growth never inflates the reverse direction; two
+    candidate-sized mean aggregates, broadcast stat joins onto the
+    x→y candidate pairs only (never the full bipartite product), and
+    one per-x rank window over its k candidates. This is
     the exact verification baseline, same division of labor as
     E10/E11: at 100 TB replace each exact kNN pass with the IVF/LSH
     probe (cosine_topk_ivf / cosine_topk_lsh) — the margin arithmetic
@@ -1111,6 +1114,14 @@ def margin_align(
         F.col("query_id").alias("x_id"),
         F.col(id_col).alias("y_id"),
         "score",
+    )
+    # only the candidate y's (<= k x |x| of them) ever contribute an
+    # avg_k(y) to a margin — restrict the reverse kNN pass to them
+    # instead of scoring EVERY y against x (identical result: avg_k(y)
+    # does not depend on which other y's are scored)
+    cand_y = xy.select(F.col("y_id").alias(id_col)).distinct()
+    yq = yq.join(
+        cand_y.withColumnRenamed(id_col, "query_id"), "query_id"
     )
     yx = cosine_topk_batch(
         x_df, yq, k=k, id_col=id_col, vec_col=vec_col

@@ -289,3 +289,59 @@ def generalize_prefix(col: Column | str, length: int) -> Column:
         raise ValueError(f"length must be >= 1, got {length}")
     c = F.col(col) if isinstance(col, str) else col
     return F.substring(c, 1, length)
+
+
+def dp_group_counts(
+    df: DataFrame,
+    group_cols: "Sequence[str]",
+    epsilon: float,
+    seed: str = "",
+    out_col: str = "dp_count",
+) -> DataFrame:
+    """E176: epsilon-differentially-private group counts via the
+    Laplace mechanism -- the standard release form for aggregate
+    statistics over sensitive rows (count queries have sensitivity 1,
+    so noise is Laplace(1/eps); Dwork et al. 2006). Output: the
+    grouping columns and the noisy count (rounded to the nearest
+    integer, clamped at 0 -- post-processing preserves DP); the true
+    count is NOT emitted.
+
+    Noise derivation: a uniform u in (-1/2, 1/2) from the md5 of
+    (seed || group key), mapped through the Laplace inverse CDF
+    -(1/eps) * sign(u) * ln(1 - 2|u|). With a per-release random
+    ``seed`` this IS the Laplace mechanism (u is uniform and
+    independent of the data given the seed); a FIXED seed makes the
+    release deterministic -- which is what lets the DuckDB oracle
+    reproduce it bit-for-bit and what tests need -- but ties the noise
+    to the group key, so for a real privacy deployment draw ``seed``
+    fresh per release (e.g. secrets.token_hex()) and never publish two
+    releases under the same seed.
+
+    Scale shape: ONE map-side-combinable groupBy; the noise is a
+    row-local codegen expression over the #groups-sized result. No
+    collect, no UDF.
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    gcols = list(group_cols)
+    counts = df.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__n"))
+    key = F.concat_ws(
+        "", F.lit(seed), *[F.col(c).cast("string") for c in gcols]
+    )
+    # 13 hex digits -> uniform in [0, 1) at 2^-52 grain, then shift to
+    # (-1/2, 1/2); u == 0 maps to noise 0 (measure-zero under a real
+    # random seed)
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double")
+        / F.lit(float(16 ** 13))
+        - F.lit(0.5)
+    )
+    lap = (
+        F.lit(-1.0 / float(epsilon))
+        * F.signum(u)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+    )
+    noisy = F.greatest(
+        F.round(F.col("__n") + lap, 0).cast("long"), F.lit(0)
+    )
+    return counts.select(*gcols, noisy.alias(out_col))

@@ -1152,3 +1152,121 @@ def margin_align(
         .where((F.col("__rn") == 1) & (F.col("margin") >= threshold))
         .drop("__rn")
     )
+
+
+def pca_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_components: int | None = None,
+    whiten: bool = False,
+    eps: float = 1e-9,
+) -> dict:
+    """E177: PCA (optionally whitening) over a vector column — the
+    standard embedding conditioning step (retrieval pipelines whiten
+    before cosine; SemDeDup-style clustering runs on centered,
+    variance-equalized vectors; dimensionality cuts 64→k ahead of
+    ANN). Spark-first split of the work:
+
+    * the dim×dim covariance accumulates DISTRIBUTED in one combinable
+      aggregate pass — per-partition outer-product sums via
+      ``F.aggregate`` over a zipped index array (pure codegen: sum of
+      v_i·v_j per (i, j) plus the mean vector), dim(dim+1)/2 cells +
+      dim means + a count, all map-side combinable;
+    * the eigendecomposition of that dim×dim matrix is METADATA-sized
+      (64×64 here — microseconds in numpy on the driver, the same
+      division of labor as the IVF codebook);
+    * the projection back over the corpus is a row-local codegen
+      expression (no UDF, no shuffle).
+
+    Returns a plain dict model: ``mean`` (list), ``components``
+    (list of rows, each a principal axis, variance-descending),
+    ``explained_variance`` (list), ``whiten``/``eps``. Deterministic
+    up to per-axis SIGN, which numpy's eigh does not fix — the sign is
+    canonicalized so each axis's largest-|coordinate| entry is
+    positive (ties broken by index), making train→apply reproducible
+    across runs and hosts.
+    """
+    import numpy as np
+
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("pca_train: empty input")
+    dim = dim_row["d"]
+    k = dim if n_components is None else n_components
+    if not 1 <= k <= dim:
+        raise ValueError(f"n_components must be in [1, {dim}], got {k}")
+    v = F.col(vec_col).cast("array<double>")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i in range(dim):
+        aggs.append(F.sum(F.element_at(v, i + 1)).alias(f"__m_{i}"))
+    for i in range(dim):
+        for j in range(i, dim):
+            aggs.append(
+                F.sum(
+                    F.element_at(v, i + 1) * F.element_at(v, j + 1)
+                ).alias(f"__s_{i}_{j}")
+            )
+    row = df.agg(*aggs).first()
+    n = row["__n"]
+    if n < 2:
+        raise ValueError(f"pca_train: need >= 2 rows, got {n}")
+    mean = np.array([row[f"__m_{i}"] / n for i in range(dim)])
+    cov = np.zeros((dim, dim))
+    for i in range(dim):
+        for j in range(i, dim):
+            c = row[f"__s_{i}_{j}"] / n - mean[i] * mean[j]
+            cov[i, j] = cov[j, i] = c
+    w, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1][:k]
+    comps = vecs[:, order].T  # k x dim
+    var = w[order]
+    # canonical sign: the largest-|coord| entry of each axis positive
+    for r in range(k):
+        idx = int(np.argmax(np.abs(comps[r])))
+        if comps[r][idx] < 0:
+            comps[r] = -comps[r]
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "explained_variance": [float(x) for x in var],
+        "whiten": bool(whiten),
+        "eps": float(eps),
+    }
+
+
+def pca_apply(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto the trained axes (and variance-normalize
+    when the model whitens) — a row-local expression: center once via
+    ``zip_with`` against the literal mean array, then one
+    ``zip_with``+``aggregate`` dot per axis against its literal
+    coefficient array. Array-literal form keeps the expression tree
+    O(k) nodes (a k×dim unrolled sum would stress codegen at 64×64);
+    no UDF, no shuffle, column-prunable."""
+    import math
+
+    v = F.col(vec_col).cast("array<double>")
+    mean_arr = F.array(*[F.lit(float(m)) for m in model["mean"]])
+    centered = F.zip_with(v, mean_arr, lambda a, b: a - b)
+    comps = model["components"]
+    scales = [1.0] * len(comps)
+    if model.get("whiten"):
+        scales = [
+            1.0 / math.sqrt(max(ev, 0.0) + model.get("eps", 1e-9))
+            for ev in model["explained_variance"]
+        ]
+    base = df.withColumn("__c", centered)
+    outs = []
+    for axis, scale in zip(comps, scales):
+        axis_arr = F.array(*[F.lit(float(a)) for a in axis])
+        dot = F.aggregate(
+            F.zip_with(F.col("__c"), axis_arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        outs.append(dot * F.lit(float(scale)))
+    return base.withColumn(out_col, F.array(*outs)).drop("__c")

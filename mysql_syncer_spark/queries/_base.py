@@ -820,6 +820,13 @@ _DEMOTED: tuple[str, ...] = (
     # r10: randomization significance test (E175) — the two-sample
     # stats class is in-window via mwu_drift/ks_drift; oracle-backed.
     "randomization_test_events",
+    # r10: DP count release (E176) — one combinable groupBy + codegen
+    # noise; oracle reproduces the seeded release; privacy family
+    # in-window via k_anonymity/t_closeness rows.
+    "dp_event_type_counts",
+    # r10: PCA whitening (E177) — rows-only by nature
+    # (eigendecomposition); pytest-law-gated like the IVF/PQ rows.
+    "pca_whiten_embeddings",
 )
 
 

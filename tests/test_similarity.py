@@ -598,3 +598,59 @@ class TestMarginAlign:
         x, y = self._sides(spark)
         with _pytest.raises(ValueError, match="k must be"):
             margin_align(x, y, k=0)
+
+
+class TestPca:
+    """E177 PCA / whitening laws (operators/similarity.py)."""
+
+    def test_matches_numpy_reference_and_whitening_laws(self, spark, sf_dir):
+        import numpy as np
+
+        from mysql_syncer_spark.operators.similarity import (
+            pca_apply,
+            pca_train,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        m = pca_train(emb, n_components=8, whiten=True)
+        rows = pca_apply(emb, m).select("vec_id", "pca").collect()
+        X = np.array([r.pca for r in rows])
+        full = np.array(
+            [r.embedding for r in emb.select("embedding").collect()],
+            dtype=np.float64,
+        )
+        ref = (full - np.array(m["mean"])) @ np.array(m["components"]).T
+        ref = ref / np.sqrt(
+            np.maximum(np.array(m["explained_variance"]), 0) + m["eps"]
+        )
+        # note: collect order matches because both reads preserve file
+        # order within one session
+        assert np.abs(X - ref).max() < 1e-10
+        assert np.abs(X.mean(axis=0)).max() < 1e-9   # centered
+        assert np.abs(X.var(axis=0) - 1).max() < 1e-6  # whitened
+        C = np.array(m["components"])
+        assert np.abs(C @ C.T - np.eye(8)).max() < 1e-9  # orthonormal
+        ev = m["explained_variance"]
+        assert all(a >= b - 1e-12 for a, b in zip(ev, ev[1:]))  # sorted
+
+    def test_deterministic_across_retrains(self, spark, sf_dir):
+        from mysql_syncer_spark.operators.similarity import pca_train
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        m1 = pca_train(emb, n_components=4)
+        m2 = pca_train(emb.repartition(7), n_components=4)
+        # distributed sums are order-sensitive in the last ulps;
+        # the sign canonicalization + eigh must still agree closely
+        import numpy as np
+
+        assert np.allclose(m1["components"], m2["components"], atol=1e-8)
+
+    def test_validation(self, spark, sf_dir):
+        from mysql_syncer_spark.operators.similarity import pca_train
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        with pytest.raises(ValueError, match="n_components"):
+            pca_train(emb, n_components=0)
+        one = emb.limit(1)
+        with pytest.raises(ValueError, match=">= 2 rows"):
+            pca_train(one)

@@ -264,6 +264,7 @@ SCALE_QUERIES = [
     "sorted_export_manifest_docs",
     "bitext_mine_embeddings",
     "randomization_test_events",
+    "dp_event_type_counts",
 ]
 
 

@@ -283,6 +283,8 @@ HEADLINE = [
     "sorted_export_manifest_docs",
     "bitext_mine_embeddings",
     "randomization_test_events",
+    "dp_event_type_counts",
+    "pca_whiten_embeddings",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

@@ -331,10 +331,15 @@ def dp_group_counts(
     # 13 hex digits -> uniform in [0, 1) at 2^-52 grain, then shift to
     # (-1/2, 1/2); u == 0 maps to noise 0 (measure-zero under a real
     # random seed)
-    u = (
+    # clamp away from the u = -1/2 endpoint: an all-zero md5 prefix
+    # (probability 16^-13 per group) would hit ln(0) = -inf and ANSI
+    # mode throws casting infinity to long; the clamp moves that one
+    # measure-zero draw by 1e-15 and changes nothing else
+    u = F.greatest(
         F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double")
         / F.lit(float(16 ** 13))
-        - F.lit(0.5)
+        - F.lit(0.5),
+        F.lit(-0.5 + 1e-15),
     )
     lap = (
         F.lit(-1.0 / float(epsilon))

@@ -2252,8 +2252,10 @@ def randomization_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM events GROUP BY event_type),
          noise AS (
            SELECT event_type, n,
-                  ('0x' || substr(md5(event_type), 1, 13))::BIGINT
-                      / CAST(power(16, 13) AS DOUBLE) - 0.5 AS u
+                  GREATEST(
+                      ('0x' || substr(md5(event_type), 1, 13))::BIGINT
+                        / CAST(power(16, 13) AS DOUBLE) - 0.5,
+                      -0.5 + 1e-15) AS u
            FROM c)
        SELECT event_type,
               GREATEST(CAST(ROUND(

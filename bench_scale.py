@@ -656,9 +656,9 @@ def run_keyed_fetch() -> None:
     miss = spark.range(0, 200_000, 2).select("id")
     miss.count()  # materialize the plan before timing
 
-    def measure(workers: int, arrow: bool = True) -> float:
+    def measure(workers: int, catalog: DBAPICatalog) -> float:
         ex = DBAPISyncExecutor(
-            master, master, SyncConfig(max_parallel_tables=workers)
+            catalog, catalog, SyncConfig(max_parallel_tables=workers)
         )
         best = None
         for _ in range(2):
@@ -682,11 +682,9 @@ def run_keyed_fetch() -> None:
                 [tuple(r) for r in rows], schema
             )
         )
-        saved, master = master, base
-        results["r9_serial_pickle_sec"] = measure(1, arrow=True)
-        master = saved
-        results["serial_arrow_sec"] = measure(1, arrow=True)
-        results["parallel8_arrow_sec"] = measure(8, arrow=True)
+        results["r9_serial_pickle_sec"] = measure(1, base)
+        results["serial_arrow_sec"] = measure(1, master)
+        results["parallel8_arrow_sec"] = measure(8, master)
     finally:
         os.unlink(dbpath)
     results["keys"] = 100_000

@@ -292,29 +292,49 @@ class ParquetSyncExecutor:
         pending: set = set()
         chunk: list = []
         idx = 0
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            def submit() -> None:
-                nonlocal idx, pending
-                if not chunk:
-                    return
-                # bound in-flight chunks to the pool width: the
-                # producer blocks instead of buffering the key stream
-                while len(pending) >= workers:
-                    done, pending = fwait(
-                        pending, return_when=FIRST_COMPLETED
-                    )
-                    dirs.extend(f.result() for f in done)
-                pending.add(pool.submit(fetch_one, idx, list(chunk)))
-                idx += 1
-                chunk.clear()
+        try:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                def reap(done) -> None:
+                    # result() re-raises a worker's exception EAGERLY,
+                    # aborting the producer loop instead of streaming
+                    # the rest of toLocalIterator into a doomed sync
+                    for f in done:
+                        dirs.append(f.result())
 
-            for r in miss.toLocalIterator():
-                chunk.append(tuple(r))
-                if len(chunk) >= chunk_size:
+                def submit() -> None:
+                    nonlocal idx, pending
+                    if not chunk:
+                        return
+                    # bound in-flight chunks to the pool width: the
+                    # producer blocks instead of buffering the key stream
+                    while len(pending) >= workers:
+                        done, pending = fwait(
+                            pending, return_when=FIRST_COMPLETED
+                        )
+                        reap(done)
+                    pending.add(pool.submit(fetch_one, idx, list(chunk)))
+                    idx += 1
+                    chunk.clear()
+
+                try:
+                    for r in miss.toLocalIterator():
+                        chunk.append(tuple(r))
+                        if len(chunk) >= chunk_size:
+                            submit()
                     submit()
-            submit()
-            done, _ = fwait(pending)
-            dirs.extend(f.result() for f in done)
+                    done, _ = fwait(pending)
+                    reap(done)
+                except BaseException:
+                    for f in pending:
+                        f.cancel()
+                    raise
+        except BaseException:
+            # the caller only learns the spill path from our return
+            # value — on an error it never does, so clean up here
+            import shutil
+
+            shutil.rmtree(spill, ignore_errors=True)
+            raise
         if not dirs:
             _, _, schema = self.master.table_meta(table)
             return self.spark.createDataFrame([], schema), spill

@@ -295,7 +295,7 @@ def dp_group_counts(
     df: DataFrame,
     group_cols: "Sequence[str]",
     epsilon: float,
-    seed: str = "",
+    seed: str | None = None,
     out_col: str = "dp_count",
 ) -> DataFrame:
     """E176: epsilon-differentially-private group counts via the
@@ -313,9 +313,11 @@ def dp_group_counts(
     independent of the data given the seed); a FIXED seed makes the
     release deterministic -- which is what lets the DuckDB oracle
     reproduce it bit-for-bit and what tests need -- but ties the noise
-    to the group key, so for a real privacy deployment draw ``seed``
-    fresh per release (e.g. secrets.token_hex()) and never publish two
-    releases under the same seed.
+    to the group key, making it recomputable-and-subtractable by any
+    consumer who knows the seed. The safe mode is therefore the
+    DEFAULT: ``seed=None`` draws a fresh ``secrets.token_hex(16)`` per
+    release. Pass an explicit seed only for reproducible
+    tests/oracles, and never publish two releases under one seed.
 
     Scale shape: ONE map-side-combinable groupBy; the noise is a
     row-local codegen expression over the #groups-sized result. No
@@ -323,6 +325,10 @@ def dp_group_counts(
     """
     if epsilon <= 0:
         raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    if seed is None:
+        import secrets
+
+        seed = secrets.token_hex(16)
     gcols = list(group_cols)
     counts = df.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__n"))
     key = F.concat_ws(

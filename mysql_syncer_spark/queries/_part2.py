@@ -173,7 +173,9 @@ def bpe_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BPE_CACHE[sf_dir] = merges
     return bpe_encode(docs, merges).select(
         "doc_id", "n_bpe_tokens",
-        F.slice("bpe_tokens", 1, 5).alias("first_tokens"),
+        # Surfaced as a string: the driver's pandas canonicalizer
+        # sort_values cannot hash list columns (r10 window TypeError).
+        F.concat_ws(" ", F.slice("bpe_tokens", 1, 5)).alias("first_tokens"),
     )
 
 

@@ -2108,7 +2108,12 @@ def kn_bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 CAST(NTILE(8) OVER (
                      ORDER BY n_chars, md5(CAST(doc_id AS VARCHAR)),
                               doc_id) AS BIGINT) AS shard
-         FROM documents WHERE n_chars IS NOT NULL)
+         FROM documents WHERE n_chars IS NOT NULL
+         UNION ALL
+         -- NULL keys route to shard 1 (engine: sorted_shard_assign
+         -- never drops a row); MIN/MAX ignore NULLs on both sides
+         SELECT n_chars, CAST(1 AS BIGINT) AS shard
+         FROM documents WHERE n_chars IS NULL)
        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
               MIN(n_chars) AS min_key, MAX(n_chars) AS max_key
        FROM binned GROUP BY shard ORDER BY shard""",
@@ -2273,9 +2278,11 @@ def dp_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_syncer_spark.operators.privacy import dp_group_counts
 
     ev = load_table(spark, sf_dir, "events")
-    return dp_group_counts(ev, ["event_type"], epsilon=0.5).orderBy(
-        "event_type"
-    )
+    # explicit fixed seed: reproducibility for the oracle compare ONLY
+    # -- a real release must let seed default to a fresh random draw
+    return dp_group_counts(
+        ev, ["event_type"], epsilon=0.5, seed=""
+    ).orderBy("event_type")
 
 
 @_register("pca_whiten_embeddings")  # no SQL oracle: eigendecomposition

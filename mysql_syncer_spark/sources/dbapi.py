@@ -278,9 +278,30 @@ class DBAPICatalog(Catalog):
         strict about python types, so exotic DBAPI values (driver-specific
         wrappers, mixed types in a column) fall back to the classic
         ``createDataFrame(list, schema)`` path — identical semantics,
-        just slower."""
+        just slower.
+
+        Naive ``datetime`` values are normalized to UTC-aware BEFORE
+        either path runs: Arrow's ``to_arrow_schema`` pins tz=UTC while
+        Spark's pickle fallback (``TimestampType.toInternal``) uses
+        ``time.mktime`` — host-local TZ. Without the normalization the
+        two paths disagree by the host offset, and since path selection
+        is data-dependent one table's chunks could mix interpretations
+        and poison row hashes. The fallback is narrow (Arrow type/value
+        errors only) and logged when it engages."""
         if not rows:
             return self.spark.createDataFrame([], schema)
+        import datetime as _dt
+
+        has_ts = any(
+            isinstance(f.dataType, T.TimestampType) for f in schema.fields
+        )
+        if has_ts:
+            def _utc(v):
+                if isinstance(v, _dt.datetime) and v.tzinfo is None:
+                    return v.replace(tzinfo=_dt.timezone.utc)
+                return v
+
+            rows = [tuple(_utc(v) for v in r) for r in rows]
         try:
             import pyarrow as pa
             from pyspark.sql.pandas.types import to_arrow_schema
@@ -295,7 +316,14 @@ class DBAPICatalog(Catalog):
                 schema=aschema,
             )
             return self.spark.createDataFrame(tbl, schema)
-        except Exception:
+        except (ImportError, TypeError, ValueError, OverflowError) as e:
+            # pa.ArrowInvalid / ArrowTypeError subclass ValueError /
+            # TypeError, so this stays importable when pyarrow is absent.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "Arrow row transfer fell back to pickle path: %s", e
+            )
             return self.spark.createDataFrame(
                 [tuple(r) for r in rows], schema
             )

@@ -151,3 +151,42 @@ def test_dbapi_single_table_sync(spark, dbs):
     assert _dump(mpath, "orders", "o_orderkey") == _dump(
         spath, "orders", "o_orderkey"
     )
+
+
+def test_keyed_fetch_error_cleans_spill_and_propagates(spark, tmp_path):
+    """ADVICE r10: a worker exception in _stream_keyed_fetch must
+    (a) propagate promptly instead of only at the final wait, and
+    (b) not leak the spill dir — the caller never learns the path on
+    the error return."""
+    import glob
+
+    mpath = str(tmp_path / "m.db")
+    with sqlite3.connect(mpath) as m:
+        m.execute(ORDERS_DDL)
+        m.executemany(
+            "INSERT INTO orders VALUES (?,?,?,?,?)", _orders_rows(100)
+        )
+        m.commit()
+    cat = DBAPICatalog(spark, _factory(mpath))
+    ex = DBAPISyncExecutor(
+        cat, cat, SyncConfig(max_parallel_tables=2, chunk_size=10)
+    )
+
+    calls = {"n": 0}
+    real = cat.fetch_rows
+
+    def boom(name, keys, pk_cols, chunk_size=5000):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated source failure")
+        return real(name, keys, pk_cols, chunk_size=chunk_size)
+
+    cat.fetch_rows = boom
+    miss = spark.range(0, 100).selectExpr("id AS o_orderkey")
+    import tempfile
+
+    before = set(glob.glob(tempfile.gettempdir() + "/syncer_fetch_*"))
+    with pytest.raises(RuntimeError, match="simulated source failure"):
+        ex._stream_keyed_fetch("orders", miss, ["o_orderkey"])
+    after = set(glob.glob(tempfile.gettempdir() + "/syncer_fetch_*"))
+    assert after - before == set()  # spill dir removed on the error path

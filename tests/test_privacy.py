@@ -354,12 +354,19 @@ class TestDpGroupCounts:
         from mysql_syncer_spark.operators.privacy import dp_group_counts
 
         df = self._df(spark, n_groups=20)
-        a = sorted(map(tuple, dp_group_counts(df, ["g"], 0.5).collect()))
-        b = sorted(map(tuple, dp_group_counts(df, ["g"], 0.5).collect()))
+        a = sorted(map(tuple, dp_group_counts(
+            df, ["g"], 0.5, seed="release1").collect()))
+        b = sorted(map(tuple, dp_group_counts(
+            df, ["g"], 0.5, seed="release1").collect()))
         c = sorted(map(tuple, dp_group_counts(
             df, ["g"], 0.5, seed="release2").collect()))
         assert a == b
         assert a != c  # a fresh seed redraws the noise
+        # seed=None (the default) draws fresh entropy per release:
+        # two default calls must NOT reproduce each other
+        d = sorted(map(tuple, dp_group_counts(df, ["g"], 0.5).collect()))
+        e = sorted(map(tuple, dp_group_counts(df, ["g"], 0.5).collect()))
+        assert d != e
 
     def test_validation(self, spark):
         from mysql_syncer_spark.operators.privacy import dp_group_counts

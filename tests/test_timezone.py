@@ -95,3 +95,73 @@ def test_timestamp_rendering_would_diverge_without_pin(spark):
         assert utc != ny  # -04:00 in June: '12:00:00' vs '08:00:00'
     finally:
         spark.conf.set(TZ_KEY, orig)
+
+
+def test_dbapi_rows_to_df_paths_agree_on_naive_datetimes(spark):
+    """ADVICE r10 (medium): _rows_to_df's Arrow path pins naive DBAPI
+    datetimes to UTC (to_arrow_schema carries tz=UTC) while the pickle
+    fallback ran them through TimestampType.toInternal → time.mktime,
+    i.e. HOST-LOCAL time — a silent, data-dependent 4h divergence on a
+    non-UTC host, feeding row hashes. The fix normalizes naive
+    datetimes to UTC-aware before BOTH paths; this test simulates the
+    non-UTC host (TZ env + tzset) and asserts both paths produce the
+    same instant, equal to the UTC interpretation."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from mysql_syncer_spark.sources.dbapi import DBAPICatalog
+
+    cat = DBAPICatalog.__new__(DBAPICatalog)
+    cat.spark = spark
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    rows = [(1, dt.datetime(2024, 6, 1, 12, 0, 0))]  # naive
+
+    def render(df):
+        # JVM-side string rendering under the pinned UTC session TZ —
+        # the representation row hashes/digests actually consume
+        # (Python-side collect() of a raw timestamp renders host-local
+        # and is NOT on any hash path)
+        return df.select(
+            F.col("ts").cast("string").alias("s")
+        ).collect()[0].s
+
+    orig_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        arrow_s = render(cat._rows_to_df(rows, schema))
+
+        # force the pickle fallback by making pyarrow unimportable
+        # inside _rows_to_df's try block
+        import builtins
+
+        real_import = builtins.__import__
+
+        def no_arrow(name, *a, **kw):
+            if name == "pyarrow":
+                raise ImportError("forced for test")
+            return real_import(name, *a, **kw)
+
+        builtins.__import__ = no_arrow
+        try:
+            pickle_s = render(cat._rows_to_df(rows, schema))
+        finally:
+            builtins.__import__ = real_import
+    finally:
+        if orig_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = orig_tz
+        _time.tzset()
+
+    assert arrow_s == pickle_s == "2024-06-01 12:00:00", (
+        arrow_s, pickle_s,
+    )

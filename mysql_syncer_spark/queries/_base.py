@@ -142,11 +142,6 @@ def _register(name: str, oracle: str | None = None):
 #: simhash_near_dup_docs, simhash_clusters_docs,
 #: scrub_repeated_spans_docs, incremental_new_docs.
 _PROMOTED: tuple[str, ...] = (
-    "asof_forward_events_orders",
-    "entity_clusters_part",
-    "scrub_repeated_windows_docs",
-    "tpch_q9_product_type_profit",
-    "quality_propagate_embeddings",
     # r7 second wave: three NEW operator classes promoted so the
     # driver window certifies them in CORRECTNESS_r07. Displaced (to
     # positions 51-53, all still oracle-backed + parity-swept at 3
@@ -159,9 +154,6 @@ _PROMOTED: tuple[str, ...] = (
     # value (a one-expression clamp atop the exact-percentile kernel
     # that token_quantiles/group_quantiles keep parity-swept; the
     # least-severe remaining displacement).
-    "ivm_join_orders_customer",
-    "dsir_sample_docs",
-    "containment_pairs_docs",
     # r8 rotation: the never-window r7 fourth wave (each a NEW operator
     # class the driver had never certified) plus the round-8 left-outer
     # IVM (E149). Displaced to positions 51-56 (all still oracle-backed,
@@ -172,8 +164,6 @@ _PROMOTED: tuple[str, ...] = (
     # kernels (range join, per-row vector codegen, grouping sets,
     # ordered-sequence window, cohort bucketing, sliding window) other
     # in-window rows or the sf1 sweep keep machine-checked.
-    "ivm_left_join_orders_customer",
-    "benford_screen_events",
     "mwu_drift_events",
     "theil_sen_trend_events",
     "fd_audit_orders",
@@ -241,23 +231,48 @@ _PROMOTED: tuple[str, ...] = (
     # dedup_keep_best_docs.
     "sync_merge_orders",
     "partition_digests_orders",
-    "ann_topk_ivf_indexed",
-    "ann_topk_pq",
     "incremental_ingest_2pct",
     "incremental_ingest_2pct_indexed",
     "bigram_logprob_docs",
-    "bpe_tokens_docs",
     "epoch_shuffle_docs",
     "bloom_new_docs_gate",
-    "quality_score_docs",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
     "tpch_q14_promo_revenue",
     "tpch_q18_large_volume",
     "vocab_drift_docs",
-    "frame_sample_media_docs",
     "bm25_search_docs",
     "phrase_search_docs",
+    # r11 rotation (VERDICT r10 items 1+2 / window policy): the five
+    # rows-only entries the r10 window spent slots on (ann_topk_ivf_
+    # indexed, ann_topk_pq, bpe_tokens_docs, quality_score_docs,
+    # frame_sample_media_docs — the driver can only record rows>0 for
+    # them; their real gates are the named pytest recall/bit-exactness
+    # tests) move PAST the window permanently, per the ROTATION.md
+    # policy: window slots go exclusively to oracle-backed queries.
+    # Ten oldest driver-green r7/r8 rows also rotate out (asof_forward,
+    # entity_clusters, scrub_repeated_windows, tpch_q9,
+    # quality_propagate, ivm_join, dsir_sample, containment_pairs,
+    # ivm_left_join, benford_screen — every one full-green in
+    # CORRECTNESS_r10; cumulative coverage kept per ROTATION.md).
+    # FIFTEEN oracle-backed never-window queries rotate in, oldest
+    # first from the queue: the remaining TPC-H classics and the
+    # z-score anomaly screen.
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q20_potential_promotion",
+    "anomaly_zscore_events",
 )
 
 #: Queries proven green across rounds 1-3 whose machinery is fully covered

@@ -2309,9 +2309,23 @@ def pca_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         model = pca_train(emb, n_components=8, whiten=True)
         _PCA_CACHE[sf_dir] = model
     out = pca_apply(emb, model)
+    # scalar surface (driver canonicalizer hashes pandas sort_values —
+    # array columns are unhashable, the r10 bpe red-row class): leading
+    # components as columns + the full-projection norm as a checksum
     return out.select(
         "vec_id",
-        F.transform("pca", lambda x: F.round(x, 6)).alias("pca"),
+        *[
+            F.round(F.col("pca")[i], 6).alias(f"pc{i + 1}")
+            for i in range(4)
+        ],
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "pca", F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ),
+            6,
+        ).alias("pca_norm"),
     )
 
 

@@ -112,3 +112,25 @@ def test_no_decimal_output_columns(spark, sf_dir, name):
         "DECIMAL, surface as DOUBLE/rounded (r9 driver-hash lesson — "
         "see ivm_extrema_orders docstring)"
     )
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_no_complex_output_columns(spark, sf_dir, name):
+    """r10 driver lesson (``bpe_tokens_docs`` red row): the driver's
+    pandas canonicalizer ``sort_values`` cannot hash list cells, so an
+    array/map/struct output column crashes even the rows-only check.
+    Registry discipline: every result column is a scalar — serialize
+    samples with ``concat_ws``, surface vectors as component columns
+    plus a norm checksum (see pca_whiten_embeddings)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = _QUERIES[name](spark, sf_dir)
+    leaked = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not leaked, (
+        f"{name} surfaces complex-typed columns {leaked}: the driver "
+        "canonicalizer cannot hash them (r10 bpe_tokens_docs lesson)"
+    )

@@ -282,6 +282,7 @@ HEADLINE = [
     "kn_bigram_logprob_docs",
     "sorted_export_manifest_docs",
     "bitext_mine_embeddings",
+    "bitext_mine_embeddings_lsh",
     "randomization_test_events",
     "dp_event_type_counts",
     "pca_whiten_embeddings",
@@ -530,6 +531,21 @@ def main() -> None:
     # 2000-char tail and parses the last line; r5/r6 inlined all ~120
     # keys and overflowed it — both rounds recorded "parsed": null).
     # Canary keys only; the full map lives in BENCH_DETAIL.json.
+    # Self-diagnosing tail (VERDICT r10 item 2): fixed_work (the ~0.9 s
+    # zero-code-dependence host normalizer) and PER-PASS canary totals
+    # let any reader classify a canary move as load-vs-regression from
+    # the artifact alone: ambient load inflates fixed_work and spreads
+    # the three passes; a plan regression moves specific keys with a
+    # flat fixed_work and tight passes. Expected band in BASELINE.md.
+    cpasses = detail_groups["canary"]
+    canary_pass = [
+        round(sum(cpasses[p][k] for k in canary_keys if k in cpasses[p]), 2)
+        for p in ("pass1", "pass2", "pass3")
+    ]
+    fixed_pass = [
+        round(cpasses[p].get("fixed_work", 0.0), 2)
+        for p in ("pass1", "pass2", "pass3")
+    ]
     compact = {
         "metric": "total_headline_sec",
         "value": total,
@@ -538,6 +554,9 @@ def main() -> None:
         "canary_sec": canary_total,
         "canary_norm": canary_norm,
         "canary_norm2": canary_norm2,
+        "fixed_work": merged.get("fixed_work"),
+        "canary_pass_sec": canary_pass,
+        "fixed_work_pass": fixed_pass,
         "n_queries": len(merged),
         "detail": "BENCH_DETAIL.json",
         "sf": float(sf) if sf else SF_DIR,

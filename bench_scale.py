@@ -801,6 +801,127 @@ def run_jdbc_skew() -> None:
     }))
 
 
+def run_bitext_probe() -> None:
+    """Round-11 VERDICT item 3 — measured probed-tier economics for
+    margin-based bitext mining (E174). The exact tier scores |x|*|y|
+    pairs per direction; the sign-LSH tier (8 bits, radius 1) scores
+    only bucket-ball collisions (~|ball|/256 = 3.5% on uniformly
+    bucketed data). The y-side corpus is scaled 1x/4x/16x with
+    vec_id-shifted, component-jittered replicas (deterministic, no
+    RNG) while the 500-vector x batch stays fixed — mining a fixed
+    query batch against a growing corpus, the production shape. The
+    lane records wall seconds for both tiers (exact skipped at 16x —
+    it is the quadratic baseline, not the scale path) plus the MEASURED
+    candidate fraction, which is the whole economic claim."""
+    from mysql_syncer_spark.operators.similarity import (
+        cosine_topk_batch_lsh,
+        margin_align,
+        with_sign_buckets,
+    )
+    from mysql_syncer_spark.sources.catalog import load_table
+
+    spark = _session()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    x = emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 1000))
+    base_y = emb.where(F.col("vec_id") % 2 == 1)
+    n_base = base_y.count()
+    n_x = x.count()
+
+    def y_at(scale: int):
+        if scale == 1:
+            return base_y
+        reps = [base_y]
+        for i in range(1, scale):
+            # replica-unique: shift ids past the domain and jitter one
+            # component deterministically so replicas are distinct
+            # vectors in distinct buckets, not exact duplicates
+            reps.append(
+                base_y.select(
+                    (F.col("vec_id") + F.lit(i * 10_000_000)).alias(
+                        "vec_id"
+                    ),
+                    F.transform(
+                        "embedding",
+                        lambda v, j: v
+                        + (
+                            F.pmod(
+                                F.xxhash64(
+                                    F.col("vec_id"), j, F.lit(i)
+                                ),
+                                F.lit(1000),
+                            ).cast("double")
+                            / 1000.0
+                            - 0.5
+                        )
+                        * 0.1,
+                    ).alias("embedding"),
+                )
+            )
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        return out
+
+    results: dict = {"x_rows": n_x, "y_base_rows": n_base}
+    for scale in (1, 4, 16):
+        y = y_at(scale).localCheckpoint(eager=True)
+        ny = y.count()
+        row: dict = {"y_rows": ny}
+        if scale <= 4:
+            t0 = time.time()
+            force(margin_align(x, y, k=4, threshold=0.0))
+            row["exact_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        force(
+            margin_align(
+                x, y, k=4, threshold=0.0, probe_bits=8, probe_radius=1
+            )
+        )
+        row["probed_sec"] = round(time.time() - t0, 2)
+        # measured candidate fraction: bucket-ball collisions / |x||y|
+        from mysql_syncer_spark.operators.similarity import (
+            _hamming_ball,
+            sign_bucket,
+        )
+
+        xq = x.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+        )
+
+        masks = _hamming_ball(0, 8, 1)
+        qb = xq.select(
+            "query_id", sign_bucket(F.col("qv"), 8).alias("__qb")
+        )
+        qprobes = qb.select(
+            "query_id",
+            F.explode(
+                F.array(
+                    *[F.col("__qb").bitwiseXOR(F.lit(m)) for m in masks]
+                )
+            ).alias("__pb"),
+        )
+        ycnt = (
+            with_sign_buckets(y)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        scored = (
+            qprobes.join(ycnt, F.col("bucket") == F.col("__pb"))
+            .agg(F.sum("n").alias("s"))
+            .collect()[0]
+            .s
+            or 0
+        )
+        row["candidate_fraction"] = round(scored / (n_x * ny), 4)
+        results[f"scale_{scale}x"] = row
+        y.unpersist()
+    print(json.dumps({"bitext_probe": results}))
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "ingest"
     if mode == "ingest":
@@ -817,5 +938,7 @@ if __name__ == "__main__":
         run_keyed_fetch()
     elif mode == "jdbc_skew":
         run_jdbc_skew()
+    elif mode == "bitext":
+        run_bitext_probe()
     else:
         raise SystemExit(f"unknown mode {mode!r}")

@@ -301,6 +301,20 @@ def cosine_topk_batch(
         F.col(id_col),
         cosine(F.col(vec_col).cast("array<double>"), F.col("__qv")).alias("score"),
     )
+    return _topk_two_stage(scored, k, id_col, query_id_col, partial_buckets)
+
+
+def _topk_two_stage(
+    scored: DataFrame,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+    partial_buckets: int | None,
+) -> DataFrame:
+    """Per-query top-k over a ``(query_id, id, score)`` frame without
+    funneling any query's rows through one reducer (the
+    cosine_topk_batch two-stage rank, shared by the exact and probed
+    batch kNN tiers)."""
     from pyspark.sql import Window
 
     order = [F.desc("score"), F.asc(id_col)]
@@ -319,6 +333,61 @@ def cosine_topk_batch(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def cosine_topk_batch_lsh(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    n_bits: int = 8,
+    probe_radius: int = 1,
+    partial_buckets: int | None = 64,
+) -> DataFrame:
+    """Probed (sign-LSH) tier of :func:`cosine_topk_batch`: every query
+    scores ONLY the corpus rows whose sign bucket lies within
+    ``probe_radius`` bit flips of its own — the batch twin of
+    :func:`cosine_topk_lsh`.
+
+    Plan shape: the query side is expanded to its Hamming-ball probe
+    buckets (a fixed literal XOR-mask list — |ball| rows per query,
+    9 at n_bits=8/radius=1) and broadcast; the corpus joins on
+    ``bucket`` equality, so each corpus row is scored against only the
+    queries probing its bucket. On uniformly bucketed data the scored
+    fraction is |ball|/2^n_bits (~3.5% at 8/1) — and with the corpus
+    persisted partitioned-by-bucket the probe list is a partition-
+    pruning IN filter, same as the single-query LSH path. Candidate
+    scoring and the two-stage rank are shared with the exact tier.
+    """
+    masks = _hamming_ball(0, n_bits, probe_radius)
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(query_vec_col).cast("array<double>").alias("__qv"),
+        sign_bucket(F.col(query_vec_col), n_bits).alias("__qb"),
+    )
+    probes = q.select(
+        "__qid",
+        "__qv",
+        F.explode(
+            F.array(
+                *[F.col("__qb").bitwiseXOR(F.lit(m)) for m in masks]
+            )
+        ).alias("__pb"),
+    )
+    bucketed = with_sign_buckets(df, vec_col, n_bits)
+    scored = bucketed.join(
+        F.broadcast(probes), F.col("bucket") == F.col("__pb")
+    ).select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col).cast("array<double>"), F.col("__qv")).alias(
+            "score"
+        ),
+    )
+    return _topk_two_stage(scored, k, id_col, query_id_col, partial_buckets)
 
 
 def cosine_topk_lsh(
@@ -1064,6 +1133,8 @@ def margin_align(
     threshold: float = 1.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_bits: int | None = None,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """E174: margin-based embedding alignment (bitext mining) — for
     every x-side vector, the best y-side match scored by the
@@ -1089,9 +1160,13 @@ def margin_align(
     x→y candidate pairs only (never the full bipartite product), and
     one per-x rank window over its k candidates. This is
     the exact verification baseline, same division of labor as
-    E10/E11: at 100 TB replace each exact kNN pass with the IVF/LSH
-    probe (cosine_topk_ivf / cosine_topk_lsh) — the margin arithmetic
-    downstream is unchanged.
+    E10/E11. ``probe_bits`` engages the MEASURED 100 TB tier: both kNN
+    passes run :func:`cosine_topk_batch_lsh` (sign-LSH Hamming-ball
+    probing, scored fraction ~|ball|/2^probe_bits) instead of the
+    exact batch scan — the margin arithmetic downstream is unchanged,
+    byte-for-byte the same expressions. Recall vs the exact tier is
+    pytest-gated (tests/test_similarity.py::TestMarginAlignLsh) and
+    the candidate-fraction economics are a BENCH_SCALE lane.
 
     Output: ``(x_id, y_id, cos, margin)``, at most one row per x,
     only margins >= ``threshold``; margin rounded to 6 dp (the
@@ -1102,13 +1177,23 @@ def margin_align(
         raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql import Window
 
+    if probe_bits is None:
+        knn = cosine_topk_batch
+    else:
+        import functools
+
+        knn = functools.partial(
+            cosine_topk_batch_lsh,
+            n_bits=probe_bits,
+            probe_radius=probe_radius,
+        )
     xq = x_df.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     yq = y_df.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    xy = cosine_topk_batch(
+    xy = knn(
         y_df, xq, k=k, id_col=id_col, vec_col=vec_col
     ).select(
         F.col("query_id").alias("x_id"),
@@ -1123,7 +1208,7 @@ def margin_align(
     yq = yq.join(
         cand_y.withColumnRenamed(id_col, "query_id"), "query_id"
     )
-    yx = cosine_topk_batch(
+    yx = knn(
         x_df, yq, k=k, id_col=id_col, vec_col=vec_col
     )
     ax = xy.groupBy("x_id").agg(F.avg("score").alias("__ax"))

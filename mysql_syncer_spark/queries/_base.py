@@ -842,6 +842,10 @@ _DEMOTED: tuple[str, ...] = (
     # r10: PCA whitening (E177) — rows-only by nature
     # (eigendecomposition); pytest-law-gated like the IVF/PQ rows.
     "pca_whiten_embeddings",
+    # r11: probed-tier bitext mining (E174 scale path) — rows-only by
+    # nature (LSH candidate generation); recall-vs-exact pytest-gated,
+    # candidate-fraction economics in BENCH_SCALE.
+    "bitext_mine_embeddings_lsh",
 )
 
 

@@ -2187,6 +2187,35 @@ def bitext_mine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return margin_align(x, y, k=4, threshold=0.0).orderBy("x_id")
 
 
+@_register("bitext_mine_embeddings_lsh")  # rows-only: LSH probing is
+# approximate by design; its gates are the recall tests
+# (tests/test_similarity.py::TestMarginAlignLsh) and the BENCH_SCALE
+# candidate-fraction lane — the ann_topk_lsh : ann_topk_bruteforce
+# relationship applied to E174.
+def bitext_mine_embeddings_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E174 probed tier (VERDICT r10 item 3): the same margin mining
+    as bitext_mine_embeddings with BOTH exact batch-kNN passes swapped
+    for the sign-LSH Hamming-ball probe (cosine_topk_batch_lsh,
+    8 bits / radius 1 — each query scores ~9/256 of the corpus bucket
+    space; with the corpus persisted partitioned-by-bucket the probe
+    list is partition pruning). Margin arithmetic is the shared code
+    path — the approximation lives ONLY in candidate generation.
+    Recall >= 0.9 vs the exact tier is pytest-gated on the clustered
+    bitext corpus (real aligned-embedding regime); this fixture's
+    unstructured vectors are the documented no-free-lunch floor, same
+    as the PQ gate's note."""
+    from mysql_syncer_spark.operators.similarity import margin_align
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 1000))
+    y = emb.where(F.col("vec_id") % 2 == 1)
+    return margin_align(
+        x, y, k=4, threshold=0.0, probe_bits=8, probe_radius=1
+    ).orderBy("x_id")
+
+
 @_register(
     "randomization_test_events",
     """WITH rows_ AS (

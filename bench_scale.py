@@ -786,6 +786,34 @@ def run_jdbc_skew() -> None:
     m, sl = master.table("skewed").df, slave.table("skewed").df
     assert m.subtract(sl).count() == 0 and sl.subtract(m).count() == 0
 
+    # partition-MOVE under skew (r11, VERDICT r10 item 6): rows leave
+    # the HOT partition for a cold one on the slave — the
+    # delete-before-insert guard (Synchronizer.php:496-517 semantics:
+    # the same PK must be deleted from its old partition before the
+    # master row is inserted, or the PK constraint fires). The diff
+    # must touch exactly the two affected partition values.
+    slave.execute(
+        'UPDATE "skewed" SET "bucket" = 5 '
+        'WHERE MOD("k", 400) = 0 AND "bucket" = 0'
+    )
+    slave.invalidate()
+    n_moved = 150_000 // 400  # every 400th k is even, so bucket 0
+    moved_scan = master.table("skewed").df.where(
+        F.col("bucket").isin([0, 5])
+    )
+    mplan = moved_scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in mplan and "bucket" in mplan, mplan
+    t0 = time.time()
+    rep4 = sync(master, slave)
+    move = time.time() - t0
+    assert rep4.ok, [r.error for r in rep4.results if r.error]
+    m, sl = master.table("skewed").df, slave.table("skewed").df
+    assert m.subtract(sl).count() == 0 and sl.subtract(m).count() == 0
+    by4 = {r.table: r for r in rep4.results}
+    # a move is one delete (old partition) + one insert (new) per row
+    assert by4["skewed"].inserted == n_moved, by4["skewed"].inserted
+    assert by4["skewed"].deleted == n_moved, by4["skewed"].deleted
+
     by = {r.table: r for r in rep.results}
     print(json.dumps({
         "jdbc_skew": {
@@ -796,6 +824,8 @@ def run_jdbc_skew() -> None:
             "partitioned_sync_sec": round(dt, 2),
             "noop_resync_sec": round(noop, 2),
             "pushdown_sync_sec": round(push, 2),
+            "partition_move_rows": n_moved,
+            "partition_move_sync_sec": round(move, 2),
             "pruned_scan_plan_gate": "PushedFilters In(bucket...)",
         }
     }))

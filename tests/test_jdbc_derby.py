@@ -249,6 +249,39 @@ class TestDerbyPartitionedSync:
         s2 = rep2.summary()
         assert s2["noop"] == s2["tables"], s2
 
+    def test_partition_move_delete_before_insert(self, spark, dbs):
+        """r11 (VERDICT r10 item 6): rows MOVE between partition values
+        on the slave — the same PK exists on both sides with different
+        partition values. The delete-before-insert guard
+        (Synchronizer.php:496-517; here the staged-key server-side
+        DELETE runs before the writer insert) must fire, or the PK
+        constraint rejects the insert while the old-partition row still
+        exists. Counts must be exactly one delete + one insert per
+        moved row, and a re-sync must be all-noop. The skewed
+        bench-size twin is BENCH_SCALE §jdbc_skew's move phase."""
+        master, slave = dbs
+        slave.execute(
+            "UPDATE \"APP\".\"orders\" SET \"o_orderstatus\" = 'M' "
+            'WHERE MOD("o_orderkey", 23) = 0'
+        )
+        slave.invalidate()
+        n_moved = (
+            master.table("orders")
+            .df.where(F.expr("MOD(o_orderkey, 23) = 0"))
+            .count()
+        )
+        assert n_moved > 0
+        cfg = SyncConfig(partitioned_tables={"orders": "o_orderstatus"})
+        rep = sync(master, slave, cfg)
+        assert rep.ok, [r.error for r in rep.results if r.error]
+        by = {r.table: r for r in rep.results}
+        assert by["orders"].inserted == n_moved, by["orders"].inserted
+        assert by["orders"].deleted == n_moved, by["orders"].deleted
+        _converged(master, slave, tables=("orders",))
+        rep2 = sync(master, slave, cfg)
+        s2 = rep2.summary()
+        assert s2["noop"] == s2["tables"], s2
+
 
 class TestDerbyStatementReplay:
     def test_dry_run_log_replays_on_real_derby(self, spark, dbs, tmp_path):

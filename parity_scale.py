@@ -265,6 +265,10 @@ SCALE_QUERIES = [
     "bitext_mine_embeddings",
     "randomization_test_events",
     "dp_event_type_counts",
+    # r11: rows-only sf1 rows (PCA eigensolve; LSH-probed bitext) +
+    # the two queries whose oracle/seed changed in r11
+    "pca_whiten_embeddings",
+    "bitext_mine_embeddings_lsh",
 ]
 
 
@@ -325,6 +329,16 @@ def main() -> int:
         rec = {"query": name}
         try:
             sdf = qs[name](spark, sf1)
+            if name not in osql:
+                # rows-only at sf1 too (no SQL form — IVF/PQ/PCA/LSH
+                # class); the value gates are the named pytest laws
+                rec["spark_rows"] = sdf.count()
+                rec["ok"] = rec["spark_rows"] > 0
+                rec["note"] = "rows_only"
+                rec["seconds"] = round(time.time() - t0, 2)
+                failures += not rec["ok"]
+                print(json.dumps(rec), flush=True)
+                continue
             scols = list(sdf.columns)
             srows = [[row[c] for c in scols] for row in sdf.collect()]
             res = con.execute(osql[name])

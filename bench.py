@@ -283,6 +283,9 @@ HEADLINE = [
     "sorted_export_manifest_docs",
     "bitext_mine_embeddings",
     "bitext_mine_embeddings_lsh",
+    "weighted_sample_docs",
+    "bootstrap_mean_ci_events",
+    "corpus_card_docs",
     "randomization_test_events",
     "dp_event_type_counts",
     "pca_whiten_embeddings",

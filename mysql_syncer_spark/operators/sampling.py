@@ -791,3 +791,64 @@ def unimax_tokens(
         )
     )
     return full_replicas.unionByName(partial)
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """E178: deterministic weighted sampling without replacement —
+    the Efraimidis–Spirakis A-ES scheme (Inf. Process. Lett. 2006):
+    every row draws a uniform u from its key hash and gets the rank
+    key ``u ** (1/w)``; the k LARGEST rank keys are exactly a weighted
+    sample without replacement (each row's inclusion probability
+    proportional to its weight, marginally). The standard way to cut a
+    weighted corpus subsample (docs weighted by length/quality) in ONE
+    scan with no RNG state and no global sort.
+
+    Determinism: u = (md5 bucket + 0.5) / BUCKETS — strictly inside
+    (0, 1), so log(u) is finite and the DuckDB oracle reproduces the
+    ranks bit-for-bit. Rows with NULL or non-positive weight are
+    excluded (their rank key is undefined — the A-ES domain is w > 0).
+
+    Scale shape: the rank key is row-local codegen; the top-k is
+    ``ORDER BY ... LIMIT k`` which Spark executes as
+    TakeOrderedAndProject — per-partition size-k heaps + a k-sized
+    driver merge, NEVER a global sort shuffle. 100 TB cost = one scan.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    u = (hash_bucket(key_col, salt).cast("double") + F.lit(0.5)) / F.lit(
+        float(BUCKETS)
+    )
+    # rank = u ** (1/w); compare via ln(rank) = ln(u)/w (monotone, and
+    # avoids pow underflow for tiny u / huge w)
+    rank = F.log(u) / w
+    # rank on the ROUNDED key (9 dp, key tie-break): ln() is not
+    # required to be correctly rounded, so engines can differ by 1 ulp
+    # — rounding before the cutoff makes the top-k selection itself
+    # engine-stable, not just the displayed values
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("rank_key", F.round(rank, 9))
+        .orderBy(F.desc("rank_key"), F.asc(key_col))
+        .limit(k)
+    )
+
+
+def duckdb_weighted_reservoir_sql(
+    key_col: str, weight_col: str, k: int, salt: str = ""
+) -> str:
+    """The DuckDB mirror of :func:`weighted_reservoir_sample`'s rank
+    expression — ln(u)/w with the same md5-bucket u."""
+    u = (
+        f"((('0x' || substr(md5('{salt}' || CAST({key_col} AS VARCHAR)),"
+        f" 1, {_HEX_PREFIX}))::BIGINT % {BUCKETS} + 0.5) / {BUCKETS}.0)"
+    )
+    return (
+        f"ln({u}) / CAST({weight_col} AS DOUBLE)"
+    )

@@ -442,3 +442,125 @@ def randomization_test(
             (F.col("n_extreme") + 1) / F.lit(float(n_perm + 1)), 6
         ).alias("p_value"),
     )
+
+
+#: exact cumulative probabilities of Poisson(1) at k = 0..7; the draw
+#: is truncated at 8 (P(X > 8) ~ 1.1e-6 — the truncation is part of the
+#: operator's definition so both engines share it exactly)
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group_cols: "list[str]",
+    value_col: str,
+    key_col: str,
+    n_boot: int = 32,
+    salt: str = "",
+) -> DataFrame:
+    """E179: percentile bootstrap confidence interval for the per-group
+    mean via the POISSON bootstrap — the resampling scheme that works
+    on distributed data (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012): classic bootstrap resampling
+    needs n draws from n rows (global coordination), but Binomial(n,
+    1/n) → Poisson(1), so giving every row an INDEPENDENT Poisson(1)
+    replicate weight reproduces the bootstrap distribution with one
+    row-local draw per (row, replicate) — no shuffle beyond the final
+    group-by, no RNG state.
+
+    Determinism: the Poisson draw inverts the exact truncated
+    Poisson(1) CDF (:data:`_POIS1_CDF`, cut at 8 — P(X>8) ≈ 1e-6) on
+    the md5-hash uniform of (key, replicate), so the DuckDB oracle
+    reproduces every weight bit-for-bit. The CI is the percentile
+    interval at ranks (2, n_boot-1) of the replicate means (≈ 94% at
+    n_boot=32), with replicate means rounded to 6 dp BEFORE ranking so
+    both engines pick identical order under float-sum jitter.
+
+    Output: group cols + ``(mean_v, ci_lo, ci_hi, n)``.
+
+    Scale shape: one explode(n_boot) scan + ONE map-side-combinable
+    groupBy over groups × n_boot cells + a groups-sized rank window.
+    At 100 TB the explode multiplies the scan, not the shuffle: the
+    aggregate is partial before the exchange, so shuffle volume is
+    |groups| × n_boot rows.
+    """
+    if n_boot < 4:
+        raise ValueError(f"n_boot must be >= 4, got {n_boot}")
+    from pyspark.sql import Window
+
+    from mysql_syncer_spark.operators.sampling import BUCKETS, hash_bucket
+
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *group_cols, v.alias("__v"), F.col(key_col).alias("__k")
+    )
+    rep = base.withColumn(
+        "__b", F.explode(F.array(*[F.lit(i) for i in range(n_boot)]))
+    )
+    u = (
+        hash_bucket(
+            F.concat(
+                F.col("__k").cast("string"),
+                F.lit(":"),
+                F.col("__b").cast("string"),
+            ),
+            salt,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(BUCKETS))
+    w = F.lit(8)
+    for j in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[j]), F.lit(j)).otherwise(w)
+    # exact-decimal sums (the randomization-test discipline): a double
+    # SUM is accumulation-order-dependent and the oracle's order
+    # differs; DECIMAL sums are exact on both engines, the final
+    # double division is then bit-identical
+    rep = rep.withColumn("__w", w)
+    cells = rep.groupBy(*group_cols, "__b").agg(
+        F.round(
+            F.sum(
+                F.col("__w") * F.col("__v").cast("decimal(26,10)")
+            ).cast("double")
+            / F.sum("__w").cast("double"),
+            6,
+        ).alias("__bm")
+    )
+    rk = Window.partitionBy(*group_cols).orderBy(
+        F.asc("__bm"), F.asc("__b")
+    )
+    ranked = cells.withColumn("__r", F.row_number().over(rk))
+    ci = ranked.groupBy(*group_cols).agg(
+        F.max(F.when(F.col("__r") == 2, F.col("__bm"))).alias("ci_lo"),
+        F.max(
+            F.when(F.col("__r") == n_boot - 1, F.col("__bm"))
+        ).alias("ci_hi"),
+    )
+    point = base.groupBy(*group_cols).agg(
+        F.round(
+            F.sum(F.col("__v").cast("decimal(26,10)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return point.join(ci, group_cols).select(
+        *group_cols, "mean_v", "ci_lo", "ci_hi", "n"
+    )
+
+
+def duckdb_pois1_weight_sql(u_expr: str) -> str:
+    """DuckDB mirror of the truncated Poisson(1) inverse-CDF draw."""
+    cases = " ".join(
+        f"WHEN {u_expr} < {c!r} THEN {j}"
+        for j, c in enumerate(_POIS1_CDF)
+    )
+    return f"(CASE {cases} ELSE 8 END)"

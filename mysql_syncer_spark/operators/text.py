@@ -793,3 +793,52 @@ def pmi_collocations(
             F.round("__pmi", 6).alias("pmi"),
         )
     )
+
+
+def corpus_card(
+    df: DataFrame,
+    group_cols: "list[str]",
+    text_col: str = "text",
+) -> DataFrame:
+    """E180: per-slice corpus card — the datasheet rollup every corpus
+    release ships (n docs, exact-duplicate rate, char volume + share,
+    length quantiles-ish via mean, whitespace-token volume) computed
+    per grouping slice (source × lang here) in ONE pass + one tiny
+    re-aggregate for the global share.
+
+    The dup rate is the exact-hash tier (md5 of the raw text —
+    dedup.py's key): ``1 - distinct_texts / n_docs``. Spark counts
+    distinct md5s (map-side partial, HLL-free exact count per slice —
+    slices are few); the oracle mirrors with COUNT(DISTINCT md5(text)).
+
+    Scale shape: one groupBy over |slices| keys with combinable
+    aggregates; the global total for char_share is a broadcast of a
+    1-row aggregate. No window, no second scan of the text.
+    """
+    t = F.col(text_col)
+    per = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(t)).alias("__distinct"),
+        F.sum(F.length(t)).cast("long").alias("n_chars_total"),
+        F.sum(F.size(ws_tokens(t))).cast("long").alias("n_ws_tokens"),
+        F.round(F.avg(F.length(t)), 6).alias("mean_chars"),
+    )
+    total = per.agg(
+        F.sum("n_chars_total").cast("double").alias("__tot")
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            *group_cols,
+            "n_docs",
+            F.round(
+                1.0 - F.col("__distinct") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+            "n_chars_total",
+            F.round(F.col("n_chars_total") / F.col("__tot"), 6).alias(
+                "char_share"
+            ),
+            "mean_chars",
+            "n_ws_tokens",
+        )
+    )

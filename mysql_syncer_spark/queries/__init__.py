@@ -38,6 +38,7 @@ from mysql_syncer_spark.queries import _part1  # noqa: E402,F401
 from mysql_syncer_spark.queries import _part2  # noqa: E402,F401
 from mysql_syncer_spark.queries import _part3  # noqa: E402,F401
 from mysql_syncer_spark.queries import _part4  # noqa: E402,F401
+from mysql_syncer_spark.queries import _part5  # noqa: E402,F401
 
 # attribute compatibility with the pre-split module: every registered
 # query function is reachable as ``queries.<name>`` (the driver entry

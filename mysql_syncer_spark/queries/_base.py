@@ -846,6 +846,12 @@ _DEMOTED: tuple[str, ...] = (
     # nature (LSH candidate generation); recall-vs-exact pytest-gated,
     # candidate-fraction economics in BENCH_SCALE.
     "bitext_mine_embeddings_lsh",
+    # r11 second wave (all oracle-backed, registered past the window,
+    # join the ROTATION.md queue tail): E178 weighted reservoir
+    # sampling (A-ES), E179 Poisson-bootstrap mean CI, E180 corpus card.
+    "weighted_sample_docs",
+    "bootstrap_mean_ci_events",
+    "corpus_card_docs",
 )
 
 

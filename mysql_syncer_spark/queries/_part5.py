@@ -1,0 +1,152 @@
+"""Registry chunk 5 — round-11 additions (weighted sampling /
+bootstrap inference / corpus reporting).
+
+Chunk started per the registry-hygiene ceiling (test_registry_hygiene.
+CHUNK_LINE_CEILING — _part4 sits near it). REGISTRATION ORDER IS THE
+CONTRACT: the package __init__ imports chunks in numeric order; appends
+go to the LAST chunk. All entries here register PAST the driver window
+(positions 50+) and join the ROTATION.md queue per the r11 window
+policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_syncer_spark.queries._base import _register
+from mysql_syncer_spark.sources.catalog import load_table
+
+
+@_register(
+    "weighted_sample_docs",
+    """WITH r AS (
+         SELECT doc_id, n_chars,
+                ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                      1, 15))::BIGINT % 10000 + 0.5) / 10000.0)
+                  / CAST(n_chars AS DOUBLE) AS rk
+         FROM documents
+         WHERE n_chars IS NOT NULL AND n_chars > 0)
+       SELECT doc_id, n_chars, ROUND(rk, 9) AS rank_key
+       FROM r ORDER BY ROUND(rk, 9) DESC, doc_id LIMIT 100""",
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E178: weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES, the one-scan weighted reservoir): 100 documents drawn with
+    probability proportional to length — the standard weighted corpus
+    subsample (long docs carry more training tokens). Rank key
+    ln(u)/w from the md5-hash uniform, so the draw is deterministic and
+    the oracle reproduces it; ranking runs on the ROUNDED key (9 dp,
+    doc_id tie-break) so a 1-ulp ln() difference between engines can
+    never flip the cutoff. Top-k is TakeOrderedAndProject — per-
+    partition size-k heaps, no global sort shuffle; 100 TB cost is one
+    scan (operators/sampling.weighted_reservoir_sample)."""
+    from mysql_syncer_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_reservoir_sample(
+        docs, "doc_id", "n_chars", k=100
+    ).select("doc_id", "n_chars", "rank_key")
+
+
+def _bootstrap_oracle() -> str:
+    from mysql_syncer_spark.operators.stats import duckdb_pois1_weight_sql
+
+    u = (
+        "((('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || "
+        "CAST(b AS VARCHAR)), 1, 15))::BIGINT % 10000 + 0.5) / 10000.0)"
+    )
+    w = duckdb_pois1_weight_sql(u)
+    return f"""WITH base AS (
+         SELECT event_type, CAST(value AS DOUBLE) AS v, event_id
+         FROM events WHERE value IS NOT NULL),
+       rep AS (
+         SELECT event_type, v, event_id, b, {w} AS w
+         FROM base CROSS JOIN (
+           SELECT unnest(generate_series(0, 31)) AS b)),
+       cells AS (
+         SELECT event_type, b,
+                ROUND(CAST(SUM(w * CAST(v AS DECIMAL(26,10)))
+                           AS DOUBLE)
+                      / CAST(SUM(w) AS DOUBLE), 6) AS bm
+         FROM rep GROUP BY 1, 2),
+       ranked AS (
+         SELECT event_type, b, bm,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY bm, b) AS r
+         FROM cells),
+       ci AS (
+         SELECT event_type,
+                MAX(CASE WHEN r = 2 THEN bm END) AS ci_lo,
+                MAX(CASE WHEN r = 31 THEN bm END) AS ci_hi
+         FROM ranked GROUP BY 1),
+       pt AS (
+         SELECT event_type,
+                ROUND(CAST(SUM(CAST(v AS DECIMAL(26,10))) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_v,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM base GROUP BY 1)
+       SELECT pt.event_type, mean_v, ci_lo, ci_hi, n
+       FROM pt JOIN ci USING (event_type)
+       ORDER BY event_type"""
+
+
+@_register("bootstrap_mean_ci_events", _bootstrap_oracle())
+def bootstrap_mean_ci_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E179: Poisson-bootstrap percentile CI for the per-type mean
+    event value (32 replicates, ranks 2/31 ≈ a 94% interval) — THE
+    distributed bootstrap (Binomial(n,1/n) → Poisson(1), so each row
+    draws an independent replicate weight row-locally; Chamandy et al.
+    2012). Deterministic: the weight inverts the exact truncated
+    Poisson(1) CDF on the md5-hash uniform of (event_id, replicate);
+    replicate means use exact DECIMAL sums (the randomization-test
+    discipline) so the oracle agrees bit-for-bit. One explode(32) scan
+    + one combinable groupBy; shuffle volume is |types| x 32 rows
+    regardless of data size (operators/stats.poisson_bootstrap_ci)."""
+    from mysql_syncer_spark.operators.stats import poisson_bootstrap_ci
+
+    ev = load_table(spark, sf_dir, "events")
+    return poisson_bootstrap_ci(
+        ev, ["event_type"], "value", "event_id", n_boot=32
+    ).orderBy("event_type")
+
+
+@_register(
+    "corpus_card_docs",
+    r"""WITH per AS (
+         SELECT source, lang,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                COUNT(DISTINCT md5(text)) AS dn,
+                CAST(SUM(length(text)) AS BIGINT) AS n_chars_total,
+                CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END) AS BIGINT) AS n_ws_tokens,
+                ROUND(AVG(length(text)), 6) AS mean_chars
+         FROM documents GROUP BY 1, 2)
+       SELECT source, lang, n_docs,
+              ROUND(1.0 - dn / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+              n_chars_total,
+              ROUND(n_chars_total / CAST((SELECT SUM(n_chars_total)
+                                          FROM per) AS DOUBLE), 6)
+                  AS char_share,
+              mean_chars, n_ws_tokens
+       FROM per ORDER BY source, lang""",
+)
+def corpus_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E180: per-(source, lang) corpus card — the datasheet rollup a
+    corpus release ships (doc counts, exact-hash duplicate rate, char
+    volume and global share, mean length, whitespace-token volume) in
+    ONE combinable groupBy over |slices| keys plus a broadcast 1-row
+    total for the share column (operators/text.corpus_card). Every
+    aggregate is integer-exact or an exact-int-sum mean, so the oracle
+    agrees without float-discipline carve-outs."""
+    from mysql_syncer_spark.operators.text import corpus_card
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_card(docs, ["source", "lang"]).orderBy(
+        "source", "lang"
+    )

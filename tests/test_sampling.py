@@ -793,3 +793,71 @@ class TestNullGroupKeys:
         for r in out.collect():
             tok[r.g] = tok.get(r.g, 0) + 10
         assert tok == {"a": 40, None: 40}
+
+
+class TestWeightedReservoir:
+    """E178 A-ES weighted sampling laws (operators/sampling.py)."""
+
+    def _df(self, spark):
+        # weights 1 vs 100: heavy keys must dominate the sample
+        rows = [(i, 100 if i < 50 else 1) for i in range(1000)]
+        return spark.createDataFrame(rows, "k long, w long")
+
+    def test_weight_proportionality_and_determinism(self, spark):
+        from mysql_syncer_spark.operators.sampling import (
+            weighted_reservoir_sample,
+        )
+
+        df = self._df(spark)
+        a = weighted_reservoir_sample(df, "k", "w", k=50).collect()
+        b = weighted_reservoir_sample(df, "k", "w", k=50).collect()
+        assert [r.k for r in a] == [r.k for r in b]  # deterministic
+        assert len(a) == 50
+        heavy = sum(1 for r in a if r.k < 50)
+        # 50 heavy keys at weight 100 vs 950 light at weight 1:
+        # heavy mass share = 5000/5950 — the sample must be mostly heavy
+        assert heavy >= 30, heavy
+        # rank keys are sorted desc — top-k, not arbitrary-k
+        ranks = [r.rank_key for r in a]
+        assert ranks == sorted(ranks, reverse=True)
+
+    def test_salt_decorrelates_and_zero_weight_excluded(self, spark):
+        from mysql_syncer_spark.operators.sampling import (
+            weighted_reservoir_sample,
+        )
+
+        df = self._df(spark)
+        a = {r.k for r in weighted_reservoir_sample(df, "k", "w", 50).collect()}
+        c = {r.k for r in weighted_reservoir_sample(
+            df, "k", "w", 50, salt="other").collect()}
+        assert a != c
+        z = spark.createDataFrame(
+            [(1, 0), (2, -3), (3, None), (4, 5)], "k long, w int"
+        )
+        out = weighted_reservoir_sample(z, "k", "w", 10).collect()
+        assert [r.k for r in out] == [4]
+
+    def test_no_global_sort_in_plan(self, spark):
+        from mysql_syncer_spark.operators.sampling import (
+            weighted_reservoir_sample,
+        )
+
+        df = self._df(spark)
+        plan = (
+            weighted_reservoir_sample(df, "k", "w", 10)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort " not in plan
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.sampling import (
+            weighted_reservoir_sample,
+        )
+
+        with _pytest.raises(ValueError, match="k must be"):
+            weighted_reservoir_sample(self._df(spark), "k", "w", 0)

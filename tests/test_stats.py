@@ -359,3 +359,63 @@ def test_pq_train_empty_corpus_raises_clear_error(spark):
     )
     with pytest.raises(ValueError, match="empty"):
         pq_train(empty, m=2, nbits=2)
+
+
+class TestPoissonBootstrap:
+    """E179 Poisson-bootstrap CI laws (operators/stats.py)."""
+
+    def _df(self, spark, n=2000):
+        # group a ~ N-ish around 10 (deterministic ramp), group b around 50
+        rows = [("a", 10.0 + (i % 21 - 10) * 0.1, i) for i in range(n)]
+        rows += [("b", 50.0 + (i % 21 - 10) * 0.5, n + i) for i in range(n)]
+        return spark.createDataFrame(rows, "g string, v double, k long")
+
+    def test_ci_brackets_mean_and_widths_scale(self, spark):
+        from mysql_syncer_spark.operators.stats import poisson_bootstrap_ci
+
+        df = self._df(spark)
+        out = {r.g: r for r in poisson_bootstrap_ci(
+            df, ["g"], "v", "k", n_boot=32).collect()}
+        for g, true_mean in (("a", 10.0), ("b", 50.0)):
+            r = out[g]
+            assert r.ci_lo <= r.mean_v <= r.ci_hi, r
+            assert abs(r.mean_v - true_mean) < 0.1
+            assert r.n == 2000
+        # group b has 5x the spread — its CI must be wider
+        wa = out["a"].ci_hi - out["a"].ci_lo
+        wb = out["b"].ci_hi - out["b"].ci_lo
+        assert wb > wa
+
+    def test_deterministic_and_salt_redraws(self, spark):
+        from mysql_syncer_spark.operators.stats import poisson_bootstrap_ci
+
+        df = self._df(spark, n=500)
+        a = sorted(map(tuple, poisson_bootstrap_ci(
+            df, ["g"], "v", "k").collect()))
+        b = sorted(map(tuple, poisson_bootstrap_ci(
+            df, ["g"], "v", "k").collect()))
+        c = sorted(map(tuple, poisson_bootstrap_ci(
+            df, ["g"], "v", "k", salt="2").collect()))
+        assert a == b
+        assert a != c
+
+    def test_ci_narrows_with_n(self, spark):
+        from mysql_syncer_spark.operators.stats import poisson_bootstrap_ci
+
+        small = self._df(spark, n=200)
+        big = self._df(spark, n=5000)
+        ws = {r.g: r.ci_hi - r.ci_lo for r in poisson_bootstrap_ci(
+            small, ["g"], "v", "k").collect()}
+        wb = {r.g: r.ci_hi - r.ci_lo for r in poisson_bootstrap_ci(
+            big, ["g"], "v", "k").collect()}
+        # sqrt(n) shrinkage: 25x the rows -> ~5x narrower (allow slack)
+        assert wb["a"] < ws["a"] / 2
+        assert wb["b"] < ws["b"] / 2
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.stats import poisson_bootstrap_ci
+
+        with _pytest.raises(ValueError, match="n_boot"):
+            poisson_bootstrap_ci(self._df(spark), ["g"], "v", "k", n_boot=2)

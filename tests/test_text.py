@@ -68,3 +68,30 @@ class TestPMICollocations:
             pmi_collocations(df, min_count=0)
         with _pytest.raises(ValueError, match="k must"):
             pmi_collocations(df, k=0)
+
+
+class TestCorpusCard:
+    """E180 corpus-card rollup laws (operators/text.py)."""
+
+    def test_counts_dup_rate_and_share(self, spark):
+        from mysql_syncer_spark.operators.text import corpus_card
+
+        rows = [
+            ("web", "en", "hello world"),
+            ("web", "en", "hello world"),      # exact dup
+            ("web", "en", "unique text here"),
+            ("web", "de", "hallo welt"),
+            ("book", "en", ""),                # empty text: 0 ws tokens
+        ]
+        df = spark.createDataFrame(rows, "source string, lang string, text string")
+        out = {(r.source, r.lang): r for r in corpus_card(
+            df, ["source", "lang"]).collect()}
+        wen = out[("web", "en")]
+        assert wen.n_docs == 3
+        assert abs(wen.dup_rate - (1 - 2 / 3)) < 1e-6  # rounded to 6 dp
+        assert wen.n_ws_tokens == 2 + 2 + 3
+        assert out[("book", "en")].n_ws_tokens == 0
+        assert out[("book", "en")].dup_rate == 0.0
+        # shares sum to 1 over non-empty-total slices
+        total_share = sum(r.char_share for r in out.values())
+        assert abs(total_share - 1.0) < 1e-6

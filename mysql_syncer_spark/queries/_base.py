@@ -852,6 +852,14 @@ _DEMOTED: tuple[str, ...] = (
     "weighted_sample_docs",
     "bootstrap_mean_ci_events",
     "corpus_card_docs",
+    # r11 rotation displacements not already carrying a _DEMOTED entry
+    # (driver-green in CORRECTNESS_r10; kernels covered in-window: the
+    # TPC-H join family by the 19 in-window TPC-H rows, the iterative
+    # propagation class by its pagerank sibling's oracle sweeps, the
+    # left-outer IVM by the in-window full-outer IVM row):
+    "tpch_q9_product_type_profit",
+    "quality_propagate_embeddings",
+    "ivm_left_join_orders_customer",
 )
 
 

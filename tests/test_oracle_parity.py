@@ -92,26 +92,22 @@ def test_driver_window_holds_extension_queries():
     names = list(entrymod.queries().keys())
     window = set(names[:50])
     must_be_in = {
-        # r10 window (ROTATION.md): the _PROMOTED front — r7-r9
-        # rotations that remain pinned, the r10 never-window retirement
-        # wave, and the two core-sync composites pinned so the
-        # reference's diff/digest kernels stay driver-certified every
-        # round. The seventeen rows the r10 wave displaced
-        # (sessionize_events, minhash_lsh_pairs_docs, resize/audio
-        # media, the curation composites, semantic dedup, keep-best,
-        # mixture/cluster-safe sampling, incremental_new_docs_indexed,
-        # scd2_multibatch, cdc_apply, pii, packing, tfidf, centroids)
-        # are all driver-green in r9 or earlier windows and sit at
-        # positions 51+ in _DEMOTED with per-row justifications.
-        "asof_forward_events_orders", "entity_clusters_part",
-        "scrub_repeated_windows_docs", "tpch_q9_product_type_profit",
-        "quality_propagate_embeddings",
-        "ivm_join_orders_customer", "dsir_sample_docs",
-        "containment_pairs_docs",
-        "ivm_left_join_orders_customer", "benford_screen_events",
+        # r11 window (ROTATION.md): the pinned core-sync composites,
+        # the surviving r8-r10 promoted rows, and the r11 never-window
+        # retirement wave (the remaining TPC-H classics + the z-score
+        # anomaly screen). The r11 policy moved ALL rows-only entries
+        # (ann_topk_ivf_indexed, ann_topk_pq, bpe_tokens_docs,
+        # quality_score_docs, frame_sample_media_docs, pca, bitext-lsh)
+        # permanently past the window — a slot spent on a rows-only
+        # entry certifies nothing beyond its pytest gate — and rotated
+        # out ten r7/r8 rows that are driver-green in CORRECTNESS_r10.
+        # pinned core composites
+        "sync_merge_orders", "partition_digests_orders",
+        # surviving r8 promotions
         "mwu_drift_events", "theil_sen_trend_events", "fd_audit_orders",
         "bitmap_distinct_users_events",
         "ivm_full_join_orders_customer", "t_closeness_customer",
+        # r9 wave
         "ivm_extrema_orders", "ivm_frequent_orders",
         "ivm_distinct_orders", "golden_records_events",
         "token_budget_sample_docs", "bitmap_overlap_events",
@@ -120,18 +116,27 @@ def test_driver_window_holds_extension_queries():
         "group_quantiles_events", "ks_drift_events",
         "heavy_hitters_users_events", "k_anonymity_customer",
         "ewma_daily_events",
-        # r10 pinned core composites
-        "sync_merge_orders", "partition_digests_orders",
-        # r10 never-window retirement wave
-        "ann_topk_ivf_indexed", "ann_topk_pq",
+        # r10 wave (oracle-backed survivors)
         "incremental_ingest_2pct", "incremental_ingest_2pct_indexed",
-        "bigram_logprob_docs", "bpe_tokens_docs", "epoch_shuffle_docs",
-        "bloom_new_docs_gate", "quality_score_docs",
+        "bigram_logprob_docs", "epoch_shuffle_docs",
+        "bloom_new_docs_gate",
         "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
         "tpch_q14_promo_revenue", "tpch_q18_large_volume",
-        "vocab_drift_docs", "frame_sample_media_docs",
-        "bm25_search_docs", "phrase_search_docs",
+        "vocab_drift_docs", "bm25_search_docs", "phrase_search_docs",
+        # r11 never-window retirement wave
+        "tpch_q4_order_priority", "tpch_q7_volume_shipping",
+        "tpch_q8_market_share", "tpch_q13_customer_distribution",
+        "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
+        "tpch_q17_small_qty_revenue", "tpch_q19_discounted_revenue",
+        "tpch_q21_waiting_supplier", "tpch_q22_global_sales_opportunity",
+        "tpch_q2_min_cost_supplier", "tpch_q11_important_stock",
+        "tpch_q12_shipmode_priority", "tpch_q20_potential_promotion",
+        "anomaly_zscore_events",
     }
+    # the r11 policy invariant: every window row is oracle-backed
+    assert window <= set(entrymod.oracle_sql()), sorted(
+        window - set(entrymod.oracle_sql())
+    )
     assert must_be_in <= window, sorted(must_be_in - window)
     from mysql_syncer_spark.queries import _DEMOTED
 

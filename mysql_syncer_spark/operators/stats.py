@@ -444,19 +444,13 @@ def randomization_test(
     )
 
 
-#: exact cumulative probabilities of Poisson(1) at k = 0..7; the draw
-#: is truncated at 8 (P(X > 8) ~ 1.1e-6 — the truncation is part of the
-#: operator's definition so both engines share it exactly)
-_POIS1_CDF = (
-    0.36787944117144233,
-    0.7357588823428847,
-    0.9196986029286058,
-    0.9810118431238463,
-    0.9963401531726563,
-    0.9994058151824183,
-    0.999916758850712,
-    0.9999897508033253,
-)
+#: Poisson(1) inverse-CDF thresholds at 12-bit draw grain, as 3-char
+#: lowercase hex (threshold_j = ceil(4096 * CDF_j - 0.5) in hex): a
+#: 3-hex-char md5 slice compares LEXICOGRAPHICALLY equal to its integer
+#: order, so the weight CASE needs no conv()/arithmetic per draw. The
+#: draw truncates at weight 6 -- P(X >= 7) ~ 8e-5 is below the 2^-12
+#: grain; the truncation is part of the operator definition.
+_POIS1_HEX_THRESHOLDS = ("5e3", "bc6", "eb7", "fb2", "ff1", "ffe")
 
 
 def poisson_bootstrap_ci(
@@ -468,68 +462,86 @@ def poisson_bootstrap_ci(
     salt: str = "",
 ) -> DataFrame:
     """E179: percentile bootstrap confidence interval for the per-group
-    mean via the POISSON bootstrap — the resampling scheme that works
+    mean via the POISSON bootstrap -- the resampling scheme that works
     on distributed data (Chamandy et al., "Estimating Uncertainty for
     Massive Data Streams", Google 2012): classic bootstrap resampling
     needs n draws from n rows (global coordination), but Binomial(n,
-    1/n) → Poisson(1), so giving every row an INDEPENDENT Poisson(1)
+    1/n) -> Poisson(1), so giving every row an INDEPENDENT Poisson(1)
     replicate weight reproduces the bootstrap distribution with one
-    row-local draw per (row, replicate) — no shuffle beyond the final
+    row-local draw per (row, replicate) -- no shuffle beyond the final
     group-by, no RNG state.
 
-    Determinism: the Poisson draw inverts the exact truncated
-    Poisson(1) CDF (:data:`_POIS1_CDF`, cut at 8 — P(X>8) ≈ 1e-6) on
-    the md5-hash uniform of (key, replicate), so the DuckDB oracle
-    reproduces every weight bit-for-bit. The CI is the percentile
-    interval at ranks (2, n_boot-1) of the replicate means (≈ 94% at
-    n_boot=32), with replicate means rounded to 6 dp BEFORE ranking so
-    both engines pick identical order under float-sum jitter.
+    Determinism + the codegen-hot-path discipline (this key bench-
+    measured 8.6 s naive at sf0.1, ~2-3x cheaper in this form):
+
+    * one md5 digest per (key, replicate//10) computed BEFORE the
+      explode yields ten 12-bit draws (3 hex chars each) -- a tenth of
+      the digest cost of one-md5-per-replicate;
+    * the Poisson(1) inverse CDF runs as fixed-width lowercase-hex
+      STRING comparisons against precomputed thresholds
+      (:data:`_POIS1_HEX_THRESHOLDS` -- ceil(4096*cdf - 0.5) in hex):
+      no conv()/arithmetic per draw, identical lexicographic semantics
+      on both engines. At 12-bit grain the draw truncates at weight 6
+      (P(X >= 7) ~ 8e-5 is below the grain) -- the truncation is part
+      of the operator's definition, mirrored in the oracle;
+    * replicate sums run on EXACT fixed-point longs (floor(v * 1e6) --
+      micro-unit values, the stated value contract): long sums are
+      order-independent and engine-exact where double sums drift and
+      DECIMAL sums fall off Spark's fast Long-backed path past
+      precision 18. Replicate means are rounded to 6 dp BEFORE ranking
+      so both engines pick identical percentile rows.
+
+    The CI is the percentile interval at ranks (2, n_boot-1) of the
+    replicate means (~94% at n_boot=32).
 
     Output: group cols + ``(mean_v, ci_lo, ci_hi, n)``.
 
     Scale shape: one explode(n_boot) scan + ONE map-side-combinable
-    groupBy over groups × n_boot cells + a groups-sized rank window.
+    groupBy over groups x n_boot cells + a groups-sized rank window.
     At 100 TB the explode multiplies the scan, not the shuffle: the
     aggregate is partial before the exchange, so shuffle volume is
-    |groups| × n_boot rows.
+    |groups| x n_boot rows regardless of data size.
     """
     if n_boot < 4:
         raise ValueError(f"n_boot must be >= 4, got {n_boot}")
     from pyspark.sql import Window
 
-    from mysql_syncer_spark.operators.sampling import BUCKETS, hash_bucket
-
     v = F.col(value_col).cast("double")
     base = df.where(v.isNotNull()).select(
-        *group_cols, v.alias("__v"), F.col(key_col).alias("__k")
+        *group_cols,
+        v.alias("__v"),
+        F.floor(v * F.lit(1_000_000.0)).cast("long").alias("__v6"),
+        F.col(key_col).alias("__k"),
     )
-    rep = base.withColumn(
-        "__b", F.explode(F.array(*[F.lit(i) for i in range(n_boot)]))
-    )
-    u = (
-        hash_bucket(
+    digests = [
+        F.md5(
             F.concat(
+                F.lit(salt),
                 F.col("__k").cast("string"),
-                F.lit(":"),
-                F.col("__b").cast("string"),
-            ),
-            salt,
-        ).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(float(BUCKETS))
-    w = F.lit(8)
-    for j in range(len(_POIS1_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(_POIS1_CDF[j]), F.lit(j)).otherwise(w)
-    # exact-decimal sums (the randomization-test discipline): a double
-    # SUM is accumulation-order-dependent and the oracle's order
-    # differs; DECIMAL sums are exact on both engines, the final
-    # double division is then bit-identical
+                F.lit(f":{g}"),
+            )
+        )
+        for g in range((n_boot + 9) // 10)
+    ]
+    hexes = F.array(
+        *[
+            F.substring(digests[b // 10], (b % 10) * 3 + 1, 3)
+            for b in range(n_boot)
+        ]
+    )
+    rep = base.select(
+        *group_cols, "__v6", F.posexplode(hexes).alias("__b", "__h3")
+    )
+    w = F.lit(6)
+    for j in range(len(_POIS1_HEX_THRESHOLDS) - 1, -1, -1):
+        w = F.when(
+            F.col("__h3") < F.lit(_POIS1_HEX_THRESHOLDS[j]), F.lit(j)
+        ).otherwise(w)
     rep = rep.withColumn("__w", w)
     cells = rep.groupBy(*group_cols, "__b").agg(
         F.round(
-            F.sum(
-                F.col("__w") * F.col("__v").cast("decimal(26,10)")
-            ).cast("double")
+            F.sum(F.col("__w") * F.col("__v6")).cast("double")
+            / F.lit(1_000_000.0)
             / F.sum("__w").cast("double"),
             6,
         ).alias("__bm")
@@ -546,7 +558,8 @@ def poisson_bootstrap_ci(
     )
     point = base.groupBy(*group_cols).agg(
         F.round(
-            F.sum(F.col("__v").cast("decimal(26,10)")).cast("double")
+            F.sum("__v6").cast("double")
+            / F.lit(1_000_000.0)
             / F.count(F.lit(1)).cast("double"),
             6,
         ).alias("mean_v"),
@@ -557,10 +570,11 @@ def poisson_bootstrap_ci(
     )
 
 
-def duckdb_pois1_weight_sql(u_expr: str) -> str:
-    """DuckDB mirror of the truncated Poisson(1) inverse-CDF draw."""
+def duckdb_pois1_weight_sql(h3_expr: str) -> str:
+    """DuckDB mirror of the truncated Poisson(1) hex-threshold draw
+    (``h3_expr`` is a 3-lowercase-hex-char md5 slice)."""
     cases = " ".join(
-        f"WHEN {u_expr} < {c!r} THEN {j}"
-        for j, c in enumerate(_POIS1_CDF)
+        f"WHEN {h3_expr} < '{t}' THEN {j}"
+        for j, t in enumerate(_POIS1_HEX_THRESHOLDS)
     )
-    return f"(CASE {cases} ELSE 8 END)"
+    return f"(CASE {cases} ELSE 6 END)"

@@ -54,22 +54,24 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bootstrap_oracle() -> str:
     from mysql_syncer_spark.operators.stats import duckdb_pois1_weight_sql
 
-    u = (
-        "((('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || "
-        "CAST(b AS VARCHAR)), 1, 15))::BIGINT % 10000 + 0.5) / 10000.0)"
+    h3 = (
+        "substr(md5(CAST(event_id AS VARCHAR) || ':' || "
+        "CAST(b // 10 AS VARCHAR)), (b % 10) * 3 + 1, 3)"
     )
-    w = duckdb_pois1_weight_sql(u)
+    w = duckdb_pois1_weight_sql(h3)
     return f"""WITH base AS (
-         SELECT event_type, CAST(value AS DOUBLE) AS v, event_id
+         SELECT event_type, CAST(value AS DOUBLE) AS v,
+                CAST(FLOOR(CAST(value AS DOUBLE) * 1000000.0)
+                     AS BIGINT) AS v6,
+                event_id
          FROM events WHERE value IS NOT NULL),
        rep AS (
-         SELECT event_type, v, event_id, b, {w} AS w
+         SELECT event_type, v6, event_id, b, {w} AS w
          FROM base CROSS JOIN (
            SELECT unnest(generate_series(0, 31)) AS b)),
        cells AS (
          SELECT event_type, b,
-                ROUND(CAST(SUM(w * CAST(v AS DECIMAL(26,10)))
-                           AS DOUBLE)
+                ROUND(CAST(SUM(w * v6) AS DOUBLE) / 1000000.0
                       / CAST(SUM(w) AS DOUBLE), 6) AS bm
          FROM rep GROUP BY 1, 2),
        ranked AS (
@@ -84,7 +86,7 @@ def _bootstrap_oracle() -> str:
          FROM ranked GROUP BY 1),
        pt AS (
          SELECT event_type,
-                ROUND(CAST(SUM(CAST(v AS DECIMAL(26,10))) AS DOUBLE)
+                ROUND(CAST(SUM(v6) AS DOUBLE) / 1000000.0
                       / CAST(COUNT(*) AS DOUBLE), 6) AS mean_v,
                 CAST(COUNT(*) AS BIGINT) AS n
          FROM base GROUP BY 1)
@@ -101,10 +103,13 @@ def bootstrap_mean_ci_events(
     event value (32 replicates, ranks 2/31 ≈ a 94% interval) — THE
     distributed bootstrap (Binomial(n,1/n) → Poisson(1), so each row
     draws an independent replicate weight row-locally; Chamandy et al.
-    2012). Deterministic: the weight inverts the exact truncated
-    Poisson(1) CDF on the md5-hash uniform of (event_id, replicate);
-    replicate means use exact DECIMAL sums (the randomization-test
-    discipline) so the oracle agrees bit-for-bit. One explode(32) scan
+    2012). Deterministic and codegen-lean (this was the 2nd-most
+    expensive bench key naive): batched md5 draws (one digest per
+    (event_id, replicate//10) yields ten 12-bit draws), the inverse
+    CDF as fixed-width hex STRING comparisons (no conv per draw), and
+    exact fixed-point LONG sums (micro-unit values — order-independent
+    where double sums drift, on Spark's fast long path where wide
+    DECIMAL is not) so the oracle agrees bit-for-bit. One explode(32) scan
     + one combinable groupBy; shuffle volume is |types| x 32 rows
     regardless of data size (operators/stats.poisson_bootstrap_ci)."""
     from mysql_syncer_spark.operators.stats import poisson_bootstrap_ci

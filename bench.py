@@ -284,6 +284,7 @@ HEADLINE = [
     "bitext_mine_embeddings",
     "bitext_mine_embeddings_lsh",
     "weighted_sample_docs",
+    "weighted_sample_by_lang_docs",
     "bootstrap_mean_ci_events",
     "corpus_card_docs",
     "randomization_test_events",

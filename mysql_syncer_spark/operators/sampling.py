@@ -852,3 +852,43 @@ def duckdb_weighted_reservoir_sql(
     return (
         f"ln({u}) / CAST({weight_col} AS DOUBLE)"
     )
+
+
+def weighted_reservoir_sample_grouped(
+    df: DataFrame,
+    group_cols: "list[str]",
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """E181: per-group weighted sampling without replacement — the
+    stratified form of :func:`weighted_reservoir_sample` (k docs per
+    language/source, each drawn proportional to weight within its
+    stratum; the shape quota-based corpus mixes actually need). Same
+    deterministic A-ES rank key, rounded before ranking (engine-stable
+    cutoffs); the top-k runs as a group-partitioned rank window — one
+    shuffle on the group key, reducers bounded by k rows per group, no
+    global funnel (each group's rank is independent; with many groups
+    this parallelizes across the cluster)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("double")
+    u = (hash_bucket(key_col, salt).cast("double") + F.lit(0.5)) / F.lit(
+        float(BUCKETS)
+    )
+    ranked = (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("rank_key", F.round(F.log(u) / w, 9))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(*group_cols).orderBy(
+                    F.desc("rank_key"), F.asc(key_col)
+                )
+            ),
+        )
+    )
+    return ranked.where(F.col("__rn") <= k).drop("__rn")

@@ -860,6 +860,9 @@ _DEMOTED: tuple[str, ...] = (
     "tpch_q9_product_type_profit",
     "quality_propagate_embeddings",
     "ivm_left_join_orders_customer",
+    # r11 third wave: E181 stratified weighted sampling (oracle-backed,
+    # past the window, queue tail).
+    "weighted_sample_by_lang_docs",
 )
 
 

@@ -155,3 +155,38 @@ def corpus_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_card(docs, ["source", "lang"]).orderBy(
         "source", "lang"
     )
+
+
+@_register(
+    "weighted_sample_by_lang_docs",
+    """WITH r AS (
+         SELECT doc_id, lang, n_chars,
+                ROUND(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                      1, 15))::BIGINT % 10000 + 0.5) / 10000.0)
+                  / CAST(n_chars AS DOUBLE), 9) AS rank_key
+         FROM documents
+         WHERE n_chars IS NOT NULL AND n_chars > 0)
+       SELECT doc_id, lang, n_chars, rank_key FROM r
+       QUALIFY ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY rank_key DESC, doc_id) <= 20
+       ORDER BY lang, rank_key DESC, doc_id""",
+)
+def weighted_sample_by_lang_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E181: per-language weighted sample (20 docs per lang, drawn
+    proportional to length within the stratum) — the stratified A-ES
+    form quota-based corpus mixes need. Group-partitioned rank window:
+    one shuffle on lang, k-bounded reducers per group, no global
+    funnel (operators/sampling.weighted_reservoir_sample_grouped)."""
+    from mysql_syncer_spark.operators.sampling import (
+        weighted_reservoir_sample_grouped,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_reservoir_sample_grouped(
+        docs, ["lang"], "doc_id", "n_chars", k=20
+    )
+    return out.select("doc_id", "lang", "n_chars", "rank_key").orderBy(
+        "lang", F.desc("rank_key"), "doc_id"
+    )

@@ -861,3 +861,49 @@ class TestWeightedReservoir:
 
         with _pytest.raises(ValueError, match="k must be"):
             weighted_reservoir_sample(self._df(spark), "k", "w", 0)
+
+
+class TestWeightedReservoirGrouped:
+    """E181 stratified A-ES laws."""
+
+    def test_per_group_k_and_consistency_with_global(self, spark):
+        from mysql_syncer_spark.operators.sampling import (
+            weighted_reservoir_sample_grouped,
+        )
+
+        rows = [(i, "g1" if i % 2 else "g2", 10 + i % 7) for i in range(400)]
+        df = spark.createDataFrame(rows, "k long, g string, w long")
+        out = weighted_reservoir_sample_grouped(
+            df, ["g"], "k", "w", k=15
+        ).collect()
+        by = {}
+        for r in out:
+            by.setdefault(r.g, []).append(r)
+        assert set(by) == {"g1", "g2"}
+        for g, rs in by.items():
+            assert len(rs) == 15, (g, len(rs))
+            ranks = [r.rank_key for r in rs]
+            assert sorted(ranks, reverse=True) == sorted(
+                ranks, key=lambda x: -x
+            )
+        # same rank key as the global form: a group's winners are the
+        # global winners restricted to that group
+        from mysql_syncer_spark.operators.sampling import (
+            weighted_reservoir_sample,
+        )
+
+        g1 = df.where("g = 'g1'")
+        glob = {r.k for r in weighted_reservoir_sample(g1, "k", "w", 15).collect()}
+        strat = {r.k for r in by["g1"]}
+        assert glob == strat
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.sampling import (
+            weighted_reservoir_sample_grouped,
+        )
+
+        df = spark.createDataFrame([(1, "a", 2)], "k long, g string, w long")
+        with _pytest.raises(ValueError, match="k must be"):
+            weighted_reservoir_sample_grouped(df, ["g"], "k", "w", 0)

@@ -285,6 +285,7 @@ HEADLINE = [
     "bitext_mine_embeddings_lsh",
     "weighted_sample_docs",
     "weighted_sample_by_lang_docs",
+    "source_overlap_docs",
     "bootstrap_mean_ci_events",
     "corpus_card_docs",
     "randomization_test_events",

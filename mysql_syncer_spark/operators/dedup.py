@@ -958,3 +958,64 @@ def jaccard_prefix_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """E182: cross-source duplication audit — for every pair of corpus
+    slices (sources, snapshots, providers), the EXACT overlap of their
+    distinct character-k-shingle sets: ``(source_a, source_b, n_a,
+    n_b, n_common, jaccard, containment)``. The release-time question
+    this answers is "which of my sources are mirrors/re-crawls of each
+    other" — a per-document dedup pass sees the pairs, this sees the
+    SLICE structure (containment ~1 = one source is inside another,
+    the CommonCrawl-vs-C4 shape).
+
+    Scale shape: shingling at the (group, shingle) grain — distinct
+    BEFORE the join, so each shingle contributes at most
+    |groups-containing-it| rows; the shingle-keyed self-join fans out
+    at most |groups|^2 per shingle (groups are a LOW-CARDINALITY
+    dimension — sources, not documents; this operator is quadratic in
+    GROUPS, linear in data). One distinct shuffle + one keyed join +
+    two tiny aggregates; no document pairs ever materialize.
+    """
+    g = df.select(F.col(group_col).alias("__g"), text_col)
+    sh = char_shingles(g, id_col="__g", text_col=text_col, k=k).distinct()
+    n = sh.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    a = sh.select(F.col("__g").alias("__ga"), "shingle")
+    b = sh.select(F.col("__g").alias("__gb"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("__ga") < F.col("__gb"))
+        .groupBy("__ga", "__gb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = n.select(F.col("__g").alias("__ga"), F.col("__n").alias("n_a"))
+    nb = n.select(F.col("__g").alias("__gb"), F.col("__n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "__ga")
+        .join(F.broadcast(nb), "__gb")
+        .select(
+            F.col("__ga").alias("source_a"),
+            F.col("__gb").alias("source_b"),
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_common")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )

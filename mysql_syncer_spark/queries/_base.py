@@ -860,9 +860,11 @@ _DEMOTED: tuple[str, ...] = (
     "tpch_q9_product_type_profit",
     "quality_propagate_embeddings",
     "ivm_left_join_orders_customer",
-    # r11 third wave: E181 stratified weighted sampling (oracle-backed,
-    # past the window, queue tail).
+    # r11 third wave: E181 stratified weighted sampling + E182
+    # cross-source overlap audit (oracle-backed, past the window,
+    # queue tail).
     "weighted_sample_by_lang_docs",
+    "source_overlap_docs",
 )
 
 

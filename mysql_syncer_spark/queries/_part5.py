@@ -190,3 +190,42 @@ def weighted_sample_by_lang_docs(
     return out.select("doc_id", "lang", "n_chars", "rank_key").orderBy(
         "lang", F.desc("rank_key"), "doc_id"
     )
+
+
+@_register(
+    "source_overlap_docs",
+    r"""WITH sh AS (
+         SELECT DISTINCT source AS g, shingle FROM (
+           SELECT source,
+                  unnest(list_transform(
+                    range(1, greatest(len(regexp_replace(trim(lower(text)),
+                          '\s+', ' ', 'g')) - 4, 1) + 1),
+                    i -> substr(regexp_replace(trim(lower(text)),
+                          '\s+', ' ', 'g'), i, 5))) AS shingle
+           FROM documents) WHERE len(shingle) > 0),
+       n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+       inter AS (
+         SELECT a.g AS ga, b.g AS gb, CAST(COUNT(*) AS BIGINT) AS c
+         FROM sh a JOIN sh b USING (shingle)
+         WHERE a.g < b.g GROUP BY 1, 2)
+       SELECT ga AS source_a, gb AS source_b,
+              na.n AS n_a, nb.n AS n_b, c AS n_common,
+              ROUND(c / CAST(na.n + nb.n - c AS DOUBLE), 6) AS jaccard,
+              ROUND(c / CAST(LEAST(na.n, nb.n) AS DOUBLE), 6)
+                  AS containment
+       FROM inter JOIN n na ON na.g = ga JOIN n nb ON nb.g = gb
+       ORDER BY source_a, source_b""",
+)
+def source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E182: cross-source duplication audit — exact shingle-set
+    overlap (Jaccard + containment) for every pair of sources: the
+    slice-level mirror/re-crawl detector (containment ~1 = one source
+    inside another). Distinct (source, shingle) grain BEFORE the join:
+    quadratic in SOURCES (a low-cardinality dimension), linear in data
+    (operators/dedup.source_overlap_matrix)."""
+    from mysql_syncer_spark.operators.dedup import source_overlap_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap_matrix(docs, "source").orderBy(
+        "source_a", "source_b"
+    )

@@ -438,3 +438,47 @@ class TestXXHash64Mode:
             minhash_signatures(
                 docs_with_dups, hash_mode="sha1"
             ).collect()
+
+
+class TestSourceOverlap:
+    """E182 cross-source duplication audit laws."""
+
+    def test_mirror_and_containment_shapes(self, spark):
+        from mysql_syncer_spark.operators.dedup import source_overlap_matrix
+
+        rows = [
+            # src_a and src_b are exact mirrors; src_c contains src_a's
+            # text plus extra (containment(a,c) = 1); src_d is disjoint
+            ("a", 1, "the quick brown fox jumps over the lazy dog"),
+            ("b", 2, "the quick brown fox jumps over the lazy dog"),
+            ("c", 3, "the quick brown fox jumps over the lazy dog and more words beyond"),
+            ("d", 4, "zzzz yyyy xxxx wwww vvvv uuuu tttt"),
+        ]
+        df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+        out = {(r.source_a, r.source_b): r for r in
+               source_overlap_matrix(df, "source").collect()}
+        ab = out[("a", "b")]
+        assert ab.jaccard == 1.0 and ab.containment == 1.0
+        ac = out[("a", "c")]
+        assert ac.containment == 1.0  # a's shingles all inside c
+        assert ac.jaccard < 1.0       # but c has more
+        # disjoint pairs emit NO row (no shared shingle survives join)
+        assert ("a", "d") not in out
+        # pair orientation is canonical (a < b)
+        assert all(p[0] < p[1] for p in out)
+
+    def test_counts_are_distinct_shingles(self, spark):
+        from mysql_syncer_spark.operators.dedup import (
+            char_shingles,
+            source_overlap_matrix,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [("a", 1, "hello hello world"), ("a", 2, "hello world"),
+                ("b", 3, "hello world wide")]
+        df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+        out = source_overlap_matrix(df, "source").collect()[0]
+        na = (char_shingles(
+            df.where("source='a'").select(F.col("source").alias("__g"), "text"),
+            id_col="__g").distinct().count())
+        assert out.n_a == na  # per-source distinct shingles, not per-doc

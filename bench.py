@@ -288,6 +288,7 @@ HEADLINE = [
     "source_overlap_docs",
     "bootstrap_mean_ci_events",
     "corpus_card_docs",
+    "corpus_card_incremental_docs",
     "randomization_test_events",
     "dp_event_type_counts",
     "pca_whiten_embeddings",

@@ -842,3 +842,111 @@ def corpus_card(
             "n_ws_tokens",
         )
     )
+
+
+def corpus_card_state(
+    df: DataFrame,
+    group_cols: "list[str]",
+    text_col: str = "text",
+) -> "tuple[DataFrame, DataFrame]":
+    """E183: state for INCREMENTAL corpus-card maintenance — the E180
+    datasheet kept current per ingest batch in O(batch), never
+    rescanning the corpus (the minhash-corpus-index economics applied
+    to release reporting). State is two frames:
+
+    * ``aggs``: per-slice additive sums ``(group..., n_docs,
+      n_distinct, n_chars_total, n_ws_tokens)`` — every column a
+      monoid, so batch deltas FOLD;
+    * ``hashes``: the distinct ``(group..., __h)`` text-md5 table —
+      what makes the duplicate count incrementable exactly (a new
+      batch's contribution to n_distinct is its anti-join against
+      this table). Persist it bucketed by ``__h`` at scale; the
+      per-batch anti-join then prunes to touched buckets.
+    """
+    t = F.col(text_col)
+    hashes = df.select(*group_cols, F.md5(t).alias("__h")).distinct()
+    aggs = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(t)).alias("n_distinct"),
+        F.sum(F.length(t)).cast("long").alias("n_chars_total"),
+        F.sum(F.size(ws_tokens(t))).cast("long").alias("n_ws_tokens"),
+    )
+    return aggs, hashes
+
+
+def corpus_card_apply_batch(
+    aggs: DataFrame,
+    hashes: DataFrame,
+    batch: DataFrame,
+    group_cols: "list[str]",
+    text_col: str = "text",
+) -> "tuple[DataFrame, DataFrame]":
+    """Fold one ingest batch into the corpus-card state, O(batch):
+    batch aggregates are one combinable groupBy over batch rows; the
+    distinct increment is the batch's collapsed hash set anti-joined
+    against the state's hash table (never a corpus rescan); the new
+    state is a full-outer coalesce-sum (a slice appearing only in the
+    batch enters with its batch values). Refresh-equivalence law
+    (fold(batches) ≡ recompute(corpus)) is pytest-pinned."""
+    t = F.col(text_col)
+    b_aggs = batch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__d_docs"),
+        F.sum(F.length(t)).cast("long").alias("__d_chars"),
+        F.sum(F.size(ws_tokens(t))).cast("long").alias("__d_ws"),
+    )
+    b_hashes = batch.select(
+        *group_cols, F.md5(t).alias("__h")
+    ).distinct()
+    new_hashes = b_hashes.join(
+        hashes, [*group_cols, "__h"], "left_anti"
+    )
+    b_distinct = new_hashes.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__d_distinct")
+    )
+    delta = b_aggs.join(b_distinct, group_cols, "left")
+    merged = aggs.join(delta, group_cols, "full_outer").select(
+        *group_cols,
+        (
+            F.coalesce("n_docs", F.lit(0))
+            + F.coalesce("__d_docs", F.lit(0))
+        ).alias("n_docs"),
+        (
+            F.coalesce("n_distinct", F.lit(0))
+            + F.coalesce("__d_distinct", F.lit(0))
+        ).alias("n_distinct"),
+        (
+            F.coalesce("n_chars_total", F.lit(0))
+            + F.coalesce("__d_chars", F.lit(0))
+        ).alias("n_chars_total"),
+        (
+            F.coalesce("n_ws_tokens", F.lit(0))
+            + F.coalesce("__d_ws", F.lit(0))
+        ).alias("n_ws_tokens"),
+    )
+    return merged, hashes.unionByName(new_hashes)
+
+
+def corpus_card_from_state(
+    aggs: DataFrame, group_cols: "list[str]"
+) -> DataFrame:
+    """Render the E180 card from maintained state: same columns, same
+    rounding — ``corpus_card(corpus) ≡ corpus_card_from_state(folded
+    state)`` by construction (both derive from the same sums)."""
+    total = aggs.agg(
+        F.sum("n_chars_total").cast("double").alias("__tot")
+    )
+    return aggs.crossJoin(F.broadcast(total)).select(
+        *group_cols,
+        "n_docs",
+        F.round(
+            1.0 - F.col("n_distinct") / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+        "n_chars_total",
+        F.round(F.col("n_chars_total") / F.col("__tot"), 6).alias(
+            "char_share"
+        ),
+        F.round(
+            F.col("n_chars_total") / F.col("n_docs").cast("double"), 6
+        ).alias("mean_chars"),
+        "n_ws_tokens",
+    )

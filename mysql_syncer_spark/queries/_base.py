@@ -865,6 +865,9 @@ _DEMOTED: tuple[str, ...] = (
     # queue tail).
     "weighted_sample_by_lang_docs",
     "source_overlap_docs",
+    # r11 third wave: E183 incremental corpus card (refresh-equivalence
+    # oracle — the fold IS the law; past the window, queue tail).
+    "corpus_card_incremental_docs",
 )
 
 

@@ -229,3 +229,63 @@ def source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_matrix(docs, "source").orderBy(
         "source_a", "source_b"
     )
+
+
+@_register(
+    "corpus_card_incremental_docs",
+    r"""WITH per AS (
+         SELECT source, lang,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                COUNT(DISTINCT md5(text)) AS dn,
+                CAST(SUM(length(text)) AS BIGINT) AS n_chars_total,
+                CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END) AS BIGINT) AS n_ws_tokens
+         FROM documents GROUP BY 1, 2)
+       SELECT source, lang, n_docs,
+              ROUND(1.0 - dn / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+              n_chars_total,
+              ROUND(n_chars_total / CAST((SELECT SUM(n_chars_total)
+                                          FROM per) AS DOUBLE), 6)
+                  AS char_share,
+              ROUND(n_chars_total / CAST(n_docs AS DOUBLE), 6)
+                  AS mean_chars,
+              n_ws_tokens
+       FROM per ORDER BY source, lang""",
+)
+def corpus_card_incremental_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E183: INCREMENTALLY-maintained corpus card — the corpus split
+    into three deterministic hash-batches and folded through the
+    O(batch) state updates (additive per-slice sums + a persisted
+    distinct-hash table that makes the duplicate count exactly
+    incrementable via a batch-sized anti-join), then rendered. The
+    oracle recomputes the card from scratch over the whole table: the
+    query IS the refresh-equivalence law fold(batches) ≡ recompute,
+    machine-checked at every sweep SF
+    (operators/text.corpus_card_state / corpus_card_apply_batch /
+    corpus_card_from_state; the minhash-corpus-index economics applied
+    to release reporting)."""
+    from mysql_syncer_spark.operators.sampling import hash_bucket
+    from mysql_syncer_spark.operators.text import (
+        corpus_card_apply_batch,
+        corpus_card_from_state,
+        corpus_card_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id", salt="card")
+    first = docs.where(b < 4000)
+    aggs, hashes = corpus_card_state(first, ["source", "lang"])
+    for lo, hi in ((4000, 8000), (8000, 10000)):
+        batch = docs.where((b >= lo) & (b < hi))
+        aggs, hashes = corpus_card_apply_batch(
+            aggs, hashes, batch, ["source", "lang"]
+        )
+        # cut lineage between folds as a real ingest loop would
+        aggs = aggs.localCheckpoint(eager=False)
+        hashes = hashes.localCheckpoint(eager=False)
+    return corpus_card_from_state(aggs, ["source", "lang"]).orderBy(
+        "source", "lang"
+    )

@@ -95,3 +95,53 @@ class TestCorpusCard:
         # shares sum to 1 over non-empty-total slices
         total_share = sum(r.char_share for r in out.values())
         assert abs(total_share - 1.0) < 1e-6
+
+
+class TestCorpusCardIncremental:
+    """E183 incremental corpus-card laws (operators/text.py)."""
+
+    def test_fold_equals_recompute_and_cross_batch_dups(self, spark):
+        from mysql_syncer_spark.operators.text import (
+            corpus_card,
+            corpus_card_apply_batch,
+            corpus_card_from_state,
+            corpus_card_state,
+        )
+
+        b1 = spark.createDataFrame(
+            [("web", "en", "hello world"), ("web", "en", "unique one")],
+            "source string, lang string, text string",
+        )
+        # batch 2: a cross-batch exact dup ("hello world"), a batch-
+        # internal dup pair, and a NEW slice entering via the batch
+        b2 = spark.createDataFrame(
+            [
+                ("web", "en", "hello world"),
+                ("web", "en", "twice twice"),
+                ("web", "en", "twice twice"),
+                ("book", "de", "neu hier"),
+            ],
+            "source string, lang string, text string",
+        )
+        aggs, hashes = corpus_card_state(b1, ["source", "lang"])
+        aggs, hashes = corpus_card_apply_batch(
+            aggs, hashes, b2, ["source", "lang"]
+        )
+        folded = corpus_card_from_state(aggs, ["source", "lang"])
+        full = corpus_card(b1.unionByName(b2), ["source", "lang"])
+        key = ["source", "lang"]
+        f = {tuple(r[k] for k in key): r.asDict() for r in folded.collect()}
+        g = {tuple(r[k] for k in key): r.asDict() for r in full.collect()}
+        # fold == recompute on every shared column (mean_chars is an
+        # exact-int-sum mean in both)
+        for slice_key, row in g.items():
+            for col in ("n_docs", "dup_rate", "n_chars_total",
+                        "char_share", "n_ws_tokens"):
+                assert f[slice_key][col] == row[col], (slice_key, col)
+        # the cross-batch dup and the batch-internal pair both counted:
+        # web/en has 5 docs, 3 distinct texts
+        wen = f[("web", "en")]
+        assert wen["n_docs"] == 5
+        assert abs(wen["dup_rate"] - (1 - 3 / 5)) < 1e-6
+        # the new slice entered through the fold
+        assert ("book", "de") in f

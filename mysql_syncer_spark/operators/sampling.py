@@ -809,10 +809,15 @@ def weighted_reservoir_sample(
     weighted corpus subsample (docs weighted by length/quality) in ONE
     scan with no RNG state and no global sort.
 
-    Determinism: u = (md5 bucket + 0.5) / BUCKETS — strictly inside
-    (0, 1), so log(u) is finite and the DuckDB oracle reproduces the
-    ranks bit-for-bit. Rows with NULL or non-positive weight are
-    excluded (their rank key is undefined — the A-ES domain is w > 0).
+    Determinism: u = (md5 52-bit prefix + 0.5) / 2**52 — strictly
+    inside (0, 1), so log(u) is finite and the DuckDB oracle reproduces
+    the ranks bit-for-bit. 52 bits (13 hex chars) is the full integer
+    precision of a double: ~4.5e15 distinct u values, so rank-key
+    collisions at the cutoff are vanishing even at corpus scale (the
+    r11 10_000-bucket grain systematically favored low keys inside the
+    cutoff tie class — ADVICE r11). Rows with NULL or non-positive
+    weight are excluded (their rank key is undefined — the A-ES domain
+    is w > 0).
 
     Scale shape: the rank key is row-local codegen; the top-k is
     ``ORDER BY ... LIMIT k`` which Spark executes as
@@ -822,22 +827,44 @@ def weighted_reservoir_sample(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     w = F.col(weight_col).cast("double")
-    u = (hash_bucket(key_col, salt).cast("double") + F.lit(0.5)) / F.lit(
-        float(BUCKETS)
-    )
+    u = _fine_uniform(key_col, salt)
     # rank = u ** (1/w); compare via ln(rank) = ln(u)/w (monotone, and
     # avoids pow underflow for tiny u / huge w)
     rank = F.log(u) / w
-    # rank on the ROUNDED key (9 dp, key tie-break): ln() is not
-    # required to be correctly rounded, so engines can differ by 1 ulp
-    # — rounding before the cutoff makes the top-k selection itself
-    # engine-stable, not just the displayed values
+    # rank on the ROUNDED key (12 dp, key tie-break): ln() is not
+    # required to be correctly rounded, so engines can differ by ~1 ulp
+    # (abs error ~|rank|*2e-16, orders below the 5e-13 half-grid for
+    # any w >= 0.01) — rounding before the cutoff makes the top-k
+    # selection itself engine-stable, not just the displayed values
     return (
         df.where(w.isNotNull() & (w > 0))
-        .withColumn("rank_key", F.round(rank, 9))
+        .withColumn("rank_key", F.round(rank, 12))
         .orderBy(F.desc("rank_key"), F.asc(key_col))
         .limit(k)
     )
+
+
+#: A-ES uniform grain: 13 md5 hex chars = 52 bits — exactly a double's
+#: integer precision, so (v + 0.5) / 2**52 is exact in both engines.
+_FINE_HEX = 13
+_FINE_MOD = float(1 << 52)
+
+
+def _fine_uniform(key_col: str, salt: str = "") -> Column:
+    """Deterministic uniform in (0, 1) at 52-bit grain from the key's
+    md5 — the A-ES rank-key source (finer than the 10_000-bucket
+    :func:`hash_bucket` grain, whose tie classes biased the cutoff at
+    scale; ADVICE r11)."""
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+            1,
+            _FINE_HEX,
+        ),
+        16,
+        10,
+    ).cast("double")
+    return (v + F.lit(0.5)) / F.lit(_FINE_MOD)
 
 
 def duckdb_weighted_reservoir_sql(
@@ -847,7 +874,7 @@ def duckdb_weighted_reservoir_sql(
     expression — ln(u)/w with the same md5-bucket u."""
     u = (
         f"((('0x' || substr(md5('{salt}' || CAST({key_col} AS VARCHAR)),"
-        f" 1, {_HEX_PREFIX}))::BIGINT % {BUCKETS} + 0.5) / {BUCKETS}.0)"
+        f" 1, {_FINE_HEX}))::BIGINT + 0.5) / {int(_FINE_MOD)}.0)"
     )
     return (
         f"ln({u}) / CAST({weight_col} AS DOUBLE)"
@@ -866,22 +893,23 @@ def weighted_reservoir_sample_grouped(
     stratified form of :func:`weighted_reservoir_sample` (k docs per
     language/source, each drawn proportional to weight within its
     stratum; the shape quota-based corpus mixes actually need). Same
-    deterministic A-ES rank key, rounded before ranking (engine-stable
-    cutoffs); the top-k runs as a group-partitioned rank window — one
-    shuffle on the group key, reducers bounded by k rows per group, no
-    global funnel (each group's rank is independent; with many groups
-    this parallelizes across the cluster)."""
+    deterministic A-ES rank key (52-bit uniform grain, shared with the
+    global form — so the stratified draw IS the global draw filtered to
+    the stratum, the consistency law the E184 registry key certifies),
+    rounded before ranking (engine-stable cutoffs); the top-k runs as a
+    group-partitioned rank window — one shuffle on the group key,
+    reducers bounded by k rows per group, no global funnel (each
+    group's rank is independent; with many groups this parallelizes
+    across the cluster)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql import Window
 
     w = F.col(weight_col).cast("double")
-    u = (hash_bucket(key_col, salt).cast("double") + F.lit(0.5)) / F.lit(
-        float(BUCKETS)
-    )
+    u = _fine_uniform(key_col, salt)
     ranked = (
         df.where(w.isNotNull() & (w > 0))
-        .withColumn("rank_key", F.round(F.log(u) / w, 9))
+        .withColumn("rank_key", F.round(F.log(u) / w, 12))
         .withColumn(
             "__rn",
             F.row_number().over(

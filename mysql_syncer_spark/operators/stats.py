@@ -538,16 +538,26 @@ def poisson_bootstrap_ci(
             F.col("__h3") < F.lit(_POIS1_HEX_THRESHOLDS[j]), F.lit(j)
         ).otherwise(w)
     rep = rep.withColumn("__w", w)
+    # zero-weight replicate guard (ADVICE r11): a (group, replicate)
+    # cell where every row drew weight 0 (P ~ 0.368**n — realistic for
+    # tiny groups) is an empty resample; its mean is undefined. Spark's
+    # 0/0 gives NULL but DuckDB's IEEE double 0/0 gives NaN, and the
+    # two sort differently — guard the mean to NULL in BOTH engines
+    # (oracle mirrors with CASE WHEN SUM(w) > 0) and pin NULL placement
+    # explicitly (asc_nulls_first here, NULLS FIRST in the oracle).
     cells = rep.groupBy(*group_cols, "__b").agg(
-        F.round(
-            F.sum(F.col("__w") * F.col("__v6")).cast("double")
-            / F.lit(1_000_000.0)
-            / F.sum("__w").cast("double"),
-            6,
+        F.when(
+            F.sum("__w") > 0,
+            F.round(
+                F.sum(F.col("__w") * F.col("__v6")).cast("double")
+                / F.lit(1_000_000.0)
+                / F.sum("__w").cast("double"),
+                6,
+            ),
         ).alias("__bm")
     )
     rk = Window.partitionBy(*group_cols).orderBy(
-        F.asc("__bm"), F.asc("__b")
+        F.asc_nulls_first("__bm"), F.asc("__b")
     )
     ranked = cells.withColumn("__r", F.row_number().over(rk))
     ci = ranked.groupBy(*group_cols).agg(

@@ -864,7 +864,15 @@ def corpus_card_state(
       per-batch anti-join then prunes to touched buckets.
     """
     t = F.col(text_col)
-    hashes = df.select(*group_cols, F.md5(t).alias("__h")).distinct()
+    # NULL texts hash to NULL; countDistinct ignores NULLs, and a NULL
+    # key never matches in the apply-batch anti-join (each batch would
+    # re-count it as new) — keep NULL keys out of the hash table so the
+    # fold ≡ recompute law holds on NULL-text rows (ADVICE r11).
+    hashes = (
+        df.select(*group_cols, F.md5(t).alias("__h"))
+        .where(F.col("__h").isNotNull())
+        .distinct()
+    )
     aggs = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(F.md5(t)).alias("n_distinct"),
@@ -894,9 +902,11 @@ def corpus_card_apply_batch(
         F.sum(F.length(t)).cast("long").alias("__d_chars"),
         F.sum(F.size(ws_tokens(t))).cast("long").alias("__d_ws"),
     )
-    b_hashes = batch.select(
-        *group_cols, F.md5(t).alias("__h")
-    ).distinct()
+    b_hashes = (
+        batch.select(*group_cols, F.md5(t).alias("__h"))
+        .where(F.col("__h").isNotNull())  # mirror corpus_card_state
+        .distinct()
+    )
     new_hashes = b_hashes.join(
         hashes, [*group_cols, "__h"], "left_anti"
     )

@@ -18,27 +18,34 @@ from mysql_syncer_spark.queries._base import _register
 from mysql_syncer_spark.sources.catalog import load_table
 
 
+def _aes_oracle_rank() -> str:
+    from mysql_syncer_spark.operators.sampling import (
+        duckdb_weighted_reservoir_sql,
+    )
+
+    return duckdb_weighted_reservoir_sql("doc_id", "n_chars", k=0)
+
+
 @_register(
     "weighted_sample_docs",
-    """WITH r AS (
+    f"""WITH r AS (
          SELECT doc_id, n_chars,
-                ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                      1, 15))::BIGINT % 10000 + 0.5) / 10000.0)
-                  / CAST(n_chars AS DOUBLE) AS rk
+                ROUND({_aes_oracle_rank()}, 12) AS rank_key
          FROM documents
          WHERE n_chars IS NOT NULL AND n_chars > 0)
-       SELECT doc_id, n_chars, ROUND(rk, 9) AS rank_key
-       FROM r ORDER BY ROUND(rk, 9) DESC, doc_id LIMIT 100""",
+       SELECT doc_id, n_chars, rank_key
+       FROM r ORDER BY rank_key DESC, doc_id LIMIT 100""",
 )
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E178: weighted sampling without replacement (Efraimidis–Spirakis
     A-ES, the one-scan weighted reservoir): 100 documents drawn with
     probability proportional to length — the standard weighted corpus
     subsample (long docs carry more training tokens). Rank key
-    ln(u)/w from the md5-hash uniform, so the draw is deterministic and
-    the oracle reproduces it; ranking runs on the ROUNDED key (9 dp,
-    doc_id tie-break) so a 1-ulp ln() difference between engines can
-    never flip the cutoff. Top-k is TakeOrderedAndProject — per-
+    ln(u)/w from the md5-hash 52-bit uniform (r12: finer grain — the
+    10k-bucket u biased cutoff ties at scale, ADVICE r11), so the draw
+    is deterministic and the oracle reproduces it; ranking runs on the
+    ROUNDED key (12 dp, doc_id tie-break) so a 1-ulp ln() difference
+    between engines can never flip the cutoff. Top-k is TakeOrderedAndProject — per-
     partition size-k heaps, no global sort shuffle; 100 TB cost is one
     scan (operators/sampling.weighted_reservoir_sample)."""
     from mysql_syncer_spark.operators.sampling import (
@@ -71,13 +78,15 @@ def _bootstrap_oracle() -> str:
            SELECT unnest(generate_series(0, 31)) AS b)),
        cells AS (
          SELECT event_type, b,
-                ROUND(CAST(SUM(w * v6) AS DOUBLE) / 1000000.0
-                      / CAST(SUM(w) AS DOUBLE), 6) AS bm
+                CASE WHEN SUM(w) > 0 THEN
+                  ROUND(CAST(SUM(w * v6) AS DOUBLE) / 1000000.0
+                        / CAST(SUM(w) AS DOUBLE), 6)
+                END AS bm
          FROM rep GROUP BY 1, 2),
        ranked AS (
          SELECT event_type, b, bm,
                 ROW_NUMBER() OVER (PARTITION BY event_type
-                                   ORDER BY bm, b) AS r
+                                   ORDER BY bm NULLS FIRST, b) AS r
          FROM cells),
        ci AS (
          SELECT event_type,
@@ -159,11 +168,9 @@ def corpus_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "weighted_sample_by_lang_docs",
-    """WITH r AS (
+    f"""WITH r AS (
          SELECT doc_id, lang, n_chars,
-                ROUND(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                      1, 15))::BIGINT % 10000 + 0.5) / 10000.0)
-                  / CAST(n_chars AS DOUBLE), 9) AS rank_key
+                ROUND({_aes_oracle_rank()}, 12) AS rank_key
          FROM documents
          WHERE n_chars IS NOT NULL AND n_chars > 0)
        SELECT doc_id, lang, n_chars, rank_key FROM r

@@ -31,6 +31,26 @@ from pyspark.sql import types as T
 from mysql_syncer_spark.config import TableHandle
 from mysql_syncer_spark.sources.catalog import Catalog
 
+#: Errors that route the Arrow row-transfer path to the pickle
+#: fallback (_rows_to_df): Arrow's error classes subclass ValueError /
+#: TypeError / NotImplementedError / MemoryError — except
+#: ArrowCapacityError, which only subclasses pa.ArrowException, added
+#: below when pyarrow is importable (ADVICE r11).
+_ARROW_FALLBACK_ERRORS: "tuple[type[BaseException], ...]" = (
+    ImportError,
+    TypeError,
+    ValueError,
+    OverflowError,
+    NotImplementedError,
+    MemoryError,
+)
+try:
+    import pyarrow as _pa
+
+    _ARROW_FALLBACK_ERRORS += (_pa.ArrowException,)
+except ImportError:  # pragma: no cover - pyarrow is baked in here
+    pass
+
 #: declared-type prefix → Spark type (sqlite type affinity rules:
 #: anything containing INT is an integer, etc. — matched on prefixes of
 #: the upper-cased decltype). Timestamps are kept as strings: sqlite
@@ -286,8 +306,10 @@ class DBAPICatalog(Catalog):
         ``time.mktime`` — host-local TZ. Without the normalization the
         two paths disagree by the host offset, and since path selection
         is data-dependent one table's chunks could mix interpretations
-        and poison row hashes. The fallback is narrow (Arrow type/value
-        errors only) and logged when it engages."""
+        and poison row hashes. The fallback triggers on Arrow
+        conversion errors (_ARROW_FALLBACK_ERRORS — type/value/
+        capacity/memory/not-implemented) and is logged when it engages;
+        Spark-side schema failures still raise."""
         if not rows:
             return self.spark.createDataFrame([], schema)
         import datetime as _dt
@@ -316,9 +338,15 @@ class DBAPICatalog(Catalog):
                 schema=aschema,
             )
             return self.spark.createDataFrame(tbl, schema)
-        except (ImportError, TypeError, ValueError, OverflowError) as e:
+        except _ARROW_FALLBACK_ERRORS as e:
             # pa.ArrowInvalid / ArrowTypeError subclass ValueError /
-            # TypeError, so this stays importable when pyarrow is absent.
+            # TypeError; ArrowNotImplementedError subclasses
+            # NotImplementedError, ArrowMemoryError MemoryError, and
+            # ArrowCapacityError only pa.ArrowException — the tuple
+            # (module top) covers all of them while staying importable
+            # without pyarrow (ADVICE r11). Spark-side createDataFrame
+            # failures (PySparkException) still raise: they indicate a
+            # schema bug, not an Arrow value-conversion edge.
             import logging
 
             logging.getLogger(__name__).warning(

@@ -386,6 +386,70 @@ class TestPoissonBootstrap:
         wb = out["b"].ci_hi - out["b"].ci_lo
         assert wb > wa
 
+    def test_zero_weight_replicates_guarded_and_oracle_exact(self, spark):
+        """ADVICE r11: a (group, replicate) cell where every row drew
+        weight 0 (P ~ 0.368**n, realistic for tiny groups) is an empty
+        resample. Unguarded, Spark's 0/0 gave NULL while DuckDB's IEEE
+        0/0 gave NaN — and they rank differently. The guard makes the
+        mean NULL in BOTH engines with pinned NULLS FIRST placement, so
+        single-row groups still agree exactly with the mirror."""
+        import duckdb
+
+        from mysql_syncer_spark.operators.stats import (
+            duckdb_pois1_weight_sql,
+            poisson_bootstrap_ci,
+        )
+
+        rows = [(f"g{i}", 10.0 + i, i) for i in range(10)]
+        df = spark.createDataFrame(rows, "g string, v double, k long")
+        got = {
+            r.g: (r.mean_v, r.ci_lo, r.ci_hi, r.n)
+            for r in poisson_bootstrap_ci(
+                df, ["g"], "v", "k", n_boot=32
+            ).collect()
+        }
+        # empty replicates exist (rank 2 is a NULL cell) and nothing
+        # is NaN; non-empty single-row resamples always mean to v
+        assert all(lo is None for (_, lo, _, _) in got.values())
+        assert all(hi == m for (m, _, hi, _) in got.values())
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t (g VARCHAR, v DOUBLE, k BIGINT)"
+        )
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+        h3 = (
+            "substr(md5(CAST(k AS VARCHAR) || ':' || "
+            "CAST(b // 10 AS VARCHAR)), (b % 10) * 3 + 1, 3)"
+        )
+        w = duckdb_pois1_weight_sql(h3)
+        oracle = con.execute(f"""
+            WITH base AS (
+              SELECT g, CAST(FLOOR(v * 1000000.0) AS BIGINT) AS v6, k
+              FROM t WHERE v IS NOT NULL),
+            rep AS (
+              SELECT g, v6, k, b, {w} AS w FROM base CROSS JOIN (
+                SELECT unnest(generate_series(0, 31)) AS b)),
+            cells AS (
+              SELECT g, b, CASE WHEN SUM(w) > 0 THEN
+                ROUND(CAST(SUM(w * v6) AS DOUBLE) / 1000000.0
+                      / CAST(SUM(w) AS DOUBLE), 6) END AS bm
+              FROM rep GROUP BY 1, 2),
+            ranked AS (
+              SELECT g, b, bm, ROW_NUMBER() OVER (PARTITION BY g
+                ORDER BY bm NULLS FIRST, b) AS r FROM cells),
+            ci AS (
+              SELECT g, MAX(CASE WHEN r = 2 THEN bm END) AS ci_lo,
+                     MAX(CASE WHEN r = 31 THEN bm END) AS ci_hi
+              FROM ranked GROUP BY 1),
+            pt AS (
+              SELECT g, ROUND(CAST(SUM(v6) AS DOUBLE) / 1000000.0
+                        / CAST(COUNT(*) AS DOUBLE), 6) AS mean_v,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM base GROUP BY 1)
+            SELECT pt.g, mean_v, ci_lo, ci_hi, n
+            FROM pt JOIN ci USING (g)""").fetchall()
+        assert {r[0]: tuple(r[1:]) for r in oracle} == got
+
     def test_deterministic_and_salt_redraws(self, spark):
         from mysql_syncer_spark.operators.stats import poisson_bootstrap_ci
 

@@ -145,3 +145,50 @@ class TestCorpusCardIncremental:
         assert abs(wen["dup_rate"] - (1 - 3 / 5)) < 1e-6
         # the new slice entered through the fold
         assert ("book", "de") in f
+
+    def test_null_texts_fold_equals_recompute(self, spark):
+        """ADVICE r11: NULL text hashes to NULL; a NULL key never
+        matches in the anti-join, so before the r12 fix every batch
+        containing one re-counted it as a new distinct (and grew the
+        hash table with (group, NULL) rows) while corpus_card's
+        countDistinct ignores NULLs. The fold ≡ recompute law must
+        hold on NULL-text rows, across MULTIPLE batches."""
+        from mysql_syncer_spark.operators.text import (
+            corpus_card,
+            corpus_card_apply_batch,
+            corpus_card_from_state,
+            corpus_card_state,
+        )
+
+        schema = "source string, lang string, text string"
+        b1 = spark.createDataFrame(
+            [("web", "en", None), ("web", "en", "alpha")], schema
+        )
+        b2 = spark.createDataFrame(
+            [("web", "en", None), ("web", "en", "beta")], schema
+        )
+        b3 = spark.createDataFrame([("web", "en", None)], schema)
+        aggs, hashes = corpus_card_state(b1, ["source", "lang"])
+        for b in (b2, b3):
+            aggs, hashes = corpus_card_apply_batch(
+                aggs, hashes, b, ["source", "lang"]
+            )
+        # the hash table never accumulates NULL keys
+        assert hashes.where("__h IS NULL").count() == 0
+        folded = {
+            (r.source, r.lang): r.asDict()
+            for r in corpus_card_from_state(
+                aggs, ["source", "lang"]
+            ).collect()
+        }
+        full = {
+            (r.source, r.lang): r.asDict()
+            for r in corpus_card(
+                b1.unionByName(b2).unionByName(b3), ["source", "lang"]
+            ).collect()
+        }
+        assert folded.keys() == full.keys()
+        for k, row in full.items():
+            for col in ("n_docs", "dup_rate", "n_chars_total",
+                        "char_share", "n_ws_tokens"):
+                assert folded[k][col] == row[col], (k, col)

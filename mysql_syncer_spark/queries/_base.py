@@ -164,21 +164,12 @@ _PROMOTED: tuple[str, ...] = (
     # kernels (range join, per-row vector codegen, grouping sets,
     # ordered-sequence window, cohort bucketing, sliding window) other
     # in-window rows or the sf1 sweep keep machine-checked.
-    "mwu_drift_events",
-    "theil_sen_trend_events",
-    "fd_audit_orders",
-    "bitmap_distinct_users_events",
-    # r8 second wave: two NEW operator classes (two-sided outer-join
-    # IVM with presence markers; t-closeness distribution-distance
-    # privacy). Displaced to positions 51-52 (both oracle-backed,
-    # 3-SF parity-swept): gopher_quality_docs and unigram_logprob_docs
-    # — pure-codegen text scores whose kernels stay machine-checked
-    # in-window via curate_corpus_docs (runs the Gopher rule set
-    # end-to-end) and dsir_weights/dsir_sample (the hashed-LM
-    # log-likelihood kernel); their siblings ivm_extrema_orders and
-    # t_closeness_ordered_customer sit at 53-54, parity-swept.
-    "ivm_full_join_orders_customer",
-    "t_closeness_customer",
+    # r12 rotation: the r8 block (mwu_drift_events,
+    # theil_sen_trend_events, fd_audit_orders,
+    # bitmap_distinct_users_events, ivm_full_join_orders_customer,
+    # t_closeness_customer) and the first nine r9 rows rotated OUT —
+    # all fifteen full-green in CORRECTNESS_r11 (cumulative coverage
+    # kept per ROTATION.md); justifications at their _DEMOTED entries.
     # r9 rotation (the standing never-window retirement, VERDICT r8
     # item 2): FIFTEEN oracle-backed queries the driver had never
     # certified rotate IN — the whole r8 second wave of
@@ -190,15 +181,11 @@ _PROMOTED: tuple[str, ...] = (
     # every one remains oracle-backed, 3-SF parity-swept, in the sf1
     # VALUE sweep, and driver-green in an earlier round's window
     # (cumulative coverage is never lost; the ledger is ROTATION.md).
-    "ivm_extrema_orders",
-    "ivm_frequent_orders",
-    "ivm_distinct_orders",
-    "golden_records_events",
-    "token_budget_sample_docs",
-    "bitmap_overlap_events",
-    "t_closeness_ordered_customer",
-    "tpch_q1_pricing",
-    "tpch_q3_shipping_priority",
+    # r12: the first nine r9 rows (ivm_extrema/frequent/distinct,
+    # golden_records, token_budget_sample, bitmap_overlap,
+    # t_closeness_ordered, tpch_q1_pricing, tpch_q3_shipping_priority)
+    # rotated OUT — all driver-green r9 AND re-certified green in the
+    # r11 window; _DEMOTED entries carry the justifications.
     "tpch_q10_returned_items",
     "group_quantiles_events",
     "ks_drift_events",
@@ -273,6 +260,30 @@ _PROMOTED: tuple[str, ...] = (
     "tpch_q12_shipmode_priority",
     "tpch_q20_potential_promotion",
     "anomaly_zscore_events",
+    # r12 rotation (VERDICT r11 item 2): FIFTEEN oracle-backed
+    # never-window queries rotate in, oldest-first from the ROTATION.md
+    # queue — the r4-r7 analytics/curation rows the window had never
+    # certified. cluster_balanced_sample_embeddings (next in queue age
+    # order) is rows-only (k-means float chain; its gate is the pytest
+    # balance/recall law) and is EXCLUDED per the window policy —
+    # unpivot_event_counts takes its slot. Displaced: the r8 block and
+    # the first nine r9 rows (all re-certified green in the r11
+    # window; see the r12 comment above and ROTATION.md).
+    "cms_term_counts_docs",
+    "stratified_sample_docs",
+    "replicate_mixture_docs",
+    "snapshot_cdc_orders",
+    "integrity_check_orders",
+    "psi_drift_events",
+    "fuzzy_name_pairs_part",
+    "tpch_q1_incremental",
+    "tpch_q3_colocated",
+    "profile_drift_orders",
+    "pivot_event_counts",
+    "scd2_lookup_lineitem",
+    "event_transitions",
+    "attribution_events",
+    "unpivot_event_counts",
 )
 
 #: Queries proven green across rounds 1-3 whose machinery is fully covered
@@ -284,6 +295,32 @@ _PROMOTED: tuple[str, ...] = (
 #: MinHash, ...) that had never received a driver correctness row. They all
 #: remain registered and remain covered by tests/test_oracle_parity.py.
 _DEMOTED: tuple[str, ...] = (
+    # r12 rotation out of the window — the r8 block and the first nine
+    # r9 rows. Every one is driver-green TWICE over (first-certified in
+    # its own round's window AND re-certified full-green in the r11
+    # window, CORRECTNESS_r11), oracle-backed, 3-SF parity-swept, and
+    # bench-keyed; their kernels stay machine-checked in-window: the
+    # keyed-delta IVM discipline via the incremental-ingest pair and
+    # snapshot_cdc/tpch_q1_incremental (now IN window), the rank/window
+    # family via group_quantiles + ks_drift (still in window via r9
+    # tail rows), the privacy distribution-distance pair via
+    # k_anonymity_customer (in window), and the TPC-H agg shapes via
+    # the fourteen TPC-H rows still in window.
+    "mwu_drift_events",
+    "theil_sen_trend_events",
+    "fd_audit_orders",
+    "bitmap_distinct_users_events",
+    "ivm_full_join_orders_customer",
+    "t_closeness_customer",
+    "ivm_extrema_orders",
+    "ivm_frequent_orders",
+    "ivm_distinct_orders",
+    "golden_records_events",
+    "token_budget_sample_docs",
+    "bitmap_overlap_events",
+    "t_closeness_ordered_customer",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping_priority",
     # r10 rotation out of the window — all seventeen remain
     # oracle-backed, 3-SF parity-swept, bench-keyed where applicable,
     # and driver-green in r9 or earlier windows (ROTATION.md keeps the

@@ -92,27 +92,18 @@ def test_driver_window_holds_extension_queries():
     names = list(entrymod.queries().keys())
     window = set(names[:50])
     must_be_in = {
-        # r11 window (ROTATION.md): the pinned core-sync composites,
-        # the surviving r8-r10 promoted rows, and the r11 never-window
-        # retirement wave (the remaining TPC-H classics + the z-score
-        # anomaly screen). The r11 policy moved ALL rows-only entries
-        # (ann_topk_ivf_indexed, ann_topk_pq, bpe_tokens_docs,
-        # quality_score_docs, frame_sample_media_docs, pca, bitext-lsh)
-        # permanently past the window — a slot spent on a rows-only
-        # entry certifies nothing beyond its pytest gate — and rotated
-        # out ten r7/r8 rows that are driver-green in CORRECTNESS_r10.
+        # r12 window (ROTATION.md): the pinned core-sync composites,
+        # the surviving r9-r11 promoted rows, and the r12 never-window
+        # retirement wave (the r4-r7 analytics/curation rows, oldest
+        # first from the queue; cluster_balanced_sample_embeddings is
+        # rows-only and stays past the window per the r11 policy —
+        # unpivot_event_counts took its slot). Rotated out: the r8
+        # block + the first nine r9 rows, all re-certified full-green
+        # in the r11 window (CORRECTNESS_r11).
         # pinned core composites
         "sync_merge_orders", "partition_digests_orders",
-        # surviving r8 promotions
-        "mwu_drift_events", "theil_sen_trend_events", "fd_audit_orders",
-        "bitmap_distinct_users_events",
-        "ivm_full_join_orders_customer", "t_closeness_customer",
-        # r9 wave
-        "ivm_extrema_orders", "ivm_frequent_orders",
-        "ivm_distinct_orders", "golden_records_events",
-        "token_budget_sample_docs", "bitmap_overlap_events",
-        "t_closeness_ordered_customer", "tpch_q1_pricing",
-        "tpch_q3_shipping_priority", "tpch_q10_returned_items",
+        # surviving r9 wave
+        "tpch_q10_returned_items",
         "group_quantiles_events", "ks_drift_events",
         "heavy_hitters_users_events", "k_anonymity_customer",
         "ewma_daily_events",
@@ -132,6 +123,15 @@ def test_driver_window_holds_extension_queries():
         "tpch_q2_min_cost_supplier", "tpch_q11_important_stock",
         "tpch_q12_shipmode_priority", "tpch_q20_potential_promotion",
         "anomaly_zscore_events",
+        # r12 never-window retirement wave
+        "cms_term_counts_docs", "stratified_sample_docs",
+        "replicate_mixture_docs", "snapshot_cdc_orders",
+        "integrity_check_orders", "psi_drift_events",
+        "fuzzy_name_pairs_part", "tpch_q1_incremental",
+        "tpch_q3_colocated", "profile_drift_orders",
+        "pivot_event_counts", "scd2_lookup_lineitem",
+        "event_transitions", "attribution_events",
+        "unpivot_event_counts",
     }
     # the r11 policy invariant: every window row is oracle-backed
     assert window <= set(entrymod.oracle_sql()), sorted(

@@ -292,6 +292,8 @@ HEADLINE = [
     "randomization_test_events",
     "dp_event_type_counts",
     "pca_whiten_embeddings",
+    # round 12 additions (new keys only; prior keys unchanged)
+    "stratified_consistency_docs",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

@@ -905,6 +905,10 @@ _DEMOTED: tuple[str, ...] = (
     # r11 third wave: E183 incremental corpus card (refresh-equivalence
     # oracle — the fold IS the law; past the window, queue tail).
     "corpus_card_incremental_docs",
+    # r12: E184 stratified-vs-global A-ES consistency law (VERDICT r11
+    # item 7 — the pytest agreement law as an oracle-backed key;
+    # past the window, queue tail).
+    "stratified_consistency_docs",
 )
 
 

@@ -296,3 +296,85 @@ def corpus_card_incremental_docs(
     return corpus_card_from_state(aggs, ["source", "lang"]).orderBy(
         "source", "lang"
     )
+
+
+def _stratified_consistency_oracle() -> str:
+    from mysql_syncer_spark.operators.sampling import (
+        duckdb_weighted_reservoir_sql,
+    )
+
+    rk = duckdb_weighted_reservoir_sql("doc_id", "n_chars", k=0)
+    return f"""WITH r AS (
+         SELECT doc_id, lang, ROUND({rk}, 12) AS rank_key
+         FROM documents
+         WHERE n_chars IS NOT NULL AND n_chars > 0),
+       g AS (SELECT doc_id, lang FROM r
+             ORDER BY rank_key DESC, doc_id LIMIT 100),
+       s AS (SELECT doc_id FROM r QUALIFY ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY rank_key DESC, doc_id) <= 20),
+       per AS (
+         SELECT g.lang, CAST(COUNT(*) AS BIGINT) AS n_global,
+                CAST(SUM(CASE WHEN s.doc_id IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+         FROM g LEFT JOIN s ON g.doc_id = s.doc_id GROUP BY 1)
+       SELECT lang, n_global, n_agree,
+              CAST(CASE WHEN n_agree = LEAST(n_global, 20)
+                   THEN 1 ELSE 0 END AS INT) AS law_holds
+       FROM per ORDER BY lang"""
+
+
+@_register("stratified_consistency_docs", _stratified_consistency_oracle())
+def stratified_consistency_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E184 (r12, VERDICT r11 item 7): the stratified-vs-global A-ES
+    consistency law as an oracle-backed key. Because the A-ES rank key
+    is ROW-LOCAL (one shared 52-bit md5 uniform per key, same salt),
+    the per-stratum draw IS the global draw's ordering restricted to
+    the stratum: every member of the global top-100 that belongs to
+    lang g must also be inside g's stratified top-20 (whenever g
+    contributes <= 20 rows to the global sample — always true here
+    since 20 per lang bounds it). The query runs BOTH operators
+    (operators/sampling.weighted_reservoir_sample and
+    weighted_reservoir_sample_grouped — the real production code
+    paths, not a re-derivation), joins them, and emits per-lang
+    (n_global, n_agree, law_holds); the oracle recomputes both sides
+    in SQL, so the driver certifies (a) the rank keys agree across
+    engines AND (b) the law holds (law_holds = 1 on every row).
+
+    Scale shape: two scans (one per draw) — the global side is
+    TakeOrderedAndProject (k-sized heaps, no global sort), the
+    stratified side one window shuffle on lang; the agreement join is
+    a broadcast of the 100-row global sample. Nothing data-sized moves.
+    """
+    from mysql_syncer_spark.operators.sampling import (
+        weighted_reservoir_sample,
+        weighted_reservoir_sample_grouped,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    glob = weighted_reservoir_sample(docs, "doc_id", "n_chars", k=100)
+    strat = weighted_reservoir_sample_grouped(
+        docs, ["lang"], "doc_id", "n_chars", k=20
+    ).select("doc_id", F.lit(1).alias("__in_strat"))
+    per = (
+        glob.select("doc_id", "lang")
+        .join(F.broadcast(strat), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_global"),
+            F.coalesce(F.sum("__in_strat"), F.lit(0)).alias("n_agree"),
+        )
+    )
+    return per.select(
+        "lang",
+        "n_global",
+        "n_agree",
+        F.when(
+            F.col("n_agree") == F.least(F.col("n_global"), F.lit(20)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("law_holds"),
+    ).orderBy("lang")

@@ -384,6 +384,44 @@ def run_group(group: str) -> None:
                 )
             )
             times["fixed_work"] = round(time.time() - t0, 3)
+            # ~1.4 s fixed-SHUFFLE host normalizer (r12, VERDICT r11
+            # item 1): fixed_work is pure JVM-codegen CPU, so its
+            # quotient corrects compute speed but is blind to the
+            # memory-bandwidth / shuffle-IO contention real queries
+            # pay under ambient load (BASELINE.md names the gap; r10+
+            # r11 both read above band with flat fixed_work). This
+            # probe moves 16 M rows x ~40 B (hash key + incompressible
+            # md5 payload — constant payloads would lz4 away the IO
+            # component) through ONE full exchange and folds them:
+            # zero registry code dependence, contention-sensitive by
+            # construction. canary_norm3 divides by its quotient.
+            # Min of 3 reps per pass: the first execution of this plan
+            # in a session pays JIT/codegen compilation (~2.5 s extra,
+            # measured r12 — a steady-state 1.25 s probe read 3.8 s
+            # single-shot), which is JVM state, not host load; the
+            # min-of-reps converges to the contention floor the same
+            # way the action-floor's min-of-20 does.
+            probes = []
+            for _ in range(3):
+                t0 = time.time()
+                force(
+                    spark.range(0, 16_000_000, 1, int(CPUS))
+                    .select(
+                        F.pmod(F.xxhash64("id"), F.lit(1_000_003)).alias("k"),
+                        F.md5(F.col("id").cast("string")).alias("payload"),
+                    )
+                    .repartition(int(CPUS), "k")
+                    .select(
+                        F.sum(
+                            F.pmod(
+                                F.xxhash64("k", "payload"),
+                                F.lit(1_000_000_007),
+                            )
+                        ).alias("s")
+                    )
+                )
+                probes.append(time.time() - t0)
+            times["fixed_shuffle"] = round(min(probes), 3)
         for name in keys:
             t0 = time.time()
             force(qmap[name](spark, SF_DIR))
@@ -483,7 +521,12 @@ def main() -> None:
     # fixed_work is a pure host normalizer, not a query — keep it out
     # of the headline total so r9↔r10 totals stay key-comparable
     total = round(
-        sum(v for k, v in merged.items() if k != "fixed_work"), 3
+        sum(
+            v
+            for k, v in merged.items()
+            if k not in ("fixed_work", "fixed_shuffle")
+        ),
+        3,
     )
     canary_keys = (
         ["action_floor"]
@@ -515,6 +558,25 @@ def main() -> None:
         / max(merged.get("fixed_work", _R10_FIXED_WORK) / _R10_FIXED_WORK, 1e-9),
         3,
     )
+    # r12 normalizer v3 (VERDICT r11 item 1): same quotient form, but
+    # against the CONTENTION-SENSITIVE fixed-shuffle probe — ambient
+    # load that saturates memory bandwidth / shuffle IO inflates this
+    # denominator the way it inflates real queries, which the pure-CPU
+    # fixed_work quotient cannot see. Anchored to the r12 quiet-host
+    # measurement on this box (_R12_FIXED_SHUFFLE), so canary_norm3
+    # reads r12-equivalent seconds. A round-over-round canary move is
+    # "load" only if norm2 OR norm3 explains it to within the
+    # BASELINE.md band; otherwise it is a regression.
+    _R12_FIXED_SHUFFLE = 1.46
+    canary_norm3 = round(
+        canary_total
+        / max(
+            merged.get("fixed_shuffle", _R12_FIXED_SHUFFLE)
+            / _R12_FIXED_SHUFFLE,
+            1e-9,
+        ),
+        3,
+    )
     detail = {
         "metric": "total_headline_sec",
         "value": total,
@@ -522,6 +584,7 @@ def main() -> None:
         "canary_sec": canary_total,
         "canary_norm": canary_norm,
         "canary_norm2": canary_norm2,
+        "canary_norm3": canary_norm3,
         "queries": merged,
         "groups": detail_groups,
         "sf": float(sf) if sf else SF_DIR,
@@ -554,6 +617,10 @@ def main() -> None:
         round(cpasses[p].get("fixed_work", 0.0), 2)
         for p in ("pass1", "pass2", "pass3")
     ]
+    shuffle_pass = [
+        round(cpasses[p].get("fixed_shuffle", 0.0), 2)
+        for p in ("pass1", "pass2", "pass3")
+    ]
     compact = {
         "metric": "total_headline_sec",
         "value": total,
@@ -562,9 +629,12 @@ def main() -> None:
         "canary_sec": canary_total,
         "canary_norm": canary_norm,
         "canary_norm2": canary_norm2,
+        "canary_norm3": canary_norm3,
         "fixed_work": merged.get("fixed_work"),
+        "fixed_shuffle": merged.get("fixed_shuffle"),
         "canary_pass_sec": canary_pass,
         "fixed_work_pass": fixed_pass,
+        "fixed_shuffle_pass": shuffle_pass,
         "n_queries": len(merged),
         "detail": "BENCH_DETAIL.json",
         "sf": float(sf) if sf else SF_DIR,

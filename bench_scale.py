@@ -952,6 +952,114 @@ def run_bitext_probe() -> None:
     print(json.dumps({"bitext_probe": results}))
 
 
+def run_corpus_card_fold() -> None:
+    """E183 O(batch) lane (VERDICT r11 item 4): the MinHash-index
+    lane's methodology applied to the persisted corpus-card state.
+    Build the bucketed state over corpora at 1x/4x/16x, then fold a
+    FIXED-SIZE batch; the fold cost must stay flat while the corpus
+    (and its hash table) grows 16x, because nothing corpus-sized ever
+    shuffles or rewrites — the anti-join reads the bucketed hash table
+    in place (one md5 column, exchange-free; plan-gated here and in
+    tests/test_text.py), the aggs overwrite is |slices| rows, and the
+    hash append is batch-sized. The recompute column is the O(corpus)
+    alternative (full corpus_card over corpus+batch) priced for
+    contrast. At scale 1x the fold is also VALUE-verified against the
+    recompute card (the E183 law at bench size)."""
+    from mysql_syncer_spark.operators import sampling
+    from mysql_syncer_spark.operators.text import (
+        corpus_card,
+        corpus_card_fold_plan,
+        corpus_card_from_state,
+        corpus_card_state_fold,
+        corpus_card_state_read,
+        corpus_card_state_write,
+    )
+    from mysql_syncer_spark.sources.bucketed import physical_plan
+
+    spark = _session()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    b = sampling.hash_bucket("doc_id")
+    base_corpus = docs.where(b < 9800)
+    batch = docs.where(b >= 9800).localCheckpoint(eager=True)
+    # second, disjoint-text batch (steady-state fold after the first)
+    batch2 = _replica(batch, 99).localCheckpoint(eager=True)
+    os.makedirs(WORK, exist_ok=True)
+    group_cols = ["source", "lang"]
+
+    results = []
+    for scale in (1, 4, 16):
+        cpath = f"{WORK}/corpus_{scale}x.parquet"
+        if not os.path.exists(cpath):
+            parts = [_replica(base_corpus, i) for i in range(scale)]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out.write.mode("overwrite").parquet(cpath)
+        corpus = spark.read.parquet(cpath)
+        n_corpus = corpus.count()
+
+        name = f"card_state_{scale}x"
+        t0 = time.time()
+        corpus_card_state_write(corpus, group_cols, name)
+        build_s = time.time() - t0
+
+        # plan gate BEFORE folding: bucketed state scan, and with
+        # broadcast off (the at-scale shape) zero Exchange between
+        # the hash-table scan and the anti-join
+        prior_thresh = spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = physical_plan(
+            corpus_card_fold_plan(spark, name, batch, group_cols)
+        )
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", prior_thresh
+        )
+        assert "Bucketed: true" in plan, plan
+
+        t0 = time.time()
+        corpus_card_state_fold(spark, name, batch, group_cols)
+        fold_new_s = time.time() - t0
+
+        if scale == 1:
+            folded = sorted(
+                tuple(r)
+                for r in corpus_card_from_state(
+                    corpus_card_state_read(spark, name)[0], group_cols
+                ).collect()
+            )
+            direct = sorted(
+                tuple(r)
+                for r in corpus_card(
+                    corpus.unionByName(batch), group_cols
+                ).collect()
+            )
+            assert folded == direct, "fold != recompute at 1x"
+
+        t0 = time.time()
+        corpus_card_state_fold(spark, name, batch2, group_cols)
+        fold_new2_s = time.time() - t0
+
+        t0 = time.time()
+        force(corpus_card(corpus.unionByName(batch), group_cols))
+        recompute_s = time.time() - t0
+
+        row = {
+            "scale": scale,
+            "corpus_docs": n_corpus,
+            "batch_docs": batch.count(),
+            "hash_rows": corpus_card_state_read(spark, name)[1].count(),
+            "state_build_sec": round(build_s, 3),
+            "fold_sec": round(fold_new_s, 3),
+            "fold2_sec": round(fold_new2_s, 3),
+            "recompute_sec": round(recompute_s, 3),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    print(json.dumps({"corpus_card_fold": results}))
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "ingest"
     if mode == "ingest":
@@ -970,5 +1078,7 @@ if __name__ == "__main__":
         run_jdbc_skew()
     elif mode == "bitext":
         run_bitext_probe()
+    elif mode == "card":
+        run_corpus_card_fold()
     else:
         raise SystemExit(f"unknown mode {mode!r}")

@@ -588,3 +588,205 @@ def duckdb_pois1_weight_sql(h3_expr: str) -> str:
         for j, t in enumerate(_POIS1_HEX_THRESHOLDS)
     )
     return f"(CASE {cases} ELSE 6 END)"
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b,
+    cats_a: list[str],
+    cats_b: list,
+) -> DataFrame:
+    """E186: χ² test of independence between two categorical columns —
+    the assignment audit every experimentation/feed pipeline needs
+    ("is event mix independent of the traffic split?"): one row with
+    ``(n_rows, chi2, dof, cramers_v)`` over the r×c contingency table
+    of EXPLICIT category lists (the Benford/entropy discipline: fixed
+    lists pivot the counts into fixed columns, so the χ² sum runs in
+    one deterministic cell order both engines share).
+
+    Numeric discipline: every cell term is ``(n·c_ij − r_i·c_j)² /
+    (n·r_i·c_j)`` — an integer numerator squared in DECIMAL(38,0)
+    (it can exceed 2^53; a double square would round BEFORE the
+    division and the two engines could disagree) over an integer
+    denominator, each cast to double exactly once. Cramér's V =
+    sqrt(χ²/(n·min(r−1,c−1))).
+
+    Scale shape: ONE combinable groupBy-less aggregate (r·c + r + c
+    sums, all map-side partial) — no join, no window, no shuffle
+    beyond the single 1-row fold. ``col_b`` may be a Column (e.g. a
+    derived cohort expression)."""
+    if len(cats_a) < 2 or len(cats_b) < 2:
+        raise ValueError("need >= 2 categories on both sides")
+    if len(set(cats_a)) != len(cats_a) or len(set(cats_b)) != len(cats_b):
+        raise ValueError("categories must be distinct")
+    a = F.col(col_a)
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    cells = [
+        F.sum(((a == ca) & (b == cb)).cast("long")).alias(
+            f"__c_{i}_{j}"
+        )
+        for i, ca in enumerate(cats_a)
+        for j, cb in enumerate(cats_b)
+    ]
+    g = df.agg(*cells)
+    row = [
+        sum(F.col(f"__c_{i}_{j}") for j in range(len(cats_b)))
+        for i in range(len(cats_a))
+    ]
+    colt = [
+        sum(F.col(f"__c_{i}_{j}") for i in range(len(cats_a)))
+        for j in range(len(cats_b))
+    ]
+    n = sum(row)
+    chi2 = None
+    for i in range(len(cats_a)):
+        for j in range(len(cats_b)):
+            num = (
+                n * F.col(f"__c_{i}_{j}") - row[i] * colt[j]
+            ).cast("decimal(38,0)")
+            term = F.when(
+                (row[i] > 0) & (colt[j] > 0),
+                (num * num).cast("double")
+                / (n * row[i] * colt[j]).cast("double"),
+            ).otherwise(F.lit(0.0))
+            chi2 = term if chi2 is None else chi2 + term
+    dof = (len(cats_a) - 1) * (len(cats_b) - 1)
+    vmin = min(len(cats_a), len(cats_b)) - 1
+    return g.select(
+        n.cast("long").alias("n_rows"),
+        F.round(chi2, 6).alias("chi2"),
+        F.lit(dof).cast("int").alias("dof"),
+        F.round(
+            F.sqrt(chi2 / (n.cast("double") * F.lit(float(vmin)))), 6
+        ).alias("cramers_v"),
+    )
+
+
+def concentration_profile(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+) -> DataFrame:
+    """E187: per-group concentration audit of an item mix — the
+    corpus-governance view of "how dominated is each language by a
+    few sources?" (a lang whose Gini → 1 / HHI → 1 is effectively a
+    single-crawl corpus however many sources it claims): per group,
+    ``(n_rows, n_items, gini, hhi, top_share)`` over the item count
+    distribution. Gini uses the sorted-rank closed form
+    ``(2·Σ rank_i·x_i − (n+1)·Σx) / (n·Σx)`` with ranks ordered
+    ``(count, item)`` — a deterministic integer numerator (no float
+    sums to order), each ratio divided once and rounded.
+
+    Scale shape: one count groupBy on (group, item), then a window
+    over the per-group ITEM list (bounded by item cardinality, not
+    row count) and a |groups|-sized fold. NULL items count as a real
+    category via the hash-groupBy (excluded: none)."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    from pyspark.sql import Window
+
+    cnt = df.groupBy(*group_cols, item_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__cnt"), F.col(item_col)
+    )
+    ranked = cnt.withColumn("__rk", F.row_number().over(w))
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.sum("__cnt").cast("long").alias("__tot"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("__rk") * F.col("__cnt"))
+            .cast("long")
+            .alias("__rksum"),
+            F.sum(F.col("__cnt") * F.col("__cnt"))
+            .cast("long")
+            .alias("__sq"),
+            F.max("__cnt").cast("long").alias("__top"),
+        )
+        .select(
+            *group_cols,
+            F.col("__tot").alias("n_rows"),
+            "n_items",
+            F.round(
+                (
+                    2 * F.col("__rksum")
+                    - (F.col("n_items") + 1) * F.col("__tot")
+                ).cast("double")
+                / (F.col("n_items") * F.col("__tot")).cast("double"),
+                6,
+            ).alias("gini"),
+            F.round(
+                F.col("__sq").cast("double")
+                / (F.col("__tot") * F.col("__tot")).cast("double"),
+                6,
+            ).alias("hhi"),
+            F.round(
+                F.col("__top").cast("double")
+                / F.col("__tot").cast("double"),
+                6,
+            ).alias("top_share"),
+        )
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    true_col: str,
+    pred_col,
+    categories: list[str],
+) -> DataFrame:
+    """E188: Cohen's κ agreement between two label columns — the
+    classifier-vs-ground-truth audit (raw accuracy flatters a
+    predictor on a skewed label mix; κ corrects by the agreement the
+    marginals produce BY CHANCE): one row ``(n_rows, agreement,
+    expected_agreement, kappa)`` over an explicit category list;
+    rows where either side falls outside the list are excluded
+    (stated semantic, counted in ``n_excluded``).
+
+    Numeric discipline: κ = (n·agree − Σ_k r_k·c_k) /
+    (n² − Σ_k r_k·c_k) — integer numerator and denominator (exact
+    BIGINT sums), ONE double division, rounded. ONE combinable
+    aggregate, no join/window/shuffle beyond the 1-row fold."""
+    if len(categories) < 2:
+        raise ValueError("need >= 2 categories")
+    if len(set(categories)) != len(categories):
+        raise ValueError("categories must be distinct")
+    t = F.col(true_col)
+    p = F.col(pred_col) if isinstance(pred_col, str) else pred_col
+    in_t = t.isin(categories)
+    in_p = p.isin(categories)
+    both = in_t & in_p
+    aggs = [
+        F.sum(both.cast("long")).alias("__n"),
+        F.sum((both & (t == p)).cast("long")).alias("__agree"),
+        F.sum(
+            (t.isNull() | p.isNull() | ~both).cast("long")
+        ).alias("n_excluded"),
+    ]
+    for i, c in enumerate(categories):
+        aggs.append(F.sum((both & (t == c)).cast("long")).alias(f"__r{i}"))
+        aggs.append(F.sum((both & (p == c)).cast("long")).alias(f"__p{i}"))
+    g = df.agg(*aggs)
+    rc = None
+    for i in range(len(categories)):
+        term = F.col(f"__r{i}") * F.col(f"__p{i}")
+        rc = term if rc is None else rc + term
+    n = F.col("__n")
+    return g.select(
+        n.alias("n_rows"),
+        "n_excluded",
+        F.round(F.col("__agree").cast("double") / n.cast("double"), 6).alias(
+            "agreement"
+        ),
+        F.round(rc.cast("double") / (n * n).cast("double"), 6).alias(
+            "expected_agreement"
+        ),
+        F.round(
+            (n * F.col("__agree") - rc).cast("double")
+            / (n * n - rc).cast("double"),
+            6,
+        ).alias("kappa"),
+    )

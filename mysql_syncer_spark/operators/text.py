@@ -875,6 +875,11 @@ def corpus_card_state(
     )
     aggs = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_docs"),
+        # non-NULL text count: the mean_chars denominator — E180's
+        # avg(length) excludes NULL texts, so the state must carry
+        # the matching count for fold ≡ recompute to hold on
+        # mean_chars too (r12; surfaced by the streaming twin test)
+        F.count(t).alias("n_text_docs"),
         F.countDistinct(F.md5(t)).alias("n_distinct"),
         F.sum(F.length(t)).cast("long").alias("n_chars_total"),
         F.sum(F.size(ws_tokens(t))).cast("long").alias("n_ws_tokens"),
@@ -899,6 +904,7 @@ def corpus_card_apply_batch(
     t = F.col(text_col)
     b_aggs = batch.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("__d_docs"),
+        F.count(t).alias("__d_text"),
         F.sum(F.length(t)).cast("long").alias("__d_chars"),
         F.sum(F.size(ws_tokens(t))).cast("long").alias("__d_ws"),
     )
@@ -921,6 +927,10 @@ def corpus_card_apply_batch(
             + F.coalesce("__d_docs", F.lit(0))
         ).alias("n_docs"),
         (
+            F.coalesce("n_text_docs", F.lit(0))
+            + F.coalesce("__d_text", F.lit(0))
+        ).alias("n_text_docs"),
+        (
             F.coalesce("n_distinct", F.lit(0))
             + F.coalesce("__d_distinct", F.lit(0))
         ).alias("n_distinct"),
@@ -934,6 +944,136 @@ def corpus_card_apply_batch(
         ).alias("n_ws_tokens"),
     )
     return merged, hashes.unionByName(new_hashes)
+
+
+def corpus_card_state_write(
+    df: DataFrame,
+    group_cols: "list[str]",
+    name: str,
+    text_col: str = "text",
+    num_buckets: int = 32,
+) -> None:
+    """Persist the E183 state as catalog tables — the one-time layout
+    job for incremental corpus reporting: ``{name}_aggs`` (|slices|
+    rows, plain overwrite) and ``{name}_hashes`` (the distinct text-md5
+    table) BUCKETED + sorted on the fold's full anti-join key
+    ``(group…, __h)``. The bucket layout is what the per-batch fold's
+    anti-join consumes exchange-free: the bucketed scan's
+    HashPartitioning matches the join's required distribution exactly,
+    so the corpus-sized side is read in place — never shuffled — on
+    every subsequent fold, and only the O(batch) side pays an exchange
+    (same economics as the MinHash corpus index, minhash_index.py)."""
+    from mysql_syncer_spark.sources.bucketed import write_bucketed
+
+    aggs, hashes = corpus_card_state(df, group_cols, text_col)
+    write_bucketed(
+        hashes, f"{name}_hashes", [*group_cols, "__h"], num_buckets
+    )
+    aggs.write.mode("overwrite").saveAsTable(f"{name}_aggs")
+
+
+def corpus_card_state_read(
+    spark, name: str
+) -> "tuple[DataFrame, DataFrame]":
+    """(aggs, hashes) handles over the persisted state tables."""
+    return spark.table(f"{name}_aggs"), spark.table(f"{name}_hashes")
+
+
+def corpus_card_fold_plan(
+    spark,
+    name: str,
+    batch: DataFrame,
+    group_cols: "list[str]",
+    text_col: str = "text",
+) -> DataFrame:
+    """The fold's new-hash anti-join AS A PLAN (un-executed) — exposed
+    so the bench lane can assert the scale property mechanically: the
+    ``{name}_hashes`` scan must appear bucketed with no Exchange above
+    it (only the O(batch) side shuffles)."""
+    t = F.col(text_col)
+    b_hashes = (
+        batch.select(*group_cols, F.md5(t).alias("__h"))
+        .where(F.col("__h").isNotNull())
+        .distinct()
+    )
+    return b_hashes.join(
+        spark.table(f"{name}_hashes"), [*group_cols, "__h"], "left_anti"
+    )
+
+
+def corpus_card_state_fold(
+    spark,
+    name: str,
+    batch: DataFrame,
+    group_cols: "list[str]",
+    text_col: str = "text",
+    num_buckets: int = 32,
+) -> None:
+    """Fold one ingest batch into the PERSISTED state — the production
+    form of :func:`corpus_card_apply_batch` (same algebra, law-shared):
+    per-batch cost is the batch's own groupBy plus one anti-join whose
+    corpus-sized side is the bucketed hash table read exchange-free
+    (a column-pruned scan of one md5 column — the thing that stays
+    cheap while the corpus grows is that NOTHING corpus-sized ever
+    shuffles or rewrites). The hash table grows by APPEND (only the
+    batch's genuinely-new hashes are written, in the same bucket
+    layout); the |slices|-row aggs table is overwritten. New-hash and
+    merged-aggs frames are materialized (localCheckpoint) BEFORE
+    either write so the reads underneath them see pre-append state."""
+    from mysql_syncer_spark.sources.bucketed import write_bucketed
+
+    t = F.col(text_col)
+    new_hashes = corpus_card_fold_plan(
+        spark, name, batch, group_cols, text_col
+    ).localCheckpoint(eager=True)
+    b_aggs = batch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__d_docs"),
+        F.count(t).alias("__d_text"),
+        F.sum(F.length(t)).cast("long").alias("__d_chars"),
+        F.sum(F.size(ws_tokens(t))).cast("long").alias("__d_ws"),
+    )
+    b_distinct = new_hashes.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__d_distinct")
+    )
+    delta = b_aggs.join(b_distinct, group_cols, "left")
+    merged = (
+        spark.table(f"{name}_aggs")
+        .join(delta, group_cols, "full_outer")
+        .select(
+            *group_cols,
+            (
+                F.coalesce("n_docs", F.lit(0))
+                + F.coalesce("__d_docs", F.lit(0))
+            ).alias("n_docs"),
+            (
+                F.coalesce("n_text_docs", F.lit(0))
+                + F.coalesce("__d_text", F.lit(0))
+            ).alias("n_text_docs"),
+            (
+                F.coalesce("n_distinct", F.lit(0))
+                + F.coalesce("__d_distinct", F.lit(0))
+            ).alias("n_distinct"),
+            (
+                F.coalesce("n_chars_total", F.lit(0))
+                + F.coalesce("__d_chars", F.lit(0))
+            ).alias("n_chars_total"),
+            (
+                F.coalesce("n_ws_tokens", F.lit(0))
+                + F.coalesce("__d_ws", F.lit(0))
+            ).alias("n_ws_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    write_bucketed(
+        new_hashes,
+        f"{name}_hashes",
+        [*group_cols, "__h"],
+        num_buckets,
+        mode="append",
+    )
+    merged.write.mode("overwrite").saveAsTable(f"{name}_aggs")
+    for suf in ("_aggs", "_hashes"):
+        spark.catalog.refreshTable(f"{name}{suf}")
 
 
 def corpus_card_from_state(
@@ -955,8 +1095,95 @@ def corpus_card_from_state(
         F.round(F.col("n_chars_total") / F.col("__tot"), 6).alias(
             "char_share"
         ),
-        F.round(
-            F.col("n_chars_total") / F.col("n_docs").cast("double"), 6
+        # avg(length) semantics: NULL texts are excluded from BOTH
+        # sides of the mean; an all-NULL slice yields NULL (not NaN)
+        F.when(
+            F.col("n_text_docs") > 0,
+            F.round(
+                F.col("n_chars_total")
+                / F.col("n_text_docs").cast("double"),
+                6,
+            ),
         ).alias("mean_chars"),
         "n_ws_tokens",
+    )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    group_cols: "list[str]",
+    text_col: str = "text",
+) -> DataFrame:
+    """E189: per-slice lexical diversity audit — type-token ratios at
+    the unigram and bigram grain (the cheap template/boilerplate
+    detector: a source whose bigram TTR collapses while its unigram
+    TTR holds is stamping the same phrases from a normal vocabulary —
+    exactly the synthetic/spam signature n-gram frequency lists
+    miss): per group ``(n_tokens, n_types, ttr, n_bigrams,
+    n_bigram_types, bigram_ttr)``.
+
+    Tokenization is the whitespace grain shared with the rest of the
+    repo (``ws_tokens``); bigrams join adjacent tokens with a single
+    space. Ratios are integer/integer, divided once and rounded — no
+    float sums to order.
+
+    Scale shape: one explode per grain feeding a count-distinct
+    aggregate on (group, gram) then a |groups|-sized fold — Spark
+    rewrites the countDistinct into a two-level partial aggregate, so
+    the gram fan-out is combined map-side before the one shuffle. No
+    window, no join, nothing doc-sized on the driver."""
+    t = F.col(text_col)
+    toks = df.select(*group_cols, ws_tokens(t).alias("__ts"))
+    uni = (
+        toks.select(*group_cols, F.explode("__ts").alias("__g"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("__g").cast("long").alias("n_types"),
+        )
+    )
+    bg = (
+        toks.select(
+            *group_cols,
+            F.explode(
+                # empty-token docs: slice length would be -1 (ANSI
+                # error) — emit no bigrams instead
+                F.expr(
+                    "CASE WHEN size(__ts) >= 2 THEN "
+                    "transform(slice(__ts, 1, size(__ts) - 1), "
+                    "(x, i) -> concat(x, ' ', __ts[i + 1])) "
+                    "ELSE cast(array() as array<string>) END"
+                )
+            ).alias("__g"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.countDistinct("__g").cast("long").alias("n_bigram_types"),
+        )
+    )
+    return (
+        uni.join(bg, group_cols, "left")
+        .select(
+            *group_cols,
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("ttr"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_bigram_types", F.lit(0)).alias(
+                "n_bigram_types"
+            ),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_bigram_types").cast("double")
+                    / F.col("n_bigrams").cast("double"),
+                    6,
+                ),
+            ).alias("bigram_ttr"),
+        )
     )

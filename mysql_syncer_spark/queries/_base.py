@@ -909,6 +909,14 @@ _DEMOTED: tuple[str, ...] = (
     # item 7 — the pytest agreement law as an oracle-backed key;
     # past the window, queue tail).
     "stratified_consistency_docs",
+    # r12 second wave: E186 χ² independence audit, E187 source
+    # concentration (Gini/HHI/top-share), E188 Cohen's κ langid
+    # agreement, E189 n-gram diversity TTRs — all oracle-backed
+    # (value-exact at sf0.01 on landing), past the window, queue tail.
+    "chi2_independence_events",
+    "source_concentration_docs",
+    "langid_kappa_docs",
+    "ngram_diversity_docs",
 )
 
 

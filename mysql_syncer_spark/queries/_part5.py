@@ -378,3 +378,245 @@ def stratified_consistency_docs(
         .cast("int")
         .alias("law_holds"),
     ).orderBy("lang")
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+_COHORTS = [0, 1, 2, 3]
+
+
+def _chi2_oracle() -> str:
+    """Mirror of operators/stats.chi2_independence over event_type x
+    (user_id mod 4): same fixed cell order, same HUGEINT-squared
+    integer numerator (a double square would round before the divide),
+    one double division per cell."""
+    cells = ",\n            ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' AND "
+        f"((user_id % 4) + 4) % 4 = {c} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c_{i}_{j}"
+        for i, t in enumerate(_EVENT_TYPES)
+        for j, c in enumerate(_COHORTS)
+    )
+    nr, nc = len(_EVENT_TYPES), len(_COHORTS)
+    rows = ",\n            ".join(
+        f"({' + '.join(f'c_{i}_{j}' for j in range(nc))}) AS r_{i}"
+        for i in range(nr)
+    )
+    cols = ",\n            ".join(
+        f"({' + '.join(f'c_{i}_{j}' for i in range(nr))}) AS k_{j}"
+        for j in range(nc)
+    )
+    n = " + ".join(f"r_{i}" for i in range(nr))
+    terms = "\n          + ".join(
+        f"CASE WHEN r_{i} > 0 AND k_{j} > 0 THEN "
+        f"CAST(CAST(n * c_{i}_{j} - r_{i} * k_{j} AS HUGEINT) * "
+        f"CAST(n * c_{i}_{j} - r_{i} * k_{j} AS HUGEINT) AS DOUBLE) "
+        f"/ CAST(n * r_{i} * k_{j} AS DOUBLE) ELSE 0.0 END"
+        for i in range(nr)
+        for j in range(nc)
+    )
+    dof = (nr - 1) * (nc - 1)
+    vmin = min(nr, nc) - 1
+    return f"""WITH c AS (
+         SELECT {cells}
+         FROM events),
+       m AS (
+         SELECT *, {rows},
+            {cols}
+         FROM c),
+       m2 AS (SELECT *, ({n}) AS n FROM m),
+       f AS (SELECT n, ({terms}) AS chi2 FROM m2)
+       SELECT n AS n_rows, ROUND(chi2, 6) AS chi2,
+              CAST({dof} AS INT) AS dof,
+              ROUND(sqrt(chi2 / (CAST(n AS DOUBLE) * {vmin}.0)), 6)
+                  AS cramers_v
+       FROM f"""
+
+
+@_register("chi2_independence_events", _chi2_oracle())
+def chi2_independence_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E186: χ² independence audit of event mix vs the deterministic
+    4-way traffic cohort (user_id mod 4) — one combinable aggregate
+    over fixed category lists (operators/stats.chi2_independence);
+    integer numerators squared in DECIMAL so both engines round
+    identically."""
+    from mysql_syncer_spark.operators.stats import chi2_independence
+
+    events = load_table(spark, sf_dir, "events")
+    return chi2_independence(
+        events,
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(4)),
+        _EVENT_TYPES,
+        _COHORTS,
+    )
+
+
+@_register(
+    "source_concentration_docs",
+    r"""WITH cnt AS (
+         SELECT lang, source, COUNT(*) AS c
+         FROM documents GROUP BY 1, 2),
+       rk AS (
+         SELECT lang, source, c,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY c, source) AS rk
+         FROM cnt),
+       g AS (
+         SELECT lang, CAST(SUM(c) AS BIGINT) AS tot,
+                CAST(COUNT(*) AS BIGINT) AS n_items,
+                CAST(SUM(rk * c) AS BIGINT) AS rksum,
+                CAST(SUM(c * c) AS BIGINT) AS sq,
+                CAST(MAX(c) AS BIGINT) AS top
+         FROM rk GROUP BY 1)
+       SELECT lang, tot AS n_rows, n_items,
+              ROUND(CAST(2 * rksum - (n_items + 1) * tot AS DOUBLE)
+                    / CAST(n_items * tot AS DOUBLE), 6) AS gini,
+              ROUND(CAST(sq AS DOUBLE) / CAST(tot * tot AS DOUBLE), 6)
+                  AS hhi,
+              ROUND(CAST(top AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                  AS top_share
+       FROM g ORDER BY lang""",
+)
+def source_concentration_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E187: per-language source-concentration audit (Gini over the
+    sorted-rank closed form, HHI, top-source share) — how dominated
+    each language's corpus is by a few crawls
+    (operators/stats.concentration_profile). Integer numerators,
+    one rounded division each."""
+    from mysql_syncer_spark.operators.stats import concentration_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return concentration_profile(docs, ["lang"], "source").orderBy(
+        "lang"
+    )
+
+
+_KAPPA_CATS = ["de", "en", "es", "fr", "und", "zh"]
+
+
+def _kappa_oracle() -> str:
+    """Mirror of operators/stats.cohens_kappa over (lang,
+    lang_pred): the lang_id_docs stopword-heuristic CTEs verbatim,
+    then the integer κ form (n·agree − Σ r_k·p_k) / (n² − Σ r_k·p_k)
+    — exact BIGINT sums, one double division."""
+    cats = _KAPPA_CATS
+    sums = ",\n            ".join(
+        f"CAST(SUM(CASE WHEN t = '{c}' AND pr IN "
+        f"({', '.join(repr(x) for x in cats)}) THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS r_{i},\n            "
+        f"CAST(SUM(CASE WHEN pr = '{c}' AND t IN "
+        f"({', '.join(repr(x) for x in cats)}) THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS p_{i}"
+        for i, c in enumerate(cats)
+    )
+    inlist = ", ".join(repr(x) for x in cats)
+    rc = " + ".join(f"r_{i} * p_{i}" for i in range(len(cats)))
+    return rf"""WITH toks AS (
+          SELECT doc_id, text, lang,
+                 CASE WHEN trim(lower(text)) = '' THEN []
+                      ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                 END AS ts
+          FROM documents),
+        scores AS (
+          SELECT doc_id, text, lang,
+            len(list_filter(ts, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS s_de,
+            len(list_filter(ts, t -> t IN ('the','a','of','and','is','to','in'))) AS s_en,
+            len(list_filter(ts, t -> t IN ('el','la','los','es','y','un','una'))) AS s_es,
+            len(list_filter(ts, t -> t IN ('le','la','les','est','et','un','une'))) AS s_fr
+          FROM toks),
+        j AS (
+          SELECT lang AS t,
+              CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                   WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+                   WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                   WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                   WHEN s_fr > 0 THEN 'fr'
+                   ELSE 'und' END AS pr
+          FROM scores),
+        s AS (
+          SELECT
+            CAST(SUM(CASE WHEN t IN ({inlist}) AND pr IN ({inlist})
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN t IN ({inlist}) AND pr IN ({inlist})
+                 AND t = pr THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+            CAST(SUM(CASE WHEN t IS NULL OR pr IS NULL
+                 OR t NOT IN ({inlist}) OR pr NOT IN ({inlist})
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_excluded,
+            {sums}
+          FROM j)
+       SELECT n AS n_rows, n_excluded,
+              ROUND(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                  AS agreement,
+              ROUND(CAST({rc} AS DOUBLE) / CAST(n * n AS DOUBLE), 6)
+                  AS expected_agreement,
+              ROUND(CAST(n * agree - ({rc}) AS DOUBLE)
+                    / CAST(n * n - ({rc}) AS DOUBLE), 6) AS kappa
+       FROM s"""
+
+
+@_register("langid_kappa_docs", _kappa_oracle())
+def langid_kappa_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E188: Cohen's κ between the labeled ``lang`` column and the
+    stopword-heuristic prediction (operators/text.with_lang_id fed
+    into operators/stats.cohens_kappa) — the classifier-quality audit
+    that corrects raw agreement for the chance agreement the skewed
+    label mix produces. Integer numerator/denominator, one rounded
+    division; one scan, no join."""
+    from mysql_syncer_spark.operators.stats import cohens_kappa
+    from mysql_syncer_spark.operators.text import with_lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cohens_kappa(
+        with_lang_id(docs), "lang", "lang_pred", _KAPPA_CATS
+    )
+
+
+@_register(
+    "ngram_diversity_docs",
+    r"""WITH toks AS (
+         SELECT source,
+                CASE WHEN trim(text) = '' THEN []
+                     ELSE regexp_split_to_array(trim(text), '\s+')
+                END AS ts
+         FROM documents),
+       uni AS (
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                CAST(COUNT(DISTINCT g) AS BIGINT) AS n_types
+         FROM (SELECT source, unnest(ts) AS g FROM toks)
+         GROUP BY 1),
+       bg AS (
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                CAST(COUNT(DISTINCT g) AS BIGINT) AS n_bigram_types
+         FROM (SELECT source,
+                      unnest(list_transform(range(1, len(ts)),
+                             i -> ts[i] || ' ' || ts[i + 1])) AS g
+               FROM toks)
+         GROUP BY 1)
+       SELECT uni.source, n_tokens, n_types,
+              ROUND(CAST(n_types AS DOUBLE)
+                    / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+              COALESCE(n_bigrams, 0) AS n_bigrams,
+              COALESCE(n_bigram_types, 0) AS n_bigram_types,
+              CASE WHEN COALESCE(n_bigrams, 0) > 0 THEN
+                   ROUND(CAST(n_bigram_types AS DOUBLE)
+                         / CAST(n_bigrams AS DOUBLE), 6)
+              END AS bigram_ttr
+       FROM uni LEFT JOIN bg ON uni.source = bg.source
+       ORDER BY uni.source""",
+)
+def ngram_diversity_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E189: per-source lexical-diversity audit — unigram and bigram
+    type-token ratios (operators/text.ngram_diversity): the cheap
+    template/boilerplate detector (bigram TTR collapses on stamped
+    phrasing while unigram TTR holds). countDistinct rewrites to
+    two-level partial aggregates — gram fan-out combines map-side."""
+    from mysql_syncer_spark.operators.text import ngram_diversity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_diversity(docs, ["source"]).orderBy("source")

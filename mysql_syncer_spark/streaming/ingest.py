@@ -574,3 +574,201 @@ def span_gate_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def corpus_card_maintain_stream(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    text_col: str = "text",
+    available_now: bool = True,
+    on_batch_committed=None,
+):
+    """Maintain the E180 corpus card CONTINUOUSLY over a document
+    stream — the streaming twin of the E183 batch fold
+    (operators/text.corpus_card_apply_batch, same algebra): each
+    micro-batch folds its additive sums into the persisted per-slice
+    aggregates and its genuinely-new text hashes into a per-batch
+    hash store, so the release datasheet (docs, dup rate, char share,
+    token volume per slice) is queryable at any moment via
+    :func:`corpus_card_stream_card`, at O(batch) cost per batch.
+
+    State layout under ``state_path``:
+
+    * ``aggs`` — |slices| rows of monoid sums + a ``last_batch``
+      high-water mark, replaced per batch via the staging + rename
+      swap (``__old__`` recovery branch) the other maintainers use;
+    * ``hashes/batch_id=<n>`` — the batch's NEW distinct text md5s.
+      Append-only at the directory level: committed batches are never
+      rewritten, and the corpus-sized read underneath the next fold's
+      anti-join is a column-pruned scan, never a shuffle of state.
+
+    Replay contract — EXACT convergence (the quantile maintainer's
+    class, not the CMS drift class): the card sums are NOT idempotent,
+    so a replayed batch whose id is <= the persisted ``last_batch``
+    is SKIPPED. Crash-ordering makes the skip safe: the batch's hash
+    subdir is fully written BEFORE the aggs swap commits the
+    high-water mark, so a skipped replay always finds its hashes in
+    place; a crash before the swap leaves at most a stale
+    ``hashes/batch_id=<n>`` subdir, which the replaying fold deletes
+    and deterministically rewrites (its anti-join reads every batch
+    subdir EXCEPT its own). Kill-and-restart convergence to the batch
+    recompute card is pytest-pinned (tests/test_streaming_ingest.py).
+
+    ``on_batch_committed(batch_id)`` runs after the swap (metrics /
+    fault-injection hook)."""
+    from mysql_syncer_spark.operators.text import ws_tokens
+
+    aggs_path = f"{state_path}/aggs"
+    hashes_root = f"{state_path}/hashes"
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(aggs_path)
+        fs = path.getFileSystem(jsc)
+        old = jvm.org.apache.hadoop.fs.Path(aggs_path + ".__old__")
+        # crash recovery: restore __old__ when it's the only copy
+        if fs.exists(old) and not fs.exists(path):
+            fs.rename(old, path)
+        prior = None
+        if fs.exists(path):
+            prior = spark.read.parquet(aggs_path)
+            hwm = prior.agg(F.max("last_batch")).first()[0]
+            if hwm is not None and batch_id < hwm:
+                raise RuntimeError(
+                    f"batch_id {batch_id} is below the card state's "
+                    f"high-water mark {hwm}: checkpoint does not "
+                    f"match the state at {state_path!r}. Restart "
+                    "with the original checkpoint dir, or bootstrap "
+                    "fresh state."
+                )
+            if hwm is not None and batch_id <= hwm:
+                # replayed committed batch: already folded (its hash
+                # subdir was written before the swap) — skipping is
+                # what makes replay EXACT
+                if on_batch_committed is not None:
+                    on_batch_committed(batch_id)
+                return
+        t = F.col(text_col)
+        b_hashes = (
+            batch.select(*group_cols, F.md5(t).alias("__h"))
+            .where(F.col("__h").isNotNull())
+            .distinct()
+        )
+        # discard a partial hash write from a crashed attempt of THIS
+        # batch (committed batches never reach here — hwm skip above),
+        # then read every OTHER batch's hashes as the prior state
+        hb = jvm.org.apache.hadoop.fs.Path(
+            f"{hashes_root}/batch_id={batch_id}"
+        )
+        if fs.exists(hb):
+            fs.delete(hb, True)
+        root = jvm.org.apache.hadoop.fs.Path(hashes_root)
+        if fs.exists(root) and fs.listStatus(root):
+            prior_hashes = (
+                spark.read.option("basePath", hashes_root)
+                .parquet(hashes_root)
+                .drop("batch_id")
+            )
+        else:
+            prior_hashes = b_hashes.where(F.lit(False))
+        new_hashes = b_hashes.join(
+            prior_hashes, [*group_cols, "__h"], "left_anti"
+        ).localCheckpoint(eager=True)
+        b_aggs = batch.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("__d_docs"),
+            F.count(t).alias("__d_text"),
+            F.sum(F.length(t)).cast("long").alias("__d_chars"),
+            F.sum(F.size(ws_tokens(t))).cast("long").alias("__d_ws"),
+        )
+        b_distinct = new_hashes.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("__d_distinct")
+        )
+        delta = b_aggs.join(b_distinct, group_cols, "left")
+        if prior is not None:
+            merged = prior.drop("last_batch").join(
+                delta, group_cols, "full_outer"
+            ).select(
+                *group_cols,
+                (
+                    F.coalesce("n_docs", F.lit(0))
+                    + F.coalesce("__d_docs", F.lit(0))
+                ).alias("n_docs"),
+                (
+                    F.coalesce("n_text_docs", F.lit(0))
+                    + F.coalesce("__d_text", F.lit(0))
+                ).alias("n_text_docs"),
+                (
+                    F.coalesce("n_distinct", F.lit(0))
+                    + F.coalesce("__d_distinct", F.lit(0))
+                ).alias("n_distinct"),
+                (
+                    F.coalesce("n_chars_total", F.lit(0))
+                    + F.coalesce("__d_chars", F.lit(0))
+                ).alias("n_chars_total"),
+                (
+                    F.coalesce("n_ws_tokens", F.lit(0))
+                    + F.coalesce("__d_ws", F.lit(0))
+                ).alias("n_ws_tokens"),
+            )
+        else:
+            merged = delta.select(
+                *group_cols,
+                F.col("__d_docs").alias("n_docs"),
+                F.col("__d_text").alias("n_text_docs"),
+                F.coalesce("__d_distinct", F.lit(0)).alias("n_distinct"),
+                F.col("__d_chars").alias("n_chars_total"),
+                F.col("__d_ws").alias("n_ws_tokens"),
+            )
+        merged = merged.withColumn(
+            "last_batch", F.lit(batch_id).cast("long")
+        ).localCheckpoint(eager=True)
+        # ORDER MATTERS: hashes land first (so an hwm skip on replay
+        # is always complete), then the aggs swap commits the batch
+        new_hashes.write.parquet(str(hb))
+        staging = jvm.org.apache.hadoop.fs.Path(aggs_path + ".__staging__")
+        merged.write.mode("overwrite").parquet(str(staging))
+        if fs.exists(old):
+            fs.delete(old, True)
+        if fs.exists(path):
+            fs.rename(path, old)
+        fs.rename(staging, path)
+        if fs.exists(old):
+            fs.delete(old, True)
+        if on_batch_committed is not None:
+            on_batch_committed(batch_id)
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(
+        fold
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def corpus_card_stream_card(
+    spark, state_path: str, group_cols: list[str]
+) -> Optional[DataFrame]:
+    """Render the current E180 card from the stream-maintained state
+    (None before the first committed batch) — identical columns and
+    rounding to the batch ``corpus_card``, by sharing
+    ``corpus_card_from_state``."""
+    from mysql_syncer_spark.operators.text import corpus_card_from_state
+
+    aggs_path = f"{state_path}/aggs"
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(aggs_path)
+    fs = path.getFileSystem(jsc)
+    old = jvm.org.apache.hadoop.fs.Path(aggs_path + ".__old__")
+    if fs.exists(old) and not fs.exists(path):
+        fs.rename(old, path)
+    if not fs.exists(path):
+        return None
+    aggs = spark.read.parquet(aggs_path).drop("last_batch")
+    return corpus_card_from_state(aggs, group_cols)

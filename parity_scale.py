@@ -269,6 +269,19 @@ SCALE_QUERIES = [
     # the two queries whose oracle/seed changed in r11
     "pca_whiten_embeddings",
     "bitext_mine_embeddings_lsh",
+    # r12 (VERDICT r11 item 3): the r11 six at 10x — the A-ES rank
+    # boundary over a 500 k-doc weight domain (global + stratified),
+    # the bootstrap's 32-replicate relabeling over 1 M events, the
+    # corpus card + its 3-batch fold≡recompute law at a 500 k-doc
+    # hash table, and source_overlap's shingle fan-out at 10x text
+    # volume — plus the E184 stratified-vs-global agreement law.
+    "weighted_sample_docs",
+    "weighted_sample_by_lang_docs",
+    "bootstrap_mean_ci_events",
+    "corpus_card_docs",
+    "corpus_card_incremental_docs",
+    "source_overlap_docs",
+    "stratified_consistency_docs",
 ]
 
 

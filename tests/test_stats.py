@@ -483,3 +483,137 @@ class TestPoissonBootstrap:
 
         with _pytest.raises(ValueError, match="n_boot"):
             poisson_bootstrap_ci(self._df(spark), ["g"], "v", "k", n_boot=2)
+
+
+class TestChi2Independence:
+    """E186 χ² independence laws (operators/stats.py)."""
+
+    def _run(self, spark, rows, cats_a, cats_b):
+        from mysql_syncer_spark.operators.stats import chi2_independence
+
+        df = spark.createDataFrame(rows, "a string, b string")
+        return chi2_independence(df, "a", "b", cats_a, cats_b).first()
+
+    def test_independent_table_scores_zero(self, spark):
+        # perfectly proportional 2x2: (x,y) counts 2/4/3/6 — rows are
+        # exact multiples, expected == observed, chi2 == 0
+        rows = (
+            [("x", "u")] * 2 + [("x", "v")] * 4
+            + [("y", "u")] * 3 + [("y", "v")] * 6
+        )
+        r = self._run(spark, rows, ["x", "y"], ["u", "v"])
+        assert r.n_rows == 15
+        assert r.chi2 == 0.0 and r.cramers_v == 0.0
+        assert r.dof == 1
+
+    def test_known_value_and_exclusions(self, spark):
+        # hand-computed 2x2: cells 10/20/20/10, n=60; rows 30/30,
+        # cols 30/30, expected 15 everywhere; chi2 = 4*(25/15) = 20/3
+        rows = (
+            [("x", "u")] * 10 + [("x", "v")] * 20
+            + [("y", "u")] * 20 + [("y", "v")] * 10
+            + [("z", "u")] * 5      # outside cats_a: excluded
+            + [(None, "v")] * 2
+        )
+        r = self._run(spark, rows, ["x", "y"], ["u", "v"])
+        assert r.n_rows == 60
+        assert abs(r.chi2 - 20.0 / 3.0) < 1e-6
+        # V = sqrt(chi2 / (n * 1))
+        assert abs(r.cramers_v - (20.0 / 3.0 / 60.0) ** 0.5) < 1e-6
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.stats import chi2_independence
+
+        df = spark.createDataFrame([("x", "u")], "a string, b string")
+        with _pytest.raises(ValueError, match=">= 2"):
+            chi2_independence(df, "a", "b", ["x"], ["u", "v"])
+        with _pytest.raises(ValueError, match="distinct"):
+            chi2_independence(df, "a", "b", ["x", "x"], ["u", "v"])
+
+
+class TestConcentrationProfile:
+    """E187 concentration laws (operators/stats.py)."""
+
+    def _run(self, spark, counts):
+        from mysql_syncer_spark.operators.stats import (
+            concentration_profile,
+        )
+
+        rows = [
+            ("g", f"s{i}") for i, c in enumerate(counts) for _ in range(c)
+        ]
+        df = spark.createDataFrame(rows, "lang string, source string")
+        return concentration_profile(df, ["lang"], "source").first()
+
+    def test_uniform_mix_gini_zero(self, spark):
+        r = self._run(spark, [5, 5, 5, 5])
+        assert r.n_rows == 20 and r.n_items == 4
+        assert r.gini == 0.0
+        assert abs(r.hhi - 0.25) < 1e-6
+        assert abs(r.top_share - 0.25) < 1e-6
+
+    def test_single_item_degenerate(self, spark):
+        r = self._run(spark, [7])
+        assert r.gini == 0.0 and r.hhi == 1.0 and r.top_share == 1.0
+
+    def test_skewed_mix_hand_computed(self, spark):
+        # counts 1, 9 sorted asc -> ranks 1,2: gini =
+        # (2*(1*1+2*9) - 3*10) / (2*10) = (38-30)/20 = 0.4
+        r = self._run(spark, [9, 1])
+        assert abs(r.gini - 0.4) < 1e-6
+        assert abs(r.hhi - (81 + 1) / 100.0) < 1e-6
+        assert abs(r.top_share - 0.9) < 1e-6
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.stats import (
+            concentration_profile,
+        )
+
+        df = spark.createDataFrame([("a", "b")], "lang string, source string")
+        with _pytest.raises(ValueError, match="non-empty"):
+            concentration_profile(df, [], "source")
+
+
+class TestCohensKappa:
+    """E188 Cohen's κ laws (operators/stats.py)."""
+
+    def _run(self, spark, pairs, cats):
+        from mysql_syncer_spark.operators.stats import cohens_kappa
+
+        df = spark.createDataFrame(pairs, "t string, p string")
+        return cohens_kappa(df, "t", "p", cats).first()
+
+    def test_perfect_agreement(self, spark):
+        pairs = [("a", "a")] * 3 + [("b", "b")] * 7
+        r = self._run(spark, pairs, ["a", "b"])
+        assert r.n_rows == 10 and r.agreement == 1.0 and r.kappa == 1.0
+
+    def test_chance_only_agreement_is_zero(self, spark):
+        # marginals 50/50 on both raters, agreement exactly 0.5 ==
+        # expected agreement -> kappa 0
+        pairs = (
+            [("a", "a")] * 5 + [("a", "b")] * 5
+            + [("b", "a")] * 5 + [("b", "b")] * 5
+        )
+        r = self._run(spark, pairs, ["a", "b"])
+        assert r.agreement == 0.5
+        assert r.expected_agreement == 0.5
+        assert r.kappa == 0.0
+
+    def test_hand_computed_with_exclusions(self, spark):
+        # 2x2 confusion: aa=4, ab=1, ba=2, bb=3; n=10, agree=7
+        # r=(5,5), p=(6,4); rc=30+20=50; kappa=(70-50)/(100-50)=0.4
+        pairs = (
+            [("a", "a")] * 4 + [("a", "b")] * 1
+            + [("b", "a")] * 2 + [("b", "b")] * 3
+            + [("c", "a")] * 2 + [(None, "b")]   # excluded
+        )
+        r = self._run(spark, pairs, ["a", "b"])
+        assert r.n_rows == 10 and r.n_excluded == 3
+        assert abs(r.kappa - 0.4) < 1e-6
+        assert abs(r.agreement - 0.7) < 1e-6
+        assert abs(r.expected_agreement - 0.5) < 1e-6

@@ -1017,3 +1017,164 @@ class TestSpanGateStream:
             assert got[0] in (1001, 1002), got
         finally:
             spark.sql("DROP DATABASE IF EXISTS spangatecrash CASCADE")
+
+
+class TestCorpusCardMaintainStream:
+    """Streaming E180/E183 corpus-card maintenance: (1) live card ==
+    one-shot batch card of the union; (2) kill-and-restart in the
+    non-idempotent replay window (swap committed, checkpoint not)
+    converges EXACTLY to the uninterrupted run — the quantile
+    maintainer's replay class, with the extra hash-subdir ordering
+    invariant (hashes land before the swap commits)."""
+
+    # cross-batch dup ("hello world"), batch-internal dup pair, a NULL
+    # text, and a slice that first appears in batch 3
+    BATCHES = [
+        [("web", "en", "hello world"), ("web", "en", "unique one")],
+        [
+            ("web", "en", "hello world"),
+            ("web", "en", "twice twice"),
+            ("web", "en", "twice twice"),
+            ("web", "en", None),
+        ],
+        [("book", "de", "neu hier"), ("web", "en", "unique one")],
+    ]
+
+    def _write_batches(self, src):
+        import json as _json
+        import os
+        import time
+
+        base = time.time() - 100
+        for i, rows in enumerate(self.BATCHES):
+            p = src / f"b{i}.json"
+            p.write_text(
+                "\n".join(
+                    _json.dumps(
+                        {"source": s, "lang": lg, "text": t}
+                    )
+                    for s, lg, t in rows
+                )
+            )
+            os.utime(p, (base + i * 10, base + i * 10))
+
+    def _stream(self, spark, src):
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("source", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    def _card(self, spark, state_path):
+        from mysql_syncer_spark.streaming.ingest import (
+            corpus_card_stream_card,
+        )
+
+        card = corpus_card_stream_card(
+            spark, state_path, ["source", "lang"]
+        )
+        assert card is not None
+        return sorted(tuple(r) for r in card.collect())
+
+    def _twin(self, spark):
+        from mysql_syncer_spark.operators.text import corpus_card
+
+        union = spark.createDataFrame(
+            [r for b in self.BATCHES for r in b],
+            "source string, lang string, text string",
+        )
+        return sorted(
+            tuple(r)
+            for r in corpus_card(union, ["source", "lang"]).collect()
+        )
+
+    def test_streamed_equals_batch_twin(self, spark, tmp_path):
+        import os
+
+        from mysql_syncer_spark.streaming.ingest import (
+            corpus_card_maintain_stream,
+        )
+
+        src = tmp_path / "cc_in"
+        src.mkdir()
+        self._write_batches(src)
+        state = str(tmp_path / "cc_state")
+        q = corpus_card_maintain_stream(
+            self._stream(spark, src), state, str(tmp_path / "cc_ck"),
+            group_cols=["source", "lang"],
+        )
+        q.awaitTermination(180)
+        assert self._card(spark, state) == self._twin(spark)
+        # ordering invariant residue: one hash subdir per batch, no
+        # staging/old leftovers, and no NULL keys persisted
+        hdirs = sorted(
+            d for d in os.listdir(f"{state}/hashes")
+            if d.startswith("batch_id=")
+        )
+        assert hdirs == ["batch_id=0", "batch_id=1", "batch_id=2"]
+        assert not os.path.exists(f"{state}/aggs.__staging__")
+        assert not os.path.exists(f"{state}/aggs.__old__")
+        hashes = spark.read.parquet(f"{state}/hashes")
+        assert hashes.where("__h IS NULL").count() == 0
+        # append-only store holds exactly the distinct corpus hashes
+        assert (
+            hashes.count()
+            == hashes.select("source", "lang", "__h").distinct().count()
+        )
+
+    def test_replay_converges_exactly(self, spark, tmp_path):
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        from mysql_syncer_spark.streaming.ingest import (
+            corpus_card_maintain_stream,
+        )
+
+        # crash run: die after the SECOND batch's swap commits but
+        # before the checkpoint does — the non-idempotent window
+        src = tmp_path / "cc_c_in"
+        src.mkdir()
+        self._write_batches(src)
+        state = str(tmp_path / "cc_c_state")
+        ckpt = str(tmp_path / "cc_c_ck")
+        seen = []
+
+        def crash_on_second(batch_id):
+            seen.append(batch_id)
+            if len(seen) == 2:
+                raise RuntimeError("injected crash in the replay window")
+
+        q = corpus_card_maintain_stream(
+            self._stream(spark, src), state, ckpt,
+            group_cols=["source", "lang"],
+            on_batch_committed=crash_on_second,
+        )
+        try:
+            q.awaitTermination(180)
+        except StreamingQueryException:
+            pass
+        assert len(seen) == 2  # second swap committed, checkpoint didn't
+
+        # restart: batch 1 REPLAYS; the high-water mark skips the
+        # re-fold (its hashes are already in place), batch 2 proceeds
+        replayed = []
+        q = corpus_card_maintain_stream(
+            self._stream(spark, src), state, ckpt,
+            group_cols=["source", "lang"],
+            on_batch_committed=replayed.append,
+        )
+        q.awaitTermination(180)
+        assert replayed and replayed[0] == 1, (
+            "restart did not replay the uncommitted batch"
+        )
+        assert self._card(spark, state) == self._twin(spark)

@@ -192,3 +192,195 @@ class TestCorpusCardIncremental:
             for col in ("n_docs", "dup_rate", "n_chars_total",
                         "char_share", "n_ws_tokens"):
                 assert folded[k][col] == row[col], (k, col)
+
+
+class TestCorpusCardPersistedState:
+    """E183 production form: catalog-table state (bucketed hash table,
+    append-only) — fold law + the exchange-free scale property."""
+
+    def test_persisted_fold_equals_recompute(self, spark):
+        from mysql_syncer_spark.operators.text import (
+            corpus_card,
+            corpus_card_from_state,
+            corpus_card_state_fold,
+            corpus_card_state_read,
+            corpus_card_state_write,
+        )
+
+        name = "cc_state_law"
+        schema = "source string, lang string, text string"
+        base = spark.createDataFrame(
+            [
+                ("web", "en", "hello world"),
+                ("web", "en", "unique one"),
+                ("web", "de", "hallo welt"),
+            ],
+            schema,
+        )
+        b1 = spark.createDataFrame(
+            [
+                ("web", "en", "hello world"),   # cross-batch dup
+                ("web", "en", "fresh text"),
+                ("book", "de", "neu hier"),     # new slice
+                ("web", "en", None),            # NULL text
+            ],
+            schema,
+        )
+        b2 = spark.createDataFrame(
+            [
+                ("web", "en", "fresh text"),    # dup of b1's NEW hash
+                ("book", "de", "zweiter band"),
+            ],
+            schema,
+        )
+        try:
+            corpus_card_state_write(base, ["source", "lang"], name,
+                                    num_buckets=4)
+            for b in (b1, b2):
+                corpus_card_state_fold(spark, name, b,
+                                       ["source", "lang"], num_buckets=4)
+            aggs, hashes = corpus_card_state_read(spark, name)
+            assert hashes.where("__h IS NULL").count() == 0
+            # append-only table holds exactly the distinct non-NULL
+            # hashes of the full corpus (no duplicate rows)
+            assert (hashes.count()
+                    == hashes.select("source", "lang", "__h")
+                             .distinct().count())
+            folded = {
+                (r.source, r.lang): r.asDict()
+                for r in corpus_card_from_state(
+                    aggs, ["source", "lang"]).collect()
+            }
+            full = {
+                (r.source, r.lang): r.asDict()
+                for r in corpus_card(
+                    base.unionByName(b1).unionByName(b2),
+                    ["source", "lang"]).collect()
+            }
+            assert folded.keys() == full.keys()
+            for k, row in full.items():
+                for col in ("n_docs", "dup_rate", "n_chars_total",
+                            "char_share", "n_ws_tokens"):
+                    assert folded[k][col] == row[col], (k, col)
+        finally:
+            for suf in ("_aggs", "_hashes"):
+                spark.sql(f"DROP TABLE IF EXISTS {name}{suf}")
+
+    def test_fold_plan_state_side_is_exchange_free(self, spark):
+        """The scale claim, asserted on the PLAN: the corpus-sized
+        hash table is scanned bucketed with no Exchange — only the
+        O(batch) side of the anti-join shuffles."""
+        from mysql_syncer_spark.operators.text import (
+            corpus_card_fold_plan,
+            corpus_card_state_write,
+        )
+        from mysql_syncer_spark.sources.bucketed import physical_plan
+
+        name = "cc_state_plan"
+        schema = "source string, lang string, text string"
+        base = spark.createDataFrame(
+            [("web", "en", f"doc number {i}") for i in range(64)], schema
+        )
+        batch = spark.createDataFrame(
+            [("web", "en", f"doc number {i}") for i in range(60, 70)],
+            schema,
+        )
+        prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            corpus_card_state_write(base, ["source", "lang"], name,
+                                    num_buckets=4)
+            # at test size the optimizer would broadcast the tiny state
+            # table; disable broadcast to surface the at-scale shape
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = physical_plan(
+                corpus_card_fold_plan(spark, name, batch,
+                                      ["source", "lang"])
+            )
+            assert "Bucketed: true" in plan, plan
+            # walk the tree branch ABOVE the state scan: no Exchange
+            # may sit between the bucketed scan and the anti-join
+            tree = plan.split("\n\n")[0]
+            lines = tree.splitlines()
+            scan_i = next(
+                i for i, ln in enumerate(lines)
+                if "Scan parquet" in ln and f"{name}_hashes" in ln
+            )
+
+            def marker_col(ln):
+                for m in ("+- ", ":- "):
+                    if m in ln:
+                        return ln.index(m)
+                return -1
+
+            depth = marker_col(lines[scan_i])
+            ancestors = []
+            for ln in reversed(lines[:scan_i]):
+                c = marker_col(ln)
+                if 0 <= c < depth:
+                    ancestors.append(ln)
+                    depth = c
+                if c == 0:
+                    break
+            branch = [ln for ln in ancestors if "Join" not in ln]
+            assert not any("Exchange" in ln for ln in branch), (
+                ancestors, plan
+            )
+            # and the join itself is the non-broadcast anti form
+            assert any(
+                "Join" in ln and "LeftAnti" in ln for ln in ancestors
+            ), ancestors
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+            for suf in ("_aggs", "_hashes"):
+                spark.sql(f"DROP TABLE IF EXISTS {name}{suf}")
+
+
+class TestNgramDiversity:
+    """E189 type-token-ratio laws (operators/text.py)."""
+
+    def test_hand_computed(self, spark):
+        from mysql_syncer_spark.operators.text import ngram_diversity
+
+        rows = [
+            ("s1", "a b a b"),       # uni: 4 tok / 2 types; bi: 3 / 2
+            ("s1", "a b c"),         # uni: 3 / 3; bi: 2 / 2 (a b dup)
+            ("s2", "x"),             # uni: 1 / 1; no bigrams
+            ("s3", ""),              # empty: no tokens at all
+        ]
+        df = spark.createDataFrame(rows, "source string, text string")
+        out = {
+            r.source: r
+            for r in ngram_diversity(df, ["source"]).collect()
+        }
+        s1 = out["s1"]
+        assert (s1.n_tokens, s1.n_types) == (7, 3)
+        assert abs(s1.ttr - 3 / 7) < 1e-6
+        # bigrams: 'a b','b a','a b' + 'a b','b c' -> 5 total, 3 types
+        assert (s1.n_bigrams, s1.n_bigram_types) == (5, 3)
+        assert abs(s1.bigram_ttr - 0.6) < 1e-6
+        s2 = out["s2"]
+        assert (s2.n_tokens, s2.n_bigrams) == (1, 0)
+        assert s2.bigram_ttr is None
+        assert "s3" not in out  # no tokens -> no unigram row
+
+    def test_templated_text_collapses_bigram_ttr_only(self, spark):
+        from mysql_syncer_spark.operators.text import ngram_diversity
+
+        # same unigram vocabulary; one source stamps a template
+        tpl = [("t", "the quick brown fox jumps")] * 20
+        var = [
+            ("v", " ".join(ws)) for ws in [
+                ["the", "quick", "brown", "fox", "jumps"],
+                ["quick", "the", "fox", "brown", "jumps"],
+                ["brown", "jumps", "the", "quick", "fox"],
+                ["fox", "brown", "jumps", "the", "quick"],
+                ["jumps", "fox", "quick", "brown", "the"],
+            ] * 4
+        ]
+        df = spark.createDataFrame(
+            tpl + var, "source string, text string"
+        )
+        from mysql_syncer_spark.operators.text import ngram_diversity as nd
+        out = {r.source: r for r in nd(df, ["source"]).collect()}
+        assert out["t"].ttr == out["v"].ttr  # same vocab grain
+        assert out["t"].bigram_ttr < out["v"].bigram_ttr  # template shows

@@ -294,6 +294,13 @@ HEADLINE = [
     "pca_whiten_embeddings",
     # round 12 additions (new keys only; prior keys unchanged)
     "stratified_consistency_docs",
+    "chi2_independence_events",
+    "source_concentration_docs",
+    "langid_kappa_docs",
+    "ngram_diversity_docs",
+    "js_weekend_drift_events",
+    "transition_entropy_events",
+    "zipf_fit_docs",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

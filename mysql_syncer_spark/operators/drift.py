@@ -204,3 +204,63 @@ def mwu_drift(
             F.abs(z) > F.lit(float(z_threshold)), F.lit(False)
         ).alias("drifted"),
     )
+
+
+def js_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    cat_col: str,
+    categories: "list[str]",
+) -> DataFrame:
+    """E190: Jensen-Shannon divergence between two categorical mixes —
+    the drift reading PSI can't give you for a CATEGORY column:
+    symmetric, defined on zero cells without smoothing (0·ln 0 = 0),
+    and bounded (÷ ln 2 → [0, 1]) so one threshold works for every
+    column. Output: one row ``(n_a, n_b, jsd, jsd_norm)``.
+
+    Fixed explicit category list (the Benford/entropy discipline): the
+    per-side counts pivot into fixed columns and the divergence sums
+    in one deterministic category order shared by both engines; rows
+    outside the list (incl. NULL) are excluded from both mixes.
+
+    Scale shape: one combinable 1-row aggregate per side, broadcast
+    cross-join of the two 1-row frames — no shuffle beyond the folds.
+    """
+    import math
+
+    if len(categories) < 2:
+        raise ValueError("need >= 2 categories")
+    if len(set(categories)) != len(categories):
+        raise ValueError("categories must be distinct")
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        c = F.col(cat_col)
+        return df.agg(
+            *[
+                F.sum((c == cat).cast("long")).alias(f"__{tag}{i}")
+                for i, cat in enumerate(categories)
+            ]
+        )
+
+    g = side(a, "a").crossJoin(F.broadcast(side(b, "b")))
+    na = sum(F.col(f"__a{i}") for i in range(len(categories)))
+    nb = sum(F.col(f"__b{i}") for i in range(len(categories)))
+    jsd = None
+    for i in range(len(categories)):
+        pa = F.col(f"__a{i}").cast("double") / na.cast("double")
+        pb = F.col(f"__b{i}").cast("double") / nb.cast("double")
+        m = (pa + pb) / F.lit(2.0)
+        ta = F.when(
+            F.col(f"__a{i}") > 0, F.lit(0.5) * pa * F.log(pa / m)
+        ).otherwise(F.lit(0.0))
+        tb = F.when(
+            F.col(f"__b{i}") > 0, F.lit(0.5) * pb * F.log(pb / m)
+        ).otherwise(F.lit(0.0))
+        term = ta + tb
+        jsd = term if jsd is None else jsd + term
+    return g.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(jsd, 6).alias("jsd"),
+        F.round(jsd / F.lit(math.log(2.0)), 6).alias("jsd_norm"),
+    )

@@ -243,3 +243,66 @@ def attribute_conversions(
             ).cast("long").alias("micros_to_convert"),
         )
     )
+
+
+def transition_entropy(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    tie_col: str,
+    categories: "list[str]",
+) -> DataFrame:
+    """E191: next-event predictability per state — the conditional
+    entropy H(next | prev = s) of the first-order transition matrix
+    (event_transitions' row distributions, summarized): a state whose
+    entropy → 0 has a deterministic successor (funnel step); one near
+    ln k is noise. Output per prev state: ``(prev_type,
+    n_transitions, entropy, norm_entropy, perplexity)`` with
+    perplexity = exp(H) ("effective branching factor").
+
+    Fixed explicit category list for the NEXT dimension: conditional
+    counts pivot into fixed columns, the entropy sums in one
+    deterministic order (the Benford/entropy discipline); transitions
+    whose next type falls outside the list are excluded from that
+    row's distribution. Scale shape: the same single lag window as
+    event_transitions (the sessionization exchange), then ONE
+    combinable groupBy on prev_type — |states| rows out."""
+    if len(categories) < 2:
+        raise ValueError("need >= 2 categories")
+    if len(set(categories)) != len(categories):
+        raise ValueError("categories must be distinct")
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    nxt = F.col("next_type")
+    pairs = df.select(
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    g = pairs.groupBy("prev_type").agg(
+        *[
+            F.sum((nxt == c).cast("long")).alias(f"__c{i}")
+            for i, c in enumerate(categories)
+        ]
+    )
+    n = sum(F.col(f"__c{i}") for i in range(len(categories)))
+    ent = None
+    for i in range(len(categories)):
+        p = F.col(f"__c{i}").cast("double") / n.cast("double")
+        term = F.when(
+            F.col(f"__c{i}") > 0, -(p * F.log(p))
+        ).otherwise(F.lit(0.0))
+        ent = term if ent is None else ent + term
+    import math
+
+    return (
+        g.where(n > 0)
+        .select(
+            "prev_type",
+            n.cast("long").alias("n_transitions"),
+            F.round(ent, 6).alias("entropy"),
+            F.round(
+                ent / F.lit(math.log(len(categories))), 6
+            ).alias("norm_entropy"),
+            F.round(F.exp(ent), 6).alias("perplexity"),
+        )
+    )

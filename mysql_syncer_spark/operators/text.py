@@ -1187,3 +1187,62 @@ def ngram_diversity(
             ).alias("bigram_ttr"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    group_cols: "list[str]",
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """E192: Zipf-law fit per slice — OLS of ln(frequency) against
+    ln(rank) over the top-k tokens: natural text sits near α ≈ 1 with
+    a tight fit; machine-generated/templated corpora bend the curve
+    (low r², or α far from 1). The complement of the TTR audit
+    (E189): TTR reads the tail's WIDTH, this reads the head's SHAPE.
+    Output per group: ``(group…, n_top, zipf_alpha, intercept, r2)``
+    with ``zipf_alpha = −slope``.
+
+    Determinism: ranks are (count DESC, token ASC) — exact integer
+    ordering; the regression runs over ≤ top_k (count, rank) pairs of
+    exact integers through the closed-form regr aggregates (double
+    sums over ≤ k values; rounded to the repo's standing 6 dp).
+
+    Scale shape: one combinable (group, token) count shuffle, a
+    per-group top-k window over the TOKEN-GRAIN rows (bounded by
+    vocabulary, not corpus), then a |groups|-sized regr fold."""
+    from pyspark.sql import Window
+
+    if top_k < 3:
+        raise ValueError("top_k must be >= 3")
+    t = F.col(text_col)
+    counts = (
+        df.select(
+            *group_cols,
+            F.explode(ws_tokens(F.lower(t))).alias("__tok"),
+        )
+        .groupBy(*group_cols, "__tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__cnt").desc(), F.col("__tok")
+    )
+    top = counts.withColumn("__rk", F.row_number().over(w)).where(
+        F.col("__rk") <= top_k
+    )
+    return (
+        top.select(
+            *group_cols,
+            F.log(F.col("__rk").cast("double")).alias("__x"),
+            F.log(F.col("__cnt").cast("double")).alias("__y"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_top"),
+            F.round(-F.regr_slope("__y", "__x"), 6).alias("zipf_alpha"),
+            F.round(F.regr_intercept("__y", "__x"), 6).alias(
+                "intercept"
+            ),
+            F.round(F.regr_r2("__y", "__x"), 6).alias("r2"),
+        )
+    )

@@ -917,6 +917,12 @@ _DEMOTED: tuple[str, ...] = (
     "source_concentration_docs",
     "langid_kappa_docs",
     "ngram_diversity_docs",
+    # r12 third wave: E190 JSD categorical drift, E191 transition
+    # entropy/perplexity, E192 Zipf-law fit — oracle-backed
+    # (value-exact at sf0.01 on landing), past the window, queue tail.
+    "js_weekend_drift_events",
+    "transition_entropy_events",
+    "zipf_fit_docs",
 )
 
 

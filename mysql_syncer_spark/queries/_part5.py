@@ -620,3 +620,146 @@ def ngram_diversity_docs(
 
     docs = load_table(spark, sf_dir, "documents")
     return ngram_diversity(docs, ["source"]).orderBy("source")
+
+
+def _jsd_oracle() -> str:
+    """Mirror of operators/drift.js_divergence over weekday-vs-weekend
+    event_type mixes: fixed category order, 0·ln 0 = 0 cells, one
+    division per probability."""
+    cats = _EVENT_TYPES
+    wd = "EXTRACT(dow FROM ts) NOT IN (0, 6)"
+    we = "EXTRACT(dow FROM ts) IN (0, 6)"
+    sums = ",\n            ".join(
+        f"CAST(SUM(CASE WHEN {wd} AND event_type = '{c}' THEN 1 ELSE 0 "
+        f"END) AS BIGINT) AS a{i},\n            "
+        f"CAST(SUM(CASE WHEN {we} AND event_type = '{c}' THEN 1 ELSE 0 "
+        f"END) AS BIGINT) AS b{i}"
+        for i, c in enumerate(cats)
+    )
+    na = " + ".join(f"a{i}" for i in range(len(cats)))
+    nb = " + ".join(f"b{i}" for i in range(len(cats)))
+    terms = []
+    for i in range(len(cats)):
+        pa = f"(CAST(a{i} AS DOUBLE) / CAST(na AS DOUBLE))"
+        pb = f"(CAST(b{i} AS DOUBLE) / CAST(nb AS DOUBLE))"
+        m = f"(({pa} + {pb}) / 2.0)"
+        terms.append(
+            f"(CASE WHEN a{i} > 0 THEN 0.5 * {pa} * ln({pa} / {m}) "
+            f"ELSE 0.0 END + CASE WHEN b{i} > 0 THEN 0.5 * {pb} * "
+            f"ln({pb} / {m}) ELSE 0.0 END)"
+        )
+    jsd = "\n          + ".join(terms)
+    return f"""WITH s AS (
+         SELECT {sums}
+         FROM events),
+       t AS (SELECT *, ({na}) AS na, ({nb}) AS nb FROM s),
+       f AS (SELECT na, nb, ({jsd}) AS jsd FROM t)
+       SELECT na AS n_a, nb AS n_b, ROUND(jsd, 6) AS jsd,
+              ROUND(jsd / ln(2.0), 6) AS jsd_norm
+       FROM f"""
+
+
+@_register("js_weekend_drift_events", _jsd_oracle())
+def js_weekend_drift_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E190: Jensen-Shannon divergence between the weekday and weekend
+    event-type mixes (operators/drift.js_divergence) — the bounded,
+    symmetric categorical-drift reading (PSI is for binned numerics;
+    KS for continuous values). Two combinable 1-row folds + a
+    broadcast cross-join."""
+    from mysql_syncer_spark.operators.drift import js_divergence
+
+    ev = load_table(spark, sf_dir, "events")
+    weekend = F.dayofweek("ts").isin(1, 7)
+    return js_divergence(
+        ev.where(~weekend), ev.where(weekend), "event_type",
+        _EVENT_TYPES,
+    )
+
+
+def _transition_entropy_oracle() -> str:
+    """Mirror of operators/sequence.transition_entropy: the
+    event_transitions lag CTE + fixed-order conditional entropy."""
+    cats = _EVENT_TYPES
+    sums = ",\n            ".join(
+        f"CAST(SUM(CASE WHEN next_type = '{c}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS c{i}"
+        for i, c in enumerate(cats)
+    )
+    n = " + ".join(f"c{i}" for i in range(len(cats)))
+    terms = []
+    for i in range(len(cats)):
+        p = f"(CAST(c{i} AS DOUBLE) / CAST(n AS DOUBLE))"
+        terms.append(
+            f"CASE WHEN c{i} > 0 THEN -({p} * ln({p})) ELSE 0.0 END"
+        )
+    ent = "\n          + ".join(terms)
+    return f"""WITH p AS (
+          SELECT LAG(event_type) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev_type,
+                 event_type AS next_type
+          FROM events),
+       g AS (
+         SELECT prev_type, {sums}
+         FROM p WHERE prev_type IS NOT NULL GROUP BY 1),
+       t AS (SELECT *, ({n}) AS n FROM g),
+       e AS (SELECT prev_type, n, ({ent}) AS ent FROM t WHERE n > 0)
+       SELECT prev_type, n AS n_transitions,
+              ROUND(ent, 6) AS entropy,
+              ROUND(ent / ln({len(cats)}.0), 6) AS norm_entropy,
+              ROUND(exp(ent), 6) AS perplexity
+       FROM e ORDER BY prev_type"""
+
+
+@_register("transition_entropy_events", _transition_entropy_oracle())
+def transition_entropy_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E191: next-event predictability — conditional entropy /
+    perplexity of each state's transition row
+    (operators/sequence.transition_entropy): the funnel-vs-noise
+    summary of the E105 Markov matrix. One lag window (the
+    sessionization exchange) + one combinable groupBy."""
+    from mysql_syncer_spark.operators.sequence import transition_entropy
+
+    ev = load_table(spark, sf_dir, "events")
+    return transition_entropy(
+        ev, "user_id", "ts", "event_type", "event_id", _EVENT_TYPES
+    ).orderBy("prev_type")
+
+
+@_register(
+    "zipf_fit_docs",
+    r"""WITH toks AS (
+         SELECT lang,
+                unnest(CASE WHEN trim(lower(text)) = '' THEN []
+                       ELSE regexp_split_to_array(trim(lower(text)),
+                                                  '\s+')
+                       END) AS tok
+         FROM documents),
+       cnt AS (SELECT lang, tok, COUNT(*) AS c
+               FROM toks GROUP BY 1, 2),
+       rk AS (SELECT lang, c,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY c DESC, tok) AS rk
+              FROM cnt),
+       top AS (SELECT lang, ln(CAST(rk AS DOUBLE)) AS x,
+                      ln(CAST(c AS DOUBLE)) AS y
+               FROM rk WHERE rk <= 100)
+       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_top,
+              ROUND(-regr_slope(y, x), 6) AS zipf_alpha,
+              ROUND(regr_intercept(y, x), 6) AS intercept,
+              ROUND(regr_r2(y, x), 6) AS r2
+       FROM top GROUP BY lang ORDER BY lang""",
+)
+def zipf_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E192: per-language Zipf-law fit over the top-100 token
+    frequencies (operators/text.zipf_fit) — ln-ln OLS through the
+    closed-form regr aggregates; head-shape complement to the E189
+    tail-width TTRs. Ranks are exact-integer (count DESC, token)."""
+    from mysql_syncer_spark.operators.text import zipf_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_fit(docs, ["lang"], top_k=100).orderBy("lang")

@@ -282,6 +282,18 @@ SCALE_QUERIES = [
     "corpus_card_incremental_docs",
     "source_overlap_docs",
     "stratified_consistency_docs",
+    # r12 second wave: the χ²'s DECIMAL-squared cells over 10x event
+    # volume, the κ/Gini integer closed forms at 10x marginals, and
+    # the TTR countDistincts over a 10x gram universe.
+    "chi2_independence_events",
+    "source_concentration_docs",
+    "langid_kappa_docs",
+    "ngram_diversity_docs",
+    # r12 third wave: JSD/entropy fixed-order log sums at 10x counts,
+    # the Zipf regr head over a 10x vocabulary.
+    "js_weekend_drift_events",
+    "transition_entropy_events",
+    "zipf_fit_docs",
 ]
 
 

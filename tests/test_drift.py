@@ -173,3 +173,54 @@ class TestRandomizationTest:
         two = df.where("g != 'c'")
         with pytest.raises(ValueError, match="n_perm"):
             randomization_test(two, "g", "v", "k", n_perm=0)
+
+
+class TestJSDivergence:
+    """E190 Jensen-Shannon laws (operators/drift.py)."""
+
+    def _run(self, spark, a_rows, b_rows, cats):
+        from mysql_syncer_spark.operators.drift import js_divergence
+
+        a = spark.createDataFrame([(x,) for x in a_rows], "c string")
+        b = spark.createDataFrame([(x,) for x in b_rows], "c string")
+        return js_divergence(a, b, "c", cats).first()
+
+    def test_identical_mix_is_zero(self, spark):
+        r = self._run(spark, ["x"] * 3 + ["y"], ["x"] * 6 + ["y"] * 2,
+                      ["x", "y"])
+        assert r.n_a == 4 and r.n_b == 8
+        assert r.jsd == 0.0 and r.jsd_norm == 0.0
+
+    def test_disjoint_mix_is_max(self, spark):
+        # disjoint supports: JSD = ln 2, normalized = 1
+        r = self._run(spark, ["x"] * 5, ["y"] * 7, ["x", "y"])
+        import math
+
+        assert abs(r.jsd - math.log(2)) < 1e-6
+        assert r.jsd_norm == 1.0
+
+    def test_hand_computed_and_out_of_list_excluded(self, spark):
+        import math
+
+        # a: (3/4, 1/4); b: (1/4, 3/4); m = (1/2, 1/2)
+        # jsd = 0.5*(0.75 ln1.5 + 0.25 ln0.5) + 0.5*(0.25 ln0.5 + 0.75 ln1.5)
+        expect = 0.75 * math.log(1.5) + 0.25 * math.log(0.5)
+        r = self._run(
+            spark,
+            ["x"] * 3 + ["y"] + ["zz"] * 5,     # zz outside the list
+            ["x"] + ["y"] * 3 + [None],
+            ["x", "y"],
+        )
+        assert r.n_a == 4 and r.n_b == 4
+        assert abs(r.jsd - expect) < 1e-6
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.drift import js_divergence
+
+        df = spark.createDataFrame([("x",)], "c string")
+        with _pytest.raises(ValueError, match=">= 2"):
+            js_divergence(df, df, "c", ["x"])
+        with _pytest.raises(ValueError, match="distinct"):
+            js_divergence(df, df, "c", ["x", "x"])

@@ -112,3 +112,59 @@ def test_cohort_retention_units(spark):
     assert monthly == {0: 1, 1: 1}  # Jan 31 -> Feb 1 is a month boundary
     with _pytest.raises(ValueError):
         cohort_retention(df, "user_id", "ts", "year")
+
+
+class TestTransitionEntropy:
+    """E191 conditional-entropy laws (operators/sequence.py)."""
+
+    def _run(self, spark, seqs, cats):
+        from mysql_syncer_spark.operators.sequence import (
+            transition_entropy,
+        )
+
+        rows = [
+            (u, i, t)
+            for u, seq in enumerate(seqs)
+            for i, t in enumerate(seq)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts long, event_type string"
+        )
+        return {
+            r.prev_type: r
+            for r in transition_entropy(
+                df, "user_id", "ts", "event_type", "ts", cats
+            ).collect()
+        }
+
+    def test_deterministic_successor_zero_entropy(self, spark):
+        out = self._run(
+            spark, [["a", "b"], ["a", "b"], ["a", "b", "c"]],
+            ["a", "b", "c"],
+        )
+        a = out["a"]
+        assert a.n_transitions == 3
+        assert a.entropy == 0.0 and a.perplexity == 1.0
+
+    def test_uniform_successors_max_entropy(self, spark):
+        import math
+
+        out = self._run(
+            spark,
+            [["a", "b"], ["a", "c"]],
+            ["a", "b", "c"],
+        )
+        a = out["a"]
+        # two equally likely successors out of a 3-cat list
+        assert abs(a.entropy - math.log(2)) < 1e-6
+        assert abs(a.norm_entropy - math.log(2) / math.log(3)) < 1e-6
+        assert abs(a.perplexity - 2.0) < 1e-6
+
+    def test_out_of_list_next_excluded(self, spark):
+        out = self._run(
+            spark,
+            [["a", "b"], ["a", "zz"]],   # zz not a category
+            ["a", "b"],
+        )
+        a = out["a"]
+        assert a.n_transitions == 1 and a.entropy == 0.0

@@ -384,3 +384,44 @@ class TestNgramDiversity:
         out = {r.source: r for r in nd(df, ["source"]).collect()}
         assert out["t"].ttr == out["v"].ttr  # same vocab grain
         assert out["t"].bigram_ttr < out["v"].bigram_ttr  # template shows
+
+
+class TestZipfFit:
+    """E192 Zipf-fit laws (operators/text.py)."""
+
+    def test_exact_power_law_alpha_one(self, spark):
+        from mysql_syncer_spark.operators.text import zipf_fit
+
+        # counts c_r = 60/r for ranks 1..5: ln c = ln 60 - 1*ln r —
+        # a PERFECT alpha=1 fit (r2 == 1)
+        words = []
+        for r, w in enumerate(["w1", "w2", "w3", "w4", "w5"], 1):
+            words += [w] * (60 // r)
+        df = spark.createDataFrame(
+            [("en", " ".join(words))], "lang string, text string"
+        )
+        row = zipf_fit(df, ["lang"], top_k=5).first()
+        assert row.n_top == 5
+        assert abs(row.zipf_alpha - 1.0) < 1e-6
+        assert abs(row.r2 - 1.0) < 1e-6
+        import math
+        assert abs(row.intercept - math.log(60)) < 1e-6
+
+    def test_uniform_counts_alpha_zero(self, spark):
+        from mysql_syncer_spark.operators.text import zipf_fit
+
+        df = spark.createDataFrame(
+            [("en", "a b c d a b c d a b c d")],
+            "lang string, text string",
+        )
+        row = zipf_fit(df, ["lang"], top_k=4).first()
+        assert row.zipf_alpha == 0.0   # flat head: no decay
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.text import zipf_fit
+
+        df = spark.createDataFrame([("en", "a")], "lang string, text string")
+        with _pytest.raises(ValueError, match="top_k"):
+            zipf_fit(df, ["lang"], top_k=2)

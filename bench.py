@@ -301,6 +301,8 @@ HEADLINE = [
     "js_weekend_drift_events",
     "transition_entropy_events",
     "zipf_fit_docs",
+    "stratified_kfold_docs",
+    "km_retention_events",
 ]
 
 #: non-canary keys per fresh-JVM group session (contiguous chunks keep

@@ -920,3 +920,37 @@ def weighted_reservoir_sample_grouped(
         )
     )
     return ranked.where(F.col("__rn") <= k).drop("__rn")
+
+
+def stratified_kfold(
+    df: DataFrame,
+    strata_cols: "list[str]",
+    id_col: str,
+    k: int = 5,
+    salt: str = "",
+) -> DataFrame:
+    """E193: stratified k-fold assignment with a per-stratum balance
+    GUARANTEE — the eval-split hash_split can't give you: a plain
+    hash split balances folds only in expectation, so a small stratum
+    (a rare language) can land 8/2 across folds and poison per-slice
+    eval numbers. Here every stratum's rows are ranked by a
+    deterministic md5 shuffle key (salted; same key = same fold next
+    run) and dealt round-robin ``(rank − 1) mod k``, so within EVERY
+    stratum the fold sizes differ by AT MOST ONE row — by
+    construction, not in expectation.
+
+    Adds ``fold`` (0..k−1). Scale shape: one rank window per stratum
+    (the stratified-sampling exchange) — no joins, no driver state.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(key, F.col(id_col))
+    return df.withColumn(
+        "fold",
+        ((F.row_number().over(w) - 1) % k).cast("int"),
+    )

@@ -790,3 +790,109 @@ def cohens_kappa(
             6,
         ).alias("kappa"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    probes: "list[int]",
+) -> DataFrame:
+    """E194: Kaplan-Meier survival estimator with right-censoring —
+    time-to-event analytics (retention: "what fraction of users go
+    longer than T without another event?") done correctly: censored
+    observations (no next event before the observation window closed)
+    leave the at-risk set WITHOUT counting as events, which a naive
+    gap histogram gets wrong. Output: one row per probe time
+    ``(probe, n_risk, d_events, survival)`` — survival evaluated at
+    the largest event time ≤ the probe.
+
+    ``S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ)``, computed as
+    ``exp(Σ ln(1 − dᵢ/nᵢ))`` over a duration-ordered running window.
+    Each ln term is a deterministic function of exact integer (d, n);
+    the running sum is framed in ascending-duration order in both
+    engines (a window implementation may still reassociate double
+    adds internally — surfaced values round to the repo's standing
+    6 dp, which absorbs last-ulp differences).
+
+    Scale shape: one combinable groupBy to the DURATION grain, one
+    running window over duration-grain rows only (|distinct
+    durations|, never the observations), a broadcast 1-row total, and
+    a probes-sized join. ``event_col`` is 1 = observed, 0 = censored.
+    """
+    if not probes:
+        raise ValueError("probes must be non-empty")
+    if sorted(set(probes)) != sorted(probes):
+        raise ValueError("probes must be distinct")
+    from pyspark.sql import Window
+
+    dur = F.col(duration_col)
+    evt = F.col(event_col)
+    g = df.where(dur.isNotNull()).groupBy(
+        dur.cast("long").alias("__dur")
+    ).agg(
+        F.sum(evt.cast("long")).alias("__d"),
+        F.count(F.lit(1)).alias("__m"),
+    )
+    total = g.agg(F.sum("__m").cast("long").alias("__n"))
+    w = Window.orderBy("__dur")
+    prev = Window.orderBy("__dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = (
+        g.crossJoin(F.broadcast(total))
+        .withColumn(
+            "__risk",
+            F.col("__n")
+            - F.coalesce(F.sum("__m").over(prev), F.lit(0)),
+        )
+        .withColumn(
+            # a duration where EVERY remaining subject dies (d == n)
+            # sends S to exactly 0 — ln(0) is undefined, so carry it
+            # as a running flag instead of a log term
+            "__dead",
+            F.max(
+                F.when(
+                    (F.col("__d") > 0)
+                    & (F.col("__d") >= F.col("__risk")),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).over(w),
+        )
+        .withColumn(
+            "__surv",
+            F.when(F.col("__dead") == 1, F.lit(0.0)).otherwise(
+                F.exp(
+                    F.sum(
+                        F.when(
+                            (F.col("__d") > 0)
+                            & (F.col("__d") < F.col("__risk")),
+                            F.log(
+                                F.lit(1.0)
+                                - F.col("__d").cast("double")
+                                / F.col("__risk").cast("double")
+                            ),
+                        ).otherwise(F.lit(0.0))
+                    ).over(w)
+                )
+            ),
+        )
+    )
+    ev = r.where(F.col("__d") > 0).select(
+        "__dur", "__d", "__risk", "__surv"
+    )
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(int(p),) for p in probes], "probe long"
+    )
+    best = (
+        grid.join(ev, ev["__dur"] <= grid["probe"], "left")
+        .groupBy("probe")
+        .agg(F.max(F.struct("__dur", "__risk", "__d", "__surv")).alias("__b"))
+    )
+    return best.select(
+        "probe",
+        F.col("__b.__risk").cast("long").alias("n_risk"),
+        F.col("__b.__d").cast("long").alias("d_events"),
+        F.round(F.col("__b.__surv"), 6).alias("survival"),
+    ).orderBy("probe")

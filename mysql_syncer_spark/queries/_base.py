@@ -923,6 +923,11 @@ _DEMOTED: tuple[str, ...] = (
     "js_weekend_drift_events",
     "transition_entropy_events",
     "zipf_fit_docs",
+    # r12 fourth wave: E193 stratified k-fold balance audit, E194
+    # Kaplan-Meier censored retention — oracle-backed (value-exact at
+    # sf0.01 on landing), past the window, queue tail.
+    "stratified_kfold_docs",
+    "km_retention_events",
 )
 
 

@@ -763,3 +763,149 @@ def zipf_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return zipf_fit(docs, ["lang"], top_k=100).orderBy("lang")
+
+
+@_register(
+    "stratified_kfold_docs",
+    r"""WITH a AS (
+         SELECT lang,
+                (ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR) || 'kfold'),
+                              doc_id) - 1) % 5 AS fold
+         FROM documents),
+       g AS (SELECT lang, fold, CAST(COUNT(*) AS BIGINT) AS n_docs
+             FROM a GROUP BY 1, 2),
+       s AS (SELECT lang, fold, n_docs,
+                    MAX(n_docs) OVER (PARTITION BY lang)
+                    - MIN(n_docs) OVER (PARTITION BY lang) AS spread
+             FROM g)
+       SELECT lang, CAST(fold AS INT) AS fold, n_docs,
+              CAST(spread AS BIGINT) AS spread,
+              CAST(CASE WHEN spread <= 1 THEN 1 ELSE 0 END AS INT)
+                  AS balanced
+       FROM s ORDER BY lang, fold""",
+)
+def stratified_kfold_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E193: stratified 5-fold assignment with the per-stratum balance
+    law SURFACED (operators/sampling.stratified_kfold): per (lang,
+    fold) sizes plus the within-lang max−min spread — ≤ 1 by
+    construction (round-robin deal over a deterministic md5 shuffle),
+    not in expectation like a plain hash split; `balanced` must read
+    1 on every row. One rank window per stratum, no joins."""
+    from pyspark.sql import Window
+
+    from mysql_syncer_spark.operators.sampling import stratified_kfold
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        stratified_kfold(docs, ["lang"], "doc_id", k=5, salt="kfold")
+        .groupBy("lang", "fold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    wl = Window.partitionBy("lang")
+    return (
+        g.withColumn(
+            "spread",
+            (F.max("n_docs").over(wl) - F.min("n_docs").over(wl)).cast(
+                "long"
+            ),
+        )
+        .select(
+            "lang",
+            F.col("fold").cast("int").alias("fold"),
+            "n_docs",
+            "spread",
+            F.when(F.col("spread") <= 1, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("balanced"),
+        )
+        .orderBy("lang", "fold")
+    )
+
+
+@_register(
+    "km_retention_events",
+    r"""WITH mx AS (SELECT MAX(ts) AS tmax FROM events),
+       seq AS (
+         SELECT user_id, ts,
+                LEAD(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS nxt
+         FROM events),
+       obs AS (
+         SELECT CAST((CASE WHEN nxt IS NULL
+                      THEN date_diff('microsecond', ts,
+                                     (SELECT tmax FROM mx))
+                      ELSE date_diff('microsecond', ts, nxt) END)
+                     // 1000000 AS BIGINT) AS dur,
+                CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS evt
+         FROM seq),
+       g AS (SELECT dur, CAST(SUM(evt) AS BIGINT) AS d,
+                    CAST(COUNT(*) AS BIGINT) AS m
+             FROM obs GROUP BY 1),
+       tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM g),
+       r AS (SELECT dur, d,
+                    CAST((SELECT n FROM tot)
+                         - COALESCE(SUM(m) OVER (ORDER BY dur
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT) AS risk
+             FROM g),
+       s AS (SELECT dur, d, risk,
+                    CASE WHEN MAX(CASE WHEN d > 0 AND d >= risk
+                                  THEN 1 ELSE 0 END)
+                              OVER (ORDER BY dur) = 1 THEN 0.0
+                    ELSE exp(SUM(CASE WHEN d > 0 AND d < risk THEN
+                             ln(1 - CAST(d AS DOUBLE)
+                                    / CAST(risk AS DOUBLE))
+                             ELSE 0.0 END)
+                         OVER (ORDER BY dur)) END AS surv
+             FROM r),
+       e AS (SELECT * FROM s WHERE d > 0),
+       probes(probe) AS (VALUES (60), (300), (900), (3600),
+                                (14400), (86400)),
+       best AS (SELECT probe, MAX(e.dur) AS dur
+                FROM probes LEFT JOIN e ON e.dur <= probes.probe
+                GROUP BY 1)
+       SELECT CAST(best.probe AS BIGINT) AS probe,
+              e.risk AS n_risk, e.d AS d_events,
+              ROUND(e.surv, 6) AS survival
+       FROM best LEFT JOIN e ON best.dur = e.dur
+       ORDER BY probe""",
+)
+def km_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E194: Kaplan-Meier survival of inter-event gaps with
+    right-censoring at the observation-window close — "what fraction
+    of users go longer than T without another event?" done correctly
+    (a user's LAST gap is censored: it leaves the at-risk set without
+    counting as an event; a naive gap histogram undercounts long
+    waits). Durations quantized to exact integer seconds
+    (epoch-micros integer division); survival evaluated at a fixed
+    probe grid (operators/stats.kaplan_meier)."""
+    from pyspark.sql import Window
+
+    from mysql_syncer_spark.operators.stats import kaplan_meier
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tmax = ev.agg(F.max("ts").alias("__tmax"))
+    seq = ev.select(
+        "ts", F.lead("ts").over(w).alias("__nxt")
+    ).crossJoin(F.broadcast(tmax))
+    obs = seq.select(
+        # timestampdiff works on TIMESTAMP_NTZ (unix_micros does not);
+        # at MICROSECOND grain it equals the exact epoch-micros diff
+        F.expr(
+            "(CASE WHEN __nxt IS NOT NULL "
+            "THEN timestampdiff(MICROSECOND, ts, __nxt) "
+            "ELSE timestampdiff(MICROSECOND, ts, __tmax) END) "
+            "div 1000000"
+        ).alias("dur"),
+        F.when(F.col("__nxt").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("evt"),
+    )
+    return kaplan_meier(
+        obs, "dur", "evt", [60, 300, 900, 3600, 14400, 86400]
+    )

@@ -294,6 +294,10 @@ SCALE_QUERIES = [
     "js_weekend_drift_events",
     "transition_entropy_events",
     "zipf_fit_docs",
+    # r12 fourth wave: the k-fold balance law over 10x strata and the
+    # KM running product over a 10x duration grain.
+    "stratified_kfold_docs",
+    "km_retention_events",
 ]
 
 

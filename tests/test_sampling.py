@@ -907,3 +907,57 @@ class TestWeightedReservoirGrouped:
         df = spark.createDataFrame([(1, "a", 2)], "k long, g string, w long")
         with _pytest.raises(ValueError, match="k must be"):
             weighted_reservoir_sample_grouped(df, ["g"], "k", "w", 0)
+
+
+class TestStratifiedKfold:
+    """E193 stratified k-fold laws (operators/sampling.py)."""
+
+    def _docs(self, spark, sizes):
+        rows = [
+            (lang, lang * 3 + str(i))
+            for lang, n in sizes.items()
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "lang string, doc_id string")
+
+    def test_per_stratum_balance_at_most_one(self, spark):
+        from mysql_syncer_spark.operators.sampling import stratified_kfold
+
+        df = self._docs(spark, {"en": 23, "de": 7, "zh": 3, "fr": 5})
+        out = stratified_kfold(df, ["lang"], "doc_id", k=5)
+        sizes = {
+            (r.lang, r.fold): r.n
+            for r in out.groupBy("lang", "fold")
+            .agg(__import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n"))
+            .collect()
+        }
+        import collections
+        per_lang = collections.defaultdict(list)
+        for (lang, fold), n in sizes.items():
+            per_lang[lang].append(n)
+        for lang, counts in per_lang.items():
+            assert max(counts) - min(counts) <= 1, (lang, counts)
+        # every row got a fold in range
+        assert out.where("fold < 0 OR fold > 4").count() == 0
+
+    def test_deterministic_and_salt_sensitivity(self, spark):
+        from mysql_syncer_spark.operators.sampling import stratified_kfold
+
+        df = self._docs(spark, {"en": 40})
+        a = {r.doc_id: r.fold for r in
+             stratified_kfold(df, ["lang"], "doc_id", k=4, salt="s").collect()}
+        b = {r.doc_id: r.fold for r in
+             stratified_kfold(df, ["lang"], "doc_id", k=4, salt="s").collect()}
+        c = {r.doc_id: r.fold for r in
+             stratified_kfold(df, ["lang"], "doc_id", k=4, salt="t").collect()}
+        assert a == b                      # same salt: stable
+        assert a != c                      # salt redraws the deal
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.sampling import stratified_kfold
+
+        df = self._docs(spark, {"en": 3})
+        with _pytest.raises(ValueError, match="k must"):
+            stratified_kfold(df, ["lang"], "doc_id", k=1)

@@ -617,3 +617,55 @@ class TestCohensKappa:
         assert abs(r.kappa - 0.4) < 1e-6
         assert abs(r.agreement - 0.7) < 1e-6
         assert abs(r.expected_agreement - 0.5) < 1e-6
+
+
+class TestKaplanMeier:
+    """E194 Kaplan-Meier laws (operators/stats.py)."""
+
+    def _run(self, spark, obs, probes):
+        from mysql_syncer_spark.operators.stats import kaplan_meier
+
+        df = spark.createDataFrame(obs, "dur long, evt int")
+        return {
+            r.probe: r
+            for r in kaplan_meier(df, "dur", "evt", probes).collect()
+        }
+
+    def test_hand_computed_with_censoring(self, spark):
+        # events at 1, 2, 3; one CENSORED at 2:
+        # S(1) = 3/4; S(2) = 3/4 * 2/3 = 1/2 (the censored row left
+        # the risk set without dying); S(3): last subject dies ->
+        # d == n -> survival exactly 0 (the ln-guard branch)
+        obs = [(1, 1), (2, 1), (2, 0), (3, 1)]
+        out = self._run(spark, obs, [1, 2, 3])
+        assert out[1].survival == 0.75 and out[1].n_risk == 4
+        assert out[2].survival == 0.5 and out[2].n_risk == 3
+        assert out[3].survival == 0.0 and out[3].n_risk == 1
+
+    def test_censoring_is_not_an_event(self, spark):
+        # all-censored data: survival never drops
+        obs = [(5, 0), (10, 0), (20, 0)]
+        out = self._run(spark, obs, [30])
+        # no event time <= probe: the probe row carries NULLs
+        assert out[30].survival is None
+        # with one real event at 10: S = (1 - 1/2) at risk {10,20}
+        obs = [(5, 0), (10, 1), (20, 0)]
+        out = self._run(spark, obs, [30])
+        assert out[30].survival == 0.5 and out[30].n_risk == 2
+
+    def test_probe_picks_latest_event_time(self, spark):
+        obs = [(1, 1)] * 1 + [(4, 1)] + [(9, 1)] + [(10, 0)]
+        out = self._run(spark, obs, [5])
+        # probe 5 reads the S at t=4, not t=9
+        assert out[5].survival == 0.5  # 3/4 * 2/3
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from mysql_syncer_spark.operators.stats import kaplan_meier
+
+        df = spark.createDataFrame([(1, 1)], "dur long, evt int")
+        with _pytest.raises(ValueError, match="non-empty"):
+            kaplan_meier(df, "dur", "evt", [])
+        with _pytest.raises(ValueError, match="distinct"):
+            kaplan_meier(df, "dur", "evt", [1, 1])

@@ -772,3 +772,106 @@ def corpus_card_stream_card(
         return None
     aggs = spark.read.parquet(aggs_path).drop("last_batch")
     return corpus_card_from_state(aggs, group_cols)
+
+
+def category_drift_stream(
+    stream: DataFrame,
+    reference: DataFrame,
+    cat_col: str,
+    categories: list[str],
+    metrics_path: str,
+    checkpoint_dir: str,
+    alarm_threshold: float = 0.1,
+    available_now: bool = True,
+    on_batch_committed=None,
+):
+    """E195: continuous categorical-drift monitor — the E190 JSD
+    computed per micro-batch against a FIXED reference mix (the
+    train-time category distribution): every batch appends one metrics
+    row ``(batch_id, n_batch, jsd, jsd_norm, alarm)``, so a feed whose
+    event/source mix walks away from the reference raises ``alarm``
+    within one batch, not at the next nightly audit.
+
+    The reference mix is folded ONCE here (one combinable 1-row
+    aggregate, broadcast into every batch's plan as plain literals) —
+    the stream never rescans it. Replay contract — idempotent BY
+    LAYOUT: each batch writes its one-row metrics parquet to its own
+    ``batch_id=<n>`` subdir, deleted-then-rewritten on replay (same
+    inputs → same row), so kill-and-restart converges exactly with no
+    high-water mark needed. Read the series back with
+    ``spark.read.parquet(metrics_path)``."""
+    import math
+
+    if len(categories) < 2:
+        raise ValueError("need >= 2 categories")
+    ref_row = (
+        reference.agg(
+            *[
+                F.sum((F.col(cat_col) == c).cast("long")).alias(f"r{i}")
+                for i, c in enumerate(categories)
+            ]
+        ).first()
+    )
+    ref_counts = [int(ref_row[f"r{i}"] or 0) for i in range(len(categories))]
+    if sum(ref_counts) == 0:
+        raise ValueError("reference has no in-list rows")
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc.hadoopConfiguration()
+        out = jvm.org.apache.hadoop.fs.Path(
+            f"{metrics_path}/batch_id={batch_id}"
+        )
+        fs = out.getFileSystem(jsc)
+        if fs.exists(out):  # replay: rewrite deterministically
+            fs.delete(out, True)
+        # the reference side enters the plan as literal counts (the
+        # same algebra as operators/drift.js_divergence, with q fixed)
+        b = batch
+        c = F.col(cat_col)
+        g = b.agg(
+            *[
+                F.sum((c == cat).cast("long")).alias(f"a{i}")
+                for i, cat in enumerate(categories)
+            ]
+        )
+        na = sum(F.col(f"a{i}") for i in range(len(categories)))
+        nb = sum(F.lit(n) for n in ref_counts)
+        jsd = None
+        for i, rn in enumerate(ref_counts):
+            pa = F.col(f"a{i}").cast("double") / na.cast("double")
+            pb = F.lit(float(rn)) / nb.cast("double")
+            m = (pa + pb) / F.lit(2.0)
+            ta = F.when(
+                F.col(f"a{i}") > 0, F.lit(0.5) * pa * F.log(pa / m)
+            ).otherwise(F.lit(0.0))
+            tb = (
+                F.lit(0.5) * pb * F.log(pb / m)
+                if rn > 0
+                else F.lit(0.0)
+            )
+            term = ta + tb
+            jsd = term if jsd is None else jsd + term
+        row = g.select(
+            F.lit(batch_id).cast("long").alias("batch"),
+            na.cast("long").alias("n_batch"),
+            F.round(jsd, 6).alias("jsd"),
+            F.round(jsd / F.lit(math.log(2.0)), 6).alias("jsd_norm"),
+            (
+                F.round(jsd / F.lit(math.log(2.0)), 6)
+                > F.lit(alarm_threshold)
+            ).alias("alarm"),
+        ).localCheckpoint(eager=True)
+        row.write.parquet(str(out))
+        if on_batch_committed is not None:
+            on_batch_committed(batch_id)
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(
+        fold
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1178,3 +1178,136 @@ class TestCorpusCardMaintainStream:
             "restart did not replay the uncommitted batch"
         )
         assert self._card(spark, state) == self._twin(spark)
+
+
+class TestCategoryDriftStream:
+    """E195 streaming JSD drift monitor: (1) per-batch metric equals
+    the batch E190 operator on the same rows; (2) alarm fires on a
+    shifted mix; (3) kill-and-restart converges (idempotent-by-layout
+    replay, no high-water mark)."""
+
+    CATS = ["x", "y"]
+    #: batch 0 matches the reference mix; batch 1 is heavily shifted
+    BATCHES = [
+        ["x"] * 6 + ["y"] * 2,
+        ["y"] * 8,
+        ["x"] * 3 + ["y"] * 1,
+    ]
+
+    def _write_batches(self, src):
+        import json as _json
+        import os
+        import time
+
+        base = time.time() - 100
+        for i, items in enumerate(self.BATCHES):
+            p = src / f"b{i}.json"
+            p.write_text(
+                "\n".join(_json.dumps({"c": v}) for v in items)
+            )
+            os.utime(p, (base + i * 10, base + i * 10))
+
+    def _stream(self, spark, src):
+        from pyspark.sql import types as T
+
+        return (
+            spark.readStream.schema(
+                T.StructType([T.StructField("c", T.StringType())])
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    def _reference(self, spark):
+        # reference mix 3:1 — batch 0 and 2 match it exactly
+        return spark.createDataFrame(
+            [("x",)] * 9 + [("y",)] * 3, "c string"
+        )
+
+    def _series(self, spark, path):
+        return sorted(
+            (r.batch, r.n_batch, r.jsd, r.jsd_norm, r.alarm)
+            for r in spark.read.parquet(path).collect()
+        )
+
+    def test_streamed_equals_batch_twin_and_alarm(self, spark, tmp_path):
+        from mysql_syncer_spark.operators.drift import js_divergence
+        from mysql_syncer_spark.streaming.ingest import (
+            category_drift_stream,
+        )
+
+        src = tmp_path / "cd_in"
+        src.mkdir()
+        self._write_batches(src)
+        metrics = str(tmp_path / "cd_metrics")
+        q = category_drift_stream(
+            self._stream(spark, src), self._reference(spark), "c",
+            self.CATS, metrics, str(tmp_path / "cd_ck"),
+            alarm_threshold=0.1,
+        )
+        q.awaitTermination(180)
+        got = {r.batch: r for r in spark.read.parquet(metrics).collect()}
+        assert set(got) == {0, 1, 2}
+        # twin: each batch's jsd equals the batch operator's
+        for i, items in enumerate(self.BATCHES):
+            b = spark.createDataFrame([(v,) for v in items], "c string")
+            twin = js_divergence(
+                b, self._reference(spark), "c", self.CATS
+            ).first()
+            assert got[i].jsd == twin.jsd, i
+            assert got[i].jsd_norm == twin.jsd_norm, i
+        # batches matching the reference mix read EXACTLY zero; the
+        # shifted batch alarms
+        assert got[0].jsd == 0.0 and not got[0].alarm
+        assert got[2].jsd == 0.0 and not got[2].alarm
+        assert got[1].jsd_norm > 0.1 and got[1].alarm
+
+    def test_replay_converges(self, spark, tmp_path):
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        from mysql_syncer_spark.streaming.ingest import (
+            category_drift_stream,
+        )
+
+        src = tmp_path / "cd_c_in"
+        src.mkdir()
+        self._write_batches(src)
+        metrics = str(tmp_path / "cd_c_metrics")
+        ckpt = str(tmp_path / "cd_c_ck")
+        seen = []
+
+        def crash_on_second(batch_id):
+            seen.append(batch_id)
+            if len(seen) == 2:
+                raise RuntimeError("injected crash before checkpoint")
+
+        q = category_drift_stream(
+            self._stream(spark, src), self._reference(spark), "c",
+            self.CATS, metrics, ckpt, on_batch_committed=crash_on_second,
+        )
+        try:
+            q.awaitTermination(180)
+        except StreamingQueryException:
+            pass
+        assert len(seen) == 2  # batch 1's metrics written, ckpt not
+
+        replayed = []
+        q = category_drift_stream(
+            self._stream(spark, src), self._reference(spark), "c",
+            self.CATS, metrics, ckpt, on_batch_committed=replayed.append,
+        )
+        q.awaitTermination(180)
+        assert replayed and replayed[0] == 1
+
+        # golden: uninterrupted run on a fresh checkpoint
+        gmetrics = str(tmp_path / "cd_g_metrics")
+        q = category_drift_stream(
+            self._stream(spark, src), self._reference(spark), "c",
+            self.CATS, gmetrics, str(tmp_path / "cd_g_ck"),
+        )
+        q.awaitTermination(180)
+        assert self._series(spark, metrics) == self._series(
+            spark, gmetrics
+        )

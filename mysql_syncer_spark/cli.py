@@ -161,6 +161,28 @@ def build_parser() -> argparse.ArgumentParser:
     p_cur.add_argument("--n-shards", type=int, default=8)
     session_opts(p_cur)
 
+    p_card = sub.add_parser(
+        "card",
+        help="incrementally maintained corpus datasheet (E180/E183): "
+             "--init builds the persisted per-slice state from a "
+             "corpus, --fold folds ingest batches in at O(batch), "
+             "--show renders the current card")
+    p_card.add_argument("--state", required=True,
+                        help="catalog name prefix of the persisted state")
+    p_card.add_argument("--group-cols", default="source,lang",
+                        metavar="COL[,COL...]")
+    p_card.add_argument("--text-col", default="text")
+    p_card.add_argument("--init", metavar="PARQUET",
+                        help="build state from this corpus "
+                             "(one-time layout job; replaces the state)")
+    p_card.add_argument("--fold", metavar="PARQUET", action="append",
+                        default=[],
+                        help="fold an ingest batch into the state "
+                             "(repeatable, applied in order)")
+    p_card.add_argument("--show", action="store_true",
+                        help="print the rendered card as JSON lines")
+    session_opts(p_card)
+
     p_cf = sub.add_parser(
         "compact",
         help="rewrite a fragmented table directory to ~target-MB files "
@@ -399,6 +421,43 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None,
                 n_shards=args.n_shards,
             )
             print(json.dumps({"out": args.out, **rep.as_dict()}), file=out)
+            return 0
+        if args.command == "card":
+            from mysql_syncer_spark.operators.text import (
+                corpus_card_from_state,
+                corpus_card_state_fold,
+                corpus_card_state_read,
+                corpus_card_state_write,
+            )
+
+            gcols = args.group_cols.split(",")
+            if not (args.init or args.fold or args.show):
+                print(json.dumps(
+                    {"error": "nothing to do (use --init/--fold/--show)"}
+                ), file=out)
+                return 2
+            if args.init:
+                corpus_card_state_write(
+                    spark.read.parquet(args.init), gcols, args.state,
+                    text_col=args.text_col,
+                )
+            for b in args.fold:
+                corpus_card_state_fold(
+                    spark, args.state, spark.read.parquet(b), gcols,
+                    text_col=args.text_col,
+                )
+            if args.show:
+                aggs, _ = corpus_card_state_read(spark, args.state)
+                card = corpus_card_from_state(aggs, gcols)
+                for line in card.orderBy(*gcols).toJSON().collect():
+                    print(line, file=out)
+            else:
+                aggs, hashes = corpus_card_state_read(spark, args.state)
+                print(json.dumps({
+                    "state": args.state,
+                    "slices": aggs.count(),
+                    "distinct_hashes": hashes.count(),
+                }), file=out)
             return 0
         if args.command == "integrity":
             from mysql_syncer_spark.operators.profile import (

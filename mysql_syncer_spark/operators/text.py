@@ -962,20 +962,53 @@ def corpus_card_state_write(
     HashPartitioning matches the join's required distribution exactly,
     so the corpus-sized side is read in place — never shuffled — on
     every subsequent fold, and only the O(batch) side pays an exchange
-    (same economics as the MinHash corpus index, minhash_index.py)."""
+    (same economics as the MinHash corpus index, minhash_index.py).
+
+    A ``{name}_meta`` table records (group_cols, text_col,
+    num_buckets) so a FRESH session can re-attach the state from its
+    on-disk files (the in-memory catalog dies with the session;
+    stale orphaned locations are purged first — the minhash-index
+    session-lifecycle discipline)."""
+    from mysql_syncer_spark.operators.minhash_index import _drop_stale
     from mysql_syncer_spark.sources.bucketed import write_bucketed
 
+    spark = df.sparkSession
+    for suf in ("_aggs", "_hashes", "_meta"):
+        _drop_stale(spark, f"{name}{suf}")
     aggs, hashes = corpus_card_state(df, group_cols, text_col)
     write_bucketed(
         hashes, f"{name}_hashes", [*group_cols, "__h"], num_buckets
     )
     aggs.write.mode("overwrite").saveAsTable(f"{name}_aggs")
+    spark.createDataFrame(
+        [(",".join(group_cols), text_col, num_buckets)],
+        "group_cols string, text_col string, num_buckets int",
+    ).write.mode("overwrite").saveAsTable(f"{name}_meta")
 
 
 def corpus_card_state_read(
     spark, name: str
 ) -> "tuple[DataFrame, DataFrame]":
-    """(aggs, hashes) handles over the persisted state tables."""
+    """(aggs, hashes) handles over the persisted state tables —
+    re-attaching them from their on-disk files first when this is a
+    fresh session (bucket spec restored from ``{name}_meta``)."""
+    from mysql_syncer_spark.operators.minhash_index import (
+        _reattach_table,
+    )
+
+    if not _reattach_table(spark, f"{name}_meta"):
+        raise ValueError(f"no corpus-card state named {name!r}")
+    meta = spark.table(f"{name}_meta").first()
+    gcols = meta["group_cols"].split(",")
+    nb = meta["num_buckets"]
+    bcols = ", ".join(f"`{c}`" for c in [*gcols, "__h"])
+    ok = _reattach_table(spark, f"{name}_aggs") and _reattach_table(
+        spark,
+        f"{name}_hashes",
+        f"CLUSTERED BY ({bcols}) SORTED BY ({bcols}) INTO {nb} BUCKETS",
+    )
+    if not ok:
+        raise ValueError(f"corpus-card state {name!r} is incomplete")
     return spark.table(f"{name}_aggs"), spark.table(f"{name}_hashes")
 
 
@@ -996,9 +1029,8 @@ def corpus_card_fold_plan(
         .where(F.col("__h").isNotNull())
         .distinct()
     )
-    return b_hashes.join(
-        spark.table(f"{name}_hashes"), [*group_cols, "__h"], "left_anti"
-    )
+    _, hashes = corpus_card_state_read(spark, name)
+    return b_hashes.join(hashes, [*group_cols, "__h"], "left_anti")
 
 
 def corpus_card_state_fold(
@@ -1036,8 +1068,9 @@ def corpus_card_state_fold(
         F.count(F.lit(1)).alias("__d_distinct")
     )
     delta = b_aggs.join(b_distinct, group_cols, "left")
+    aggs_tbl, _ = corpus_card_state_read(spark, name)
     merged = (
-        spark.table(f"{name}_aggs")
+        aggs_tbl
         .join(delta, group_cols, "full_outer")
         .select(
             *group_cols,

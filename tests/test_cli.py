@@ -367,3 +367,101 @@ def test_scrub_cross_doc_and_benchmark(spark, tmp_path, capsys=None):
     rep2 = _json.loads(buf2.getvalue().strip())
     assert rep2["mode"] == "benchmark" and rep2["tier"] == "winnowed"
     assert rep2["docs_touched"] == 2
+
+
+def test_card_command_init_fold_show_and_reattach(spark, sf_dir, tmp_path):
+    """card --init → --fold ×2 → --show equals the one-shot batch card
+    of the full corpus (the E183 law through the CLI face), and the
+    state re-attaches from files alone (fresh-session simulation via
+    the database-copy trick — the CLI runs init and fold as separate
+    processes)."""
+    import shutil
+
+    from mysql_syncer_spark.operators.text import (
+        corpus_card,
+        corpus_card_from_state,
+        corpus_card_state_read,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_p = str(tmp_path / "corpus.parquet")
+    b1_p = str(tmp_path / "b1.parquet")
+    b2_p = str(tmp_path / "b2.parquet")
+    m = F.col("doc_id") % 10
+    docs.where(m < 8).write.parquet(corpus_p)
+    docs.where(m == 8).write.parquet(b1_p)
+    docs.where(m == 9).write.parquet(b2_p)
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS cardcli LOCATION '{tmp_path / 'wh'}'"
+    )
+    try:
+        code, lines = run_cli(spark, [
+            "card", "--state", "cardcli.cc", "--init", corpus_p,
+        ])
+        assert code == 0 and lines[-1]["slices"] > 0
+        code, lines = run_cli(spark, [
+            "card", "--state", "cardcli.cc",
+            "--fold", b1_p, "--fold", b2_p, "--show",
+        ])
+        assert code == 0
+        got = sorted(
+            (r["source"], r["lang"], r["n_docs"], r["dup_rate"],
+             r["n_chars_total"], r["char_share"], r["n_ws_tokens"])
+            for r in lines
+        )
+        full = sorted(
+            (r.source, r.lang, r.n_docs, r.dup_rate,
+             r.n_chars_total, r.char_share, r.n_ws_tokens)
+            for r in corpus_card(docs, ["source", "lang"]).collect()
+        )
+        assert got == full
+
+        # no-op invocation errors cleanly
+        code, lines = run_cli(spark, ["card", "--state", "cardcli.cc"])
+        assert code == 2 and "error" in lines[-1]
+
+        # fresh-session simulation: copy the state files under a db the
+        # catalog has no tables for; read must re-attach + re-bucket
+        src = spark.catalog.getDatabase("cardcli").locationUri.replace(
+            "file:", ""
+        )
+        dst = tmp_path / "wh2"
+        shutil.copytree(src, dst)
+        spark.sql(f"CREATE DATABASE cardre LOCATION '{dst}'")
+        try:
+            aggs, hashes = corpus_card_state_read(spark, "cardre.cc")
+            re_card = sorted(
+                (r.source, r.lang, r.n_docs, r.dup_rate,
+                 r.n_chars_total, r.char_share, r.n_ws_tokens)
+                for r in corpus_card_from_state(
+                    aggs, ["source", "lang"]).collect()
+            )
+            assert re_card == full
+            # the restored spec is real bucket metadata: the fold's
+            # anti-join consumes it (a bare scan won't advertise it)
+            from mysql_syncer_spark.operators.text import (
+                corpus_card_fold_plan,
+            )
+            from mysql_syncer_spark.sources.bucketed import physical_plan
+
+            batch = spark.createDataFrame(
+                [("s", "en", "probe text")],
+                "source string, lang string, text string",
+            )
+            prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                plan = physical_plan(
+                    corpus_card_fold_plan(
+                        spark, "cardre.cc", batch, ["source", "lang"]
+                    )
+                )
+            finally:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", prior
+                )
+            assert "Bucketed: true" in plan, plan
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS cardre CASCADE")
+    finally:
+        spark.sql("DROP DATABASE cardcli CASCADE")

@@ -675,6 +675,11 @@ def embedding_near_dups(
     ]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
+    if block_col is False:
+        # exact tier: |n|^2 pairs score map-side off the scan's
+        # partitioning — spread a small corpus over the cluster first
+        # (the blocked tiers score after their bucket-join exchange)
+        df = similarity._spread(df)
     base = df.select(*cols)
     if block_col is None:
         base = base.withColumn(

@@ -29,6 +29,12 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
+    # HOF fold, deliberately: an r12 experiment unrolled this to a
+    # 64-term F.get multiply-add chain ("codegen instead of HOF") and
+    # measured it 3x SLOWER on Spark 4.1 (the giant Add chain trips
+    # the huge-method codegen fallback; the HOF fold is efficient) —
+    # plans/r12 micro-bench. Keep the fold; optimize around it by
+    # hoisting norms/casts out of pair loops instead.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -40,6 +46,29 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a SMALL input to the session's
+    parallelism before compute-heavy map-side scoring (guide §2.5
+    "input skew → repartition immediately after the read"): a
+    sub-row-group parquet fixture scans as ONE task, serializing the
+    broadcast-join scoring that follows. Gated on the optimizer's
+    size estimate so a corpus that already scans wide (>= cores ×
+    128 MB — at least `defaultParallelism` scan tasks at the default
+    maxPartitionBytes) passes through untouched: at 100 TB this is a
+    no-op, never an extra exchange."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if size >= p * (128 << 20):
+            return df
+    except Exception:
+        return df
+    return df.repartition(p)
 
 
 def _query_col(query_vec: Sequence[float]) -> Column:
@@ -285,6 +314,14 @@ def cosine_topk_batch(
       bucketed first stage spreads that across
       ``queries × partial_buckets`` reducers. ``None`` disables staging
       (fine for small corpora).
+
+    r12 kernel shape: norms are hoisted OUT of the pair loop — the
+    corpus norm folds once per corpus row below the join, the query
+    norm once per query inside the broadcast — so each of the
+    |corpus|×|queries| pairs pays exactly one dot fold instead of
+    three (the same ``dot/(sqrt_a*sqrt_b)`` doubles multiplied in the
+    same order: bit-identical scores); `_spread` keeps a small corpus
+    from scoring on one scan task.
     """
     q = F.broadcast(
         queries.select(
@@ -294,12 +331,19 @@ def cosine_topk_batch(
             # the single-query path (double literals) and the SQL oracle
             # (embedding::DOUBLE[])
             F.col(query_vec_col).cast("array<double>").alias("__qv"),
-        )
+        ).withColumn("__qn", l2_norm(F.col("__qv")))
     )
-    scored = df.crossJoin(q).select(
+    corp = _spread(df).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    scored = corp.crossJoin(q).select(
         F.col("__qid").alias(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col).cast("array<double>"), F.col("__qv")).alias("score"),
+        (
+            dot(F.col("__cv"), F.col("__qv"))
+            / (F.col("__cn") * F.col("__qn"))
+        ).alias("score"),
     )
     return _topk_two_stage(scored, k, id_col, query_id_col, partial_buckets)
 
@@ -367,25 +411,29 @@ def cosine_topk_batch_lsh(
         F.col(query_id_col).alias("__qid"),
         F.col(query_vec_col).cast("array<double>").alias("__qv"),
         sign_bucket(F.col(query_vec_col), n_bits).alias("__qb"),
-    )
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
     probes = q.select(
         "__qid",
         "__qv",
+        "__qn",
         F.explode(
             F.array(
                 *[F.col("__qb").bitwiseXOR(F.lit(m)) for m in masks]
             )
         ).alias("__pb"),
     )
-    bucketed = with_sign_buckets(df, vec_col, n_bits)
+    bucketed = with_sign_buckets(_spread(df), vec_col, n_bits).withColumn(
+        "__cv", F.col(vec_col).cast("array<double>")
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     scored = bucketed.join(
         F.broadcast(probes), F.col("bucket") == F.col("__pb")
     ).select(
         F.col("__qid").alias(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col).cast("array<double>"), F.col("__qv")).alias(
-            "score"
-        ),
+        (
+            dot(F.col("__cv"), F.col("__qv"))
+            / (F.col("__cn") * F.col("__qn"))
+        ).alias("score"),
     )
     return _topk_two_stage(scored, k, id_col, query_id_col, partial_buckets)
 
@@ -683,6 +731,11 @@ def knn_graph(
         raise ValueError(
             f"probe_radius must be 0, 1 or 2, got {probe_radius}"
         )
+    if block is False:
+        # the exact tier scores |n|^2 pairs map-side off the scan's
+        # partitioning — spread a small corpus first (the LSH tier
+        # scores after its bucket-join exchange, already parallel)
+        df = _spread(df)
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
@@ -1199,7 +1252,14 @@ def margin_align(
         F.col("query_id").alias("x_id"),
         F.col(id_col).alias("y_id"),
         "score",
-    )
+    # k·|x| candidate rows, referenced THREE times downstream (the
+    # candidate pairs, the cand_y restriction of the reverse pass, and
+    # the ax aggregate) — without materialization Spark re-runs the
+    # whole forward kNN scan per reference (r12 plan audit: 8
+    # BroadcastNestedLoopJoins / 16 parquet scans, zero reuse, in one
+    # bitext plan). localCheckpoint pins the candidate-sized result
+    # (guide §3.3 / §5: materialize to truncate duplicated subtrees).
+    ).localCheckpoint(eager=True)
     # only the candidate y's (<= k x |x| of them) ever contribute an
     # avg_k(y) to a margin — restrict the reverse kNN pass to them
     # instead of scoring EVERY y against x (identical result: avg_k(y)

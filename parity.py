@@ -44,6 +44,13 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default="PARITY.json")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    ap.add_argument(
+        "--only",
+        nargs="*",
+        default=None,
+        help="restrict the sweep to these query names (targeted "
+        "re-verification after touching an operator)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -67,6 +74,12 @@ def main() -> int:
         )
 
     qs, osql = entry.queries(), entry.oracle_sql()
+    if args.only:
+        missing = [n for n in args.only if n not in qs]
+        if missing:
+            print(f"unknown queries: {missing}", file=sys.stderr)
+            return 2
+        qs = {n: qs[n] for n in args.only}
     results, bad = {}, []
     for name in sorted(qs):
         t0 = time.time()

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mysql_syncer_spark.operators.spread import spread_small
 from mysql_syncer_spark.operators.text import normalized_text, ws_tokens
 
 #: hex prefix of md5 parsed as a 60-bit int — cross-engine 64-bit-ish hash
@@ -478,7 +479,10 @@ def simhash(
     output, since sum(±1 per token) > 0  ⇔  2·ones > n_tokens.
     """
     toks = (
-        df.select(
+        # normalize/tokenize/distinct runs per doc ABOVE the groupBy
+        # exchange — spread a small corpus so it is not serialized on
+        # the scan's task count (minhash_signatures' discipline)
+        spread_small(df).select(
             F.col(id_col),
             F.explode(F.array_distinct(ws_tokens(normalized_text(text_col)))).alias("tok"),
         )

@@ -27,6 +27,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mysql_syncer_spark.operators.spread import spread_small as _spread
+
 
 def dot(a: Column, b: Column) -> Column:
     # HOF fold, deliberately: an r12 experiment unrolled this to a
@@ -47,28 +49,6 @@ def l2_norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition a SMALL input to the session's
-    parallelism before compute-heavy map-side scoring (guide §2.5
-    "input skew → repartition immediately after the read"): a
-    sub-row-group parquet fixture scans as ONE task, serializing the
-    broadcast-join scoring that follows. Gated on the optimizer's
-    size estimate so a corpus that already scans wide (>= cores ×
-    128 MB — at least `defaultParallelism` scan tasks at the default
-    maxPartitionBytes) passes through untouched: at 100 TB this is a
-    no-op, never an extra exchange."""
-    sc = df.sparkSession.sparkContext
-    p = sc.defaultParallelism
-    try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        if size >= p * (128 << 20):
-            return df
-    except Exception:
-        return df
-    return df.repartition(p)
 
 
 def _query_col(query_vec: Sequence[float]) -> Column:

@@ -65,6 +65,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mysql_syncer_spark.operators.spread import spread_small
+
 
 def kgram_positions(
     df: DataFrame,
@@ -85,7 +87,10 @@ def kgram_positions(
     txt = F.coalesce(F.col(text_col), F.lit(""))
     n = F.length(txt)
     return (
-        df.select(F.col(id_col), txt.alias("__t"), n.alias("__n"))
+        # ~n_chars substr rows explode per doc above any exchange —
+        # spread a small corpus so the fan-out is not serialized on
+        # the scan's task count (spread.py; no-op at scale)
+        spread_small(df).select(F.col(id_col), txt.alias("__t"), n.alias("__n"))
         .where(F.col("__n") >= k)
         .select(
             id_col,
@@ -176,7 +181,10 @@ def winnow_fingerprints(
     # under every downstream plan shape.
     selected = F.flatten(F.transform(F.array(hashes), _selected))
     base = (
-        df.select(F.col(id_col), txt.alias("__t"), m.alias("__m"))
+        # the per-doc hash/winnow arrays are the heavy map stage —
+        # spread a small corpus first (no-op at scale, spread.py)
+        spread_small(df)
+        .select(F.col(id_col), txt.alias("__t"), m.alias("__m"))
         .where(F.col("__m") >= w)
         .select(id_col, selected.alias("__sel"))
     )

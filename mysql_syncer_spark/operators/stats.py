@@ -506,8 +506,13 @@ def poisson_bootstrap_ci(
         raise ValueError(f"n_boot must be >= 4, got {n_boot}")
     from pyspark.sql import Window
 
+    from mysql_syncer_spark.operators.spread import spread_small
+
     v = F.col(value_col).cast("double")
-    base = df.where(v.isNotNull()).select(
+    # n_boot digests + 32-way explode + CASE draws all run ABOVE the
+    # (map-side-combined) groupBy — spread a small input so that work
+    # is not serialized on the scan's task count
+    base = spread_small(df.where(v.isNotNull())).select(
         *group_cols,
         v.alias("__v"),
         F.floor(v * F.lit(1_000_000.0)).cast("long").alias("__v6"),

@@ -831,13 +831,16 @@ def propagate_scores(
         raise ValueError("iters must be >= 1")
     if not (0 < alpha_num <= alpha_den):
         raise ValueError("need 0 < alpha_num <= alpha_den")
+    # pin seeds and edges ONCE (pagerank's discipline): both re-join
+    # every round, and the edge list is typically the expensive kNN
+    # graph — unpinned, every round re-derives it from scratch
     s0 = seeds.select(
         F.col(id_col).alias("__id"),
         F.col(score_col).cast("long").alias("__s0"),
-    )
+    ).localCheckpoint(eager=True)
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
-    )
+    ).localCheckpoint(eager=True)
     cur = s0.select("__id", F.col("__s0").alias("__s"))
     beta = alpha_den - alpha_num
     for _ in range(iters):
@@ -1128,12 +1131,19 @@ def pagerank(
         raise ValueError("need 0 < d_num <= d_den")
     if base < 1:
         raise ValueError(f"base must be >= 1, got {base}")
-    n0 = nodes.select(F.col(id_col).alias("__id"))
+    # materialize the weighted edge list and node set ONCE: both are
+    # re-joined every round, and the edge input is often itself an
+    # expensive subtree (the kNN graph build) — without the pin each
+    # of the `iters` rounds re-derives it from scratch (r12 plan
+    # audit: 3 full kNN rebuilds inside one 3-iter pagerank)
+    n0 = nodes.select(F.col(id_col).alias("__id")).localCheckpoint(
+        eager=True
+    )
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
     )
     deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
-    ew = e.join(deg, "__src")
+    ew = e.join(deg, "__src").localCheckpoint(eager=True)
     teleport = (d_den - d_num) * base
     cur = n0.withColumn("__s", F.lit(base).cast("long"))
     for _ in range(iters):

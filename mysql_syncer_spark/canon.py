@@ -125,7 +125,14 @@ def with_row_hash(
     sync DB, main.php:27-53 + TableConnection.php:31-95). No external
     staging store: the projection stays a lazy DataFrame; callers persist
     when reused (Spark spill-to-disk replaces the sync DB wholesale).
+
+    The per-row md5+canonicalization is the map-heavy stage of every
+    diff — spread a small input first so it is not serialized on the
+    scan's task count (operators/spread.py; pass-through at scale).
     """
+    from mysql_syncer_spark.operators.spread import spread_small
+
+    df = spread_small(df)
     return df.select(*pk_cols, row_hash_col(df, hash_cols).alias(hash_name))
 
 

@@ -57,6 +57,9 @@ def table_digest(df: DataFrame, cols: Sequence[str] | None = None) -> str:
     Returns a value equal to the DuckDB oracle's
     ``md5(string_agg(row_hash, '' ORDER BY row_hash))``.
     """
+    from mysql_syncer_spark.operators.spread import spread_small
+
+    df = spread_small(df)
     h = row_hash_col(df, cols)
     row = df.select(h.alias("h")).agg(
         F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))).alias("digest")
@@ -72,6 +75,9 @@ def table_digest_scalable(
     Map-side combinable — the 100 TB path. Two tables are (almost surely)
     identical iff all three components match.
     """
+    from mysql_syncer_spark.operators.spread import spread_small
+
+    df = spread_small(df)
     h = row_hash_col(df, cols).alias("h")
     return df.select(h).agg(
         _sum_hash_col("h").alias("hash_sum"),
@@ -189,7 +195,13 @@ def partition_digests(
     groupBy job instead of N queries, and the groupBy is map-side
     combinable so the shuffle carries only (value, partials).
     """
+    from mysql_syncer_spark.operators.spread import spread_small
+
     hash_cols = cols if cols is not None else df.columns
+    # md5+canon per row runs above the (map-side-combined) groupBy —
+    # spread a small input so it is not serialized on the scan's task
+    # count (spread.py; pass-through at scale)
+    df = spread_small(df)
     h = row_hash_col(df, hash_cols).alias("h")
     return (
         df.select(F.col(partition_col).alias("partition_value"), h)

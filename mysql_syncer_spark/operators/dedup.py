@@ -327,16 +327,22 @@ def minhash_lsh_pairs(
     At 100 TB this never materializes n² — only same-bucket pairs; skewed
     buckets (boilerplate docs) are handled by AQE skew-join splitting.
 
-    No ``persist()``: sig feeds four subtrees (bucket explode ×2 + both
-    sides of the verify join), but they all sit above the SAME canonical
-    shuffle (the signature groupBy), so the expensive map side — shingle
-    explode + md5 + partial minima — runs once and the other consumers
-    read the shuffle output via ReusedExchange. Only the cheap final
-    aggregation over combined partials repeats; nothing leaks into the
-    block-manager cache across a long session (the round-1 bench showed
-    leaked persists inflating this query 3.6×).
+    sig feeds four subtrees (bucket explode ×2 + both sides of the
+    verify join). The r2–r11 form relied on ReusedExchange to share the
+    signature groupBy's shuffle between them — that reuse is DEAD under
+    AQE: the candidate self-join converts to a broadcast join, and a
+    BroadcastExchange cannot reuse a shuffle Exchange's output, so the
+    whole shingle-explode + md5 + partial-minima map side re-ran per
+    consumer (r12 plan audit: 4 signature pipelines, zero
+    ReusedExchange, in one plan). ``localCheckpoint(eager)`` pins the
+    n×num_hashes signature frame once — blocks are freed by the
+    ContextCleaner when the frame is collected (the cluster.py
+    discipline), so nothing leaks across a long session (the round-1
+    lesson about leaked ``persist()``).
     """
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, hash_mode)
+    sig = minhash_signatures(
+        df, id_col, text_col, k, num_hashes, hash_mode
+    ).localCheckpoint(eager=True)
     buckets = band_bucket_frame(sig, id_col, num_hashes, bands)
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")

@@ -108,6 +108,12 @@ def duplicate_clusters(
     that type's ordering.
     """
     spark = pairs.sparkSession
+    # pin the pair list FIRST: the fwd/rev union scans it once per
+    # branch, so an unpinned pairs frame re-executes its whole producer
+    # pipeline (LSH banding join, simhash chunk join, cosine verify)
+    # twice inside the edges materialization. The pair list is the
+    # smallest frame in any dedup pipeline — pinning it is free.
+    pairs = pairs.select(id_a, id_b).localCheckpoint(eager=True)
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     # no distinct: min-propagation and union-find are idempotent under

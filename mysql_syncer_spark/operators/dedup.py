@@ -377,6 +377,7 @@ def minhash_lsh_pairs_between(
     bands: int = 8,
     threshold: float = 0.5,
     hash_mode: str = "md5",
+    materialize_sigs: bool = True,
 ) -> DataFrame:
     """Bipartite MinHash-LSH: near-dup pairs BETWEEN two corpora —
     ``(id_new, id_old, jaccard_est)`` with id_new from ``incoming`` and
@@ -389,10 +390,15 @@ def minhash_lsh_pairs_between(
     Same banded-bucket topology as :func:`minhash_lsh_pairs`, but the
     bucket join is corpus×incoming (no ``id_a < id_b`` dedup — the
     sides are distinct by construction; callers must ensure disjoint
-    ids). Both signature frames sit above their own single canonical
-    shuffle; the big side's map work (shingle explode + md5 + partial
-    minima) runs once and is reused across the bucket and verify
-    consumers via ReusedExchange.
+    ids). Each signature frame feeds two consumers (its bucket explode
+    and its verify side); like :func:`minhash_lsh_pairs`, the frames
+    are pinned with ``localCheckpoint(eager)`` — AQE's broadcast
+    conversion of the bucket join defeats the ReusedExchange this shape
+    historically relied on, so an unpinned frame re-runs the shingle
+    explode + hashing + partial-minima map side once per consumer.
+    ``materialize_sigs=False`` keeps the lazy lineage (plan-shape gates
+    and callers that pin at a coarser grain — the
+    minhash_lsh_pairs_against_index ``materialize_batch`` idiom).
     """
     sig_old = minhash_signatures(
         corpus, id_col, text_col, k, num_hashes, hash_mode
@@ -400,6 +406,9 @@ def minhash_lsh_pairs_between(
     sig_new = minhash_signatures(
         incoming, id_col, text_col, k, num_hashes, hash_mode
     )
+    if materialize_sigs:
+        sig_old = sig_old.localCheckpoint(eager=True)
+        sig_new = sig_new.localCheckpoint(eager=True)
     cand = (
         band_bucket_frame(sig_new, id_col, num_hashes, bands, "id_new")
         .join(
@@ -445,7 +454,10 @@ def incremental_new_docs(
         corpus.select(F.md5(normalized_text(text_col)).alias("__fp")).distinct(),
         F.md5(normalized_text(f"i.{text_col}")) == F.col("__fp"),
         "left_anti",
-    )
+    ).localCheckpoint(eager=True)
+    # pinned: fresh feeds the LSH pipeline AND the final anti-join —
+    # unpinned, the corpus-wide fingerprint distinct + anti-join above
+    # it would execute once per consumer. fresh is batch-sized.
     near = minhash_lsh_pairs_between(
         corpus, fresh, id_col, text_col, k, num_hashes, bands, threshold
     ).select(F.col("id_new").alias(id_col)).distinct()
@@ -589,6 +601,14 @@ def simhash_pairs_from_signatures(
         )
         for i, (s, w) in enumerate(bounds)
     ]
+    # sig feeds BOTH sides of the chunk self-join; without pinning, the
+    # whole signature pipeline (token explode + per-token hashing +
+    # groupBy for simhash; mapInPandas decode for image/audio hashes)
+    # re-executes once per side — AQE's broadcast conversion kills the
+    # ReusedExchange that older plans relied on (the minhash_lsh_pairs
+    # r12 finding). The pinned frame is (id, signature): rows-sized,
+    # tiny at any scale.
+    sig = sig.localCheckpoint(eager=True)
     probe = sig.select(
         F.col(id_col), F.col(sig_col),
         F.explode(F.array(*chunk_structs)).alias("cv"),

@@ -93,7 +93,20 @@ def dsir_weights(
     either way)."""
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
-    feats = docs.select(
+    from mysql_syncer_spark.operators.spread import spread_small
+
+    # the explode + per-feature md5 is the expensive map stage — spread
+    # a small corpus so it is not serialized on the scan's task count,
+    # then REDUCE BEFORE REUSE: collapse the feature stream to one row
+    # per (doc, bucket) with its occurrence count. Both LMs (the bucket
+    # counts) and the per-doc weights derive from that small pinned
+    # frame, so the feature stream is computed exactly once and nothing
+    # corpus×features-sized is ever materialized or re-evaluated.
+    # Weight float shape: sum(count × lw) per doc instead of lw added
+    # once per occurrence — within the ~1e-13 cross-engine ln()
+    # envelope the 6 dp surface rounding already absorbs (oracle-
+    # verified at three SFs).
+    feats = spread_small(docs).select(
         F.col(id_col),
         target.cast("int").alias("__is_target"),
         F.explode(_features(text_col)).alias("__f"),
@@ -102,9 +115,17 @@ def dsir_weights(
         "__is_target",
         _bucket(F.col("__f"), buckets, salt).alias("__b"),
     )
-    bc = feats.groupBy("__b").agg(
-        F.sum("__is_target").cast("long").alias("__tc"),
-        F.count(F.lit(1)).alias("__rc"),
+    per_db = (
+        feats.groupBy(id_col, "__b")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.first("__is_target").alias("__is_target"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bc = per_db.groupBy("__b").agg(
+        F.sum(F.col("__is_target") * F.col("__c")).cast("long").alias("__tc"),
+        F.sum("__c").cast("long").alias("__rc"),
     )
     tot = bc.agg(
         F.coalesce(F.sum("__tc"), F.lit(0)).cast("long").alias("__T"),
@@ -118,9 +139,9 @@ def dsir_weights(
         ).alias("__lw"),
     )
     dw = (
-        feats.join(F.broadcast(lw), "__b")
+        per_db.join(F.broadcast(lw), "__b")
         .groupBy(id_col)
-        .agg(F.sum("__lw").alias(weight_col))
+        .agg(F.sum(F.col("__lw") * F.col("__c")).alias(weight_col))
     )
     return (
         docs.select(id_col)

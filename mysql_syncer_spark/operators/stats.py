@@ -362,8 +362,20 @@ def randomization_test(
     """
     if n_perm < 1:
         raise ValueError(f"n_perm must be >= 1, got {n_perm}")
-    rows = df.where(
-        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    from mysql_syncer_spark.operators.spread import spread_small
+
+    # project to the three columns the test reads, spread a small scan
+    # (the n_perm× explode + per-(perm,row) md5 below runs ABOVE the
+    # first exchange — on a one-file table it would serialize on one
+    # core), and pin: rows feeds the group probe, the observed diff and
+    # the null distribution, and must not re-execute per consumer.
+    rows = (
+        spread_small(
+            df.select(group_col, value_col, key_col).where(
+                F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+            )
+        )
+        .localCheckpoint(eager=True)
     )
     groups = [
         r[0]

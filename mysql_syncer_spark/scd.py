@@ -81,16 +81,28 @@ def scd2_apply(
                        hash_name="s_hash")
     j = oh.join(sh, on=pks, how="full_outer")
 
+    # classify every PK in ONE pass over the diff join and pin the
+    # (pks, flags) frame: the three key sets are filters over it.
+    # Unpinned, each key set re-executed the whole join — including
+    # both sides' full-row md5 hashing — because AQE's broadcast
+    # conversions defeat the ReusedExchange sharing this shape
+    # historically relied on. The pinned frame is keys+3 booleans.
     same = F.col("o_hash").isNotNull() & (F.col("o_hash") == F.col("s_hash"))
-    keep_keys = j.where(same).select(*pks)
-    close_keys = j.where(
-        F.col("o_hash").isNotNull()
-        & (F.col("s_hash").isNull() | (F.col("o_hash") != F.col("s_hash")))
-    ).select(*pks)
-    insert_keys = j.where(
-        F.col("s_hash").isNotNull()
-        & (F.col("o_hash").isNull() | (F.col("o_hash") != F.col("s_hash")))
-    ).select(*pks)
+    keys = j.select(
+        *pks,
+        same.alias("__keep"),
+        (
+            F.col("o_hash").isNotNull()
+            & (F.col("s_hash").isNull() | (F.col("o_hash") != F.col("s_hash")))
+        ).alias("__close"),
+        (
+            F.col("s_hash").isNotNull()
+            & (F.col("o_hash").isNull() | (F.col("o_hash") != F.col("s_hash")))
+        ).alias("__insert"),
+    ).localCheckpoint(eager=True)
+    keep_keys = keys.where("__keep").select(*pks)
+    close_keys = keys.where("__close").select(*pks)
+    insert_keys = keys.where("__insert").select(*pks)
 
     kept = open_rows.join(keep_keys, on=pks, how="left_semi")
     closed_now = open_rows.join(close_keys, on=pks, how="left_semi").withColumn(

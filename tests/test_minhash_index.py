@@ -103,7 +103,11 @@ def test_plan_corpus_side_reads_index_only(spark, split, idx):
     )
     recompute = physical_plan(
         dedup.minhash_lsh_pairs_between(
-            corpus, incoming, num_hashes=16, bands=4, threshold=0.7
+            corpus, incoming, num_hashes=16, bands=4, threshold=0.7,
+            # lazy form: the production default pins both signature
+            # frames (localCheckpoint), which hides the shingle subtree
+            # behind a LogicalRDD — this gate compares plan TOPOLOGY
+            materialize_sigs=False,
         )
     )
     # the shingle-position explode; the formatted plan prints the

@@ -1903,7 +1903,10 @@ def ivm_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    mat = join_snapshot(a, b, "o_custkey")
+    # materialized view pinned before the fold (the maintainer
+    # references mat several times; a deployment reads the persisted
+    # view — lazy, the snapshot join re-executes per reference)
+    mat = join_snapshot(a, b, "o_custkey").localCheckpoint(eager=True)
     out = apply_join_delta(
         mat, a, da, b, db, "o_custkey", "o_orderkey", "o_custkey"
     )
@@ -1987,7 +1990,10 @@ def ivm_left_join_orders_customer(
             ).withColumn("op", F.lit("delete"))
         )
     )
-    mat = left_join_snapshot(a, b0, "o_custkey")
+    # materialized view pinned before the fold (same rationale as
+    # ivm_join / ivm_full_join: the maintainer is written against a
+    # PERSISTED view, not a lazy subtree it would re-execute per term)
+    mat = left_join_snapshot(a, b0, "o_custkey").localCheckpoint(eager=True)
     out = apply_left_join_delta(
         mat, da, b0, db, "o_custkey", "o_orderkey", "o_custkey"
     )

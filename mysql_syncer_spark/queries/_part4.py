@@ -1097,7 +1097,11 @@ def ivm_full_join_orders_customer(
             ).withColumn("op", F.lit("delete"))
         )
     )
-    mat = full_join_snapshot(a, b0, "o_custkey")
+    # materialize the bootstrapped view before folding the delta — the
+    # maintainer references mat five times, and a real deployment reads
+    # the PERSISTED view (apply_full_join_delta's stated requirement);
+    # lazy, the full outer join re-executes once per reference
+    mat = full_join_snapshot(a, b0, "o_custkey").localCheckpoint(eager=True)
     out = apply_full_join_delta(
         mat, da, db, "o_custkey", "o_orderkey", "o_custkey"
     ).drop(A_PRESENT, B_PRESENT)

@@ -207,10 +207,20 @@ def remove_repeated_windows(
     toks = F.coalesce(
         ws_tokens(text_col), F.array().cast("array<string>")
     )
-    base = df.select(
-        F.col(id_col),
-        toks.alias("__toks"),
-        F.size(toks).cast("long").alias("__n"),
+    # base feeds FOUR consumers (the frequency pass, the flag pass, the
+    # token rebuild and the final left join) — unpinned, the tokenize
+    # scan re-executes once per consumer, serialized on the scan's task
+    # count. pin_small spreads + materializes it below the scale gate;
+    # at 100 TB it passes through and the recomputation is the
+    # deliberate trade (see operators/spread.py).
+    from mysql_syncer_spark.operators.spread import pin_small
+
+    base = pin_small(
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.size(toks).cast("long").alias("__n"),
+        )
     )
     # full windows only: starts 0, S, 2S, ..., floor((n-L)/S)*S
     spans = (

@@ -657,7 +657,11 @@ def cluster_balanced_sample(
         raise ValueError(f"per_cluster must be >= 1, got {per_cluster}")
     centroids = ivf_train(df, k=k, iters=iters, id_col=id_col,
                           vec_col=vec_col)
-    assigned = ivf_assign(df, centroids, id_col, vec_col).select(
+    # spread ONLY the final assignment scan (per-row pure argmax — the
+    # k dot folds per row are the heavy map stage). ivf_train's inputs
+    # stay unspread deliberately: its mean-update is float avg, whose
+    # partial-aggregation order must not depend on placement.
+    assigned = ivf_assign(_spread(df), centroids, id_col, vec_col).select(
         id_col, "list_id"
     )
     capped = quota_sample(assigned, "list_id", per_cluster, id_col, salt)
@@ -973,9 +977,15 @@ def pq_encode(
     dot. One codegen scan, zero shuffle: each subspace's argmin runs
     over the codebook baked in as plan literals, the same shape as
     ivf_assign. 64 float32 dims at m=4 compress 256 B -> ~12 B/row;
-    the corpus scan at query time reads codes+norm only."""
+    the corpus scan at query time reads codes+norm only.
+
+    The encode (m × 2^nbits argmin distance folds per row) is the
+    expensive map stage and sits above the first exchange — spread a
+    small input so it does not serialize on the scan's task count
+    (per-row pure function: placement cannot change any value)."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
+    df = _spread(df)
     v = F.col(vec_col).cast("array<double>")
     codes = []
     for j, book in enumerate(codebooks):

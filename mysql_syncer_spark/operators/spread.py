@@ -32,18 +32,46 @@ from pyspark.sql import DataFrame
 _TARGET_PARTITION_BYTES = 128 << 20
 
 
-def spread_small(df: DataFrame) -> DataFrame:
-    """Round-robin repartition ``df`` to the session's parallelism when
-    (and only when) its estimated size is too small to fill the
-    cluster from the scan alone. See module docstring."""
+def _is_small(df: DataFrame) -> bool:
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
     try:
         size = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
-        if size >= p * _TARGET_PARTITION_BYTES:
-            return df
+        return size < p * _TARGET_PARTITION_BYTES
     except Exception:
+        return False
+
+
+def spread_small(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ``df`` to the session's parallelism when
+    (and only when) its estimated size is too small to fill the
+    cluster from the scan alone. See module docstring."""
+    if not _is_small(df):
         return df
-    return df.repartition(p)
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def pin_small(df: DataFrame) -> DataFrame:
+    """Spread AND materialize ``df`` (``localCheckpoint``) when its
+    estimated size is below the :func:`spread_small` gate; pass-through
+    untouched above it.
+
+    For operators whose multiply-consumed subtree is INPUT-sized (e.g.
+    a tokenized corpus feeding a frequency pass, a flag pass and a
+    rebuild pass): below the gate, materializing costs ~nothing and
+    removes N-1 re-executions of the subtree; at 100 TB the pin would
+    itself be a full-corpus write, so the operator falls back to
+    recomputation — a deployment that wants the intermediate persisted
+    does so explicitly (bucketed layout / checkpoint dir), a policy
+    decision this helper must not hard-code.
+
+    Only for subtrees whose downstream consumers are placement- and
+    order-insensitive (joins, aggregations, windows with explicit
+    orderings) — the same contract as :func:`spread_small`."""
+    if not _is_small(df):
+        return df
+    return df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=True)

@@ -477,9 +477,14 @@ def cms_term_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     form). Sketch broadcast onto the probes; absent terms estimate
     from empty cells (0 unless collided)."""
     from mysql_syncer_spark.operators.sketches import cms_build, cms_estimate
+    from mysql_syncer_spark.operators.spread import spread_small
     from mysql_syncer_spark.operators.text import normalized_text
 
-    docs = load_table(spark, sf_dir, "documents")
+    # the normalize + token explode + 4× md5 bucketing all sit above
+    # the sketch's (row, bucket) exchange — spread a small scan so the
+    # map stage fills the cluster (counts are exact integers: placement
+    # cannot change the sketch)
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
     toks = (
         docs.select(
             F.explode(F.split(normalized_text("text"), " ")).alias("term")

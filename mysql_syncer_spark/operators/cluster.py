@@ -461,7 +461,10 @@ def triangle_counts(
 
     Returns ``(node, degree, triangles)`` for every node of the
     canonicalized graph (isolated-in-no-triangle nodes included with
-    0)."""
+    0). (An r12 experiment pinned e/deg/oriented with ``pin_small``;
+    measured flat, 1.96 → 2.00 s on the 500-node kNN query — the
+    consumers' shared exchanges are still reused here and the eager
+    materialization jobs only add latency. Reverted.)"""
     e = canonical_edges(edges, src, dst)
     deg = node_degrees(e)
     er = (

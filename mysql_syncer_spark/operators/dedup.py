@@ -163,6 +163,10 @@ def ngram_jaccard_pairs(
     No ``persist()``: the self-join's two sides share one canonical
     subtree, so Catalyst reuses the shuffle (ReusedExchange) instead of
     recomputing the shingle explode — nothing leaks into the cache.
+    (An r12 experiment pinned this frame with ``pin_small``; measured
+    1.04 → 1.22 s — the ReusedExchange sharing is intact for this
+    symmetric self-join shape and the eager materialization only adds
+    cost. Reverted; pin only shapes AQE actually de-shares.)
     """
     sh = char_shingles(df, id_col, text_col, k)
     if max_df is not None:

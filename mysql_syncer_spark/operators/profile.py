@@ -518,6 +518,9 @@ def exact_ntile(
     )
 
     pr = F.md5(F.col(key_col).cast("string"))
+    # (r12 note: pinning dv/keyed with pin_small measured 1.81 → 2.20 s
+    # — the shared exchanges are reused as designed and the eager
+    # materialization only added jobs. Left lazy deliberately.)
     keyed = rows.join(dv_less, [*gk, value_col]).withColumn(
         "__pr", pr
     ).withColumn("__b", F.substring(F.col("__pr"), 1, 3))

@@ -130,13 +130,18 @@ def mad_outliers(
     frames — no corpus self-join, scale-safe for any group count."""
     if c <= 0:
         raise ValueError(f"c must be > 0, got {c}")
+    from mysql_syncer_spark.operators.spread import pin_small
+
     src = df.where(F.col(value_col).isNotNull())
-    med = group_median_disc(src, group_cols, value_col, "med")
+    # both median frames are |groups|-sized and each feeds a join the
+    # output ALSO depends on through the other branch — unpinned, the
+    # final plan re-executes the median window passes once per consumer
+    med = pin_small(group_median_disc(src, group_cols, value_col, "med"))
     with_med = src.join(med, group_cols)
     dev = with_med.withColumn(
         "__dev", F.abs(F.col(value_col) - F.col("med"))
     )
-    mad = group_median_disc(dev, group_cols, "__dev", "mad")
+    mad = pin_small(group_median_disc(dev, group_cols, "__dev", "mad"))
     return (
         dev.join(mad, group_cols)
         .withColumn(

@@ -583,9 +583,13 @@ def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ellipsis/bullet line caps. Pure codegen ratio arithmetic; zero
     shuffle at any scale. Flags surfaced as INT 0/1 for cross-engine
     hash stability."""
+    from mysql_syncer_spark.operators.spread import spread_small
     from mysql_syncer_spark.operators.text import with_gopher_rules
 
-    docs = load_table(spark, sf_dir, "documents")
+    # zero-shuffle query: with no exchange anywhere, the regex/ratio
+    # map work inherits the scan's task count — spread a small scan
+    # (per-row pure rules; placement cannot change any flag)
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
     out = with_gopher_rules(docs, min_words=30)
     flags = [
         "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
@@ -711,7 +715,12 @@ def cube_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable shuffle, vs four separate scans. GROUPING()
     ids disambiguate real NULL values from subtotal rows, exactly as
     the SQL standard (and the rollup_revenue sibling) define."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from mysql_syncer_spark.operators.spread import spread_small
+
+    # the Expand (4× restatement) + partial aggregation run above the
+    # single shuffle — spread a small scan so the map stage fills the
+    # cluster (DECIMAL sums + counts: placement-independent)
+    li = spread_small(load_table(spark, sf_dir, "lineitem"))
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(

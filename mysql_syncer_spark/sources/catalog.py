@@ -736,6 +736,14 @@ def configure_session(builder):
         builder.config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # allow shuffled-hash join when the planner's size conditions are
+        # met (build side per partition must fit): skips the sort of both
+        # sides that sort-merge pays. Size-gated by the planner, so large
+        # build partitions still fall back to sort-merge; AQE skew-split
+        # applies to both strategies. Paired in-session A/B at sf0.1:
+        # join-heavy keys 2-9% faster (scd2_orders 1.79→1.66,
+        # tpch_q21 1.12→1.02, tpch_q9 1.17→1.11), zero regressions.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
 
 

@@ -59,13 +59,17 @@ def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry
 
-    spark = (
+    from mysql_syncer_spark.sources.catalog import configure_session
+
+    # run the sweep under the engine's declared session config
+    # (configure_session) so parity certifies results under the same
+    # join-strategy/AQE settings bench.py and the executor run with
+    spark = configure_session(
         SparkSession.builder.master(f"local[{args.cpus}]")
         .config("spark.sql.shuffle.partitions", str(args.cpus))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
-        .getOrCreate()
-    )
+    ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:

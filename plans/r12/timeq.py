@@ -22,6 +22,7 @@ def main() -> None:
     ap.add_argument("-n", type=int, default=3)
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--conf", action="append", default=[], help="extra k=v session confs (A/B lever testing)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -29,15 +30,17 @@ def main() -> None:
     from mysql_syncer_spark import queries as registry
     from mysql_syncer_spark.sources.catalog import configure_session
 
-    spark = (
-        configure_session(
-            SparkSession.builder.master(f"local[{args.cpus}]")
-            .appName("timeq")
-            .config("spark.sql.shuffle.partitions", args.cpus)
-            .config("spark.ui.enabled", "false")
-            .config("spark.driver.memory", "16g")
-        )
-    ).getOrCreate()
+    builder = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .appName("timeq")
+        .config("spark.sql.shuffle.partitions", args.cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+    )
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        builder = builder.config(k, v)
+    spark = configure_session(builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     qmap = registry.queries()
 

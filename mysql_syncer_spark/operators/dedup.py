@@ -1022,7 +1022,11 @@ def source_overlap_matrix(
     GROUPS, linear in data). One distinct shuffle + one keyed join +
     two tiny aggregates; no document pairs ever materialize.
     """
-    g = df.select(F.col(group_col).alias("__g"), text_col)
+    # spread the projected scan below the k-shingle explode: the map
+    # stage feeds the distinct exchange and otherwise inherits the
+    # scan's single task (guide §2.5/§2.6; distinct shingle sets are
+    # placement-independent)
+    g = spread_small(df.select(F.col(group_col).alias("__g"), text_col))
     sh = char_shingles(g, id_col="__g", text_col=text_col, k=k).distinct()
     n = sh.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
     a = sh.select(F.col("__g").alias("__ga"), "shingle")

@@ -57,6 +57,12 @@ def profile_table(
     missing = [c for c in cols if c not in fields]
     if missing:
         raise ValueError(f"unknown columns: {missing}")
+    # (r12 negative result: spread_small on the projected scan measured
+    # flat-to-worse isolated — profile_orders 1.05 -> 0.98 but
+    # profile_drift_orders 1.30 -> 1.38; both passes are combinable
+    # aggregations that map-side-reduce on the scan task, so the
+    # payload shuffle buys nothing. Reverted per the wave-7 rule:
+    # never pay an exchange for a flat result.)
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         col = F.col(c)

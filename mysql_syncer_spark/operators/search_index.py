@@ -134,6 +134,11 @@ def postings_tf_frame(
     """Term-frequency postings ``(term, id, tf)`` + per-doc length
     carried on every row (denormalized so scoring needs no second
     join): one combinable (id, term) shuffle."""
+    # (r12 negative result: spread_small on the projected scan measured
+    # 0.96 -> 1.62 s isolated on bm25_search_docs — the text-payload
+    # round-robin shuffle + keyless-repartition sort cost more than the
+    # single-task tokenize; the (id, term) postings shuffle dominates.
+    # Reverted.)
     toks = df.select(
         F.col(id_col),
         F.explode(ws_tokens(normalized_text(text_col))).alias("term"),
@@ -257,6 +262,9 @@ def phrase_search(
     words = norm.split(" ") if norm else []
     if len(words) < 2:
         raise ValueError("phrase must have at least two words")
+    # (r12 negative result: spread_small on the projected scan measured
+    # 0.61 -> 0.76 s isolated — same text-payload-shuffle reason as
+    # postings_tf_frame. Reverted.)
     toks = df.select(
         F.col(id_col),
         F.posexplode(ws_tokens(normalized_text(text_col))).alias(

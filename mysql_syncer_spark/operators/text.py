@@ -234,6 +234,9 @@ def tfidf_topk(
         raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql import Window
 
+    # (r12 negative result: spread_small on the projected scan measured
+    # 0.93 -> 1.53 s isolated — text-payload shuffle + keyless-
+    # repartition sort; the (id, term) shuffle dominates. Reverted.)
     words = df.select(
         F.col(id_col),
         F.explode(F.split(normalized_text(text_col), " ")).alias("term"),
@@ -408,6 +411,11 @@ def with_unigram_logprob(
     Rounding to 6 dp absorbs float-summation-order drift, the same
     convention as tfidf_topk/group_centroids.
     """
+    # (r12 negative result: spread_small on the projected scan measured
+    # 1.22 -> 1.60 s isolated — the round-robin exchange ships the full
+    # text payload and pays the keyless-repartition local sort, while
+    # this query is bound by its downstream shuffles, not the scan
+    # task. Reverted; per-row-pure siblings like langid/pii DID win.)
     words = df.select(
         F.col(id_col),
         F.explode(F.split(normalized_text(text_col), " ")).alias("term"),
@@ -466,7 +474,11 @@ def with_bigram_logprob(
         F.split(normalized_text(text_col), " "), lambda x: x != ""
     )
     # materialize the tokens array once so both slice sides of the
-    # zip_with read the same child expression
+    # zip_with read the same child expression (r12 negative result:
+    # spread_small here measured 1.36 -> 1.66 s isolated — the text-
+    # payload shuffle + keyless-repartition sort cost more than the
+    # single-task explode it parallelizes; the (w1,w2) shuffle and the
+    # probability-lookup join dominate this query. Reverted.)
     base = df.withColumn("__toks", toks)
     t = F.col("__toks")
     n = F.size(t)
@@ -546,6 +558,8 @@ def with_kn_bigram_logprob(
     toks = F.filter(
         F.split(normalized_text(text_col), " "), lambda x: x != ""
     )
+    # (r12 negative result: spread_small here measured 1.32 -> 2.26 s
+    # isolated — same reason as with_bigram_logprob. Reverted.)
     base = df.withColumn("__toks", toks)
     t = F.col("__toks")
     n = F.size(t)
@@ -684,6 +698,9 @@ def vocab_divergence(
         raise ValueError(f"k must be >= 1, got {k}")
 
     def counts(df, name):
+        # (r12 negative result: spread_small per side measured
+        # 0.52 -> 1.18 s isolated — two text-payload shuffles for two
+        # already-combinable count aggregations. Reverted.)
         words = df.select(
             F.explode(F.split(normalized_text(text_col), " ")).alias("term")
         ).where(F.col("term") != "")
@@ -751,6 +768,9 @@ def pmi_collocations(
     toks = F.filter(
         F.split(normalized_text(text_col), " "), lambda x: x != ""
     )
+    # (r12 negative result: spread_small here measured 0.83 -> 1.44 s
+    # isolated — same text-payload-shuffle reason as the bigram LMs.
+    # Reverted.)
     base = df.withColumn("__toks", toks)
     t = F.col("__toks")
     n = F.size(t)
@@ -816,6 +836,9 @@ def corpus_card(
     1-row aggregate. No window, no second scan of the text.
     """
     t = F.col(text_col)
+    # (r12 negative result: spread_small measured 0.46 -> 0.88 s
+    # isolated — the combinable groupBy already map-side-reduces on the
+    # scan task; the text-payload shuffle is pure overhead. Reverted.)
     per = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(F.md5(t)).alias("__distinct"),
@@ -1166,6 +1189,9 @@ def ngram_diversity(
     the gram fan-out is combined map-side before the one shuffle. No
     window, no join, nothing doc-sized on the driver."""
     t = F.col(text_col)
+    # (r12 negative result: spread_small on the projected scan measured
+    # 0.84 -> 1.19 s isolated — the countDistinct partial aggregation
+    # dominates, not the single-task tokenize. Reverted.)
     toks = df.select(*group_cols, ws_tokens(t).alias("__ts"))
     uni = (
         toks.select(*group_cols, F.explode("__ts").alias("__g"))
@@ -1250,6 +1276,9 @@ def zipf_fit(
         raise ValueError("top_k must be >= 3")
     t = F.col(text_col)
     counts = (
+        # (r12 negative result: spread_small measured 0.50 -> 0.71 s
+        # isolated — the (group, token) count shuffle dominates.
+        # Reverted.)
         df.select(
             *group_cols,
             F.explode(ws_tokens(F.lower(t))).alias("__tok"),

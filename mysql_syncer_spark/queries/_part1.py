@@ -1132,6 +1132,9 @@ def token_quantiles_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap ``percentile`` for ``approx_percentile`` (t-digest sketch,
     map-side combinable) — sketch estimates are engine-specific, so the
     exact variant is the oracle-checked one."""
+    # (r12 negative result: spread_small measured 0.26 -> 0.30 s
+    # isolated — the global percentile aggregate is scan-bound.
+    # Reverted.)
     docs = load_table(spark, sf_dir, "documents")
     tc = text.with_token_counts(docs).select(
         F.col("n_tokens_ws").alias("n")
@@ -1383,6 +1386,9 @@ def curate_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor per normalized text) → leakage-safe 80/10/10 split. Every
     stage is codegen built-ins; the dedup shuffle and the split are the
     only exchanges (the filter pushes into the scan)."""
+    # (r12 negative result: spread_small measured 0.97 -> 1.04 s
+    # isolated — the dedup shuffle dominates and the quality flags are
+    # cheap per row. Reverted.)
     docs = load_table(spark, sf_dir, "documents")
     q = text.with_quality(text.with_token_counts(docs))
     kept = q.where(
@@ -1447,10 +1453,16 @@ def contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmarks are tiny, corpora are 100 TB)."""
     from mysql_syncer_spark.operators import contamination as ct
 
+    from mysql_syncer_spark.operators.spread import spread_small
+
     docs = load_table(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % 23 == 0
+    # the train side's 5-gram explode runs above the broadcast join —
+    # spread its small scan (distinct-gram counts: placement-
+    # independent); the eval side stays as-is (it is collapsed to a
+    # distinct gram set and broadcast)
     out = ct.contamination(
-        docs.where(~is_eval), docs.where(is_eval), n=5
+        spread_small(docs.where(~is_eval)), docs.where(is_eval), n=5
     )
     return out.select("doc_id", F.col("n_overlap").cast("long"))
 
@@ -1473,7 +1485,12 @@ def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition (Gopher-style duplicate word-bigram
     fraction): boilerplate/templated text scores high, prose ~0. Pure
     per-row array codegen — no shuffle at any scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    from mysql_syncer_spark.operators.spread import spread_small
+
+    # zero-shuffle query: the per-row n-gram array math inherits the
+    # scan's task count — spread a small scan (per-row pure ratios;
+    # placement cannot change any value)
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
     out = text.with_repetition(docs, n=2)
     return out.select("doc_id", F.round("rep_ratio", 6).alias("rep_ratio"))
 
@@ -1732,7 +1749,11 @@ def pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (emails / IPv4 / phone-shaped spans → typed
     placeholders) with per-doc redaction counts — chained codegen
     regexp_replace, zero shuffle, patterns Java/RE2-identical."""
-    docs = load_table(spark, sf_dir, "documents")
+    from mysql_syncer_spark.operators.spread import spread_small
+
+    # zero-shuffle query: the chained regexp_replace map work inherits
+    # the scan's task count — spread a small scan (per-row pure)
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
     return text.with_pii(docs).select("doc_id", "redacted", "n_pii")
 
 

@@ -1993,6 +1993,9 @@ def unimax_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     At sf0.01 small languages cap at 2 full epochs; at sf0.1 the same
     budget is a pure equal-share subsample — both regimes value-exact
     (operators/sampling.py unimax_tokens)."""
+    # (r12 negative result: spread_small measured 1.80 -> 2.03 s
+    # isolated — the sampler's bucket windows/joins dominate, not the
+    # single-task tokenize. Reverted.)
     docs = load_table(spark, sf_dir, "documents")
     toks = text.with_token_counts(docs).select(
         "doc_id", "lang", F.col("n_tokens_ws").cast("long").alias("tok")

@@ -566,10 +566,13 @@ def langid_kappa_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     that corrects raw agreement for the chance agreement the skewed
     label mix produces. Integer numerator/denominator, one rounded
     division; one scan, no join."""
+    from mysql_syncer_spark.operators.spread import spread_small
     from mysql_syncer_spark.operators.stats import cohens_kappa
     from mysql_syncer_spark.operators.text import with_lang_id
 
-    docs = load_table(spark, sf_dir, "documents")
+    # the stopword-scoring map work sits above one tiny aggregate —
+    # spread a small scan (per-row pure prediction, integer counts)
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
     return cohens_kappa(
         with_lang_id(docs), "lang", "lang_pred", _KAPPA_CATS
     )

@@ -1076,7 +1076,12 @@ def quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language ID (deterministic tiebreak)."""
-    docs = load_table(spark, sf_dir, "documents")
+    from mysql_syncer_spark.operators.spread import spread_small
+
+    # zero-shuffle query: the per-language stopword filters + CJK regex
+    # inherit the scan's task count — spread a small scan (per-row pure
+    # prediction; the langid_kappa sibling measured 1.61 -> 0.68 s)
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
     return text.with_lang_id(docs).select("doc_id", "lang_pred")
 
 

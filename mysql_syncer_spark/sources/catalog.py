@@ -736,13 +736,18 @@ def configure_session(builder):
         builder.config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # allow shuffled-hash join when the planner's size conditions are
-        # met (build side per partition must fit): skips the sort of both
-        # sides that sort-merge pays. Size-gated by the planner, so large
-        # build partitions still fall back to sort-merge; AQE skew-split
-        # applies to both strategies. Paired in-session A/B at sf0.1:
-        # join-heavy keys 2-9% faster (scd2_orders 1.79→1.66,
-        # tpch_q21 1.12→1.02, tpch_q9 1.17→1.11), zero regressions.
+        # allow shuffled-hash join when the planner's size conditions
+        # are met (one side must be plausibly-sized for a per-partition
+        # hash build AND 3x smaller than the other): skips the sort of
+        # both sides that sort-merge pays. BENCH-NEUTRAL at sf0.1 —
+        # captured plans are unchanged (equal-sized diff-kernel joins
+        # stay sort-merge, small sides broadcast), and the paired A/B
+        # deltas first attributed to this conf reproduced with the
+        # configs swapped (in-session position bias, recorded in
+        # OPTIMIZATION_r12.md). Kept as the guide-§9 scale setting: at
+        # 100 TB the asymmetric fact-to-mid-size joins it targets exist
+        # and cannot broadcast; results verified identical at 3 SFs
+        # with the conf live.
         .config("spark.sql.join.preferSortMergeJoin", "false")
     )
 

@@ -53,8 +53,15 @@ def main() -> None:
         # one untimed warm rep (JIT/codegen) under OFF
         spark.conf.set(args.conf_key, args.off_val)
         qmap[name](spark, args.sf).write.format("noop").mode("overwrite").save()
-        for _ in range(args.n):
-            for val, bucket in ((args.off_val, offs), (args.on_val, ons)):
+        for i in range(args.n):
+            # alternate which config runs first per pair: the second
+            # slot of a pair is systematically faster (warmer JIT /
+            # caches) — measured r12: a no-op conf "won" 2-9% purely by
+            # always running second
+            pair = ((args.off_val, offs), (args.on_val, ons))
+            if i % 2:
+                pair = (pair[1], pair[0])
+            for val, bucket in pair:
                 spark.conf.set(args.conf_key, val)
                 t0 = time.time()
                 qmap[name](spark, args.sf).write.format("noop").mode(

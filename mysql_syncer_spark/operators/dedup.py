@@ -589,6 +589,21 @@ def simhash_pairs_from_signatures(
     verified by an exact popcount — never an all-pairs scan. At 100 TB
     the shuffle carries (chunk, value) keys only; skewed chunks (a very
     common signature region) are split by AQE like any hot hash key.
+
+    The banding join runs over DISTINCT signatures, not documents
+    (r12): a near-dup corpus collapses many docs onto one signature, so
+    doc-level banding redoes the identical candidate+popcount work once
+    per copy and then needs a doc-pair-sized ``distinct`` to shed the
+    multi-chunk duplicates. Measured at sf0.1: 5 000 docs → 3 445
+    distinct signatures, candidate matches 10.0M → 1.8M, and the final
+    dedup shrinks from 994k doc pairs to 32k signature pairs. Doc pairs
+    are then recovered by two equi joins on the signature (identical-
+    signature groups pair among themselves at Hamming 0) — pure
+    expansion of the verified pair set, no re-verification, no
+    doc-level distinct, and a mega-cluster of identical docs skews the
+    AQE-splittable expansion join instead of the n² candidate join.
+    The output pair set and hamming values are identical to the
+    doc-level formulation by construction.
     """
     chunks = max_bits + 1
     base, extra = divmod(bits, chunks)
@@ -601,39 +616,57 @@ def simhash_pairs_from_signatures(
     chunk_structs = [
         F.struct(
             F.lit(i).alias("chunk"),
-            F.expr(f"({sig_col} >> {s}) & {(1 << w) - 1}").alias("val"),
+            F.expr(f"(__sig >> {s}) & {(1 << w) - 1}").alias("val"),
         )
         for i, (s, w) in enumerate(bounds)
     ]
-    # sig feeds BOTH sides of the chunk self-join; without pinning, the
-    # whole signature pipeline (token explode + per-token hashing +
-    # groupBy for simhash; mapInPandas decode for image/audio hashes)
-    # re-executes once per side — AQE's broadcast conversion kills the
-    # ReusedExchange that older plans relied on (the minhash_lsh_pairs
-    # r12 finding). The pinned frame is (id, signature): rows-sized,
-    # tiny at any scale.
-    sig = sig.localCheckpoint(eager=True)
-    probe = sig.select(
-        F.col(id_col), F.col(sig_col),
-        F.explode(F.array(*chunk_structs)).alias("cv"),
-    ).select(id_col, sig_col, F.col("cv.chunk").alias("chunk"),
+    # sig feeds the distinct-signature probe, the within-group self
+    # join AND both expansion joins; without pinning, the whole
+    # signature pipeline (token explode + per-token hashing + groupBy
+    # for simhash; mapInPandas decode for image/audio hashes)
+    # re-executes once per consumer — AQE's broadcast conversion kills
+    # the ReusedExchange that older plans relied on (the
+    # minhash_lsh_pairs r12 finding). The pinned frame is
+    # (id, signature): rows-sized, tiny at any scale.
+    sig = sig.select(
+        F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig")
+    ).localCheckpoint(eager=True)
+    probe = sig.select("__sig").distinct().select(
+        "__sig", F.explode(F.array(*chunk_structs)).alias("cv")
+    ).select("__sig", F.col("cv.chunk").alias("chunk"),
              F.col("cv.val").alias("val"))
-    a = probe.select(
-        F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a"),
-        "chunk", "val",
-    )
-    b = probe.select(
-        F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b"),
-        "chunk", "val",
-    )
-    return (
+    a = probe.select(F.col("__sig").alias("__sa"), "chunk", "val")
+    b = probe.select(F.col("__sig").alias("__sb"), "chunk", "val")
+    rep_pairs = (
         a.join(b, on=["chunk", "val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)").cast("int"))
+        .where(F.col("__sa") < F.col("__sb"))
+        .withColumn("hamming", F.expr("bit_count(__sa ^ __sb)").cast("int"))
         .where(F.col("hamming") <= max_bits)
-        .select("id_a", "id_b", "hamming")
+        .select("__sa", "__sb", "hamming")
         .distinct()
     )
+    ga = sig.select(F.col("__id").alias("__ia"), F.col("__sig").alias("__sa"))
+    gb = sig.select(F.col("__id").alias("__ib"), F.col("__sig").alias("__sb"))
+    cross = (
+        rep_pairs.join(ga, on="__sa")
+        .join(gb, on="__sb")
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    within = (
+        ga.withColumnRenamed("__sa", "__s")
+        .join(gb.withColumnRenamed("__sb", "__s"), on="__s")
+        .where(F.col("__ia") < F.col("__ib"))
+        .select(
+            F.col("__ia").alias("id_a"),
+            F.col("__ib").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def simhash_near_dup_pairs(

@@ -104,6 +104,14 @@ def scd2_apply(
     close_keys = keys.where("__close").select(*pks)
     insert_keys = keys.where("__insert").select(*pks)
 
+    # NEGATIVE RESULT (r12 wave 12): fusing kept+closed_now into ONE
+    # inner join of open_rows against the pinned flags frame (every
+    # open PK is in `keys`, so the two semi joins collapse exactly)
+    # measured flat-to-worse in interleaved A/B at sf0.1 — scd2_orders
+    # 1.48→1.77, multibatch/lookup flat. The two semi-join branches are
+    # INDEPENDENT stages: their single-task parquet scans overlap under
+    # the union, while the fused branch serializes one scan plus a
+    # wider join output. Reverted; results were oracle-exact either way.
     kept = open_rows.join(keep_keys, on=pks, how="left_semi")
     closed_now = open_rows.join(close_keys, on=pks, how="left_semi").withColumn(
         to_col, ts

@@ -305,6 +305,141 @@ def _resolve(
     )
 
 
+def simhash_duplicate_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int | None = None,
+    max_bits: int = 3,
+    hash_mode: str = "md5",
+    driver_edge_limit: int = 2_000_000,
+) -> DataFrame:
+    """``duplicate_clusters(simhash_near_dup_pairs(df, ...))`` computed
+    at DISTINCT-SIGNATURE cardinality — identical ``(doc_id,
+    cluster_id)`` output without ever materializing document pairs.
+
+    The doc-pair formulation expands every verified signature pair to
+    its member-doc cross product (plus identical-signature cliques) and
+    then union-find immediately re-contracts those cliques: at sf0.1
+    that is ~1M expanded pairs pinned, a 2M-row symmetric edge list
+    pinned, and a 2M-row contraction groupBy — all to recover component
+    structure already present in the 32k signature pairs. Here
+    connected components run over the signature graph (nodes =
+    signatures in a verified pair OR shared by ≥ 2 docs; identical-doc
+    groups are single NODES, not cliques), and docs join in by
+    membership at the end. At 100 TB a mega-cluster of m identical docs
+    costs m membership rows instead of m² clique edges — the same
+    asymmetry the r12 banding rewrite exploited for pair GENERATION,
+    applied to clustering.
+
+    Equivalence: two docs land in one doc-level component iff their
+    signatures share a signature-level component or are equal (an
+    active signature is trivially in its own component), and the
+    cluster label is the component-min doc id in both formulations.
+    Proven output-exact vs the doc-pair path (exceptAll both ways == 0)
+    in tests/test_cluster.py and at sf0.01/sf0.1 before the switch.
+    """
+    from mysql_syncer_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash,
+        simhash_rep_pairs,
+    )
+
+    if bits is None:
+        bits = SIMHASH_BITS
+    spark = df.sparkSession
+    sig = (
+        simhash(df, id_col, text_col, bits, hash_mode)
+        .select(F.col(id_col).alias("__id"), F.col("simhash").alias("__sig"))
+        .localCheckpoint(eager=True)
+    )
+    rep = (
+        simhash_rep_pairs(sig, bits, max_bits)
+        .select("__sa", "__sb")
+        .localCheckpoint(eager=True)
+    )
+    # counts are ~free on checkpointed frames; both gates are
+    # signature-cardinality (edges and per-sig stats), the same driver
+    # budget as duplicate_clusters' union-find collect
+    if (
+        rep.count() <= driver_edge_limit
+        and sig.count() <= driver_edge_limit
+    ):
+        # Driver tail: per-sig (min doc, multiplicity) + the sig-pair
+        # edge list both fit the driver_edge_limit budget, so the whole
+        # component resolution is two Arrow collects + numpy union-find
+        # + ONE broadcast membership join — no contraction rounds, no
+        # label-propagation jobs, no tail shuffle chain. Roots are
+        # arbitrary canonical codes (group keys only, never emitted);
+        # the emitted cluster_id is the component min over per-sig min
+        # doc ids, id-type-generic via pandas.
+        stats = sig.groupBy("__sig").agg(
+            F.min("__id").alias("__mn"), F.count(F.lit(1)).alias("__m")
+        )
+        spdf = stats.toPandas()
+        rpdf = rep.toPandas()
+        m = len(rpdf)
+        codes, uniques = pd.factorize(
+            pd.concat(
+                [rpdf["__sa"], rpdf["__sb"], spdf["__sig"]],
+                ignore_index=True,
+            ),
+            sort=False,
+        )
+        roots = _union_find_codes(codes[:m], codes[m : 2 * m], len(uniques))
+        sig_code = codes[2 * m :]
+        comp = roots[sig_code]
+        paired = np.zeros(len(uniques), dtype=bool)
+        paired[codes[: 2 * m]] = True
+        active = paired[sig_code] | (spdf["__m"].to_numpy() >= 2)
+        comp_min = (
+            pd.Series(spdf["__mn"].to_numpy())
+            .groupby(comp)
+            .transform("min")
+        )
+        map_pdf = pd.DataFrame(
+            {
+                "__sig": spdf["__sig"][active],
+                "cluster_id": comp_min[active],
+            }
+        )
+        id_type = sig.schema["__id"].dataType
+        schema = StructType(
+            [
+                StructField("__sig", sig.schema["__sig"].dataType),
+                StructField("cluster_id", id_type),
+            ]
+        )
+        mapping = spark.createDataFrame(map_pdf, schema).hint("broadcast")
+        return sig.join(mapping, on="__sig").select(
+            F.col("__id").alias("doc_id"), "cluster_id"
+        )
+    # distributed tail (signature cardinality above the driver budget):
+    # components over the sig graph, then membership joins
+    sig_roots = duplicate_clusters(
+        rep, "__sa", "__sb", driver_edge_limit=driver_edge_limit
+    ).select(
+        F.col("doc_id").alias("__sig"), F.col("cluster_id").alias("__root")
+    )
+    # signatures shared by >= 2 docs are active (their docs pair at
+    # Hamming 0) even when no OTHER signature is near them
+    multi = (
+        sig.groupBy("__sig")
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .where(F.col("__m") >= 2)
+        .select("__sig")
+    )
+    extra = multi.join(
+        sig_roots.select("__sig"), on="__sig", how="left_anti"
+    ).select("__sig", F.col("__sig").alias("__root"))
+    roots = sig_roots.unionByName(extra)
+    member = sig.join(roots, on="__sig")
+    comp_min = member.groupBy("__root").agg(F.min("__id").alias("cluster_id"))
+    return member.join(comp_min, on="__root").select(
+        F.col("__id").alias("doc_id"), "cluster_id"
+    )
+
+
 def cluster_survivors(
     clusters: DataFrame,
     keep: str = "min",

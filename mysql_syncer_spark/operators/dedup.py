@@ -571,6 +571,53 @@ def simhash_duplicates(
     )
 
 
+def simhash_rep_pairs(
+    sig: DataFrame,
+    bits: int = SIMHASH_BITS,
+    max_bits: int = 3,
+) -> DataFrame:
+    """Verified signature pairs within Hamming distance ``max_bits``
+    over the DISTINCT signatures of ``sig`` (any frame with a ``__sig``
+    column): ``(__sa, __sb, hamming)`` with __sa < __sb.
+
+    Chunk banding by pigeonhole (split into ``max_bits + 1`` contiguous
+    chunks; near signatures agree on at least one whole chunk), one
+    equi-join per the shared (chunk, val) key, exact popcount verify —
+    never an all-pairs scan, and everything runs at signature
+    cardinality (callers expand to document pairs or cluster at this
+    grain; see :func:`simhash_pairs_from_signatures` and
+    ``cluster.simhash_duplicate_clusters``)."""
+    chunks = max_bits + 1
+    base, extra = divmod(bits, chunks)
+    bounds: list[tuple[int, int]] = []
+    shift = 0
+    for i in range(chunks):
+        width = base + (1 if i < extra else 0)
+        bounds.append((shift, width))
+        shift += width
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.expr(f"(__sig >> {s}) & {(1 << w) - 1}").alias("val"),
+        )
+        for i, (s, w) in enumerate(bounds)
+    ]
+    probe = sig.select("__sig").distinct().select(
+        "__sig", F.explode(F.array(*chunk_structs)).alias("cv")
+    ).select("__sig", F.col("cv.chunk").alias("chunk"),
+             F.col("cv.val").alias("val"))
+    a = probe.select(F.col("__sig").alias("__sa"), "chunk", "val")
+    b = probe.select(F.col("__sig").alias("__sb"), "chunk", "val")
+    return (
+        a.join(b, on=["chunk", "val"])
+        .where(F.col("__sa") < F.col("__sb"))
+        .withColumn("hamming", F.expr("bit_count(__sa ^ __sb)").cast("int"))
+        .where(F.col("hamming") <= max_bits)
+        .select("__sa", "__sb", "hamming")
+        .distinct()
+    )
+
+
 def simhash_pairs_from_signatures(
     sig: DataFrame,
     id_col: str = "doc_id",
@@ -605,21 +652,6 @@ def simhash_pairs_from_signatures(
     The output pair set and hamming values are identical to the
     doc-level formulation by construction.
     """
-    chunks = max_bits + 1
-    base, extra = divmod(bits, chunks)
-    bounds: list[tuple[int, int]] = []
-    shift = 0
-    for i in range(chunks):
-        width = base + (1 if i < extra else 0)
-        bounds.append((shift, width))
-        shift += width
-    chunk_structs = [
-        F.struct(
-            F.lit(i).alias("chunk"),
-            F.expr(f"(__sig >> {s}) & {(1 << w) - 1}").alias("val"),
-        )
-        for i, (s, w) in enumerate(bounds)
-    ]
     # sig feeds the distinct-signature probe, the within-group self
     # join AND both expansion joins; without pinning, the whole
     # signature pipeline (token explode + per-token hashing + groupBy
@@ -631,20 +663,7 @@ def simhash_pairs_from_signatures(
     sig = sig.select(
         F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig")
     ).localCheckpoint(eager=True)
-    probe = sig.select("__sig").distinct().select(
-        "__sig", F.explode(F.array(*chunk_structs)).alias("cv")
-    ).select("__sig", F.col("cv.chunk").alias("chunk"),
-             F.col("cv.val").alias("val"))
-    a = probe.select(F.col("__sig").alias("__sa"), "chunk", "val")
-    b = probe.select(F.col("__sig").alias("__sb"), "chunk", "val")
-    rep_pairs = (
-        a.join(b, on=["chunk", "val"])
-        .where(F.col("__sa") < F.col("__sb"))
-        .withColumn("hamming", F.expr("bit_count(__sa ^ __sb)").cast("int"))
-        .where(F.col("hamming") <= max_bits)
-        .select("__sa", "__sb", "hamming")
-        .distinct()
-    )
+    rep_pairs = simhash_rep_pairs(sig, bits, max_bits)
     ga = sig.select(F.col("__id").alias("__ia"), F.col("__sig").alias("__sa"))
     gb = sig.select(F.col("__id").alias("__ib"), F.col("__sig").alias("__sb"))
     cross = (

@@ -261,36 +261,37 @@ def remove_repeated_windows(
     )
     # flagged regions are boilerplate-sized: broadcast the blocklist
     flagged = spans.join(F.broadcast(frequent), on="__w", how="left_semi")
-    covered = flagged.select(
+    # Rebuild INSIDE the row (r12): covered positions fold to one
+    # set-valued column per flagged doc (collect_set dedups overlapping
+    # windows; the frame is boilerplate-sized), and survivors are an
+    # index-aware array filter over the already-tokenized text. The
+    # previous shape posexploded EVERY token of EVERY doc into a
+    # corpus-wide shuffle, anti-joined the covered (doc, pos) pairs and
+    # re-assembled docs with a collect_list groupBy — restating the
+    # whole corpus token-by-token across the wire to delete a
+    # boilerplate-sized fraction of it (guide §2.3: shuffle the small
+    # thing). Covered positions are always in [0, __n) (full windows
+    # only), so n_tokens_removed is exactly the set size.
+    cov = flagged.select(
         id_col,
         F.explode(
             F.sequence(F.col("__start"), F.col("__start") + (L - 1))
         ).alias("__pos"),
-    ).distinct()
-    tokens = base.select(
-        id_col,
-        F.posexplode("__toks").alias("__pos", "__tk"),
-    ).withColumn("__pos", F.col("__pos").cast("long"))
-    kept = tokens.join(covered, on=[id_col, "__pos"], how="left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__tk"))),
-                lambda s: s["__tk"],
+    ).groupBy(id_col).agg(F.collect_set("__pos").alias("__cov"))
+    joined = base.join(cov, on=id_col, how="left")
+    kept = F.when(F.col("__cov").isNull(), F.col("__toks")).otherwise(
+        F.filter(
+            "__toks",
+            lambda _t, i: ~F.array_contains(
+                F.col("__cov"), i.cast("long")
             ),
-            " ",
-        ).alias("__txt"),
-        F.count(F.lit(1)).alias("__nk"),
-    )
-    return (
-        base.select(id_col, "__n")
-        .join(rebuilt, on=id_col, how="left")
-        .select(
-            id_col,
-            F.coalesce("__txt", F.lit("")).alias(out_col),
-            F.col("__n").alias("n_tokens"),
-            (F.col("__n") - F.coalesce("__nk", F.lit(0)))
-            .cast("long")
-            .alias("n_tokens_removed"),
         )
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias(out_col),
+        F.col("__n").alias("n_tokens"),
+        F.coalesce(F.size("__cov"), F.lit(0))
+        .cast("long")
+        .alias("n_tokens_removed"),
     )

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from mysql_syncer_spark.operators import dedup
 from mysql_syncer_spark.operators.cluster import (
     cluster_keep_best,
-    duplicate_clusters,
+    simhash_duplicate_clusters,
 )
 from mysql_syncer_spark.operators.sampling import hash_split
 from mysql_syncer_spark.operators.text import with_gopher_rules, with_pii
@@ -106,10 +106,9 @@ def curate_corpus(
     cur = mark(dedup.dedup_exact(cur, id_col, text_col), "after_exact_dedup")
 
     if near_dup_max_bits > 0:
-        pairs = dedup.simhash_near_dup_pairs(
+        clusters = simhash_duplicate_clusters(
             cur, id_col, text_col, max_bits=near_dup_max_bits
         )
-        clusters = duplicate_clusters(pairs)
         cur = cluster_keep_best(
             cur.withColumn("__len", F.length(text_col)),
             clusters,

@@ -830,11 +830,16 @@ def simhash_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs→clusters step every dedup pipeline needs before it can pick
     survivors. Oracle: recursive-CTE transitive closure over the same
     pair set (exact same component labeling)."""
-    from mysql_syncer_spark.operators.cluster import duplicate_clusters
+    from mysql_syncer_spark.operators.cluster import (
+        simhash_duplicate_clusters,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.simhash_near_dup_pairs(docs, max_bits=1)
-    return duplicate_clusters(pairs)
+    # components at distinct-signature cardinality (r12): identical
+    # output to duplicate_clusters(simhash_near_dup_pairs(...)) without
+    # materializing the expanded doc-pair list — proven exceptAll-exact
+    # at sf0.01/sf0.1 for max_bits 1 and 3.
+    return simhash_duplicate_clusters(docs, max_bits=1)
 
 
 @_register(
@@ -1953,11 +1958,12 @@ def cluster_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on COALESCE(cluster_id, doc_id), so a doc and its near-dups
     can never straddle train/test (plain hash_split can leak eval
     content through near-dups with different ids)."""
-    from mysql_syncer_spark.operators.cluster import duplicate_clusters
+    from mysql_syncer_spark.operators.cluster import (
+        simhash_duplicate_clusters,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.simhash_near_dup_pairs(docs, max_bits=1)
-    clusters = duplicate_clusters(pairs)
+    clusters = simhash_duplicate_clusters(docs, max_bits=1)
     return sampling.cluster_safe_split(
         docs, clusters, {"train": 0.9, "val": 0.05, "test": 0.05}
     ).select("doc_id", "split")

@@ -412,12 +412,11 @@ def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROW_NUMBER over (n_chars DESC, doc_id)."""
     from mysql_syncer_spark.operators.cluster import (
         cluster_keep_best,
-        duplicate_clusters,
+        simhash_duplicate_clusters,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.simhash_near_dup_pairs(docs, max_bits=1)
-    clusters = duplicate_clusters(pairs)
+    clusters = simhash_duplicate_clusters(docs, max_bits=1)
     return cluster_keep_best(docs, clusters, "n_chars").select(
         "doc_id", "n_chars"
     )

@@ -203,3 +203,64 @@ class TestGoldenRecords:
             golden_records(recs, ["cid"], ["ts"], [])
         with pytest.raises(ValueError, match="overlap"):
             golden_records(recs, ["cid"], ["ts"], ["ts"])
+
+
+class TestSimhashDuplicateClusters:
+    """simhash_duplicate_clusters ≡ duplicate_clusters(simhash pairs):
+    the signature-cardinality component path must emit the exact same
+    (doc_id, cluster_id) set as the doc-pair expansion it replaces."""
+
+    @pytest.fixture()
+    def corpus(self, spark):
+        # identical-doc groups (Hamming 0, incl. a 4-doc mega-group),
+        # near-dup chains that only connect transitively, and unique
+        # docs that must stay unemitted
+        rows = []
+        for i in range(4):  # identical mega-group
+            rows.append((i, "the quick brown fox jumps over the lazy dog"))
+        rows.append((10, "the quick brown fox jumps over the lazy cat"))
+        rows.append((11, "a quick brown fox jumps over the lazy cat"))
+        for i in range(20, 23):  # second identical group
+            rows.append((i, "lorem ipsum dolor sit amet consectetur"))
+        rows.append((30, "completely unrelated text about databases"))
+        rows.append((31, "another singleton document mentioning spark"))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @pytest.mark.parametrize("max_bits", [1, 3])
+    @pytest.mark.parametrize("edge_limit", [2_000_000, 0])
+    def test_equivalent_to_doc_pair_path(
+        self, spark, corpus, max_bits, edge_limit
+    ):
+        # edge_limit=0 forces the distributed tail; the default takes
+        # the driver union-find tail — both must match the doc-pair path
+        from mysql_syncer_spark.operators import dedup
+        from mysql_syncer_spark.operators.cluster import (
+            simhash_duplicate_clusters,
+        )
+
+        old = duplicate_clusters(
+            dedup.simhash_near_dup_pairs(corpus, max_bits=max_bits)
+        )
+        new = simhash_duplicate_clusters(
+            corpus, max_bits=max_bits, driver_edge_limit=edge_limit
+        )
+        assert new.exceptAll(old).count() == 0
+        assert old.exceptAll(new).count() == 0
+        assert new.count() == old.count()
+
+    def test_identical_group_without_near_signature(self, spark, corpus):
+        """A signature shared by >= 2 docs clusters its copies even when
+        no OTHER signature is within Hamming range (the multiplicity
+        branch, not the rep-pair branch)."""
+        from mysql_syncer_spark.operators.cluster import (
+            simhash_duplicate_clusters,
+        )
+
+        out = {
+            (r.doc_id, r.cluster_id)
+            for r in simhash_duplicate_clusters(corpus, max_bits=1).collect()
+        }
+        # second identical group is isolated: all three docs -> min id 20
+        assert {(20, 20), (21, 20), (22, 20)} <= out
+        # singletons never appear
+        assert not any(d in (30, 31) for d, _ in out)

@@ -114,6 +114,33 @@ def duplicate_clusters(
     # twice inside the edges materialization. The pair list is the
     # smallest frame in any dedup pipeline — pinning it is free.
     pairs = pairs.select(id_a, id_b).localCheckpoint(eager=True)
+    # Raw pair lists inside the driver budget skip the distributed
+    # contraction entirely (r12): one Arrow collect + numpy union-find
+    # emits the (node, component-min) frame directly — the contraction
+    # phase's 4-5 blocking jobs (symmetric edge pin, l0 pin, remainder
+    # pin + counts) exist to SHRINK a graph that is already
+    # driver-sized. factorize(sort=True) makes code order = value
+    # order, so the min-code root IS the min-id cluster label. Larger
+    # graphs take the unchanged contraction + propagation path.
+    if pairs.count() <= driver_edge_limit:
+        pdf = pairs.toPandas()
+        m = len(pdf)
+        codes, uniques = pd.factorize(
+            pd.concat([pdf[id_a], pdf[id_b]], ignore_index=True), sort=True
+        )
+        uniques = np.asarray(uniques)
+        roots = _union_find_codes(codes[:m], codes[m:], len(uniques))
+        id_type = pairs.schema[id_a].dataType
+        out_pdf = pd.DataFrame(
+            {"doc_id": uniques, "cluster_id": uniques[roots]}
+        )
+        schema = StructType(
+            [
+                StructField("doc_id", id_type),
+                StructField("cluster_id", id_type),
+            ]
+        )
+        return spark.createDataFrame(out_pdf, schema)
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     # no distinct: min-propagation and union-find are idempotent under

@@ -119,6 +119,37 @@ def test_long_chain_converges_via_recontraction(spark):
     assert got == {i: 1 for i in range(1, 61)}
 
 
+def test_raw_pair_driver_path_matches_distributed(spark):
+    """The r12 driver fast path (raw pair list within driver_edge_limit
+    → one Arrow collect + numpy union-find, no contraction jobs) must
+    label exactly like the distributed contraction+propagation path on
+    a graph mixing cliques, a chain, duplicate and reversed edges, and
+    a self-loop."""
+    edges = (
+        [(1, 2), (2, 3), (3, 1)]          # clique
+        + [(10, 11), (11, 12), (12, 13)]  # chain
+        + [(20, 21), (21, 20), (20, 21)]  # duplicate + reversed
+        + [(30, 30)]                      # self-loop
+    )
+    fast = {
+        (r["doc_id"], r["cluster_id"])
+        for r in duplicate_clusters(_pairs(spark, edges)).collect()
+    }
+    dist = {
+        (r["doc_id"], r["cluster_id"])
+        for r in duplicate_clusters(
+            _pairs(spark, edges), driver_edge_limit=0
+        ).collect()
+    }
+    assert fast == dist
+    assert fast == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10), (12, 10), (13, 10),
+        (20, 20), (21, 20),
+        (30, 30),
+    }
+
+
 def test_string_ids_driver_path(spark):
     """Non-integer doc ids (UUID-style strings) through the driver
     union-find path: mapping schema must derive from the id type, and

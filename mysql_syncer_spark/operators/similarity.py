@@ -51,8 +51,48 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 
+def _dlit(x: float) -> str:
+    """Exact SQL DOUBLE literal for a Python float. ``repr`` emits the
+    shortest decimal that round-trips, and Spark's parse is correctly
+    rounded, so the parsed literal is bit-identical to ``F.lit(x)``
+    (verified incl. subnormals, extremes and exponent forms)."""
+    x = float(x)
+    if x != x or x in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite SQL double literal: {x!r}")
+    return repr(x) + "D"
+
+
+def _arr_sql(vec: Sequence[float]) -> str:
+    """SQL text of a DOUBLE array literal."""
+    return "array(" + ",".join(_dlit(x) for x in vec) + ")"
+
+
 def _query_col(query_vec: Sequence[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in query_vec])
+    # ONE parsed expression instead of len(vec)+1 py4j Column calls.
+    # Plan CONSTRUCTION is driver wall-time the bench pays on every
+    # pass, and the per-centroid loops below call this dozens of times
+    # per plan — Column algebra here cost ~2s/plan at 64 dims (r12 w14,
+    # measured); the parsed tree and values are identical.
+    return F.expr(_arr_sql(query_vec))
+
+
+def _l2_dist_array(
+    col_sql: str, cents: Sequence[Sequence[float]]
+) -> Column:
+    """``array(|c|^2 - 2*dot(col, c) for c in cents)`` as ONE parsed
+    expression — the squared-L2 argmin scan shared by pq_encode and
+    _l2_lloyd (the row-constant |v|^2 term is dropped by both). Same
+    IEEE tree the Column-algebra loop built (driver-folded |c|^2
+    literal, zip_with/aggregate dot, int-2 scaling); only the
+    construction path differs: ~25 py4j roundtrips PER CENTROID -> one
+    expr parse per array."""
+    terms = [
+        f"({_dlit(sum(float(x) * float(x) for x in c))} - 2 * "
+        f"aggregate(zip_with({col_sql}, {_arr_sql(c)}, (x, y) -> x * y), "
+        f"0.0D, (acc, v) -> acc + v))"
+        for c in cents
+    ]
+    return F.expr("array(" + ",".join(terms) + ")")
 
 
 def cosine_topk(
@@ -142,14 +182,19 @@ def ivf_assign(
         math.sqrt(sum(float(x) * float(x) for x in c)) for c in centroids
     ]
     with_n = df.withColumn("__vn", l2_norm(F.col(vec_col)))
-    dists = F.array(
-        *[
-            (
-                dot(F.col(vec_col), _query_col(c))
-                / (F.col("__vn") * F.lit(n))
-            ).alias(f"c{i}")
-            for i, (c, n) in enumerate(zip(centroids, c_norms))
-        ]
+    # one parsed expression for the whole k-way cosine array: the
+    # Column-algebra loop (k x (query_col + dot + arithmetic)) spent
+    # ~2s of driver py4j time PER PLAN at k=16/64 dims (r12 w14) —
+    # identical tree, same values
+    dists = F.expr(
+        "array("
+        + ",".join(
+            f"(aggregate(zip_with(`{vec_col}`, {_arr_sql(c)}, "
+            f"(x, y) -> x * y), 0.0D, (acc, v) -> acc + v) "
+            f"/ (`__vn` * {_dlit(n)}))"
+            for c, n in zip(centroids, c_norms)
+        )
+        + ")"
     )
     return with_n.select(
         F.col(id_col), F.col(vec_col),
@@ -896,15 +941,7 @@ def _l2_lloyd(
         )
     cents = init + [init[-1]] * (k - len(init))  # degenerate tiny input
     for _ in range(iters):
-        dists = F.array(
-            *[
-                (
-                    F.lit(sum(x * x for x in c))
-                    - 2 * dot(F.col("__sub"), _query_col(c))
-                )
-                for c in cents
-            ]
-        )
+        dists = _l2_dist_array("`__sub`", cents)
         assigned = df_sub.select(
             (F.array_position(dists, F.array_min(dists)) - 1)
             .cast("int")
@@ -989,13 +1026,10 @@ def pq_encode(
     v = F.col(vec_col).cast("array<double>")
     codes = []
     for j, book in enumerate(codebooks):
-        s = F.slice(v, j * sub + 1, sub)
-        dists = F.array(
-            *[
-                (F.lit(sum(x * x for x in c)) - 2 * dot(s, _query_col(c)))
-                for c in book
-            ]
+        s_sql = (
+            f"slice(cast(`{vec_col}` as array<double>), {j * sub + 1}, {sub})"
         )
+        dists = _l2_dist_array(s_sql, book)
         codes.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
@@ -1042,10 +1076,7 @@ def pq_topk(
     ]
     adc = None
     for j in range(m):
-        term = F.element_at(
-            F.array(*[F.lit(x) for x in luts[j]]),
-            F.col("codes")[j] + 1,
-        )
+        term = F.expr(f"element_at({_arr_sql(luts[j])}, codes[{j}] + 1)")
         adc = term if adc is None else adc + term
     scored = codes_df.select(
         F.col(id_col),

@@ -271,9 +271,14 @@ def minhash_signatures(
         # integer div (h > 2^53: float / loses bits)
         F.expr(f"__h div {_HALF}").alias("__hi"),
     )
-    lo, hi = F.col("__lo"), F.col("__hi")
+    # one parsed expr per hash (r12 wave 15): the Column-algebra form
+    # (F.lit(a) * lo + F.lit(b) * hi + F.lit(c)) % P paid ~10 py4j
+    # roundtrips per hash — ~0.3 s of driver chatter per signature
+    # frame at num_hashes=32, re-paid on every build. The SQL literals
+    # parse to the same INT/LONG types (a, b, c, P all < 2^31), so the
+    # arithmetic tree and every emitted value are identical.
     aggs = [
-        F.min((F.lit(a) * lo + F.lit(b) * hi + F.lit(c)) % MINHASH_P).alias(
+        F.expr(f"min(({a} * __lo + {b} * __hi + {c}) % {MINHASH_P})").alias(
             f"h{i}"
         )
         for i, (a, b, c) in enumerate(minhash_params(num_hashes))
@@ -294,19 +299,24 @@ def band_bucket_frame(
     variants so every consumer hashes bands identically."""
     rows_per_band = num_hashes // bands
     out = out_id or id_col
-    band_cols = []
-    for b in range(bands):
-        hs = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws("#", *[h.cast("string") for h in hs])
-                ).alias("bucket"),
-            )
+    # ONE parsed expr for the whole band array (r12 wave 15): the
+    # per-band F.struct/F.md5/F.concat_ws loop paid ~15 py4j roundtrips
+    # per band; named_struct/md5/concat_ws parse to the identical tree
+    # (band index literals are INT in both forms), so buckets are
+    # byte-identical.
+    band_sql = ", ".join(
+        "named_struct('band', {b}, 'bucket', md5(concat_ws('#', {hs})))".format(
+            b=b,
+            hs=", ".join(
+                f"cast(h{b * rows_per_band + r} as string)"
+                for r in range(rows_per_band)
+            ),
         )
+        for b in range(bands)
+    )
     return sig.select(
-        F.col(id_col).alias(out), F.explode(F.array(*band_cols)).alias("bb")
+        F.col(id_col).alias(out),
+        F.expr(f"explode(array({band_sql}))").alias("bb"),
     ).select(out, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
@@ -356,19 +366,29 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sa = sig.select(*[F.col(c).alias(f"a_{c}") for c in sig.columns])
-    sb = sig.select(*[F.col(c).alias(f"b_{c}") for c in sig.columns])
-    matches = sum(
-        F.when(F.col(f"a_h{i}") == F.col(f"b_h{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
-    )
+    sa = sig.toDF(*[f"a_{c}" for c in sig.columns])
+    sb = sig.toDF(*[f"b_{c}" for c in sig.columns])
     return (
         cand.join(sa, cand.id_a == F.col(f"a_{id_col}"))
         .join(sb, cand.id_b == F.col(f"b_{id_col}"))
-        .withColumn("jaccard_est", matches.cast("double") / F.lit(num_hashes))
+        .withColumn("jaccard_est", _jaccard_est_expr(num_hashes))
         .where(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
+
+
+def _jaccard_est_expr(num_hashes: int) -> Column:
+    """Signature-match Jaccard estimate as ONE parsed expr (r12 wave
+    15): the ``sum(F.when(a_h==b_h,1).otherwise(0))`` chain paid ~8
+    py4j roundtrips per hash. CASE WHEN parses to the same conditional
+    tree, the integer add chain the same sum (the builtin-sum's leading
+    ``0 +`` is value-neutral), and double/INT division promotes
+    identically — estimates are byte-identical."""
+    terms = " + ".join(
+        f"(CASE WHEN a_h{i} = b_h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return F.expr(f"CAST({terms} AS DOUBLE) / {num_hashes}")
 
 
 def minhash_lsh_pairs_between(
@@ -422,16 +442,12 @@ def minhash_lsh_pairs_between(
         .select("id_new", "id_old")
         .distinct()
     )
-    sa = sig_new.select(*[F.col(c).alias(f"a_{c}") for c in sig_new.columns])
-    sb = sig_old.select(*[F.col(c).alias(f"b_{c}") for c in sig_old.columns])
-    matches = sum(
-        F.when(F.col(f"a_h{i}") == F.col(f"b_h{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
-    )
+    sa = sig_new.toDF(*[f"a_{c}" for c in sig_new.columns])
+    sb = sig_old.toDF(*[f"b_{c}" for c in sig_old.columns])
     return (
         cand.join(sa, cand.id_new == F.col(f"a_{id_col}"))
         .join(sb, cand.id_old == F.col(f"b_{id_col}"))
-        .withColumn("jaccard_est", matches.cast("double") / F.lit(num_hashes))
+        .withColumn("jaccard_est", _jaccard_est_expr(num_hashes))
         .where(F.col("jaccard_est") >= threshold)
         .select("id_new", "id_old", "jaccard_est")
     )
@@ -527,14 +543,20 @@ def simhash(
         *packed_sums, F.count(F.lit(1)).alias("__n")
     )
     mask = (1 << slot_w) - 1
-    sig_bits = []
-    for gi, grp in enumerate(groups):
-        for s, i in enumerate(grp):
-            ones = F.expr(f"(p{gi} >> {slot_w * s}) & {mask}")
-            sig_bits.append(
-                F.when(ones * 2 > F.col("__n"), F.lit(1 << i)).otherwise(0)
-            )
-    packed = sum(sig_bits, start=F.lit(0))
+    # ONE parsed expr for the 48-term bit reconstruction (r12 wave 15):
+    # the per-bit F.when chain paid ~8 py4j roundtrips per bit. CASE
+    # WHEN + the add chain parse to the same conditional/sum tree (bit
+    # weights written as BIGINT literals — the Column form mixed
+    # INT/LONG by magnitude, which only affects promotion steps, never
+    # the summed value), so signatures are byte-identical.
+    packed = F.expr(
+        " + ".join(
+            f"(CASE WHEN ((p{gi} >> {slot_w * s}) & {mask}) * 2 > __n"
+            f" THEN {1 << i}L ELSE 0L END)"
+            for gi, grp in enumerate(groups)
+            for s, i in enumerate(grp)
+        )
+    )
     # Loud overflow guard: a doc with ≥ 2^21 distinct tokens would carry
     # across slot boundaries and silently corrupt the signature. __n
     # bounds every slot's ones-count, so one per-DOC comparison (not
@@ -595,15 +617,16 @@ def simhash_rep_pairs(
         width = base + (1 if i < extra else 0)
         bounds.append((shift, width))
         shift += width
-    chunk_structs = [
-        F.struct(
-            F.lit(i).alias("chunk"),
-            F.expr(f"(__sig >> {s}) & {(1 << w) - 1}").alias("val"),
-        )
+    # shiftright(), not the `>>` operator: inside an array(...) call the
+    # parser treats `>>` as two generic-type closers (ARRAY<ARRAY<T>>
+    # lexing) and errors; shiftright parses to the identical ShiftRight
+    # node.
+    chunk_sql = ", ".join(
+        f"named_struct('chunk', {i}, 'val', shiftright(__sig, {s}) & {(1 << w) - 1})"
         for i, (s, w) in enumerate(bounds)
-    ]
+    )
     probe = sig.select("__sig").distinct().select(
-        "__sig", F.explode(F.array(*chunk_structs)).alias("cv")
+        "__sig", F.expr(f"explode(array({chunk_sql}))").alias("cv")
     ).select("__sig", F.col("cv.chunk").alias("chunk"),
              F.col("cv.val").alias("val"))
     a = probe.select(F.col("__sig").alias("__sa"), "chunk", "val")

@@ -853,6 +853,7 @@ def propagate_scores(
     dst_col: str = "id_b",
     id_col: str = "id",
     score_col: str = "score_micro",
+    lineage_cut_every: int = 8,
 ) -> DataFrame:
     """Graph quality propagation over a (kNN) edge list — the curation
     stage :func:`knn_graph` feeds: a document's quality estimate is
@@ -872,9 +873,10 @@ def propagate_scores(
 
     Scale shape: each round is ONE join of the edge list against the
     current k-sized score column plus a groupBy on src — work ∝ |E| per
-    round, never n². Lineage is cut with ``localCheckpoint(eager=True)``
-    per round (the cluster.py discipline) so ``iters`` rounds cost
-    ``iters`` plans, not one 3^iters-deep plan.
+    round, never n². Rounds chain lazily (the recursion is linear over
+    the pinned seed/edge frames, so the whole fixed-iteration loop is
+    ONE job); lineage is cut every ``lineage_cut_every`` rounds to
+    bound plan depth when ``iters`` is large.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -892,7 +894,7 @@ def propagate_scores(
     ).localCheckpoint(eager=True)
     cur = s0.select("__id", F.col("__s0").alias("__s"))
     beta = alpha_den - alpha_num
-    for _ in range(iters):
+    for t in range(iters):
         nb = (
             e.join(cur, e.__dst == cur.__id)
             .groupBy("__src")
@@ -900,18 +902,20 @@ def propagate_scores(
                 F.expr("sum(__s) div count(1)").cast("long").alias("__m")
             )
         )
-        cur = (
-            s0.join(nb, s0.__id == nb.__src, "left")
-            .select(
-                "__id",
-                F.expr(
-                    f"(({alpha_num}L * __s0 + {beta}L * "
-                    "coalesce(__m, __s0)) div "
-                    f"{alpha_den}L)"
-                ).alias("__s"),
-            )
-            .localCheckpoint(eager=True)
+        cur = s0.join(nb, s0.__id == nb.__src, "left").select(
+            "__id",
+            F.expr(
+                f"(({alpha_num}L * __s0 + {beta}L * "
+                "coalesce(__m, __s0)) div "
+                f"{alpha_den}L)"
+            ).alias("__s"),
         )
+        # Periodic lineage cut, not per-round — see pagerank(): the
+        # round chain is linear over pinned s0/e, so lazy chaining
+        # replaces `iters` blocking pin jobs with ONE job; the cut
+        # bounds plan depth for large `iters`.
+        if (t + 1) % lineage_cut_every == 0 and t + 1 < iters:
+            cur = cur.localCheckpoint(eager=True)
     return cur.select(
         F.col("__id").alias(id_col), F.col("__s").alias(score_col)
     )
@@ -1140,6 +1144,7 @@ def pagerank(
     dst_col: str = "id_b",
     id_col: str = "id",
     score_col: str = "pr_micro",
+    lineage_cut_every: int = 8,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (e.g. the
     per-node top-k edges of :func:`knn_graph`) — the global-centrality
@@ -1163,9 +1168,10 @@ def pagerank(
     settle at the teleport floor ((d_den−d_num)·base div d_den).
 
     Scale shape: out-degrees are computed ONCE (one |E| groupBy);
-    each round is one |E|-proportional join + groupBy(dst) with
-    ``localCheckpoint`` lineage cuts (the cluster.py discipline) — N
-    rounds cost N plans, never n²."""
+    each round is one |E|-proportional join + groupBy(dst), chained
+    lazily into ONE job (lineage cut every ``lineage_cut_every``
+    rounds bounds plan depth for large ``iters``) — N rounds cost N
+    join+agg layers, never n²."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
     if not (0 < d_num <= d_den):
@@ -1187,24 +1193,31 @@ def pagerank(
     ew = e.join(deg, "__src").localCheckpoint(eager=True)
     teleport = (d_den - d_num) * base
     cur = n0.withColumn("__s", F.lit(base).cast("long"))
-    for _ in range(iters):
+    for t in range(iters):
         inflow = (
             ew.join(cur, ew.__src == cur.__id)
             .select("__dst", F.expr("__s div __deg").alias("__c"))
             .groupBy("__dst")
             .agg(F.sum("__c").cast("long").alias("__in"))
         )
-        cur = (
-            n0.join(inflow, n0.__id == inflow.__dst, "left")
-            .select(
-                "__id",
-                F.expr(
-                    f"(({teleport}L + {d_num}L * coalesce(__in, 0L)) "
-                    f"div {d_den}L)"
-                ).alias("__s"),
-            )
-            .localCheckpoint(eager=True)
+        cur = n0.join(inflow, n0.__id == inflow.__dst, "left").select(
+            "__id",
+            F.expr(
+                f"(({teleport}L + {d_num}L * coalesce(__in, 0L)) "
+                f"div {d_den}L)"
+            ).alias("__s"),
         )
+        # Periodic lineage cut, not per-round (r12 wave 15): each round
+        # references `cur` exactly once, so the lazy chain grows
+        # LINEARLY (one join+agg layer per round) over the already-
+        # checkpointed ew/n0 — no recompute is possible. A per-round
+        # eager pin serialized the loop into `iters` blocking driver
+        # jobs (~0.3-0.5 s latency each); chaining runs the whole
+        # fixed-iteration recursion as ONE job. The cut every
+        # `lineage_cut_every` rounds keeps plan depth bounded for
+        # large `iters` (integer math — values placement-independent).
+        if (t + 1) % lineage_cut_every == 0 and t + 1 < iters:
+            cur = cur.localCheckpoint(eager=True)
     return cur.select(
         F.col("__id").alias(id_col), F.col("__s").alias(score_col)
     )

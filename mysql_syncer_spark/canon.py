@@ -104,6 +104,16 @@ def canonical_cols(df: DataFrame, cols: Sequence[str] | None = None) -> list[Col
     ]
 
 
+#: schema-keyed memo of built row-hash Columns (r12 wave 16): a Column
+#: is an immutable unresolved expression tree — the same object is
+#: reusable across DataFrames AND across session restarts in one
+#: process (verified: the py4j gateway outlives SparkSession.stop()).
+#: Building the canonical-cols tree costs ~20 py4j roundtrips per
+#: float column and ~5 per scalar column, re-paid on every diff /
+#: digest / SCD2 call; the memo pays it once per distinct schema.
+_ROW_HASH_CACHE: dict[tuple, Column] = {}
+
+
 def row_hash_col(df: DataFrame, cols: Sequence[str] | None = None) -> Column:
     """``MD5(CONCAT_WS('#', canonical cols))`` as a Column.
 
@@ -111,7 +121,14 @@ def row_hash_col(df: DataFrame, cols: Sequence[str] | None = None) -> Column:
     Spark concat_ws silently skip NULLs, which is exactly the bug the
     reference's NullColumnTest caught (TableConnection.php:473-477).
     """
-    return F.md5(F.concat_ws(HASH_SEP, *canonical_cols(df, cols)))
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    names = list(cols) if cols is not None else df.schema.fieldNames()
+    key = tuple((n, by_name[n].simpleString()) for n in names)
+    col = _ROW_HASH_CACHE.get(key)
+    if col is None:
+        col = F.md5(F.concat_ws(HASH_SEP, *canonical_cols(df, cols)))
+        _ROW_HASH_CACHE[key] = col
+    return col
 
 
 def with_row_hash(

@@ -731,16 +731,18 @@ def simhash_near_dup_pairs(
 # Embedding near-dup (cosine)
 # ---------------------------------------------------------------------------
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def _dot(a: Column | str, b: Column | str) -> Column:
+    # str args take similarity.dot's parse-once path (r12 wave 16):
+    # identical tree, ~50x less driver chatter per call.
+    from mysql_syncer_spark.operators.similarity import dot
+
+    return dot(a, b)
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+def _norm(a: Column | str) -> Column:
+    from mysql_syncer_spark.operators.similarity import l2_norm
+
+    return l2_norm(a)
 
 
 def embedding_near_dups(
@@ -792,17 +794,17 @@ def embedding_near_dups(
     base = df.select(*cols)
     if block_col is None:
         base = base.withColumn(
-            "blk", similarity.sign_bucket(F.col("v"), lsh_bits)
+            "blk", similarity.sign_bucket("v", lsh_bits)
         )
     blocked = block_col is not False
-    base = base.withColumn("n", _norm(F.col("v")))
+    base = base.withColumn("n", _norm("v"))
     a = base.select(*[F.col(c).alias(f"{c}_a") for c in base.columns])
     b = base.select(*[F.col(c).alias(f"{c}_b") for c in base.columns])
     on = [F.col("blk_a") == F.col("blk_b")] if blocked else []
     pairs = a.join(b, on=on if on else None, how="inner" if on else "cross").where(
         F.col("id_a") < F.col("id_b")
     )
-    cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    cos = _dot("v_a", "v_b") / (F.col("n_a") * F.col("n_b"))
     return (
         pairs.withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)

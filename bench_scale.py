@@ -1060,9 +1060,102 @@ def run_corpus_card_fold() -> None:
     print(json.dumps({"corpus_card_fold": results}))
 
 
+#: core-scaling lane keys (r13, VERDICT r12 item 3): operators whose
+#: heavy stage is cluster-sized at sf1 — scans + shuffles + map-heavy
+#: kernels across the diff/digest, agg, window, dedup and stats
+#: families. The sf0.1 headline bench cannot show core scaling (keys
+#: are overhead/driver-bound there); this lane is the evidence of
+#: which operators actually parallelize.
+CORE_SCALE_KEYS = [
+    "sync_merge_orders",
+    "missing_rows_orders",
+    "table_digest_orders",
+    "agg_pricing_summary",
+    "sessionize_events",
+    "minhash_lsh_pairs_docs",
+    "simhash_near_dup_docs",
+    "bootstrap_mean_ci_events",
+    "duplication_profile_docs",
+    "tpch_q1_pricing",
+]
+
+
+def run_core_scaling_child(cpus: str) -> None:
+    """One fresh JVM at local[cpus]: CORE_SCALE_KEYS at synthesized
+    sf1, 2 passes, per-key min; prints one JSON line."""
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+    global CPUS
+    CPUS = cpus
+    from mysql_syncer_spark import queries as registry
+
+    spark = _session()
+    force(
+        spark.range(0, int(cpus) * 1000, 1, int(cpus)).mapInPandas(
+            lambda it: it, "id long"
+        )
+    )
+    sf1 = synthesize_sf1(spark)
+    qmap = registry.queries()
+
+    def one_pass() -> dict[str, float]:
+        out = {}
+        for k in CORE_SCALE_KEYS:
+            spark.sparkContext.setJobDescription(f"core-scale {cpus}c {k}")
+            t0 = time.time()
+            force(qmap[k](spark, sf1))
+            out[k] = round(time.time() - t0, 3)
+        return out
+
+    p1, p2 = one_pass(), one_pass()
+    times = {k: min(p1[k], p2[k]) for k in p1}
+    print(
+        "CORE_SCALE_JSON:"
+        + json.dumps(
+            {"cpus": int(cpus), "times": times, "pass1": p1, "pass2": p2},
+            separators=(",", ":"),
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+def run_core_scaling() -> None:
+    """8 vs 32 cores over CORE_SCALE_KEYS at sf1-equivalent data, each
+    core count in its own JVM (subprocess). Emits per-key speedups."""
+    import subprocess
+
+    here = os.path.abspath(__file__)
+    rows = {}
+    for cpus in ("32", "8"):
+        proc = subprocess.run(
+            [sys.executable, here, "cores_child", cpus],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(here),
+        )
+        blob = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("CORE_SCALE_JSON:"):
+                blob = json.loads(line[len("CORE_SCALE_JSON:"):])
+        if blob is None:
+            print(proc.stdout[-2000:], proc.stderr[-4000:], file=sys.stderr)
+            sys.exit(1)
+        rows[cpus] = blob
+        print(json.dumps(blob, separators=(",", ":")), flush=True)
+    ratios = {
+        k: round(rows["8"]["times"][k] / max(rows["32"]["times"][k], 1e-9), 2)
+        for k in CORE_SCALE_KEYS
+    }
+    print(json.dumps({"speedup_8c_to_32c": ratios}, separators=(",", ":")))
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "ingest"
-    if mode == "ingest":
+    if mode == "cores":
+        run_core_scaling()
+    elif mode == "cores_child":
+        run_core_scaling_child(sys.argv[2])
+    elif mode == "ingest":
         run_ingest_scaling()
     elif mode == "tail":
         run_tail_smoke()

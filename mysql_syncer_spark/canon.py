@@ -111,7 +111,23 @@ def canonical_cols(df: DataFrame, cols: Sequence[str] | None = None) -> list[Col
 #: Building the canonical-cols tree costs ~20 py4j roundtrips per
 #: float column and ~5 per scalar column, re-paid on every diff /
 #: digest / SCD2 call; the memo pays it once per distinct schema.
+#: r13 hygiene (ADVICE r12): the key carries the py4j gateway's
+#: identity — a cached Column holds JavaObject refs that die with the
+#: gateway, so a forked/recreated gateway must never see the old
+#: entries — and the dict is bounded (drop-oldest past the cap; far
+#: above any real schema count, it only guards pathological callers
+#: that synthesize schemas in a loop).
 _ROW_HASH_CACHE: dict[tuple, Column] = {}
+_ROW_HASH_CACHE_MAX = 256
+
+
+def _gateway_token(df: DataFrame) -> int:
+    """Identity of the JVM gateway backing ``df``'s session (0 when the
+    internals are unavailable — no caching across unknown gateways)."""
+    try:
+        return id(df.sparkSession._sc._gateway)
+    except Exception:
+        return 0
 
 
 def row_hash_col(df: DataFrame, cols: Sequence[str] | None = None) -> Column:
@@ -123,11 +139,18 @@ def row_hash_col(df: DataFrame, cols: Sequence[str] | None = None) -> Column:
     """
     by_name = {f.name: f.dataType for f in df.schema.fields}
     names = list(cols) if cols is not None else df.schema.fieldNames()
-    key = tuple((n, by_name[n].simpleString()) for n in names)
-    col = _ROW_HASH_CACHE.get(key)
+    token = _gateway_token(df)
+    key = (token, *((n, by_name[n].simpleString()) for n in names))
+    col = _ROW_HASH_CACHE.get(key) if token else None
     if col is None:
         col = F.md5(F.concat_ws(HASH_SEP, *canonical_cols(df, cols)))
-        _ROW_HASH_CACHE[key] = col
+        if token:
+            stale = [k for k in _ROW_HASH_CACHE if k[0] != token]
+            for k in stale:
+                del _ROW_HASH_CACHE[k]
+            while len(_ROW_HASH_CACHE) >= _ROW_HASH_CACHE_MAX:
+                del _ROW_HASH_CACHE[next(iter(_ROW_HASH_CACHE))]
+            _ROW_HASH_CACHE[key] = col
     return col
 
 

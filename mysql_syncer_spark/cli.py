@@ -28,7 +28,10 @@ import json
 import sys
 
 from pyspark.sql import SparkSession
+
 from pyspark.sql import functions as F
+
+from mysql_syncer_spark.pin import pin
 
 from mysql_syncer_spark.config import SyncConfig
 from mysql_syncer_spark.executor import ParquetSyncExecutor, SyncReport
@@ -371,7 +374,7 @@ def _run_index_command(spark: SparkSession, args, out) -> int:
     batch = spark.read.parquet(args.batch)
     admitted = incremental_new_docs_indexed(
         idx, batch, text_col=args.text_col, threshold=args.threshold
-    ).localCheckpoint(eager=True)  # gate once; write + append reuse it
+    ).transform(pin, required=True)  # gate once; write + append reuse it
     admitted.write.mode("overwrite").parquet(args.out)
     if args.append:
         minhash_index_append(args.name, admitted, idx,

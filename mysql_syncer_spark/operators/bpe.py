@@ -34,7 +34,10 @@ handling, determinism under repartition, round-trip).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
 from pyspark.sql import functions as F
+
+from mysql_syncer_spark.pin import pin
 
 #: end-of-word marker appended to every word's last symbol, the
 #: standard Sennrich et al. 2016 convention (lets the tokenizer learn
@@ -126,7 +129,7 @@ def bpe_train(
     words = _word_counts(df, text_col).select(
         _initial_symbols().alias("symbols"), "freq"
     )
-    words = words.localCheckpoint(eager=True)
+    words = words.transform(pin)
     merges: list[tuple[str, str]] = []
     for i in range(num_merges):
         top = (
@@ -144,7 +147,7 @@ def bpe_train(
             _apply_merge(F.col("symbols"), a, b).alias("symbols"), "freq"
         )
         if (i + 1) % _CHECKPOINT_EVERY == 0:
-            words = words.localCheckpoint(eager=True)
+            words = words.transform(pin)
     return merges
 
 

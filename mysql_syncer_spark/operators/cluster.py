@@ -37,8 +37,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
+
+from mysql_syncer_spark.pin import pin
 
 
 def _union_find_codes(a: np.ndarray, b: np.ndarray, n: int) -> np.ndarray:
@@ -113,7 +116,7 @@ def duplicate_clusters(
     # pipeline (LSH banding join, simhash chunk join, cosine verify)
     # twice inside the edges materialization. The pair list is the
     # smallest frame in any dedup pipeline — pinning it is free.
-    pairs = pairs.select(id_a, id_b).localCheckpoint(eager=True)
+    pairs = pairs.select(id_a, id_b).transform(pin)
     # Raw pair lists inside the driver budget skip the distributed
     # contraction entirely (r12): one Arrow collect + numpy union-find
     # emits the (node, component-min) frame directly — the contraction
@@ -147,7 +150,7 @@ def duplicate_clusters(
     # duplicate edges, and LSH pair lists are distinct by construction —
     # a dedup shuffle of the full edge list would cost more than the
     # duplicates it removes.
-    edges = fwd.unionByName(rev).localCheckpoint(eager=True)
+    edges = fwd.unionByName(rev).transform(pin)
     # near-dup edge lists are many orders of magnitude smaller than the
     # corpus that produced them; after materialization, shrink the
     # remaining work's parallelism to match the DATA (count is ~free on
@@ -189,7 +192,7 @@ def _contract(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
         edges.groupBy("src")
         .agg(F.min("dst").alias("__mn"))
         .select("src", F.least(F.col("src"), F.col("__mn")).alias("label"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     lu = l0.select(F.col("src").alias("__u"), F.col("label").alias("__lu"))
     lv = l0.select(F.col("src").alias("__v"), F.col("label").alias("__lv"))
@@ -199,7 +202,7 @@ def _contract(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
         .where(F.col("__lu") != F.col("__lv"))
         .select(F.col("__lu").alias("src"), F.col("__lv").alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     return l0, remainder
 
@@ -241,7 +244,7 @@ def _resolve(
     labels = (
         remainder.select("src").distinct()
         .withColumn("label", F.col("src"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
 
     def hop(frame: DataFrame) -> DataFrame:
@@ -281,7 +284,7 @@ def _resolve(
         # a component are necessarily the component min, since the min
         # node's own label never rises). Unlike no-change detection,
         # this certifies convergence the same round it happens.
-        labels = jump(hop(jump(hop(labels)))).localCheckpoint(eager=True)
+        labels = jump(hop(jump(hop(labels)))).transform(pin)
         inconsistent = (
             remainder.join(labels, on="src")
             .join(
@@ -316,7 +319,7 @@ def _resolve(
         .where(F.col("__lu") != F.col("__lv"))
         .select(F.col("__lu").alias("src"), F.col("__lv").alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     submap = _resolve(
         sub, sub.count(), max_iter * 2, driver_edge_limit, depth + 1
@@ -378,12 +381,12 @@ def simhash_duplicate_clusters(
     sig = (
         simhash(df, id_col, text_col, bits, hash_mode)
         .select(F.col(id_col).alias("__id"), F.col("simhash").alias("__sig"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     rep = (
         simhash_rep_pairs(sig, bits, max_bits)
         .select("__sa", "__sb")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     # counts are ~free on checkpointed frames; both gates are
     # signature-cardinality (edges and per-sig stats), the same driver

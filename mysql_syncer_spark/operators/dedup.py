@@ -25,7 +25,10 @@ Design notes for 100 TB:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
+
 from pyspark.sql import functions as F
+
+from mysql_syncer_spark.pin import pin
 
 from mysql_syncer_spark.operators.spread import spread_small
 from mysql_syncer_spark.operators.text import normalized_text, ws_tokens
@@ -356,7 +359,7 @@ def minhash_lsh_pairs(
     """
     sig = minhash_signatures(
         df, id_col, text_col, k, num_hashes, hash_mode
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     buckets = band_bucket_frame(sig, id_col, num_hashes, bands)
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
@@ -431,8 +434,8 @@ def minhash_lsh_pairs_between(
         incoming, id_col, text_col, k, num_hashes, hash_mode
     )
     if materialize_sigs:
-        sig_old = sig_old.localCheckpoint(eager=True)
-        sig_new = sig_new.localCheckpoint(eager=True)
+        sig_old = sig_old.transform(pin)
+        sig_new = sig_new.transform(pin)
     cand = (
         band_bucket_frame(sig_new, id_col, num_hashes, bands, "id_new")
         .join(
@@ -474,7 +477,7 @@ def incremental_new_docs(
         corpus.select(F.md5(normalized_text(text_col)).alias("__fp")).distinct(),
         F.md5(normalized_text(f"i.{text_col}")) == F.col("__fp"),
         "left_anti",
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     # pinned: fresh feeds the LSH pipeline AND the final anti-join —
     # unpinned, the corpus-wide fingerprint distinct + anti-join above
     # it would execute once per consumer. fresh is batch-sized.
@@ -685,7 +688,7 @@ def simhash_pairs_from_signatures(
     # (id, signature): rows-sized, tiny at any scale.
     sig = sig.select(
         F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     rep_pairs = simhash_rep_pairs(sig, bits, max_bits)
     ga = sig.select(F.col("__id").alias("__ia"), F.col("__sig").alias("__sa"))
     gb = sig.select(F.col("__id").alias("__ib"), F.col("__sig").alias("__sb"))

@@ -37,7 +37,10 @@ the doc id as the stated tie-break.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
 from pyspark.sql import functions as F
+
+from mysql_syncer_spark.pin import pin
 
 from mysql_syncer_spark.operators.sampling import BUCKETS, hash_bucket
 
@@ -121,7 +124,7 @@ def dsir_weights(
             F.count(F.lit(1)).alias("__c"),
             F.first("__is_target").alias("__is_target"),
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     bc = per_db.groupBy("__b").agg(
         F.sum(F.col("__is_target") * F.col("__c")).cast("long").alias("__tc"),

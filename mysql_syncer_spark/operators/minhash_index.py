@@ -40,7 +40,10 @@ from __future__ import annotations
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
+
 from pyspark.sql import functions as F
+
+from mysql_syncer_spark.pin import pin
 
 from mysql_syncer_spark.operators.dedup import (
     band_bucket_frame,
@@ -260,10 +263,10 @@ def minhash_index_append(
     are small by definition; then the signature frame is checkpointed
     once so the two appends (sig + buckets) don't re-sign it."""
     id_col, nb = index.id_col, index.num_buckets
-    batch = batch.localCheckpoint(eager=True)
+    batch = batch.transform(pin, required=True)
     sig = minhash_signatures(
         batch, id_col, text_col, index.k, index.num_hashes
-    ).localCheckpoint(eager=True)
+    ).transform(pin, required=True)
     write_bucketed(sig, f"{index_name}_sig", [id_col], nb, mode="append")
     write_bucketed(
         band_bucket_frame(sig, id_col, index.num_hashes, index.bands),
@@ -341,7 +344,7 @@ def minhash_lsh_pairs_against_index(
         # it once (id + num_hashes longs per doc) so per-ingest work is
         # O(batch) exactly once. Opt-in: the lazy form keeps the full
         # lineage for plan-shape gates and non-gate callers.
-        sig_new = sig_new.localCheckpoint(eager=True)
+        sig_new = sig_new.transform(pin, required=True)
     cand = (
         band_bucket_frame(sig_new, id_col, num_hashes, index.bands, "id_new")
         .join(
@@ -392,7 +395,7 @@ def incremental_new_docs_indexed(
     # batch is ingest-sized, so materialize it once rather than paying
     # the fp anti-join per consumer (same rationale as
     # materialize_batch below).
-    fresh = fresh.localCheckpoint(eager=True)
+    fresh = fresh.transform(pin, required=True)
     near = (
         minhash_lsh_pairs_against_index(
             index, fresh, text_col, threshold, materialize_batch=True

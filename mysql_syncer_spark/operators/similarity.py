@@ -22,12 +22,24 @@ BLAS beats per-element codegen.
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mysql_syncer_spark.pin import pin
 from mysql_syncer_spark.operators.spread import spread_small as _spread
+
+#: bare SQL identifiers safe to splice into F.expr after backtick
+#: quoting; anything else takes the Column path (F.col resolves
+#: arbitrary names — raw splicing would parse 'vec-1' as vec minus 1)
+_BARE_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _ident(name: str) -> str | None:
+    """Backtick-quoted reference for a plain column name, else None."""
+    return f"`{name}`" if _BARE_IDENT.match(name) else None
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
@@ -38,17 +50,23 @@ def dot(a: Column | str, b: Column | str) -> Column:
     # plans/r12 micro-bench. Keep the fold; optimize around it by
     # hoisting norms/casts out of pair loops instead.
     #
-    # str args take the parse-once path (r12 wave 16): building the
-    # lambda HOF via Column algebra costs ~45 ms of py4j chatter per
-    # call vs ~1 ms for the parsed identical tree (0D is the same
-    # DOUBLE literal as F.lit(0.0)); strings splice like F.col — pass
-    # simple names or SQL fragments, exactly what the hot call sites
-    # have.
+    # str args name COLUMNS (F.col semantics) and take the parse-once
+    # path when the name is a bare identifier (r12 wave 16): building
+    # the lambda HOF via Column algebra costs ~45 ms of py4j chatter
+    # per call vs ~1 ms for the parsed identical tree (0D is the same
+    # DOUBLE literal as F.lit(0.0); the backticked reference parses to
+    # the same UnresolvedAttribute F.col builds). Non-identifier names
+    # ('vec-1', reserved words with symbols) fall back to the Column
+    # path rather than being spliced raw (ADVICE r12).
     if isinstance(a, str) and isinstance(b, str):
-        return F.expr(
-            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, "
-            "(acc, v) -> acc + v)"
-        )
+        ra, rb = _ident(a), _ident(b)
+        if ra and rb:
+            return F.expr(
+                f"aggregate(zip_with({ra}, {rb}, (x, y) -> x * y), 0D, "
+                "(acc, v) -> acc + v)"
+            )
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -56,9 +74,12 @@ def dot(a: Column | str, b: Column | str) -> Column:
 
 def l2_norm(a: Column | str) -> Column:
     if isinstance(a, str):
-        return F.expr(
-            f"sqrt(aggregate({a}, 0D, (acc, v) -> acc + v * v))"
-        )
+        ra = _ident(a)
+        if ra:
+            return F.expr(
+                f"sqrt(aggregate({ra}, 0D, (acc, v) -> acc + v * v))"
+            )
+        a = F.col(a)
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
@@ -143,17 +164,21 @@ def sign_bucket(vec_col: Column | str, n_bits: int = 8) -> Column:
     """Axis-aligned sign-LSH bucket id: bit j set iff component j > 0.
     Deterministic and SQL-mirrorable (the oracle uses the same formula).
 
-    str input takes the parse-once path (see :func:`dot`): identical
+    str input (a column NAME, F.col semantics) takes the parse-once
+    path when it is a bare identifier (see :func:`dot`): identical
     tree (INT literals both ways), ~50x less driver chatter.
     """
     if isinstance(vec_col, str):
-        powers = ", ".join(str(1 << j) for j in range(n_bits))
-        return F.expr(
-            f"aggregate(zip_with(slice({vec_col}, 1, {n_bits}), "
-            f"array({powers}), "
-            "(v, p) -> CASE WHEN v > 0 THEN p ELSE 0 END), 0, "
-            "(acc, v) -> acc + v)"
-        )
+        ref = _ident(vec_col)
+        if ref:
+            powers = ", ".join(str(1 << j) for j in range(n_bits))
+            return F.expr(
+                f"aggregate(zip_with(slice({ref}, 1, {n_bits}), "
+                f"array({powers}), "
+                "(v, p) -> CASE WHEN v > 0 THEN p ELSE 0 END), 0, "
+                "(acc, v) -> acc + v)"
+            )
+        vec_col = F.col(vec_col)
     powers = F.array(*[F.lit(1 << j) for j in range(n_bits)])
     return F.aggregate(
         F.zip_with(
@@ -908,16 +933,20 @@ def propagate_scores(
         raise ValueError("iters must be >= 1")
     if not (0 < alpha_num <= alpha_den):
         raise ValueError("need 0 < alpha_num <= alpha_den")
+    if lineage_cut_every < 1:
+        raise ValueError(
+            f"lineage_cut_every must be >= 1, got {lineage_cut_every}"
+        )
     # pin seeds and edges ONCE (pagerank's discipline): both re-join
     # every round, and the edge list is typically the expensive kNN
     # graph — unpinned, every round re-derives it from scratch
     s0 = seeds.select(
         F.col(id_col).alias("__id"),
         F.col(score_col).cast("long").alias("__s0"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     cur = s0.select("__id", F.col("__s0").alias("__s"))
     beta = alpha_den - alpha_num
     for t in range(iters):
@@ -941,7 +970,7 @@ def propagate_scores(
         # replaces `iters` blocking pin jobs with ONE job; the cut
         # bounds plan depth for large `iters`.
         if (t + 1) % lineage_cut_every == 0 and t + 1 < iters:
-            cur = cur.localCheckpoint(eager=True)
+            cur = cur.transform(pin)
     return cur.select(
         F.col("__id").alias(id_col), F.col("__s").alias(score_col)
     )
@@ -1204,19 +1233,21 @@ def pagerank(
         raise ValueError("need 0 < d_num <= d_den")
     if base < 1:
         raise ValueError(f"base must be >= 1, got {base}")
+    if lineage_cut_every < 1:
+        raise ValueError(
+            f"lineage_cut_every must be >= 1, got {lineage_cut_every}"
+        )
     # materialize the weighted edge list and node set ONCE: both are
     # re-joined every round, and the edge input is often itself an
     # expensive subtree (the kNN graph build) — without the pin each
     # of the `iters` rounds re-derives it from scratch (r12 plan
     # audit: 3 full kNN rebuilds inside one 3-iter pagerank)
-    n0 = nodes.select(F.col(id_col).alias("__id")).localCheckpoint(
-        eager=True
-    )
+    n0 = nodes.select(F.col(id_col).alias("__id")).transform(pin)
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
     )
     deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
-    ew = e.join(deg, "__src").localCheckpoint(eager=True)
+    ew = e.join(deg, "__src").transform(pin)
     teleport = (d_den - d_num) * base
     cur = n0.withColumn("__s", F.lit(base).cast("long"))
     for t in range(iters):
@@ -1243,7 +1274,7 @@ def pagerank(
         # `lineage_cut_every` rounds keeps plan depth bounded for
         # large `iters` (integer math — values placement-independent).
         if (t + 1) % lineage_cut_every == 0 and t + 1 < iters:
-            cur = cur.localCheckpoint(eager=True)
+            cur = cur.transform(pin)
     return cur.select(
         F.col("__id").alias(id_col), F.col("__s").alias(score_col)
     )
@@ -1329,7 +1360,7 @@ def margin_align(
     # BroadcastNestedLoopJoins / 16 parquet scans, zero reuse, in one
     # bitext plan). localCheckpoint pins the candidate-sized result
     # (guide §3.3 / §5: materialize to truncate duplicated subtrees).
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     # only the candidate y's (<= k x |x| of them) ever contribute an
     # avg_k(y) to a margin — restrict the reverse kNN pass to them
     # instead of scoring EVERY y against x (identical result: avg_k(y)

@@ -63,7 +63,10 @@ reference.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+
 from pyspark.sql import functions as F
+
+from mysql_syncer_spark.pin import pin
 
 from mysql_syncer_spark.operators.spread import spread_small
 
@@ -531,7 +534,7 @@ def span_index_append(
     from mysql_syncer_spark.sources.bucketed import write_bucketed
 
     fps = winnow_fingerprints(
-        batch.localCheckpoint(eager=True),
+        batch.transform(pin),
         text_col,
         index.id_col,
         index.k,

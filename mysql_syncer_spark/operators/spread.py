@@ -69,9 +69,13 @@ def pin_small(df: DataFrame) -> DataFrame:
 
     Only for subtrees whose downstream consumers are placement- and
     order-insensitive (joins, aggregations, windows with explicit
-    orderings) — the same contract as :func:`spread_small`."""
+    orderings) — the same contract as :func:`spread_small`. The
+    materialization mechanism follows the session's
+    ``mysql_syncer_spark.pin_mode`` (see :mod:`mysql_syncer_spark.pin`)."""
+    from mysql_syncer_spark.pin import pin
+
     if not _is_small(df):
         return df
-    return df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    ).localCheckpoint(eager=True)
+    return pin(
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )

@@ -20,7 +20,10 @@ from __future__ import annotations
 from itertools import combinations
 
 from pyspark.sql import DataFrame
+
 from pyspark.sql import functions as F
+
+from mysql_syncer_spark.pin import pin
 
 
 def correlation_matrix(
@@ -380,7 +383,7 @@ def randomization_test(
                 F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
             )
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     groups = [
         r[0]

@@ -18,7 +18,10 @@ Operators:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
 from pyspark.sql import functions as F
+
+from mysql_syncer_spark.pin import pin
 
 #: BPE-ish word/number/punctuation tokenizer (applied identically in the
 #: DuckDB oracle via regexp_extract_all).
@@ -1080,7 +1083,7 @@ def corpus_card_state_fold(
     t = F.col(text_col)
     new_hashes = corpus_card_fold_plan(
         spark, name, batch, group_cols, text_col
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     b_aggs = batch.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("__d_docs"),
         F.count(t).alias("__d_text"),
@@ -1118,7 +1121,7 @@ def corpus_card_state_fold(
                 + F.coalesce("__d_ws", F.lit(0))
             ).alias("n_ws_tokens"),
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     write_bucketed(
         new_hashes,

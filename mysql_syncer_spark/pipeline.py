@@ -34,7 +34,10 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
 from pyspark.sql import functions as F
+
+from mysql_syncer_spark.pin import pin
 
 from mysql_syncer_spark.operators import dedup
 from mysql_syncer_spark.operators.cluster import (
@@ -90,7 +93,7 @@ def curate_corpus(
     def mark(df: DataFrame, attr: str) -> DataFrame:
         if not counted:
             return df
-        df = df.localCheckpoint(eager=True)
+        df = df.transform(pin)
         setattr(report, attr, df.count())
         return df
 
@@ -153,7 +156,7 @@ def curate_and_export(
         redact_pii,
         split_weights,
         report,
-    ).localCheckpoint(eager=True)  # export + manifest reuse one pass
+    ).transform(pin)  # export + manifest reuse one pass
 
     report.splits = {
         r["split"]: r["n"]

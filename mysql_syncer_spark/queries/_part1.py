@@ -14,8 +14,11 @@ import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+
+from mysql_syncer_spark.pin import pin
 
 from mysql_syncer_spark.canon import (
     HASH_COL,
@@ -1683,7 +1686,7 @@ def scd2_multibatch_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold 1 repeatedly and the chain's cost compounds per fold
     hist = scd2_apply(
         hist, _slave_orders(orders), ["o_orderkey"], 1
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     return scd2_apply(hist, _slave_orders2(orders), ["o_orderkey"], 2)
 
 

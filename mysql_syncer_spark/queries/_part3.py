@@ -14,8 +14,11 @@ import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+
+from mysql_syncer_spark.pin import pin
 
 from mysql_syncer_spark.canon import (
     HASH_COL,
@@ -1911,7 +1914,7 @@ def ivm_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized view pinned before the fold (the maintainer
     # references mat several times; a deployment reads the persisted
     # view — lazy, the snapshot join re-executes per reference)
-    mat = join_snapshot(a, b, "o_custkey").localCheckpoint(eager=True)
+    mat = join_snapshot(a, b, "o_custkey").transform(pin)
     out = apply_join_delta(
         mat, a, da, b, db, "o_custkey", "o_orderkey", "o_custkey"
     )
@@ -1998,7 +2001,7 @@ def ivm_left_join_orders_customer(
     # materialized view pinned before the fold (same rationale as
     # ivm_join / ivm_full_join: the maintainer is written against a
     # PERSISTED view, not a lazy subtree it would re-execute per term)
-    mat = left_join_snapshot(a, b0, "o_custkey").localCheckpoint(eager=True)
+    mat = left_join_snapshot(a, b0, "o_custkey").transform(pin)
     out = apply_left_join_delta(
         mat, da, b0, db, "o_custkey", "o_orderkey", "o_custkey"
     )

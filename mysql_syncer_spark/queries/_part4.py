@@ -14,8 +14,11 @@ import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+
+from mysql_syncer_spark.pin import pin
 
 from mysql_syncer_spark.canon import (
     HASH_COL,
@@ -1101,7 +1104,7 @@ def ivm_full_join_orders_customer(
     # maintainer references mat five times, and a real deployment reads
     # the PERSISTED view (apply_full_join_delta's stated requirement);
     # lazy, the full outer join re-executes once per reference
-    mat = full_join_snapshot(a, b0, "o_custkey").localCheckpoint(eager=True)
+    mat = full_join_snapshot(a, b0, "o_custkey").transform(pin)
     out = apply_full_join_delta(
         mat, da, db, "o_custkey", "o_orderkey", "o_custkey"
     ).drop(A_PRESENT, B_PRESENT)

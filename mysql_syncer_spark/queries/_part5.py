@@ -12,7 +12,10 @@ policy.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
 from pyspark.sql import functions as F
+
+from mysql_syncer_spark.pin import pin
 
 from mysql_syncer_spark.queries._base import _register
 from mysql_syncer_spark.sources.catalog import load_table
@@ -291,8 +294,8 @@ def corpus_card_incremental_docs(
             aggs, hashes, batch, ["source", "lang"]
         )
         # cut lineage between folds as a real ingest loop would
-        aggs = aggs.localCheckpoint(eager=False)
-        hashes = hashes.localCheckpoint(eager=False)
+        aggs = aggs.transform(pin, eager=False)
+        hashes = hashes.transform(pin, eager=False)
     return corpus_card_from_state(aggs, ["source", "lang"]).orderBy(
         "source", "lang"
     )

@@ -29,7 +29,10 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import DataFrame
+
 from pyspark.sql import functions as F
+
+from mysql_syncer_spark.pin import pin
 
 from mysql_syncer_spark.canon import with_row_hash
 
@@ -99,7 +102,7 @@ def scd2_apply(
             F.col("s_hash").isNotNull()
             & (F.col("o_hash").isNull() | (F.col("o_hash") != F.col("s_hash")))
         ).alias("__insert"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     keep_keys = keys.where("__keep").select(*pks)
     close_keys = keys.where("__close").select(*pks)
     insert_keys = keys.where("__insert").select(*pks)

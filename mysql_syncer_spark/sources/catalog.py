@@ -758,7 +758,10 @@ def configure_session(builder):
 #: every pass. The memo holds the LAZY plan only — every action still
 #: scans the parquet files, nothing is materialized — and is keyed on
 #: the owning session's UUID so a new session never sees a frame bound
-#: to a stopped one. Fixture dirs are immutable by contract; callers
+#: to a stopped one. Entries of OTHER session UUIDs are evicted on
+#: insert (r13, ADVICE r12): frames of stopped sessions held JVM plan
+#: refs forever in processes that cycle sessions (test suites,
+#: services). Fixture dirs are immutable by contract; callers
 #: that rewrite a path mid-session must not route it through
 #: load_table (none do — the sync executor uses ParquetCatalog).
 _LOAD_TABLE_CACHE: dict[tuple, DataFrame] = {}
@@ -791,6 +794,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"{col} div 1000"))
             )
+    for stale in [k for k in _LOAD_TABLE_CACHE if k[0] != key[0]]:
+        del _LOAD_TABLE_CACHE[stale]
     _LOAD_TABLE_CACHE[key] = df
     return df
 

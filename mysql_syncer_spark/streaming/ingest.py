@@ -38,7 +38,10 @@ import shutil
 from typing import Optional
 
 from pyspark.sql import DataFrame, Window
+
 from pyspark.sql import functions as F
+
+from mysql_syncer_spark.pin import pin
 
 from mysql_syncer_spark.operators.dedup import (
     incremental_new_docs,
@@ -192,7 +195,7 @@ def ingest_gate_stream_indexed(
         fresh = dedup_batch_within(batch, idx.id_col, text_col, threshold)
         survivors = incremental_new_docs_indexed(
             idx, fresh, text_col, threshold
-        ).localCheckpoint(eager=True)  # gate once; write + append reuse
+        ).transform(pin, required=True)  # gate once; write + append reuse
         survivors.write.parquet(out)
         minhash_index_append(index_name, survivors, idx, text_col)
         if on_batch_committed is not None:
@@ -394,7 +397,7 @@ def quantile_maintain_stream(
         merged = quantile_merge(parts, capacity).withColumn(
             "last_batch", F.lit(batch_id).cast("long")
         )
-        merged = merged.localCheckpoint(eager=True)
+        merged = merged.transform(pin, required=True)
         staging = jvm.org.apache.hadoop.fs.Path(
             summary_path + ".__staging__"
         )
@@ -463,7 +466,7 @@ def bitmap_maintain_stream(
             merged = bitmap_rollup_merge(prior, batch_state, grain_cols)
         else:
             merged = batch_state
-        merged = merged.localCheckpoint(eager=True)
+        merged = merged.transform(pin, required=True)
         staging = jvm.org.apache.hadoop.fs.Path(
             state_path + ".__staging__"
         )
@@ -560,7 +563,7 @@ def span_gate_stream(
                 on=id_col,
                 how="left_semi",
             )
-        ).localCheckpoint(eager=True)  # gate once; write + append reuse
+        ).transform(pin, required=True)  # gate once; write + append reuse
         survivors.write.parquet(out)
         span_index_append(index_name, survivors, idx, text_col)
         if on_batch_committed is not None:
@@ -679,7 +682,7 @@ def corpus_card_maintain_stream(
             prior_hashes = b_hashes.where(F.lit(False))
         new_hashes = b_hashes.join(
             prior_hashes, [*group_cols, "__h"], "left_anti"
-        ).localCheckpoint(eager=True)
+        ).transform(pin, required=True)
         b_aggs = batch.groupBy(*group_cols).agg(
             F.count(F.lit(1)).alias("__d_docs"),
             F.count(t).alias("__d_text"),
@@ -727,7 +730,7 @@ def corpus_card_maintain_stream(
             )
         merged = merged.withColumn(
             "last_batch", F.lit(batch_id).cast("long")
-        ).localCheckpoint(eager=True)
+        ).transform(pin, required=True)
         # ORDER MATTERS: hashes land first (so an hwm skip on replay
         # is always complete), then the aggs swap commits the batch
         new_hashes.write.parquet(str(hb))
@@ -864,7 +867,7 @@ def category_drift_stream(
                 F.round(jsd / F.lit(math.log(2.0)), 6)
                 > F.lit(alarm_threshold)
             ).alias("alarm"),
-        ).localCheckpoint(eager=True)
+        ).transform(pin, required=True)
         row.write.parquet(str(out))
         if on_batch_committed is not None:
             on_batch_committed(batch_id)

@@ -40,7 +40,10 @@ re-derives the extremum view from the already-advanced support.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
 from pyspark.sql import functions as F
+
+from mysql_syncer_spark.pin import pin
 
 from mysql_syncer_spark.operators.ivm import apply_join_delta_a_only
 
@@ -121,7 +124,7 @@ def ivm_join_stream(
         # through a localCheckpoint first (the executor.py staging
         # discipline, kept off-path here because the view is one
         # delta-repaired table, not a multi-table sync)
-        new_mat = new_mat.localCheckpoint(eager=True)
+        new_mat = new_mat.transform(pin, required=True)
         _swap_write(new_mat, mat_path)
         if on_batch_committed is not None:
             on_batch_committed(batch_id)
@@ -276,7 +279,7 @@ def extrema_maintain_stream(
             sup_new = apply_value_support_delta(
                 data, batch, keys, value_col, sign_col
             ).withColumn("last_batch", F.lit(batch_id).cast("long"))
-            sup_new = sup_new.localCheckpoint(eager=True)
+            sup_new = sup_new.transform(pin, required=True)
             _swap_write(
                 sup_new.unionByName(_hwm_sentinel(sup_new, batch_id)),
                 support_path,
@@ -297,13 +300,13 @@ def extrema_maintain_stream(
         ext = _recover_read(spark, extrema_path)
         ext_new = apply_extremum_delta(
             ext, sup_cur, batch, keys, value_col
-        ).localCheckpoint(eager=True)
+        ).transform(pin, required=True)
         _swap_write(ext_new, extrema_path)
         if frequent_path is not None:
             top = _recover_read(spark, frequent_path)
             top_new = apply_frequent_delta(
                 top, sup_cur, batch, keys, value_col, frequent_k
-            ).localCheckpoint(eager=True)
+            ).transform(pin, required=True)
             _swap_write(top_new, frequent_path)
         if on_batch_committed is not None:
             on_batch_committed(batch_id)

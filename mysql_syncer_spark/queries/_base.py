@@ -245,21 +245,29 @@ _PROMOTED: tuple[str, ...] = (
     # FIFTEEN oracle-backed never-window queries rotate in, oldest
     # first from the queue: the remaining TPC-H classics and the
     # z-score anomaly screen.
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q20_potential_promotion",
-    "anomaly_zscore_events",
+    # r13 rotation (ROTATION.md policy §3): FIFTEEN oracle-backed
+    # never-window queries rotate in, oldest-first from the queue —
+    # the r6-r7 multimodal/graph/stats/search rows the window had
+    # never certified. Displaced: the whole r11 TPC-H block
+    # (tpch_q4/q7/q8/q13/q15/q16/q17/q19/q21/q22/q2/q11/q12/q20 +
+    # anomaly_zscore_events) — every one driver-green TWICE
+    # (first-certified r11, re-certified full-green in the r12
+    # window); justifications at their _DEMOTED entries.
+    "image_near_dup_media",
+    "session_paths_events",
+    "knn_graph_embeddings",
+    "dsir_weights_docs",
+    "knn_triangles_embeddings",
+    "assoc_rules_events",
+    "corr_matrix_events",
+    "trend_events",
+    "l_diversity_customer",
+    "quantile_sketch_lineitem",
+    "hybrid_search_docs",
+    "jaccard_prefix_pairs_docs",
+    "mad_outliers_events",
+    "pmi_collocations_docs",
+    "pagerank_embeddings",
     # r12 rotation (VERDICT r11 item 2): FIFTEEN oracle-backed
     # never-window queries rotate in, oldest-first from the ROTATION.md
     # queue — the r4-r7 analytics/curation rows the window had never
@@ -295,6 +303,28 @@ _PROMOTED: tuple[str, ...] = (
 #: MinHash, ...) that had never received a driver correctness row. They all
 #: remain registered and remain covered by tests/test_oracle_parity.py.
 _DEMOTED: tuple[str, ...] = (
+    # r13 rotation out of the window — the whole r11 TPC-H block.
+    # Every one is driver-green TWICE over (first-certified in the r11
+    # window, re-certified full-green in the r12 window,
+    # CORRECTNESS_r12), oracle-backed, 3-SF parity-swept, and
+    # bench-keyed; the TPC-H agg/join shapes stay machine-checked
+    # in-window via tpch_q10 (r9 block), tpch_q5/q6/q14/q18 (r10
+    # block) and tpch_q1_incremental/tpch_q3_colocated (r12 block).
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q20_potential_promotion",
+    "anomaly_zscore_events",
     # r12 rotation out of the window — the r8 block and the first nine
     # r9 rows. Every one is driver-green TWICE over (first-certified in
     # its own round's window AND re-certified full-green in the r11

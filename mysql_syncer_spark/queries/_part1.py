@@ -1683,10 +1683,17 @@ def scd2_multibatch_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize between folds, as a real deployment does (each nightly
     # fold reads the PERSISTED history table, not yesterday's lazy DAG):
     # without this, fold 2's five consumers of the fold-1 union re-execute
-    # fold 1 repeatedly and the chain's cost compounds per fold
+    # fold 1 repeatedly and the chain's cost compounds per fold.
+    # r13: keep_hash carries each open row's content hash into fold 2
+    # (fold 2 classifies against the CARRIED hash instead of re-hashing
+    # the whole open side — at scale that removes one of the two
+    # full-width md5 projections per fold; value-identical, the hash is
+    # a pure function of row content), and the between-fold pin is
+    # LAZY: it still materializes once inside the final job (the fold
+    # law), without serializing an extra blocking driver job.
     hist = scd2_apply(
-        hist, _slave_orders(orders), ["o_orderkey"], 1
-    ).transform(pin)
+        hist, _slave_orders(orders), ["o_orderkey"], 1, keep_hash=True
+    ).transform(pin, eager=False)
     return scd2_apply(hist, _slave_orders2(orders), ["o_orderkey"], 2)
 
 

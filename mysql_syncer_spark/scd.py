@@ -39,6 +39,17 @@ from mysql_syncer_spark.canon import with_row_hash
 VALID_FROM = "valid_from"
 VALID_TO = "valid_to"
 
+#: internal column carrying each OPEN row's content hash across folds
+#: (``scd2_apply(keep_hash=True)``): fold N+1 reads it instead of
+#: re-hashing the open side fold N just computed. At 100 TB the md5
+#: over every data column of the open set is the dominant per-fold
+#: scan cost — carrying ~32 B/row forward removes one of the two hash
+#: projections of every fold after the first. The hash is a
+#: deterministic function of row content, so a carried hash is
+#: byte-identical to a recomputed one (exceptAll-proven in
+#: tests/test_scd.py and plans/r13/w5_scd2_ab.py).
+SCD2_HASH = "__scd2_hash"
+
 
 def scd2_init(
     snapshot: DataFrame,
@@ -61,6 +72,7 @@ def scd2_apply(
     hash_cols: Sequence[str] | None = None,
     from_col: str = VALID_FROM,
     to_col: str = VALID_TO,
+    keep_hash: bool = False,
 ) -> DataFrame:
     """Fold ``snapshot`` (the full current state) into ``history`` at
     ``batch_ts``; returns the new history table.
@@ -69,17 +81,37 @@ def scd2_apply(
     detection (default: all data columns). ``batch_ts`` must be greater
     than every ``valid_from`` already in the history — versions of one
     PK never overlap by construction.
+
+    ``keep_hash=True`` appends :data:`SCD2_HASH` (each OPEN row's
+    content hash, NULL on closed rows) to the output so the NEXT fold
+    skips re-hashing the open side; a ``history`` that carries
+    :data:`SCD2_HASH` is consumed the same way regardless of
+    ``keep_hash``. Callers chaining folds with ``keep_hash`` must use
+    the same ``hash_cols`` every fold (the carried hash is a function
+    of them); drop the column before surfacing results.
     """
     pks = list(pk_cols)
-    data_cols = [c for c in history.columns if c not in (from_col, to_col)]
+    data_cols = [
+        c
+        for c in history.columns
+        if c not in (from_col, to_col, SCD2_HASH)
+    ]
     ts = F.lit(batch_ts).cast("long")
 
     closed = history.where(F.col(to_col).isNotNull())
     open_rows = history.where(F.col(to_col).isNull())
 
-    oh = with_row_hash(
-        open_rows.select(*data_cols), pks, hash_cols, hash_name="o_hash"
-    )
+    if SCD2_HASH in history.columns:
+        # fold N+1 of a keep_hash chain: the open side's content hash
+        # was computed (and materialized) by fold N — one projection,
+        # zero md5 work, instead of re-hashing every open data column
+        oh = open_rows.select(
+            *pks, F.col(SCD2_HASH).alias("o_hash")
+        )
+    else:
+        oh = with_row_hash(
+            open_rows.select(*data_cols), pks, hash_cols, hash_name="o_hash"
+        )
     sh = with_row_hash(snapshot.select(*data_cols), pks, hash_cols,
                        hash_name="s_hash")
     j = oh.join(sh, on=pks, how="full_outer")
@@ -91,8 +123,7 @@ def scd2_apply(
     # conversions defeat the ReusedExchange sharing this shape
     # historically relied on. The pinned frame is keys+3 booleans.
     same = F.col("o_hash").isNotNull() & (F.col("o_hash") == F.col("s_hash"))
-    keys = j.select(
-        *pks,
+    flags = [
         same.alias("__keep"),
         (
             F.col("o_hash").isNotNull()
@@ -102,7 +133,12 @@ def scd2_apply(
             F.col("s_hash").isNotNull()
             & (F.col("o_hash").isNull() | (F.col("o_hash") != F.col("s_hash")))
         ).alias("__insert"),
-    ).transform(pin)
+    ]
+    # keep_hash mode carries the two hashes in the pinned frame too
+    # (+64 B/key) so the surviving open rows get their content hash
+    # attached without any re-hash
+    hash_carry = [F.col("o_hash"), F.col("s_hash")] if keep_hash else []
+    keys = j.select(*pks, *flags, *hash_carry).transform(pin)
     keep_keys = keys.where("__keep").select(*pks)
     close_keys = keys.where("__close").select(*pks)
     insert_keys = keys.where("__insert").select(*pks)
@@ -115,6 +151,44 @@ def scd2_apply(
     # INDEPENDENT stages: their single-task parquet scans overlap under
     # the union, while the fused branch serializes one scan plus a
     # wider join output. Reverted; results were oracle-exact either way.
+    if keep_hash:
+        null_hash = F.lit(None).cast("string")
+        hist_cols = [*data_cols, from_col, to_col]
+        out_cols = [*hist_cols, SCD2_HASH]
+        # kept/new_open attach their hash via an inner join on the
+        # pinned keys frame (same broadcast shape as the semi join —
+        # every matching PK appears exactly once in keys)
+        kept = open_rows.select(*hist_cols).join(
+            keys.where("__keep").select(
+                *pks, F.col("o_hash").alias(SCD2_HASH)
+            ),
+            on=pks,
+        )
+        closed_now = (
+            open_rows.select(*hist_cols)
+            .join(close_keys, on=pks, how="left_semi")
+            .withColumn(to_col, ts)
+            .withColumn(SCD2_HASH, null_hash)
+        )
+        new_open = (
+            snapshot.select(*data_cols)
+            .join(
+                keys.where("__insert").select(
+                    *pks, F.col("s_hash").alias(SCD2_HASH)
+                ),
+                on=pks,
+            )
+            .withColumn(from_col, ts)
+            .withColumn(to_col, F.lit(None).cast("long"))
+        )
+        return (
+            closed.select(*hist_cols)
+            .withColumn(SCD2_HASH, null_hash)
+            .select(*out_cols)
+            .unionByName(kept.select(*out_cols))
+            .unionByName(closed_now.select(*out_cols))
+            .unionByName(new_open.select(*out_cols))
+        )
     kept = open_rows.join(keep_keys, on=pks, how="left_semi")
     closed_now = open_rows.join(close_keys, on=pks, how="left_semi").withColumn(
         to_col, ts

@@ -93,6 +93,8 @@ def test_chained_batches(spark, base):
         da = da or [(999999, None, None, "delete")]  # no-op key
         db = db or [(999999, None, "delete")]
         a, b, mat = _step(spark, a, b, mat, da, db)
+        # cut per batch, as production does (ivm.py chaining contract)
+        mat = mat.localCheckpoint()
         assert _sets(mat) == _recompute(a, b)
 
 
@@ -244,6 +246,11 @@ class TestLeftJoinIVM:
         cols = ["ok", "ck", "price", "name"]
         for da, db in batches:
             a, b, mat = self._lstep(spark, a, b, mat, da, db)
+            # production reads the materialized view back from storage
+            # each batch (ivm.py chaining contract); without the cut
+            # the maintainer's view references compound exponentially
+            # across batches — same discipline as the full-join twin
+            mat = mat.localCheckpoint()
             assert _sets(mat.select(*cols)) == \
                 self._left_recompute(a, b, cols)
 

@@ -92,14 +92,12 @@ def test_driver_window_holds_extension_queries():
     names = list(entrymod.queries().keys())
     window = set(names[:50])
     must_be_in = {
-        # r12 window (ROTATION.md): the pinned core-sync composites,
-        # the surviving r9-r11 promoted rows, and the r12 never-window
-        # retirement wave (the r4-r7 analytics/curation rows, oldest
-        # first from the queue; cluster_balanced_sample_embeddings is
-        # rows-only and stays past the window per the r11 policy —
-        # unpivot_event_counts took its slot). Rotated out: the r8
-        # block + the first nine r9 rows, all re-certified full-green
-        # in the r11 window (CORRECTNESS_r11).
+        # r13 window (ROTATION.md): the pinned core-sync composites,
+        # the surviving r9/r10/r12 promoted rows, and the r13
+        # never-window retirement wave (the r6-r7 multimodal/graph/
+        # stats/search rows, oldest first from the queue). Rotated
+        # out: the whole r11 TPC-H block, re-certified full-green in
+        # the r12 window (CORRECTNESS_r12).
         # pinned core composites
         "sync_merge_orders", "partition_digests_orders",
         # surviving r9 wave
@@ -114,15 +112,6 @@ def test_driver_window_holds_extension_queries():
         "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
         "tpch_q14_promo_revenue", "tpch_q18_large_volume",
         "vocab_drift_docs", "bm25_search_docs", "phrase_search_docs",
-        # r11 never-window retirement wave
-        "tpch_q4_order_priority", "tpch_q7_volume_shipping",
-        "tpch_q8_market_share", "tpch_q13_customer_distribution",
-        "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
-        "tpch_q17_small_qty_revenue", "tpch_q19_discounted_revenue",
-        "tpch_q21_waiting_supplier", "tpch_q22_global_sales_opportunity",
-        "tpch_q2_min_cost_supplier", "tpch_q11_important_stock",
-        "tpch_q12_shipmode_priority", "tpch_q20_potential_promotion",
-        "anomaly_zscore_events",
         # r12 never-window retirement wave
         "cms_term_counts_docs", "stratified_sample_docs",
         "replicate_mixture_docs", "snapshot_cdc_orders",
@@ -132,6 +121,15 @@ def test_driver_window_holds_extension_queries():
         "pivot_event_counts", "scd2_lookup_lineitem",
         "event_transitions", "attribution_events",
         "unpivot_event_counts",
+        # r13 never-window retirement wave
+        "image_near_dup_media", "session_paths_events",
+        "knn_graph_embeddings", "dsir_weights_docs",
+        "knn_triangles_embeddings", "assoc_rules_events",
+        "corr_matrix_events", "trend_events",
+        "l_diversity_customer", "quantile_sketch_lineitem",
+        "hybrid_search_docs", "jaccard_prefix_pairs_docs",
+        "mad_outliers_events", "pmi_collocations_docs",
+        "pagerank_embeddings",
     }
     # the r11 policy invariant: every window row is oracle-backed
     assert window <= set(entrymod.oracle_sql()), sorted(

@@ -92,6 +92,40 @@ def test_as_of_time_travel(batches):
     assert want.subtract(asof1).count() == 0
 
 
+def test_keep_hash_chain_identical_and_clean_schema(batches):
+    """r13: keep_hash carries each open row's content hash into the
+    next fold (fold N+1 classifies against the carried hash instead of
+    re-hashing the open side). The chain must be row-identical to the
+    plain chain, intermediate histories carry SCD2_HASH, and a final
+    keep_hash=False fold consumes the carry and emits the clean
+    schema."""
+    from mysql_syncer_spark.scd import SCD2_HASH
+
+    b0, b1, b2 = batches
+    plain = scd2_apply(
+        scd2_apply(scd2_init(b0, 0), b1, PK, 1), b2, PK, 2
+    )
+    mid = scd2_apply(scd2_init(b0, 0), b1, PK, 1, keep_hash=True)
+    assert SCD2_HASH in mid.columns
+    # open rows carry their hash; closed rows carry NULL
+    assert mid.where(
+        F.col("valid_to").isNull() & F.col(SCD2_HASH).isNull()
+    ).count() == 0
+    assert mid.where(
+        F.col("valid_to").isNotNull() & F.col(SCD2_HASH).isNotNull()
+    ).count() == 0
+    carried = scd2_apply(mid, b2, PK, 2)
+    assert carried.columns == plain.columns
+    assert sorted(map(tuple, carried.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # keep_hash mid-chain equals the plain mid-chain modulo the column
+    mid_plain = scd2_apply(scd2_init(b0, 0), b1, PK, 1)
+    assert sorted(map(tuple, mid.drop(SCD2_HASH).collect())) == sorted(
+        map(tuple, mid_plain.collect())
+    )
+
+
 def test_hash_cols_restricts_change_detection(spark):
     b0 = _snap(spark, [(1, "a", 1.0)])
     b1 = _snap(spark, [(1, "a", 99.0)])  # only score changed

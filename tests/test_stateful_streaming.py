@@ -10,6 +10,10 @@ from pyspark.sql import types as T
 
 from mysql_syncer_spark.streaming.stateful import dedup_stream, sessionize_stream
 
+#: e2e streaming (real micro-batch triggers + checkpoint dirs):
+#: the nightly slow tier (VERDICT r12 item 2); see tests/slow_tier.txt
+pytestmark = pytest.mark.slow
+
 
 def _write_ordered(src, contents):
     """Write arrival files with strictly increasing mtimes — the file

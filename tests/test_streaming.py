@@ -19,6 +19,10 @@ from mysql_syncer_spark.streaming.cdc import (
     windowed_counts_stream,
 )
 
+#: e2e streaming (real micro-batch triggers + checkpoint dirs):
+#: the nightly slow tier (VERDICT r12 item 2); see tests/slow_tier.txt
+pytestmark = pytest.mark.slow
+
 CDC_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -4,6 +4,7 @@ AvailableNow, real foreachBatch)."""
 
 import json
 
+import pytest
 from pyspark.sql import types as T
 
 from mysql_syncer_spark.streaming.ingest import (
@@ -11,6 +12,10 @@ from mysql_syncer_spark.streaming.ingest import (
     ingest_gate_stream,
     read_accepted,
 )
+
+#: e2e streaming (real micro-batch triggers + checkpoint dirs):
+#: the nightly slow tier (VERDICT r12 item 2); see tests/slow_tier.txt
+pytestmark = pytest.mark.slow
 
 DOC_SCHEMA = T.StructType(
     [

@@ -484,10 +484,31 @@ def run_group(group: str) -> None:
         # ±20% idle spread made the norm3 band too wide to call 15%
         # regressions. v2 runs ONCE per bench (after the passes), 2x
         # the rows (32 M x ~40 B through one full exchange) so a
-        # scheduler tick is proportionally smaller, and reports the
-        # MEAN OF THE MIDDLE 3 of 5 reps (drops the JIT-compile first
-        # run and any one-off stall) instead of a min-of-3. Excluded
-        # from every total; canary_norm4 divides by it.
+        # scheduler tick is proportionally smaller, discards the first
+        # 2 reps outright (JIT/C2-compile + buffer ramp of THIS plan —
+        # calibration measured reps 1-2 up to 2x the steady state even
+        # in a warm JVM), and reports the MEAN OF THE MIDDLE 3 of the
+        # remaining 5 reps instead of a min-of-3. Excluded from every
+        # total; canary_norm4 divides by it. Idle calibration
+        # (BASELINE.md §r13): steady state 1.78-1.93 s, spread ±4%.
+        for _ in range(2):
+            probe_t0 = time.time()
+            force(
+                spark.range(0, 32_000_000, 1, int(CPUS))
+                .select(
+                    F.pmod(F.xxhash64("id"), F.lit(2_000_003)).alias("k"),
+                    F.md5(F.col("id").cast("string")).alias("payload"),
+                )
+                .repartition(int(CPUS), "k")
+                .select(
+                    F.sum(
+                        F.pmod(
+                            F.xxhash64("k", "payload"),
+                            F.lit(1_000_000_007),
+                        )
+                    ).alias("s")
+                )
+            )
         reps = []
         for _ in range(5):
             t0 = time.time()
@@ -628,11 +649,12 @@ def main() -> None:
     # r13 normalizer v4 (VERDICT r12 item 8): same quotient form
     # against the LOW-VARIANCE fixed_shuffle2 probe (32 M-row single
     # exchange, mean of middle 3 of 5 reps, run once per bench after
-    # the canary passes). Anchored to the r13 idle measurement on this
-    # box (BASELINE.md §r13): idle spread measured ±3% over 5
-    # consecutive runs vs ±20% for v1's min-of-3 — tight enough to
-    # call 15% canary moves as load vs regression.
-    _R13_FIXED_SHUFFLE2 = 2.33
+    # the canary passes, first 2 reps discarded as compile/ramp).
+    # Anchored to the r13 idle measurement on this box (BASELINE.md
+    # §r13: steady state 1.78-1.93 s, spread ±4% vs ±20% for v1's
+    # min-of-3) — tight enough to call 15% canary moves as load vs
+    # regression.
+    _R13_FIXED_SHUFFLE2 = 1.86
     canary_norm4 = round(
         canary_total
         / max(

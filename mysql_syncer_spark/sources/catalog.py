@@ -761,7 +761,10 @@ def configure_session(builder):
 #: to a stopped one. Entries of OTHER session UUIDs are evicted on
 #: insert (r13, ADVICE r12): frames of stopped sessions held JVM plan
 #: refs forever in processes that cycle sessions (test suites,
-#: services). Fixture dirs are immutable by contract; callers
+#: services); eviction runs on EVERY call (the cache holds at most a
+#: fixture-catalog's worth of keys, so the scan is trivial), not just
+#: on miss — a hit for an already-cached table must not keep a dead
+#: session's frames alive. Fixture dirs are immutable by contract; callers
 #: that rewrite a path mid-session must not route it through
 #: load_table (none do — the sync executor uses ParquetCatalog).
 _LOAD_TABLE_CACHE: dict[tuple, DataFrame] = {}
@@ -785,6 +788,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         os.path.abspath(sf_dir),
         name,
     )
+    for stale in [k for k in _LOAD_TABLE_CACHE if k[0] != key[0]]:
+        del _LOAD_TABLE_CACHE[stale]
     cached = _LOAD_TABLE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -794,8 +799,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"{col} div 1000"))
             )
-    for stale in [k for k in _LOAD_TABLE_CACHE if k[0] != key[0]]:
-        del _LOAD_TABLE_CACHE[stale]
     _LOAD_TABLE_CACHE[key] = df
     return df
 

@@ -450,6 +450,36 @@ class TestPQ:
             assert all(0 <= c < 16 for c in codes)
             assert vnorm > 0
 
+    def test_pq_train_pooled_matches_sequential(self, spark, sf_dir):
+        """r13: pq_train overlaps the m independent subspace trainings
+        from a thread pool (guide §2.6). Each subspace's plans are
+        unchanged, so the pooled codebooks must be BIT-IDENTICAL to
+        the sequential per-subspace loop the pool replaced."""
+        from pyspark.sql import functions as F
+
+        from mysql_syncer_spark.operators.similarity import (
+            _l2_lloyd, pq_train,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        pooled = pq_train(emb, m=4, nbits=4, iters=2)
+        dim = len(emb.select("embedding").first()[0])
+        sub = dim // 4
+        sequential = [
+            _l2_lloyd(
+                emb.select(
+                    F.col("vec_id"),
+                    F.slice(
+                        F.col("embedding").cast("array<double>"),
+                        j * sub + 1, sub,
+                    ).alias("__sub"),
+                ),
+                16, 2, "vec_id",
+            )
+            for j in range(4)
+        ]
+        assert pooled == sequential
+
     def test_pq_validation(self, spark, sf_dir):
         import pytest as _pytest
 
